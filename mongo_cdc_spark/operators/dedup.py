@@ -1,0 +1,258 @@
+"""Deduplication operators (SURVEY.md §2.3): exact, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+Scale design: the 100 TB path never does all-pairs. Exact dedup is a
+hash-groupBy on a digest; near-dup generates candidates by joining on a
+*short discriminative key* (LSH band hash / SimHash chunk) so the
+shuffle carries (doc_id, band_key) pairs — bytes per doc, not the text —
+and only candidates are verified. The exact n-gram Jaccard query keeps
+the shingle inverted-index join (correct at any scale but candidate
+count is data-dependent); it is the oracle-checkable ground truth the
+LSH/SimHash variants are measured against in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+JACCARD_THRESHOLD = 0.5
+
+def _tokens():
+    return F.split(F.col("text"), r"\s+")
+
+
+def _shingles(tokens) -> "F.Column":
+    """Distinct word 3-gram shingles of a token array (docs with <3
+    tokens yield an empty set)."""
+    # callers filter size(tokens) >= 3 first, so the sequence bound is ≥ 0
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2),
+            F.element_at(tokens, i + 3)),
+    ))
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle set, set size) — shared by all near-dup ops."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(_tokens()) >= 3)
+        .select("doc_id", _shingles(_tokens()).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
+@query("dedup_exact", sql="""
+    WITH keeper AS (
+      SELECT md5(lower(text)) AS fp,
+             MIN(doc_id) AS keeper_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY fp
+    )
+    SELECT keeper_id, n_copies FROM keeper ORDER BY keeper_id
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a text digest, keep min doc_id.
+
+    Scale: the groupBy key is the 16-byte digest, not the document —
+    the shuffle is O(rows × 24 bytes) regardless of document size.
+    (dropDuplicates picks an arbitrary row; min-per-group is the
+    deterministic formulation of the same operator.)
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.lower("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM toks, generate_series(1, 200) g(i)
+      WHERE i <= len(w) - 2
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, ROUND(j, 4) AS jaccard
+    FROM pairs WHERE j >= {JACCARD_THRESHOLD}
+    ORDER BY doc1, doc2
+"""
+
+
+@query("dedup_ngram_jaccard", sql=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    Plan: explode shingles → self-join on shingle (the inverted-index
+    candidate join — only pairs sharing ≥1 shingle are generated, never
+    all pairs) → count common shingles per pair → Jaccard from the
+    inclusion-exclusion identity. One shuffle on shingle, one on the
+    (doc1, doc2) pair key; both keys are small fixed-width values.
+    """
+    sets = shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"),
+                 F.col("b.doc_id").alias("doc2"),
+                 F.col("a.n_sh").alias("n1"),
+                 F.col("b.n_sh").alias("n2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        common.withColumn("jaccard", F.round(j, 4))
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+# MinHash-LSH parameters: 64 permutations, 32 bands × 2 rows.
+# P(candidate | s=0.5) = 1-(1-0.5^2)^32 ≈ 0.9999; near-dups in this
+# corpus sit at s≥0.8 where recall is 1 - 1e-13.
+_N_HASHES = 64
+_BAND_ROWS = 2
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: LSH banding is probabilistic
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    The 100 TB dedup path: per doc compute a 64-slot MinHash signature
+    (xxhash64 with per-slot seeds over shingles — one pass, no shuffle),
+    band it into 32 × 2-row band keys, shuffle ONLY (band_key → doc_id)
+    pairs, self-join per band for candidates, then verify candidates
+    with exact Jaccard. Shuffle volume is O(docs × 32 keys), independent
+    of document size; all-pairs is never materialized.
+
+    Output schema matches dedup_ngram_jaccard; tests assert the result
+    equals the exact query's (recall check) at fixture scale.
+    """
+    sets = shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    # signature[k] = min over shingles of xxhash64(shingle, seed=k)
+    minhash = exploded.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        for k in range(_N_HASHES)
+    ])
+    # band key = hash of the band's slots (+ band id to keep bands distinct)
+    bands = minhash.select(
+        "doc_id",
+        F.array(*[
+            F.xxhash64(F.lit(band), *[
+                F.col(f"h{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)
+            ]).alias(f"b{band}")
+            for band in range(_N_HASHES // _BAND_ROWS)
+        ]).alias("band_keys"),
+    ).select("doc_id", F.explode("band_keys").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (array intersect on the sets)
+    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"),
+                     F.col("n_sh").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"),
+                     F.col("n_sh").alias("n2"))
+    verified = (
+        candidates.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc1", "doc2", "jaccard").orderBy("doc1", "doc2")
+
+
+_SIMHASH_BITS = 64
+_SIMHASH_CHUNKS = 4          # pigeonhole: dist ≤ 3 ⇒ one 16-bit chunk equal
+_HAMMING_MAX = 3
+
+
+@query("dedup_simhash")  # no SQL oracle: bit-twiddling signature scheme
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Charikar) with chunked candidate join.
+
+    Per doc: 64-bit signature where bit j = sign of Σ_tokens (±1 by bit
+    j of xxhash64(token)). Candidates: split the signature into 4
+    16-bit chunks — any pair within Hamming distance 3 must share ≥1
+    chunk (pigeonhole), so the join key is (chunk_idx, chunk_value) and
+    all-pairs is avoided. Verify with exact popcount on the XOR.
+    """
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.array_distinct(_tokens()).alias("toks")))
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    h = F.xxhash64("tok")
+    # weight +1 if bit j set else -1; sum per doc; bit j of sig = (sum > 0)
+    def _bit(j):  # 1<<63 overflows a Py4J long literal; shiftleft instead
+        return F.shiftleft(F.lit(1).cast("long"), j)
+
+    bit_sums = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(h.bitwiseAND(_bit(j)) != 0, 1).otherwise(-1))
+         .alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ])
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{j}") > 0, _bit(j)).otherwise(F.lit(0).cast("long"))
+             for j in range(_SIMHASH_BITS)),
+            start=F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    chunks = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftrightunsigned(F.col("sig"), c * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+            for c in range(_SIMHASH_CHUNKS)
+        ])).alias("ch"),
+    ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+                F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")
+    )

@@ -1,0 +1,734 @@
+"""Batch relational surface (SURVEY.md §2.2): scans, project/filter,
+joins (all types), aggregations (incl. distinct/rollup/cube), window
+functions, sorts/limit/top-k, set ops, scalar function library.
+
+The reference has none of this (its one derived expression is the
+topic concat, /root/reference/main.go:113); this module is the declared
+engine surface the duckdb-oracle gate checks. Every query is pure
+DataFrame built-ins — whole-stage codegen end to end, no Python in the
+hot path.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+ - every double aggregate is ROUNDed (data has 2-decimal money values,
+   so sums round exactly; avgs rounded to 4-6 dp),
+ - every ORDER BY and window ORDER BY carries a unique tie-break key,
+ - timestamps are output as DATE or formatted string (Spark timestamps
+   are session-TZ UTC, duckdb's are naive — never compare raw).
+
+Scale notes (100 TB posture) are on each query: which side broadcasts,
+where the shuffles are, and why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+@query("q1_pricing_summary", sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 6)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (parquet-pushed) → hash agg.
+
+    Scale: one shuffle on (returnflag, linestatus) — 6 groups, with
+    map-side partial aggregation the shuffle carries 6 rows per task
+    regardless of input size. Survives 100 TB trivially.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q3_shipping_priority", sql="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate  > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-10.
+
+    Scale: customer(filtered) is the small side of customer⋈orders —
+    broadcast it explicitly; orders⋈lineitem shuffles on orderkey (both
+    filtered first, filters parquet-pushed). Final top-10 is
+    TakeOrderedAndProject — no global sort materialized.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q5_local_supplier_volume", sql="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a region filter.
+
+    Scale: region/nation/supplier are broadcast (fixed or sub-linear
+    cardinality — io.BROADCAST_DIMS rationale); the only shuffles are
+    lineitem⋈orders and orders⋈customer on their keys. Join order puts
+    the most selective filters (region via nation via supplier) on the
+    broadcast side so lineitem rows are dropped before the big shuffle.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (supp
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query("q10_returned_items", sql="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------------- joins
+@query("join_semi_urgent_customers", sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+""")
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join = EXISTS. Scale: semi-join shuffles only the key
+    column of orders after the priority filter — minimal payload."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_semi")
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@query("join_anti_customers_no_orders", sql="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+""")
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join = NOT EXISTS (customers who never ordered)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+            .select("c_custkey", "c_mktsegment").orderBy("c_custkey"))
+
+
+@query("join_outer_nation_coverage", sql="""
+    SELECT n.n_name,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+""")
+def join_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer joins preserving unmatched dimension rows.
+
+    Scale: nation is 25 rows — but it is the LEFT side, so instead of
+    broadcasting the facts (unbounded), aggregate facts per nation first
+    (shuffle on an at-most-25-value key), then broadcast-join the tiny
+    aggregates onto nation. Same answer, no wide join of two facts.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    supp_per_nation = (_t(spark, sf_dir, "supplier")
+                       .groupBy("s_nationkey")
+                       .agg(F.countDistinct("s_suppkey").alias("n_suppliers")))
+    cust_per_nation = (_t(spark, sf_dir, "customer")
+                       .groupBy("c_nationkey")
+                       .agg(F.countDistinct("c_custkey").alias("n_customers")))
+    return (
+        nation
+        .join(F.broadcast(supp_per_nation),
+              F.col("n_nationkey") == F.col("s_nationkey"), "left")
+        .join(F.broadcast(cust_per_nation),
+              F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .select(F.col("n_name"),
+                F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+                F.coalesce("n_customers", F.lit(0)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query("join_range_price_band", sql="""
+    SELECT b.band_id, COUNT(*) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES (0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0),
+                 (3, 1500.0, 2000.0)) AS b(band_id, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+""")
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: non-equi predicate against a band table.
+
+    Scale: the band table is tiny → broadcast nested-loop join, the only
+    sane physical plan for a pure range predicate; each part row tests 4
+    bands. For large-large range joins see operators/asof (bucketized).
+    """
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0),
+         (3, 1500.0, 2000.0)],
+        "band_id int, lo double, hi double")
+    return (
+        part.join(F.broadcast(bands),
+                  (F.col("p_retailprice") >= F.col("lo"))
+                  & (F.col("p_retailprice") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .orderBy("band_id")
+    )
+
+
+# ------------------------------------------------------------- aggregations
+@query("agg_rollup_order_status", sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""")
+def agg_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query("agg_cube_returnflag", sql="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""")
+def agg_cube_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 2^2 grouping sets)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query("agg_distinct_per_flag", sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+""")
+def agg_distinct_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg (Catalyst expands to
+    grouping-set style plan; exact, unlike approx_count_distinct —
+    the approx variant is exercised in tests, not oracle-compared)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.countDistinct("l_partkey").alias("n_parts"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_stats_acctbal", sql="""
+    SELECT c_mktsegment,
+           ROUND(AVG(c_acctbal), 4)         AS avg_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(MIN(c_acctbal), 2)         AS min_bal,
+           ROUND(MAX(c_acctbal), 2)         AS max_bal,
+           ROUND(MEDIAN(c_acctbal), 4)      AS med_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+""")
+def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact median (percentile)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+             F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+             F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("med_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------- window functions
+@query("window_topk_orders_per_segment", sql="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 5
+    ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+""")
+def window_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window + filter.
+
+    Scale: one shuffle on the partition key; with few groups and huge
+    data the right plan is a partial top-k per input partition first —
+    AQE + the rank filter pushdown (WindowGroupLimit in Spark 3.5+)
+    does exactly this rewrite automatically.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@query("window_running_customer_spend", sql="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+""")
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + ranking in one pass (same partitioning →
+    Catalyst evaluates both frames in a single Window exchange)."""
+    w_time = (W.partitionBy("o_custkey")
+              .orderBy("o_orderdate", "o_orderkey")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_rank = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                F.round(F.sum("o_totalprice").over(w_time), 2)
+                 .alias("running_spend"),
+                F.rank().over(w_rank).alias("price_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query("window_lag_lead_user_events", sql="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+             AS value_delta
+    FROM events
+    ORDER BY user_id, event_id
+""")
+def window_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic functions over per-user event sequences.
+
+    event_id is the sort key (unique, monotone with ts) — ordering by
+    raw ts would be nondeterministic across engines (ns vs µs precision).
+    """
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.round(F.col("value") - F.lag("value").over(w), 2)
+             .alias("value_delta"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------- sort/limit/top-k
+@query("topk_expensive_lineitems", sql="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 15
+""")
+def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit → TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows; no global sort, no full shuffle)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(15)
+    )
+
+
+# ------------------------------------------------------------------ set ops
+@query("setop_union_nations_with_presence", sql="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey
+""")
+def setop_union_nations_with_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two sources."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@query("setop_intersect_nations", sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+""")
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query("setop_except_nations", sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+""")
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")  # subtract = EXCEPT DISTINCT
+
+
+# --------------------------------------------------------- scalar functions
+@query("scalar_string_part_facets", sql="""
+    SELECT UPPER(p_type) AS type_uc,
+           CAST(REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+           COUNT(*) AS n_parts,
+           CAST(MIN(LENGTH(p_name)) AS INT) AS min_name_len,
+           MAX(SUBSTRING(p_name, 1, 4)) AS max_prefix
+    FROM part
+    GROUP BY type_uc, brand_num
+    ORDER BY type_uc, brand_num
+""")
+def scalar_string_part_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library: upper, regexp_extract, length, substring, concat
+    semantics shared with ANSI SQL (covers the reference's one string op,
+    the Sprintf concat at main.go:113, and far beyond)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.upper("p_type").alias("type_uc"),
+            F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int")
+             .alias("brand_num"),
+            "p_name")
+        .groupBy("type_uc", "brand_num")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.min(F.length("p_name")).alias("min_name_len"),
+             F.max(F.substring("p_name", 1, 4)).alias("max_prefix"))
+        .orderBy("type_uc", "brand_num")
+    )
+
+
+@query("scalar_date_order_seasonality", sql="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)    AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)   AS mo,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY yr, mo
+    ORDER BY yr, mo
+""")
+def scalar_date_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: year/month extraction, per-month rollup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("yr"),
+                F.month("o_orderdate").alias("mo"),
+                "o_totalprice")
+        .groupBy("yr", "mo")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("yr", "mo")
+    )
+
+
+@query("scalar_math_discount_model", sql="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net,
+           ROUND(SUM(ABS(l_extendedprice - l_quantity * 1000)), 2)     AS dev,
+           ROUND(AVG(SQRT(l_quantity)), 6)                             AS avg_sqrt_qty,
+           ROUND(AVG(LN(l_extendedprice + 1)), 6)                      AS avg_log_price,
+           ROUND(MAX(POW(l_discount, 2)), 6)                           AS max_disc_sq
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+""")
+def scalar_math_discount_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function library over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("net"),
+            F.round(F.sum(F.abs(F.col("l_extendedprice")
+                                - F.col("l_quantity") * 1000)), 2).alias("dev"),
+            F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+            F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 6)
+             .alias("avg_log_price"),
+            F.round(F.max(F.pow("l_discount", F.lit(2))), 6).alias("max_disc_sq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("json_extract_event_props", sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+""")
+def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON navigation on a dynamic payload column — the same opaque-
+    document treatment the CDC path gives fullDocument (SURVEY.md §1.5)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+             F.max(k.cast("int")).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------- event-time (batch view)
+@query("events_hourly_rollup", sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+""")
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window as a batch query (the streaming twin —
+    same groupBy(window(...)) — lives in streaming/windows.py)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp")))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("hour_start"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query("events_sessionization", sql="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+               AS gap_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(MAX(events_in_session) AS BIGINT)     AS max_session_events
+    FROM (SELECT user_id, session_id, COUNT(*) AS events_in_session
+          FROM sess GROUP BY user_id, session_id)
+    GROUP BY user_id
+    ORDER BY user_id
+""")
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + windowed cumsum.
+
+    Scale: two window passes over the SAME (user_id, event_id)
+    partitioning — one shuffle total; session stats then aggregate on
+    (user_id, session_id), which is a prefix of the existing
+    partitioning, so no second exchange of the full data.
+    """
+    w = W.partitionBy("user_id").orderBy("event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = _t(spark, sf_dir, "events")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = (
+        ev.withColumn("gap_s", gap)
+        .withColumn("new_sess",
+                    F.when(F.col("gap_s").isNull()
+                           | (F.col("gap_s") > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+    )
+    per_session = (sess.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("events_in_session")))
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
+             F.max("events_in_session").alias("max_session_events"))
+        .orderBy("user_id")
+    )

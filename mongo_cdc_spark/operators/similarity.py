@@ -1,0 +1,271 @@
+"""Similarity search over embeddings (SURVEY.md §2.3): brute-force
+cosine top-k (the correctness baseline), threshold pairs, IVF-style
+centroid assignment, and random-hyperplane LSH bucketing (the scale
+paths).
+
+Vectors are cast float→double once so the dot-product fold matches the
+oracle bit-for-bit; results are rounded to 6 dp BEFORE ranking so the
+rank order itself is reproducible across engines.
+
+Scale design: brute-force is O(Q×N) and only sane when Q is small and
+broadcastable (it is here: the query set broadcasts, candidates stream —
+no shuffle at all). The 100 TB paths bound candidates per probe: IVF
+compares each vector to K centroids (broadcast) and searches one cell;
+LSH buckets on a signature key so the join carries (sig, id) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+N_QUERIES = 5        # vec_id < 5 are the probe vectors
+TOP_K = 5
+PAIR_THRESHOLD = 0.3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with double-cast vector and precomputed L2 norm."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", vec.alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+
+
+def _dot(a, b) -> "F.Column":
+    """Sequential left-fold dot product — same association as the
+    oracle's list_dot_product, so doubles match bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b, norm_a, norm_b) -> "F.Column":
+    return _dot(a, b) / (norm_a * norm_b)
+
+
+@query("knn_bruteforce_cosine", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+""")
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the probe set, stream the
+    corpus once, per-group top-k via row_number on the ROUNDED score.
+
+    Scale: no shuffle for scoring (broadcast nested loop); the only
+    exchange is the tiny (Q × N → Q × k) window, which Spark's
+    WindowGroupLimit collapses to per-partition heaps.
+    """
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("norm").alias("qnorm")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "v", "norm")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("v"),
+                               F.col("qnorm"), F.col("norm")), 6)
+                 .alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("similarity_threshold_pairs", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, cos_sim FROM pairs
+    WHERE cos_sim >= {PAIR_THRESHOLD}
+    ORDER BY id1, id2
+""")
+def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ τ — embedding near-dup detection.
+
+    Correctness baseline only: all-pairs is O(N²) and does NOT survive
+    100 TB; the scale path is knn_lsh_hyperplane / knn_ivf_centroid
+    bucketing below, which tests measure against this ground truth.
+    """
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+                 F.col("norm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+                 F.col("norm").alias("n2"))
+    sim = F.round(cosine(F.col("v1"), F.col("v2"),
+                         F.col("n1"), F.col("n2")), 6)
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= PAIR_THRESHOLD)
+        .orderBy("id1", "id2")
+    )
+
+
+@query("knn_ivf_centroid", sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+    ), assigned AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(e.v, cent.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_sim,
+             cent.c_label
+      FROM e CROSS JOIN cent
+    ), best AS (
+      SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, c_label) AS rn
+      FROM assigned
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assigned_home
+    FROM best WHERE rn = 1
+    GROUP BY label ORDER BY label
+""")
+def knn_ivf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: label-seeded centroids (mean vector per
+    label), assign every vector to its nearest centroid, report how many
+    land on their home cluster.
+
+    Scale: centroid construction is one shuffle on (label, dim) —
+    K×dim rows out; assignment broadcasts the K centroids and streams
+    the corpus once (no shuffle). This is exactly the IVF probe-cell
+    selection step for ANN at 100 TB: N×K comparisons, never N².
+    """
+    e = _emb(spark, sf_dir)
+    # centroids via posexplode → avg per (label, position) → re-assemble
+    comp = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i").agg(F.avg("x").alias("c"))
+    )
+    cent = (
+        comp.groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("c_label",
+                F.transform("pairs", lambda p: p.getField("c")).alias("cv"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label",
+                F.round(cosine(F.col("v"), F.col("cv"),
+                               F.col("norm"), F.col("cnorm")), 6)
+                 .alias("cos_sim"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("c_label"))
+    best = assigned.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        best.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(F.when(F.col("c_label") == F.col("label"), 1)
+                   .otherwise(0)).alias("n_assigned_home"))
+        .orderBy("label")
+    )
+
+
+_N_PLANES = 4  # 16 buckets — sized so fixture-scale buckets stay populated
+
+
+@query("knn_lsh_hyperplane")  # no SQL oracle: signature scheme, approximate
+def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH (SimHash for vectors): 8-bit signatures
+    from deterministic ±1 hyperplanes (xxhash64(plane, dim) parity — no
+    stored model), bucket by signature, search only within the probe's
+    bucket.
+
+    Scale: the bucket join key is one small int; each probe touches
+    ~N/2^bits candidates. Approximate by construction → rows-only check;
+    tests measure its recall against knn_bruteforce_cosine.
+    """
+    e = _emb(spark, sf_dir)
+    # plane p component d = +1 if xxhash64(p, d) even else -1
+    sig = sum(
+        (
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[
+                            F.when(F.xxhash64(F.lit(p), F.lit(d))
+                                   .bitwiseAND(F.lit(1)) == 0, F.lit(1.0))
+                            .otherwise(F.lit(-1.0))
+                            for d in range(64)
+                        ]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ) > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(_N_PLANES)
+        ),
+        start=F.lit(0),
+    )
+    bucketed = e.withColumn("sig", sig)
+    probes = (bucketed.filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
+                      F.col("sig").alias("qsig")))
+    cands = bucketed.select(F.col("vec_id").alias("neighbor_id"), "v",
+                            "norm", "sig")
+    scored = (
+        cands.join(F.broadcast(probes), F.col("sig") == F.col("qsig"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("v"),
+                               F.col("qnorm"), F.col("norm")), 6)
+                 .alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

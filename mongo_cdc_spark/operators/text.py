@@ -1,0 +1,250 @@
+"""Text analysis operators (SURVEY.md §2.3): tokenization, quality
+scoring, language-ID heuristic, document fingerprinting, term stats.
+
+All hot-path logic is built-in Spark SQL functions (split/explode/
+higher-order array ops/md5) — JVM-side, codegen'd, no Python. These run
+on the `documents` fixture table; at 100 TB the same plans hold: the
+only shuffles are the final small aggregations (per-lang/per-source
+keys), and explode-based term stats do map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+# Tokenizer shared by every query (and mirrored in each oracle):
+# whitespace split of the raw text. The fixture corpus is bag-of-words
+# single-space text, so this is exact; a BPE-ish regex tokenizer is
+# exercised in tests (tests/test_text.py) where no SQL mirror is needed.
+def _tokens():
+    return F.split(F.col("text"), r"\s+")
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query("text_token_stats", sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(regexp_split_to_array(text, '\\s+'))), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(MAX(len(regexp_split_to_array(text, '\\s+'))) AS INT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language facet."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.size(_tokens()).alias("n_tok"), "n_chars")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+             F.max("n_tok").alias("max_tokens"))
+        .orderBy("lang")
+    )
+
+
+@query("text_quality_scores", sql="""
+    WITH scored AS (
+      SELECT source,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT source,
+           ROUND(AVG(n_stop * 1.0 / n_tok), 4) AS avg_stop_ratio,
+           ROUND(AVG(0.6 * (n_stop * 1.0 / n_tok)
+                     + 0.4 * LEAST(n_tok / 100.0, 1.0)), 4) AS avg_quality,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+""")
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length saturation, averaged per
+    source — the standard cheap pre-filter in LLM data pipelines."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    stop_ratio = n_stop * F.lit(1.0) / n_tok
+    quality = 0.6 * stop_ratio + 0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return (
+        _docs(spark, sf_dir)
+        .select("source", stop_ratio.alias("ratio"), quality.alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("ratio"), 4).alias("avg_stop_ratio"),
+             F.round(F.avg("q"), 4).alias("avg_quality"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+# Per-language marker lists for the n-gram/stopword language-ID heuristic.
+# On the synthetic corpus (shared vocab across langs) most docs score as
+# 'en' — the point is the *operator* (deterministic scored classification),
+# evaluated against the labeled `lang` column.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _markers_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+
+
+@query("text_langid_confusion", sql=f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ({_markers_sql('en')}))) AS s_en,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ({_markers_sql('de')}))) AS s_de,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ({_markers_sql('es')}))) AS s_es,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ({_markers_sql('fr')}))) AS s_fr,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ({_markers_sql('zh')}))) AS s_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                       AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+""")
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word scoring, fixed-precedence
+    argmax) → confusion matrix against the labeled lang column."""
+    toks = _tokens()
+
+    def _score(markers):
+        # one-arg lambda required: a 2-arg lambda means (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _score(markers) for lang, markers in _LANG_MARKERS.items()}
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
+               & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
+               "en")
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"])
+              & (scores["de"] >= scores["zh"]), "de")
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]),
+              "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@query("text_fingerprint_md5", sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(text))) AS BIGINT) AS n_fingerprints
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+""")
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprinting (normalize → md5); fingerprint
+    cardinality per source = exact-dup detection at scale (the digest is
+    what you shuffle, never the text)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.md5(F.lower("text").cast("binary")).alias("fp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("fp").alias("n_fingerprints"))
+        .orderBy("source")
+    )
+
+
+@query("text_shingle_fingerprint", sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             MIN(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS fp
+      FROM toks, generate_series(1, 200) g(i)
+      WHERE i <= len(w) - 2
+      GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+           COUNT(*) AS n_docs
+    FROM sh GROUP BY lang ORDER BY lang
+""")
+def text_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-gram fingerprint: min-hash-of-shingles per document
+    (the winnowing building block; full MinHash-LSH is in dedup.py)."""
+    toks = _tokens()
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3)),
+    )
+    fp = F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.size(_tokens()) >= 3)  # oracle's WHERE i <= len(w)-2 twin
+        .select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(F.countDistinct("fp").alias("n_distinct_fp"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query("text_top_tokens", sql="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 10
+""")
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-10 (explode → count → top-k).
+
+    Scale: explode multiplies rows, but partial aggregation collapses
+    each task to its distinct tokens before the shuffle, and the top-10
+    is TakeOrderedAndProject — no global materialization.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(10)
+    )
