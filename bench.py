@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop datasource (full
+computation, no driver-side collect cost). Reported seconds are
+wall-clock per query; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from mongo_cdc_spark.operators import (  # noqa: E402
+    dedup, multimodal, relational, similarity, text,
+)
+from mongo_cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    ("q1", relational.q1_pricing_summary),
+    ("q3", relational.q3_shipping_priority),
+    ("q5", relational.q5_local_supplier_volume),
+    ("q10", relational.q10_returned_items),
+    ("window_topk", relational.window_topk_orders_per_segment),
+    ("window_running", relational.window_running_customer_spend),
+    ("sessionization", relational.events_sessionization),
+    ("join_asof", relational.join_asof_purchase_click),
+    ("dedup_exact", dedup.dedup_exact),
+    ("dedup_jaccard", dedup.dedup_ngram_jaccard),
+    ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
+    ("dedup_simhash", dedup.dedup_simhash),
+    ("knn_bruteforce", similarity.knn_bruteforce_cosine),
+    ("knn_ivf", similarity.knn_ivf_centroid),
+    ("knn_lsh", similarity.knn_lsh_hyperplane),
+    ("text_quality", text.text_quality_scores),
+    ("text_top_tokens", text.text_top_tokens),
+    ("text_bpe_tokens", text.text_bpe_token_count),
+    ("multimodal_decode", multimodal.multimodal_fake_decode),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    # warm the JVM/session so query 1 doesn't pay startup costs
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE:
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

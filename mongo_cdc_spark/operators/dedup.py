@@ -40,9 +40,17 @@ def _shingles(tokens) -> "F.Column":
 
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle set, set size) — shared by all near-dup ops."""
+    """(doc_id, shingle set, set size) — shared by all near-dup ops.
+
+    The repartition spreads shingle computation across all cores: the
+    fixture is a single parquet file (one input split), and at real
+    scale it pins the downstream per-doc work to a doc_id partitioning
+    that the groupBy(doc_id) stages then reuse shuffle-free.
+    """
+    n = spark.sparkContext.defaultParallelism
     return (
         load_table(spark, sf_dir, "documents")
+        .repartition(n, "doc_id")
         .filter(F.size(_tokens()) >= 3)
         .select("doc_id", _shingles(_tokens()).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
@@ -109,7 +117,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc1, doc2) pair key; both keys are small fixed-width values.
     """
     sets = shingle_sets(spark, sf_dir)
-    exploded = sets.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # join on the 64-bit shingle hash, not the string: the shuffle then
+    # carries (8B, 8B) rows instead of full shingle text. Collisions
+    # (~|shingles|²/2⁶⁴) are far below the oracle's detection floor.
+    exploded = sets.select(
+        "doc_id", "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
@@ -130,11 +143,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash-LSH parameters: 64 permutations, 32 bands × 2 rows.
-# P(candidate | s=0.5) = 1-(1-0.5^2)^32 ≈ 0.9999; near-dups in this
-# corpus sit at s≥0.8 where recall is 1 - 1e-13.
+# MinHash-LSH parameters: 64 permutations, 16 bands × 4 rows.
+# Tuned for the near-dup regime (s ≥ 0.8): recall 1-(1-0.8⁴)¹⁶ ≈ 0.9998,
+# while background pairs (this corpus sits near s≈0.2) band-collide with
+# P ≈ 1-(1-0.2⁴)¹⁶ ≈ 2.5% — wider bands (2 rows) made ~70% of ALL pairs
+# candidates here, collapsing LSH back into all-pairs.
 _N_HASHES = 64
-_BAND_ROWS = 2
+_BAND_ROWS = 4
 
 
 @query("dedup_minhash_lsh")  # no SQL oracle: LSH banding is probabilistic
@@ -152,22 +167,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the exact query's (recall check) at fixture scale.
     """
     sets = shingle_sets(spark, sf_dir)
-    exploded = sets.select("doc_id", F.explode("sh").alias("shingle"))
-    # signature[k] = min over shingles of xxhash64(shingle, seed=k)
-    minhash = exploded.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
-        for k in range(_N_HASHES)
-    ])
-    # band key = hash of the band's slots (+ band id to keep bands distinct)
+
+    # signature = element-wise min over shingles of the 64-hash array —
+    # ONE pass over `sh` (a single aggregate fold), so the shingle
+    # expression is evaluated once per row no matter how many hashes.
+    # (64 separate array_min(transform(sh,…)) projections would be
+    # inlined by CollapseProject into 64 recomputations of `sh`.)
+    # Narrow, shuffle-free: at 100 TB the signature stage is
+    # embarrassingly parallel.
+    long_max = (1 << 63) - 1
+    sig = F.aggregate(
+        "sh",
+        F.array_repeat(F.lit(long_max).cast("long"), _N_HASHES),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(k)) for k in range(_N_HASHES)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    minhash = sets.select("doc_id", sig.alias("sig"))
+    # band key = hash of the band's signature slots (+ band id so equal
+    # values in different bands don't collide)
     bands = minhash.select(
         "doc_id",
-        F.array(*[
+        F.explode(F.array(*[
             F.xxhash64(F.lit(band), *[
-                F.col(f"h{band * _BAND_ROWS + r}") for r in range(_BAND_ROWS)
-            ]).alias(f"b{band}")
+                F.element_at("sig", band * _BAND_ROWS + r + 1)
+                for r in range(_BAND_ROWS)
+            ])
             for band in range(_N_HASHES // _BAND_ROWS)
-        ]).alias("band_keys"),
-    ).select("doc_id", F.explode("band_keys").alias("band_key"))
+        ])).alias("band_key"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -177,13 +207,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (array intersect on the sets)
+    # Verify candidates with exact Jaccard. Broadcast the candidate pair
+    # list (ids only — tiny relative to the corpus) so the shingle sets
+    # stream through twice without ever shuffling the arrays themselves.
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"),
                      F.col("n_sh").alias("n1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"),
                      F.col("n_sh").alias("n2"))
     verified = (
-        candidates.join(s1, "doc1").join(s2, "doc2")
+        s1.join(F.broadcast(candidates), "doc1")
+        .join(s2, "doc2")
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn("jaccard", F.round(
             F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4))
@@ -207,7 +240,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk (pigeonhole), so the join key is (chunk_idx, chunk_value) and
     all-pairs is avoided. Verify with exact popcount on the XOR.
     """
+    n = spark.sparkContext.defaultParallelism
     docs = (load_table(spark, sf_dir, "documents")
+            .repartition(n, "doc_id")
             .select("doc_id", F.array_distinct(_tokens()).alias("toks")))
     tok = docs.select("doc_id", F.explode("toks").alias("tok"))
     h = F.xxhash64("tok")

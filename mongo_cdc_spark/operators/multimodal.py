@@ -125,6 +125,9 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, partition-parallel). The checksum stands in for an image
     feature vector; schema/batching/partitioning are the real thing."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
-    feats = docs.select("doc_id", "payload").mapInPandas(
+    # repartition so decode parallelism isn't bound to input splits —
+    # media decode is CPU-bound, so every core should hold a batch
+    n = spark.sparkContext.defaultParallelism
+    feats = docs.select("doc_id", "payload").repartition(n).mapInPandas(
         fake_features_batch, schema="doc_id long, n_bytes long, checksum long")
     return feats.orderBy("doc_id")

@@ -732,3 +732,131 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("events_in_session").alias("max_session_events"))
         .orderBy("user_id")
     )
+
+
+@query("join_asof_purchase_click", sql="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), buys AS (
+      SELECT user_id, ts, event_id AS buy_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT b.buy_id, b.user_id, c.click_id,
+           epoch_us(b.ts) - epoch_us(c.ts) AS gap_us
+    FROM buys b ASOF LEFT JOIN clicks c
+      ON b.user_id = c.user_id AND c.ts <= b.ts
+    ORDER BY buy_id
+""")
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest preceding event): each purchase matched to
+    the same user's latest click at-or-before it.
+
+    Spark lacks a native ASOF JOIN; the scalable composition is the
+    union-and-carry-forward trick: tag both sides, sort within user by
+    (ts, side), and carry the last click forward with last(ignorenulls)
+    — ONE shuffle on user_id, no range self-join, no candidate blowup.
+    (Clicks are pre-deduped per (user, ts) to make ties deterministic,
+    mirrored in the oracle.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("event_id").alias("buy_id")))
+    tagged = (
+        clicks.select("user_id", "ts", F.lit(0).alias("side"),
+                      "click_id", F.lit(None).cast("long").alias("buy_id"))
+        .unionByName(
+            buys.select("user_id", "ts", F.lit(1).alias("side"),
+                        F.lit(None).cast("long").alias("click_id"),
+                        "buy_id"))
+    )
+    w = (W.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = (
+        tagged
+        .withColumn("last_click",
+                    F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts",
+                    F.last(F.when(F.col("click_id").isNotNull(),
+                                  F.col("ts")), ignorenulls=True).over(w))
+    )
+    return (
+        carried.filter(F.col("buy_id").isNotNull())
+        .select("buy_id", "user_id",
+                F.col("last_click").alias("click_id"),
+                (F.unix_micros("ts") - F.unix_micros("last_click_ts"))
+                .alias("gap_us"))
+        .orderBy("buy_id")
+    )
+
+
+@query("agg_grouping_sets_orders", sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""")
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): (status, priority),
+    (priority), and grand total in one pass — Catalyst expands then
+    aggregates once; partial aggregation still applies per set."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+@query("pivot_status_by_priority", sql="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority × status. The value
+    list is declared, so Spark skips the extra distinct-values job and
+    plans a single aggregation — the only safe pivot shape at scale."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        piv.select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("agg_approx_sketches")  # no SQL oracle: HLL++/KLL sketches are
+# engine-specific; tests/test_relational.py bounds them against exact
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB interactive profiling:
+    approx_count_distinct (HLL++, rsd 1%) and percentile_approx —
+    fixed-size state, one pass, mergeable across partitions (the whole
+    point at scale: no exact-distinct shuffle of the key universe)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.01)
+             .alias("approx_orders"),
+             F.percentile_approx("l_extendedprice", 0.5, 10_000)
+             .alias("approx_median_price"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )

@@ -20,10 +20,22 @@ QUERIES, ORACLE, query = make_registry()
 
 # Tokenizer shared by every query (and mirrored in each oracle):
 # whitespace split of the raw text. The fixture corpus is bag-of-words
-# single-space text, so this is exact; a BPE-ish regex tokenizer is
-# exercised in tests (tests/test_text.py) where no SQL mirror is needed.
+# single-space text, so this is exact; the BPE-ish pre-tokenizer below
+# (`bpe_ish_tokens`) is the subword-aware variant.
 def _tokens():
     return F.split(F.col("text"), r"\s+")
+
+
+# GPT-2-style pre-tokenizer approximation: letter runs, digit runs, and
+# punctuation runs become separate tokens (the split BPE merges operate
+# within). Same RE dialect subset in Spark (Java regex) and DuckDB (RE2).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col) -> "F.Column":
+    """BPE-ish pre-tokenization of a string column (JVM-side regex —
+    no Python in the hot path)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
 
 _STOPWORDS = ("the", "a", "of", "and")
 
@@ -221,6 +233,29 @@ def text_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("fp").alias("n_distinct_fp"),
              F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query("text_bpe_token_count", sql=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text,
+               '{BPE_PATTERN}'))) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish pre-tokenizer vs whitespace —
+    the budget estimate every training-data pipeline runs first."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang",
+                F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe"),
+                F.size(_tokens()).alias("n_ws"))
+        .groupBy("lang")
+        .agg(F.sum("n_bpe").alias("n_bpe_tokens"),
+             F.sum("n_ws").alias("n_ws_tokens"))
         .orderBy("lang")
     )
 

@@ -1,0 +1,66 @@
+"""Dedup operator tests: the approximate scale paths (MinHash-LSH,
+SimHash) are measured against the exact queries they approximate."""
+
+from __future__ import annotations
+
+from mongo_cdc_spark.operators import dedup
+
+
+def _pairs(df):
+    return {(r.doc1, r.doc2) for r in df.collect()}
+
+
+def test_exact_dedup_keeper_invariants(spark, sf_dir, oracle):
+    got = dedup.dedup_exact(spark, sf_dir).toPandas()
+    n_docs = oracle.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    # every document is accounted for exactly once
+    assert got.n_copies.sum() == n_docs
+    # keeper ids are distinct and keepers exist in the corpus
+    assert got.keeper_id.is_unique
+    assert (got.n_copies >= 1).all()
+
+
+def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
+    """At fixture scale near-dups sit at s≥0.8, where 16 bands × 4 rows
+    has recall 1-(1-0.8^4)^16 ≈ 0.9998 — LSH must find the same pairs
+    the exact inverted-index join finds (both verify with exact Jaccard,
+    so precision is 1 by construction)."""
+    exact = _pairs(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    lsh = _pairs(dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert lsh == exact
+    assert len(exact) > 0, "fixture must contain near-dup pairs"
+
+
+def test_jaccard_values_bounded_and_ordered(spark, sf_dir):
+    rows = dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert dedup.JACCARD_THRESHOLD <= r.jaccard <= 1.0
+        assert r.doc1 < r.doc2
+
+
+def test_simhash_pairs_valid(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc1 < r.doc2
+        assert 0 <= r.hamming <= dedup._HAMMING_MAX
+
+
+def test_simhash_finds_exact_duplicates(spark, sf_dir):
+    """Identical texts have identical signatures → Hamming 0; every
+    exact-dup pair must appear in the SimHash output."""
+    from pyspark.sql import functions as F
+    from mongo_cdc_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text").cast("binary")).alias("fp"))
+    a, b = docs.alias("a"), docs.alias("b")
+    exact_dups = {
+        (r.doc1, r.doc2)
+        for r in a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2")).collect()
+    }
+    sim = _pairs(dedup.dedup_simhash(spark, sf_dir))
+    assert exact_dups <= sim

@@ -1,0 +1,46 @@
+"""Every oracle-checkable query in __spark_entry__ hash-matches DuckDB
+at sf0.001 — the same compare the driver's t2 gate runs at sf0.01
+(tools/oracle_check.py is the standalone version of this test)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from oracle_check import _canon, value_hash  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_declared_in_entry():
+    # driver contract: oracle keys ⊆ query keys, nothing dangling
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 40
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, oracle, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = oracle.sql(ORACLES[name]).df()
+    assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    if value_hash(sdf) != value_hash(odf):
+        a, b = _canon(sdf), _canon(odf)
+        neq = (a.fillna("~") != b.fillna("~")).any(axis=1)
+        i = neq.idxmax()
+        raise AssertionError(
+            f"value mismatch at row {i}: spark={a.loc[i].to_dict()} "
+            f"oracle={b.loc[i].to_dict()}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0  # runs end-to-end with a stable schema
+    assert len(df.columns) > 0

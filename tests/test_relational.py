@@ -1,0 +1,48 @@
+"""Relational-surface tests that the hash-oracle can't express:
+sketch accuracy bounds and plan-shape assertions (broadcast, pushdown).
+"""
+
+from __future__ import annotations
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import relational
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    got = relational.agg_approx_sketches(spark, sf_dir).toPandas()
+    from pyspark.sql import functions as F
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("nd"),
+             F.percentile("l_extendedprice", F.lit(0.5)).alias("med"))
+        .toPandas().set_index("l_returnflag")
+    )
+    for _, row in got.iterrows():
+        nd = exact.loc[row.l_returnflag, "nd"]
+        med = exact.loc[row.l_returnflag, "med"]
+        assert abs(row.approx_orders - nd) / nd < 0.05
+        assert abs(row.approx_median_price - med) / med < 0.05
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    """The small dims must broadcast — a shuffle join on region/nation
+    at 100 TB would be a plan bug."""
+    plan = relational.q5_local_supplier_volume(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """Predicate pushdown + column pruning must reach the parquet scan."""
+    plan = relational.q1_pricing_summary(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # the scan must not read columns q1 doesn't touch
+    assert "l_comment" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = relational.topk_expensive_lineitems(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

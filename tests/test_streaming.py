@@ -1,0 +1,184 @@
+"""Streaming analytics tests (M2): event-time windows + watermarks,
+streaming dedup, stream-static and stream-stream joins, custom state.
+
+All hermetic: JSON file-stream sources in tmp_path, memory/foreachBatch
+sinks, processAllAvailable() for deterministic drains."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.streaming import (
+    read_events_stream,
+    session_window_stats,
+    stream_static_enrich,
+    stream_stream_self_join,
+    streaming_dedup,
+    tumbling_window_counts,
+    user_session_state,
+)
+
+BASE = "2024-01-01T{:02d}:{:02d}:00Z"
+
+
+def _ev(eid, hour, minute, user=1, etype="click", value=1.0):
+    return {"event_id": eid, "ts": BASE.format(hour, minute),
+            "user_id": user, "event_type": etype, "value": value,
+            "props": "{}"}
+
+
+def _write(path: Path, name: str, events):
+    with open(path / name, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def _collect_stream(df, tmp_path, mode="append"):
+    out = []
+    q = (df.writeStream.outputMode(mode)
+         .foreachBatch(lambda b, i: out.append(b.toPandas()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    _drain(q)
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def _collect_batched(df, tmp_path, src, batches, mode="append"):
+    """Deterministic multi-batch drive: write one file, drain, repeat —
+    the file source's mtime ordering is racy when files pre-exist, so
+    watermark-order-sensitive tests must feed batches explicitly."""
+    out = []
+    q = (df.writeStream.outputMode(mode)
+         .foreachBatch(lambda b, i: out.append(b.toPandas()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    for i, events in enumerate(batches):
+        _write(src, f"batch_{i}.json", events)
+        q.processAllAvailable()
+    q.stop()
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def test_tumbling_window_closes_on_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: three events inside hour 0; batch 2 advances the watermark
+    # far past hour 0; batch 3 gives the engine a batch in which the
+    # now-closed hour-0 window is emitted (append-mode emission happens
+    # on the batch AFTER the watermark passes the window end)
+    got = _collect_batched(
+        tumbling_window_counts(read_events_stream(spark, str(src))),
+        tmp_path, src, [
+            [_ev(1, 0, 5), _ev(2, 0, 10, etype="view"), _ev(3, 0, 20)],
+            [_ev(4, 6, 0)],
+            [_ev(5, 12, 0)],
+        ])
+    hour0 = got[got.window_start.astype(str).str.contains("00:00:00")]
+    assert dict(zip(hour0.event_type, hour0.n)) == {"click": 2, "view": 1}
+
+
+def test_late_event_past_watermark_dropped(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    got = _collect_batched(
+        tumbling_window_counts(read_events_stream(spark, str(src))),
+        tmp_path, src, [
+            [_ev(1, 0, 5)],
+            [_ev(2, 6, 0)],    # watermark → 05:30, hour-0 closes
+            [_ev(3, 0, 7)],    # late: past the watermark
+            [_ev(4, 12, 0)],   # flush remaining windows
+        ])
+    hour0 = got[got.window_start.astype(str).str.contains("00:00:00")]
+    # the late event did not reopen or increment the closed hour-0 window
+    assert hour0.n.sum() == 1
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    got = _collect_batched(
+        streaming_dedup(read_events_stream(spark, str(src))), tmp_path, src,
+        [
+            [_ev(1, 0, 5), _ev(1, 0, 5), _ev(2, 0, 6)],
+            [_ev(1, 0, 5), _ev(3, 0, 7)],  # dup of batch 1
+        ])
+    assert sorted(got.event_id) == [1, 2, 3]
+
+
+def test_stream_static_enrich(spark, tmp_path, sf_dir):
+    src = tmp_path / "src"
+    src.mkdir()
+    customers = load_table(spark, sf_dir, "customer")
+    some_key = customers.select("c_custkey").first()[0]
+    _write(src, "a.json", [_ev(1, 0, 5, user=some_key),
+                           _ev(2, 0, 6, user=10 ** 12)])  # no such customer
+    got = _collect_stream(
+        stream_static_enrich(read_events_stream(spark, str(src)), customers),
+        tmp_path)
+    by_id = got.set_index("event_id")
+    assert isinstance(by_id.loc[1, "c_name"], str)      # enriched
+    assert pd.isna(by_id.loc[2, "c_name"])              # left join kept it
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "a.json", [
+        _ev(10, 0, 0, user=7, etype="click"),
+        _ev(11, 0, 20, user=7, etype="purchase", value=99.0),
+        _ev(12, 2, 0, user=7, etype="purchase", value=5.0),  # click too old
+        _ev(13, 0, 1, user=8, etype="purchase"),             # no click
+    ])
+    events = read_events_stream(spark, str(src))
+    other = read_events_stream(spark, str(src))
+    got = _collect_stream(
+        stream_stream_self_join(events, other), tmp_path)
+    assert set(zip(got.buy_id, got.click_id)) == {(11, 10)}
+
+
+def test_session_window_merges_events(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # user 1: events 5 min apart (one session), then a 30-min gap (new
+    # one); the watermark then advances via a DIFFERENT user so user 1's
+    # sessions close, and a final batch delivers the emissions
+    got = _collect_batched(
+        session_window_stats(read_events_stream(spark, str(src))),
+        tmp_path, src, [
+            [_ev(1, 0, 0), _ev(2, 0, 5), _ev(3, 0, 45)],
+            [_ev(4, 6, 0, user=99)],
+            [_ev(5, 12, 0, user=99)],
+        ])
+    u1 = got[got.user_id == 1].sort_values("session_start")
+    assert list(u1.n_events) == [2, 1]
+
+
+def test_user_session_state_closes_on_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two users' events; batches 2-3 advance the watermark past
+    # last_event + 30 min gap so both sessions time out and emit
+    got = _collect_batched(
+        user_session_state(read_events_stream(spark, str(src))),
+        tmp_path, src, [
+            [_ev(1, 0, 0, user=1, value=2.0),
+             _ev(2, 0, 1, user=1, value=3.0),
+             _ev(3, 0, 2, user=2, value=10.0)],
+            [_ev(4, 6, 0, user=99)],
+            [_ev(5, 12, 0, user=99)],
+        ])
+    by_user = got.set_index("user_id")
+    assert by_user.loc[1, "n_events"] == 2
+    assert by_user.loc[1, "total_value"] == 5.0
+    assert by_user.loc[2, "n_events"] == 1
+    assert str(by_user.loc[1, "session_start"]).startswith("2024-01-01 00:00")
+    assert str(by_user.loc[1, "session_end"]).startswith("2024-01-01 00:01")
