@@ -30,6 +30,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def read_batch(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None, **options) -> DataFrame:
+    """Batch scan surface (SURVEY.md §2.2 'Scans / sources'): parquet
+    (self-describing, vectorized, filter/column pushdown), json and csv
+    (schema required for a stable plan — inference reads the data twice
+    and is forbidden on the 100 TB path)."""
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(
+            f"{fmt} scans require an explicit schema: schema inference "
+            "re-reads the input and produces drifting plans at scale")
+    return reader.load(path)
+
+
+def write_batch(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "overwrite", partition_by: tuple[str, ...] = (),
+                **options) -> None:
+    """Batch sink surface: parquet/json/csv, optionally hive-partitioned
+    (partition_by keys become directory pruning at read time)."""
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql() use."""
     for t in TABLES:

@@ -28,14 +28,23 @@ def _tokens():
 
 
 def _shingles(tokens) -> "F.Column":
-    """Distinct word 3-gram shingles of a token array (docs with <3
-    tokens yield an empty set)."""
+    """Distinct word 3-gram shingles of a token array, as 64-bit hashes
+    (docs with <3 tokens yield an empty set).
+
+    Each token is hashed ONCE, and a shingle hash combines the three
+    consecutive token hashes — no 3-word string is ever materialized
+    (building concat'd shingle strings was 12× slower and dominated
+    every near-dup query). All downstream consumers need only equality
+    / counts, so collisions (~|shingles|²/2⁶⁴) are the only error and
+    sit far below the oracle's detection floor.
+    """
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
     # callers filter size(tokens) >= 3 first, so the sequence bound is ≥ 0
     return F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size(tokens) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2),
-            F.element_at(tokens, i + 3)),
+        lambda i: F.xxhash64(
+            F.element_at(th, i + 1), F.element_at(th, i + 2),
+            F.element_at(th, i + 3)),
     ))
 
 
@@ -117,12 +126,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc1, doc2) pair key; both keys are small fixed-width values.
     """
     sets = shingle_sets(spark, sf_dir)
-    # join on the 64-bit shingle hash, not the string: the shuffle then
-    # carries (8B, 8B) rows instead of full shingle text. Collisions
-    # (~|shingles|²/2⁶⁴) are far below the oracle's detection floor.
-    exploded = sets.select(
-        "doc_id", "n_sh",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
+    # the join key is the 64-bit shingle hash (8B), never shingle text —
+    # the shuffle carries (8B, 8B, 4B) rows regardless of document size
+    exploded = sets.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (

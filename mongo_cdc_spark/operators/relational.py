@@ -734,6 +734,66 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("window_sliding_events", sql="""
+    WITH x AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes']) AS ws
+      FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n
+    FROM x GROUP BY ws ORDER BY ws
+""")
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h size / 30 min slide) — the same
+    F.window used by the streaming module, exercised batch-side where
+    the oracle can hash-check it. Each event expands to size/slide
+    windows BEFORE the shuffle; partial aggregation collapses per task."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n")
+        .orderBy("window_start")
+    )
+
+
+@query("window_session_events", sql="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN pts IS NULL
+                       OR ts - pts >= INTERVAL '10 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""")
+def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows via F.session_window (10 min gap),
+    batch-side twin of streaming.session_window_stats. The oracle
+    reconstructs Spark's merge rule (new session when the gap is ≥ the
+    gap duration; window end = last event + gap) with lag + cumsum."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n")
+        .orderBy("user_id", "session_start")
+    )
+
+
 @query("join_asof_purchase_click", sql="""
     WITH clicks AS (
       SELECT user_id, ts, MAX(event_id) AS click_id

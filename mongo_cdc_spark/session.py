@@ -31,6 +31,20 @@ _BASE_CONF = {
 }
 
 
+# Streaming state at scale (SURVEY.md §7 M4): the default HDFS-backed
+# state store keeps state on-heap; RocksDB spills to local disk, which is
+# the only viable choice once streaming dedup / session state reaches
+# hundreds of GB per executor. Off by default so the hermetic test
+# environment (no rocksdb jni requirement) stays untouched.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
+
 def get_spark(app_name: str = "mongo_cdc_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or get) a SparkSession with the engine's defaults."""

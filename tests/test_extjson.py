@@ -64,6 +64,43 @@ def test_non_ascii_escaped():
     assert to_canonical_ext_json('{"s": "héllo"}') == '{"s":"h\\u00e9llo"}'
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _json_values = st.recursive(
+        st.none() | st.booleans()
+        | st.integers(min_value=-(2 ** 62), max_value=2 ** 62)
+        | st.floats(allow_nan=False, allow_infinity=False, width=64)
+        | st.text(max_size=20),
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=8), children, max_size=4),
+        max_leaves=12,
+    )
+
+    def _unwrap(v):
+        """Invert canonicalization: $number* wrappers → python values."""
+        if isinstance(v, dict):
+            if set(v) == {"$numberInt"} or set(v) == {"$numberLong"}:
+                return int(next(iter(v.values())))
+            if set(v) == {"$numberDouble"}:
+                return float(next(iter(v.values())))
+            return {k: _unwrap(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_unwrap(x) for x in v]
+        return v
+
+    @settings(max_examples=200, deadline=None)
+    @given(_json_values)
+    def test_property_canonical_round_trip(value):
+        """For any JSON value: encode → canonical ext json → unwrap ==
+        original (numbers preserved exactly, structure untouched)."""
+        out = to_canonical_ext_json(json.dumps(value))
+        assert _unwrap(json.loads(out)) == value
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass
+
+
 def test_round_trip_values_preserved():
     src = {"i": 42, "l": 2 ** 40, "d": 0.1, "s": "x", "n": None,
            "arr": [1, 2.0], "sub": {"k": -7}}

@@ -1,0 +1,42 @@
+"""Scan/sink surface tests: parquet/json/csv round trips, partitioned
+writes, and the explicit-schema rule for text formats."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongo_cdc_spark.io import load_table, read_batch, write_batch
+
+
+def test_json_csv_require_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_batch(spark, str(tmp_path), fmt="json")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_batch(spark, str(tmp_path), fmt="csv")
+
+
+@pytest.mark.parametrize("fmt,opts", [
+    ("parquet", {}),
+    ("json", {}),
+    ("csv", {"header": "true"}),
+])
+def test_round_trip(spark, sf_dir, tmp_path, fmt, opts):
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / fmt)
+    write_batch(src, out, fmt=fmt, **opts)
+    back = read_batch(spark, out, fmt=fmt, schema=src.schema, **opts)
+    assert back.count() == src.count()
+    assert {r.n_name for r in back.collect()} == \
+        {r.n_name for r in src.collect()}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "part")
+    write_batch(src, out, partition_by=("n_regionkey",))
+    back = read_batch(spark, out)
+    pruned = back.filter("n_regionkey = 0")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must become directory pruning, not a data filter
+    assert pruned.count() == src.filter("n_regionkey = 0").count()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan
