@@ -20,9 +20,11 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from mongo_cdc_spark.operators import dedup, multimodal, relational, similarity, text  # noqa: E402
+from mongo_cdc_spark.operators import (  # noqa: E402
+    cdc_batch, dedup, multimodal, relational, similarity, text,
+)
 
-_MODULES = (relational, dedup, similarity, text, multimodal)
+_MODULES = (cdc_batch, relational, dedup, similarity, text, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

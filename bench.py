@@ -19,11 +19,12 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    dedup, multimodal, relational, similarity, text,
+    cdc_batch, dedup, multimodal, relational, similarity, text,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    ("cdc_relay", cdc_batch.cdc_topic_routing),
     ("q1", relational.q1_pricing_summary),
     ("q3", relational.q3_shipping_priority),
     ("q5", relational.q5_local_supplier_volume),

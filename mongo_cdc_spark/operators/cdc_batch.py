@@ -1,0 +1,79 @@
+"""The CDC relay transform (SURVEY.md §2.1 operators #2-#6) exercised
+batch-side over fixture tables so the DuckDB oracle can hash-check it —
+the same parse → route → envelope code path the streaming relay runs
+(mongo_cdc_spark.cdc.transform), fed with change events synthesized
+from `orders` rows.
+
+Reference parity: topic = "{db}.{coll}" (/root/reference/main.go:113),
+Connect key envelope layout (main.go:16-24,123-131), canonical Ext-JSON
+value (main.go:117,138).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.cdc.transform import parse_change_events, to_kafka_records
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+
+def _synthetic_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders rows → raw change-event JSON lines (insert into
+    shop.<status>), exactly the wire shape the streaming sources emit."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = F.to_json(F.struct(
+        F.struct(F.concat(F.lit("rt-"), F.col("o_orderkey"))
+                 .alias("_data")).alias("_id"),
+        F.lit("insert").alias("operationType"),
+        F.struct(F.lit("shop").alias("db"),
+                 F.lower("o_orderstatus").alias("coll")).alias("ns"),
+        F.struct(F.col("o_orderkey").cast("string").alias("_id"))
+         .alias("documentKey"),
+        F.to_json(F.struct("o_orderkey", "o_orderstatus"))
+         .alias("fullDocument"),
+    ))
+    return o.select(ev.alias("value"))
+
+
+@query("cdc_topic_routing", sql="""
+    SELECT 'shop.' || lower(o_orderstatus) AS topic, COUNT(*) AS n
+    FROM orders GROUP BY topic ORDER BY topic
+""")
+def cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse + skip-on-error + dynamic topic derivation (main.go:104-113)
+    through the real pipeline code, aggregated per topic.
+
+    Scale: the transform is a narrow stage (no shuffle until the final
+    tiny count) — identical plan shape to the streaming relay."""
+    parsed = parse_change_events(_synthetic_change_events(spark, sf_dir))
+    records = to_kafka_records(parsed)
+    return (records.groupBy("topic")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("topic"))
+
+
+@query("cdc_key_envelope", sql=r"""
+    SELECT o_orderkey AS order_key,
+           'shop.' || lower(o_orderstatus) AS topic,
+           '{"schema":{"type":"string","optional":false},"payload":"{\"_id\":\"'
+             || o_orderkey || '\"}"}' AS key
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY order_key
+""")
+def cdc_key_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-byte check of the Kafka Connect key envelope
+    (main.go:16-24,123-131): the oracle constructs the exact expected
+    JSON bytes by string concatenation; the engine must produce them
+    through its real to_json + Ext-JSON path."""
+    parsed = parse_change_events(_synthetic_change_events(spark, sf_dir))
+    records = to_kafka_records(parsed).withColumn(
+        "order_key",
+        F.get_json_object("value", "$.documentKey._id").cast("long"))
+    return (records.filter(F.col("order_key") < 100)
+            .select("order_key", "topic", "key")
+            .orderBy("order_key"))

@@ -231,6 +231,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc1", "doc2", "jaccard").orderBy("doc1", "doc2")
 
 
+_EMB_DUP_THRESHOLD = 0.9
+
+
+@query("dedup_embedding_cosine", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {_EMB_DUP_THRESHOLD}
+    )
+    SELECT e.vec_id,
+           LEAST(e.vec_id, COALESCE(MIN(p.id1), e.vec_id)) AS keeper_id
+    FROM e LEFT JOIN pairs p ON p.id2 = e.vec_id
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup: vectors with cosine ≥ 0.9 collapse to
+    the lowest-id member they duplicate (single-hop keeper assignment —
+    the map step of iterated connected components).
+
+    Scale: all-pairs here is the correctness baseline over the fixture;
+    the 100 TB path generates the same pairs from the LSH-bucket join
+    (knn_lsh_hyperplane's candidate stage) instead of a cross join, then
+    applies this identical keeper reduction.
+    """
+    from mongo_cdc_spark.operators.similarity import _emb, cosine
+
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+                 F.col("norm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+                 F.col("norm").alias("n2"))
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(cosine(F.col("v1"), F.col("v2"),
+                       F.col("n1"), F.col("n2")) >= _EMB_DUP_THRESHOLD)
+        .select("id1", "id2")
+    )
+    return (
+        e.select("vec_id")
+        .join(pairs, F.col("vec_id") == F.col("id2"), "left")
+        .groupBy("vec_id")
+        .agg(F.least(F.col("vec_id"),
+                     F.coalesce(F.min("id1"), F.col("vec_id")))
+             .alias("keeper_id"))
+        .orderBy("vec_id")
+    )
+
+
 _SIMHASH_BITS = 64
 _SIMHASH_CHUNKS = 4          # pigeonhole: dist ≤ 3 ⇒ one 16-bit chunk equal
 _HAMMING_MAX = 3

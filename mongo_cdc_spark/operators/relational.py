@@ -21,6 +21,7 @@ where the shuffles are, and why the plan survives 1000 executors.
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -900,6 +901,95 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("O", F.lit(0)).alias("n_o"),
             F.coalesce("P", F.lit(0)).alias("n_p"))
         .orderBy("o_orderpriority")
+    )
+
+
+@query("subquery_above_avg_orders", sql="""
+    SELECT o_custkey, COUNT(*) AS n_big
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+""")
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 50% above the customer's own
+    average. Catalyst decorrelates it (RewriteCorrelatedScalarSubquery)
+    into ONE aggregate + ONE join on o_custkey — never a per-row probe,
+    which is what survives at 100 TB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql("""
+        SELECT o_custkey, COUNT(*) AS n_big
+        FROM sq_orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5
+                              FROM sq_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """)
+
+
+@query("filter_nullsafe_priority_pairs", sql="""
+    WITH x AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN o_orderpriority END AS c
+      FROM orders WHERE o_orderkey < 200
+    )
+    SELECT COALESCE(a.c, '<null>') AS prio, COUNT(*) AS n_pairs
+    FROM x a JOIN x b
+      ON a.c IS NOT DISTINCT FROM b.c AND a.o_orderkey < b.o_orderkey
+    GROUP BY prio ORDER BY prio
+""")
+def filter_nullsafe_priority_pairs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) as a join key:
+    NULL matches NULL, so rows outside the CASE pair with each other —
+    the semantics a plain equi-join silently drops."""
+    x = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 200)
+         .select("o_orderkey",
+                 F.when(F.col("o_orderstatus") == "P",
+                        F.col("o_orderpriority")).alias("c")))
+    a, b = x.alias("a"), x.alias("b")
+    return (
+        a.join(b, F.col("a.c").eqNullSafe(F.col("b.c"))
+               & (F.col("a.o_orderkey") < F.col("b.o_orderkey")))
+        .groupBy(F.coalesce(F.col("a.c"), F.lit("<null>")).alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("prio")
+    )
+
+
+@query("udaf_geomean_discount", sql="""
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(1.0 + l_discount))), 6) AS geomean_1p_discount,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def udaf_geomean_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via a GROUPED_AGG pandas_udf (Arrow
+    batches) — the engine's blessed UDAF extension point (SURVEY.md
+    §2.2 'UDF/UDAF/UDTF'). The geometric mean has a closed SQL form so
+    the oracle can hash-check the custom-code path exactly."""
+    @F.pandas_udf("double")
+    def geomean_1p(v: _pd.Series) -> float:
+        import numpy as np
+        return float(np.exp(np.log1p(v.astype(float)).mean()))
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg() — count rides along as a second pandas aggregate
+    @F.pandas_udf("long")
+    def n_rows(v: _pd.Series) -> int:
+        return int(len(v))
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(geomean_1p("l_discount"), 6)
+             .alias("geomean_1p_discount"),
+             n_rows("l_discount").alias("n"))
+        .orderBy("l_returnflag")
     )
 
 
