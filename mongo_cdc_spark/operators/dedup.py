@@ -131,9 +131,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sets.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # size filter (exact): J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so
+    # wildly different-sized docs are pruned inside the join, before the
+    # pair-count shuffle ever sees them
+    size_ok = (
+        (F.col("b.n_sh") >= F.col("a.n_sh") * JACCARD_THRESHOLD)
+        & (F.col("b.n_sh") * JACCARD_THRESHOLD <= F.col("a.n_sh"))
+    )
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
         .groupBy(F.col("a.doc_id").alias("doc1"),
                  F.col("b.doc_id").alias("doc2"),
                  F.col("a.n_sh").alias("n1"),

@@ -201,6 +201,104 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------- joins
+@query("q6_forecast_revenue", sql="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate — the canonical
+    pushdown showcase. All four predicates reach the parquet scan
+    (PushedFilters) and only 4 columns are read; the aggregate is a
+    partial+final pair with a single 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & F.col("l_discount").between(0.05, 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("q18_large_volume_customers", sql="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(b.sum_qty, 2) AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+""")
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered aggregate driving a join. The big
+    orderkey list is tiny after the HAVING, so it broadcasts into the
+    orders join — the fact table is scanned once, never shuffled."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("sum_qty", 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query("q19_disjunctive_predicates", sql="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 60)
+""")
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicates over an
+    equi-join. Catalyst extracts the common p_partkey equi-condition
+    (broadcast hash join on the dim) and evaluates the OR blocks as a
+    post-join filter; the single-table parts of each disjunct
+    (CNF conversion) are pushed to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    block = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 60))
+    )
+    return joined.filter(block).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"))
+
+
 @query("join_semi_urgent_customers", sql="""
     SELECT c_custkey, c_name
     FROM customer c
@@ -487,6 +585,70 @@ def window_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- sort/limit/top-k
+@query("window_ntile_customer_value", sql="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             ROUND(percent_rank() OVER w, 6) AS pct_rank,
+             ROUND(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey)
+    )
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n,
+           ROUND(MIN(pct_rank), 6) AS min_pct_rank,
+           ROUND(MAX(cume), 6) AS max_cume
+    FROM ranked GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+""")
+def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    over a deterministic ordering — customer value quartiles per
+    segment. One shuffle on c_mktsegment shared by all three windows."""
+    w = (W.partitionBy("c_mktsegment")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    ranked = (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey",
+                F.ntile(4).over(w).alias("quartile"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                F.round(F.cume_dist().over(w), 6).alias("cume"))
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
+             F.round(F.max("cume"), 6).alias("max_cume"))
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@query("agg_collect_nations_per_region", sql="""
+    SELECT r.r_name,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',')
+             AS nations,
+           CAST(COUNT(DISTINCT n.n_name) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+""")
+def agg_collect_nations_per_region(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """collect_set → array_sort → array_join: list aggregation with a
+    deterministic serialization (raw collect_set order is partition-
+    dependent, so it is always sorted before leaving the engine)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",")
+             .alias("nations"),
+             F.countDistinct("n_name").alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
 @query("topk_expensive_lineitems", sql="""
     SELECT l_orderkey, l_linenumber, l_extendedprice
     FROM lineitem
