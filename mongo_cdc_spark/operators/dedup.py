@@ -282,7 +282,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select("vec_id")
-        .join(pairs, F.col("vec_id") == F.col("id2"), "left")
+        .join(F.broadcast(pairs), F.col("vec_id") == F.col("id2"), "left")
         .groupBy("vec_id")
         .agg(F.least(F.col("vec_id"),
                      F.coalesce(F.min("id1"), F.col("vec_id")))
