@@ -21,10 +21,10 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    cdc_batch, dedup, multimodal, relational, similarity, text,
+    cdc_batch, dedup, multimodal, relational, similarity, text, tpch_full,
 )
 
-_MODULES = (cdc_batch, relational, dedup, similarity, text, multimodal)
+_MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

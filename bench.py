@@ -19,7 +19,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    cdc_batch, dedup, multimodal, relational, similarity, text,
+    cdc_batch, dedup, multimodal, relational, similarity, text, tpch_full,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
@@ -29,6 +29,10 @@ HEADLINE = [
     ("q3", relational.q3_shipping_priority),
     ("q5", relational.q5_local_supplier_volume),
     ("q10", relational.q10_returned_items),
+    ("q7", tpch_full.q7_volume_shipping),
+    ("q9", tpch_full.q9_product_profit),
+    ("q13", tpch_full.q13_customer_distribution),
+    ("q21", tpch_full.q21_waiting_supplier),
     ("window_topk", relational.window_topk_orders_per_segment),
     ("window_running", relational.window_running_customer_spend),
     ("sessionization", relational.events_sessionization),

@@ -1,0 +1,712 @@
+"""Remaining TPC-H query shapes (Q2,4,7,8,9,11,12,13,14,15,16,17,20,21,22).
+
+The reference has no query surface at all (/root/reference/main.go is a
+163-line CDC relay; SURVEY.md §0), so this module — like `relational` —
+is declared engine surface for the duckdb-oracle gate, completing the
+TPC-H sweep started there (Q1,3,5,6,10,18,19).
+
+The driver fixtures are TPC-H-ish, not TPC-H: there is no `partsupp`
+table and no `l_commitdate`/`l_receiptdate`/`l_shipmode`/`c_phone`
+columns (FIXTURES.md). Each query below keeps the *shape* that makes
+the original interesting — the correlated subquery of Q2/Q17, the
+EXISTS semi-join of Q4, the nation-pair disjunction of Q7, the
+conditional-ratio aggregate of Q8/Q14, the HAVING-over-global-scalar of
+Q11, the double EXISTS/NOT EXISTS of Q21, the anti-join + scalar-avg of
+Q22 — re-targeted at columns that exist. Deviations are noted per query.
+
+Determinism rules follow `relational.py`: every double aggregate is
+ROUNDed identically on both sides, every ORDER BY carries a unique
+tie-break, years are CAST to INT on the DuckDB side to match F.year().
+
+Scale notes (100 TB posture) are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ------------------------------------------------------------------ Q2 shape
+@query("q2_min_cost_supplier", sql="""
+    WITH offer AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p_partkey, p_brand, s_name, ROUND(s_acctbal, 2) AS s_acctbal,
+           unit_price
+    FROM offer
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD'
+      AND unit_price = (SELECT MIN(o2.unit_price) FROM offer o2
+                        WHERE o2.l_partkey = offer.l_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part via a correlated
+    MIN subquery. No partsupp fixture exists, so the "offer" relation is
+    derived: per (part, supplier) the minimum observed unit sale price
+    in lineitem (rounded 4dp BEFORE the min-equality compare so both
+    engines compare identical doubles).
+
+    Scale: one shuffle to build `offer` (groupBy partkey+suppkey with
+    map-side partials), then the per-part MIN is a second partial-agg
+    over the already-reduced offer rows joined back on l_partkey —
+    offer is |parts|x|suppliers-per-part|, orders of magnitude smaller
+    than lineitem, so the self-join is cheap; part and supplier dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    offer = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")),
+                     4).alias("unit_price"))
+    )
+    best = offer.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    return (
+        offer.join(best, (offer.l_partkey == best.l_partkey)
+                   & (offer.unit_price == best.best_price))
+        .drop(best.l_partkey)
+        .join(F.broadcast(p.filter((F.col("p_size").between(1, 15))
+                                   & (F.col("p_type") == "STANDARD"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"), "unit_price")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+    )
+
+
+# ------------------------------------------------------------------ Q4 shape
+@query("q4_order_priority", sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with at least one
+    line shipped after the order date (stand-in for the original's
+    l_commitdate < l_receiptdate, which the fixtures lack).
+
+    Scale: LEFT SEMI join on l_orderkey — Spark dedups the probe side
+    inside the semi join (no fan-out), single shuffle of the quarter's
+    orders vs lineitem keys; the non-equi shipdate>orderdate predicate
+    rides the same join. Counts then reduce to 5 groups map-side."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    q = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    return (
+        q.join(li, (q.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > q.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------------------------ Q7 shape
+@query("q7_volume_shipping", sql=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                 {_REV} AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+
+    Scale: the only big-big join is lineitem⋈orders on orderkey (one
+    shuffle; AQE handles skew). supplier/nation broadcast onto lineitem
+    BEFORE that join so the nation-pair disjunction prunes most rows
+    early; customer⋈nation2 likewise reduces orders first. Final agg is
+    6 groups — map-side partials make the last shuffle trivial."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    li_side = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    o_side = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li_side.join(o_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ------------------------------------------------------------------ Q8 shape
+@query("q8_market_share", sql=f"""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                 {_REV} AS volume, n1.n_name AS nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+    GROUP BY o_year ORDER BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue sold into a
+    region, per year — the conditional-ratio aggregate shape.
+
+    Scale: part filter (PROMO) broadcasts and prunes lineitem at the
+    scan join; supplier+nation broadcast; the lineitem⋈orders shuffle is
+    over pre-filtered rows only. Ratio computed from two conditional
+    sums in ONE aggregate pass (no self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    n2r = (n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+           .select(F.col("n_nationkey").alias("c_nk")))
+    li_side = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("nation"))),
+              F.col("s_nationkey") == F.col("s_nk"))
+    )
+    o_side = (
+        o.filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2r), F.col("c_nationkey") == F.col("c_nk"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    vol = _rev()
+    return (
+        li_side.join(o_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ------------------------------------------------------------------ Q9 shape
+@query("q9_product_profit", sql="""
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      - 0.5 * p_retailprice * l_quantity
+                      AS DECIMAL(28, 4)) AS amount
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%widget%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    year. The fixtures have no partsupp.ps_supplycost, so cost is the
+    stand-in 0.5 * p_retailprice * l_quantity (same join/agg shape).
+
+    Scale: part LIKE-filter broadcasts onto lineitem (prunes ~1/6 of
+    rows at the scan join); the big shuffle is lineitem⋈orders on
+    orderkey; group count is |nations|x|years| — tiny, map-side
+    partials dominate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    # Exact-decimal summation: the per-row amount is an exact 4-decimal
+    # value (2dp*2dp - 1dp*2dp*int), so summing DECIMAL(28,4) is exact
+    # and order-independent — the double-sum version hit a .xx5 rounding
+    # tie where Spark (HALF_UP) and DuckDB disagree.
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+              ).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%widget%"))
+                            .select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey",
+                                   F.col("n_name").alias("nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ----------------------------------------------------------------- Q11 shape
+@query("q11_important_parts", sql=f"""
+    WITH nat_value AS (
+        SELECT l_partkey, SUM({_REV}) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_0'
+        GROUP BY l_partkey)
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM nat_value
+    WHERE value > (SELECT SUM(value) * 0.002 FROM nat_value)
+    ORDER BY value DESC, l_partkey
+""")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of
+    one nation's sales value (HAVING over a global scalar subquery).
+    partsupp is absent, so "value" is revenue from that nation's
+    suppliers' lineitems.
+
+    Scale: ONE shuffle builds the per-part sums; the global threshold
+    is a sum over the already-aggregated (small) result, broadcast back
+    as a scalar — never a second pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat_keys = (s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_0")),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey"))
+    value = (
+        li.join(F.broadcast(nat_keys), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    threshold = value.agg((F.sum("value") * 0.002).alias("threshold"))
+    return (
+        value.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# ----------------------------------------------------------------- Q12 shape
+@query("q12_priority_lines", sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of high/low-priority orders
+    per shipping class. l_shipmode doesn't exist in the fixtures;
+    l_returnflag stands in as the 3-value line classifier.
+
+    Scale: lineitem filtered at the parquet scan (pushed shipdate
+    range) before the orderkey shuffle join; conditional SUMs fold in
+    one aggregate pass, 3 output groups."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .select("l_orderkey", "l_returnflag")
+        .join(o.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ----------------------------------------------------------------- Q13 shape
+@query("q13_customer_distribution", sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer (the
+    original's comment NOT LIKE filter becomes a priority filter — the
+    fixtures have no o_comment). LEFT join keeps order-less customers
+    in the c_count=0 bucket.
+
+    Scale: the left join shuffles on custkey (both sides large at
+    100 TB — this is the inherently expensive part of Q13; AQE skew
+    split handles hot customers); first agg rides the SAME custkey
+    partitioning (no extra shuffle — Catalyst reuses the exchange);
+    second agg reduces to ~tens of groups."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.select("c_custkey")
+        .join(o.filter(F.col("o_orderpriority") != "5-LOW")
+              .select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ----------------------------------------------------------------- Q14 shape
+@query("q14_promo_effect", sql=f"""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN {_REV} ELSE 0 END)
+                 / SUM({_REV}), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+""")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percentage of a month's revenue from PROMO parts —
+    conditional-ratio aggregate in a single pass.
+
+    Scale: shipdate range pushed to the parquet scan; part broadcasts;
+    single global aggregate with map-side partials (two sums), no
+    second job."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol = _rev()
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                          .otherwise(F.lit(0.0))) / F.sum(vol),
+            4).alias("promo_revenue"))
+    )
+
+
+# ----------------------------------------------------------------- Q15 shape
+@query("q15_top_supplier", sql=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — the
+    view + scalar-MAX-subquery shape.
+
+    Scale: one shuffle for the per-supplier sums (shipdate pushed to
+    scan); MAX over the aggregated (|suppliers|-row) result broadcasts
+    back as a 1-row scalar; supplier dim broadcasts for the name."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        revenue.join(F.broadcast(best),
+                     F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ----------------------------------------------------------------- Q16 shape
+@query("q16_supplier_cnt", sql="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part facet with a
+    NOT IN exclusion subquery (negative-balance suppliers stand in for
+    the original's complaint-comment suppliers; partsupp is absent so
+    the part-supplier relation comes from lineitem).
+
+    Scale: the NOT IN list is tiny → broadcast LEFT ANTI join (no
+    null-trap: s_suppkey is non-null); part filter broadcasts; distinct
+    count shuffles on the facet keys with partial distinct-aggregation
+    map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter((F.col("p_brand") != "Brand#1")
+                  & (F.col("p_type") != "ECONOMY")
+                  & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(pf.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ----------------------------------------------------------------- Q17 shape
+@query("q17_small_quantity", sql="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p.p_partkey)
+""")
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders — the
+    correlated AVG subquery shape (original filters p_container too;
+    fixtures only have p_brand).
+
+    Scale: the correlated AVG decorrelates into a per-partkey
+    aggregate; computed over lineitem pre-filtered by the broadcast
+    part list (only Brand#3 partkeys), then broadcast-joined back —
+    never an all-parts aggregate, never a per-row probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_brand = li.join(F.broadcast(brand_parts),
+                       F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = (li_brand.groupBy(F.col("l_partkey").alias("ak"))
+               .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
+    return (
+        li_brand.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ----------------------------------------------------------------- Q20 shape
+@query("q20_excess_suppliers", sql="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 300)
+    ORDER BY s_suppkey
+""")
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a large volume of PROMO
+    parts in a year (the original's partsupp availability check becomes
+    a shipped-quantity HAVING; same nested IN-subquery shape).
+
+    Scale: inner aggregate reduces lineitem to |suppliers| rows (one
+    shuffle, part filter broadcast-pruned at scan); the IN becomes a
+    broadcast LEFT SEMI join against the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(F.broadcast(p.filter(F.col("p_type") == "PROMO")
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"),
+               "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ----------------------------------------------------------------- Q21 shape
+@query("q21_waiting_supplier", sql="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+""")
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the last to ship in multi-supplier
+    finished orders — the double EXISTS / NOT EXISTS correlated shape
+    (l_shipdate stands in for the missing receipt/commit dates).
+
+    Expressed in SQL so Catalyst's RewritePredicateSubquery turns the
+    EXISTS into a LEFT SEMI and the NOT EXISTS into a LEFT ANTI join —
+    at scale those are two shuffles on l_orderkey (co-partitioned with
+    the l1⋈orders join, so AQE coalesces them onto one exchange) rather
+    than any per-row probing."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tf_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tf_orders")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("tf_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("tf_nation")
+    return spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM tf_supplier
+        JOIN tf_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN tf_orders ON o_orderkey = l1.l_orderkey
+        JOIN tf_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+          AND EXISTS (SELECT 1 FROM tf_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM tf_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name ORDER BY numwait DESC, s_name
+    """)
+
+
+# ----------------------------------------------------------------- Q22 shape
+@query("q22_global_sales", sql="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (SELECT RIGHT(c_name, 2) AS cntrycode, c_acctbal
+          FROM customer c
+          WHERE RIGHT(c_name, 2) IN ('00', '11', '22', '33', '44', '55')
+            AND c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0.0
+                               AND RIGHT(c2.c_name, 2)
+                                   IN ('00', '11', '22', '33', '44', '55'))
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')) custsale
+    GROUP BY cntrycode ORDER BY cntrycode
+""")
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: high-balance customers in selected "country codes"
+    with no (urgent) orders — anti-join + uncorrelated scalar-AVG
+    shape. The fixtures have no c_phone, so the code is the last two
+    digits of c_name; every sf0.01 customer has orders, so the anti
+    condition is "no URGENT order" to keep the result non-trivial.
+
+    Scale: the AVG scalar is computed on the filtered customer subset
+    and broadcast; the anti join shuffles customer vs the URGENT slice
+    of orders on custkey — the one unavoidable big-big exchange."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    codes = ("00", "11", "22", "33", "44", "55")
+    cc = c.withColumn("cntrycode", F.substring("c_name", -2, 2)) \
+          .filter(F.col("cntrycode").isin(*codes))
+    avg_bal = (cc.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+              .select("o_custkey")
+    return (
+        cc.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
