@@ -493,6 +493,44 @@ def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hof_order_quantities", sql="""
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INT)                          AS n_lines,
+           ROUND(list_sum(qtys), 2)                        AS total_qty,
+           CAST(len(list_filter(qtys, x -> x >= 25)) AS INT) AS n_large,
+           list_max(qtys)                                  AS max_qty
+    FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+          FROM lineitem GROUP BY l_orderkey) per_order
+    WHERE len(qtys) >= 5
+    ORDER BY l_orderkey
+""")
+def hof_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY §2.2 collection row):
+    collect_list → array_sort, then lambda-based aggregate / filter /
+    array_max over the per-order quantity array.
+
+    Scale: ONE shuffle (groupBy orderkey builds the arrays with
+    map-side partial collect); all array lambdas evaluate inside
+    whole-stage codegen on the already-grouped rows — no explode
+    round-trip, no Python. Per-order arrays are bounded (~7 lines), so
+    collect_list state can't blow up an executor."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_quantity")).alias("qtys"))
+        .filter(F.size("qtys") >= 5)
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.round(F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x),
+                    2).alias("total_qty"),
+            F.size(F.filter("qtys", lambda x: x >= 25)).alias("n_large"),
+            F.array_max("qtys").alias("max_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 # ---------------------------------------------------------- window functions
 @query("window_topk_orders_per_segment", sql="""
     SELECT c_mktsegment, o_orderkey, o_totalprice

@@ -1,0 +1,97 @@
+"""Skew-mitigation utilities for 100 TB joins and aggregations.
+
+Spark's first line of defense is AQE (`OptimizeSkewedJoin` splits
+oversized post-shuffle partitions at runtime) and broadcasting small
+sides — both enabled by `mongo_cdc_spark.session.get_spark`. These
+helpers cover the case AQE can't: an extreme hot key on a join where
+NEITHER side broadcasts (AQE splits the probe side but every split
+still reads the same giant build partition), or a single-key groupBy
+whose state exceeds one executor.
+
+The reference has no joins or aggregations at all
+(/root/reference/main.go is a straight-pipe CDC relay), so this is
+engine-side scale infrastructure for the analytical surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__mcs_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join with the hot-key shuffle fanned out ``n_salts`` ways.
+
+    The LEFT (large, skewed) side gets a deterministic salt derived by
+    hashing ALL of its columns — content-derived, so task retries and
+    speculative attempts recompute identical salts (``rand()`` would
+    too, being seed-per-partition, but only while the upstream
+    partitioning is stable; content hashing has no such caveat). The
+    RIGHT side is replicated ``n_salts``× via an inline explode. Join
+    keys become (key..., salt), so one hot key spreads over ``n_salts``
+    reducers instead of melting one.
+
+    Cost model: replicating the right side multiplies its shuffle
+    volume by ``n_salts`` — use only when right is far smaller than the
+    hot key's row count and still too big to broadcast. Supports
+    inner/left joins (the salt never changes join cardinality: every
+    left row holds exactly one salt value, and every right row exists
+    for all salt values).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    left_s = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                      F.lit(n_salts)).cast("int"))
+    right_s = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    joined = left_s.join(right_s, keys + [_SALT], how)
+    return joined.drop(_SALT)
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase count/sum/avg over a hot key: groupBy(keys + salt)
+    partial, then groupBy(keys) final merge.
+
+    Spark's map-side partial aggregation usually makes this
+    unnecessary — but when a single key dominates *many* map tasks,
+    all its partials still meet in one reducer. The salt inserts an
+    intermediate reduce so the final step merges only ``n_salts`` rows
+    per key.
+
+    Output schema: ``keys…, n`` (count), and ``sum_<c>`` / ``avg_<c>``
+    per value column. Only algebraic aggregates (count/sum and
+    avg=sum/count) fan in correctly through two phases; holistic ones
+    (median, distinct) need sketches instead — see
+    `relational.agg_approx_sketches`.
+    """
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(n_salts)).cast("int"))
+    partial = (
+        salted.groupBy(*keys, _SALT)
+        .agg(F.count(F.lit(1)).alias("__cnt"),
+             *[F.sum(c).alias(f"__s_{c}") for c in value_cols])
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__cnt").alias("n"),
+        *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in value_cols],
+        *[(F.sum(f"__s_{c}") / F.sum("__cnt")).alias(f"avg_{c}")
+          for c in value_cols],
+    )

@@ -1,0 +1,78 @@
+"""Skew helpers: salted join / salted two-phase agg must be
+result-identical to their unsalted equivalents, and the salt must
+actually spread the hot key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators.skew import salted_join, salted_sum_count
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey")
+    plain = li.join(o, "l_orderkey")
+    salted = salted_join(li, o, "l_orderkey", n_salts=4)
+    cols = ["l_orderkey", "l_quantity", "o_orderpriority"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_join_matches_plain_left(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .groupBy(F.col("o_custkey").alias("c_custkey"))
+         .agg(F.count(F.lit(1)).alias("n_urgent")))
+    plain = c.join(o, "c_custkey", "left")
+    salted = salted_join(c, o, "c_custkey", how="left", n_salts=4)
+    cols = ["c_custkey", "n_urgent"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_join_rejects_right_outer(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        salted_join(li, li, "l_orderkey", how="right")
+
+
+def test_salt_spreads_hot_key(spark, sf_dir):
+    """All rows of one hot key must land on >1 salt value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = li.withColumn("k", F.lit(1))  # everything is one key
+    salted = salted_join(
+        hot, hot.groupBy("k").agg(F.count(F.lit(1)).alias("n")),
+        "k", n_salts=8)
+    # recompute the salt the same way the helper does on the joined rows:
+    # distinct l_linenumber×l_orderkey rows hash to many salts
+    n_distinct_salts = (
+        hot.withColumn(
+            "s", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]),
+                        F.lit(8)))
+        .select("s").distinct().count())
+    assert n_distinct_salts > 1
+    assert salted.count() == li.count()
+
+
+def test_salted_sum_count_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (li.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("l_quantity"), 2).alias("sum_l_quantity"),
+                  F.round(F.avg("l_quantity"), 6).alias("avg_l_quantity")))
+    salted = salted_sum_count(li, ["l_returnflag"], ["l_quantity"],
+                              n_salts=8).select(
+        "l_returnflag", "n",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        F.round("avg_l_quantity", 6).alias("avg_l_quantity"))
+    cols = ["l_returnflag", "n", "sum_l_quantity", "avg_l_quantity"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)

@@ -1,0 +1,88 @@
+"""Physical-plan audit over every registered query (SURVEY §6.5).
+
+For each __spark_entry__.queries() entry, counts the plan features that
+matter at 100 TB: shuffle exchanges, sort-merge vs broadcast joins, and
+Python evaluation nodes (the slow path). Flags queries whose plan
+drifts from the declared posture.
+
+    python tools/plan_audit.py [sf_dir]           # table for all queries
+    python tools/plan_audit.py sf_dir q1 q2 ...   # subset
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mongo_cdc_spark.session import get_spark  # noqa: E402
+
+# Python eval is DECLARED (intentional) in exactly these queries:
+PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
+             "udaf_geomean_discount"}
+
+# One SortMergeJoin is DECLARED for the inherent big-big join of these
+# queries (lineitem⋈orders where the orders side is itself a join
+# output — both sides huge at 100 TB, so a shuffle join IS the right
+# plan; forcing broadcast would only "win" at toy scale):
+SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1}
+
+
+def audit(plan: str) -> dict[str, int]:
+    return {
+        "shuffles": (plan.count("Exchange hashpartitioning")
+                     + plan.count("Exchange rangepartitioning")
+                     + plan.count("Exchange RoundRobinPartitioning")),
+        "smj": plan.count("SortMergeJoin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "python": (plan.count("BatchEvalPython")
+                   + plan.count("ArrowEvalPython")
+                   + plan.count("FlatMapGroupsInPandas")
+                   + plan.count("MapInPandas")
+                   + plan.count("AggregateInPandas")),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan_audit")
+    rows, flags = [], []
+    for name, fn in sorted(entrymod.queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            flags.append(f"{name}: PLAN FAILED {type(exc).__name__}: {exc}")
+            continue
+        a = audit(plan)
+        rows.append((name, a))
+        if a["smj"] > SMJ_OK.get(name, 0):
+            flags.append(f"{name}: {a['smj']} SortMergeJoin (broadcast miss?)")
+        if a["python"] > 0 and name not in PYTHON_OK:
+            flags.append(f"{name}: undeclared Python eval in plan")
+        if a["shuffles"] > 5:
+            flags.append(f"{name}: {a['shuffles']} shuffles")
+    w = max(len(n) for n, _ in rows) if rows else 10
+    print(f"{'query':<{w}}  shuffles smj bhj bnlj python")
+    for name, a in rows:
+        print(f"{name:<{w}}  {a['shuffles']:>8} {a['smj']:>3} "
+              f"{a['bhj']:>3} {a['bnlj']:>4} {a['python']:>6}")
+    print()
+    if flags:
+        print("FLAGS:")
+        for f in flags:
+            print(" ", f)
+    else:
+        print("clean: no SMJ, no undeclared Python, shuffles <= 5 everywhere")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
