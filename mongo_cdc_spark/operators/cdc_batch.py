@@ -24,7 +24,12 @@ QUERIES, ORACLE, query = make_registry()
 def _synthetic_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders rows → raw change-event JSON lines (insert into
     shop.<status>), exactly the wire shape the streaming sources emit."""
-    o = load_table(spark, sf_dir, "orders")
+    # A real change stream arrives over many source partitions (Kafka
+    # partitions / mongo shards); the single-file parquet fixture would
+    # otherwise collapse this narrow pipeline onto ONE task, which is a
+    # fixture artifact, not the production plan shape.
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism)
     ev = F.to_json(F.struct(
         F.struct(F.concat(F.lit("rt-"), F.col("o_orderkey"))
                  .alias("_data")).alias("_id"),

@@ -55,7 +55,18 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is a single parquet file (one input split), and at real
     scale it pins the downstream per-doc work to a doc_id partitioning
     that the groupBy(doc_id) stages then reuse shuffle-free.
+
+    PERSISTED (memory-and-disk): every consumer references this frame
+    at least twice (both sides of a candidate self-join, plus verify),
+    and without a materialization barrier Spark re-derives the shingle
+    arrays per reference — measured 13 s → 0.8 s at sf0.1 for the exact
+    Jaccard query. At 100 TB the cached form (hashed int64 arrays) is
+    ~10× smaller than the raw text it replaces, and MEMORY_AND_DISK
+    degrades to local-disk spill rather than OOM. Same lineage → same
+    cache entry, so repeated driver calls don't accumulate copies.
     """
+    from pyspark.storagelevel import StorageLevel
+
     n = spark.sparkContext.defaultParallelism
     return (
         load_table(spark, sf_dir, "documents")
@@ -63,6 +74,7 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(_tokens()) >= 3)
         .select("doc_id", _shingles(_tokens()).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -310,8 +322,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .repartition(n, "doc_id")
             .select("doc_id", F.array_distinct(_tokens()).alias("toks")))
-    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
-    h = F.xxhash64("tok")
+    # hash each token ONCE in a projection: the 64 bit-vote aggregates
+    # below all reference the hash, and common-subexpression elimination
+    # does not span aggregate expressions — inlining xxhash64("tok")
+    # there would hash every token 64×.
+    tok = (docs.select("doc_id", F.explode("toks").alias("tok"))
+           .select("doc_id", F.xxhash64("tok").alias("h")))
+    h = F.col("h")
     # weight +1 if bit j set else -1; sum per doc; bit j of sig = (sum > 0)
     def _bit(j):  # 1<<63 overflows a Py4J long literal; shiftleft instead
         return F.shiftleft(F.lit(1).cast("long"), j)
@@ -321,6 +338,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias(f"s{j}")
         for j in range(_SIMHASH_BITS)
     ])
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the chunk self-join below references this frame twice,
+    # and the 64-way bit-vote aggregation is the expensive part — it
+    # must not be re-derived per join side. (doc_id, int64) rows, so the
+    # cache is tiny at any scale.
     sig = bit_sums.select(
         "doc_id",
         sum(
@@ -328,7 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              for j in range(_SIMHASH_BITS)),
             start=F.lit(0).cast("long"),
         ).alias("sig"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[
