@@ -531,6 +531,72 @@ def hof_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_deterministic_orders", sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_value
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+          CASE WHEN o_orderpriority = '1-URGENT' THEN '80' ELSE '20' END
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def sample_deterministic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling via key-hash thresholding:
+    ~50% of URGENT orders ('80'/'ff' of hex space), ~12.5% of the rest.
+
+    The 100 TB sampling primitive: `TABLESAMPLE`/`rand()` samples are
+    irreproducible across runs/engines and unstable under retries;
+    hashing the business key gives a sample that is (a) deterministic,
+    (b) consistent for the same key across tables (joinable samples),
+    (c) a pure narrow filter — no shuffle, evaluated at the scan.
+    md5 (not xxhash64) because it is bit-identical across engines, so
+    the sample itself is oracle-checkable.
+    """
+    o = _t(spark, sf_dir, "orders")
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT",
+                  F.lit("80")).otherwise(F.lit("20"))
+    return (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")
+                                   .cast("binary")), 1, 2) < rate)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.round(F.sum("o_totalprice"), 2).alias("sampled_value"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("window_range_frame_spend", sql="""
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    ORDER BY o_custkey, od, o_orderkey
+""")
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day spend — a
+    value-range frame (event-time window over irregular timestamps),
+    distinct from the ROWS frames elsewhere in the suite.
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame
+    orders by epoch seconds with a 30-day offset — semantically
+    identical to the oracle's RANGE INTERVAL form. Scale: one shuffle
+    on o_custkey; frames evaluate per-partition with a sliding
+    two-pointer over the sorted run, O(rows), state bounded by the
+    frame width."""
+    o = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-30 * 86400, 0))
+    return (
+        o.select("o_custkey",
+                 F.col("o_orderdate").cast("date").alias("od"),
+                 "o_orderkey",
+                 F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"))
+        .orderBy("o_custkey", "od", "o_orderkey")
+    )
+
+
 # ---------------------------------------------------------- window functions
 @query("window_topk_orders_per_segment", sql="""
     SELECT c_mktsegment, o_orderkey, o_totalprice

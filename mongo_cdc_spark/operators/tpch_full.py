@@ -47,7 +47,8 @@ def _rev() -> F.Column:
 @query("q2_min_cost_supplier", sql="""
     WITH offer AS (
         SELECT l_partkey, l_suppkey,
-               ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_price
+               FLOOR(MIN(l_extendedprice / l_quantity) * 10000) / 10000
+                   AS unit_price
         FROM lineitem GROUP BY l_partkey, l_suppkey)
     SELECT p_partkey, p_brand, s_name, ROUND(s_acctbal, 2) AS s_acctbal,
            unit_price
@@ -75,10 +76,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
+    # truncate (floor), don't ROUND, to 4dp: the quotient is an
+    # arbitrary double, and decimal rounding of a double near a .xxxx5
+    # boundary diverges between engines (Spark decimalizes the exact
+    # binary value, DuckDB rounds x*10⁴ in floating point). floor over
+    # pure double arithmetic is bit-identical everywhere since IEEE
+    # division/multiplication are correctly rounded.
     offer = (
         li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")),
-                     4).alias("unit_price"))
+        .agg((F.floor(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                      * 10000) / 10000).alias("unit_price"))
     )
     best = offer.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
     return (
