@@ -14,7 +14,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from mongo_cdc_spark.cdc.schema import CHANGE_EVENT_SCHEMA_PERMISSIVE
+from mongo_cdc_spark.cdc.schema import (
+    CHANGE_EVENT_SCHEMA_PERMISSIVE,
+    CORRUPT_COL,
+)
 from mongo_cdc_spark.cdc.transform import parse_change_events, to_kafka_records
 from mongo_cdc_spark.config import Config
 
@@ -93,3 +96,63 @@ def run_relay(spark: SparkSession, cfg: Config | None = None,
     else:
         events = read_change_stream_mongo(spark, cfg)
     return relay_to_kafka(events, cfg)
+
+
+def relay_with_dlq(events: DataFrame,
+                   sink: Callable[[DataFrame, int], None],
+                   dlq_sink: Callable[[DataFrame, int], None],
+                   checkpoint: str | None = None) -> StreamingQuery:
+    """Relay with a dead-letter queue: the reference logs-and-drops
+    events that fail decode (main.go:105-108); here the reject stream is
+    preserved (raw corrupt text, or the partial envelope for events
+    missing ns/documentKey) so bad data is replayable — the flagged
+    strict improvement from SURVEY.md §2.1.
+
+    One foreachBatch routes both legs, so a batch commits atomically:
+    valid records reach `sink` and rejects reach `dlq_sink` for the
+    same epoch, and a crash replays both from the checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    is_valid = (F.col(CORRUPT_COL).isNull()
+                & F.col("ns.db").isNotNull()
+                & F.col("ns.coll").isNotNull()
+                & F.col("documentKey._id").isNotNull())
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            sink(to_kafka_records(batch_df.filter(is_valid)
+                                  .drop(CORRUPT_COL)), batch_id)
+            dlq_sink(batch_df.filter(~is_valid), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = events.writeStream.foreachBatch(_route)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def relay_topic_rates(events: DataFrame, size: str = "1 minute",
+                      watermark: str = "2 minutes") -> DataFrame:
+    """Relay observability: per-topic event counts in tumbling
+    event-time windows — the streaming-aggregation equivalent of the
+    reference's per-message delivery-report logging (main.go:50-62),
+    but O(topics × windows) state instead of a log line per record.
+
+    Watermarked on clusterTime so window state is dropped once the
+    watermark passes; return a streaming DataFrame the caller sinks
+    (memory sink in tests, Kafka/metrics in production).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events
+        .withWatermark("clusterTime", watermark)
+        .groupBy(F.window("clusterTime", size).alias("w"),
+                 F.concat_ws(".", F.col("ns.db"), F.col("ns.coll"))
+                  .alias("topic"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "topic", "n_events")
+    )

@@ -144,3 +144,70 @@ def test_streaming_checkpoint_resume(spark, tmp_path: Path):
     assert n_first == 1
     vals = [json.loads(v) for v in second.value if v]
     assert len(vals) == 1 and vals[0]["_id"]["_data"] == "rt2"
+
+
+def test_relay_with_dlq_routes_rejects(spark, tmp_path: Path):
+    """Valid events reach the main sink; corrupt/incomplete ones land in
+    the DLQ with their payload preserved (vs the reference's
+    log-and-drop, main.go:105-108)."""
+    from mongo_cdc_spark.cdc.pipeline import relay_with_dlq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        f.write(json.dumps(_event(rt="rt1")) + "\n")
+        f.write("{corrupt line\n")
+        missing_ns = _event(rt="rt2")
+        del missing_ns["ns"]
+        f.write(json.dumps(missing_ns) + "\n")
+        f.write(json.dumps(_event(db="iot", coll="m", rt="rt3")) + "\n")
+
+    good, bad = [], []
+    q = relay_with_dlq(
+        read_change_stream_files(spark, str(src)),
+        lambda b, i: good.append(b.toPandas()),
+        lambda b, i: bad.append(b.toPandas()),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    import pandas as pd
+    good_df = pd.concat(good)
+    bad_df = pd.concat(bad)
+    assert sorted(good_df.topic) == ["iot.m", "shop.orders"]
+    assert len(bad_df) == 2
+    # the corrupt line's raw text is preserved for replay
+    assert any(bad_df._corrupt_record.fillna("").str.startswith("{corrupt"))
+
+
+def test_relay_topic_rates_windows(spark, tmp_path: Path):
+    """Per-topic windowed counts over the relay stream (observability)."""
+    from mongo_cdc_spark.cdc.pipeline import relay_topic_rates
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = []
+    df = relay_topic_rates(read_change_stream_files(spark, str(src)),
+                           size="1 minute", watermark="2 minutes")
+    q = (df.writeStream.outputMode("append")
+         .foreachBatch(lambda b, i: out.append(b.toPandas()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    batches = [
+        [_event(rt="r1", ts="2024-11-08T00:00:01Z"),
+         _event(rt="r2", ts="2024-11-08T00:00:30Z"),
+         _event(db="iot", coll="m", rt="r3", ts="2024-11-08T00:00:45Z")],
+        [_event(rt="r4", ts="2024-11-08T00:10:00Z")],
+        [_event(rt="r5", ts="2024-11-08T00:20:00Z")],
+    ]
+    for i, evs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for e in evs:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+    q.stop()
+
+    import pandas as pd
+    got = pd.concat(out)
+    w0 = got[got.window_start.astype(str).str.contains("00:00:00")]
+    assert dict(zip(w0.topic, w0.n_events)) == {"shop.orders": 2, "iot.m": 1}
