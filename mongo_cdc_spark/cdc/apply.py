@@ -1,0 +1,123 @@
+"""Materialize a collection snapshot from the change stream (CDC apply).
+
+The reference stops at relaying events to Kafka (/root/reference/
+main.go:145-154); the canonical downstream — maintaining a queryable
+copy of the collection — is left to Kafka Connect sinks
+(docker-compose.yml:87-113). This module is that downstream, Spark-first:
+latest-event-per-key reduction + partitioned upsert into a parquet
+snapshot.
+
+Scale design: the snapshot is partitioned by a key-hash bucket, and each
+micro-batch rewrites ONLY the buckets it touches (dynamic partition
+overwrite) — update cost is O(touched buckets × bucket size), not
+O(table). Bucket count sets the rewrite granularity: more buckets =
+less write amplification per batch, more small files (compact
+periodically). Whole-bucket overwrite is idempotent, so checkpointed
+replay of a batch converges (exactly-once table state over an
+at-least-once stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+_UPSERT_OPS = ("insert", "update", "replace")
+
+
+def latest_change_per_key(events: DataFrame) -> DataFrame:
+    """Reduce a batch of change events to one winner per document key:
+    latest clusterTime wins, resume token (_id._data, monotone within a
+    change stream) breaks clusterTime ties.
+
+    One shuffle on the document key; row_number (not groupBy+max+join)
+    keeps it a single window pass."""
+    w = (Window.partitionBy(F.col("documentKey._id"))
+         .orderBy(F.col("clusterTime").desc(), F.col("_id._data").desc()))
+    return (events
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))
+
+
+def apply_batch_to_snapshot(spark: SparkSession, snapshot_path: str,
+                            events: DataFrame, n_buckets: int = 16) -> None:
+    """Merge one batch of change events into the parquet snapshot.
+
+    Snapshot schema: (doc_key string, doc string [JSON post-image],
+    updated_at timestamp, bucket int). Deletes drop the key; upserts
+    replace it. Only buckets present in the batch are rewritten
+    (requires partitionOverwriteMode=dynamic, set per-write below)."""
+    latest = latest_change_per_key(events).select(
+        F.col("documentKey._id").alias("doc_key"),
+        F.col("operationType").alias("op"),
+        F.col("fullDocument").alias("doc"),
+        F.col("clusterTime").alias("updated_at"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("doc_key"), F.lit(n_buckets))
+                 .cast("int"))
+    latest.persist()
+    try:
+        touched = [r.bucket for r in latest.select("bucket")
+                   .distinct().collect()]
+        if not touched:
+            return
+        try:
+            existing = (spark.read.parquet(snapshot_path)
+                        .filter(F.col("bucket").isin(touched)))
+        except Exception:  # first batch: snapshot doesn't exist yet
+            existing = None
+        fresh = (latest.filter(F.col("op").isin(*_UPSERT_OPS))
+                 .select("doc_key", "doc", "updated_at", "bucket"))
+        if existing is not None:
+            keep = existing.join(
+                F.broadcast(latest.select("doc_key").distinct()),
+                "doc_key", "left_anti")
+            # materialize BEFORE writing: the write overwrites the very
+            # files `keep` reads from, so the merged frame must not be
+            # lazily re-derived mid-overwrite
+            fresh = keep.unionByName(fresh).localCheckpoint(eager=True)
+        fresh.persist()
+        try:
+            (fresh.repartition("bucket")
+             .write.mode("overwrite")
+             .partitionBy("bucket")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(snapshot_path))
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output — a bucket emptied by deletes writes no rows, so its
+            # stale files must be removed explicitly
+            nonempty = {r.bucket for r in fresh.select("bucket")
+                        .distinct().collect()}
+            emptied = [b for b in touched if b not in nonempty]
+            if emptied:
+                jvm = spark.sparkContext._jvm
+                jsc = spark.sparkContext._jsc
+                conf = jsc.hadoopConfiguration()
+                for b in emptied:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        f"{snapshot_path}/bucket={b}")
+                    fs = p.getFileSystem(conf)
+                    if fs.exists(p):
+                        fs.delete(p, True)
+        finally:
+            fresh.unpersist()
+    finally:
+        latest.unpersist()
+
+
+def materialize_stream(events: DataFrame, snapshot_path: str,
+                       checkpoint: str, n_buckets: int = 16) -> StreamingQuery:
+    """Streaming CDC apply: change-event stream → maintained snapshot.
+
+    foreachBatch + idempotent bucket overwrite = exactly-once table
+    state; the checkpoint holds source offsets so a crash resumes
+    without loss (the durability the reference lacks, main.go:95,103)."""
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        apply_batch_to_snapshot(batch_df.sparkSession, snapshot_path,
+                                batch_df, n_buckets)
+
+    return (events.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .start())

@@ -1,0 +1,121 @@
+"""CDC apply: change stream → maintained parquet snapshot.
+
+Batch semantics (latest-per-key, delete wins, tie-break on resume
+token) and the streaming materializer end-to-end, including that only
+touched buckets are rewritten."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.cdc.apply import (
+    apply_batch_to_snapshot,
+    latest_change_per_key,
+    materialize_stream,
+)
+from mongo_cdc_spark.cdc.pipeline import read_change_stream_files
+from mongo_cdc_spark.cdc.schema import CHANGE_EVENT_SCHEMA
+
+
+def _ev(key, op="insert", doc=None, ts="2024-11-08T00:00:01Z", rt="rt1"):
+    return {
+        "_id": {"_data": rt}, "operationType": op, "clusterTime": ts,
+        "ns": {"db": "shop", "coll": "orders"},
+        "documentKey": {"_id": key},
+        "fullDocument": doc,
+    }
+
+
+def _events_df(spark, events):
+    return spark.read.schema(CHANGE_EVENT_SCHEMA).json(
+        spark.sparkContext.parallelize([json.dumps(e) for e in events]))
+
+
+def _snapshot(spark, path):
+    return {r.doc_key: r.doc
+            for r in spark.read.parquet(path).collect()}
+
+
+def test_latest_change_per_key_tiebreak(spark):
+    df = _events_df(spark, [
+        _ev("a", doc='{"v":1}', ts="2024-11-08T00:00:01Z", rt="r1"),
+        _ev("a", op="update", doc='{"v":2}', ts="2024-11-08T00:00:05Z",
+            rt="r2"),
+        # same clusterTime as r2: higher resume token must win
+        _ev("a", op="update", doc='{"v":3}', ts="2024-11-08T00:00:05Z",
+            rt="r3"),
+        _ev("b", doc='{"v":9}', rt="r4"),
+    ])
+    got = {r["documentKey"]["_id"]: json.loads(r["fullDocument"])
+           for r in latest_change_per_key(df).collect()}
+    assert got == {"a": {"v": 3}, "b": {"v": 9}}
+
+
+def test_apply_upsert_then_delete(spark, tmp_path: Path):
+    snap = str(tmp_path / "snap")
+    apply_batch_to_snapshot(spark, snap, _events_df(spark, [
+        _ev("a", doc='{"v":1}', rt="r1"),
+        _ev("b", doc='{"v":2}', rt="r2"),
+    ]))
+    assert _snapshot(spark, snap) == {"a": '{"v":1}', "b": '{"v":2}'}
+
+    apply_batch_to_snapshot(spark, snap, _events_df(spark, [
+        _ev("a", op="update", doc='{"v":10}',
+            ts="2024-11-08T00:01:00Z", rt="r3"),
+        _ev("b", op="delete", doc=None,
+            ts="2024-11-08T00:01:00Z", rt="r4"),
+        _ev("c", doc='{"v":3}', ts="2024-11-08T00:01:00Z", rt="r5"),
+    ]))
+    assert _snapshot(spark, snap) == {"a": '{"v":10}', "c": '{"v":3}'}
+
+
+def test_apply_rewrites_only_touched_buckets(spark, tmp_path: Path):
+    """An update must not rewrite the parquet files of buckets its
+    batch never touched (the O(touched) update-cost property)."""
+    snap = tmp_path / "snap"
+    keys = [f"k{i}" for i in range(40)]
+    apply_batch_to_snapshot(spark, str(snap), _events_df(spark, [
+        _ev(k, doc='{"v":0}', rt=f"r{i}") for i, k in enumerate(keys)
+    ]), n_buckets=8)
+    before = {p: p.stat().st_mtime
+              for p in snap.glob("bucket=*/*.parquet")}
+
+    target_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("k0")), F.lit(8)).cast("int")).first()[0]
+    apply_batch_to_snapshot(spark, str(snap), _events_df(spark, [
+        _ev("k0", op="update", doc='{"v":1}',
+            ts="2024-11-08T00:09:00Z", rt="z1"),
+    ]), n_buckets=8)
+
+    untouched_same = [
+        p for p, m in before.items()
+        if p.exists() and p.stat().st_mtime == m
+        and f"bucket={target_bucket}/" not in str(p)]
+    assert untouched_same, "expected untouched bucket files to survive"
+    got = _snapshot(spark, str(snap))
+    assert got["k0"] == '{"v":1}' and len(got) == 40
+
+
+def test_materialize_stream_end_to_end(spark, tmp_path: Path):
+    src = tmp_path / "src"
+    src.mkdir()
+    snap = str(tmp_path / "snap")
+    q = materialize_stream(read_change_stream_files(spark, str(src)),
+                          snap, checkpoint=str(tmp_path / "ckpt"),
+                          n_buckets=4)
+    batches = [
+        [_ev("a", doc='{"v":1}', rt="r1"), _ev("b", doc='{"v":2}', rt="r2")],
+        [_ev("a", op="delete", doc=None,
+             ts="2024-11-08T00:02:00Z", rt="r3"),
+         _ev("c", doc='{"v":5}', ts="2024-11-08T00:02:00Z", rt="r4")],
+    ]
+    for i, evs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for e in evs:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+    q.stop()
+    assert _snapshot(spark, snap) == {"b": '{"v":2}', "c": '{"v":5}'}
