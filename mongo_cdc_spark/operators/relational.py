@@ -924,6 +924,88 @@ def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- event-time (batch view)
+@query("events_funnel_conversion", sql="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts, ANY_VALUE(s.signup_ts) AS signup_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signed_up,
+           COUNT(*) AS n_converted,
+           ROUND(AVG(date_diff('second', signup_ts, purchase_ts)) / 3600.0,
+                 4) AS avg_hours_to_convert
+    FROM p
+""")
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → first subsequent purchase, with mean
+    time-to-convert — the event-sequence primitive (per-entity ordered
+    reduction) behind any product funnel.
+
+    Scale: two per-user MIN aggregations and one join, all keyed on
+    user_id — Catalyst reuses the user_id exchange across the agg and
+    join; no window, no self-join over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter(F.col("ts") >= F.col("signup_ts"))
+         .groupBy("user_id")
+         .agg(F.min("ts").alias("purchase_ts"),
+              F.first("signup_ts").alias("signup_ts")))
+    n_signed = s.agg(F.count(F.lit(1)).alias("n_signed_up"))
+    secs = (F.unix_timestamp("purchase_ts")
+            - F.unix_timestamp("signup_ts"))
+    return (
+        p.agg(F.count(F.lit(1)).alias("n_converted"),
+              F.round(F.avg(secs) / 3600.0, 4).alias("avg_hours_to_convert"))
+        .join(F.broadcast(n_signed))
+        .select("n_signed_up", "n_converted", "avg_hours_to_convert")
+    )
+
+
+@query("events_cohort_retention", sql="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+""")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each subsequent activity week — the classic retention triangle.
+
+    Both engines truncate weeks to ISO Monday, so offsets divide by 7
+    exactly. Scale: first_seen and activity are both user_id-keyed
+    aggregates over one scan; the join is on user_id (co-partitioned
+    with both aggs) and the final distinct-count shuffles the already
+    tiny (cohort, week, user) triple set."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    activity = ev.select("user_id",
+                         F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(F.col("cohort").cast("date").alias("cohort_week"),
+                 (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 @query("events_hourly_rollup", sql="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,

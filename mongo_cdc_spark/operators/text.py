@@ -11,6 +11,7 @@ keys), and explode-based term stats do map-side partial aggregation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
@@ -282,4 +283,62 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(10)
+    )
+
+
+@query("text_tfidf_top_terms", sql="""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+              FROM documents WHERE doc_id < 50)
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, tok
+""")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document (first 50
+    docs), idf over the WHOLE corpus — the keyword-extraction /
+    relevance-weighting primitive.
+
+    Scale: tf is a (doc, term) aggregate of the probe slice only; df is
+    a term aggregate of the full corpus (shuffle carries (term, count)
+    partials, not positions); scoring joins tf against the df table on
+    term — at 100 TB the df side is |vocab| rows and broadcasts. The
+    per-doc top-3 is a bounded row_number window. Ordering and output
+    round tfidf to 4dp so Spark and the oracle rank identical doubles
+    (ln on identical doubles is bit-equal in practice; 4dp absorbs any
+    libm ulp)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tf = (toks.filter(F.col("doc_id") < 50)
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .select("doc_id", "tok",
+                F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                        4).alias("tfidf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
     )
