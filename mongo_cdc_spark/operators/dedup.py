@@ -460,3 +460,39 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return (labels.select("doc_id", F.col("lab").alias("cluster_id"))
             .orderBy("doc_id"))
+
+
+@query("dedup_fuzzy_levenshtein", sql="""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n)
+    SELECT a.p_name AS name1, c.p_name AS name2,
+           levenshtein(a.p_name, c.p_name) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 6
+    ORDER BY name1, name2
+""")
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: near-identical name pairs
+    (edit distance <= 6) found by a block-then-verify join on the first
+    token — the classic entity-resolution shape (blocking key prunes
+    the N^2 space, exact Levenshtein verifies survivors).
+
+    Scale: DISTINCT first collapses the scan to the name dictionary
+    (tiny vs. row count); the self-join key is the blocking token, so
+    each comparison bucket is a small group instead of all-pairs —
+    O(sum of block^2), not O(N^2). Skewed blocks (one dominant first
+    token) would be the hazard at 100 TB; the fix is a second blocking
+    key (e.g. length band), same join shape."""
+    names = (load_table(spark, sf_dir, "part")
+             .select("p_name").distinct()
+             .withColumn("blk", F.substring_index("p_name", " ", 1)))
+    a = names.select(F.col("p_name").alias("name1"), "blk")
+    c = names.select(F.col("p_name").alias("name2"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("name1") < F.col("name2"))
+        .withColumn("dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("dist") <= 6)
+        .select("name1", "name2", "dist")
+        .orderBy("name1", "name2")
+    )

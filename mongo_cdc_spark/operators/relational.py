@@ -1358,3 +1358,182 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@query("agg_exact_percentiles", sql="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+""")
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) of
+    order value per priority class.
+
+    Scale: exact percentiles buffer each group's values — fine when
+    groups are few and bounded (5 priorities), which is exactly this
+    shape. For high-cardinality groups or ad-hoc profiling at 100 TB,
+    the mergeable-sketch twin `agg_approx_sketches` (KLL/HLL, fixed
+    state) is the intended path; this query is its oracle-checkable
+    exact counterpart."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+             F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+             F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+             F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("histogram_order_totals", sql="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+""")
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide buckets) — the
+    distribution-profiling primitive behind any data-quality dashboard.
+
+    Scale: binning is a scalar projection, so this is one hash agg with
+    map-side partials on a ~dozen-key space; shuffle traffic is O(buckets)
+    per task no matter the input size."""
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+        .orderBy("bucket")
+    )
+
+
+@query("events_gap_fill", sql="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ), hrs AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b
+    ), t AS (
+        SELECT DISTINCT event_type FROM events
+    ), c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY event_type, hr
+    )
+    SELECT t.event_type,
+           strftime(hrs.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(c.n, 0) AS n_events
+    FROM hrs CROSS JOIN t
+    LEFT JOIN c ON c.event_type = t.event_type AND c.hr = hrs.hr
+    ORDER BY t.event_type, hour_start
+""")
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: the dense (event_type x hour) grid with
+    zero counts for silent hours — what a hypertable/continuous-
+    aggregate view serves, and the prerequisite for any rolling-window
+    model over regular time buckets.
+
+    Scale: the raw scan collapses to an O(types x hours) aggregate
+    before anything joins; the dense grid is sequence()+explode on a
+    single bounds row (never a scan of raw data), and the grid-to-
+    counts join is between two already-tiny aggregated frames. 100 TB
+    of events with a 5-year span is still a ~40k-hour grid."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    hrs = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+         .alias("hr"))
+    types = ev.select("event_type").distinct()
+    counts = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (
+        hrs.crossJoin(types)
+        .join(counts, ["event_type", "hr"], "left")
+        .select("event_type",
+                F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("event_type", "hour_start")
+    )
+
+
+@query("events_top_transitions", sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 15
+""")
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (lag window), top 15 — the path-analysis primitive
+    behind next-action prediction and funnel discovery.
+
+    Scale: one shuffle on user_id for the lag window (each user's
+    history sorts locally within its partition), then a hash agg on
+    the tiny (prev, next) key space with map-side partials. The
+    ORDER BY ties are broken by the pair itself, so top-15 is
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(15)
+    )
+
+
+@query("events_anomaly_zscore", sql="""
+    WITH s AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 2.5
+    ORDER BY e.event_id
+""")
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flagging: events whose value deviates
+    >2.5 sigma from their type's mean — the statistical outlier filter
+    of any metrics/data-quality pipeline.
+
+    Scale: the stats side is a 5-row aggregate and broadcasts; the scan
+    side is one pass with a scalar filter, so no wide shuffle at all.
+    Both engines round z to 4dp BEFORE thresholding so a last-ulp
+    difference in mu/sigma cannot flip membership at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma")))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .orderBy("event_id")
+    )

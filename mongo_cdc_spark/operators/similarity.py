@@ -302,3 +302,28 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+@query("embedding_centroid_per_label", sql="""
+    SELECT label, r.range AS dim,
+           ROUND(AVG(embedding[r.range + 1]::DOUBLE), 6) AS centroid
+    FROM embeddings CROSS JOIN range(64) r
+    GROUP BY label, dim
+    ORDER BY label, dim
+""")
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding space, one row per (label,
+    dimension) — the training step of IVF partitioning / nearest-class
+    classification, and the reduce behind k-means iterations.
+
+    Scale: posexplode turns each vector into 64 (label, dim, x) rows
+    whose avg does map-side partial aggregation — the shuffle carries
+    O(labels x 64) partial sums per task, never vectors. This is how a
+    centroid update over 100 TB of embeddings stays one narrow shuffle."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
