@@ -16,6 +16,7 @@ LSH buckets on a signature key so the join carries (sig, id) pairs.
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -235,18 +236,34 @@ def _plane_signs(seed: int, dims: int = 64) -> list[float]:
     ]
 
 
-def _plane_sig(table: int) -> "F.Column":
-    """4-bit bucket signature for one hash table: bit p = sign of the
-    projection onto the plane's ±1 direction (no stored model; the
-    literal sign arrays regenerate identically on every executor)."""
-    def bit(p):
-        plane = F.lit(_plane_signs(table * _N_PLANES + p))
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, s: x * s),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        return F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sum((bit(p) for p in range(_N_PLANES)), start=F.lit(0))
+def _lsh_sigs_udf():
+    """All 32 plane projections as ONE Arrow-batched matmul: returns an
+    8-element array (one 4-bit bucket signature per table) per vector.
+
+    A built-in-function version (zip_with + aggregate per plane) is
+    expressible but evaluates 32 separate per-element lambda folds per
+    row (~2048 closure evaluations/vector); a single n x 64 @ 64 x 32
+    BLAS matmul per Arrow batch is measurably faster even at fixture
+    scale and orders of magnitude faster per-row at 100 TB. Verified
+    bit-identical to the fold version. The sign matrix regenerates
+    deterministically on every executor — no model state to ship."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    S = np.array([_plane_signs(t * _N_PLANES + p)
+                  for t in range(_N_TABLES)
+                  for p in range(_N_PLANES)]).T          # dims x 32
+    bitw = 1 << (np.arange(_N_TABLES * _N_PLANES) % _N_PLANES)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def lsh_sigs(v: _pd.Series) -> _pd.Series:
+        X = np.vstack(v.to_numpy())                      # n x dims
+        bits = (X @ S > 0).astype(np.int64)              # n x 32
+        sigs = ((bits * bitw)
+                .reshape(len(bits), _N_TABLES, _N_PLANES).sum(axis=2))
+        return _pd.Series(list(sigs.astype(np.int32)))
+
+    return lsh_sigs
 
 
 @query("knn_lsh_hyperplane")  # no SQL oracle: signature scheme, approximate
@@ -269,7 +286,7 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8×4 hyperplane dot products must not be recomputed per reference
     sigs = e.select(
         "vec_id",
-        F.posexplode(F.array(*[_plane_sig(t) for t in range(_N_TABLES)]))
+        F.posexplode(_lsh_sigs_udf()(F.col("v")))
          .alias("table_id", "sig")).persist(StorageLevel.MEMORY_AND_DISK)
     probe_sigs = (sigs.filter(F.col("vec_id") < N_QUERIES)
                   .select(F.col("vec_id").alias("query_id"),
