@@ -753,6 +753,44 @@ def agg_collect_nations_per_region(spark: SparkSession,
     )
 
 
+@query("map_priority_profile", sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS urgent_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                AS BIGINT) AS low_cnt,
+           CAST(COUNT(*) AS BIGINT) AS total_cnt
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def map_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (SURVEY.md §2.2 array/map/json row):
+    build a priority→count MAP per order status with map_from_entries,
+    then read it back with element_at / map_keys / map_values. The map
+    is built from an already-aggregated frame (≤ statuses×priorities
+    rows), so collect_list never sees unbounded groups at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    m = counts.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt"))))
+        .alias("pm"))
+    return (
+        m.select(
+            "o_orderstatus",
+            F.size(F.map_keys("pm")).cast("long").alias("n_priorities"),
+            F.coalesce(F.element_at("pm", F.lit("1-URGENT")), F.lit(0))
+             .alias("urgent_cnt"),
+            F.coalesce(F.element_at("pm", F.lit("5-LOW")), F.lit(0))
+             .alias("low_cnt"),
+            F.aggregate(F.map_values("pm"), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("total_cnt"))
+        .orderBy("o_orderstatus")
+    )
+
+
 @query("topk_expensive_lineitems", sql="""
     SELECT l_orderkey, l_linenumber, l_extendedprice
     FROM lineitem
