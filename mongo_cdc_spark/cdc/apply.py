@@ -62,10 +62,21 @@ def apply_batch_to_snapshot(spark: SparkSession, snapshot_path: str,
                    .distinct().collect()]
         if not touched:
             return
-        try:
+        # Probe existence explicitly instead of catching read errors:
+        # a broad except here would treat ANY failure (transient IO,
+        # permissions, corrupt footer) as "first batch" and skip the
+        # keep-leg anti-join — the dynamic overwrite would then silently
+        # drop every pre-existing document in the touched buckets. A
+        # real read error must fail the batch so the streaming
+        # checkpoint retries it.
+        jvm = spark.sparkContext._jvm
+        probe = jvm.org.apache.hadoop.fs.Path(snapshot_path)
+        fs = probe.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(probe):
             existing = (spark.read.parquet(snapshot_path)
                         .filter(F.col("bucket").isin(touched)))
-        except Exception:  # first batch: snapshot doesn't exist yet
+        else:  # first batch: snapshot doesn't exist yet
             existing = None
         fresh = (latest.filter(F.col("op").isin(*_UPSERT_OPS))
                  .select("doc_key", "doc", "updated_at", "bucket"))

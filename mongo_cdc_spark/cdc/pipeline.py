@@ -36,14 +36,30 @@ def read_change_stream_mongo(spark: SparkSession, cfg: Config) -> DataFrame:
             "read_change_stream_files/kafka for hermetic runs") from exc
 
 
-def read_change_stream_files(spark: SparkSession, path: str) -> DataFrame:
+def read_change_stream_files(spark: SparkSession, path: str,
+                             keep_corrupt: bool = False) -> DataFrame:
     """Hermetic source: a file stream of JSON-lines change events (the
     FIXTURES.md §1 shape). Used by tests and local runs; identical
-    downstream plan to the Mongo/Kafka sources."""
-    return (spark.readStream
-            .schema(CHANGE_EVENT_SCHEMA_PERMISSIVE)
-            .option("mode", "PERMISSIVE")
-            .json(path))
+    downstream plan to the Mongo/Kafka sources.
+
+    By default undecodable lines and events missing ns/documentKey are
+    dropped at the source — the reference's skip-on-error semantics
+    (main.go:104-108) — so relaying this stream directly never emits
+    empty records. Pass keep_corrupt=True to keep the rejects (with
+    the _corrupt_record column) for DLQ routing via relay_with_dlq."""
+    from pyspark.sql import functions as F
+
+    raw = (spark.readStream
+           .schema(CHANGE_EVENT_SCHEMA_PERMISSIVE)
+           .option("mode", "PERMISSIVE")
+           .json(path))
+    if keep_corrupt:
+        return raw
+    return (raw.filter(F.col(CORRUPT_COL).isNull()
+                       & F.col("ns.db").isNotNull()
+                       & F.col("ns.coll").isNotNull()
+                       & F.col("documentKey._id").isNotNull())
+            .drop(CORRUPT_COL))
 
 
 def read_change_stream_kafka(spark: SparkSession, cfg: Config,
@@ -89,10 +105,8 @@ def run_relay(spark: SparkSession, cfg: Config | None = None,
     flushes the in-flight epoch — the 15 s Flush at main.go:158)."""
     cfg = cfg or Config()
     if source_path is not None:
+        # skip-on-error filtering happens inside the source
         events = read_change_stream_files(spark, source_path)
-        events = events.filter(
-            "ns.db is not null and ns.coll is not null "
-            "and documentKey._id is not null")
     else:
         events = read_change_stream_mongo(spark, cfg)
     return relay_to_kafka(events, cfg)
@@ -113,6 +127,13 @@ def relay_with_dlq(events: DataFrame,
     same epoch, and a crash replays both from the checkpoint.
     """
     from pyspark.sql import functions as F
+
+    if CORRUPT_COL not in events.columns:
+        raise ValueError(
+            f"relay_with_dlq needs the {CORRUPT_COL!r} column to route "
+            "rejects — build the stream with read_change_stream_files() "
+            "or parse_change_events(..., keep_corrupt=True); the default "
+            "parse output has already dropped corrupt rows.")
 
     is_valid = (F.col(CORRUPT_COL).isNull()
                 & F.col("ns.db").isNotNull()

@@ -112,7 +112,7 @@ _JACCARD_ORACLE = f"""
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 200) g(i)
+      FROM toks, generate_series(1, 1000) g(i)
       WHERE i <= len(w) - 2
       GROUP BY doc_id
     ), pairs AS (
@@ -177,19 +177,25 @@ _N_HASHES = 64
 _BAND_ROWS = 4
 
 
-@query("dedup_minhash_lsh")  # no SQL oracle: LSH banding is probabilistic
+@query("dedup_minhash_lsh", sql=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
     The 100 TB dedup path: per doc compute a 64-slot MinHash signature
     (xxhash64 with per-slot seeds over shingles — one pass, no shuffle),
-    band it into 32 × 2-row band keys, shuffle ONLY (band_key → doc_id)
+    band it into 16 × 4-row band keys, shuffle ONLY (band_key → doc_id)
     pairs, self-join per band for candidates, then verify candidates
-    with exact Jaccard. Shuffle volume is O(docs × 32 keys), independent
+    with exact Jaccard. Shuffle volume is O(docs × 16 keys), independent
     of document size; all-pairs is never materialized.
 
-    Output schema matches dedup_ngram_jaccard; tests assert the result
-    equals the exact query's (recall check) at fixture scale.
+    Output schema matches dedup_ngram_jaccard, and because every
+    candidate is verified with EXACT Jaccard, the result equals the
+    exact query's whenever banding recalls every true pair. The oracle
+    is therefore the exact-Jaccard SQL: the fixture's true pairs all
+    sit at J ≥ 0.889, where the per-pair band-miss probability is
+    (1-0.889⁴)¹⁶ ≈ 1.6e-7 — and with frozen fixtures + deterministic
+    hashing, the match is a constant fact, re-verified by
+    tests/test_dedup.py at both fixture scales.
     """
     sets = shingle_sets(spark, sf_dir)
 
@@ -274,24 +280,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest-id member they duplicate (single-hop keeper assignment —
     the map step of iterated connected components).
 
-    Scale: all-pairs here is the correctness baseline over the fixture;
-    the 100 TB path generates the same pairs from the LSH-bucket join
-    (knn_lsh_hyperplane's candidate stage) instead of a cross join, then
-    applies this identical keeper reduction.
+    Pair generation goes through the EXACT blocked candidate path
+    (similarity.blocked_threshold_pairs — IVF centroid blocking pruned
+    by the angular triangle inequality, then exact verify), so no
+    all-pairs join exists here while the all-pairs SQL stays a valid
+    oracle: the blocking provably never drops a qualifying pair.
     """
-    from mongo_cdc_spark.operators.similarity import _emb, cosine
+    from mongo_cdc_spark.operators.similarity import (
+        _emb, blocked_threshold_pairs)
 
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
-                 F.col("norm").alias("n1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
-                 F.col("norm").alias("n2"))
-    pairs = (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .filter(cosine(F.col("v1"), F.col("v2"),
-                       F.col("n1"), F.col("n2")) >= _EMB_DUP_THRESHOLD)
-        .select("id1", "id2")
-    )
+    pairs = (blocked_threshold_pairs(e, _EMB_DUP_THRESHOLD)
+             .select("id1", "id2"))
     return (
         e.select("vec_id")
         .join(F.broadcast(pairs), F.col("vec_id") == F.col("id2"), "left")
@@ -303,35 +303,96 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 64
-_SIMHASH_CHUNKS = 4          # pigeonhole: dist ≤ 3 ⇒ one 16-bit chunk equal
+_SIMHASH_BITS = 60           # 15 hex chars of md5: portable across engines
+_SIMHASH_CHUNKS = 4          # pigeonhole: dist ≤ 3 ⇒ one 15-bit chunk equal
 _HAMMING_MAX = 3
 
 
-@query("dedup_simhash")  # no SQL oracle: bit-twiddling signature scheme
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of the full SimHash pipeline, generated from the
+    same parameters as the Spark query. The token hash is the first 15
+    hex chars of md5 (60 bits, always positive) precisely so BOTH
+    engines can compute it: Spark via conv(substring(md5,1,15),16,10),
+    DuckDB via ('0x'||substr(md5,1,15))::BIGINT. That turns a
+    'non-SQL-expressible signature scheme' into a bit-for-bit
+    hash-checked query."""
+    vote_cols = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIMHASH_BITS))
+    sig_sum = "\n               + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS))
+    chunk_bits = _SIMHASH_BITS // _SIMHASH_CHUNKS
+    chunk_mask = (1 << chunk_bits) - 1
+    chunk_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS chunk_idx,"
+        f" (sig >> {c * chunk_bits}) & {chunk_mask} AS chunk_val FROM sigs"
+        for c in range(_SIMHASH_CHUNKS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM th GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             CAST({sig_sum} AS BIGINT) AS sig
+      FROM votes
+    ), chunks AS (
+      {chunk_union}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                      a.sig AS sig1, b.sig AS sig2
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, CAST(bit_count(xor(sig1, sig2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig1, sig2)) <= {_HAMMING_MAX}
+    ORDER BY doc1, doc2
+    """
+
+
+@query("dedup_simhash", sql=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Charikar) with chunked candidate join.
 
-    Per doc: 64-bit signature where bit j = sign of Σ_tokens (±1 by bit
-    j of xxhash64(token)). Candidates: split the signature into 4
-    16-bit chunks — any pair within Hamming distance 3 must share ≥1
-    chunk (pigeonhole), so the join key is (chunk_idx, chunk_value) and
-    all-pairs is avoided. Verify with exact popcount on the XOR.
+    Per doc: 60-bit signature where bit j = sign of Σ_tokens (±1 by bit
+    j of a 60-bit md5-derived token hash). Candidates: split the
+    signature into 4 15-bit chunks — any pair within Hamming distance 3
+    must share ≥1 chunk (pigeonhole), so the join key is (chunk_idx,
+    chunk_value) and all-pairs is avoided. Verify with exact popcount
+    on the XOR.
+
+    The token hash is conv(substring(md5(token),1,15),16,10) — 60 bits
+    instead of xxhash64 — chosen because DuckDB computes the identical
+    value, which makes the ENTIRE pipeline (signatures, pigeonhole
+    chunk join, hamming verify) replicable in the SQL oracle and
+    hash-checked end to end. Hash quality is equivalent for simhash
+    voting; at 100 TB the hash is one md5 per distinct token, dwarfed
+    by tokenization itself.
     """
     n = spark.sparkContext.defaultParallelism
     # hash each token ONCE in a projection; the vote fold below binds
     # the hash as its lambda variable, so it is never recomputed per bit.
+    token_hash = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
     docs = (load_table(spark, sf_dir, "documents")
             .repartition(n, "doc_id")
             .select("doc_id",
                     F.transform(F.array_distinct(_tokens()),
-                                lambda t: F.xxhash64(t)).alias("hs")))
-    # Bit-vote accumulation as ONE 64-slot aggregate fold per row —
+                                token_hash).alias("hs")))
+    # Bit-vote accumulation as ONE 60-slot aggregate fold per row —
     # fully narrow (no explode, no groupBy): 4.4× faster than the
-    # equivalent explode + 64 × SUM(CASE) aggregation and bit-identical
-    # to it. 1<<63 would overflow a Py4J signed-long literal, so the
-    # sign-bit mask is its two's-complement value.
-    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(_SIMHASH_BITS)]
+    # equivalent explode + 60 × SUM(CASE) aggregation and bit-identical
+    # to it. All masks are positive (bit 59 < sign bit), so no two's-
+    # complement handling is needed.
+    masks = [1 << j for j in range(_SIMHASH_BITS)]
     votes = F.aggregate(
         "hs",
         F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),
@@ -352,13 +413,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny at any scale.
     sig = docs.select("doc_id", sig_expr.alias("sig")) \
               .persist(StorageLevel.MEMORY_AND_DISK)
+    chunk_bits = _SIMHASH_BITS // _SIMHASH_CHUNKS
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("chunk_idx"),
-                F.shiftrightunsigned(F.col("sig"), c * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+                F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                 .bitwiseAND(F.lit(chunk_mask)).alias("chunk_val"))
             for c in range(_SIMHASH_CHUNKS)
         ])).alias("ch"),
     ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
@@ -373,7 +436,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))).cast("int")
     return (
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _HAMMING_MAX)
@@ -388,7 +451,7 @@ _CLUSTER_ORACLE = f"""
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 200) g(i)
+      FROM toks, generate_series(1, 1000) g(i)
       WHERE i <= len(w) - 2
       GROUP BY doc_id
     ), pairs AS (
@@ -462,6 +525,40 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+_LEV_MAX = 6
+_LEV_BAND = _LEV_MAX + 1     # band width > max distance ⇒ |Δband| ≤ 1
+
+
+def fuzzy_name_pairs(names: DataFrame) -> DataFrame:
+    """Name pairs within Levenshtein _LEV_MAX via a compound blocking
+    key: (first token, length band). Edit distance ≤ d bounds the
+    length difference by d, so with band width d+1 a qualifying pair's
+    bands differ by at most 1 — the probe side expands to its
+    {{band-1, band, band+1}} and completeness is provable, while each
+    pair matches on exactly ONE key (the left side's own band; no
+    dedup pass needed).
+
+    The second key is the skew bound: a hot first token (the 100 TB
+    hazard) is subdivided by length, capping each join group at
+    O(|hot| / n_bands) instead of |hot| — see tests/test_skew.py.
+    """
+    names = names.select(
+        F.col("p_name"),
+        F.substring_index("p_name", " ", 1).alias("blk"),
+        F.floor(F.length("p_name") / _LEV_BAND).cast("int").alias("band"))
+    a = names.select(F.col("p_name").alias("name1"), "blk", "band")
+    c = (names.select(F.col("p_name").alias("name2"), "blk",
+                      F.explode(F.array(F.col("band") - 1, F.col("band"),
+                                        F.col("band") + 1)).alias("band")))
+    return (
+        a.join(c, ["blk", "band"])
+        .filter(F.col("name1") < F.col("name2"))
+        .withColumn("dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("dist") <= _LEV_MAX)
+        .select("name1", "name2", "dist")
+    )
+
+
 @query("dedup_fuzzy_levenshtein", sql="""
     WITH n AS (SELECT DISTINCT p_name FROM part),
     b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n)
@@ -473,26 +570,15 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching with blocking: near-identical name pairs
-    (edit distance <= 6) found by a block-then-verify join on the first
-    token — the classic entity-resolution shape (blocking key prunes
-    the N^2 space, exact Levenshtein verifies survivors).
+    (edit distance <= 6) found by a block-then-verify join on the
+    compound key (first token, length band) — the classic
+    entity-resolution shape (blocking keys prune the N^2 space, exact
+    Levenshtein verifies survivors).
 
     Scale: DISTINCT first collapses the scan to the name dictionary
-    (tiny vs. row count); the self-join key is the blocking token, so
-    each comparison bucket is a small group instead of all-pairs —
-    O(sum of block^2), not O(N^2). Skewed blocks (one dominant first
-    token) would be the hazard at 100 TB; the fix is a second blocking
-    key (e.g. length band), same join shape."""
-    names = (load_table(spark, sf_dir, "part")
-             .select("p_name").distinct()
-             .withColumn("blk", F.substring_index("p_name", " ", 1)))
-    a = names.select(F.col("p_name").alias("name1"), "blk")
-    c = names.select(F.col("p_name").alias("name2"), "blk")
-    return (
-        a.join(c, "blk")
-        .filter(F.col("name1") < F.col("name2"))
-        .withColumn("dist", F.levenshtein("name1", "name2"))
-        .filter(F.col("dist") <= 6)
-        .select("name1", "name2", "dist")
-        .orderBy("name1", "name2")
-    )
+    (tiny vs. row count); the join key subdivides a skewed first token
+    by length band (width 7 > max distance 6, so band-neighbor probing
+    is complete — fuzzy_name_pairs), bounding every comparison bucket
+    even under a dominant hot token."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    return fuzzy_name_pairs(names).orderBy("name1", "name2")

@@ -119,11 +119,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_decode")  # no SQL oracle: mapInPandas feature stub
+@query("multimodal_fake_decode", sql="""
+    SELECT d.doc_id,
+           CAST(MIN(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
+           CAST(SUM(g.i * ord(substr(d.text, CAST(g.i AS INT), 1)))
+                % 1000000007 AS BIGINT) AS checksum
+    FROM documents d, generate_series(1, 2000) g(i)
+    WHERE g.i <= len(d.text)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+""")
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
     batches, partition-parallel). The checksum stands in for an image
-    feature vector; schema/batching/partitioning are the real thing."""
+    feature vector; schema/batching/partitioning are the real thing.
+
+    Oracle: the deterministic fake feature (positional byte checksum
+    mod 1e9+7) is byte-arithmetic, and the fixture text is pure ASCII
+    (asserted in tests/test_multimodal.py), so octet==codepoint and
+    DuckDB replicates it exactly with ord(substr(...)) — the Arrow UDF
+    path gets a true hash-match check, not a rows-only one."""
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     # repartition so decode parallelism isn't bound to input splits —
     # media decode is CPU-bound, so every core should hold a batch

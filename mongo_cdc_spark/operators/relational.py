@@ -1181,6 +1181,46 @@ def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_dedup_within_watermark_replay", sql="""
+    WITH doubled AS (
+      SELECT event_id, ts, user_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL '1 second', user_id, event_type
+      FROM events WHERE event_id % 10 = 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY ts) AS rn
+      FROM doubled
+    )
+    SELECT event_id, ts, user_id, event_type
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+""")
+def streaming_dedup_within_watermark_replay(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """Batch replay twin of streaming.streaming_dedup
+    (dropDuplicatesWithinWatermark): producer-retry duplicates — every
+    10th event re-sent 1 s later — are collapsed back to one row per
+    event_id, keeping the event-time-first row. In the stream the
+    duplicate arrives inside the watermark horizon and is dropped by
+    keyed state; the deterministic batch formulation of that semantics
+    is min-event-time-wins (arrival order == event-time order in the
+    replay), expressed as a row_number window — which gives the
+    watermark-bounded streaming op an oracle-graded correctness row.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    doubled = ev.unionByName(
+        ev.filter(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")))
+    w = W.partitionBy("event_id").orderBy("ts")
+    return (
+        doubled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_id")
+    )
+
+
 @query("join_asof_purchase_click", sql="""
     WITH clicks AS (
       SELECT user_id, ts, MAX(event_id) AS click_id
@@ -1379,21 +1419,47 @@ def udaf_geomean_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # no SQL oracle: HLL++/KLL sketches are
-# engine-specific; tests/test_relational.py bounds them against exact
+@query("agg_approx_sketches", sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(*) AS n,
+           TRUE AS approx_cd_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+""")
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB interactive profiling:
-    approx_count_distinct (HLL++, rsd 1%) and percentile_approx —
+    approx_count_distinct (HLL++, rsd 1%) and percentile_approx (KLL) —
     fixed-size state, one pass, mergeable across partitions (the whole
-    point at scale: no exact-distinct shuffle of the key universe)."""
+    point at scale: no exact-distinct shuffle of the key universe).
+
+    Oracle strategy: sketch register values are engine-specific, so the
+    query emits the EXACT companions (oracle-checkable) plus per-group
+    booleans asserting the sketch landed inside its published error
+    bound — HLL++ within 5×rsd of the exact distinct count, KLL median
+    between the exact 0.45/0.55 quantiles (rank error 1/accuracy=1e-4).
+    Both sketches are deterministic for a fixed dataset, so the booleans
+    are stable facts the oracle states as literals, and a regression
+    that pushes either sketch out of bound hash-mismatches the row."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_orderkey", rsd=0.01)
              .alias("approx_orders"),
+             F.countDistinct("l_orderkey").alias("exact_orders"),
              F.percentile_approx("l_extendedprice", 0.5, 10_000)
-             .alias("approx_median_price"),
+             .alias("approx_median"),
+             F.percentile("l_extendedprice", 0.45).alias("q45"),
+             F.percentile("l_extendedprice", 0.55).alias("q55"),
              F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag", "exact_orders", "n",
+            (F.abs(F.col("approx_orders") - F.col("exact_orders"))
+             <= 0.05 * F.col("exact_orders")).alias("approx_cd_ok"),
+            F.col("approx_median").between(F.col("q45"), F.col("q55"))
+             .alias("approx_median_ok"))
         .orderBy("l_returnflag")
     )
 

@@ -208,7 +208,7 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT doc_id, lang,
              MIN(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS fp
-      FROM toks, generate_series(1, 200) g(i)
+      FROM toks, generate_series(1, 1000) g(i)
       WHERE i <= len(w) - 2
       GROUP BY doc_id, lang
     )

@@ -87,11 +87,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.floor(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                       * 10000) / 10000).alias("unit_price"))
     )
-    best = offer.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    # the min-price side groups the SAME frame, so its key must be
+    # re-aliased — joining offer.l_partkey == best.l_partkey resolves
+    # both sides to one attribute (trivially-true predicate, and the
+    # real key equality is silently dropped from the join)
+    best = (offer.groupBy(F.col("l_partkey").alias("best_partkey"))
+            .agg(F.min("unit_price").alias("best_price")))
     return (
-        offer.join(best, (offer.l_partkey == best.l_partkey)
+        offer.join(best, (offer.l_partkey == best.best_partkey)
                    & (offer.unit_price == best.best_price))
-        .drop(best.l_partkey)
+        .drop("best_partkey")
         .join(F.broadcast(p.filter((F.col("p_size").between(1, 15))
                                    & (F.col("p_type") == "STANDARD"))),
               F.col("l_partkey") == F.col("p_partkey"))

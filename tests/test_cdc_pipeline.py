@@ -164,7 +164,7 @@ def test_relay_with_dlq_routes_rejects(spark, tmp_path: Path):
 
     good, bad = [], []
     q = relay_with_dlq(
-        read_change_stream_files(spark, str(src)),
+        read_change_stream_files(spark, str(src), keep_corrupt=True),
         lambda b, i: good.append(b.toPandas()),
         lambda b, i: bad.append(b.toPandas()),
         checkpoint=str(tmp_path / "ckpt"))
@@ -211,3 +211,28 @@ def test_relay_topic_rates_windows(spark, tmp_path: Path):
     got = pd.concat(out)
     w0 = got[got.window_start.astype(str).str.contains("00:00:00")]
     assert dict(zip(w0.topic, w0.n_events)) == {"shop.orders": 2, "iot.m": 1}
+
+
+def test_file_source_skips_corrupt_by_default(spark, tmp_path: Path):
+    """Relaying the file source DIRECTLY (no explicit filter) must drop
+    undecodable lines and null-ns events at the source — the
+    reference's skip-on-error (main.go:104-108); an empty-topic record
+    reaching the sink is the bug this pins down."""
+    src = tmp_path / "src"
+    src.mkdir()
+    missing_ns = _event(rt="rt2")
+    del missing_ns["ns"]
+    with open(src / "events.json", "w") as f:
+        f.write(json.dumps(_event(rt="rt1")) + "\n")
+        f.write("NOT JSON {{{\n")
+        f.write(json.dumps(missing_ns) + "\n")
+
+    out = []
+    q = relay_foreach_batch(
+        read_change_stream_files(spark, str(src)),
+        lambda b, i: out.extend(b.collect()),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert [r.topic for r in out] == ["shop.orders"]
+    assert all(r.topic for r in out)

@@ -64,3 +64,16 @@ def test_simhash_finds_exact_duplicates(spark, sf_dir):
     }
     sim = _pairs(dedup.dedup_simhash(spark, sf_dir))
     assert exact_dups <= sim
+
+
+def test_fixture_tokens_within_oracle_series_cap(spark, sf_dir):
+    """DuckDB can't bound generate_series laterally, so the shingle
+    oracles expand a fixed 1..1000 position range; the engine computes
+    ALL shingles, so oracle parity requires every document to fit."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.io import load_table
+
+    mx = (load_table(spark, sf_dir, "documents")
+          .agg(F.max(F.size(F.split("text", r"\s+")))).first()[0])
+    assert mx <= 998

@@ -52,3 +52,14 @@ def test_frame_sample_counts_follow_meta(spark, sf_dir):
     assert (per_doc["min"] == 0).all()
     assert (per_doc["max"] == per_doc["count"] - 1).all()
     assert per_doc["count"].between(1, 3).all()
+
+
+def test_fixture_text_ascii_for_byte_oracle(spark, sf_dir):
+    """The fake-decode oracle replays the byte checksum with
+    ord(substr(...)) — codepoints — so it is valid only while the
+    fixture text is pure ASCII and shorter than the series cap."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.filter(~F.col("text").rlike(r"^[\x20-\x7e]*$")).count() == 0
+    assert docs.agg(F.max(F.length("text"))).first()[0] <= 2000

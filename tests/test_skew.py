@@ -76,3 +76,34 @@ def test_salted_sum_count_matches_plain(spark, sf_dir):
         F.round("avg_l_quantity", 6).alias("avg_l_quantity"))
     cols = ["l_returnflag", "n", "sum_l_quantity", "avg_l_quantity"]
     assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_fuzzy_blocking_bounds_hot_token(spark):
+    """A dominant first token must NOT collapse the fuzzy join into one
+    giant block: the length-band second key subdivides it, and the
+    result still equals the unblocked ground truth."""
+    from mongo_cdc_spark.operators.dedup import (
+        _LEV_BAND, _LEV_MAX, fuzzy_name_pairs)
+
+    # 300 names, ALL sharing the hot first token, lengths 10..70
+    rows = [(f"hot {'x' * (6 + i % 60)}{i:03d}",) for i in range(300)]
+    names = spark.createDataFrame(rows, "p_name string")
+    got = {(r.name1, r.name2, r.dist)
+           for r in fuzzy_name_pairs(names).collect()}
+    a = names.select(F.col("p_name").alias("name1"))
+    b = names.select(F.col("p_name").alias("name2"))
+    brute = {
+        (r.name1, r.name2, r.dist)
+        for r in a.join(b, F.col("name1") < F.col("name2"))
+        .withColumn("dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("dist") <= _LEV_MAX).collect()
+    }
+    assert got == brute and len(brute) > 0
+    # the blocking actually subdivides: max rows per (blk, band) key is
+    # far below the hot-block total
+    per_key = (
+        names.select(
+            F.substring_index("p_name", " ", 1).alias("blk"),
+            F.floor(F.length("p_name") / _LEV_BAND).alias("band"))
+        .groupBy("blk", "band").count().agg(F.max("count")).first()[0])
+    assert per_key <= 300 / 5

@@ -28,8 +28,13 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode", "knn_lsh_hyperplane",
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
 # output — both sides huge at 100 TB, so a shuffle join IS the right
-# plan; forcing broadcast would only "win" at toy scale):
-SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1}
+# plan; forcing broadcast would only "win" at toy scale). The blocked
+# cosine-threshold pair queries carry one declared SMJ too: the
+# candidate verify join (vectors ⋈ vectors keyed on admissible cluster
+# pairs) is big-big by definition — a cluster-keyed shuffle join IS the
+# 100 TB plan, with the admissible grid bounding what meets what:
+SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
+          "similarity_threshold_pairs": 1, "dedup_embedding_cosine": 1}
 
 
 def _strip_cached_lineage(plan: str) -> str:
