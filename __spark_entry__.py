@@ -54,12 +54,14 @@ _GRADE_FIRST = (
     "events_top_transitions", "events_anomaly_zscore",
     # round-1 red row, repaired this round — must be re-graded
     "agg_approx_sketches",
-    # new this round: streaming watermark-dedup batch replay twin
+    # new this round: streaming watermark-dedup batch replay twin +
+    # training-pipeline pack (repetition signals, stratified sampling,
+    # product quantization)
     "streaming_dedup_within_watermark_replay",
-    # representative re-grades of already-passing categories (8)
+    "text_repetition_signals", "sample_stratified_orders", "knn_pq_quantize",
+    # representative re-grades of already-passing categories (5)
     "cdc_topic_routing", "cdc_key_envelope",
-    "q1_pricing_summary", "join_asof_purchase_click", "window_session_events",
-    "agg_grouping_sets_orders", "udaf_geomean_discount", "events_sessionization",
+    "q1_pricing_summary", "join_asof_purchase_click", "udaf_geomean_discount",
 )
 
 

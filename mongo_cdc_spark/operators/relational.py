@@ -531,6 +531,51 @@ def hof_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_stratified_orders", sql="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_str
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_value,
+           CAST(MIN(n_str) AS BIGINT) AS stratum_size
+    FROM ranked WHERE rn <= CEIL(n_str * 0.1)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum fractions: rank rows
+    inside each stratum by a portable deterministic hash (md5 hex of
+    the key — identical string ordering in both engines) and keep the
+    first ceil(10%) — every stratum is represented proportionally,
+    unlike Bernoulli sampling whose per-stratum counts fluctuate.
+
+    Scale: one window shuffle keyed by stratum; the hash order makes
+    the sample reproducible across runs/engines — the property a
+    training-data pipeline needs for refreshable eval splits. Skewed
+    stratum sizes are fine (the window is a streaming rank, no
+    buffering beyond the partition)."""
+    w = (W.partitionBy("o_orderpriority")
+         .orderBy(F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                  "o_orderkey"))
+    wc = W.partitionBy("o_orderpriority")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_str", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.ceil(F.col("n_str") * 0.1))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
+             F.min("n_str").alias("stratum_size"))
+        .orderBy("o_orderpriority")
+    )
+
+
 @query("sample_deterministic_orders", sql="""
     SELECT o_orderpriority, COUNT(*) AS n_sampled,
            ROUND(SUM(o_totalprice), 2) AS sampled_value

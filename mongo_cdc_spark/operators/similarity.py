@@ -506,3 +506,97 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = 64 // _PQ_SUBSPACES
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replica of the PQ codebook-assignment pipeline. The L2²
+    distance is the SAME sequential (x-y)² fold as the Spark side
+    (list_zip + list_transform + list_sum), not the a-2ab+b identity,
+    so the doubles match bitwise before rounding."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, label, g.i AS s,
+             v[g.i * {_PQ_SUBDIM} + 1 : g.i * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+               AS sv
+      FROM e, generate_series(0, {_PQ_SUBSPACES - 1}) g(i)
+    ), comp AS (
+      SELECT label, s, g.i AS i, AVG(sv[g.i]) AS c
+      FROM sub, generate_series(1, {_PQ_SUBDIM}) g(i)
+      GROUP BY label, s, g.i
+    ), cent AS (
+      SELECT label AS code_label, s, list(c ORDER BY i) AS cv
+      FROM comp GROUP BY label, s
+    ), assigned AS (
+      SELECT sub.vec_id, sub.s, cent.code_label,
+             ROUND(list_sum(list_transform(
+               list_zip(sub.sv, cent.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS err
+      FROM sub JOIN cent ON cent.s = sub.s
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY err, code_label) AS rn
+      FROM assigned
+    )
+    SELECT vec_id, CAST(s AS INT) AS subspace, code_label AS code, err
+    FROM best WHERE rn = 1
+    ORDER BY vec_id, subspace
+    """
+
+
+@query("knn_pq_quantize", sql=_pq_oracle_sql())
+def knn_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization building block: split each 64-dim vector
+    into 8 contiguous 8-dim subvectors, build a per-subspace codebook
+    (label-seeded mean subvectors — the k-means seeding step), and
+    assign every subvector to its nearest code by L2². The emitted
+    (vec_id → 8 codes + residual errors) is the compressed
+    representation ANN systems scan instead of raw vectors — 8 bytes
+    per vector instead of 256.
+
+    Scale: codebook construction is one narrow shuffle of
+    O(labels × 64) partial sums; assignment broadcasts the 80-row
+    codebook and streams the corpus once — N × (K × m) comparisons,
+    never N²; the output shuffle carries codes, not vectors."""
+    e = _emb(spark, sf_dir)
+    sub = (
+        e.select(
+            "vec_id", "label",
+            F.explode(F.array(*[
+                F.struct(F.lit(s).alias("s"),
+                         F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                          .alias("sv"))
+                for s in range(_PQ_SUBSPACES)
+            ])).alias("x"))
+        .select("vec_id", "label", "x.s", "x.sv")
+    )
+    comp = (
+        sub.select("label", "s", F.posexplode("sv").alias("i", "x"))
+        .groupBy("label", "s", "i").agg(F.avg("x").alias("c"))
+    )
+    cent = (
+        comp.groupBy(F.col("label").alias("code_label"), "s")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("code_label", "s",
+                F.transform("pairs", lambda p: p.getField("c")).alias("cv"))
+    )
+    l2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, d: acc + d)
+    assigned = (
+        sub.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", "code_label", F.round(l2, 6).alias("err"))
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("err", "code_label")
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", F.col("s").cast("int").alias("subspace"),
+                F.col("code_label").alias("code"), "err")
+        .orderBy("vec_id", "subspace")
+    )

@@ -342,3 +342,71 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "tok")
     )
+
+
+@query("text_repetition_signals", sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ), per_tok AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types, MAX(c) AS top_c
+      FROM tok_counts GROUP BY doc_id
+    ), bigrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+      FROM toks, generate_series(1, 1000) g(i)
+      WHERE i <= len(w) - 1
+    ), bg_stats AS (
+      SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT bg) AS n_bg_d
+      FROM bigrams GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens,
+           ROUND(p.n_types * 1.0 / p.n_tokens, 4) AS type_token_ratio,
+           ROUND(p.top_c * 1.0 / p.n_tokens, 4) AS top_token_frac,
+           ROUND(1.0 - b.n_bg_d * 1.0 / b.n_bg, 4) AS dup_bigram_frac
+    FROM per_tok p JOIN bg_stats b USING (doc_id)
+    ORDER BY p.doc_id
+""")
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document — the filters a
+    training-data pipeline runs before anything expensive: type/token
+    ratio, most-frequent-token fraction, and duplicate-bigram fraction
+    (high values = boilerplate/spam/degenerate text to drop).
+
+    Scale: token counts shuffle (doc_id, 8B token hash) pairs once; the
+    bigram stats are fully narrow (size/array_distinct per row, no
+    explode leaves the row). Both partial-aggregate map-side, so the
+    shuffle carries one row per (doc, type), never per token.
+    """
+    toks = _tokens()
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("w"))
+    per_tok = (
+        docs.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.count(F.lit(1)).alias("n_types"),
+             F.max("c").alias("top_c"))
+    )
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("w", i + 1),
+                              F.element_at("w", i + 2)))
+    bg_stats = docs.select(
+        "doc_id", F.size(bg).alias("n_bg"),
+        F.size(F.array_distinct(bg)).alias("n_bg_d"))
+    return (
+        per_tok.join(bg_stats, "doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("n_types") / F.col("n_tokens"), 4)
+             .alias("type_token_ratio"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 4)
+             .alias("top_token_frac"),
+            F.round(F.lit(1.0) - F.col("n_bg_d") / F.col("n_bg"), 4)
+             .alias("dup_bigram_frac"))
+        .orderBy("doc_id")
+    )

@@ -49,3 +49,14 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     plan = relational.topk_expensive_lineitems(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_fraction_exact(spark, sf_dir):
+    """Every stratum must be sampled at exactly ceil(10%) — the
+    property Bernoulli sampling cannot give."""
+    import math
+
+    got = relational.sample_stratified_orders(spark, sf_dir).toPandas()
+    assert len(got) == 5  # all priorities represented
+    for _, r in got.iterrows():
+        assert r.n_sampled == math.ceil(r.stratum_size * 0.1)

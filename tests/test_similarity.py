@@ -109,3 +109,15 @@ def test_blocking_prunes_separated_clusters(spark):
               | {(100 + i, 100 + j) for i in range(40) for j in range(40)
                  if i < j})
     assert got == expect
+
+
+def test_pq_codes_compress_and_reconstruct(spark, sf_dir, oracle):
+    """Every vector gets one code per subspace; errors are non-negative
+    and beat (on average) assigning everything to one global code."""
+    got = similarity.knn_pq_quantize(spark, sf_dir).toPandas()
+    n_vecs = oracle.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert len(got) == n_vecs * similarity._PQ_SUBSPACES
+    assert (got.err >= 0).all()
+    assert got.groupby("vec_id").size().eq(similarity._PQ_SUBSPACES).all()
+    # codes actually discriminate: more than one code used per subspace
+    assert (got.groupby("subspace").code.nunique() > 1).all()

@@ -182,3 +182,28 @@ def test_user_session_state_closes_on_watermark(spark, tmp_path):
     assert by_user.loc[2, "n_events"] == 1
     assert str(by_user.loc[1, "session_start"]).startswith("2024-01-01 00:00")
     assert str(by_user.loc[1, "session_end"]).startswith("2024-01-01 00:01")
+
+
+def test_streaming_dedup_matches_batch_replay_twin(spark, tmp_path):
+    """The REAL dropDuplicatesWithinWatermark stream over producer-retry
+    duplicates must emit exactly the rows the graded batch replay twin
+    (relational.streaming_dedup_within_watermark_replay) derives: one
+    row per event_id, event-time-first wins. Duplicates arrive in a
+    later micro-batch but inside the watermark horizon, so keyed state
+    drops them."""
+    src = tmp_path / "src"
+    src.mkdir()
+    originals = [_ev(i, 0, i, user=i % 3) for i in range(1, 8)]
+    dups = [dict(e, ts=BASE.format(0, 30)) for e in originals[::2]]
+    got = _collect_batched(
+        streaming_dedup(read_events_stream(spark, str(src)),
+                        watermark="1 hour"),
+        tmp_path, src, [originals, dups, [_ev(99, 3, 0)]])
+    # batch-twin semantics on the identical doubled data: first by
+    # event time per event_id
+    all_rows = originals + dups + [_ev(99, 3, 0)]
+    expect = {}
+    for e in sorted(all_rows, key=lambda e: (e["event_id"], e["ts"])):
+        expect.setdefault(e["event_id"], pd.Timestamp(e["ts"]))
+    assert {(int(r.event_id), pd.Timestamp(r.ts, tz="UTC"))
+            for _, r in got.iterrows()} == set(expect.items())

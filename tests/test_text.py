@@ -36,3 +36,13 @@ def test_quality_scores_bounded(spark, sf_dir):
     got = text.text_quality_scores(spark, sf_dir).toPandas()
     assert got.avg_stop_ratio.between(0, 1).all()
     assert got.avg_quality.between(0, 1).all()
+
+
+def test_repetition_signals_bounded(spark, sf_dir):
+    got = text.text_repetition_signals(spark, sf_dir).toPandas()
+    assert (got.type_token_ratio.between(0, 1)).all()
+    assert (got.top_token_frac.between(0, 1)).all()
+    assert (got.dup_bigram_frac.between(0, 1)).all()
+    # word-soup corpus from a tiny vocabulary: repetition must register
+    assert got.dup_bigram_frac.mean() > 0
+    assert (got.n_tokens > 0).all()
