@@ -59,9 +59,9 @@ _GRADE_FIRST = (
     # product quantization)
     "streaming_dedup_within_watermark_replay",
     "text_repetition_signals", "sample_stratified_orders", "knn_pq_quantize",
-    # representative re-grades of already-passing categories (5)
-    "cdc_topic_routing", "cdc_key_envelope",
-    "q1_pricing_summary", "join_asof_purchase_click", "udaf_geomean_discount",
+    "unpivot_lineitem_metrics", "kmeans_lloyd_iterations",
+    # representative re-grades of already-passing categories (3)
+    "cdc_topic_routing", "cdc_key_envelope", "q1_pricing_summary",
 )
 
 

@@ -105,9 +105,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
     spark = get_spark("bench")
-    # warm the JVM/session AND the Hadoop FS/parquet reader paths so the
-    # first timed query doesn't pay one-time init costs
+    # warm the JVM/session, the Hadoop FS/parquet reader paths, AND the
+    # Python/Arrow worker pool so the first timed query doesn't pay
+    # one-time init costs (daemon fork + Arrow IPC setup was ~5 s
+    # charged entirely to whichever query first used a pandas_udf)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(x):
+        return x
+
+    spark.range(1000).select(F.sum(_warm("id"))).collect()
     from mongo_cdc_spark.io import load_table
     load_table(spark, sf_dir, "region").count()
 

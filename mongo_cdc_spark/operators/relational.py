@@ -1686,3 +1686,41 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2.5)
         .orderBy("event_id")
     )
+
+
+@query("unpivot_lineitem_metrics", sql="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 2) AS quantity,
+             ROUND(SUM(l_extendedprice), 2) AS extendedprice,
+             ROUND(SUM(l_discount), 2) AS discount,
+             ROUND(SUM(l_tax), 2) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM sums
+    UNPIVOT (value FOR metric IN (quantity, extendedprice, discount, tax))
+    ORDER BY l_returnflag, metric
+""")
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (UNPIVOT/melt): per-flag metric sums become
+    (flag, metric, value) rows — the inverse of pivot, needed whenever
+    a metrics-wide table feeds a per-metric model or chart.
+
+    Scale: unpivot is a narrow generate step (each input row fans out
+    to k metric rows, no shuffle); the only exchange is the small
+    upstream aggregation."""
+    sums = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("quantity"),
+             F.round(F.sum("l_extendedprice"), 2).alias("extendedprice"),
+             F.round(F.sum("l_discount"), 2).alias("discount"),
+             F.round(F.sum("l_tax"), 2).alias("tax"))
+    )
+    return (
+        sums.unpivot(
+            ["l_returnflag"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )

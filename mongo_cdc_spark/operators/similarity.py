@@ -600,3 +600,100 @@ def knn_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("code_label").alias("code"), "err")
         .orderBy("vec_id", "subspace")
     )
+
+
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB replica of {n} unrolled Lloyd iterations. Assignment uses
+    the ROUNDED L2² (6 dp, label tie-break) and the same sequential
+    (x-y)² fold as the Spark side, so cluster membership — and hence
+    every subsequent centroid — matches exactly."""
+    l2 = ("ROUND(list_sum(list_transform(list_zip(e.v, {c}.cv),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)")
+    init = """
+    cent0 AS (
+      SELECT label AS cl, list(c ORDER BY i) AS cv FROM (
+        SELECT label, g.i AS i, AVG(v[g.i]) AS c
+        FROM e, generate_series(1, 64) g(i)
+        GROUP BY label, g.i)
+      GROUP BY label
+    )"""
+    steps = []
+    for it in range(_KMEANS_ITERS):
+        steps.append(f"""
+    assign{it} AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, cent{it}.cl,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {l2.format(c=f'cent{it}')}, cent{it}.cl) AS rn
+        FROM e CROSS JOIN cent{it})
+      WHERE rn = 1
+    ), cent{it + 1} AS (
+      SELECT cl, list(c ORDER BY i) AS cv FROM (
+        SELECT cl, g.i AS i, AVG(v[g.i]) AS c
+        FROM assign{it}, generate_series(1, 64) g(i)
+        GROUP BY cl, g.i)
+      GROUP BY cl
+    )""")
+    last = _KMEANS_ITERS
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),{init},{",".join(steps)}
+    SELECT a.cl AS cluster, COUNT(*) AS n_vecs,
+           ROUND(MIN(sqrt(list_dot_product(c.cv, c.cv))), 6)
+             AS centroid_norm
+    FROM assign{last - 1} a JOIN cent{last} c ON c.cl = a.cl
+    GROUP BY a.cl ORDER BY a.cl
+    """
+
+
+@query("kmeans_lloyd_iterations", sql=_kmeans_oracle_sql())
+def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd): label-seeded centroids, then
+    {_KMEANS_ITERS} assign→update rounds; emits per-cluster size and
+    final centroid norm. The canonical iterative-ML pattern on Spark —
+    and, with the iteration count fixed, fully oracle-checkable by
+    unrolling the same rounds as SQL CTEs (assignment on ROUNDED L2²,
+    ties by label, so membership is engine-independent).
+
+    Scale: per round, assignment broadcasts K centroids and streams the
+    corpus (no shuffle); the update is one narrow posexplode partial
+    agg of O(K × 64) sums. Centroids are localCheckpoint'ed per round
+    so the plan does not grow with iterations — the lineage-truncation
+    requirement of EVERY iterative algorithm at 1000 executors."""
+    e = _emb(spark, sf_dir)
+    cent = (_label_centroids(e)
+            .select(F.col("c_label").alias("cl"), "cv"))
+    l2 = F.round(F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, d: acc + d), 6)
+    for _ in range(_KMEANS_ITERS):
+        w = W.partitionBy("vec_id").orderBy("d", "cl")
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cl", l2.alias("d"))
+            .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("vec_id", "v", "cl")
+        )
+        cent = (
+            assigned.select("cl", F.posexplode("v").alias("i", "x"))
+            .groupBy("cl", "i").agg(F.avg("x").alias("c"))
+            .groupBy("cl")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c")))
+                 .alias("pairs"))
+            .select("cl", F.transform("pairs", lambda p: p.getField("c"))
+                    .alias("cv"))
+        ).localCheckpoint(eager=True)
+    return (
+        assigned.groupBy(F.col("cl").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(F.broadcast(
+            cent.select(F.col("cl").alias("cluster"),
+                        F.round(F.sqrt(_dot(F.col("cv"), F.col("cv"))), 6)
+                        .alias("centroid_norm"))), "cluster")
+        .select("cluster", "n_vecs", "centroid_norm")
+        .orderBy("cluster")
+    )

@@ -121,3 +121,11 @@ def test_pq_codes_compress_and_reconstruct(spark, sf_dir, oracle):
     assert got.groupby("vec_id").size().eq(similarity._PQ_SUBSPACES).all()
     # codes actually discriminate: more than one code used per subspace
     assert (got.groupby("subspace").code.nunique() > 1).all()
+
+
+def test_kmeans_converges_sanely(spark, sf_dir, oracle):
+    got = similarity.kmeans_lloyd_iterations(spark, sf_dir).toPandas()
+    n_vecs = oracle.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert got.n_vecs.sum() == n_vecs       # every vector assigned
+    assert (got.n_vecs > 0).all()           # emitted clusters are live
+    assert (got.centroid_norm > 0).all()
