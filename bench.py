@@ -118,6 +118,11 @@ def main() -> None:
         return x
 
     spark.range(1000).select(F.sum(_warm("id"))).collect()
+    # the Ext-JSON serializer UDF additionally imports bson in every
+    # worker on first use (~4.5 s across 32 workers) — run it once at
+    # the smallest fixture so the timed relay number is steady-state
+    cdc_batch.cdc_topic_routing(spark, "/root/testdata/sf0.001") \
+        .write.mode("overwrite").format("noop").save()
     from mongo_cdc_spark.io import load_table
     load_table(spark, sf_dir, "region").count()
 
