@@ -1,0 +1,301 @@
+"""Training-data pipeline operators (SURVEY.md §2.3): the corpus-prep
+steps an LLM pretraining pipeline runs after dedup/quality filtering —
+benchmark decontamination, deterministic shard shuffling, context-window
+sequence packing, PII-style regex redaction, and domain-mixture weights.
+
+Reference parity: the reference (`/root/reference/main.go`) is a CDC
+relay with no corpus tooling; these are the mandated north-star
+extensions (BASELINE.json), built Spark-first.
+
+Scale posture (100 TB):
+- decontamination broadcasts the benchmark shingle set (eval suites are
+  MBs even when the corpus is TBs) — corpus side is one explode + hash
+  join + partial-agg shuffle on doc_id.
+- shard assignment / packing shuffle ONCE on the shard key; all ordering
+  is per-shard (no global sort). Shard count is a constant here (driver
+  fixture) — at scale it is a parameter sized so a shard fits a worker.
+- redaction and mixture weights are narrow scans + tiny aggregations.
+All hot-path logic is built-in JVM expressions (xxhash64 shingles, md5
+ordering keys, regexp_*) — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+from mongo_cdc_spark.operators.dedup import _shingles, _tokens
+
+QUERIES, ORACLE, query = make_registry()
+
+# Benchmark membership: every 19th doc_id is the held-out "eval set" we
+# decontaminate against (deterministic, ~5% of the corpus).
+_BENCH_MOD = 19
+# A corpus doc sharing >= this fraction of its 3-gram shingles with the
+# benchmark union is flagged contaminated (the usual n-gram-overlap rule,
+# e.g. GPT-3 appendix C / PaLM's 13-gram variant, shrunk to the fixture's
+# short docs).
+_CONTAM_FRAC = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# Portable deterministic permutation key: md5 of the decimal doc_id.
+# Spark and DuckDB agree byte-for-byte, so shard / order / packing are
+# bit-identical in the oracle replay.
+def _perm_key():
+    return F.md5(F.col("doc_id").cast("string").cast("binary"))
+
+
+def _shard_of(key, n_shards: int):
+    return (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards)
+
+
+_PERM_SQL = "md5(CAST(doc_id AS VARCHAR))"
+_SHARD_SQL = "(('0x' || substr({k}, 1, 8))::BIGINT % {n})"
+
+
+@query("train_decontaminate", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM toks, generate_series(1, 1000) g(i)
+      WHERE i <= len(w) - 2
+      GROUP BY doc_id
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, len(s) AS n_shingles, unnest(s) AS h
+      FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS INT) AS n_shingles,
+           CAST(COUNT(*) AS INT) AS n_overlap,
+           ROUND(COUNT(*) * 1.0 / n_shingles, 4) AS overlap_frac,
+           COUNT(*) * 1.0 / n_shingles >= {_CONTAM_FRAC} AS contaminated
+    FROM corpus JOIN bench USING (h)
+    GROUP BY doc_id, n_shingles
+    ORDER BY doc_id
+""")
+def train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose 3-gram shingle
+    sets overlap the held-out eval set's shingle union.
+
+    The benchmark side is tiny by construction (eval suites), so its
+    distinct shingle union is BROADCAST; the corpus side explodes its
+    shingles, hash-joins the broadcast set, and partial-aggregates the
+    overlap count per doc — one shuffle, map-side combined.
+    """
+    sh = (
+        _docs(spark, sf_dir)
+        .where(F.size(_tokens()) >= 3)
+        .select("doc_id", _shingles(_tokens()).alias("sh"))
+    )
+    bench = (
+        sh.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    corpus = (
+        sh.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", F.size("sh").alias("n_shingles"),
+                F.explode("sh").alias("h"))
+    )
+    overlap_frac = F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles")
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
+        .select(
+            "doc_id", F.col("n_shingles").cast("int").alias("n_shingles"),
+            "n_overlap",
+            F.round(overlap_frac, 4).alias("overlap_frac"),
+            (overlap_frac >= _CONTAM_FRAC).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+_N_SHARDS = 16
+
+
+@query("train_shard_assign", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_PERM_SQL} AS k,
+             {_SHARD_SQL.format(k=_PERM_SQL, n=_N_SHARDS)} AS shard
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS INT)
+             AS pos
+    FROM keyed
+    ORDER BY shard, pos
+""")
+def train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training dataloaders:
+    permutation key = md5(doc_id), shard = key prefix mod N, position =
+    rank within shard by key. Reproducible across runs and engines (the
+    oracle replays it bit-for-bit). One shuffle on the shard key; the
+    within-shard sort is bounded by shard size (N is a parameter sized
+    so a shard fits a worker at scale)."""
+    k = _perm_key()
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", k.alias("k"), _shard_of(k, _N_SHARDS).cast("int").alias("shard"))
+    return (
+        keyed.select(
+            "doc_id", "shard",
+            F.row_number().over(
+                W.partitionBy("shard").orderBy("k")).alias("pos"))
+        .orderBy("shard", "pos")
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_SHARDS = 8
+
+
+@query("train_sequence_pack", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_PERM_SQL} AS k,
+             {_SHARD_SQL.format(k=_PERM_SQL, n=_PACK_SHARDS)} AS shard,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM keyed
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(n_tok AS INT) AS n_tok,
+           CAST(start_off // {_PACK_BUDGET} AS INT) AS seq_in_shard,
+           CAST(start_off % {_PACK_BUDGET} AS INT) AS seq_off,
+           (start_off % {_PACK_BUDGET}) + n_tok > {_PACK_BUDGET}
+             AS spans_boundary
+    FROM packed
+    ORDER BY shard, start_off
+""")
+def train_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (concat-then-chunk): within each
+    shard, documents are concatenated in permutation order and chunked
+    into fixed {budget}-token training sequences; each doc reports its
+    sequence index, offset, and whether it spans a chunk boundary.
+
+    Packing is PER SHARD — the cumulative sum is a within-shard window,
+    never a global sort, so the plan is one shuffle on the shard key
+    regardless of corpus size (shard count is the scale knob).
+    """
+    k = _perm_key()
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", k.alias("k"),
+        _shard_of(k, _PACK_SHARDS).cast("int").alias("shard"),
+        F.size(_tokens()).alias("n_tok"))
+    win = (W.partitionBy("shard").orderBy("k")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    packed = keyed.withColumn(
+        "start_off", F.sum("n_tok").over(win) - F.col("n_tok"))
+    return (
+        packed.select(
+            "doc_id", "shard", F.col("n_tok").cast("int").alias("n_tok"),
+            F.floor(F.col("start_off") / _PACK_BUDGET).cast("int")
+             .alias("seq_in_shard"),
+            (F.col("start_off") % _PACK_BUDGET).cast("int").alias("seq_off"),
+            ((F.col("start_off") % _PACK_BUDGET) + F.col("n_tok")
+             > _PACK_BUDGET).alias("spans_boundary"))
+        .orderBy("shard", "seq_in_shard", "seq_off")
+    )
+
+
+# PII-style redaction pattern. The fixture corpus is a synthetic word
+# soup with no real PII, so the "sensitive term" list stands in for the
+# usual email/phone/SSN patterns — the operator (global regex mask +
+# audit counts, same RE dialect subset in Java regex and RE2) is what's
+# under test, and the pattern is a parameter.
+_REDACT_PATTERN = r"\b(key|hash|value)\b"
+_REDACT_TOKEN = "[MASK]"
+
+
+@query("train_regex_redact", sql=f"""
+    WITH r AS (
+      SELECT source,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS n_hit,
+             length(regexp_replace(text, '{_REDACT_PATTERN}',
+                                   '{_REDACT_TOKEN}', 'g'))
+               - length(text) AS len_delta
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_hit) AS BIGINT) AS n_masked,
+           ROUND(AVG(n_hit * 1.0 / n_tok), 4) AS avg_mask_ratio,
+           ROUND(AVG(len_delta), 4) AS avg_len_delta
+    FROM r
+    GROUP BY source
+    ORDER BY source
+""")
+def train_regex_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style regex redaction with audit counts: globally mask a
+    sensitive-pattern set and report per-source mask counts, mask ratio,
+    and length drift. Pure JVM regexp_* narrow scan + tiny aggregation;
+    the pattern set is configurable (here a fixture-vocabulary stand-in
+    for email/phone/ID patterns — see module docstring)."""
+    n_tok = F.size(_tokens())
+    n_hit = F.size(F.regexp_extract_all("text", F.lit(_REDACT_PATTERN), 0))
+    len_delta = (F.length(F.regexp_replace("text", _REDACT_PATTERN,
+                                           _REDACT_TOKEN))
+                 - F.length("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select("source", n_tok.alias("n_tok"), n_hit.alias("n_hit"),
+                len_delta.alias("len_delta"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_hit").alias("n_masked"),
+             F.round(F.avg(F.col("n_hit") * F.lit(1.0) / F.col("n_tok")), 4)
+              .alias("avg_mask_ratio"),
+             F.round(F.avg("len_delta"), 4).alias("avg_len_delta"))
+        .orderBy("source")
+    )
+
+
+@query("train_mixture_weights", sql="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(regexp_split_to_array(text, '\\s+'))) AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS actual_share,
+           ROUND((1.0 / COUNT(*) OVER ())
+                 / (n_docs * 1.0 / SUM(n_docs) OVER ()), 4) AS weight
+    FROM counts
+    ORDER BY lang
+""")
+def train_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language doc/token counts, the
+    corpus's actual share, and the up/down-sampling weight that flattens
+    the mixture to uniform (target_share / actual_share) — the standard
+    input to a mixture-balanced dataloader. One tiny aggregation; the
+    window runs over |langs| rows on the driver-side result."""
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.size(_tokens())).alias("n_tokens"))
+    )
+    total = W.partitionBy()
+    share = F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(total)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(total)
+    return (
+        counts.select(
+            "lang", "n_docs", "n_tokens",
+            F.round(share, 4).alias("actual_share"),
+            F.round(target / share, 4).alias("weight"))
+        .orderBy("lang")
+    )

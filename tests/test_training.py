@@ -1,0 +1,92 @@
+"""Semantic invariants for the training-pipeline operator pack
+(mongo_cdc_spark/operators/training.py) — properties the DuckDB oracle
+compare can't express: packing arithmetic, contamination ground truth on
+a constructed micro-corpus, shard determinism and balance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.operators import training
+
+
+def test_sequence_pack_arithmetic(spark, sf_dir):
+    rows = training.train_sequence_pack(spark, sf_dir).collect()
+    assert rows
+    # every offset sits inside the budget, and spans_boundary is exactly
+    # the "doc crosses a chunk edge" predicate
+    for r in rows:
+        assert 0 <= r.seq_off < training._PACK_BUDGET
+        assert r.spans_boundary == (r.seq_off + r.n_tok
+                                    > training._PACK_BUDGET)
+    # within a shard, docs tile the concatenated stream with no gaps:
+    # sorted start offsets are the running sum of token counts
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        start = 0
+        for r in shard_rows:  # output is ordered (shard, seq, off)
+            assert r.seq_in_shard * training._PACK_BUDGET + r.seq_off == start
+            start += r.n_tok
+
+
+def test_shard_assign_deterministic_and_balanced(spark, sf_dir):
+    a = training.train_shard_assign(spark, sf_dir).collect()
+    b = training.train_shard_assign(spark, sf_dir).collect()
+    assert a == b  # bit-identical across runs
+    n = len(a)
+    sizes = [0] * training._N_SHARDS
+    for r in a:
+        sizes[r.shard] += 1
+    # md5 spreads uniformly: no shard more than 3x the ideal share
+    assert max(sizes) <= 3 * max(1, n // training._N_SHARDS)
+    # positions are 1..size contiguous per shard
+    for shard, size in enumerate(sizes):
+        pos = sorted(r.pos for r in a if r.shard == shard)
+        assert pos == list(range(1, size + 1))
+
+
+def test_decontaminate_flags_planted_copy(spark, tmp_path):
+    """A corpus doc that IS a benchmark doc's text must be flagged; a
+    disjoint-vocabulary doc must not appear at all."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text, "en", "bench", len(bench_text)),   # benchmark (id%19==0)
+        (1, bench_text, "en", "copy", len(bench_text)),    # verbatim leak
+        (2, "uno dos tres cuatro cinco seis siete", "es", "clean", 37),
+        (3, "alpha beta gamma something else entirely now", "en", "partial", 44),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           training.train_decontaminate(spark, str(tmp_path)).collect()}
+    assert out[1].contaminated and out[1].overlap_frac == 1.0
+    assert 2 not in out                      # zero overlap → not emitted
+    assert 3 in out and not out[3].contaminated  # 2/6 shingles < 0.5
+
+
+def test_mixture_weights_flatten_to_uniform(spark, sf_dir):
+    rows = training.train_mixture_weights(spark, sf_dir).collect()
+    n_langs = len(rows)
+    assert n_langs >= 2
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-3
+    # reweighted share = actual_share * weight ≈ 1/n_langs for every lang
+    for r in rows:
+        assert r.actual_share * r.weight == pytest.approx(1 / n_langs,
+                                                          rel=5e-3)
+
+
+def test_redact_masks_every_occurrence(spark, sf_dir):
+    out = training.train_regex_redact(spark, sf_dir)
+    total_masked = out.agg(F.sum("n_masked")).first()[0]
+    # cross-check against a direct count of the pattern tokens
+    from mongo_cdc_spark.io import load_table
+    direct = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .where(F.col("t").isin("key", "hash", "value"))
+        .count())
+    assert total_masked == direct
