@@ -493,6 +493,38 @@ def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_regression_stats", sql="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 4)           AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2)     AS price_qty_covar,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 4)        AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+""")
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (SURVEY §2.2 aggregation row):
+    correlation, covariance, and OLS regression of extendedprice on
+    quantity per return flag. All built-in JVM aggregates — one
+    partial+final hash-agg shuffle on a 3-value key, same plan at any
+    scale."""
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.corr(y, x), 4).alias("price_qty_corr"),
+             F.round(F.covar_samp(y, x), 2).alias("price_qty_covar"),
+             F.round(F.regr_slope(y, x), 4).alias("slope"),
+             F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+             F.round(F.regr_r2(y, x), 4).alias("r2"),
+             F.regr_count(y, x).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
 @query("hof_order_quantities", sql="""
     SELECT l_orderkey,
            CAST(len(qtys) AS INT)                          AS n_lines,
