@@ -49,7 +49,7 @@ def read_batch(spark: SparkSession, path: str, fmt: str = "parquet",
 def write_batch(df: DataFrame, path: str, fmt: str = "parquet",
                 mode: str = "overwrite", partition_by: tuple[str, ...] = (),
                 **options) -> None:
-    """Batch sink surface: parquet/json/csv, optionally hive-partitioned
+    """Batch sink surface: parquet/orc/json/csv, optionally hive-partitioned
     (partition_by keys become directory pruning at read time)."""
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:

@@ -108,10 +108,24 @@ def stream_static_enrich(events: DataFrame,
 
 def stream_stream_self_join(events: DataFrame, other: DataFrame,
                             within: str = "30 minutes",
-                            watermark: str = "1 hour") -> DataFrame:
+                            watermark: str = "1 hour",
+                            how: str = "inner") -> DataFrame:
     """Stream-stream interval join: purchases joined to the same user's
     clicks within `within` before the purchase. Both sides are
-    watermarked so join state is purged once the interval expires."""
+    watermarked so join state is purged once the interval expires.
+
+    how="left_outer" emits unmatched purchases (null click columns) when
+    the watermark passes the end of their join interval — i.e. once the
+    engine can PROVE no matching click can still arrive. Outer emission
+    is therefore delayed by `watermark`, the standard completeness/
+    latency trade.
+
+    Watermark caveat: Catalyst pushes each branch's event_type filter
+    down into the scan, BELOW the EventTimeWatermark node, so each
+    side's watermark advances only on events that survive its own
+    filter; the global (min) watermark — and hence outer emission —
+    stalls if one event type stops flowing. Feed both types or lower
+    the stalled side's watermark expectation accordingly."""
     clicks = (other.filter(F.col("event_type") == "click")
               .withWatermark("ts", watermark)
               .select(F.col("user_id").alias("c_user"),
@@ -128,7 +142,7 @@ def stream_stream_self_join(events: DataFrame, other: DataFrame,
         & (F.col("click_ts") >= F.col("buy_ts") - F.expr(
             f"INTERVAL {within}"))
     )
-    return buys.join(clicks, cond).select(
+    return buys.join(clicks, cond, how).select(
         F.col("b_user").alias("user_id"), "buy_id", "click_id",
         "buy_ts", "click_ts", "value")
 

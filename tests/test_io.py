@@ -19,6 +19,7 @@ def test_json_csv_require_schema(spark, tmp_path):
     ("parquet", {}),
     ("json", {}),
     ("csv", {"header": "true"}),
+    ("orc", {}),
 ])
 def test_round_trip(spark, sf_dir, tmp_path, fmt, opts):
     src = load_table(spark, sf_dir, "nation")

@@ -145,6 +145,41 @@ def test_stream_stream_join_within_interval(spark, tmp_path):
     assert set(zip(got.buy_id, got.click_id)) == {(11, 10)}
 
 
+def test_stream_stream_left_outer_emits_unmatched_on_watermark(
+        spark, tmp_path):
+    """A purchase with no click in its interval is held back until the
+    watermark proves no match can arrive, then emitted with null click
+    columns."""
+    src = tmp_path / "src"
+    src.mkdir()
+    events = read_events_stream(spark, str(src))
+    other = read_events_stream(spark, str(src))
+    joined = stream_stream_self_join(events, other, how="left_outer")
+    # Each later batch carries BOTH a click and a purchase: the branch
+    # filters are pushed down into the file scan below the watermark
+    # node, so each side's watermark only advances on events surviving
+    # its own filter — clicks alone would leave the buys-side watermark
+    # (and therefore the global min) pinned, and the outer row would
+    # never flush.
+    got = _collect_batched(joined, tmp_path, src, [
+        [_ev(10, 0, 0, user=7, etype="click"),
+         _ev(11, 0, 20, user=7, etype="purchase", value=99.0),
+         _ev(13, 0, 1, user=8, etype="purchase")],   # no click for user 8
+        # advance the watermark far past buy_ts + interval + watermark
+        # so the unmatched purchase's state expires...
+        [_ev(30, 5, 0, user=1, etype="click"),
+         _ev(31, 5, 10, user=1, etype="purchase")],
+        # ...and one more batch to flush the outer emission
+        [_ev(40, 9, 0, user=1, etype="click"),
+         _ev(41, 9, 10, user=1, etype="purchase")],
+    ])
+    matched = {(int(b), int(c)) for b, c in zip(got.buy_id, got.click_id)
+               if pd.notna(c)}
+    outer = {int(b) for b, c in zip(got.buy_id, got.click_id) if pd.isna(c)}
+    assert {(11, 10), (31, 30)} <= matched
+    assert 13 in outer
+
+
 def test_session_window_merges_events(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
