@@ -582,3 +582,66 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     even under a dominant hot token."""
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
     return fuzzy_name_pairs(names).orderBy("name1", "name2")
+
+
+@query("dedup_cluster_stats", sql=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM toks, generate_series(1, 1000) g(i)
+      WHERE i <= len(w) - 2
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {JACCARD_THRESHOLD}
+    ), edges AS (
+      SELECT doc1 AS a, doc2 AS b FROM pairs
+      UNION ALL SELECT doc2, doc1 FROM pairs
+    ), reach(doc, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+    ), clusters AS (
+      SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc
+    )
+    SELECT c.cluster_id,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS bytes_total,
+           CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id
+                         THEN d.n_chars ELSE 0 END) AS BIGINT)
+             AS bytes_dropped
+    FROM clusters c JOIN documents d USING (doc_id)
+    GROUP BY c.cluster_id
+    HAVING COUNT(*) >= 2
+    ORDER BY c.cluster_id
+""")
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster audit: for every duplicate cluster (connected
+    component of the exact-Jaccard graph, size >= 2) report member
+    count, total bytes, and the bytes removed by keeping only the
+    min-doc_id representative — the corpus-shrink report a curation
+    run ships alongside its keep-list.
+
+    Adds ONE hash-agg shuffle on cluster_id on top of
+    dedup_cluster_assign (membership join is on doc_id, the same key
+    the labels already carry); n_chars rides along instead of re-scanning
+    document text.
+    """
+    members = dedup_cluster_assign(spark, sf_dir)
+    sizes = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        members.join(sizes, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+             F.sum("n_chars").alias("bytes_total"),
+             F.sum(F.when(F.col("doc_id") != F.col("cluster_id"),
+                          F.col("n_chars")).otherwise(0))
+              .alias("bytes_dropped"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )

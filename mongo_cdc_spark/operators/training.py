@@ -299,3 +299,138 @@ def train_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(target / share, 4).alias("weight"))
         .orderBy("lang")
     )
+
+
+# Composite quality filter (C4/Gopher-style): per-document signals plus
+# a first-failing-rule verdict. Thresholds are fixture-calibrated so the
+# filter genuinely splits the corpus (each rule fires on real rows);
+# in production they are the usual knobs (Gopher table A1).
+_QF_MIN_TOK = 20
+_QF_MAX_TOK = 90
+_QF_WLEN_LO = 3.8
+_QF_WLEN_HI = 5.2
+# fixture-vocabulary stand-in for a natural-language stopword list (the
+# corpus is a synthetic word soup; see train_regex_redact's note)
+_QF_STOP = ("value", "row", "part", "a")
+_QF_MIN_STOP_FRAC = 0.02
+
+_QF_STOP_SQL = ", ".join(f"'{s}'" for s in _QF_STOP)
+
+
+@query("train_quality_filter", sql=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(w) AS n_tok,
+             ROUND(list_sum(list_transform(w, x -> length(x))) * 1.0
+                   / len(w), 4) AS mean_wlen,
+             ROUND(len(list_filter(w, x -> x IN ({_QF_STOP_SQL}))) * 1.0
+                   / len(w), 4) AS stop_frac
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+            FROM documents)
+    )
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tok, mean_wlen, stop_frac,
+           CASE WHEN n_tok < {_QF_MIN_TOK} THEN 'too_short'
+                WHEN n_tok > {_QF_MAX_TOK} THEN 'too_long'
+                WHEN mean_wlen < {_QF_WLEN_LO}
+                  OR mean_wlen > {_QF_WLEN_HI} THEN 'word_len'
+                WHEN stop_frac < {_QF_MIN_STOP_FRAC} THEN 'low_stopword'
+           END AS drop_reason,
+           CASE WHEN n_tok < {_QF_MIN_TOK} THEN FALSE
+                WHEN n_tok > {_QF_MAX_TOK} THEN FALSE
+                WHEN mean_wlen < {_QF_WLEN_LO}
+                  OR mean_wlen > {_QF_WLEN_HI} THEN FALSE
+                WHEN stop_frac < {_QF_MIN_STOP_FRAC} THEN FALSE
+                ELSE TRUE END AS keep
+    FROM sig
+    ORDER BY doc_id
+""")
+def train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality filter (C4/Gopher-style): token count,
+    mean word length, and stopword-fraction gates, reported per document
+    with the FIRST failing rule as drop_reason (NULL = kept).
+
+    Narrow scan, zero shuffles: every signal is one fold over the token
+    array (built-in higher-order functions, JVM-side), so the filter
+    runs at scan speed and its verdict column is available to downstream
+    keep-list anti-joins without materializing a second pass.
+    """
+    toks = _tokens()
+    n_tok = F.size(toks)
+    mean_wlen = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)) * F.lit(1.0) / n_tok,
+        4)
+    stop_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.isin(*_QF_STOP)))
+        * F.lit(1.0) / n_tok, 4)
+    sig = _docs(spark, sf_dir).select(
+        "doc_id", n_tok.cast("int").alias("n_tok"),
+        mean_wlen.alias("mean_wlen"), stop_frac.alias("stop_frac"))
+    reason = (
+        F.when(F.col("n_tok") < _QF_MIN_TOK, "too_short")
+        .when(F.col("n_tok") > _QF_MAX_TOK, "too_long")
+        .when((F.col("mean_wlen") < _QF_WLEN_LO)
+              | (F.col("mean_wlen") > _QF_WLEN_HI), "word_len")
+        .when(F.col("stop_frac") < _QF_MIN_STOP_FRAC, "low_stopword")
+    )
+    return (
+        sig.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .orderBy("doc_id")
+    )
+
+
+# Token-budget selection: keep documents per language, in deterministic
+# permutation order, until half the language's tokens are consumed.
+_BUDGET_FRAC = 0.5
+
+
+@query("train_token_budget", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, {_PERM_SQL} AS k,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok,
+             CAST(ceil(SUM(n_tok) OVER (PARTITION BY lang)
+                       * {_BUDGET_FRAC}) AS BIGINT) AS budget
+      FROM keyed
+    )
+    SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM cum WHERE cum_tok <= budget
+    ORDER BY lang, cum_tok
+""")
+def train_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget selection: walk each language's documents
+    in deterministic md5-permutation order and keep them until the
+    domain's token budget ({_BUDGET_FRAC:.0%} of its total) is spent —
+    the downsampling half of mixture balancing, reproducible across
+    runs and engines.
+
+    The prefix sum is a per-domain window. On the fixture a domain fits
+    one partition; at 100 TB a hot domain would not — the scale
+    formulation is the standard two-pass distributed prefix sum
+    (range-partition within domain by the permutation key, aggregate
+    per-range partials, broadcast the tiny per-range offset table, add)
+    which keeps the same deterministic semantics with no single-machine
+    sort. The budget itself is one broadcast scalar per domain either
+    way.
+    """
+    k = _perm_key()
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", "lang", k.alias("k"), F.size(_tokens()).alias("n_tok"))
+    cum_win = (W.partitionBy("lang").orderBy("k")
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = keyed.select(
+        "lang", "doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+        F.sum("n_tok").over(cum_win).alias("cum_tok"),
+        F.ceil(F.sum("n_tok").over(W.partitionBy("lang")) * _BUDGET_FRAC)
+         .alias("budget"))
+    return (
+        cum.filter(F.col("cum_tok") <= F.col("budget"))
+        .select("lang", "doc_id", "n_tok", "cum_tok")
+        .orderBy("lang", "cum_tok")
+    )
