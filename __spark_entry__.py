@@ -62,8 +62,10 @@ _GRADE_FIRST = (
     "streaming_dedup_within_watermark_replay",
     "text_repetition_signals", "sample_stratified_orders", "knn_pq_quantize",
     "unpivot_lineitem_metrics", "kmeans_lloyd_iterations",
-    # representative re-grades of already-passing categories (3)
-    "cdc_topic_routing", "cdc_key_envelope", "q1_pricing_summary",
+    # training-pipeline module (new this round — zero graded rows so far;
+    # its remaining queries + the other never-graded ones rotate into the
+    # round-3 window)
+    "train_decontaminate", "train_sequence_pack", "train_quality_filter",
 )
 
 

@@ -14,6 +14,7 @@ LSH/SimHash variants are measured against in tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
@@ -644,4 +645,142 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("bytes_dropped"))
         .filter(F.col("n_docs") >= 2)
         .orderBy("cluster_id")
+    )
+
+
+# Exact substring-granularity dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): a SPAN_K-token window that occurs
+# more than once anywhere in the corpus is a duplicated span. 8 tokens is
+# the smallest window where a collision is a real repeat on natural text
+# rather than a common phrase.
+SPAN_K = 8
+
+
+def _span_hashes(tokens) -> "F.Column":
+    """Rolling SPAN_K-token window hashes of a token array. Tokens are
+    hashed once; each window hash combines SPAN_K consecutive token
+    hashes (same no-string-materialization trick as `_shingles` —
+    codegen subexpression elimination computes `th` once per row)."""
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (SPAN_K - 1)),
+        lambda i: F.xxhash64(*[F.element_at(th, i + j)
+                               for j in range(SPAN_K)]),
+    )
+
+
+@query("dedup_span_kgram", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, i, i + {SPAN_K - 1}), ' ') AS kg
+      FROM toks, generate_series(1, 1000) g(i)
+      WHERE i <= len(w) - {SPAN_K - 1}
+    ), counted AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY kg) AS cnt FROM spans
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_windows,
+           ROUND(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_frac
+    FROM counted
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+""")
+def dedup_span_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per document: the fraction of rolling
+    SPAN_K-token windows whose hash occurs >= 2 times corpus-wide —
+    exact substring dedup at k-token granularity (the report a span-
+    level scrub is driven by; cf. suffix-array dedup in Lee et al.).
+
+    Plan: explode window hashes -> corpus-wide occurrence count via a
+    COUNT window partitioned by the 8-byte hash (ONE shuffle on the
+    hash; no self-join, no second scan) -> per-doc aggregation (second
+    shuffle on doc_id). The shuffle carries (doc_id, hash) = 16-byte
+    rows, ~tokens-per-doc of them — same order as the shingle explode
+    the Jaccard path already does. Boilerplate-heavy corpora make a few
+    hashes hot; the window's full-partition frame degrades there to a
+    per-key scan (no buffering) — at 100 TB swap in groupBy(h).count()
+    + AQE-skew join if a key exceeds a partition.
+    """
+    toks = _tokens()
+    spans = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= SPAN_K)
+        .select("doc_id", F.explode(_span_hashes(toks)).alias("h"))
+        .withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
+    )
+    dup = F.when(F.col("cnt") >= 2, 1).otherwise(0)
+    return (
+        spans.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"),
+             F.sum(dup).alias("dup_windows"),
+             F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"))
+        .filter(F.col("dup_windows") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# Containment C(A,B) = |A∩B| / min(|A|,|B|): the asymmetric near-dup
+# measure — a short document quoted wholesale inside a long one scores
+# ~1.0 here while its Jaccard stays far below any threshold.
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM toks, generate_series(1, 1000) g(i)
+      WHERE i <= len(w) - 2
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / LEAST(len(a.s), len(b.s)) AS c
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, ROUND(c, 4) AS containment
+    FROM pairs WHERE c >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc1, doc2
+"""
+
+
+@query("dedup_containment", sql=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs: C(A,B) >= 0.8 on word
+    3-gram sets, detecting snippet inclusion (quotes, boilerplate
+    wrappers) that Jaccard's symmetric denominator hides.
+
+    Same inverted-index candidate join as `dedup_ngram_jaccard` (pairs
+    sharing >= 1 shingle, joined on the 8-byte shingle hash), WITHOUT
+    the size-ratio prune — containment is exactly the regime where
+    sizes differ wildly, so |A∩B| >= t·min gives no size-only bound.
+    Candidate count is therefore the inverted index's (data-dependent,
+    bounded by document-frequency of the hottest shingle); the LSH
+    band join remains the 100 TB candidate generator with this exact
+    join as its verifier.
+    """
+    sets = shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"),
+                 F.col("b.doc_id").alias("doc2"),
+                 F.col("a.n_sh").alias("n1"), F.col("b.n_sh").alias("n2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c = F.col("inter") / F.least("n1", "n2")
+    return (
+        common.withColumn("containment", F.round(c, 4))
+        .filter(c >= CONTAINMENT_THRESHOLD)
+        .select("doc1", "doc2", "containment")
+        .orderBy("doc1", "doc2")
     )

@@ -1756,3 +1756,87 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric", "value")
         .orderBy("l_returnflag", "metric")
     )
+
+
+@query("rfm_customer_segments", sql="""
+    WITH ref AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders),
+    base AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             date_diff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                       (SELECT mx FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ), scored AS (
+      SELECT c_mktsegment,
+             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                     ORDER BY recency_days, o_custkey) AS VARCHAR) ||
+             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                     ORDER BY frequency DESC, o_custkey) AS VARCHAR) ||
+             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                     ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS rfm,
+             recency_days, monetary
+      FROM base
+    )
+    SELECT c_mktsegment, rfm,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(monetary) * 100 AS BIGINT) // COUNT(*) AS DOUBLE)
+             / 100.0 AS avg_monetary,
+           CAST(CAST(SUM(recency_days) * 100 AS BIGINT) // COUNT(*) AS DOUBLE)
+             / 100.0 AS avg_recency
+    FROM scored GROUP BY c_mktsegment, rfm
+    ORDER BY c_mktsegment, rfm
+""")
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quartile-score each customer on all three axes within their market
+    segment, then report segment-level counts and averages — the
+    classic churn/value cohort report.
+
+    Plan: one shuffle for the per-customer agg (customer dim broadcast
+    into the orders scan), then ONE shuffle on c_mktsegment shared by
+    all three ntile windows (same partition key, three in-partition
+    sorts). Every ntile ordering carries o_custkey as tiebreak so
+    quartile assignment is deterministic. Global-reference max date is
+    a 1-row broadcast. At 100 TB the per-segment window sort is the
+    pressure point (a segment's customers must sort within executor
+    spill limits); the scale-out variant replaces ntile with exact
+    quartile *thresholds* (percentile_approx or two-pass exact) joined
+    broadcast — same output contract.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    base = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("last_dt"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .alias("monetary"))
+        .crossJoin(F.broadcast(ref))
+        .withColumn("recency_days", F.datediff("mx", "last_dt"))
+    )
+    wr = W.partitionBy("c_mktsegment").orderBy("recency_days", "o_custkey")
+    wf = W.partitionBy("c_mktsegment").orderBy(F.desc("frequency"),
+                                               F.asc("o_custkey"))
+    wm = W.partitionBy("c_mktsegment").orderBy(F.desc("monetary"),
+                                               F.asc("o_custkey"))
+    rfm = F.concat(F.ntile(4).over(wr).cast("string"),
+                   F.ntile(4).over(wf).cast("string"),
+                   F.ntile(4).over(wm).cast("string"))
+    scored = base.select("c_mktsegment", rfm.alias("rfm"),
+                         "recency_days", "monetary")
+    return (
+        scored.groupBy("c_mktsegment", "rfm")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             (F.sum("monetary") * 100).cast("long").alias("mon_cents"),
+             (F.sum("recency_days") * 100).cast("long").alias("rec_cents"))
+        .withColumn("avg_monetary",
+                    F.expr("CAST(mon_cents DIV n_customers AS DOUBLE) / 100.0"))
+        .withColumn("avg_recency",
+                    F.expr("CAST(rec_cents DIV n_customers AS DOUBLE) / 100.0"))
+        .drop("mon_cents", "rec_cents")
+        .orderBy("c_mktsegment", "rfm")
+    )

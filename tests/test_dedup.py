@@ -77,3 +77,40 @@ def test_fixture_tokens_within_oracle_series_cap(spark, sf_dir):
     mx = (load_table(spark, sf_dir, "documents")
           .agg(F.max(F.size(F.split("text", r"\s+")))).first()[0])
     assert mx <= 998
+
+
+def test_span_kgram_exact_dups_fully_covered(spark, sf_dir):
+    """Documents with an identical twin (exact dups) consist entirely of
+    duplicated windows — their dup_frac must be exactly 1.0; all rows
+    must satisfy 0 < dup_windows <= n_windows."""
+    spans = dedup.dedup_span_kgram(spark, sf_dir).toPandas()
+    assert (spans.dup_windows > 0).all()
+    assert (spans.dup_windows <= spans.n_windows).all()
+    got = dedup.dedup_exact(spark, sf_dir).toPandas()
+    if (got.n_copies >= 2).any():
+        from mongo_cdc_spark.io import load_table
+        from pyspark.sql import functions as F
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(F.lower("text").cast("binary")).alias("fp"),
+            F.size(F.split("text", r"\s+")).alias("n_tok"))
+        dup_fps = docs.groupBy("fp").count().filter("count >= 2")
+        dup_ids = {r.doc_id for r in
+                   docs.join(dup_fps, "fp")
+                       .filter(F.col("n_tok") >= dedup.SPAN_K).collect()}
+        assert dup_ids, "fixture has exact dups long enough to span"
+        covered = spans.set_index("doc_id").dup_frac
+        for i in dup_ids:
+            assert covered.get(i) == 1.0, f"doc {i} not fully duplicated"
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """C(A,B) = |I|/min >= |I|/union = J(A,B), so every pair at
+    J >= CONTAINMENT_THRESHOLD must also be a containment pair."""
+    jac = dedup.dedup_ngram_jaccard(spark, sf_dir).toPandas()
+    cont = dedup.dedup_containment(spark, sf_dir).toPandas()
+    assert ((cont.containment >= dedup.CONTAINMENT_THRESHOLD)
+            & (cont.containment <= 1.0)).all()
+    cpairs = set(zip(cont.doc1, cont.doc2))
+    strong = jac[jac.jaccard >= dedup.CONTAINMENT_THRESHOLD]
+    for p in zip(strong.doc1, strong.doc2):
+        assert p in cpairs

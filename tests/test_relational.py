@@ -60,3 +60,16 @@ def test_stratified_sample_fraction_exact(spark, sf_dir):
     assert len(got) == 5  # all priorities represented
     for _, r in got.iterrows():
         assert r.n_sampled == math.ceil(r.stratum_size * 0.1)
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir, oracle):
+    """RFM output partitions the ordering customers: segment counts sum
+    to the distinct customer count, labels are quartile triples."""
+    from mongo_cdc_spark.operators import relational
+
+    got = relational.rfm_customer_segments(spark, sf_dir).toPandas()
+    n_cust = oracle.sql(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert got.n_customers.sum() == n_cust
+    assert got.rfm.str.fullmatch("[1-4]{3}").all()
+    assert (got.avg_monetary > 0).all()
