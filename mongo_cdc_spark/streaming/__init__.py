@@ -20,3 +20,7 @@ from mongo_cdc_spark.streaming.analytics import (  # noqa: F401
     tumbling_window_counts,
     user_session_state,
 )
+from mongo_cdc_spark.streaming.stateful_v2 import (  # noqa: F401
+    ROCKSDB_PROVIDER,
+    user_running_stats_v2,
+)

@@ -242,3 +242,47 @@ def test_streaming_dedup_matches_batch_replay_twin(spark, tmp_path):
         expect.setdefault(e["event_id"], pd.Timestamp(e["ts"]))
     assert {(int(r.event_id), pd.Timestamp(r.ts, tz="UTC"))
             for _, r in got.iterrows()} == set(expect.items())
+
+
+def test_transform_with_state_v2_running_stats(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas, RocksDB-backed):
+    per-user lifetime counters accumulate across micro-batches —
+    batch 2's Update row for user 1 must reflect batch 1's state; the
+    MapState-backed distinct-type count grows only on new types.
+
+    The v2 API's state-server protocol client requires protobuf, which
+    this container does not ship (no pip installs allowed) — skipped
+    here, runnable as-is wherever pyspark's [connect] extras are
+    present."""
+    import pytest
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state client needs protobuf")
+    from mongo_cdc_spark.streaming import (
+        ROCKSDB_PROVIDER, user_running_stats_v2)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        got = _collect_batched(
+            user_running_stats_v2(read_events_stream(spark, str(src))),
+            tmp_path, src, [
+                [_ev(1, 0, 0, user=1, etype="click", value=2.0),
+                 _ev(2, 0, 1, user=1, etype="view", value=3.0),
+                 _ev(3, 0, 2, user=2, etype="click", value=1.0)],
+                [_ev(4, 1, 0, user=1, etype="click", value=5.0)],
+            ], mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    u1 = got[got.user_id == 1].sort_values("n_events")
+    assert list(u1.n_events) == [2, 3]
+    assert list(u1.total_value) == [5.0, 10.0]
+    assert list(u1.n_types) == [2, 2]  # batch 2 adds no new type
+    u2 = got[got.user_id == 2]
+    assert list(u2.n_events) == [1] and list(u2.n_types) == [1]
