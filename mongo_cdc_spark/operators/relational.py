@@ -1840,3 +1840,92 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("mon_cents", "rec_cents")
         .orderBy("c_mktsegment", "rfm")
     )
+
+
+@query("sessions_interval_overlap", sql="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY event_id)) AS gap_s
+      FROM events
+    ), tagged AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM seq
+    ), s AS (
+      SELECT user_id, session_id,
+             CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS st,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS en
+      FROM tagged GROUP BY user_id, session_id
+    ), pairs AS (
+      SELECT a.user_id AS user1, b.user_id AS user2,
+             GREATEST(a.st, b.st) AS o_st, LEAST(a.en, b.en) AS o_en
+      FROM s a JOIN s b
+        ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+    )
+    SELECT user1, user2,
+           COUNT(*) AS n_overlaps,
+           CAST(SUM(o_en - o_st) AS BIGINT) AS total_overlap_s
+    FROM pairs GROUP BY user1, user2
+    ORDER BY user1, user2
+""")
+def sessions_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of concurrent sessions between
+    different users (gap-based 30-min sessions), reported per user
+    pair with overlap count and total overlapping seconds — the
+    co-presence analysis behind collusion/bot-ring detection.
+
+    The oracle joins on the raw overlap theta-predicate; the engine
+    must NOT (an inequality-only join is a broadcast-nested-loop =
+    all-pairs at scale). Instead each session explodes to the hour
+    buckets it spans (sessions are minutes long, so 1-2 buckets each)
+    and pairs meet on an EQUI-join on the bucket — the standard
+    interval-join blocking: shuffle key is the hour, candidate count
+    is sessions-per-hour squared per bucket, and the exact overlap
+    predicate verifies inside the join. A session pair spanning the
+    same two buckets would double-count, so pairs are reduced to
+    distinct (session, session) keys before the per-user-pair rollup.
+    """
+    w = W.partitionBy("user_id").orderBy("event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = _t(spark, sf_dir, "events")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = (
+        ev.withColumn("gap_s", gap)
+        .withColumn("new_sess", F.when(F.col("gap_s").isNull()
+                                       | (F.col("gap_s") > 1800), 1)
+                                 .otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("st"),
+             F.max(F.col("ts").cast("long")).alias("en"))
+        .withColumn("buckets", F.sequence(F.floor(F.col("st") / 3600),
+                                          F.floor(F.col("en") / 3600)))
+        .select("user_id", "session_id", "st", "en",
+                F.explode("buckets").alias("bucket"))
+    )
+    a = sess.alias("a")
+    b = sess.alias("b")
+    pair = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.user_id") < F.col("b.user_id"))
+               & (F.col("a.st") <= F.col("b.en"))
+               & (F.col("b.st") <= F.col("a.en")))
+        .select(F.col("a.user_id").alias("user1"),
+                F.col("a.session_id").alias("sid1"),
+                F.col("b.user_id").alias("user2"),
+                F.col("b.session_id").alias("sid2"),
+                (F.least(F.col("a.en"), F.col("b.en"))
+                 - F.greatest(F.col("a.st"), F.col("b.st")))
+                .alias("overlap_s"))
+        .distinct()
+    )
+    return (
+        pair.groupBy("user1", "user2")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"),
+             F.sum("overlap_s").alias("total_overlap_s"))
+        .orderBy("user1", "user2")
+    )

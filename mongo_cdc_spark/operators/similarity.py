@@ -697,3 +697,52 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "n_vecs", "centroid_norm")
         .orderBy("cluster")
     )
+
+
+RANGE_TAU = 0.25  # radius-search threshold (fixture is isotropic; 0.25
+                  # admits ~55 corpus vectors across the 5 probes)
+
+
+@query("ann_range_search", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v))) >= {RANGE_TAU}
+    ORDER BY query_id, neighbor_id
+""")
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine >=
+    RANGE_TAU of each probe — the fixed-threshold companion to top-k
+    (retrieval pipelines use radius search when result *quality*, not
+    count, is the contract).
+
+    Same shuffle-free shape as `knn_bruteforce_cosine`: probes
+    broadcast, corpus streams once, no ranking window needed (the
+    threshold replaces it). The filter happens on the UNROUNDED score
+    (rounding only formats output), matching the oracle exactly because
+    both engines fold the dot product in the same association. At
+    100 TB the IVF/LSH candidate generators bound the scored set; this
+    exact scan is their verifier and the small-probe-set fast path.
+    """
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"))
+    cos = cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm"))
+    return (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= RANGE_TAU)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )

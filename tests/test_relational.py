@@ -73,3 +73,15 @@ def test_rfm_segments_partition_customers(spark, sf_dir, oracle):
     assert got.n_customers.sum() == n_cust
     assert got.rfm.str.fullmatch("[1-4]{3}").all()
     assert (got.avg_monetary > 0).all()
+
+
+def test_sessions_interval_overlap_invariants(spark, sf_dir):
+    """Overlap pairs are canonical (user1 < user2), counts positive,
+    and overlap seconds can't exceed the fixture's total time span."""
+    from mongo_cdc_spark.operators import relational
+
+    got = relational.sessions_interval_overlap(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got.user1 < got.user2).all()
+    assert (got.n_overlaps >= 1).all()
+    assert (got.total_overlap_s >= 0).all()

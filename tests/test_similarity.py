@@ -129,3 +129,18 @@ def test_kmeans_converges_sanely(spark, sf_dir, oracle):
     assert got.n_vecs.sum() == n_vecs       # every vector assigned
     assert (got.n_vecs > 0).all()           # emitted clusters are live
     assert (got.centroid_norm > 0).all()
+
+
+def test_range_search_consistent_with_bruteforce_topk(spark, sf_dir):
+    """Radius search must contain every brute-force top-k neighbor
+    whose score clears the threshold (same probes, same scoring), and
+    nothing below the threshold."""
+    from mongo_cdc_spark.operators import similarity
+
+    rng = similarity.ann_range_search(spark, sf_dir).toPandas()
+    assert (rng.cos_sim >= similarity.RANGE_TAU).all()
+    topk = similarity.knn_bruteforce_cosine(spark, sf_dir).toPandas()
+    in_range = set(zip(rng.query_id, rng.neighbor_id))
+    strong = topk[topk.cos_sim >= similarity.RANGE_TAU]
+    for p in zip(strong.query_id, strong.neighbor_id):
+        assert p in in_range
