@@ -41,6 +41,7 @@ HEADLINE = [
     ("dedup_jaccard", dedup.dedup_ngram_jaccard),
     ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
     ("dedup_simhash", dedup.dedup_simhash),
+    ("dedup_span_kgram", dedup.dedup_span_kgram),
     ("knn_bruteforce", similarity.knn_bruteforce_cosine),
     ("knn_ivf", similarity.knn_ivf_centroid),
     ("knn_lsh", similarity.knn_lsh_hyperplane),
