@@ -1929,3 +1929,47 @@ def sessions_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("overlap_s").alias("total_overlap_s"))
         .orderBy("user1", "user2")
     )
+
+
+@query("sql_lateral_top_tokens_per_lang", sql="""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS token
+      FROM documents
+    ), counted AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, token) AS INT) AS rank
+      FROM counted
+    )
+    SELECT lang, token, cnt, rank FROM ranked
+    WHERE rank <= 3 ORDER BY lang, rank
+""")
+def sql_lateral_top_tokens_per_lang(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The pure-SQL front-end path: the whole query is ONE spark.sql
+    string over a registered temp view — LATERAL VIEW explode,
+    grouped count, ranking window, all parsed by Spark's SQL parser
+    rather than assembled through the DataFrame DSL. Proves the engine's
+    SQL lifecycle (§3): parse → analyze against the catalog → same
+    Catalyst plan the DSL twin would produce (explode + two shuffles).
+    """
+    load_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("documents_sql_v")
+    return spark.sql(r"""
+        WITH tok AS (
+          SELECT lang, token
+          FROM documents_sql_v
+          LATERAL VIEW explode(split(text, '\\s+')) t AS token
+        ), counted AS (
+          SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
+        ), ranked AS (
+          SELECT lang, token, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cnt DESC, token) AS rank
+          FROM counted
+        )
+        SELECT lang, token, cnt, rank FROM ranked
+        WHERE rank <= 3 ORDER BY lang, rank
+    """)
