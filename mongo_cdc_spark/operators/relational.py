@@ -1973,3 +1973,42 @@ def sql_lateral_top_tokens_per_lang(spark: SparkSession,
         SELECT lang, token, cnt, rank FROM ranked
         WHERE rank <= 3 ORDER BY lang, rank
     """)
+
+
+@query("variant_event_props_profile", sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+""")
+def variant_event_props_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over the dynamic JSON payload: `props` is
+    parsed ONCE into the binary Variant encoding (`parse_json`), then
+    fields are extracted with typed `variant_get` paths — the
+    schema-on-read treatment MongoDB documents get in a modern engine
+    (vs. get_json_object re-parsing the raw string per extraction).
+
+    Scale: Variant is columnar-shreddable and the parse is JVM-side
+    codegen; one hash-agg shuffle on event_type. The reference keeps
+    fullDocument as an opaque string (main.go:138) — Variant is the
+    declared engine upgrade for querying into it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
