@@ -2012,3 +2012,36 @@ def variant_event_props_profile(spark: SparkSession,
              F.max("k").alias("max_k"))
         .orderBy("event_type")
     )
+
+
+@query("join_hint_shuffle_hash", sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+""")
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy control via join hints: the same equi-join
+    Catalyst would broadcast is forced to SHUFFLE_HASH — the right call
+    when the "small" side is too big for one executor's broadcast
+    budget but each shuffled partition of it still fits a hash table
+    (the common shape for a 100 TB fact ⋈ 100 GB dimension). The hint
+    changes ONLY the physical operator; results must hash-match the
+    plain SQL, and tests assert a ShuffledHashJoin (not BHJ/SMJ) lands
+    in the plan.
+    """
+    cust = _t(spark, sf_dir, "customer").hint("shuffle_hash")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("total_price"))
+        .orderBy("c_mktsegment")
+    )

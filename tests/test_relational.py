@@ -85,3 +85,16 @@ def test_sessions_interval_overlap_invariants(spark, sf_dir):
     assert (got.user1 < got.user2).all()
     assert (got.n_overlaps >= 1).all()
     assert (got.total_overlap_s >= 0).all()
+
+
+def test_join_hint_forces_shuffled_hash_join(spark, sf_dir):
+    """The shuffle_hash hint must land a ShuffledHashJoin in the
+    physical plan (no broadcast, no sort-merge) without changing
+    results — physical strategy is user-controllable per join."""
+    from mongo_cdc_spark.operators import relational
+
+    df = relational.join_hint_shuffle_hash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
