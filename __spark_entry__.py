@@ -36,36 +36,41 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # representative spread of each already-passing category — inside the window.
 # Everything not listed follows in module order, so the full registry is intact.
 _GRADE_FIRST = (
-    # previously ungraded: tpch_full sweep (15)
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_priority_lines", "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
-    "q20_excess_suppliers", "q21_waiting_supplier", "q22_global_sales",
-    # previously ungraded: LLM-pipeline surface (23)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_embedding_cosine", "dedup_simhash", "dedup_cluster_assign",
-    "dedup_fuzzy_levenshtein",
-    "knn_bruteforce_cosine", "similarity_threshold_pairs", "knn_ivf_centroid",
-    "knn_lsh_hyperplane", "embedding_centroid_per_label",
-    "text_token_stats", "text_quality_scores", "text_langid_confusion",
-    "text_fingerprint_md5", "text_shingle_fingerprint", "text_bpe_token_count",
-    "text_top_tokens", "text_tfidf_top_terms",
-    "multimodal_payload_meta", "multimodal_frame_sample", "multimodal_fake_decode",
-    # previously ungraded: relational tail (2)
+    # Round-3 window. Tier 1: the 15 queries never graded in any round
+    # (VERDICT_r2 "What's missing" #1) — after this round every one of
+    # the 114 registered queries has >=1 graded row.
+    "variant_event_props_profile", "sessions_interval_overlap",
+    "sql_lateral_top_tokens_per_lang", "skew_salted_flag_totals",
+    "join_hint_shuffle_hash", "agg_regression_stats", "rfm_customer_segments",
+    "ann_range_search", "dedup_cluster_stats", "dedup_containment",
+    "dedup_span_kgram", "train_shard_assign", "train_regex_redact",
+    "train_mixture_weights", "train_token_budget",
+    # Tier 2: the 3 red rows in CORRECTNESS_r02 (io.py events-ts bug,
+    # fixed this round) — must flip green.
     "events_top_transitions", "events_anomaly_zscore",
-    # round-1 red row, repaired this round — must be re-graded
-    "agg_approx_sketches",
-    # new this round: streaming watermark-dedup batch replay twin +
-    # training-pipeline pack (repetition signals, stratified sampling,
-    # product quantization)
     "streaming_dedup_within_watermark_replay",
-    "text_repetition_signals", "sample_stratified_orders", "knn_pq_quantize",
-    "unpivot_lineitem_metrics", "kmeans_lloyd_iterations",
-    # training-pipeline module (new this round — zero graded rows so far;
-    # its remaining queries + the other never-graded ones rotate into the
-    # round-3 window)
-    "train_decontaminate", "train_sequence_pack", "train_quality_filter",
+    # Tier 3: the other events-table queries that passed r1 but were
+    # broken by the same bug in r2 — fresh green rows post-fix.
+    "events_sessionization", "events_funnel_conversion",
+    "events_cohort_retention", "events_hourly_rollup", "events_gap_fill",
+    "window_lag_lead_user_events", "window_sliding_events",
+    "window_session_events", "join_asof_purchase_click",
+    "json_extract_event_props",
+    # Backfill: already-green spot-checks across every category graded
+    # only in round 1 (re-confirm they still pass on current fixtures).
+    "cdc_topic_routing", "cdc_key_envelope",
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "join_semi_urgent_customers", "join_range_price_band",
+    "agg_rollup_order_status", "agg_cube_returnflag",
+    "agg_grouping_sets_orders", "pivot_status_by_priority",
+    "udaf_geomean_discount", "agg_exact_percentiles",
+    "histogram_order_totals", "topk_expensive_lineitems",
+    "subquery_above_avg_orders", "window_ntile_customer_value",
+    "map_priority_profile", "hof_order_quantities",
+    # new this round: State API v2 batch-replay twin (stateful_v2.py
+    # gains its first oracle-graded correctness signal)
+    "streaming_userstats_v2_replay",
 )
 
 

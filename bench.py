@@ -127,25 +127,41 @@ def main() -> None:
     from mongo_cdc_spark.io import load_table
     load_table(spark, sf_dir, "region").count()
 
+    # Per-query fault isolation: one broken query must never void the
+    # whole artifact (round 2's events bug crashed the process and left
+    # BENCH_r02.json with rc=1 and no numbers). Errors are recorded per
+    # query and the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in HEADLINE:
         t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
-    relay = _relay_steady_state(spark, sf_dir)
-    for k, v in relay.items():
-        print(f"# {k}: {v}", file=sys.stderr)
+    try:
+        relay = _relay_steady_state(spark, sf_dir)
+        for k, v in relay.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        relay = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"# cdc_relay_stream: ERROR {relay['error']}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "cdc_relay_stream": relay,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -16,13 +16,23 @@ BROADCAST_DIMS = {"region", "nation"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and convert to the
-        # engine-native microsecond timestamp (integer div — no fp loss).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (round-1
+        # fixtures; Spark's vectorized reader rejects it, so nanosAsLong
+        # surfaces it as int64) and as TIMESTAMP(MICROS) (current
+        # fixtures; read as timestamp_ntz). Branch on the type actually
+        # read and normalize both vintages to the engine-native
+        # TimestampType — under the UTC session timezone the ntz→tz cast
+        # is micros-identity, and the nanos→micros integer div is lossless.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -113,8 +113,8 @@ _JACCARD_ORACLE = f"""
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
       GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -452,8 +452,8 @@ _CLUSTER_ORACLE = f"""
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
       GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2
@@ -591,8 +591,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
       GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2
@@ -675,8 +675,8 @@ def _span_hashes(tokens) -> "F.Column":
     ), spans AS (
       SELECT doc_id,
              array_to_string(list_slice(w, i, i + {SPAN_K - 1}), ' ') AS kg
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - {SPAN_K - 1}
+      FROM (SELECT *, unnest(generate_series(1, len(w) - {SPAN_K - 1}))
+              AS i FROM toks)
     ), counted AS (
       SELECT doc_id, COUNT(*) OVER (PARTITION BY kg) AS cnt FROM spans
     )
@@ -736,8 +736,8 @@ _CONTAINMENT_ORACLE = f"""
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
       GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2,

@@ -2045,3 +2045,38 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("total_price"))
         .orderBy("c_mktsegment")
     )
+
+
+@query("streaming_userstats_v2_replay", sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(COALESCE(value, 0.0)), 4) AS total_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id
+""")
+def streaming_userstats_v2_replay(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Batch replay twin of streaming.stateful_v2.RunningUserStats
+    (transformWithStateInPandas, State API v2): the processor's final
+    emitted row per user — lifetime event count, null-as-zero value sum,
+    distinct-event-type cardinality — equals this one-pass aggregate
+    over the full event history. The v2 e2e path needs protobuf (absent
+    here), so this twin + the fake-handle unit test in
+    tests/test_streaming.py give the operator a hard correctness signal:
+    the unit test drives RunningUserStats.handleInputRows across real
+    micro-batch chunks against in-memory state and asserts its final
+    rows hash-equal this query's result.
+
+    Scale: single shuffle on user_id with map-side partial aggregation;
+    COUNT(DISTINCT event_type) expands to a two-phase exact distinct —
+    bounded by the tiny event-type domain. Survives 100 TB.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4)
+             .alias("total_value"),
+             F.countDistinct("event_type").alias("n_types"))
+        .orderBy("user_id")
+    )

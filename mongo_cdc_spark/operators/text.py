@@ -208,8 +208,8 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT doc_id, lang,
              MIN(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS fp
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
       GROUP BY doc_id, lang
     )
     SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
@@ -357,8 +357,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok_counts GROUP BY doc_id
     ), bigrams AS (
       SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 1
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks)
     ), bg_stats AS (
       SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT bg) AS n_bg_d
       FROM bigrams GROUP BY doc_id

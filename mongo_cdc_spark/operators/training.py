@@ -66,8 +66,8 @@ _SHARD_SQL = "(('0x' || substr({k}, 1, 8))::BIGINT % {n})"
     ), sh AS (
       SELECT doc_id,
              list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
-      FROM toks, generate_series(1, 1000) g(i)
-      WHERE i <= len(w) - 2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
       GROUP BY doc_id
     ), bench AS (
       SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % {_BENCH_MOD} = 0

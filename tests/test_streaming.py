@@ -286,3 +286,97 @@ def test_transform_with_state_v2_running_stats(spark, tmp_path):
     assert list(u1.n_types) == [2, 2]  # batch 2 adds no new type
     u2 = got[got.user_id == 2]
     assert list(u2.n_events) == [1] and list(u2.n_types) == [1]
+
+
+class _Ctx:
+    key = None
+
+
+class _FakeValueState:
+    """In-memory stand-in for the v2 ValueState handle, keyed by the
+    driver-controlled current grouping key."""
+
+    def __init__(self, ctx):
+        self.ctx, self.d = ctx, {}
+
+    def exists(self):
+        return self.ctx.key in self.d
+
+    def get(self):
+        return self.d[self.ctx.key]
+
+    def update(self, v):
+        self.d[self.ctx.key] = v
+
+
+class _FakeMapState:
+    def __init__(self, ctx):
+        self.ctx, self.d = ctx, {}
+
+    def _m(self):
+        return self.d.setdefault(self.ctx.key, {})
+
+    def containsKey(self, k):
+        return k in self._m()
+
+    def getValue(self, k):
+        return self._m()[k]
+
+    def updateValue(self, k, v):
+        self._m()[k] = v
+
+    def keys(self):
+        return iter(self._m().keys())
+
+
+class _FakeHandle:
+    def __init__(self, ctx):
+        self.ctx = ctx
+
+    def getValueState(self, name, schema):
+        return _FakeValueState(self.ctx)
+
+    def getMapState(self, name, kschema, vschema):
+        return _FakeMapState(self.ctx)
+
+
+def test_running_user_stats_v2_logic_matches_batch_replay(spark, sf_dir):
+    """Correctness signal for the State API v2 processor without the
+    protobuf state client: drive RunningUserStats.handleInputRows
+    directly over real micro-batch chunks of the events fixture with
+    in-memory state handles, then assert each user's FINAL emitted row
+    equals the oracle-graded batch twin streaming_userstats_v2_replay.
+    This pins the processor's accumulation logic (lifetime count,
+    null-as-zero sum, MapState distinct-type cardinality) to the same
+    semantics the driver hash-checks against DuckDB."""
+    from mongo_cdc_spark.operators.relational import (
+        streaming_userstats_v2_replay)
+    from mongo_cdc_spark.streaming.stateful_v2 import RunningUserStats
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "event_type", "value")
+              .orderBy("event_id").toPandas())
+
+    ctx = _Ctx()
+    proc = RunningUserStats()
+    proc.init(_FakeHandle(ctx))
+    final = {}
+    n_batches = 4
+    for chunk in [events.iloc[b::n_batches] for b in range(n_batches)]:
+        for user_id, pdf in chunk.groupby("user_id"):
+            ctx.key = (int(user_id),)
+            rows = list(proc.handleInputRows(
+                (int(user_id),), iter([pdf]), None))
+            final[int(user_id)] = rows[-1].iloc[0].to_dict()
+    proc.close()
+
+    expect = {r["user_id"]: r for r in (
+        streaming_userstats_v2_replay(spark, sf_dir)
+        .toPandas().to_dict("records"))}
+    assert set(final) == set(expect)
+    for uid, row in final.items():
+        e = expect[uid]
+        assert int(row["n_events"]) == int(e["n_events"]), uid
+        assert round(float(row["total_value"]), 4) == \
+            round(float(e["total_value"]), 4), uid
+        assert int(row["n_types"]) == int(e["n_types"]), uid
