@@ -28,21 +28,35 @@ def _tokens():
     return F.split(F.col("text"), r"\s+")
 
 
-def _shingles(tokens) -> "F.Column":
-    """Distinct word 3-gram shingles of a token array, as 64-bit hashes
-    (docs with <3 tokens yield an empty set).
+def _token_hashes(tokens) -> "F.Column":
+    """Per-token 64-bit hashes of a token array. Callers MUST alias this
+    into its own projection (a real column) before consuming it from a
+    window/shingle lambda — see `_shingles_of_hashes`."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
 
-    Each token is hashed ONCE, and a shingle hash combines the three
-    consecutive token hashes — no 3-word string is ever materialized
-    (building concat'd shingle strings was 12× slower and dominated
-    every near-dup query). All downstream consumers need only equality
-    / counts, so collisions (~|shingles|²/2⁶⁴) are the only error and
-    sit far below the oracle's detection floor.
+
+def _shingles_of_hashes(th) -> "F.Column":
+    """Distinct word 3-gram shingles as 64-bit hashes, built from an
+    ALREADY-MATERIALIZED token-hash array column (docs with <3 tokens
+    yield an empty set).
+
+    Two-step materialization is the hot-path rule here: Spark's codegen
+    subexpression elimination does not reach inside higher-order-function
+    lambdas, so referencing a `transform(tokens, hash)` EXPRESSION three
+    times in this lambda re-hashes the whole token array per element —
+    measured 9.7 s vs 0.6 s at sf0.1 for the shingle scan. Passing the
+    hashes as a bound column attribute makes each element_at an O(1)
+    array read. (CollapseProject keeps the two projections separate
+    because the alias is referenced multiple times.)
+
+    No 3-word string is ever materialized (concat'd shingle strings were
+    12× slower). Downstream needs only equality/counts, so hash
+    collisions (~|shingles|²/2⁶⁴) are the only error — far below the
+    oracle's detection floor.
     """
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
-    # callers filter size(tokens) >= 3 first, so the sequence bound is ≥ 0
+    th = F.col(th) if isinstance(th, str) else th
     return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - 3),
+        F.sequence(F.lit(0), F.size(th) - 3),
         lambda i: F.xxhash64(
             F.element_at(th, i + 1), F.element_at(th, i + 2),
             F.element_at(th, i + 3)),
@@ -73,7 +87,8 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .repartition(n, "doc_id")
         .filter(F.size(_tokens()) >= 3)
-        .select("doc_id", _shingles(_tokens()).alias("sh"))
+        .select("doc_id", _token_hashes(_tokens()).alias("th"))
+        .select("doc_id", _shingles_of_hashes("th").alias("sh"))
         .withColumn("n_sh", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -656,14 +671,15 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8
 
 
-def _span_hashes(tokens) -> "F.Column":
-    """Rolling SPAN_K-token window hashes of a token array. Tokens are
-    hashed once; each window hash combines SPAN_K consecutive token
-    hashes (same no-string-materialization trick as `_shingles` —
-    codegen subexpression elimination computes `th` once per row)."""
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
+def _span_hashes(th) -> "F.Column":
+    """Rolling SPAN_K-token window hashes over an ALREADY-MATERIALIZED
+    token-hash array column (see `_shingles_of_hashes` for why: codegen
+    CSE does not reach inside HOF lambdas, and with SPAN_K=8 references
+    an inlined hash expression re-hashed the token array 8× per window —
+    measured 49.8 s vs 1.5 s at sf0.1 for dedup_span_kgram)."""
+    th = F.col(th) if isinstance(th, str) else th
     return F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (SPAN_K - 1)),
+        F.sequence(F.lit(1), F.size(th) - (SPAN_K - 1)),
         lambda i: F.xxhash64(*[F.element_at(th, i + j)
                                for j in range(SPAN_K)]),
     )
@@ -711,7 +727,8 @@ def dedup_span_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = (
         load_table(spark, sf_dir, "documents")
         .filter(F.size(toks) >= SPAN_K)
-        .select("doc_id", F.explode(_span_hashes(toks)).alias("h"))
+        .select("doc_id", _token_hashes(toks).alias("th"))
+        .select("doc_id", F.explode(_span_hashes("th")).alias("h"))
         .withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
     )
     dup = F.when(F.col("cnt") >= 2, 1).otherwise(0)

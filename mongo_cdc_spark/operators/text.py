@@ -218,18 +218,24 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def text_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 3-gram fingerprint: min-hash-of-shingles per document
-    (the winnowing building block; full MinHash-LSH is in dedup.py)."""
-    toks = _tokens()
+    (the winnowing building block; full MinHash-LSH is in dedup.py).
+
+    The token array is materialized as a column BEFORE the shingle
+    lambda reads it: codegen CSE does not reach inside HOF lambdas, so
+    an inlined split() expression would re-split the whole document 3×
+    per shingle (see dedup._shingles_of_hashes for measurements)."""
     shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
+        F.sequence(F.lit(0), F.size("w") - 3),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3)),
+            " ", F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+            F.element_at(F.col("w"), i + 3)),
     )
     fp = F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
     return (
         _docs(spark, sf_dir)
         .filter(F.size(_tokens()) >= 3)  # oracle's WHERE i <= len(w)-2 twin
+        .select("lang", _tokens().alias("w"))
         .select("lang", fp.alias("fp"))
         .groupBy("lang")
         .agg(F.countDistinct("fp").alias("n_distinct_fp"),
@@ -395,9 +401,12 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("w") - 2),
         lambda i: F.concat_ws(" ", F.element_at("w", i + 1),
                               F.element_at("w", i + 2)))
-    bg_stats = docs.select(
-        "doc_id", F.size(bg).alias("n_bg"),
-        F.size(F.array_distinct(bg)).alias("n_bg_d"))
+    # materialize the bigram array once — referencing the transform
+    # expression from both size() and array_distinct() would build it
+    # twice per row (top-level CSE stops at the projection boundary)
+    bg_stats = (docs.select("doc_id", bg.alias("bg"))
+                .select("doc_id", F.size("bg").alias("n_bg"),
+                        F.size(F.array_distinct("bg")).alias("n_bg_d")))
     return (
         per_tok.join(bg_stats, "doc_id")
         .select(

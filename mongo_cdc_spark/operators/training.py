@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
 from mongo_cdc_spark.operators import make_registry
-from mongo_cdc_spark.operators.dedup import _shingles, _tokens
+from mongo_cdc_spark.operators.dedup import (_shingles_of_hashes,
+                                             _token_hashes, _tokens)
 
 QUERIES, ORACLE, query = make_registry()
 
@@ -96,7 +97,8 @@ def train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         _docs(spark, sf_dir)
         .where(F.size(_tokens()) >= 3)
-        .select("doc_id", _shingles(_tokens()).alias("sh"))
+        .select("doc_id", _token_hashes(_tokens()).alias("th"))
+        .select("doc_id", _shingles_of_hashes("th").alias("sh"))
     )
     bench = (
         sh.where(F.col("doc_id") % _BENCH_MOD == 0)
