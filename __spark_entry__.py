@@ -67,10 +67,11 @@ _GRADE_FIRST = (
     "udaf_geomean_discount", "agg_exact_percentiles",
     "histogram_order_totals", "topk_expensive_lineitems",
     "subquery_above_avg_orders", "window_ntile_customer_value",
-    "map_priority_profile", "hof_order_quantities",
+    "map_priority_profile",
     # new this round: State API v2 batch-replay twin (stateful_v2.py
-    # gains its first oracle-graded correctness signal)
-    "streaming_userstats_v2_replay",
+    # gains its first oracle-graded correctness signal) + PQ ADC search
+    # (the query-side completion of knn_pq_quantize)
+    "streaming_userstats_v2_replay", "knn_pq_search",
 )
 
 
