@@ -38,7 +38,7 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 _GRADE_FIRST = (
     # Round-3 window. Tier 1: the 15 queries never graded in any round
     # (VERDICT_r2 "What's missing" #1) — after this round every one of
-    # the 116 registered queries has >=1 graded row (the two round-3
+    # the 117 registered queries has >=1 graded row (the two round-3
     # additions are windowed in place of doubly-graded backfill rows).
     "variant_event_props_profile", "sessions_interval_overlap",
     "sql_lateral_top_tokens_per_lang", "skew_salted_flag_totals",
@@ -68,11 +68,13 @@ _GRADE_FIRST = (
     "udaf_geomean_discount", "agg_exact_percentiles",
     "histogram_order_totals", "topk_expensive_lineitems",
     "subquery_above_avg_orders", "window_ntile_customer_value",
-    "map_priority_profile",
     # new this round: State API v2 batch-replay twin (stateful_v2.py
-    # gains its first oracle-graded correctness signal) + PQ ADC search
-    # (the query-side completion of knn_pq_quantize)
-    "streaming_userstats_v2_replay", "knn_pq_search",
+    # gains its first oracle-graded correctness signal), PQ ADC search
+    # (the query-side completion of knn_pq_quantize), and the composed
+    # IVF-PQ search (coarse-list pruning + ADC — the production ANN
+    # serving plan). The displaced backfill entries (hof, map_priority)
+    # keep their round-1 green rows.
+    "streaming_userstats_v2_replay", "knn_pq_search", "knn_ivfpq_search",
 )
 
 

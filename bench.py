@@ -46,6 +46,7 @@ HEADLINE = [
     ("knn_ivf", similarity.knn_ivf_centroid),
     ("knn_lsh", similarity.knn_lsh_hyperplane),
     ("knn_pq_search", similarity.knn_pq_search),
+    ("knn_ivfpq_search", similarity.knn_ivfpq_search),
     ("text_quality", text.text_quality_scores),
     ("text_top_tokens", text.text_top_tokens),
     ("text_bpe_tokens", text.text_bpe_token_count),

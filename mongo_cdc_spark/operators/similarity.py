@@ -680,6 +680,71 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _sql_darr(vals) -> str:
+    """SQL literal for a double array (full-precision repr + D suffix,
+    so the parsed doubles are bit-identical to the Python floats)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _pq_literal_model(sub: DataFrame, cent: DataFrame):
+    """Collect the PQ codebook and probe subvectors once and compile
+    them into SQL-text literal expressions. Returns (qids, codes_sql,
+    adc_sql): probe ids, the per-row 8-code assignment expression, and
+    adc_sql(q) — the ADC lookup-sum expression for probe q over a
+    materialized `codes` column.
+
+    SQL text rather than Column composition: these trees hold ~1000
+    literals, and building them through py4j costs ~6 s of driver
+    round-trips (measured) vs milliseconds of JVM-side parsing."""
+    cent_rows = cent.collect()
+    probe_rows = (sub.filter(F.col("vec_id") < N_QUERIES)
+                  .select("vec_id", "s", "sv").collect())
+    labels = sorted({int(c["code_label"]) for c in cent_rows})
+    cb = {(int(c["s"]), int(c["code_label"])): list(c["cv"])
+          for c in cent_rows}
+    dtab = {(int(p["vec_id"]), int(p["s"])):
+            [_py_l2(p["sv"], cb[(int(p["s"]), lab)]) for lab in labels]
+            for p in probe_rows}
+
+    def best_code(s):
+        sv = f"slice(v, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+        cands = ",".join(
+            "named_struct('err', round(aggregate(zip_with("
+            f"{sv}, {_sql_darr(cb[(s, lab)])}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as double), (acc, d) -> acc + d), 6), "
+            f"'code', {lab})"
+            for lab in labels)
+        return f"array_min(array({cands})).code"
+
+    codes_sql = ("array(" +
+                 ",".join(best_code(s) for s in range(_PQ_SUBSPACES)) + ")")
+
+    # codes holds labels; its position in each literal d-array is
+    # label+1 when labels are contiguous 0..K-1 (the fixture contract),
+    # else located via array_position — both stay narrow in codegen.
+    contiguous = labels == list(range(len(labels)))
+
+    def d_index(s):
+        code = f"element_at(codes, {s + 1})"
+        if contiguous:
+            return f"{code} + 1"
+        lab_arr = "array(" + ",".join(str(v) for v in labels) + ")"
+        return f"cast(array_position({lab_arr}, {code}) as int)"
+
+    def adc_sql(q):
+        terms = ",".join(
+            "element_at(" +
+            "array(" + ",".join(f"round({float(dr)!r}D, 6)"
+                                for dr in dtab[(q, s)]) + "), " +
+            d_index(s) + ")"
+            for s in range(_PQ_SUBSPACES))
+        return ("round(aggregate(array(" + terms + "), "
+                "cast(0 as double), (acc, d) -> acc + d), 6)")
+
+    qids = sorted({int(p["vec_id"]) for p in probe_rows})
+    return qids, codes_sql, adc_sql
+
+
 @query("knn_pq_search", sql=_pq_search_oracle_sql())
 def knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k search — the query that the
@@ -701,7 +766,14 @@ def knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-subspace distances round to 6 dp on both engines,
     and the 8-term sum folds in FIXED subspace order (array_sort +
     sequential aggregate ≡ DuckDB list(ORDER BY s) + list_sum), so the
-    final doubles are bit-identical before the last rounding."""
+    final doubles are bit-identical before the last rounding.
+
+    Approximation quality: the fixture codebook is 10 label-seeded
+    codes per subspace — cluster-resolution quantization, so ADC ranks
+    at cohort granularity (returned neighbors sit at mean true-L2
+    percentile ≈0.2 on the fixture, asserted in tests). Production
+    deployments train K=256 learned codes per subspace; the plan shape
+    is identical."""
     e = _emb(spark, sf_dir)
     sub, cent = _pq_sub_cent(e)
     # The codebook is a MODEL parameter — K×m = 80 rows at ANY corpus
@@ -717,61 +789,12 @@ def knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Determinism: the Python d_raw sum is the same left-to-right fold
     # as DuckDB's list_sum (bit-identical doubles); ALL rounding happens
     # in Spark expressions so ROUND semantics match the oracle.
-    cent_rows = cent.collect()
-    probe_rows = (sub.filter(F.col("vec_id") < N_QUERIES)
-                  .select("vec_id", "s", "sv").collect())
-    labels = sorted({int(c["code_label"]) for c in cent_rows})
-    cb = {(int(c["s"]), int(c["code_label"])): list(c["cv"])
-          for c in cent_rows}
-    dtab = {(int(p["vec_id"]), int(p["s"])):
-            [_py_l2(p["sv"], cb[(int(p["s"]), lab)]) for lab in labels]
-            for p in probe_rows}
-
-    # The literal trees below are generated as SQL TEXT and parsed with
-    # two F.expr calls: composing them as Column objects costs thousands
-    # of py4j round-trips (~6 s of driver time — measured), while the
-    # generated SQL parses JVM-side in milliseconds.
-    def darr(vals):
-        return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
-
-    def best_code(s):
-        sv = f"slice(v, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
-        cands = ",".join(
-            "named_struct('err', round(aggregate(zip_with("
-            f"{sv}, {darr(cb[(s, lab)])}, (x, y) -> (x - y) * (x - y)), "
-            "cast(0 as double), (acc, d) -> acc + d), 6), "
-            f"'code', {lab})"
-            for lab in labels)
-        return f"array_min(array({cands})).code"
-
-    codes_sql = ("array(" +
-                 ",".join(best_code(s) for s in range(_PQ_SUBSPACES)) + ")")
+    qids, codes_sql, adc_sql = _pq_literal_model(sub, cent)
     coded = e.select("vec_id", F.expr(codes_sql).alias("codes"))
-
-    # codes holds labels; its position in each literal d-array is
-    # label+1 when labels are contiguous 0..K-1 (the fixture contract),
-    # else located via array_position — both stay narrow in codegen.
-    contiguous = labels == list(range(len(labels)))
-
-    def d_index(s):
-        code = f"element_at(codes, {s + 1})"
-        if contiguous:
-            return f"{code} + 1"
-        lab_arr = "array(" + ",".join(str(v) for v in labels) + ")"
-        return f"cast(array_position({lab_arr}, {code}) as int)"
-
-    probe_structs = []
-    for q in sorted({int(p["vec_id"]) for p in probe_rows}):
-        terms = ",".join(
-            "element_at(" +
-            "array(" + ",".join(f"round({float(dr)!r}D, 6)"
-                                for dr in dtab[(q, s)]) + "), " +
-            d_index(s) + ")"
-            for s in range(_PQ_SUBSPACES))
-        probe_structs.append(
-            f"named_struct('query_id', cast({q} as bigint), "
-            f"'approx_l2', round(aggregate(array({terms}), "
-            "cast(0 as double), (acc, d) -> acc + d), 6))")
+    probe_structs = [
+        f"named_struct('query_id', cast({q} as bigint), "
+        f"'approx_l2', {adc_sql(q)})"
+        for q in qids]
     adist = (
         coded.select(
             "vec_id",
@@ -780,6 +803,151 @@ def knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qa.query_id").alias("query_id"),
                 F.col("vec_id").alias("neighbor_id"), "qa.approx_l2")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVF-PQ search oracle: full-dim L2 list assignment (rounded 6 dp,
+    label tie-break) + raw-double probe-list ranking (bit-identical on
+    both engines, so no rounding needed for the ORDER BY) + the shared
+    ADC CTEs from the plain PQ search."""
+    l2_64 = ("list_sum(list_transform(list_zip({a}, {b}),"
+             " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    return _pq_cte_prefix() + f"""
+    , comp64 AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent64 AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv64
+      FROM comp64 GROUP BY label
+    ), ivf AS (
+      SELECT vec_id, c_label AS ivf FROM (
+        SELECT e.vec_id, cent64.c_label,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND({l2_64.format(a='e.v', b='cent64.cv64')}, 6),
+                 cent64.c_label) AS rn
+        FROM e CROSS JOIN cent64)
+      WHERE rn = 1
+    ), plists AS (
+      SELECT query_id, c_label FROM (
+        SELECT q.vec_id AS query_id, c.c_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {l2_64.format(a='q.v', b='c.cv64')}, c.c_label) AS rn
+        FROM e q CROSS JOIN cent64 c WHERE q.vec_id < {N_QUERIES})
+      WHERE rn <= {_IVFPQ_NPROBE}
+    ), codes AS (
+      SELECT vec_id, s, code_label AS code FROM best WHERE rn = 1
+    ), qsub AS (
+      SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < {N_QUERIES}
+    ), dtab AS (
+      SELECT q.query_id, q.s, c.code_label,
+             ROUND(list_sum(list_transform(
+               list_zip(q.sv, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+      FROM qsub q JOIN cent c ON c.s = q.s
+    ), cand AS (
+      SELECT p.query_id, i.vec_id
+      FROM ivf i JOIN plists p ON i.ivf = p.c_label
+      WHERE i.vec_id <> p.query_id
+    ), adist AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id,
+             ROUND(list_sum(list(t.d ORDER BY t.s)), 6) AS approx_l2
+      FROM cand ca
+      JOIN codes ON codes.vec_id = ca.vec_id
+      JOIN dtab t ON t.query_id = ca.query_id AND t.s = codes.s
+                 AND t.code_label = codes.code
+      GROUP BY ca.query_id, ca.vec_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY approx_l2, neighbor_id) AS INT) AS rank
+      FROM adist
+    )
+    SELECT query_id, neighbor_id, approx_l2, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("knn_ivfpq_search", sql=_ivfpq_oracle_sql())
+def knn_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search — the production 100 TB ANN serving plan:
+    coarse inverted-file pruning (each probe visits only its
+    {_IVFPQ_NPROBE} nearest centroid lists) with PQ asymmetric-distance
+    ranking inside the visited lists (Jégou et al.'s IVFADC). The plain
+    `knn_pq_search` scans every vector's codes for every probe; here a
+    vector is scored only when its coarse cell is probed — at scale
+    that is the difference between reading all lists and reading
+    nprobe/K of them, and with list-partitioned storage the pruning
+    becomes partition pruning at the scan.
+
+    Plan shape: both the coarse centroids (K×64) and the PQ model are
+    driver-side literals, so the corpus side stays fully narrow — scan
+    → one projection computing (coarse cell, 8 PQ codes) → per-probe
+    CASE-gated lookup sums (NULL outside probed lists, filtered before
+    the shuffle) → per-probe top-k, the only exchange.
+
+    Determinism: list assignment rounds to 6 dp with label tie-break on
+    both engines; probe-list ranking compares RAW doubles (the Python
+    fold is bit-identical to DuckDB's list_sum, so no rounding is
+    needed); ADC sums reuse the knn_pq_search scheme."""
+    e = _emb(spark, sf_dir)
+    sub, cent = _pq_sub_cent(e)
+    qids, codes_sql, adc_sql = _pq_literal_model(sub, cent)
+    comp64 = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i").agg(F.avg("x").alias("c"))
+    )
+    cent64 = (
+        comp64.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("label",
+                F.transform("pairs", lambda p: p.getField("c")).alias("cv"))
+    )
+    c64 = {int(r["label"]): list(r["cv"]) for r in cent64.collect()}
+    probes = {int(r["vec_id"]): list(r["v"])
+              for r in e.filter(F.col("vec_id") < N_QUERIES)
+                        .select("vec_id", "v").collect()}
+    plists = {
+        q: [lab for _, lab in sorted(
+            ((_py_l2(v, c64[lab]), lab) for lab in sorted(c64))
+        )[:_IVFPQ_NPROBE]]
+        for q, v in probes.items()
+    }
+    ivf_cands = ",".join(
+        "named_struct('err', round(aggregate(zip_with("
+        f"v, {_sql_darr(c64[lab])}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, d) -> acc + d), 6), "
+        f"'lab', {lab})"
+        for lab in sorted(c64))
+    ivf_sql = f"array_min(array({ivf_cands})).lab"
+    coded = e.select("vec_id", F.expr(ivf_sql).alias("ivf"),
+                     F.expr(codes_sql).alias("codes"))
+    probe_structs = [
+        f"named_struct('query_id', cast({q} as bigint), "
+        "'approx_l2', CASE WHEN ivf IN ("
+        + ",".join(str(lab) for lab in plists[q])
+        + f") THEN {adc_sql(q)} ELSE NULL END)"
+        for q in qids]
+    adist = (
+        coded.select(
+            "vec_id",
+            F.explode(F.expr("array(" + ",".join(probe_structs) + ")"))
+             .alias("qa"))
+        .select(F.col("qa.query_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"), "qa.approx_l2")
+        .filter(F.col("approx_l2").isNotNull()
+                & (F.col("neighbor_id") != F.col("query_id")))
     )
     w = W.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
     return (
