@@ -34,8 +34,10 @@ _BASE_CONF = {
 # Streaming state at scale (SURVEY.md §7 M4): the default HDFS-backed
 # state store keeps state on-heap; RocksDB spills to local disk, which is
 # the only viable choice once streaming dedup / session state reaches
-# hundreds of GB per executor. Off by default so the hermetic test
-# environment (no rocksdb jni requirement) stays untouched.
+# hundreds of GB per executor. Verified working in this environment —
+# tests/test_streaming.py proves state restores across query restarts
+# under this provider (changelog checkpointing on). Off by default so
+# the fast HDFS-backed path serves the small-state test suite.
 ROCKSDB_STATE_CONF = {
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state."

@@ -380,3 +380,56 @@ def test_running_user_stats_v2_logic_matches_batch_replay(spark, sf_dir):
         assert round(float(row["total_value"]), 4) == \
             round(float(e["total_value"]), 4), uid
         assert int(row["n_types"]) == int(e["n_types"]), uid
+
+
+def test_rocksdb_state_store_accumulates_across_restart(spark, tmp_path):
+    """The RocksDB state store (ROCKSDB_STATE_CONF — the provider a
+    100 TB deployment must run, since HDFS-backed state lives on-heap)
+    works end-to-end in this environment: a stateful streaming
+    aggregation checkpoints its state in RocksDB, and a SECOND query
+    started from the same checkpoint restores that state and keeps
+    accumulating — proving both the provider wiring and changelog
+    checkpointing, not just config acceptance."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.session import ROCKSDB_STATE_CONF
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    chg = ("spark.sql.streaming.stateStore.rocksdb."
+           "changelogCheckpointing.enabled")
+    prev = {k: spark.conf.get(k, None) for k in (key, chg)}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_batch(fname, rows):
+            (src / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows))
+            out = []
+            q = (spark.readStream.schema("k INT, v INT").json(str(src))
+                 .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+                 .writeStream.outputMode("update")
+                 .foreachBatch(lambda b, i: out.extend(b.collect()))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return {r.k: r.n for r in out}
+
+        first = run_batch("a.json", [{"k": 1, "v": i} for i in range(5)])
+        assert first == {1: 5}
+        # new query instance, same checkpoint: counts must CONTINUE
+        second = run_batch("b.json", [{"k": 1, "v": i} for i in range(3)]
+                           + [{"k": 2, "v": 0}])
+        assert second == {1: 8, 2: 1}, \
+            "RocksDB state was not restored across query restart"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
