@@ -31,18 +31,41 @@ def test_round_trip(spark, sf_dir, tmp_path, fmt, opts):
         {r.n_name for r in src.collect()}
 
 
+_EXPECTED_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_fixture_drift_canary(spark, sf):
     """Round-2 regression guard: the driver regenerated events.parquet
     with a different physical ts type (nanos→micros) between rounds and
     the engine broke silently until the graded run. Assert the
-    engine-facing schema of every table at every SF so fixture drift
-    fails here in seconds, not in 3 red CORRECTNESS rows."""
+    engine-facing schema of every table at every SF — column names AND
+    the normalized events timestamp type — so fixture drift fails here
+    in seconds, not in red CORRECTNESS rows."""
     from pyspark.sql.types import TimestampType
 
     from mongo_cdc_spark.io import TABLES
+    assert set(_EXPECTED_COLS) == set(TABLES)
     for t in TABLES:
         df = load_table(spark, f"/root/testdata/{sf}", t)
+        assert df.columns == _EXPECTED_COLS[t], \
+            f"{sf}/{t}: columns drifted to {df.columns}"
         assert len(df.take(1)) == 1, f"{sf}/{t}: no rows"
         if t == "events":
             assert isinstance(df.schema["ts"].dataType, TimestampType), \
