@@ -67,14 +67,16 @@ _GRADE_FIRST = (
     "agg_grouping_sets_orders", "pivot_status_by_priority",
     "udaf_geomean_discount", "agg_exact_percentiles",
     "histogram_order_totals", "topk_expensive_lineitems",
-    "subquery_above_avg_orders", "window_ntile_customer_value",
+    "subquery_above_avg_orders",
     # new this round: State API v2 batch-replay twin (stateful_v2.py
     # gains its first oracle-graded correctness signal), PQ ADC search
-    # (the query-side completion of knn_pq_quantize), and the composed
+    # (the query-side completion of knn_pq_quantize), the composed
     # IVF-PQ search (coarse-list pruning + ADC — the production ANN
-    # serving plan). The displaced backfill entries (hof, map_priority)
+    # serving plan), and the corpus-unigram LM quality score. The
+    # displaced backfill entries (hof, map_priority, window_ntile)
     # keep their round-1 green rows.
     "streaming_userstats_v2_replay", "knn_pq_search", "knn_ivfpq_search",
+    "text_unigram_logprob",
 )
 
 

@@ -419,3 +419,60 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("dup_bigram_frac"))
         .orderBy("doc_id")
     )
+
+
+@query("text_unigram_logprob", sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT SUM(c) AS t FROM freq
+    ), scored AS (
+      SELECT doc_id, ln(c * 1.0 / t) AS lp
+      FROM toks JOIN freq USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(lp), 4) AS logprob_mean
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model proxy score (the CCNet/KenLM-style
+    quality signal): each document's mean log-probability of its tokens
+    under the corpus unigram distribution. Low scores flag rare-token
+    gibberish; implausibly high scores flag boilerplate — the classic
+    pre-filter before anything expensive in a training-data pipeline.
+
+    Scale: token counts shuffle (8-byte-hashable token, count) pairs
+    with map-side combine; the per-token probability join co-partitions
+    both sides on `tok` (the frequency table at 100 TB is vocabulary-
+    sized — too big to broadcast, right-sized for a shuffle join), and
+    the per-doc mean partial-aggregates before the doc_id shuffle. The
+    corpus total is a 1-row aggregate broadcast as a literal cross
+    join. ROUND(·,4) absorbs libm last-ulp ln() differences and
+    summation-order float drift between engines.
+    """
+    # tokens travel as 8-byte xxhash64 keys through the count and the
+    # probability join (identical counts modulo ~|vocab|²/2⁶⁴ collisions,
+    # far below the oracle's detection floor) — the shuffle carries
+    # (doc_id, hash) pairs, never strings
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("th"))
+    )
+    freq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(freq, "th")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id",
+                F.log(F.col("c") * F.lit(1.0) / F.col("t")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.round(F.avg("lp"), 4).alias("logprob_mean"))
+        .orderBy("doc_id")
+    )
