@@ -132,3 +132,52 @@ def materialize_stream(events: DataFrame, snapshot_path: str,
             .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+def compact_snapshot(spark: SparkSession, snapshot_path: str) -> dict:
+    """Compact the snapshot's small files: every micro-batch rewrite
+    leaves one file per shuffle task per touched bucket, so a
+    long-running apply accumulates files until scans pay per-file
+    open/footer costs. Rewrites each bucket partition into ONE file
+    (content-identical — same rows, same schema; hash-partitioning on
+    `bucket` puts each bucket's rows in exactly one task, and the task
+    count equals the live bucket count so buckets compact in parallel)
+    and reports before/after file counts.
+
+    Run periodically OUT of the hot path (e.g. from a maintenance
+    trigger), like any LSM-ish store's compaction. Safe against the
+    read-overwrite hazard the same way apply is: the full frame is
+    materialized with localCheckpoint BEFORE the dynamic overwrite
+    replaces the files it was read from. At 100 TB scale, run it
+    per-bucket-range to bound memory (the localCheckpoint holds only
+    the buckets being compacted).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(snapshot_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return {"files_before": 0, "files_after": 0, "buckets": 0}
+
+    def _count_files():
+        n, buckets = 0, 0
+        for st in fs.listStatus(root):
+            if not st.getPath().getName().startswith("bucket="):
+                continue
+            buckets += 1
+            for f in fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    n += 1
+        return n, buckets
+
+    before, buckets = _count_files()
+    df = (spark.read.parquet(snapshot_path)
+          .repartition(max(buckets, 1), "bucket")
+          .localCheckpoint(eager=True))
+    (df.write.mode("overwrite")
+     .partitionBy("bucket")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(snapshot_path))
+    after, _ = _count_files()
+    return {"files_before": before, "files_after": after,
+            "buckets": buckets}

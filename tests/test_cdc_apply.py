@@ -119,3 +119,38 @@ def test_materialize_stream_end_to_end(spark, tmp_path: Path):
         q.processAllAvailable()
     q.stop()
     assert _snapshot(spark, snap) == {"b": '{"v":2}', "c": '{"v":5}'}
+
+
+def test_compact_snapshot_reduces_files_preserves_content(
+        spark, tmp_path: Path):
+    """Many small batches accumulate files per bucket; compaction must
+    collapse each bucket to one file with content-identical rows."""
+    from mongo_cdc_spark.cdc.apply import compact_snapshot
+
+    snap = str(tmp_path / "snap")
+    for i in range(3):
+        evs = [_ev(f"k{j}", doc=f'{{"v":{i * 10 + j}}}',
+                   ts=f"2024-11-08T00:0{i}:00Z", rt=f"r{i}")
+               for j in range(8)]
+        apply_batch_to_snapshot(spark, snap, _events_df(spark, evs),
+                                n_buckets=4)
+    # the apply path's whole-bucket overwrite keeps ~1 file per bucket;
+    # fragmentation in production comes from AQE skew-splits or bigger
+    # writes — simulate it by rewriting with a tiny maxRecordsPerFile
+    frag = spark.read.parquet(snap).localCheckpoint(eager=True)
+    (frag.write.mode("overwrite").partitionBy("bucket")
+     .option("partitionOverwriteMode", "dynamic")
+     .option("maxRecordsPerFile", 1).parquet(snap))
+    before = _snapshot(spark, snap)
+    files_before = len(list(Path(snap).glob("bucket=*/*.parquet")))
+    report = compact_snapshot(spark, snap)
+    files_after = len(list(Path(snap).glob("bucket=*/*.parquet")))
+    buckets = len(list(Path(snap).glob("bucket=*")))
+    assert report["files_before"] == files_before
+    assert report["files_after"] == files_after
+    assert files_after == buckets < files_before
+    assert _snapshot(spark, snap) == before  # content-identical
+    # compaction is idempotent
+    again = compact_snapshot(spark, snap)
+    assert again["files_after"] == files_after
+    assert _snapshot(spark, snap) == before
