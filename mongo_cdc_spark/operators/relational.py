@@ -1028,12 +1028,16 @@ def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON navigation on a dynamic payload column — the same opaque-
     document treatment the CDC path gives fullDocument (SURVEY.md §1.5)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # parse the payload ONCE into a column; referencing the
+    # get_json_object expression from both aggregates would re-parse
+    # the JSON per reference per row
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type",
+                  F.get_json_object("props", "$.k").alias("k"))
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
-             F.max(k.cast("int")).alias("max_k"))
+             F.round(F.avg(F.col("k").cast("double")), 4).alias("avg_k"),
+             F.max(F.col("k").cast("int")).alias("max_k"))
         .orderBy("event_type")
     )
 
@@ -1519,18 +1523,32 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the exact 0.45/0.55 quantiles (rank error 1/accuracy=1e-4).
     Both sketches are deterministic for a fixed dataset, so the booleans
     are stable facts the oracle states as literals, and a regression
-    that pushes either sketch out of bound hash-mismatches the row."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+    that pushes either sketch out of bound hash-mismatches the row.
+
+    Plan note: the exact distinct runs as its OWN aggregation joined
+    back on the 3-row group key. Mixing countDistinct with the sketch
+    aggregates in one agg triggers Spark's distinct-rewrite (Expand),
+    which drags the percentile sketch buffers through a per-distinct-key
+    PartialMerge phase — measured 151 s vs ~3 s at sf0.1 for identical
+    results. Two map-side-combined passes over the scan also beat one
+    Expand-doubled shuffle at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketches = (
+        li.groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_orderkey", rsd=0.01)
              .alias("approx_orders"),
-             F.countDistinct("l_orderkey").alias("exact_orders"),
              F.percentile_approx("l_extendedprice", 0.5, 10_000)
              .alias("approx_median"),
              F.percentile("l_extendedprice", 0.45).alias("q45"),
              F.percentile("l_extendedprice", 0.55).alias("q55"),
              F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    )
+    return (
+        sketches.join(exact, "l_returnflag")
         .select(
             "l_returnflag", "exact_orders", "n",
             (F.abs(F.col("approx_orders") - F.col("exact_orders"))

@@ -27,8 +27,7 @@ from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
 from mongo_cdc_spark.operators import make_registry
-from mongo_cdc_spark.operators.dedup import (_shingles_of_hashes,
-                                             _token_hashes, _tokens)
+from mongo_cdc_spark.operators.dedup import _tokens, shingle_sets
 
 QUERIES, ORACLE, query = make_registry()
 
@@ -93,13 +92,15 @@ def train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle union is BROADCAST; the corpus side explodes its
     shingles, hash-joins the broadcast set, and partial-aggregates the
     overlap count per doc — one shuffle, map-side combined.
+
+    The shingle sets come from dedup.shingle_sets — the PERSISTED shared
+    frame — not a local projection: exploding an unpersisted two-step
+    shingle projection lets the Generate pushdown collapse the
+    projections and re-inline the token-hash transform per lambda
+    reference (measured 21 s vs 2 s at sf0.1 — the cache is the barrier
+    codegen CSE won't provide; see dedup._shingles_of_hashes).
     """
-    sh = (
-        _docs(spark, sf_dir)
-        .where(F.size(_tokens()) >= 3)
-        .select("doc_id", _token_hashes(_tokens()).alias("th"))
-        .select("doc_id", _shingles_of_hashes("th").alias("sh"))
-    )
+    sh = shingle_sets(spark, sf_dir)
     bench = (
         sh.where(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("sh").alias("h"))
@@ -107,7 +108,7 @@ def train_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = (
         sh.where(F.col("doc_id") % _BENCH_MOD != 0)
-        .select("doc_id", F.size("sh").alias("n_shingles"),
+        .select("doc_id", F.col("n_sh").alias("n_shingles"),
                 F.explode("sh").alias("h"))
     )
     overlap_frac = F.col("n_overlap") * F.lit(1.0) / F.col("n_shingles")

@@ -51,9 +51,17 @@ def get_spark(app_name: str = "mongo_cdc_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or get) a SparkSession with the engine's defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
-    )
+    # In local mode the ONE driver JVM hosts all executor threads, every
+    # cached partition, and every broadcast — Spark's default 1g heap
+    # OOMs a 32-thread session long before the machine does (measured:
+    # a 70-query sf0.1 sweep killed the JVM at ~1 GB while the box had
+    # >100 GiB free). Only effective at JVM launch; getOrCreate on an
+    # existing session leaves the running heap unchanged.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    builder = (SparkSession.builder.appName(app_name)
+               .master(master or f"local[{cpus}]")
+               .config("spark.driver.memory", mem)
+               .config("spark.driver.maxResultSize", "4g"))
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
