@@ -56,10 +56,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang
 """)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per language facet."""
+    """Token counting per language facet.
+
+    The token array is materialized as its own projection before any
+    consumer reads it (HOF-CSE discipline, see text_shingle_fingerprint)."""
     return (
         _docs(spark, sf_dir)
-        .select("lang", F.size(_tokens()).alias("n_tok"), "n_chars")
+        .select("lang", _tokens().alias("w"), "n_chars")
+        .select("lang", F.size("w").alias("n_tok"), "n_chars")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
@@ -88,14 +92,24 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + length saturation, averaged per
-    source — the standard cheap pre-filter in LLM data pipelines."""
-    toks = _tokens()
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
-    stop_ratio = n_stop * F.lit(1.0) / n_tok
+    source — the standard cheap pre-filter in LLM data pipelines.
+
+    The token array (and then the two counts derived from it) are
+    materialized as their own projections before the ratio/quality
+    arithmetic reads them: codegen subexpression elimination does not
+    reach inside higher-order-function lambdas, so the previous inlined
+    form re-split the whole document several times per row (measured
+    0.63 s -> 2.39 s regression at sf0.1; same bug class fixed 33x in
+    dedup, see text_shingle_fingerprint)."""
+    n_tok = F.col("n_tok")
+    stop_ratio = F.col("n_stop") * F.lit(1.0) / n_tok
     quality = 0.6 * stop_ratio + 0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
     return (
         _docs(spark, sf_dir)
+        .select("source", _tokens().alias("w"))
+        .select("source", F.size("w").alias("n_tok"),
+                F.size(F.filter("w", lambda t: t.isin(*_STOPWORDS)))
+                .alias("n_stop"))
         .select("source", stop_ratio.alias("ratio"), quality.alias("q"))
         .groupBy("source")
         .agg(F.round(F.avg("ratio"), 4).alias("avg_stop_ratio"),
@@ -151,14 +165,21 @@ def _markers_sql(lang: str) -> str:
 """)
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word scoring, fixed-precedence
-    argmax) → confusion matrix against the labeled lang column."""
-    toks = _tokens()
+    argmax) → confusion matrix against the labeled lang column.
+
+    The token array and the five marker scores are materialized as
+    their own projections before the argmax CASE reads them: each score
+    column is referenced 4-5 times in the CASE, and an inlined
+    split+filter would re-run per reference (HOF-CSE bug class, see
+    text_quality_scores)."""
 
     def _score(markers):
         # one-arg lambda required: a 2-arg lambda means (element, index)
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        return F.size(F.filter("w", lambda t: t.isin(*markers)))
 
-    scores = {lang: _score(markers) for lang, markers in _LANG_MARKERS.items()}
+    score_cols = [_score(m).alias(f"s_{lang}")
+                  for lang, m in _LANG_MARKERS.items()]
+    scores = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
     pred = (
         F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
                & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
@@ -172,6 +193,8 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _docs(spark, sf_dir)
+        .select("lang", _tokens().alias("w"))
+        .select("lang", *score_cols)
         .select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
