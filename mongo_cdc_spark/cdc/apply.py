@@ -145,39 +145,67 @@ def compact_snapshot(spark: SparkSession, snapshot_path: str) -> dict:
     and reports before/after file counts.
 
     Run periodically OUT of the hot path (e.g. from a maintenance
-    trigger), like any LSM-ish store's compaction. Safe against the
-    read-overwrite hazard the same way apply is: the full frame is
-    materialized with localCheckpoint BEFORE the dynamic overwrite
-    replaces the files it was read from. At 100 TB scale, run it
-    per-bucket-range to bound memory (the localCheckpoint holds only
-    the buckets being compacted).
+    trigger), like any LSM-ish store's compaction. Two hazards guarded:
+
+    - read-overwrite: the full frame is materialized with
+      localCheckpoint BEFORE the dynamic overwrite replaces the files
+      it was read from (same as the apply path).
+    - lost update vs a CONCURRENT apply: if a micro-batch commits to a
+      bucket between this function's read and its overwrite, the
+      overwrite would resurrect the pre-batch rows. So the per-bucket
+      file listing (name, length, mtime) is snapshotted at read time
+      and re-listed after materialization; buckets whose listing
+      changed are EXCLUDED from the overwrite (dynamic overwrite only
+      replaces partitions present in the output) and reported in
+      `skipped_buckets` — they compact on the next pass. This shrinks
+      the race to the re-list→commit window; a truly concurrent
+      long-running apply should still pause around compaction (the
+      skip makes a violated assumption lose compaction work, not
+      data... unless a batch lands inside the residual window, which
+      quiescing eliminates).
+
+    At 100 TB scale, run it per-bucket-range to bound memory (the
+    localCheckpoint holds only the buckets being compacted).
     """
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(snapshot_path)
     fs = root.getFileSystem(conf)
     if not fs.exists(root):
-        return {"files_before": 0, "files_after": 0, "buckets": 0}
+        return {"files_before": 0, "files_after": 0, "buckets": 0,
+                "skipped_buckets": []}
 
-    def _count_files():
-        n, buckets = 0, 0
+    def _listing():
+        """{bucket_id: frozenset((file, len, mtime))} — identity of each
+        bucket partition's current on-disk state."""
+        out = {}
         for st in fs.listStatus(root):
-            if not st.getPath().getName().startswith("bucket="):
+            name = st.getPath().getName()
+            if not name.startswith("bucket="):
                 continue
-            buckets += 1
-            for f in fs.listStatus(st.getPath()):
-                if f.getPath().getName().endswith(".parquet"):
-                    n += 1
-        return n, buckets
+            files = frozenset(
+                (f.getPath().getName(), f.getLen(),
+                 f.getModificationTime())
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet"))
+            out[int(name.split("=", 1)[1])] = files
+        return out
 
-    before, buckets = _count_files()
+    before_listing = _listing()
+    before = sum(len(v) for v in before_listing.values())
+    buckets = len(before_listing)
     df = (spark.read.parquet(snapshot_path)
           .repartition(max(buckets, 1), "bucket")
           .localCheckpoint(eager=True))
+    after_listing = _listing()
+    changed = sorted(b for b in after_listing
+                     if after_listing[b] != before_listing.get(b))
+    if changed:  # a concurrent apply touched these — leave them alone
+        df = df.filter(~F.col("bucket").isin(changed))
     (df.write.mode("overwrite")
      .partitionBy("bucket")
      .option("partitionOverwriteMode", "dynamic")
      .parquet(snapshot_path))
-    after, _ = _count_files()
+    after = sum(len(v) for v in _listing().values())
     return {"files_before": before, "files_after": after,
-            "buckets": buckets}
+            "buckets": buckets, "skipped_buckets": changed}

@@ -816,10 +816,11 @@ _IVFPQ_NPROBE = 3
 
 
 def _ivfpq_oracle_sql() -> str:
-    """IVF-PQ search oracle: full-dim L2 list assignment (rounded 6 dp,
-    label tie-break) + raw-double probe-list ranking (bit-identical on
-    both engines, so no rounding needed for the ORDER BY) + the shared
-    ADC CTEs from the plain PQ search."""
+    """IVF-PQ search oracle: full-dim L2 list assignment AND probe-list
+    ranking both rounded to 6 dp with label tie-break (the centroids
+    are engine-computed averages whose summation order differs, so raw
+    doubles near an nprobe boundary could flip list membership) + the
+    shared ADC CTEs from the plain PQ search."""
     l2_64 = ("list_sum(list_transform(list_zip({a}, {b}),"
              " p -> (p[1] - p[2]) * (p[1] - p[2])))")
     return _pq_cte_prefix() + f"""
@@ -842,7 +843,8 @@ def _ivfpq_oracle_sql() -> str:
       SELECT query_id, c_label FROM (
         SELECT q.vec_id AS query_id, c.c_label,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                 {l2_64.format(a='q.v', b='c.cv64')}, c.c_label) AS rn
+                 ROUND({l2_64.format(a='q.v', b='c.cv64')}, 6),
+                 c.c_label) AS rn
         FROM e q CROSS JOIN cent64 c WHERE q.vec_id < {N_QUERIES})
       WHERE rn <= {_IVFPQ_NPROBE}
     ), codes AS (
@@ -897,10 +899,10 @@ def knn_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE-gated lookup sums (NULL outside probed lists, filtered before
     the shuffle) → per-probe top-k, the only exchange.
 
-    Determinism: list assignment rounds to 6 dp with label tie-break on
-    both engines; probe-list ranking compares RAW doubles (the Python
-    fold is bit-identical to DuckDB's list_sum, so no rounding is
-    needed); ADC sums reuse the knn_pq_search scheme."""
+    Determinism: list assignment AND probe-list ranking both round to
+    6 dp with label tie-break on both engines (centroids are
+    engine-averaged, so raw doubles could diverge by an ulp near an
+    nprobe boundary); ADC sums reuse the knn_pq_search scheme."""
     e = _emb(spark, sf_dir)
     sub, cent = _pq_sub_cent(e)
     qids, codes_sql, adc_sql = _pq_literal_model(sub, cent)
@@ -918,9 +920,14 @@ def knn_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = {int(r["vec_id"]): list(r["v"])
               for r in e.filter(F.col("vec_id") < N_QUERIES)
                         .select("vec_id", "v").collect()}
+    # probe→centroid distances round to 6 dp before the ranking (same
+    # as the corpus-side list assignment): the centroids come from
+    # Spark AVG here and DuckDB AVG in the oracle, whose summation
+    # orders differ, so a last-ulp centroid delta near an nprobe
+    # boundary tie could otherwise flip list membership between engines
     plists = {
         q: [lab for _, lab in sorted(
-            ((_py_l2(v, c64[lab]), lab) for lab in sorted(c64))
+            ((round(_py_l2(v, c64[lab]), 6), lab) for lab in sorted(c64))
         )[:_IVFPQ_NPROBE]]
         for q, v in probes.items()
     }

@@ -154,3 +154,49 @@ def test_compact_snapshot_reduces_files_preserves_content(
     again = compact_snapshot(spark, snap)
     assert again["files_after"] == files_after
     assert _snapshot(spark, snap) == before
+
+
+def test_compact_snapshot_skips_concurrently_modified_bucket(
+        spark, tmp_path: Path, monkeypatch):
+    """Lost-update guard: a micro-batch that commits to a bucket
+    between compaction's read and its overwrite must NOT be discarded —
+    the changed bucket is detected by the file-listing compare and
+    excluded from the overwrite (reported in skipped_buckets)."""
+    from mongo_cdc_spark.cdc.apply import compact_snapshot
+
+    snap = str(tmp_path / "snap")
+    evs = [_ev(f"k{j}", doc=f'{{"v":{j}}}', rt=f"r{j}") for j in range(8)]
+    apply_batch_to_snapshot(spark, snap, _events_df(spark, evs), n_buckets=4)
+
+    # patch the RUNTIME DataFrame class (pyspark 4 classic/connect
+    # subclasses override the pyspark.sql.DataFrame base methods)
+    DataFrame = type(spark.range(1))
+    orig = DataFrame.localCheckpoint
+    state = {"fired": False}
+
+    def hooked(self, eager=True):
+        ckpt = orig(self, eager)
+        if not state["fired"]:
+            # fire exactly once, INSIDE compact's read->overwrite window
+            # (apply_batch_to_snapshot below also calls localCheckpoint,
+            # so the flag must flip before the recursive call)
+            state["fired"] = True
+            apply_batch_to_snapshot(
+                spark, snap,
+                _events_df(spark, [_ev("k0", doc='{"v":999}',
+                                       ts="2024-11-08T01:00:00Z",
+                                       rt="z9")]),
+                n_buckets=4)
+        return ckpt
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", hooked)
+    report = compact_snapshot(spark, snap)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", orig)
+
+    assert state["fired"]
+    assert report["skipped_buckets"], \
+        "the concurrently-written bucket must be excluded from compaction"
+    final = _snapshot(spark, snap)
+    assert final["k0"] == '{"v":999}', "concurrent update was lost"
+    assert {k: v for k, v in final.items() if k != "k0"} == \
+        {f"k{j}": f'{{"v":{j}}}' for j in range(1, 8)}
