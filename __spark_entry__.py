@@ -36,47 +36,38 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # representative spread of each already-passing category — inside the window.
 # Everything not listed follows in module order, so the full registry is intact.
 _GRADE_FIRST = (
-    # Round-3 window. Tier 1: the 15 queries never graded in any round
-    # (VERDICT_r2 "What's missing" #1) — after this round every one of
-    # the 117 registered queries has >=1 graded row (the two round-3
-    # additions are windowed in place of doubly-graded backfill rows).
-    "variant_event_props_profile", "sessions_interval_overlap",
-    "sql_lateral_top_tokens_per_lang", "skew_salted_flag_totals",
-    "join_hint_shuffle_hash", "agg_regression_stats", "rfm_customer_segments",
-    "ann_range_search", "dedup_cluster_stats", "dedup_containment",
-    "dedup_span_kgram", "train_shard_assign", "train_regex_redact",
-    "train_mixture_weights", "train_token_budget",
-    # Tier 2: the 3 red rows in CORRECTNESS_r02 (io.py events-ts bug,
-    # fixed this round) — must flip green.
-    "events_top_transitions", "events_anomaly_zscore",
-    "streaming_dedup_within_watermark_replay",
-    # Tier 3: the other events-table queries that passed r1 but were
-    # broken by the same bug in r2 — fresh green rows post-fix.
-    "events_sessionization", "events_funnel_conversion",
-    "events_cohort_retention", "events_hourly_rollup", "events_gap_fill",
-    "window_lag_lead_user_events", "window_sliding_events",
-    "window_session_events", "join_asof_purchase_click",
-    "json_extract_event_props",
-    # Backfill: already-green spot-checks across every category graded
-    # only in round 1 (re-confirm they still pass on current fixtures).
-    "cdc_topic_routing", "cdc_key_envelope",
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "join_semi_urgent_customers", "join_range_price_band",
-    "agg_rollup_order_status", "agg_cube_returnflag",
-    "agg_grouping_sets_orders", "pivot_status_by_priority",
-    "udaf_geomean_discount", "agg_exact_percentiles",
-    "histogram_order_totals", "topk_expensive_lineitems",
-    "subquery_above_avg_orders",
-    # new this round: State API v2 batch-replay twin (stateful_v2.py
-    # gains its first oracle-graded correctness signal), PQ ADC search
-    # (the query-side completion of knn_pq_quantize), the composed
-    # IVF-PQ search (coarse-list pruning + ADC — the production ANN
-    # serving plan), and the corpus-unigram LM quality score. The
-    # displaced backfill entries (hof, map_priority, window_ntile)
-    # keep their round-1 green rows.
-    "streaming_userstats_v2_replay", "knn_pq_search", "knn_ivfpq_search",
-    "text_unigram_logprob",
+    # Round-4 window: staleness rotation (VERDICT_r3 task #3). After
+    # round 3 every registered query has a green latest row; the risk is
+    # now fixture drift invalidating OLD rows (round 2 proved fixtures
+    # change between rounds). So the window leads with the rows whose
+    # latest grading is oldest.
+    # Tier 1: all 21 queries whose only green row dates from round 1.
+    "q5_local_supplier_volume", "q10_returned_items",
+    "join_anti_customers_no_orders", "join_outer_nation_coverage",
+    "agg_distinct_per_flag", "agg_stats_acctbal", "hof_order_quantities",
+    "sample_deterministic_orders", "window_range_frame_spend",
+    "window_topk_orders_per_segment", "window_running_customer_spend",
+    "window_ntile_customer_value", "agg_collect_nations_per_region",
+    "map_priority_profile", "setop_union_nations_with_presence",
+    "setop_intersect_nations", "setop_except_nations",
+    "scalar_string_part_facets", "scalar_date_order_seasonality",
+    "scalar_math_discount_model", "filter_nullsafe_priority_pairs",
+    # Tier 2: queries whose implementation CHANGED in round 4 (HOF-CSE
+    # materialization in text, MinHash adaptive verify, multimodal real
+    # decode) — a changed query must re-grade regardless of row age.
+    "text_quality_scores", "text_token_stats", "text_langid_confusion",
+    "dedup_minhash_lsh", "multimodal_fake_decode", "multimodal_real_decode",
+    "sessions_interval_overlap", "knn_ivfpq_search",
+    # Tier 3: fill to 50 with the oldest r2-graded rows (the TPC-H
+    # sweep + remaining dedup), in module order.
+    "sample_stratified_orders", "agg_approx_sketches",
+    "unpivot_lineitem_metrics", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_priority_lines", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_quantity", "q20_excess_suppliers", "q21_waiting_supplier",
+    "q22_global_sales", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
 )
 
 

@@ -254,15 +254,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard. Broadcast the candidate pair
-    # list (ids only — tiny relative to the corpus) so the shingle sets
-    # stream through twice without ever shuffling the arrays themselves.
+    # Verify candidates with exact Jaccard via equi-joins on doc id.
+    # No broadcast HINT: a 100 TB crawl at a high dup rate can yield
+    # billions of candidate pairs, so an unconditional broadcast is
+    # unbounded driver/executor memory. The joins are plain shuffle
+    # joins on doc_id — bounded at ANY candidate volume — and AQE's
+    # runtime join selection converts them to broadcasts exactly when
+    # the measured candidate size is under the threshold (the adaptive
+    # broadcast-small/shuffle-big behavior, decided from real sizes).
+    # Pinned by tests/test_dedup.py::test_minhash_verify_join_is_bounded.
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"),
                      F.col("n_sh").alias("n1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"),
                      F.col("n_sh").alias("n2"))
     verified = (
-        s1.join(F.broadcast(candidates), "doc1")
+        s1.join(candidates, "doc1")
         .join(s2, "doc2")
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn("jaccard", F.round(
