@@ -58,6 +58,9 @@ _GRADE_FIRST = (
     "text_quality_scores", "text_token_stats", "text_langid_confusion",
     "dedup_minhash_lsh", "multimodal_fake_decode", "multimodal_real_decode",
     "sessions_interval_overlap", "knn_ivfpq_search",
+    # Tier 2b: queries NEW in round 4 (first grading).
+    "dedup_incremental_new_batch", "dedup_semantic_semdedup",
+    "train_curriculum_order",
     # Tier 3: fill to 50 with the oldest r2-graded rows (the TPC-H
     # sweep + remaining dedup), in module order.
     "sample_stratified_orders", "agg_approx_sketches",
@@ -66,8 +69,7 @@ _GRADE_FIRST = (
     "q11_important_parts", "q12_priority_lines", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
     "q17_small_quantity", "q20_excess_suppliers", "q21_waiting_supplier",
-    "q22_global_sales", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "q22_global_sales",
 )
 
 

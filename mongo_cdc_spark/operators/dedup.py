@@ -807,3 +807,176 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", "containment")
         .orderBy("doc1", "doc2")
     )
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+@query("dedup_semantic_semdedup", sql=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp64 AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent64 AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv64
+      FROM comp64 GROUP BY label
+    ), cells AS (
+      SELECT vec_id, v, c_label AS cell FROM (
+        SELECT e.vec_id, e.v, cent64.c_label,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_sum(list_transform(list_zip(e.v, cent64.cv64),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6),
+                 cent64.c_label) AS rn
+        FROM e CROSS JOIN cent64)
+      WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           LEAST(c.vec_id, COALESCE(MIN(p.id1), c.vec_id)) AS keeper_id
+    FROM cells c LEFT JOIN pairs p ON p.id2 = c.vec_id
+    GROUP BY c.vec_id, c.cell
+    ORDER BY c.vec_id
+""")
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with the coarse quantizer, then drop near-identical
+    vectors WITHIN each cluster only (cosine >= tau -> collapse to the
+    lowest-id member). Unlike `dedup_embedding_cosine` (exact global
+    threshold pairs), within-cell comparison is the algorithm's point:
+    the cluster restriction bounds the pair space by design. tau is
+    corpus-calibrated (the paper sweeps it per dataset); this synthetic
+    corpus has no pairs above cos 0.61, so tau=0.4 targets the most
+    redundant within-cell tail (~1-5% of pairs) the way the paper's
+    epsilon does.
+
+    Scale: centroid assignment is a literal-model narrow projection
+    (same compiled-quantizer pattern as knn_ivfpq_search); the only
+    shuffles are the self-join keyed on the CELL id — cost
+    sum(cell_size^2), the SemDeDup contract — and the final keeper
+    aggregation on vec_id. The pair list carries no broadcast hint
+    (data-dependent size; AQE decides). Assignment rounds L2^2 to 6 dp
+    with label tie-break on both engines, cosine rounds to 6 dp before
+    the threshold — the determinism scheme proven on the IVF-PQ path.
+    """
+    from mongo_cdc_spark.operators.similarity import (
+        _emb, cosine, full_dim_centroids, ivf_cell_sql)
+
+    e = _emb(spark, sf_dir)
+    cells = e.select("vec_id", "v", "norm",
+                     F.expr(ivf_cell_sql(full_dim_centroids(e)))
+                     .alias("cell")).persist()
+    a = cells.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+                     F.col("norm").alias("n1"), "cell")
+    b = cells.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+                     F.col("norm").alias("n2"), "cell")
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", F.round(
+            cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6))
+        .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .select("id1", "id2")
+    )
+    return (
+        cells.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+        .join(pairs, F.col("vec_id") == F.col("id2"), "left")
+        .groupBy("vec_id", "cell")
+        .agg(F.least(F.col("vec_id"),
+                     F.coalesce(F.min("id1"), F.col("vec_id")))
+             .alias("keeper_id"))
+        .orderBy("vec_id")
+    )
+
+
+# Incremental split: the newest 20% of doc ids are "today's batch";
+# relative so the operator exercises the same shape at every SF.
+_INCR_NEW_FRAC = 0.8
+
+
+@query("dedup_incremental_new_batch", sql=f"""
+    WITH cut AS (
+      SELECT CAST(FLOOR({_INCR_NEW_FRAC} * (MAX(doc_id) + 1)) AS BIGINT)
+        AS threshold FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+             len(list_intersect(n.s, o.s)) * 1.0
+               / (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) AS j
+      FROM sh n JOIN sh o
+        ON n.doc_id >= (SELECT threshold FROM cut)
+       AND o.doc_id <  (SELECT threshold FROM cut)
+    ), best AS (
+      SELECT new_doc, old_doc, j,
+             ROW_NUMBER() OVER (PARTITION BY new_doc
+                                ORDER BY j DESC, old_doc) AS rn
+      FROM pairs WHERE j >= {JACCARD_THRESHOLD}
+    )
+    SELECT new_doc, old_doc AS dup_of, ROUND(j, 4) AS jaccard
+    FROM best WHERE rn = 1
+    ORDER BY new_doc
+""")
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production daily shape: dedup the
+    NEW batch (newest 20% of doc ids) against the EXISTING corpus, not
+    corpus x corpus. Reports each new document that near-duplicates
+    (J >= 0.5) an existing one, with its best existing match.
+
+    Scale rationale: at 100 TB you never re-dedup the corpus per
+    ingest; the corpus side is a standing shingle inverted index
+    (incrementally maintained, exactly what `shingle_sets` persists)
+    and the daily batch probes it. Cost per ingest is
+    O(batch x index-hit-rate), independent of corpus growth except
+    through shingle document frequency. The join here is new-explode
+    vs old-explode on the 8-byte shingle hash with the exact
+    size-ratio prune inside the join; the per-new-doc best match is a
+    bounded row_number window partitioned on new_doc.
+    """
+    sets = shingle_sets(spark, sf_dir)
+    # threshold from the RAW table (not the >=3-token shingle frame):
+    # the oracle computes MAX(doc_id) over all documents, and a corpus
+    # whose max-id doc is tiny must not shift the split
+    cut = load_table(spark, sf_dir, "documents").agg(F.floor(
+        _INCR_NEW_FRAC * (F.max("doc_id") + 1)).alias("threshold"))
+    tagged = sets.crossJoin(F.broadcast(cut))
+    new = (tagged.filter(F.col("doc_id") >= F.col("threshold"))
+           .select(F.col("doc_id").alias("new_doc"), "sh", "n_sh"))
+    old = (tagged.filter(F.col("doc_id") < F.col("threshold"))
+           .select(F.col("doc_id").alias("old_doc"), "sh", "n_sh"))
+    n_ex = new.select("new_doc", F.col("n_sh").alias("n1"),
+                      F.explode("sh").alias("shingle"))
+    o_ex = old.select("old_doc", F.col("n_sh").alias("n2"),
+                      F.explode("sh").alias("shingle"))
+    size_ok = ((F.col("n2") >= F.col("n1") * JACCARD_THRESHOLD)
+               & (F.col("n2") * JACCARD_THRESHOLD <= F.col("n1")))
+    common = (
+        n_ex.join(o_ex, "shingle")
+        .filter(size_ok)
+        .groupBy("new_doc", "old_doc", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    w = W.partitionBy("new_doc").orderBy(F.desc("j_raw"), F.asc("old_doc"))
+    return (
+        common.withColumn("j_raw", j)
+        .filter(F.col("j_raw") >= JACCARD_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", F.col("old_doc").alias("dup_of"),
+                F.round("j_raw", 4).alias("jaccard"))
+        .orderBy("new_doc")
+    )

@@ -812,6 +812,38 @@ def knn_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def full_dim_centroids(e: DataFrame) -> dict[int, list[float]]:
+    """{label: 64-dim mean vector} — the coarse quantizer model,
+    collected once to the driver (K x 64 doubles; a driver-side model
+    compiled to SQL literals keeps the corpus scan fully narrow, same
+    rationale as the PQ codebooks at similarity.py::_pq_literal_model)."""
+    comp64 = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i").agg(F.avg("x").alias("c"))
+    )
+    cent64 = (
+        comp64.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("label",
+                F.transform("pairs", lambda p: p.getField("c")).alias("cv"))
+    )
+    return {int(r["label"]): list(r["cv"]) for r in cent64.collect()}
+
+
+def ivf_cell_sql(c64: dict[int, list[float]]) -> str:
+    """SQL expression assigning a vector column `v` to its nearest
+    coarse centroid: L2^2 rounded to 6 dp (engine-averaged centroids
+    can differ by an ulp between Spark and DuckDB) with label
+    tie-break via the (err, lab) struct min."""
+    ivf_cands = ",".join(
+        "named_struct('err', round(aggregate(zip_with("
+        f"v, {_sql_darr(c64[lab])}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, d) -> acc + d), 6), "
+        f"'lab', {lab})"
+        for lab in sorted(c64))
+    return f"array_min(array({ivf_cands})).lab"
+
+
 _IVFPQ_NPROBE = 3
 
 
@@ -906,17 +938,7 @@ def knn_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     sub, cent = _pq_sub_cent(e)
     qids, codes_sql, adc_sql = _pq_literal_model(sub, cent)
-    comp64 = (
-        e.select("label", F.posexplode("v").alias("i", "x"))
-        .groupBy("label", "i").agg(F.avg("x").alias("c"))
-    )
-    cent64 = (
-        comp64.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
-        .select("label",
-                F.transform("pairs", lambda p: p.getField("c")).alias("cv"))
-    )
-    c64 = {int(r["label"]): list(r["cv"]) for r in cent64.collect()}
+    c64 = full_dim_centroids(e)
     probes = {int(r["vec_id"]): list(r["v"])
               for r in e.filter(F.col("vec_id") < N_QUERIES)
                         .select("vec_id", "v").collect()}
@@ -931,13 +953,7 @@ def knn_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[:_IVFPQ_NPROBE]]
         for q, v in probes.items()
     }
-    ivf_cands = ",".join(
-        "named_struct('err', round(aggregate(zip_with("
-        f"v, {_sql_darr(c64[lab])}, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as double), (acc, d) -> acc + d), 6), "
-        f"'lab', {lab})"
-        for lab in sorted(c64))
-    ivf_sql = f"array_min(array({ivf_cands})).lab"
+    ivf_sql = ivf_cell_sql(c64)
     coded = e.select("vec_id", F.expr(ivf_sql).alias("ivf"),
                      F.expr(codes_sql).alias("codes"))
     probe_structs = [

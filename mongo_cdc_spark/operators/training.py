@@ -437,3 +437,70 @@ def train_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_tok", "cum_tok")
         .orderBy("lang", "cum_tok")
     )
+
+
+# Curriculum: 4 phases, easy -> hard. "Difficulty" is the standard cheap
+# proxy (length x lexical diversity); within a phase the order is the
+# deterministic md5 permutation so dataloader order is reproducible.
+_CURR_PHASES = 4
+
+
+@query("train_curriculum_order", sql=f"""
+    WITH scored AS (
+      SELECT doc_id, {_PERM_SQL} AS k,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) * 1.0
+               / len(regexp_split_to_array(text, '\\s+')) AS ttr
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             ROUND(n_tok * ttr, 4) AS difficulty, k
+      FROM scored
+    ), phased AS (
+      SELECT doc_id, CAST(n_tok AS INT) AS n_tok, difficulty,
+             CAST(ntile({_CURR_PHASES}) OVER (
+               ORDER BY difficulty, doc_id) AS INT) AS phase, k
+      FROM ranked
+    )
+    SELECT doc_id, n_tok, difficulty, phase,
+           CAST(ROW_NUMBER() OVER (PARTITION BY phase ORDER BY k, doc_id)
+                AS INT) AS order_in_phase
+    FROM phased
+    ORDER BY phase, order_in_phase
+""")
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank documents by a difficulty proxy
+    (token count x type/token ratio — long, lexically diverse docs are
+    'hard'), split into {_CURR_PHASES} curriculum phases with ntile,
+    and fix a deterministic md5-permutation order within each phase —
+    the reproducible easy-to-hard dataloader schedule.
+
+    Scale: difficulty is a narrow projection; the ntile is ONE global
+    sort on (difficulty, doc_id) — at 100 TB that global ntile becomes
+    the standard sample-quantile cut (range-partition by difficulty,
+    assign phases from broadcast quantile bounds), same semantics with
+    no single-task sort; the within-phase window shuffles on the
+    {_CURR_PHASES}-value phase key. Deterministic tie-breaks on doc_id
+    everywhere, so the schedule is bit-stable across engines and runs.
+    """
+    toks = _tokens()
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", _perm_key().alias("k"), toks.alias("w"))
+    scored = scored.select(
+        "doc_id", "k", F.size("w").cast("int").alias("n_tok"),
+        (F.size(F.array_distinct("w")) * F.lit(1.0) / F.size("w"))
+        .alias("ttr"))
+    ranked = scored.select(
+        "doc_id", "k", "n_tok",
+        F.round(F.col("n_tok") * F.col("ttr"), 4).alias("difficulty"))
+    phased = ranked.withColumn(
+        "phase", F.ntile(_CURR_PHASES).over(
+            W.orderBy("difficulty", "doc_id")))
+    return (
+        phased.withColumn(
+            "order_in_phase",
+            F.row_number().over(
+                W.partitionBy("phase").orderBy("k", "doc_id")))
+        .select("doc_id", "n_tok", "difficulty", "phase", "order_in_phase")
+        .orderBy("phase", "order_in_phase")
+    )

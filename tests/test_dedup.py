@@ -127,3 +127,36 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     strong = jac[jac.jaccard >= dedup.CONTAINMENT_THRESHOLD]
     for p in zip(strong.doc1, strong.doc2):
         assert p in cpairs
+
+
+def test_incremental_dedup_respects_split(spark, sf_dir, oracle):
+    """Every reported row pairs a NEW doc with an OLD doc relative to
+    the 80% doc_id cut, at jaccard >= threshold, one row per new doc."""
+    rows = dedup.dedup_incremental_new_batch(spark, sf_dir).collect()
+    assert len(rows) > 0, "fixture must contain cross-split near-dups"
+    cut = oracle.sql(
+        "SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT)"
+        " FROM documents").fetchone()[0]
+    new_docs = [r.new_doc for r in rows]
+    assert len(new_docs) == len(set(new_docs)), "one best match per new doc"
+    for r in rows:
+        assert r.new_doc >= cut and r.dup_of < cut
+        assert dedup.JACCARD_THRESHOLD <= r.jaccard <= 1.0
+
+
+def test_semdedup_keeper_invariants(spark, sf_dir):
+    """SemDeDup: every vector appears once; keeper_id <= vec_id; a
+    keeper is always in the same cell as the vector it replaces."""
+    out = dedup.dedup_semantic_semdedup(spark, sf_dir).toPandas()
+    from mongo_cdc_spark.io import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n
+    assert out.vec_id.is_unique
+    assert (out.keeper_id <= out.vec_id).all()
+    cell_of = dict(zip(out.vec_id, out.cell))
+    dropped = out[out.keeper_id < out.vec_id]
+    assert len(dropped) > 0, "fixture must contain semantic dups"
+    for _, r in dropped.iterrows():
+        assert cell_of[r.keeper_id] == r.cell, \
+            "keeper must share the vector's cell (within-cell dedup)"

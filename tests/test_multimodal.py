@@ -54,6 +54,66 @@ def test_frame_sample_counts_follow_meta(spark, sf_dir):
     assert per_doc["count"].between(1, 3).all()
 
 
+def test_ppm_round_trip_with_header_grammar():
+    """decode_ppm is a real decoder: it must round-trip encode_ppm and
+    accept the full netpbm header grammar (comments, arbitrary
+    whitespace) — not just the bytes our encoder happens to emit."""
+    px = bytes(range(4 * 2 * 3))
+    w, h, got = multimodal.decode_ppm(multimodal.encode_ppm(4, 2, px))
+    assert (w, h, got) == (4, 2, px)
+    # hand-built header with comments and CRLF whitespace
+    hairy = b"P6 # magic\n# a comment line\n 4\t2 # dims\n255\n" + px
+    assert multimodal.decode_ppm(hairy) == (4, 2, px)
+
+
+@pytest.mark.parametrize("bad", [
+    b"P5\n2 2\n255\n" + b"\x00" * 12,          # wrong magic
+    b"P6\n2 2\n65535\n" + b"\x00" * 12,        # 16-bit maxval
+    b"P6\n2 2\n255\n" + b"\x00" * 5,           # truncated pixels
+    b"P6\n2",                                   # truncated header
+    b"P6\n0 2\n255\n",                          # zero dimension
+])
+def test_ppm_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(bad)
+
+
+@pytest.mark.parametrize("w,h", [(4, 2), (3, 3), (5, 1)])
+def test_bmp_round_trip_includes_row_padding(w, h):
+    """BMP rows pad to 4 bytes (width 3 and 5 exercise nonzero pad);
+    decode must undo bottom-up row order and BGR channel order."""
+    px = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+    assert multimodal.decode_bmp(multimodal.encode_bmp(w, h, px)) \
+        == (w, h, px)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"not a bmp at all")
+    ok = multimodal.encode_bmp(2, 2, bytes(12))
+    mangled = ok[:28] + b"\x08\x00" + ok[30:]  # bpp 24 -> 8
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(mangled)
+
+
+def test_real_decode_matches_local_recompute(spark, sf_dir):
+    """End-to-end: the graded query's means must equal a local
+    decode of the same synthetic PPM for a sample of documents."""
+    got = (multimodal.multimodal_real_decode(spark, sf_dir)
+           .limit(5).toPandas().set_index("doc_id"))
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(f"doc_id in ({','.join(map(str, got.index))})")
+            .toPandas())
+    for _, row in docs.iterrows():
+        img = multimodal.ppm_from_doc_bytes(row.text.encode("utf-8"))
+        w, h, px = multimodal.decode_ppm(img)
+        assert (got.loc[row.doc_id, "width"],
+                got.loc[row.doc_id, "height"]) == (w, h)
+        assert got.loc[row.doc_id, "mean_r"] == \
+            pytest.approx(sum(px[0::3]) / (w * h), abs=5e-5)
+
+
 def test_fixture_text_ascii_for_byte_oracle(spark, sf_dir):
     """The fake-decode oracle replays the byte checksum with
     ord(substr(...)) — codepoints — so it is valid only while the

@@ -90,3 +90,21 @@ def test_redact_masks_every_occurrence(spark, sf_dir):
         .where(F.col("t").isin("key", "hash", "value"))
         .count())
     assert total_masked == direct
+
+
+def test_curriculum_phases_balanced_and_ordered(spark, sf_dir):
+    from mongo_cdc_spark.operators.training import (
+        _CURR_PHASES, train_curriculum_order)
+
+    out = train_curriculum_order(spark, sf_dir).toPandas()
+    assert out.doc_id.is_unique
+    assert set(out.phase) == set(range(1, _CURR_PHASES + 1))
+    sizes = out.groupby("phase").size()
+    assert sizes.max() - sizes.min() <= 1  # ntile balance
+    for _, g in out.groupby("phase"):
+        assert sorted(g.order_in_phase) == list(range(1, len(g) + 1))
+    # phases are ordered by difficulty: every phase-p max difficulty
+    # <= phase-(p+1) min (ties split by doc_id may equalize bounds)
+    bounds = out.groupby("phase").difficulty.agg(["min", "max"])
+    for p in range(1, _CURR_PHASES):
+        assert bounds.loc[p, "max"] <= bounds.loc[p + 1, "min"] + 1e-9

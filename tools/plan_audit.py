@@ -22,7 +22,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
 # Python eval is DECLARED (intentional) in exactly these queries:
-PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode", "knn_lsh_hyperplane",
+PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
+             "multimodal_real_decode", "knn_lsh_hyperplane",
              "udaf_geomean_discount"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these

@@ -1,14 +1,23 @@
 """Full-registry scale sweep: run EVERY __spark_entry__.queries() entry
-at a given SF (default sf0.1) in one session, timing each, and flag
-outliers. The per-query bench covers 27 representative headliners; this
-sweep is the net that catches accidental quadratics and session-level
-failures the bench misses — it found the 1 GB default driver heap OOM,
-the countDistinct×percentile_approx Expand pathology (151 s), and the
+at one or two SFs in one session, timing each, and flag outliers. The
+per-query bench covers 27 representative headliners; this sweep is the
+net that catches accidental quadratics and session-level failures the
+bench misses — it found the 1 GB default driver heap OOM, the
+countDistinct×percentile_approx Expand pathology (151 s), and the
 Generate-pushdown shingle re-inline (21 s) in round 3.
 
-    python tools/scale_sweep.py [sf_dir] [slow_threshold_sec]
+    python tools/scale_sweep.py [sf_dir] [slow_threshold_sec] [base_sf_dir]
 
-Exit code 1 if any query errors or exceeds the threshold (default 30 s).
+With a base_sf_dir (default /root/testdata/sf0.01 when it exists) every
+query ALSO runs at the smaller SF and the per-query scaling ratio
+t(sf)/t(base) is reported — the slope check: a query whose time grows
+faster than (SF ratio x slack) is flagged even if its absolute time is
+still comfortable. Fixed per-query overhead (session, planning, Arrow
+worker startup) makes small-SF times a floor, so the gate subtracts a
+fixed-cost allowance before computing the ratio.
+
+Exit code 1 if any query errors, exceeds the threshold (default 30 s),
+or scales super-linearly past the slack.
 """
 
 from __future__ import annotations
@@ -23,28 +32,93 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as entrymod  # noqa: E402
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
+# Per-query fixed overhead (planning, task dispatch, Arrow pool) that
+# does not scale with data; subtracted before the slope ratio so a
+# 0.3 s -> 0.5 s query is not misread as "scaling".
+FIXED_SEC = 0.5
+# A query is slope-flagged when (t_big - FIXED) > SF_ratio * SLACK *
+# max(t_base - FIXED, floor). SLACK absorbs constant factors (shuffle
+# rounding, AQE decisions differing between SFs).
+SLACK = 3.0
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run_all(spark, sf_dir: str, reps: int):
+    """Best-of-reps per query: single-shot local timings swing with
+    scheduler noise and one transient stall (GC, a slow first Arrow
+    worker) would flag an innocent query; the minimum is the
+    steady-state estimate, same policy as bench.py."""
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite") \
+                    .format("noop").save()
+                took = round(time.time() - t0, 2)
+                best = took if best is None else min(best, took)
+            except Exception as exc:  # noqa: BLE001 — sweep must finish
+                errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+                print(f"{name} ERROR {errors[name]}", flush=True)
+                break
+        if best is not None:
+            times[name] = best
+            print(f"{name} {best}s", flush=True)
+    return times, errors
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     slow = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+    base_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    if not Path(base_dir).is_dir() or base_dir == sf_dir:
+        base_dir = None
+    import os
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "2")))
     spark = get_spark("scale_sweep")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    times: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 2)
-            print(f"{name} {times[name]}s", flush=True)
-        except Exception as exc:  # noqa: BLE001 — sweep must finish
-            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
-            print(f"{name} ERROR {errors[name]}", flush=True)
+    base_times: dict[str, float] = {}
+    if base_dir:
+        print(f"== base pass @ {base_dir} (best of {reps}) ==")
+        base_times, base_errors = _run_all(spark, base_dir, reps)
+        if base_errors:
+            print(f"== base errors == {base_errors}")
+
+    print(f"== main pass @ {sf_dir} (best of {reps}) ==")
+    times, errors = _run_all(spark, sf_dir, reps)
 
     print("\n== slowest ==")
     for k, v in sorted(times.items(), key=lambda x: -x[1])[:10]:
         print(f"{k} {v}s")
+
+    slope_flags: dict[str, str] = {}
+    if base_dir:
+        sf_ratio = _sf_of(sf_dir) / max(_sf_of(base_dir), 1e-9)
+        print(f"\n== slope check (SF ratio {sf_ratio:g}, "
+              f"slack {SLACK}, fixed {FIXED_SEC}s) ==")
+        for k in sorted(times):
+            if k not in base_times:
+                continue
+            big = max(times[k] - FIXED_SEC, 0.0)
+            small = max(base_times[k] - FIXED_SEC, 0.05)
+            ratio = big / small
+            line = (f"{k} base={base_times[k]}s main={times[k]}s "
+                    f"ratio={ratio:.1f}x")
+            if big > sf_ratio * SLACK * small:
+                slope_flags[k] = line
+                print(f"SLOPE {line}", flush=True)
+            else:
+                print(line, flush=True)
+
     over = {k: v for k, v in times.items() if v > slow}
     print(f"\n== total == {round(sum(times.values()), 1)}s "
           f"over {len(times)} queries")
@@ -52,7 +126,9 @@ def main() -> int:
         print(f"== errors == {errors}")
     if over:
         print(f"== over {slow}s == {over}")
-    return 1 if (errors or over) else 0
+    if slope_flags:
+        print(f"== super-linear (> SFx{SLACK}) == {list(slope_flags)}")
+    return 1 if (errors or over or slope_flags) else 0
 
 
 if __name__ == "__main__":
