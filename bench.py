@@ -20,6 +20,7 @@ sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
     cdc_batch, dedup, multimodal, relational, similarity, text, tpch_full,
+    training,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
@@ -51,6 +52,11 @@ HEADLINE = [
     ("text_top_tokens", text.text_top_tokens),
     ("text_bpe_tokens", text.text_bpe_token_count),
     ("multimodal_decode", multimodal.multimodal_fake_decode),
+    # round-4 additions
+    ("multimodal_real_decode", multimodal.multimodal_real_decode),
+    ("dedup_incremental", dedup.dedup_incremental_new_batch),
+    ("dedup_semdedup", dedup.dedup_semantic_semdedup),
+    ("train_curriculum", training.train_curriculum_order),
 ]
 
 

@@ -74,11 +74,23 @@ def cdc_key_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-byte check of the Kafka Connect key envelope
     (main.go:16-24,123-131): the oracle constructs the exact expected
     JSON bytes by string concatenation; the engine must produce them
-    through its real to_json + Ext-JSON path."""
+    through its real to_json + Ext-JSON path (with_topic →
+    connect_key_envelope, the same code the streaming relay runs).
+
+    Manual predicate pushdown: Catalyst cannot push a filter through
+    the Ext-JSON pandas UDF, so the key filter is applied to the
+    PARSED envelope before the Python hop — serializing only the 100
+    selected keys instead of the whole corpus (150k rows at sf0.1).
+    The value serializer is not invoked at all: this query checks the
+    KEY envelope, and the value path has its own graded checks
+    (cdc_topic_routing, tests/test_extjson.py round-trips)."""
+    from mongo_cdc_spark.cdc.transform import (
+        connect_key_envelope, with_topic)
+
     parsed = parse_change_events(_synthetic_change_events(spark, sf_dir))
-    records = to_kafka_records(parsed).withColumn(
-        "order_key",
-        F.get_json_object("value", "$.documentKey._id").cast("long"))
-    return (records.filter(F.col("order_key") < 100)
+    keyed = (parsed
+             .withColumn("order_key", F.col("documentKey._id").cast("long"))
+             .filter(F.col("order_key") < 100))
+    return (connect_key_envelope(with_topic(keyed))
             .select("order_key", "topic", "key")
             .orderBy("order_key"))

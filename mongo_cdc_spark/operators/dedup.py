@@ -963,8 +963,15 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.explode("sh").alias("shingle"))
     size_ok = ((F.col("n2") >= F.col("n1") * JACCARD_THRESHOLD)
                & (F.col("n2") * JACCARD_THRESHOLD <= F.col("n1")))
+    # SHUFFLE_HASH: without the hint Spark's size estimate (skewed by
+    # the unknown-selectivity threshold filter) broadcasts the exploded
+    # CORPUS side — exactly backwards for incremental ingest, where the
+    # corpus is the unbounded side. A shuffle hash join on the 8-byte
+    # shingle key is bounded at any corpus size; at production scale
+    # the standing corpus index is already bucketed on shingle, making
+    # this join shuffle-free on the corpus side.
     common = (
-        n_ex.join(o_ex, "shingle")
+        n_ex.hint("shuffle_hash").join(o_ex, "shingle")
         .filter(size_ok)
         .groupBy("new_doc", "old_doc", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -273,8 +273,9 @@ _IMG_BYTES = _IMG_W * _IMG_H * 3
 def ppm_from_doc_bytes(doc: bytes) -> bytes:
     """Build the per-document P6 payload (cycle doc bytes into a 16x16
     RGB raster). Stands in for reading a media file from object store;
-    everything downstream of it is the real decode path."""
-    body = bytes(doc[j % len(doc)] for j in range(_IMG_BYTES))
+    everything downstream of it is the real decode path. The cycle is
+    C-speed bytes repetition, not a per-byte Python loop."""
+    body = (doc * (_IMG_BYTES // len(doc) + 1))[:_IMG_BYTES]
     return encode_ppm(_IMG_W, _IMG_H, body)
 
 
