@@ -334,22 +334,24 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers over a fixed 256-pixel grid, so ROUND(·,4) is
     deterministic.
 
-    Scale: encode+decode run in one narrow Arrow stage; only (doc_id,
-    w, h, 3 means) rows ever shuffle — media bytes stay in the task,
-    the rule for 100 TB multimodal data."""
-    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    Scale: the payload synthesis (fixture stand-in for reading media
+    files) is pure JVM string/binary built-ins, so the REAL decoder is
+    the query's only Python hop — one narrow Arrow stage; only
+    (doc_id, w, h, 3 means) rows ever shuffle. Media bytes stay in the
+    task, the rule for 100 TB multimodal data."""
+    docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-
-    def encode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "img": pdf["payload"].map(
-                    lambda b: ppm_from_doc_bytes(bytes(b))),
-            })
-
-    imgs = (docs.select("doc_id", "payload").repartition(n)
-            .mapInPandas(encode_batch, schema="doc_id long, img binary"))
+    # P6 payload built JVM-side: header literal + the document's bytes
+    # cycled to fill the 16x16 RGB raster (fixture text is pure ASCII,
+    # so string repeat/substring are byte-exact; the cast to binary
+    # yields the same bytes ppm_from_doc_bytes builds — asserted in
+    # tests/test_multimodal.py).
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})")
+    payload = F.concat(
+        F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n"), body).cast("binary")
+    imgs = (docs.select("doc_id", payload.alias("img")).repartition(n))
     feats = imgs.mapInPandas(
         real_decode_batch,
         schema=("doc_id long, width int, height int, "

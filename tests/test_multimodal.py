@@ -123,3 +123,24 @@ def test_fixture_text_ascii_for_byte_oracle(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert docs.filter(~F.col("text").rlike(r"^[\x20-\x7e]*$")).count() == 0
     assert docs.agg(F.max(F.length("text"))).first()[0] <= 2000
+
+
+def test_jvm_payload_matches_python_encoder(spark, sf_dir):
+    """The JVM-side PPM synthesis in multimodal_real_decode must build
+    byte-identical payloads to ppm_from_doc_bytes (the Python twin the
+    decoder round-trip tests use)."""
+    from pyspark.sql import functions as F
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").limit(20).toPandas())
+    body = F.expr(
+        "substring(repeat(text, cast(ceil(768 / length(text)) as int)"
+        " + 1), 1, 768)")
+    payload = F.concat(F.lit("P6\n16 16\n255\n"), body).cast("binary")
+    got = (load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id").isin([int(i) for i in docs.doc_id]))
+           .select("doc_id", payload.alias("img")).toPandas()
+           .set_index("doc_id"))
+    for _, r in docs.iterrows():
+        expect = multimodal.ppm_from_doc_bytes(r.text.encode())
+        assert bytes(got.loc[r.doc_id, "img"]) == expect
