@@ -86,8 +86,11 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .repartition(n, "doc_id")
-        .filter(F.size(_tokens()) >= 3)
-        .select("doc_id", _token_hashes(_tokens()).alias("th"))
+        # materialize tokens once before the size filter + hash
+        # projection (HOF-CSE discipline — the inlined form split twice)
+        .select("doc_id", _tokens().alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", _token_hashes(F.col("w")).alias("th"))
         .select("doc_id", _shingles_of_hashes("th").alias("sh"))
         .withColumn("n_sh", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -729,11 +732,13 @@ def dedup_span_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key scan (no buffering) — at 100 TB swap in groupBy(h).count()
     + AQE-skew join if a key exceeds a partition.
     """
-    toks = _tokens()
     spans = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.size(toks) >= SPAN_K)
-        .select("doc_id", _token_hashes(toks).alias("th"))
+        # materialize the token array before size-filter + hash read it
+        # (HOF-CSE discipline: the inlined form split the text twice)
+        .select("doc_id", _tokens().alias("w"))
+        .filter(F.size("w") >= SPAN_K)
+        .select("doc_id", _token_hashes(F.col("w")).alias("th"))
         .select("doc_id", F.explode(_span_hashes("th")).alias("h"))
         .withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
     )

@@ -356,19 +356,28 @@ def train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (built-in higher-order functions, JVM-side), so the filter
     runs at scan speed and its verdict column is available to downstream
     keep-list anti-joins without materializing a second pass.
+
+    The token array — and then the raw counts read by more than one
+    ratio — are materialized as their own projections before the
+    ratio arithmetic (HOF-CSE discipline: codegen subexpression
+    elimination does not reach inside higher-order-function lambdas,
+    so the previous inlined form re-split the document ~5x per row;
+    same bug class as the text_quality_scores regression).
     """
-    toks = _tokens()
-    n_tok = F.size(toks)
-    mean_wlen = F.round(
-        F.aggregate(toks, F.lit(0).cast("long"),
-                    lambda acc, x: acc + F.length(x)) * F.lit(1.0) / n_tok,
-        4)
-    stop_frac = F.round(
-        F.size(F.filter(toks, lambda x: x.isin(*_QF_STOP)))
-        * F.lit(1.0) / n_tok, 4)
-    sig = _docs(spark, sf_dir).select(
-        "doc_id", n_tok.cast("int").alias("n_tok"),
-        mean_wlen.alias("mean_wlen"), stop_frac.alias("stop_frac"))
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", _tokens().alias("w"))
+            .select(
+                "doc_id", F.size("w").alias("n_tok"),
+                F.aggregate("w", F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x)).alias("chars"),
+                F.size(F.filter("w", lambda x: x.isin(*_QF_STOP)))
+                .alias("n_stop")))
+    sig = toks.select(
+        "doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+        F.round(F.col("chars") * F.lit(1.0) / F.col("n_tok"), 4)
+         .alias("mean_wlen"),
+        F.round(F.col("n_stop") * F.lit(1.0) / F.col("n_tok"), 4)
+         .alias("stop_frac"))
     reason = (
         F.when(F.col("n_tok") < _QF_MIN_TOK, "too_short")
         .when(F.col("n_tok") > _QF_MAX_TOK, "too_long")
