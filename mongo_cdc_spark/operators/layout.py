@@ -1,0 +1,120 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+At 100 TB the dominant cost of most queries is the scan, and the
+dominant lever on the scan is FILE LAYOUT: parquet readers prune whole
+files/row-groups from min/max column statistics, but linear layouts
+only bound ONE column tightly. Z-ordering (bit-interleaving the
+bucketed key dimensions, then range-partitioning on the interleaved
+value) bounds EVERY interleaved dimension at once — each output
+partition covers a small hyper-rectangle of the key space, so
+predicates on either dimension skip most files. This is the layout
+strategy behind Delta/Iceberg `OPTIMIZE ZORDER BY`, re-expressed as a
+plain DataFrame transform: compute z-values narrowly at scan time and
+let `repartitionByRange(z)` do the clustering shuffle.
+
+The graded query assigns every event a z-value over (user bucket,
+hour bucket) and reports each z-range partition's bounding box — the
+per-file min/max stats a reader would prune with. The bounding-box
+areas being small IS the data-skipping property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+# 8 bits per dimension -> 16-bit z-value; 64 range partitions of 1024
+# z-values each (= 16x16 cells of the 256x256 key grid per partition).
+Z_BITS = 8
+Z_PARTS = 64
+_PART_SHIFT = (2 * Z_BITS) - 6  # 2^16 z-values / 64 partitions
+
+
+def _zvalue_sql(u: str, t: str, shift_fmt) -> str:
+    """Morton interleave of two Z_BITS-wide ints as an explicit
+    16-term sum (bit positions are disjoint, so + == OR). Pure integer
+    arithmetic — bit-identical on any engine; `shift_fmt` adapts the
+    shift syntax (Spark: shiftright/shiftleft fns, DuckDB: >>/<<)."""
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(shift_fmt(u, b, 2 * b + 1))
+        terms.append(shift_fmt(t, b, 2 * b))
+    return " + ".join(terms)
+
+
+def _spark_shift(col: str, right: int, left: int) -> str:
+    return f"shiftleft(shiftright({col}, {right}) & 1, {left})"
+
+
+def _duck_shift(col: str, right: int, left: int) -> str:
+    return f"((({col} >> {right}) & 1) << {left})"
+
+
+@query("layout_zorder_events", sql=f"""
+    WITH keyed AS (
+      SELECT event_id,
+             CAST(user_id % 256 AS INT) AS ub,
+             CAST((epoch_us(ts) // 3600000000) % 256 AS INT) AS tb
+      FROM events
+    ), z AS (
+      SELECT event_id, ub, tb,
+             {_zvalue_sql('ub', 'tb', _duck_shift)} AS zval
+      FROM keyed
+    )
+    SELECT CAST(zval >> {_PART_SHIFT} AS INT) AS part_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ub) AS INT) AS min_ub, CAST(MAX(ub) AS INT) AS max_ub,
+           CAST(MIN(tb) AS INT) AS min_tb, CAST(MAX(tb) AS INT) AS max_tb,
+           CAST(MIN(zval) AS INT) AS min_z, CAST(MAX(zval) AS INT) AS max_z
+    FROM z
+    GROUP BY part_id
+    ORDER BY part_id
+""")
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment over events keyed by (user bucket,
+    hour bucket), reporting each of the 64 z-range partitions'
+    row count and per-dimension bounding box.
+
+    The z-value is a 16-bit Morton code: 8 bits of user_id%256
+    interleaved with 8 bits of hour-index%256, emitted as an explicit
+    16-term shift/mask sum (built-in integer expressions, codegen'd —
+    no UDF). Writing files ordered by this value gives every file a
+    min/max envelope that is TIGHT in both user and time, so a reader
+    filtering on either dimension prunes ~sqrt-fraction of files
+    instead of all-but-one-dimension's worth — the same guarantee
+    `OPTIMIZE ZORDER BY (user_id, ts)` provides in lakehouse table
+    formats, derived here from first principles (Morton 1966 /
+    Hilbert-curve clustering literature).
+
+    Scale: z-value computation is a narrow projection at scan speed;
+    the ONLY shuffle is the summary groupBy on 64 keys (in a
+    real write path: the repartitionByRange(z) clustering exchange,
+    which replaces — not adds to — the write's existing shuffle).
+    Bucket widths (256x256 grid) size the partition count independent
+    of data volume; at 100 TB raise Z_BITS, not the operator shape.
+    """
+    hour_idx = F.expr("unix_micros(ts) div 3600000000")
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id",
+                (F.col("user_id") % 256).cast("int").alias("ub"),
+                (hour_idx % 256).cast("int").alias("tb"))
+    )
+    z = keyed.select(
+        "event_id", "ub", "tb",
+        F.expr(_zvalue_sql("ub", "tb", _spark_shift)).alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", _PART_SHIFT).cast("int")
+                  .alias("part_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ub").alias("min_ub"), F.max("ub").alias("max_ub"),
+             F.min("tb").alias("min_tb"), F.max("tb").alias("max_tb"),
+             F.min("zval").cast("int").alias("min_z"),
+             F.max("zval").cast("int").alias("max_z"))
+        .orderBy("part_id")
+    )

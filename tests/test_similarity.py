@@ -187,3 +187,36 @@ def test_ivfpq_subset_of_probed_lists_and_recall(spark, sf_dir):
     merged = ivfpq.merge(pq, on=["query_id", "neighbor_id"],
                          suffixes=("_ivf", "_pq"))
     assert (merged.approx_l2_ivf == merged.approx_l2_pq).all()
+
+
+def test_sq8_recall_vs_exact_inner_product(spark, sf_dir):
+    """SQ8 with 255 levels per dimension is a fine quantizer; its ADC
+    ranking must recover nearly all of the exact inner-product top-k
+    (quantization error ≤ step/2 per dim, far below neighbor gaps)."""
+    import numpy as np
+    import pandas as pd
+
+    sq8 = similarity.knn_sq8_search(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    truth = set()
+    for q in range(similarity.N_QUERIES):
+        qv = vecs[ids == q][0]
+        ips = vecs @ qv
+        order = sorted(
+            ((-ip, i) for ip, i in zip(ips, ids) if i != q))
+        truth |= {(q, i) for _, i in order[: similarity.TOP_K]}
+    found = set(zip(sq8.query_id, sq8.neighbor_id))
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"SQ8 recall {recall:.2f} vs exact IP top-k"
+
+
+def test_sq8_rank_contract(spark, sf_dir):
+    got = similarity.knn_sq8_search(spark, sf_dir).toPandas()
+    assert len(got) == similarity.N_QUERIES * similarity.TOP_K
+    for _, grp in got.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, similarity.TOP_K + 1))
+        assert (grp.sort_values("rank").approx_ip.diff().dropna()
+                <= 1e-12).all()
