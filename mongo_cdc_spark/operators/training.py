@@ -513,3 +513,67 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok", "difficulty", "phase", "order_in_phase")
         .orderBy("phase", "order_in_phase")
     )
+
+
+@query("train_dataset_card", sql="""
+    WITH base AS (
+      SELECT source, lang,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             md5(text) AS fp,
+             regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), card AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dup,
+             ROUND(quantile_cont(n_tok, 0.5), 4) AS med_tokens
+      FROM base GROUP BY source, lang
+    ), voc AS (
+      SELECT source, lang, COUNT(DISTINCT t.tok) AS n_vocab
+      FROM base, unnest(w) AS t(tok)
+      GROUP BY source, lang
+    )
+    SELECT c.source, c.lang, n_docs, total_tokens, n_vocab,
+           n_exact_dup, med_tokens
+    FROM card c JOIN voc v ON c.source = v.source AND c.lang = v.lang
+    ORDER BY c.source, c.lang
+""")
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-(source, lang) release-report numbers every
+    curated training corpus ships with — document and token volume,
+    vocabulary size, exact-duplicate count, and median document length.
+
+    Three SEPARATE small aggregations joined on the (source, lang) key
+    instead of one: mixing COUNT(DISTINCT fp) with an exact percentile
+    in a single agg triggers Spark's distinct-rewrite Expand, which
+    drags the percentile state through a per-distinct-key PartialMerge
+    (the 151 s -> 3 s pathology the round-3 sweep caught in
+    agg_approx_sketches). Each agg here is map-side partial-combined
+    and shuffles only (source, lang) keyed rows; the vocabulary agg
+    shuffles (source, lang, token) once — the same per-token hash
+    shuffle the TF-IDF query already pays. Joins are tiny-key
+    (|sources| x |langs| rows) and AQE broadcasts them.
+    """
+    base = (_docs(spark, sf_dir)
+            .select("source", "lang", F.md5("text").alias("fp"),
+                    _tokens().alias("w"))
+            .select("source", "lang", "fp", "w",
+                    F.size("w").alias("n_tok")))
+    card = (base.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                 F.round(F.percentile("n_tok", F.lit(0.5)), 4)
+                 .alias("med_tokens")))
+    dups = (base.groupBy("source", "lang")
+            .agg((F.count(F.lit(1)) - F.count_distinct("fp"))
+                 .cast("bigint").alias("n_exact_dup")))
+    voc = (base.select("source", "lang", F.explode("w").alias("tok"))
+           .groupBy("source", "lang")
+           .agg(F.count_distinct("tok").alias("n_vocab")))
+    return (
+        card.join(dups, ["source", "lang"]).join(voc, ["source", "lang"])
+        .select("source", "lang", "n_docs", "total_tokens", "n_vocab",
+                "n_exact_dup", "med_tokens")
+        .orderBy("source", "lang")
+    )
