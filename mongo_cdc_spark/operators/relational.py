@@ -2108,3 +2108,61 @@ def streaming_userstats_v2_replay(spark: SparkSession,
              F.countDistinct("event_type").alias("n_types"))
         .orderBy("user_id")
     )
+
+
+@query("events_hll_sketch_rollup", sql="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_in_bounds
+    FROM events GROUP BY day
+    UNION ALL
+    SELECT 'ALL' AS day, COUNT(DISTINCT user_id), TRUE FROM events
+    ORDER BY day
+""")
+def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-user rollup (Apache DataSketches HLL):
+    per-day sketches of the user set, then ONE sketch union — not a
+    re-scan — for the all-time distinct estimate. Mergeability is the
+    property that matters at 100 TB: per-partition sketches are tiny
+    fixed-size state computed in one pass, and any rollup level (day →
+    month → all-time) is a cheap union of stored sketches, where exact
+    distinct would re-shuffle the raw key universe per level
+    (Agarwal et al., "Mergeable Summaries"; the pattern behind
+    datasketches rollups in Druid/Hive/BigQuery).
+
+    Oracle strategy (the agg_approx_sketches convention): sketch
+    registers are engine-specific, so the graded columns are the EXACT
+    distinct companions plus a per-row boolean asserting the estimate
+    landed within 5% of exact (HLL lgK=12 rse ~1.6%, so the bound holds
+    with wide margin and is a stable fact of the fixture the oracle
+    states as a literal; a regression pushing the sketch out of bound
+    hash-mismatches the row).
+
+    Plan note: the sketch agg and the exact-distinct companion run as
+    SEPARATE aggregations joined on the small day key — mixing
+    count_distinct with a sketch in one agg triggers the
+    distinct-rewrite Expand that drags sketch buffers through a
+    per-distinct-key PartialMerge (the 151 s pathology, see
+    agg_approx_sketches)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id")
+    daily_sk = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    daily_exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    in_bounds = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users"))
+    daily = (
+        daily_sk.join(daily_exact, "day")
+        .select("day", "exact_users",
+                F.expr("hll_sketch_estimate(sk)").alias("est"))
+        .select("day", "exact_users", in_bounds.alias("est_in_bounds")))
+    merged = (
+        daily_sk.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                     .alias("est"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+        .select(F.lit("ALL").alias("day"), "exact_users",
+                in_bounds.alias("est_in_bounds")))
+    return daily.unionByName(merged).orderBy("day")
