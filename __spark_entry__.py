@@ -62,7 +62,7 @@ _GRADE_FIRST = (
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",
     "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",
     "cdc_incremental_view_replay", "train_dataset_card",
-    "events_hll_sketch_rollup",
+    "events_hll_sketch_rollup", "train_weighted_sample",
     # Tier 3: fill to 50 with the oldest r2-graded rows (the TPC-H
     # sweep + remaining dedup), in module order.
     "sample_stratified_orders", "agg_approx_sketches",

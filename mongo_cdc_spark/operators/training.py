@@ -577,3 +577,65 @@ def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_exact_dup", "med_tokens")
         .orderBy("source", "lang")
     )
+
+
+_WS_K = 10  # weighted sample size per language
+
+
+@query("train_weighted_sample", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             (('0x' || substr({_PERM_SQL}, 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_tok,
+             ROUND(ln(u) / n_tok, 6) AS es_key
+      FROM keyed
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY es_key DESC, doc_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok, es_key, rank
+    FROM ranked WHERE rank <= {_WS_K}
+    ORDER BY lang, rank
+""")
+def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis reservoir keys): each document draws a
+    deterministic uniform u from its md5 permutation key and is ranked
+    by ln(u)/n_tok; the top-k per language IS a weighted sample where
+    P(selection) ∝ token count. This is the one-pass mechanism that
+    realizes `train_mixture_weights`' target proportions: sampling
+    shards by token mass, not doc count, without materializing repeats.
+
+    Scale: one narrow projection computes the key (md5 + ln, all
+    JVM built-ins); the ONLY shuffle is the per-language top-k window,
+    which WindowGroupLimit collapses to per-partition heaps carrying at
+    most k rows per (partition, language) — a true distributed
+    reservoir: O(k·|langs|) memory regardless of corpus size.
+
+    Determinism: u is an exact dyadic rational from the hash prefix
+    (identical in both engines); ln(u)/n_tok may differ in the last ulp
+    between libm implementations, so the SELECTION key is rounded to
+    6 dp on both sides with doc_id tie-break — the established
+    rounded-sort-key convention (see knn_ivfpq_search)."""
+    u = ((F.conv(F.substring(_perm_key(), 1, 8), 16, 10).cast("long")
+          + F.lit(0.5)) / F.lit(4294967296.0))
+    keyed = (_docs(spark, sf_dir)
+             .select("doc_id", "lang", _tokens().alias("w"), u.alias("u"))
+             .select("doc_id", "lang", F.size("w").alias("n_tok"), "u"))
+    scored = keyed.select(
+        "lang", "doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+        F.round(F.log("u") / F.col("n_tok"), 6).alias("es_key"))
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("es_key"),
+                                              F.asc("doc_id"))))
+        .filter(F.col("rank") <= _WS_K)
+        .select("lang", "doc_id", "n_tok", "es_key", "rank")
+        .orderBy("lang", "rank")
+    )
