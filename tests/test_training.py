@@ -108,3 +108,18 @@ def test_curriculum_phases_balanced_and_ordered(spark, sf_dir):
     bounds = out.groupby("phase").difficulty.agg(["min", "max"])
     for p in range(1, _CURR_PHASES):
         assert bounds.loc[p, "max"] <= bounds.loc[p + 1, "min"] + 1e-9
+
+
+def test_weighted_sample_contract(spark, sf_dir):
+    """k rows per language, ranks dense 1..k, keys non-increasing, and
+    the sample favors token mass: the mean token count of sampled docs
+    must exceed the corpus mean (P(select) ∝ n_tok)."""
+    got = training.train_weighted_sample(spark, sf_dir).toPandas()
+    corpus = training._docs(spark, sf_dir).select(
+        F.size(F.split("text", r"\s+")).alias("n")).toPandas()
+    for _, grp in got.groupby("lang"):
+        assert list(grp.sort_values("rank")["rank"]) == list(
+            range(1, training._WS_K + 1))
+        assert (grp.sort_values("rank").es_key.diff().dropna()
+                <= 1e-12).all()
+    assert got.n_tok.mean() > corpus.n.mean()
