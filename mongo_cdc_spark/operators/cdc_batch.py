@@ -131,9 +131,7 @@ def cdc_incremental_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of incremental maintenance at 100 TB."""
     from mongo_cdc_spark.cdc.incremental import view_deltas
 
-    o = load_table(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism)
-    base = o.select(
+    base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderstatus").alias("st0"),
         F.round("o_totalprice").alias("v"))
@@ -157,7 +155,12 @@ def cdc_incremental_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls.alias("fullDocument"),
         F.when(F.col("o_orderkey") % 10 == 0, doc_m).otherwise(doc0)
          .alias("fullDocumentBeforeChange"))
-    events = ins.unionByName(upd).unionByName(dele)
+    # ONE spread exchange after the union (a change stream arrives over
+    # many source partitions; the single-file fixture would otherwise
+    # run the whole json path on one task) — repartitioning the base
+    # instead would re-execute the exchange once per union leg
+    events = (ins.unionByName(upd).unionByName(dele)
+              .repartition(spark.sparkContext.defaultParallelism))
     view = view_deltas(events, "st", "v")
     return (
         view.filter(F.col("d_cnt") > 0)

@@ -35,7 +35,21 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
 # pairs) is big-big by definition — a cluster-keyed shuffle join IS the
 # 100 TB plan, with the admissible grid bounding what meets what:
 SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
-          "similarity_threshold_pairs": 1, "dedup_embedding_cosine": 1}
+          "similarity_threshold_pairs": 1, "dedup_embedding_cosine": 1,
+          # SemDeDup's within-cell self-join is big-big by the
+          # algorithm's contract (corpus ⋈ corpus keyed on the coarse
+          # cell; cost Σ cell², bounded by the quantizer) — a
+          # cell-keyed shuffle join IS the 100 TB plan, and the pair
+          # leg carries no hint so AQE may still broadcast when small:
+          "dedup_semantic_semdedup": 1}
+
+# Queries allowed more than the default 5 shuffles, with why. Both are
+# multi-aggregation reports whose component aggs MUST stay separate
+# (mixing COUNT(DISTINCT) with percentile/sketch state in one agg
+# triggers the distinct-rewrite Expand pathology — see
+# agg_approx_sketches); every extra exchange carries only small-key
+# aggregated rows, map-side combined:
+SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7}
 
 
 def _strip_cached_lineage(plan: str) -> str:
@@ -96,7 +110,7 @@ def main() -> int:
             flags.append(f"{name}: {a['smj']} SortMergeJoin (broadcast miss?)")
         if a["python"] > 0 and name not in PYTHON_OK:
             flags.append(f"{name}: undeclared Python eval in plan")
-        if a["shuffles"] > 5:
+        if a["shuffles"] > SHUFFLES_OK.get(name, 5):
             flags.append(f"{name}: {a['shuffles']} shuffles")
     w = max(len(n) for n, _ in rows) if rows else 10
     print(f"{'query':<{w}}  shuffles smj bhj bnlj python")
@@ -109,7 +123,7 @@ def main() -> int:
         for f in flags:
             print(" ", f)
     else:
-        print("clean: no SMJ, no undeclared Python, shuffles <= 5 everywhere")
+        print("clean: no undeclared SMJ/Python/shuffle-count anywhere")
     return 1 if flags else 0
 
 
