@@ -53,25 +53,27 @@ _GRADE_FIRST = (
     "scalar_string_part_facets", "scalar_date_order_seasonality",
     "scalar_math_discount_model", "filter_nullsafe_priority_pairs",
     # Tier 2: queries whose implementation CHANGED in round 4 (HOF-CSE
-    # materialization in text, MinHash adaptive verify, multimodal real
-    # decode) — a changed query must re-grade regardless of row age.
+    # materialization in text/training/shingle paths, MinHash adaptive
+    # verify, multimodal real decode + empty-text guard, (ts, event_id)
+    # session ordering) — a changed query must re-grade regardless of
+    # row age.
     "text_quality_scores", "text_token_stats", "text_langid_confusion",
     "dedup_minhash_lsh", "multimodal_fake_decode", "multimodal_real_decode",
     "sessions_interval_overlap", "knn_ivfpq_search",
+    "events_sessionization", "train_quality_filter", "dedup_span_kgram",
+    "dedup_ngram_jaccard", "dedup_containment", "train_decontaminate",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",
     "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",
     "cdc_incremental_view_replay", "train_dataset_card",
     "events_hll_sketch_rollup", "train_weighted_sample",
     # Tier 3: fill to 50 with the oldest r2-graded rows (the TPC-H
-    # sweep + remaining dedup), in module order.
+    # sweep + remaining sampling/agg), in module order.
     "sample_stratified_orders", "agg_approx_sketches",
     "unpivot_lineitem_metrics", "q2_min_cost_supplier", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q12_priority_lines", "q13_customer_distribution",
-    "q14_promo_effect",
-    # (q15/q16/q17/q20/q21/q22 rotate into the round-5 window — the
-    # 50-slot cap fills with the 5 round-4-new queries first)
+    "q7_volume_shipping",
+    # (q8-q22 rotate into the round-5 window — changed and new round-4
+    # queries outrank unchanged r2-green rows for the 50 slots)
 )
 
 

@@ -196,7 +196,11 @@ def main() -> None:
         # single-shot (rep-0) total: rounds 1-2 were single-shot, so this
         # is the like-for-like number for cross-round comparisons; the
         # headline "value" is best-of-reps from round 3 on.
+        # first_rep_n records how many queries the sum covers — a rep-0
+        # failure that recovers on rep 1 would otherwise silently
+        # deflate the cross-round number.
         "first_rep_total_sec": round(sum(first_rep.values()), 3),
+        "first_rep_n": len(first_rep),
         "cdc_relay_stream": relay,
     }
     if errors:

@@ -198,8 +198,11 @@ def compact_snapshot(spark: SparkSession, snapshot_path: str) -> dict:
           .repartition(max(buckets, 1), "bucket")
           .localCheckpoint(eager=True))
     after_listing = _listing()
-    changed = sorted(b for b in after_listing
-                     if after_listing[b] != before_listing.get(b))
+    # compare over the UNION of bucket ids: a bucket deleted between
+    # the read and the re-list (retention/cleanup) must count as
+    # changed too, or the checkpointed rows would resurrect it
+    changed = sorted(b for b in (set(before_listing) | set(after_listing))
+                     if after_listing.get(b) != before_listing.get(b))
     if changed:  # a concurrent apply touched these — leave them alone
         df = df.filter(~F.col("bucket").isin(changed))
     (df.write.mode("overwrite")

@@ -239,7 +239,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(g.i * ord(substr(d.text, CAST(g.i AS INT), 1)))
                 % 1000000007 AS BIGINT) AS checksum
     FROM documents d, generate_series(1, 2000) g(i)
-    WHERE g.i <= len(d.text)
+    WHERE g.i <= len(d.text) AND len(d.text) > 0
     GROUP BY d.doc_id
     ORDER BY d.doc_id
 """)
@@ -252,8 +252,13 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 1e9+7) is byte-arithmetic, and the fixture text is pure ASCII
     (asserted in tests/test_multimodal.py), so octet==codepoint and
     DuckDB replicates it exactly with ord(substr(...)) — the Arrow UDF
-    path gets a true hash-match check, not a rows-only one."""
-    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    path gets a true hash-match check, not a rows-only one.
+
+    Empty documents are excluded on BOTH engines (a zero-length payload
+    has no decodable content; the guard keeps a drifted fixture with
+    text='' from crashing the cycle arithmetic)."""
+    docs = with_payload(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     # repartition so decode parallelism isn't bound to input splits —
     # media decode is CPU-bound, so every core should hold a batch
     n = spark.sparkContext.defaultParallelism
@@ -275,6 +280,8 @@ def ppm_from_doc_bytes(doc: bytes) -> bytes:
     RGB raster). Stands in for reading a media file from object store;
     everything downstream of it is the real decode path. The cycle is
     C-speed bytes repetition, not a per-byte Python loop."""
+    if not doc:
+        raise ValueError("cannot build an image payload from empty bytes")
     body = (doc * (_IMG_BYTES // len(doc) + 1))[:_IMG_BYTES]
     return encode_ppm(_IMG_W, _IMG_H, body)
 
@@ -310,6 +317,7 @@ def real_decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       SELECT d.doc_id, g.b % 3 AS chan,
              ord(substr(d.text, (g.b % len(d.text)) + 1, 1)) AS v
       FROM documents d, generate_series(0, {_IMG_BYTES - 1}) g(b)
+      WHERE len(d.text) > 0
     )
     SELECT doc_id,
            CAST({_IMG_W} AS INT) AS width, CAST({_IMG_H} AS INT) AS height,
@@ -338,8 +346,13 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     files) is pure JVM string/binary built-ins, so the REAL decoder is
     the query's only Python hop — one narrow Arrow stage; only
     (doc_id, w, h, 3 means) rows ever shuffle. Media bytes stay in the
-    task, the rule for 100 TB multimodal data."""
-    docs = load_table(spark, sf_dir, "documents")
+    task, the rule for 100 TB multimodal data.
+
+    Empty documents are excluded on BOTH engines — text='' would make
+    the cycle arithmetic divide by zero (Spark: ceil(N/0) NULLs the
+    payload; DuckDB: g.b % 0 errors) before the decoder ever ran."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
     n = spark.sparkContext.defaultParallelism
     # P6 payload built JVM-side: header literal + the document's bytes
     # cycled to fill the 16x16 RGB raster (fixture text is pure ASCII,

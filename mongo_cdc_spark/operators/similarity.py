@@ -659,6 +659,18 @@ def _py_l2(a, b) -> float:
     return acc
 
 
+def _round6_half_up(x: float) -> float:
+    """Driver-side twin of ROUND(x, 6): Spark rounds the double's exact
+    decimal expansion HALF_UP (BigDecimal) and DuckDB rounds half away
+    from zero, while Python's round() is half-to-even — divergent on
+    exact 6 dp half-ties. Decimal(x) is the same exact binary→decimal
+    expansion BigDecimal uses, so this matches Spark bit-for-bit."""
+    import decimal
+
+    return float(decimal.Decimal(x).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, s, code_label, err): nearest codebook entry per
     subvector (L2², rounded 6 dp, code_label tie-break).
@@ -946,10 +958,14 @@ def knn_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the corpus-side list assignment): the centroids come from
     # Spark AVG here and DuckDB AVG in the oracle, whose summation
     # orders differ, so a last-ulp centroid delta near an nprobe
-    # boundary tie could otherwise flip list membership between engines
+    # boundary tie could otherwise flip list membership between engines.
+    # HALF_UP via Decimal, not Python round() — the builtin rounds
+    # half-to-even while Spark ROUND/DuckDB ROUND round half up, so an
+    # exact 6 dp half-tie would diverge from the oracle's ranking
     plists = {
         q: [lab for _, lab in sorted(
-            ((round(_py_l2(v, c64[lab]), 6), lab) for lab in sorted(c64))
+            ((_round6_half_up(_py_l2(v, c64[lab])), lab)
+             for lab in sorted(c64))
         )[:_IVFPQ_NPROBE]]
         for q, v in probes.items()
     }
@@ -1149,7 +1165,9 @@ def _sq8_model(e: DataFrame) -> tuple[list, list, list]:
     maxs = [float(row[f"mx{d}"]) for d in range(_SQ_DIM)]
     scales = [(_SQ_LEVELS / (mx - mn)) if mx > mn else 0.0
               for mn, mx in zip(mins, maxs)]
-    steps = [((mx - mn) / (_SQ_LEVELS + 1)) if mx > mn else 0.0
+    # step is the reciprocal of scale (cell width (mx-mn)/255), so
+    # code c reconstructs at its cell's midpoint mn + (c+0.5)*step
+    steps = [((mx - mn) / _SQ_LEVELS) if mx > mn else 0.0
              for mn, mx in zip(mins, maxs)]
     return mins, scales, steps
 
@@ -1165,7 +1183,7 @@ def _sq8_model(e: DataFrame) -> tuple[list, list, list]:
       SELECT list(mn ORDER BY d) AS mins,
              list(CASE WHEN mx > mn THEN {_SQ_LEVELS} / (mx - mn)
                        ELSE 0.0 END ORDER BY d) AS scales,
-             list(CASE WHEN mx > mn THEN (mx - mn) / {_SQ_LEVELS + 1}
+             list(CASE WHEN mx > mn THEN (mx - mn) / {_SQ_LEVELS}
                        ELSE 0.0 END ORDER BY d) AS steps
       FROM stat
     ), recon AS (
@@ -1199,7 +1217,8 @@ def knn_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements PQ (subspace codebooks, 8 codes/vector) with the
     per-dimension affine quantizer (64 codes/vector, no training):
-    recon_d = min_d + (code_d + 0.5) * (max_d - min_d) / 256.
+    recon_d = min_d + (code_d + 0.5) * (max_d - min_d) / 255 — the
+    cell midpoint of the 255-cell quantization grid.
 
     Scale: the model is 3 x 64 literal doubles — collected once
     driver-side like the PQ codebooks, so the corpus plan is fully

@@ -59,11 +59,14 @@ SLOPE_OK = {
 }
 
 
-def _sf_of(sf_dir: str) -> float:
+def _sf_of(sf_dir: str) -> float | None:
+    """Scale factor parsed from an 'sfX' directory name; None when the
+    name doesn't follow the convention (the slope check then reports
+    itself as skipped rather than gating on a garbage ratio)."""
     try:
         return float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
-        return -1.0
+        return None
 
 
 def _run_all(spark, sf_dir: str, reps: int):
@@ -104,6 +107,7 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     base_times: dict[str, float] = {}
+    base_errors: dict[str, str] = {}
     if base_dir:
         print(f"== base pass @ {base_dir} (best of {reps}) ==")
         base_times, base_errors = _run_all(spark, base_dir, reps)
@@ -118,8 +122,12 @@ def main() -> int:
         print(f"{k} {v}s")
 
     slope_flags: dict[str, str] = {}
-    if base_dir:
-        sf_ratio = _sf_of(sf_dir) / max(_sf_of(base_dir), 1e-9)
+    sf_main, sf_base = _sf_of(sf_dir), _sf_of(base_dir) if base_dir else None
+    if base_dir and (sf_main is None or not sf_base):
+        print(f"\n== slope check SKIPPED: cannot derive SF ratio from "
+              f"{sf_dir!r} vs {base_dir!r} (need sfX-named dirs) ==")
+    elif base_dir:
+        sf_ratio = sf_main / sf_base
         print(f"\n== slope check (SF ratio {sf_ratio:g}, "
               f"slack {SLACK}, fixed {FIXED_SEC}s) ==")
         for k in sorted(times):
@@ -146,7 +154,10 @@ def main() -> int:
         print(f"== over {slow}s == {over}")
     if slope_flags:
         print(f"== super-linear (> SFx{SLACK}) == {list(slope_flags)}")
-    return 1 if (errors or over or slope_flags) else 0
+    # base-pass errors gate too: a query that crashes only at the small
+    # SF has no slope ratio, so green output would otherwise hide both
+    # the crash and any super-linear scaling for that query
+    return 1 if (errors or base_errors or over or slope_flags) else 0
 
 
 if __name__ == "__main__":
