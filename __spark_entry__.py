@@ -67,12 +67,12 @@ _GRADE_FIRST = (
     "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",
     "cdc_incremental_view_replay", "train_dataset_card",
     "events_hll_sketch_rollup", "train_weighted_sample",
+    "layout_hilbert_events",
     # Tier 3: fill to 50 with the oldest r2-graded rows (the TPC-H
     # sweep + remaining sampling/agg), in module order.
     "sample_stratified_orders", "agg_approx_sketches",
     "unpivot_lineitem_metrics", "q2_min_cost_supplier", "q4_order_priority",
-    "q7_volume_shipping",
-    # (q8-q22 rotate into the round-5 window — changed and new round-4
+    # (q7-q22 rotate into the round-5 window — changed and new round-4
     # queries outrank unchanged r2-green rows for the 50 slots)
 )
 

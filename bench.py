@@ -59,6 +59,7 @@ HEADLINE = [
     ("train_curriculum", training.train_curriculum_order),
     ("knn_sq8_search", similarity.knn_sq8_search),
     ("layout_zorder", layout.layout_zorder_events),
+    ("layout_hilbert", layout.layout_hilbert_events),
 ]
 
 

@@ -118,3 +118,113 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("zval").cast("int").alias("max_z"))
         .orderBy("part_id")
     )
+
+
+def _hilbert_steps():
+    """The 8 (s, s*s) scale levels of the order-8 Hilbert walk."""
+    return [(1 << b, 1 << (2 * b)) for b in range(Z_BITS - 1, -1, -1)]
+
+
+def _hilbert_sql_ctes(src: str) -> tuple[str, str]:
+    """DuckDB CTE chain computing the Lam–Shapiro xy2d Hilbert index
+    over (x, y) from CTE `src`: one CTE per scale level, each folding
+    this level's quadrant digit into d and applying the reflect+swap
+    rotation. Pure integer CASE arithmetic — bit-identical anywhere."""
+    prev, ctes = src, []
+    for i, (s, s2) in enumerate(_hilbert_steps()):
+        cur = f"h{i}"
+        rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+        ctes.append(f"""{cur} AS (
+      SELECT event_id,
+             d + {s2} * xor(3 * ({rx}), {ry}) AS d,
+             CASE WHEN ({ry}) = 0
+                  THEN CASE WHEN ({rx}) = 1 THEN {s - 1} - y ELSE y END
+                  ELSE x END AS x,
+             CASE WHEN ({ry}) = 0
+                  THEN CASE WHEN ({rx}) = 1 THEN {s - 1} - x ELSE x END
+                  ELSE y END AS y
+      FROM {prev}
+    )""")
+        prev = cur
+    return ", ".join(ctes), prev
+
+
+_H_CTES, _H_LAST = _hilbert_sql_ctes("keyed")
+
+
+@query("layout_hilbert_events", sql=f"""
+    WITH keyed AS (
+      SELECT event_id,
+             CAST(user_id % 256 AS INT) AS x,
+             CAST((epoch_us(ts) // 3600000000) % 256 AS INT) AS y,
+             0 AS d
+      FROM events
+    ), {_H_CTES}, z AS (
+      SELECT k.event_id, k.x AS ub, k.y AS tb, h.d AS hval
+      FROM keyed k JOIN {_H_LAST} h ON k.event_id = h.event_id
+    )
+    SELECT CAST(hval >> {_PART_SHIFT} AS INT) AS part_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ub) AS INT) AS min_ub, CAST(MAX(ub) AS INT) AS max_ub,
+           CAST(MIN(tb) AS INT) AS min_tb, CAST(MAX(tb) AS INT) AS max_tb,
+           CAST(MIN(hval) AS INT) AS min_h, CAST(MAX(hval) AS INT) AS max_h
+    FROM z
+    GROUP BY part_id
+    ORDER BY part_id
+""")
+def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout assignment over the same (user bucket,
+    hour bucket) grid as `layout_zorder_events`, reporting each of the
+    64 curve-range partitions' bounding box.
+
+    The index is the order-8 Hilbert distance (Lam–Shapiro xy2d: 8
+    unrolled scale levels, each folding a quadrant digit into d and
+    applying the reflect+swap rotation — all integer when/xor
+    expressions, codegen'd, no UDF). Hilbert beats Z-order on the
+    metric that matters for data skipping: every aligned 4^k run of
+    curve positions is a CONTIGUOUS k-level subsquare, so each of the
+    64 partitions here (1024 = 4^5 positions) covers exactly one 32x32
+    cell block — bounded in BOTH dimensions, where the Z-order
+    partition spans 32x64 (the curve's "jumps" double one side). That
+    tighter envelope is why lakehouse OPTIMIZE implementations moved
+    from Morton to Hilbert clustering; tests/test_layout.py asserts
+    the 32x32 property and the cross-layout comparison.
+
+    Scale: identical posture to the Z-order query — the index is a
+    narrow projection at scan speed (the 8 levels are one fused
+    whole-stage-codegen expression tree per row); the ONLY shuffle is
+    the 64-key summary groupBy (in a write path:
+    repartitionByRange(hval), replacing the write's existing
+    exchange)."""
+    keyed = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id",
+                (F.col("user_id") % 256).cast("int").alias("x"),
+                F.expr("cast((unix_micros(ts) div 3600000000) % 256"
+                       " as int)").alias("y"))
+    )
+    df = keyed.select("event_id", "x", "y",
+                      F.col("x").alias("ub"), F.col("y").alias("tb"),
+                      F.lit(0).alias("d"))
+    for s, s2 in _hilbert_steps():
+        rx = (F.col("x").bitwiseAND(F.lit(s)) > 0).cast("int")
+        ry = (F.col("y").bitwiseAND(F.lit(s)) > 0).cast("int")
+        flip = (ry == 0) & (rx == 1)
+        tx = F.when(flip, F.lit(s - 1) - F.col("x")).otherwise(F.col("x"))
+        ty = F.when(flip, F.lit(s - 1) - F.col("y")).otherwise(F.col("y"))
+        df = df.select(
+            "event_id", "ub", "tb",
+            (F.col("d") + F.lit(s2) * (rx * 3).bitwiseXOR(ry)).alias("d"),
+            F.when(ry == 0, ty).otherwise(F.col("x")).alias("x"),
+            F.when(ry == 0, tx).otherwise(F.col("y")).alias("y"))
+    return (
+        df.groupBy(F.shiftright("d", _PART_SHIFT).cast("int")
+                   .alias("part_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ub").alias("min_ub"), F.max("ub").alias("max_ub"),
+             F.min("tb").alias("min_tb"), F.max("tb").alias("max_tb"),
+             F.min("d").cast("int").alias("min_h"),
+             F.max("d").cast("int").alias("max_h"))
+        .orderBy("part_id")
+    )

@@ -26,3 +26,30 @@ def test_zorder_bounding_boxes_tight_in_both_dims(spark, sf_dir):
     assert ((got.max_tb - got.min_tb) < 64).all()
     srt = got.sort_values("part_id")
     assert (srt.min_z.to_numpy()[1:] > srt.max_z.to_numpy()[:-1]).all()
+
+
+def test_hilbert_partitions_are_exact_subsquares(spark, sf_dir):
+    """Every 1024-position Hilbert range is one 32x32 subsquare (4^5
+    positions = a level-5 block, contiguous on the curve) — strictly
+    tighter than the Z-order partition's 32x64 envelope, the reason
+    lakehouse OPTIMIZE moved from Morton to Hilbert clustering."""
+    got = layout.layout_hilbert_events(spark, sf_dir).toPandas()
+    assert ((got.max_ub - got.min_ub) < 32).all()
+    assert ((got.max_tb - got.min_tb) < 32).all()
+    total = load_table(spark, sf_dir, "events").count()
+    assert got.n_events.sum() == total
+    srt = got.sort_values("part_id")
+    assert (srt.min_h.to_numpy()[1:] > srt.max_h.to_numpy()[:-1]).all()
+
+
+def test_hilbert_tighter_than_zorder(spark, sf_dir):
+    """Cross-layout comparison on identical keys: the worst-case
+    bounding-box area of a Hilbert partition must not exceed the
+    Z-order one (32x32 vs 32x64 at this grid/partition size)."""
+    hil = layout.layout_hilbert_events(spark, sf_dir).toPandas()
+    zor = layout.layout_zorder_events(spark, sf_dir).toPandas()
+    h_area = ((hil.max_ub - hil.min_ub + 1)
+              * (hil.max_tb - hil.min_tb + 1)).max()
+    z_area = ((zor.max_ub - zor.min_ub + 1)
+              * (zor.max_tb - zor.min_tb + 1)).max()
+    assert h_area <= z_area
