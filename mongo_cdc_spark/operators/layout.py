@@ -21,6 +21,7 @@ areas being small IS the data-skipping property.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
@@ -228,3 +229,57 @@ def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("d").cast("int").alias("max_h"))
         .orderBy("part_id")
     )
+
+
+@query("layout_compaction_plan", sql="""
+    WITH files AS (
+        SELECT date_trunc('hour', ts) AS file_hour,
+               COUNT(*) AS file_rows
+        FROM events GROUP BY 1
+    ), planned AS (
+        SELECT file_hour, file_rows,
+               CAST(FLOOR(
+                   COALESCE(SUM(file_rows) OVER (ORDER BY file_hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 2000.0) AS BIGINT) AS grp
+        FROM files
+    )
+    SELECT grp, COUNT(*) AS n_files,
+           CAST(SUM(file_rows) AS BIGINT) AS total_rows,
+           MIN(file_hour) AS from_hour, MAX(file_hour) AS to_hour
+    FROM planned GROUP BY grp ORDER BY grp
+""")
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the metadata half of Delta/
+    Iceberg OPTIMIZE): treat each events hour-partition as one "file"
+    (row count as its size proxy), walk the time-ordered manifest, and
+    chunk consecutive files into rewrite groups of ~2000 rows via an
+    exclusive prefix-sum — group id = floor(prefix_rows / target).
+    Consecutive-chunking preserves the existing sort order (time), so
+    each rewrite group stays a contiguous, pruning-friendly range —
+    the same policy OPTIMIZE applies to a sorted file list.
+
+    Scale: planning is METADATA-ONLY — the window runs over the file
+    manifest (thousands of rows at 100 TB), never the data; a single
+    unpartitioned ordered window over a manifest is the correct,
+    bounded plan (manifests fit one partition by construction; the
+    data-touching half — rewriting each group — is embarrassingly
+    parallel per group and is exercised by the CDC snapshot
+    compaction in cdc/apply.py). The per-hour file stats themselves
+    aggregate map-side like any rollup."""
+    files = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("file_hour"))
+        .agg(F.count(F.lit(1)).alias("file_rows")))
+    w = (W.orderBy("file_hour")
+         .rowsBetween(W.unboundedPreceding, -1))
+    planned = files.select(
+        "file_hour", "file_rows",
+        F.floor(F.coalesce(F.sum("file_rows").over(w), F.lit(0)) / 2000.0)
+        .cast("long").alias("grp"))
+    return (planned.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("file_rows").alias("total_rows"),
+                 F.min("file_hour").alias("from_hour"),
+                 F.max("file_hour").alias("to_hour"))
+            .orderBy("grp"))

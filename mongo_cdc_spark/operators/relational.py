@@ -2166,3 +2166,339 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("day"), "exact_users",
                 in_bounds.alias("est_in_bounds")))
     return daily.unionByName(merged).orderBy("day")
+
+
+@query("events_bitmap_distinct_rollup", sql="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY 1
+    )
+    SELECT day, distinct_users FROM daily
+    UNION ALL
+    SELECT 'ALL' AS day, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events
+    ORDER BY day
+""")
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-user rollup via roaring-style bitmaps
+    (Spark 4 `bitmap_construct_agg` / `bitmap_or_agg`): per-day,
+    per-bucket bitmaps of the user-id set, daily distinct = sum of
+    per-bucket popcounts, all-time distinct = OR-merge of the stored
+    daily bitmaps — no re-scan of the raw events.
+
+    This is the exact-counting sibling of `events_hll_sketch_rollup`:
+    where HLL trades exactness for O(1) state, bitmaps stay EXACT and
+    still merge associatively, at the cost of state linear in the id
+    universe (1 bit per id, bucketed into 4 MB segments by
+    `bitmap_bucket_number` so no single bitmap exceeds a row budget).
+    The production pattern behind ClickHouse groupBitmap / Doris
+    BITMAP_UNION user-retention rollups: per-partition bitmaps in one
+    pass, any rollup level is a cheap OR of stored segments. At 100 TB
+    with a dense bounded id space (user ids, device ids) this beats
+    both exact re-count (re-shuffles the key universe per level) and
+    HLL (error bars) — and because it is exact, the oracle hash-checks
+    the VALUES directly, no in-bounds booleans needed.
+
+    Plan: one shuffle on (day, bucket) with map-side partial bitmap
+    construction; the merge agg shuffles ~buckets rows of fixed-size
+    binary state. Exact-companion caveats from the HLL query do not
+    apply (no countDistinct in the same agg anywhere)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id")
+    seg = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .alias("bm"))
+    daily = seg.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+    merged = (
+        seg.groupBy("bucket").agg(F.expr("bitmap_or_agg(bm)").alias("m"))
+        .agg(F.sum(F.expr("bitmap_count(m)")).alias("distinct_users"))
+        .select(F.lit("ALL").alias("day"), "distinct_users"))
+    return daily.unionByName(merged).orderBy("day")
+
+
+@query("events_kll_quantile_rollup", sql="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               ROUND(quantile_cont(value, 0.50), 4) AS exact_p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
+               TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
+        FROM events GROUP BY 1
+    )
+    SELECT day, exact_p50, exact_p95, p50_in_bounds, p95_in_bounds
+    FROM daily
+    UNION ALL
+    SELECT 'ALL', ROUND(quantile_cont(value, 0.50), 4),
+           ROUND(quantile_cont(value, 0.95), 4), TRUE, TRUE
+    FROM events
+    ORDER BY day
+""")
+def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup (Apache DataSketches KLL, Spark 4
+    `kll_sketch_agg_double` / `kll_merge_agg_double`): per-day value
+    sketches, daily p50/p95 read from the sketch, and the all-time
+    quantiles from ONE merge of the stored daily sketches — the
+    quantile analogue of the HLL/bitmap rollups above, completing the
+    mergeable-summaries trio (distinct / quantiles / set expressions).
+
+    At 100 TB exact quantiles re-sort (or at least re-shuffle) the raw
+    value universe for every rollup level; KLL state is O(k log n)
+    (~3 KB at the default k=200), built in one pass with map-side
+    partial merges, and day -> month -> all-time is sketch merging,
+    never a re-scan (Karnin-Lang-Liberty 2016; the Druid/Hive
+    DataSketches rollup pattern).
+
+    Oracle strategy (agg_approx_sketches convention): sketch registers
+    are engine-specific, so the graded columns are the EXACT
+    PERCENTILE_CONT companions plus per-row booleans asserting each
+    sketch quantile lands inside the exact [q-0.04, q+0.04] RANK
+    bracket. KLL k=200 has ~1.65% one-sided normalized rank error at
+    99% confidence, so the 4% bracket holds with wide margin and is a
+    stable fact of the fixture the oracle states as a literal; a
+    regression pushing the sketch out of bracket hash-mismatches the
+    row. Exact companions and sketches run as separate aggs joined on
+    the tiny day key (no shared buffer pathologies)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("double").alias("value"))
+    daily_sk = ev.groupBy("day").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk"))
+    def _exact(df, extra_key=None):
+        keys = [extra_key] if extra_key else []
+        g = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("one"))
+        return g.agg(
+            F.percentile("value", 0.50).alias("e50"),
+            F.percentile("value", 0.95).alias("e95"),
+            F.percentile("value", 0.46).alias("lo50"),
+            F.percentile("value", 0.54).alias("hi50"),
+            F.percentile("value", 0.91).alias("lo95"),
+            F.percentile("value", 0.99).alias("hi95"))
+    out_cols = [
+        "day",
+        F.round("e50", 4).alias("exact_p50"),
+        F.round("e95", 4).alias("exact_p95"),
+        F.col("s50").between(F.col("lo50"), F.col("hi50"))
+        .alias("p50_in_bounds"),
+        F.col("s95").between(F.col("lo95"), F.col("hi95"))
+        .alias("p95_in_bounds"),
+    ]
+    daily = (
+        daily_sk.select(
+            "day",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.50)").alias("s50"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("s95"))
+        .join(_exact(ev, "day"), "day")
+        .select(*out_cols))
+    merged = (
+        daily_sk.agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+        .select(
+            F.lit("ALL").alias("day"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.50)").alias("s50"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("s95"))
+        .crossJoin(_exact(ev).drop("one"))
+        .select(*out_cols))
+    return daily.unionByName(merged).orderBy("day")
+
+
+@query("events_theta_distinct_setops", sql="""
+    WITH c AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT op, exact_users, TRUE AS est_in_bounds FROM (
+        SELECT 'click_and_purchase' AS op,
+               (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT
+                                      SELECT * FROM p)) AS exact_users
+        UNION ALL
+        SELECT 'click_minus_purchase',
+               (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT
+                                      SELECT * FROM p))
+        UNION ALL
+        SELECT 'click_or_purchase',
+               (SELECT COUNT(*) FROM (SELECT * FROM c UNION
+                                      SELECT * FROM p))
+    ) ORDER BY op
+""")
+def events_theta_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user SET EXPRESSIONS over mergeable Theta sketches
+    (Spark 4 `theta_sketch_agg` / `theta_union` / `theta_intersection`
+    / `theta_difference`): estimate |click ∩ purchase|,
+    |click \\ purchase| and |click ∪ purchase| from two per-segment
+    sketches — the capability HLL fundamentally lacks (HLL unions but
+    cannot intersect/subtract; inclusion-exclusion over HLLs explodes
+    the error). Theta keeps a uniform hash sample of the key set, so
+    set algebra composes with bounded relative error (Dasgupta et al.,
+    "Theta-Sketch Framework").
+
+    The production shape: audience-overlap / funnel-intersection
+    queries at 100 TB keep ONE tiny sketch per (segment, day) — built
+    in one pass with map-side partials — and answer any boolean
+    combination of segments from stored state, never re-scanning raw
+    events, where the exact answer is a full shuffle of the key
+    universe per combination.
+
+    Oracle strategy: the graded columns are the exact set-op
+    companions plus in-bounds booleans at 5%; below the k=4096 sample
+    threshold theta is in exact mode so the bound holds
+    trivially-tightly on every fixture SF, and stays valid (with real
+    error) beyond it. The exact companions are NOT three separate
+    distinct-set-op pipelines (3x the key-universe shuffle): one
+    groupBy(user_id) pass computes per-user (has_click, has_purchase)
+    flags, and all three set sizes fall out of ONE tiny aggregation
+    over the flags — the same single-pass shape the sketch build uses,
+    so exact and sketch sides shuffle the raw events once each."""
+    ev = _t(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase"))
+    sk = both.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    wide = (sk.groupBy().pivot("event_type", ["click", "purchase"])
+            .agg(F.first("sk")))
+    ests = wide.select(
+        F.expr("theta_sketch_estimate(theta_intersection(click, purchase))")
+        .alias("click_and_purchase"),
+        F.expr("theta_sketch_estimate(theta_difference(click, purchase))")
+        .alias("click_minus_purchase"),
+        F.expr("theta_sketch_estimate(theta_union(click, purchase))")
+        .alias("click_or_purchase"))
+    est_long = ests.unpivot([], ests.columns, "op", "est")
+    flags = both.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("p"))
+    counts = flags.agg(
+        F.sum(F.col("c") * F.col("p")).alias("click_and_purchase"),
+        F.sum(F.col("c") * (1 - F.col("p"))).alias("click_minus_purchase"),
+        F.count(F.lit(1)).alias("click_or_purchase"))
+    exact = counts.unpivot([], counts.columns, "op", "exact_users")
+    return (
+        est_long.join(exact, "op")
+        .select("op", "exact_users",
+                (F.abs(F.col("est") - F.col("exact_users"))
+                 <= 0.05 * F.col("exact_users")).alias("est_in_bounds"))
+        .orderBy("op"))
+
+
+@query("events_countmin_heavy_hitters", sql="""
+    WITH depths AS (SELECT unnest(generate_series(0, 3)) AS d),
+    cells AS (
+        SELECT d,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN depths
+        GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT u.user_id, c.cnt
+        FROM users u CROSS JOIN depths dd
+        JOIN cells c
+          ON c.d = dd.d
+         AND c.bucket = ('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                                            || ':' || CAST(dd.d AS VARCHAR)),
+                                        1, 15))::BIGINT % 256
+    ),
+    est AS (SELECT user_id, MIN(cnt) AS est_cnt FROM probes
+            GROUP BY user_id),
+    exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+              GROUP BY user_id)
+    SELECT user_id, exact_cnt, est_cnt,
+           est_cnt >= exact_cnt AS never_underestimates, rn
+    FROM (SELECT e.user_id, x.exact_cnt, e.est_cnt,
+                 ROW_NUMBER() OVER (ORDER BY e.est_cnt DESC, e.user_id) AS rn
+          FROM est e JOIN exact x USING (user_id))
+    WHERE rn <= 10
+    ORDER BY rn
+""")
+def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters (Cormode-Muthukrishnan 2005):
+    a d=4 x w=256 counter grid over event user-ids, per-key frequency
+    estimated as the MIN over the key's 4 cells, top-10 keys by
+    estimate with exact companions and the CM one-sided guarantee
+    (est >= exact, always) as a graded boolean.
+
+    The grid hash is the engine-portable 60-bit md5 prefix (the
+    SimHash convention, dedup.py) so DuckDB replays the ENTIRE sketch
+    bit-for-bit — estimates are deterministic and hash-graded exactly,
+    not bounds-checked. (Spark's built-in `count_min_sketch` agg emits
+    an opaque binary with no SQL read API, so the grid is built from
+    first principles — which is also what makes it oracle-checkable.)
+
+    Scale: the grid build is the whole point — each task's map-side
+    partial agg collapses to <=d*w=1024 cells no matter how many rows
+    it scanned, so the shuffle carries tasks x 1024 rows and the grid
+    is O(1) state mergeable by cell-wise SUM (the mergeable-summaries
+    property again, now for frequencies). Probing joins the candidate
+    keys against the BROADCAST 1024-row grid — no shuffle of the big
+    side beyond the one distinct. The exact per-key companion is the
+    cost the sketch avoids at 100 TB: a full key-universe shuffle; at
+    fixture scale it is cheap and serves as the oracle."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    depths = spark.range(4).select(F.col("id").cast("int").alias("d"))
+
+    def _bucket(key_col, d_col):
+        h = F.md5(F.concat_ws(":", key_col, d_col).cast("binary"))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % 256).alias("bucket")
+
+    cells = (ev.crossJoin(F.broadcast(depths))
+             .select("d", _bucket(F.col("user_id"), F.col("d")))
+             .groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+    users = ev.distinct()
+    est = (users.crossJoin(F.broadcast(depths))
+           .select("user_id", "d", _bucket(F.col("user_id"), F.col("d")))
+           .join(F.broadcast(cells), ["d", "bucket"])
+           .groupBy("user_id").agg(F.min("cnt").alias("est_cnt")))
+    exact = (_t(spark, sf_dir, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    top = (est.join(exact, "user_id")
+           .orderBy(F.desc("est_cnt"), F.asc("user_id")).limit(10))
+    w = W.orderBy(F.desc("est_cnt"), F.asc("user_id"))
+    return (top.withColumn("rn", F.row_number().over(w))
+            .select("user_id", "exact_cnt", "est_cnt",
+                    (F.col("est_cnt") >= F.col("exact_cnt"))
+                    .alias("never_underestimates"), "rn")
+            .orderBy("rn"))
+
+
+@query("scd2_user_state_history", sql="""
+    SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+""")
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history build from an event
+    stream: each change closes the previous version's validity
+    interval — (state, valid_from, valid_to, is_current) per key — the
+    standard lakehouse pattern for materializing a CDC feed into a
+    queryable dimension with full history (Kimball SCD2 via
+    LEAD-over-key, the dbt "snapshot" shape).
+
+    Deterministic versioning: ordering is (ts, event_id) — event_id
+    breaks same-timestamp ties exactly as the engine-wide convention
+    set by events_sessionization (VERDICT_r3 order-robustness task).
+
+    Scale: ONE window shuffle partitioned by the dimension key — the
+    minimal wide op any history build needs; no self-join (the naive
+    formulation joins each change to its successor). At 100 TB the
+    per-key partition is the user's change history, which is the
+    natural unit of SCD2 work; the user_id<10 probe filter bounds the
+    graded output and pushes to the scan."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from", "event_id"))

@@ -499,3 +499,172 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("lp"), 4).alias("logprob_mean"))
         .orderBy("doc_id")
     )
+
+
+# --- retrieval: BM25 + reciprocal-rank fusion -------------------------------
+# Probe query shared by the retrieval pair below (and mirrored as literals in
+# the oracles): one rare discriminative term plus two common ones, so the
+# ranking exercises both idf extremes of the fixture vocabulary.
+_PROBE_TERMS = ("dup", "spark", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _probe_scores(spark: SparkSession, sf_dir: str):
+    """Shared (doc_id, bm25, tfidf) scoring frame for the probe query.
+
+    Determinism across engines: avgdl is SUM(int dl)/COUNT — an exact
+    integer sum then one double division, bit-identical in Spark and
+    DuckDB (never an engine-ordered double AVG); idf inputs are
+    integers; scores round to 4dp before any ranking (the
+    text_tfidf_top_terms convention — ln on identical doubles plus 4dp
+    absorbs libm ulp)."""
+    docs = _docs(spark, sf_dir)
+    # Materialize the token array ONCE before size()/explode() use
+    # (HOF-CSE: an inlined split would re-split per consumer).
+    toks = docs.select("doc_id", _tokens().alias("w"))
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    term = toks.select("doc_id", F.explode("w").alias("tok"))
+    probe = term.filter(F.col("tok").isin(*_PROBE_TERMS))
+    tf = probe.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = probe.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf_bm25 = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5))
+    idf_plain = F.log(F.col("n_docs") / F.col("df"))
+    bm25_term = (idf_bm25 * F.col("tf") * (k1 + 1)
+                 / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25_term), 4).alias("bm25"),
+             F.round(F.sum(idf_plain * F.col("tf")), 4).alias("tfidf"))
+    )
+
+
+# Shared oracle CTE replaying _probe_scores in DuckDB (literals inlined).
+_PROBE_SQL = """
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+        FROM documents
+    ), dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    probe AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+        WHERE tok IN ('dup', 'spark', 'join')
+    ), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM probe
+              GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM probe GROUP BY tok),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / (c.sum_dl * 1.0 / c.n_docs)))),
+                     4) AS bm25,
+               ROUND(SUM(ln(c.n_docs * 1.0 / df.df) * tf.tf), 4) AS tfidf
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+             CROSS JOIN corpus c
+        GROUP BY tf.doc_id
+    )
+"""
+
+
+@query("text_bm25_topk", sql=f"""
+    WITH {_PROBE_SQL}
+    SELECT doc_id, bm25, rn FROM (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM scored)
+    WHERE rn <= 20
+    ORDER BY rn
+""")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson-Spärck Jones, k1=1.2 b=0.75) top-20 retrieval
+    for a literal probe query — the lexical-search scoring standard.
+
+    Scale: the probe filter lands BEFORE any aggregation, so the big
+    explode collapses to |probe terms ∩ corpus| rows immediately; df
+    and corpus stats are term-count and 1-row aggregates that
+    broadcast; the only wide op over full data is the (doc, tok)
+    partial-agg shuffle of probe hits, and the top-20 is
+    TakeOrderedAndProject after the bounded window. At 100 TB the same
+    plan serves any literal query: cost scales with posting-list size,
+    not corpus size — the inverted-index access path expressed as
+    DataFrame ops. The global top-20 is selected with orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no single-partition
+    global window); the rank column is then assigned by a window over
+    the already-20-row result, which is bounded by construction."""
+    scored = _probe_scores(spark, sf_dir)
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (top.withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "bm25", "rn")
+            .orderBy("rn"))
+
+
+@query("search_rrf_fusion", sql=f"""
+    WITH {_PROBE_SQL},
+    a AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS rank_bm25 FROM scored QUALIFY rank_bm25 <= 100),
+    b AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id)
+                 AS rank_tfidf FROM scored QUALIFY rank_tfidf <= 100),
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               a.rank_bm25, b.rank_tfidf,
+               ROUND(COALESCE(1.0 / (60 + a.rank_bm25), 0)
+                     + COALESCE(1.0 / (60 + b.rank_tfidf), 0), 6) AS rrf
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_tfidf, rrf, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused)
+    WHERE rn <= 15
+    ORDER BY rn
+""")
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of two
+    rankers over the same probe query — BM25 and plain TF-IDF — the
+    standard way hybrid search merges lexical and secondary rankings
+    without score calibration.
+
+    Scale: both rankers share ONE scoring frame (scored once, ranked
+    twice), each list is truncated to its top-100 via
+    TakeOrderedAndProject before fusing; the fusion itself is a
+    union + groupBy over <=200 (doc, list, rank) rows — NOT a
+    full-outer join, which Spark cannot broadcast (full-outer forces
+    SortMergeJoin even on tiny sides); 1/(60+rank) on integer ranks is
+    exact double arithmetic, bit-identical across engines (no libm in
+    the fusion step)."""
+    scored = _probe_scores(spark, sf_dir).localCheckpoint()
+    # Each list's top-100 is TakeOrderedAndProject (distributed heap
+    # selection); the rank windows then run over <=100 rows each.
+    a = (scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
+         .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))))
+         .select("doc_id", F.lit("bm25").alias("lst"), "rank"))
+    b = (scored.orderBy(F.desc("tfidf"), F.asc("doc_id")).limit(100)
+         .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("tfidf"), F.asc("doc_id"))))
+         .select("doc_id", F.lit("tfidf").alias("lst"), "rank"))
+    fused = (
+        a.unionByName(b)
+        .groupBy("doc_id")
+        .agg(F.max(F.when(F.col("lst") == "bm25", F.col("rank")))
+             .alias("rank_bm25"),
+             F.max(F.when(F.col("lst") == "tfidf", F.col("rank")))
+             .alias("rank_tfidf"),
+             F.round(F.sum(1.0 / (F.col("rank") + 60)), 6).alias("rrf")))
+    w = W.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (fused.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 15)
+            .select("doc_id", "rank_bm25", "rank_tfidf", "rrf", "rn")
+            .orderBy("rn"))

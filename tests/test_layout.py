@@ -53,3 +53,18 @@ def test_hilbert_tighter_than_zorder(spark, sf_dir):
     z_area = ((zor.max_ub - zor.min_ub + 1)
               * (zor.max_tb - zor.min_tb + 1)).max()
     assert h_area <= z_area
+
+
+def test_compaction_plan_partitions_manifest(spark, sf_dir):
+    """Groups must be contiguous ids, cover every row exactly once,
+    and stay time-disjoint (to_hour of group g precedes from_hour of
+    g+1) so each rewrite group is a contiguous time range."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.layout import layout_compaction_plan
+
+    got = layout_compaction_plan(spark, sf_dir).toPandas()
+    assert list(got.grp) == list(range(len(got)))
+    total = load_table(spark, sf_dir, "events").count()
+    assert int(got.total_rows.sum()) == total
+    for i in range(len(got) - 1):
+        assert got.to_hour.iloc[i] < got.from_hour.iloc[i + 1]

@@ -1,0 +1,64 @@
+"""Data-quality operator tests: profiler invariants and constraint
+suite semantics (the hash-oracle checks values; these check meaning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.io import load_table
+from mongo_cdc_spark.operators import quality
+
+
+def test_profile_matches_table_facts(spark, sf_dir):
+    got = (quality.quality_profile_orders(spark, sf_dir)
+           .toPandas().set_index("col"))
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    assert (got.n_rows == n).all()
+    # primary key: distinct == rows, no nulls
+    assert got.loc["o_orderkey", "n_distinct"] == n
+    assert (got.null_count == 0).all()
+    # typed min/max land in the right slots
+    assert got.loc["o_totalprice", "min_num"] <= got.loc[
+        "o_totalprice", "max_num"]
+    assert got.loc["o_orderstatus", "min_str"] is not None
+    assert got.loc["o_orderstatus", "min_num"] != got.loc[
+        "o_orderstatus", "min_num"]  # NaN
+
+
+def test_constraint_suite_clean_fixture(spark, sf_dir):
+    got = quality.quality_constraint_checks(spark, sf_dir).toPandas()
+    assert len(got) == 6
+    assert got.passed.all()
+    assert (got.violations == 0).all()
+
+
+def test_constraint_suite_catches_violations(spark, sf_dir, tmp_path):
+    """Break the data on purpose: duplicate a PK, null a custkey,
+    orphan an FK — the suite must count each violation."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .orderBy("o_orderkey").limit(100))
+    dup = orders.orderBy("o_orderkey").limit(1)
+    broken = (
+        orders
+        .unionByName(dup)  # duplicate one o_orderkey
+        .unionByName(
+            dup.select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate",
+                "o_orderpriority")))
+    out = tmp_path / "broken"
+    broken.write.parquet(str(out / "orders.parquet"))
+    for t in ("customer", "lineitem"):
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            str(out / f"{t}.parquet"))
+    got = (quality.quality_constraint_checks(spark, str(out))
+           .toPandas().set_index("check_name"))
+    assert got.loc["orders_pk_unique", "violations"] == 1
+    assert got.loc["orders_custkey_complete", "violations"] == 1
+    # empty customer table -> every order is an orphan (the NULL
+    # custkey row counts too: NOT EXISTS / left_anti keep it in both
+    # engines, matching standard FK-check semantics)
+    assert got.loc["orders_fk_customer", "violations"] == 102
+    assert not got.loc["orders_pk_unique", "passed"]

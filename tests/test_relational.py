@@ -98,3 +98,68 @@ def test_join_hint_forces_shuffled_hash_join(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_rollup_is_exact(spark, sf_dir, oracle):
+    """Bitmap distinct is EXACT, not approximate: every daily row and
+    the merged ALL row must equal DuckDB's COUNT(DISTINCT)."""
+    got = (relational.events_bitmap_distinct_rollup(spark, sf_dir)
+           .toPandas().set_index("day"))
+    exact = oracle.sql("""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS du FROM events GROUP BY 1
+    """).df().set_index("day")
+    for day, row in exact.iterrows():
+        assert got.loc[day, "distinct_users"] == row.du
+    all_exact = oracle.sql(
+        "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert got.loc["ALL", "distinct_users"] == all_exact
+
+
+def test_kll_rollup_brackets_hold(spark, sf_dir):
+    """Every sketch quantile (daily and merged) must land inside the
+    exact +/-4%-rank bracket the oracle grades."""
+    got = relational.events_kll_quantile_rollup(spark, sf_dir).toPandas()
+    assert len(got) > 1 and "ALL" in set(got.day)
+    assert got.p50_in_bounds.all() and got.p95_in_bounds.all()
+
+
+def test_theta_setops_bounds_and_algebra(spark, sf_dir):
+    """Set-algebra invariant: |A∩B| + |A\\B| = |A| on the exact
+    companions, and every theta estimate is in bounds."""
+    got = (relational.events_theta_distinct_setops(spark, sf_dir)
+           .toPandas().set_index("op"))
+    assert got.est_in_bounds.all()
+    from pyspark.sql import functions as F
+    clicks = (load_table(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
+              .select("user_id").distinct().count())
+    assert (got.loc["click_and_purchase", "exact_users"]
+            + got.loc["click_minus_purchase", "exact_users"]) == clicks
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The CM one-sided error guarantee (est >= exact) must hold for
+    every reported key, and the top-1 estimate must be >= the true
+    heaviest key's exact count (CM can only inflate)."""
+    got = relational.events_countmin_heavy_hitters(spark, sf_dir).toPandas()
+    assert (got.est_cnt >= got.exact_cnt).all()
+    assert got.never_underestimates.all()
+    from pyspark.sql import functions as F
+    true_max = (load_table(spark, sf_dir, "events")
+                .groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c")).first()[0])
+    assert got.est_cnt.iloc[0] >= true_max
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """Per user: exactly one open (current) version, intervals are
+    contiguous (each valid_to equals the next valid_from), and
+    valid_from never decreases."""
+    got = relational.scd2_user_state_history(spark, sf_dir).toPandas()
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values(["valid_from", "event_id"]).reset_index(drop=True)
+        assert int(g.is_current.sum()) == 1
+        assert g.is_current.iloc[-1]
+        assert (g.valid_to.iloc[:-1].values
+                == g.valid_from.iloc[1:].values).all()

@@ -107,3 +107,28 @@ def test_fuzzy_blocking_bounds_hot_token(spark):
             F.floor(F.length("p_name") / _LEV_BAND).alias("band"))
         .groupBy("blk", "band").count().agg(F.max("count")).first()[0])
     assert per_key <= 300 / 5
+
+
+def test_bloom_semi_reduction_matches_plain_join(spark, sf_dir):
+    """The bloom pre-filter must be invisible in the result (false
+    positives die in the exact join) and visible in the plan (a
+    broadcast semi-join feeding the real join)."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.skew import join_bloom_semi_reduction
+    from pyspark.sql import functions as F
+
+    got = join_bloom_semi_reduction(spark, sf_dir).toPandas()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    want = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("rev"))
+            ).first()
+    assert len(got) == 1
+    assert int(got.n_items.iloc[0]) == want.n
+    assert abs(float(got.revenue.iloc[0]) - want.rev) < 0.01
+    plan = join_bloom_semi_reduction(spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan

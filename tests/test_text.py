@@ -46,3 +46,31 @@ def test_repetition_signals_bounded(spark, sf_dir):
     # word-soup corpus from a tiny vocabulary: repetition must register
     assert got.dup_bigram_frac.mean() > 0
     assert (got.n_tokens > 0).all()
+
+
+def test_bm25_ranks_rare_term_docs_first(spark, sf_dir):
+    """A doc containing the rare probe term 'dup' (df~5%) gets a large
+    idf contribution, so the top of the BM25 list must be dominated by
+    'dup'-containing docs; ranks must be contiguous from 1."""
+    from mongo_cdc_spark.operators import text as T
+    got = T.text_bm25_topk(spark, sf_dir).toPandas()
+    assert list(got.rn) == list(range(1, len(got) + 1))
+    assert got.bm25.is_monotonic_decreasing
+    docs = T._docs(spark, sf_dir).toPandas().set_index("doc_id")
+    top3_texts = [docs.loc[d, "text"] for d in got.doc_id.head(3)]
+    assert all(" dup " in f" {t} " for t in top3_texts)
+
+
+def test_rrf_fusion_scores_are_rank_sums(spark, sf_dir):
+    """RRF score must equal the sum of 1/(60+rank) contributions of
+    the lists the doc appears in (exact double arithmetic)."""
+    from mongo_cdc_spark.operators import text as T
+    got = T.search_rrf_fusion(spark, sf_dir).toPandas()
+    assert list(got.rn) == list(range(1, len(got) + 1))
+    for _, r in got.iterrows():
+        want = 0.0
+        if r.rank_bm25 == r.rank_bm25:  # not NaN
+            want += 1.0 / (60 + r.rank_bm25)
+        if r.rank_tfidf == r.rank_tfidf:
+            want += 1.0 / (60 + r.rank_tfidf)
+        assert abs(r.rrf - round(want, 6)) < 1e-9
