@@ -22,11 +22,11 @@ if _REPO not in sys.path:
 
 from mongo_cdc_spark.operators import (  # noqa: E402
     cdc_batch, dedup, layout, multimodal, quality, relational, similarity,
-    skew, text, tpch_full, training,
+    skew, text, timeseries, tpch_full, training,
 )
 
 _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
-            multimodal, training, skew, layout, quality)
+            multimodal, training, skew, layout, quality, timeseries)
 
 # The driver grades the first 50 dict entries (round-1 CORRECTNESS truncated at
 # exactly 50, in insertion order).  Round 1 graded cdc_batch + the first 48

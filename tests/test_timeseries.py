@@ -1,0 +1,84 @@
+"""Time-series operator tests: gap-fill spine/interpolation invariants
+and EWMA smoothing semantics (the hash-oracle checks values; these
+check meaning)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mongo_cdc_spark.operators import timeseries
+
+
+def test_gapfill_spine_is_contiguous_hourly(spark, sf_dir):
+    got = timeseries.ts_gapfill_interpolate(spark, sf_dir).toPandas()
+    for _, g in got.groupby("event_type"):
+        hours = g.h.sort_values()
+        deltas = hours.diff().dropna()
+        assert (deltas == pd.Timedelta(hours=1)).all()
+        # spine spans exactly [first obs, last obs]
+        obs = g[g.fill_kind == "obs"]
+        assert hours.iloc[0] == obs.h.min()
+        assert hours.iloc[-1] == obs.h.max()
+
+
+def test_gapfill_fill_values_bounded_by_neighbours(spark, sf_dir):
+    got = (timeseries.ts_gapfill_interpolate(spark, sf_dir)
+           .toPandas().sort_values(["event_type", "h"]))
+    assert got.v_filled.notna().all()
+    assert (got.loc[got.fill_kind != "obs", "n_obs"] == 0).all()
+    assert (got.loc[got.fill_kind == "obs", "n_obs"] > 0).all()
+    for _, g in got.groupby("event_type"):
+        obs_v = g.loc[g.fill_kind == "obs", "v_filled"]
+        lo, hi = obs_v.min(), obs_v.max()
+        # linear interpolation can never leave the observed envelope
+        filled = g.loc[g.fill_kind != "obs", "v_filled"]
+        assert ((filled >= lo - 1e-5) & (filled <= hi + 1e-5)).all()
+
+
+def test_gapfill_interp_between_neighbour_values(spark, sf_dir):
+    got = (timeseries.ts_gapfill_interpolate(spark, sf_dir)
+           .toPandas().sort_values(["event_type", "h"]))
+    for _, g in got.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        obs_idx = g.index[g.fill_kind == "obs"]
+        for i in g.index[g.fill_kind == "interp"]:
+            prev = obs_idx[obs_idx < i].max()
+            nxt = obs_idx[obs_idx > i].min()
+            lo = min(g.v_filled[prev], g.v_filled[nxt])
+            hi = max(g.v_filled[prev], g.v_filled[nxt])
+            assert lo - 1e-5 <= g.v_filled[i] <= hi + 1e-5
+
+
+def test_ewma_tracks_constant_series_exactly(spark, sf_dir):
+    """On any series the first EWMA equals the first day total; on the
+    fixture the EWMA stays inside the trailing-window min/max."""
+    got = (timeseries.ts_ewma_trend(spark, sf_dir)
+           .toPandas().sort_values(["priority", "d"]))
+    for _, g in got.groupby("priority"):
+        g = g.reset_index(drop=True)
+        assert abs(g.ewma[0] - g.day_total[0]) < 1e-3
+        roll_min = g.day_total.rolling(30, min_periods=1).min()
+        roll_max = g.day_total.rolling(30, min_periods=1).max()
+        assert ((g.ewma >= roll_min - 1e-3)
+                & (g.ewma <= roll_max + 1e-3)).all()
+
+
+def test_ewma_weights_recent_days_more(spark, sf_dir):
+    """A jump in the daily total must pull the EWMA toward the new
+    level by at least the alpha-normalized weight of the newest day."""
+    got = (timeseries.ts_ewma_trend(spark, sf_dir)
+           .toPandas().sort_values(["priority", "d"]))
+    g = got[got.priority == got.priority.iloc[0]].reset_index(drop=True)
+    # w0 (weight of the newest observation) >= 0.3 for every frame size
+    # convexity vs the PREVIOUS ewma only holds while the frame is
+    # still cumulative (no rows have fallen out of the 30-row window)
+    for i in range(1, min(len(g), 30)):
+        prev_ewma, x = g.ewma[i - 1], g.day_total[i]
+        # new ewma lies between prev smoothed level and the new point,
+        # and moves at least 30% of the way toward it (w0 >= alpha)
+        lo = min(prev_ewma, x)
+        hi = max(prev_ewma, x)
+        assert lo - 1e-3 <= g.ewma[i] <= hi + 1e-3
+        moved = abs(g.ewma[i] - prev_ewma)
+        gap = abs(x - prev_ewma)
+        assert moved >= 0.3 * gap - 1e-3
