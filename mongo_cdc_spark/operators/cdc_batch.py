@@ -96,6 +96,90 @@ def cdc_key_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("order_key"))
 
 
+@query("cdc_snapshot_diff", sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS p,
+               o_orderstatus AS st, o_orderpriority AS pri
+        FROM orders
+    ), old AS (
+        SELECT k, CASE WHEN k % 5 = 0 THEN p + 1000.0 ELSE p END AS p,
+               st, pri
+        FROM base WHERE k % 7 <> 0
+    ), new AS (
+        SELECT * FROM base WHERE k % 11 <> 3
+    ), tagged AS (
+        SELECT COALESCE(o.k, n.k) AS order_key,
+               CASE WHEN o.k IS NULL THEN 'insert'
+                    WHEN n.k IS NULL THEN 'delete'
+                    WHEN md5(concat_ws('|', o.p, o.st, o.pri))
+                         <> md5(concat_ws('|', n.p, n.st, n.pri))
+                         THEN 'update'
+                    ELSE 'unchanged' END AS op,
+               o.p AS before_total, n.p AS after_total
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT op, order_key, before_total, after_total
+    FROM tagged WHERE op <> 'unchanged'
+    ORDER BY order_key
+""")
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → change-data feed: given two snapshots of a
+    table, emit the minimal insert/update/delete event stream that
+    transforms one into the other (Delta Lake's Change Data Feed /
+    Debezium snapshot-reconciliation primitive — the exact INVERSE of
+    the reference relay, /root/reference/main.go:103-155, which ships
+    per-document events forward; this derives the events when all you
+    have is before/after state).
+
+    Two deterministic snapshots are synthesized from `orders`: the old
+    snapshot is missing every key ≡0 (mod 7) (those become inserts)
+    and carries a +1000.00 price on keys ≡0 (mod 5) (those become
+    updates); the new snapshot is missing keys ≡3 (mod 11) (those
+    become deletes). Change detection is column-agnostic: an md5 row
+    digest compared WITHIN each engine, so adding columns never
+    changes the operator — only which rows differ.
+
+    Scale: one full-outer equi-join on the primary key — with both
+    snapshots bucketed/sorted by key (the layout the CDC apply store
+    already writes, cdc/apply.py) this is a zero-exchange sort-merge;
+    classification and the unchanged-row elimination are narrow and
+    happen BEFORE any downstream fan-out, so the emitted feed is
+    O(changed rows), not O(table). The +1000.0 update arithmetic is
+    exact in doubles, so classification never hinges on float
+    formatting (digests are never compared across engines)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("p"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pri"))
+    old = (base.filter(F.col("k") % 7 != 0)
+           .withColumn("p", F.when(F.col("k") % 5 == 0,
+                                   F.col("p") + 1000.0)
+                             .otherwise(F.col("p"))))
+    new = base.filter(F.col("k") % 11 != 3)
+
+    def digest(side):
+        return F.md5(F.concat_ws(
+            "|", F.col(f"{side}.p"), F.col(f"{side}.st"),
+            F.col(f"{side}.pri")))
+
+    joined = (old.alias("o")
+              .join(new.alias("n"),
+                    F.col("o.k") == F.col("n.k"), "full_outer"))
+    op = (F.when(F.col("o.k").isNull(), "insert")
+          .when(F.col("n.k").isNull(), "delete")
+          .when(digest("o") != digest("n"), "update")
+          .otherwise("unchanged"))
+    return (joined
+            .select(op.alias("op"),
+                    F.coalesce(F.col("o.k"), F.col("n.k"))
+                     .alias("order_key"),
+                    F.col("o.p").alias("before_total"),
+                    F.col("n.p").alias("after_total"))
+            .filter(F.col("op") != "unchanged")
+            .orderBy("order_key"))
+
+
 @query("cdc_incremental_view_replay", sql="""
     WITH final AS (
       SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'M'

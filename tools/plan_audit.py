@@ -41,7 +41,12 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # cell; cost Σ cell², bounded by the quantizer) — a
           # cell-keyed shuffle join IS the 100 TB plan, and the pair
           # leg carries no hint so AQE may still broadcast when small:
-          "dedup_semantic_semdedup": 1}
+          "dedup_semantic_semdedup": 1,
+          # snapshot diff: full-outer join of two snapshots of the SAME
+          # table — both sides are the full table by definition, and
+          # full-outer cannot broadcast anyway; with bucketed snapshot
+          # storage (cdc/apply.py layout) the exchange disappears:
+          "cdc_snapshot_diff": 1}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
