@@ -207,3 +207,145 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("check_name", "violations",
                     (F.col("violations") == 0).alias("passed"))
             .orderBy("check_name"))
+
+
+@query("quality_reconcile_order_totals", sql="""
+    WITH li AS (
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   AS computed
+        FROM lineitem GROUP BY l_orderkey
+    ), per_order AS (
+        SELECT o.o_orderstatus, o.o_totalprice, li.computed,
+               ABS(o.o_totalprice - li.computed) AS adiff
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN computed IS NULL THEN 1 END) AS n_no_lineitems,
+           COUNT(CASE WHEN adiff <= 0.01 * o_totalprice THEN 1 END)
+               AS n_within_1pct,
+           ROUND(AVG(adiff), 2) AS avg_abs_diff,
+           ROUND(MAX(adiff), 2) AS max_abs_diff
+    FROM per_order GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def quality_reconcile_order_totals(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit — the classic warehouse
+    control total: recompute each order's charge from its line items
+    (extendedprice x (1-discount) x (1+tax), the TPC-H o_totalprice
+    definition) and reconcile against the stored header value,
+    reporting per-status order counts, headers with no detail rows,
+    within-1%-tolerance counts, and the abs-difference profile.
+
+    Scale: ONE keyed aggregation over the detail table (map-side
+    partial combine collapses each order's lines before the shuffle)
+    + ONE key join against the header table — co-partitioned on the
+    order key if both sides are bucketed, and the final per-status
+    report is a 3-row aggregate. Sums stay raw doubles until the
+    final ROUND (round-then-sum diverges across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.sum(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))
+                     * (1 + F.col("l_tax"))).alias("computed")))
+    per_order = (orders
+                 .join(li, orders.o_orderkey == li.l_orderkey, "left")
+                 .select("o_orderstatus", "o_totalprice", "computed",
+                         F.abs(F.col("o_totalprice") - F.col("computed"))
+                          .alias("adiff")))
+    return (per_order.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.count(F.when(F.col("computed").isNull(), 1))
+                  .alias("n_no_lineitems"),
+                 F.count(F.when(F.col("adiff")
+                                <= 0.01 * F.col("o_totalprice"), 1))
+                  .alias("n_within_1pct"),
+                 F.round(F.avg("adiff"), 2).alias("avg_abs_diff"),
+                 F.round(F.max("adiff"), 2).alias("max_abs_diff"))
+            .orderBy("o_orderstatus"))
+
+
+@query("stats_mad_outliers", sql="""
+    WITH med AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               ROUND(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY event_type
+    ), thr AS (
+        SELECT d.event_type, d.value, d.med, a.mad,
+               d.med - 3 * 1.4826 * a.mad AS lo,
+               d.med + 3 * 1.4826 * a.mad AS hi
+        FROM dev d JOIN mad a USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           MIN(med) AS med, MIN(mad) AS mad,
+           ROUND(MIN(lo), 6) AS lo_thr, ROUND(MIN(hi), 6) AS hi_thr,
+           COUNT(CASE WHEN value < lo THEN 1 END) AS n_out_low,
+           COUNT(CASE WHEN value > hi THEN 1 END) AS n_out_high
+    FROM thr GROUP BY event_type ORDER BY event_type
+""")
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median /
+    median-absolute-deviation fences (med ± 3 x 1.4826 x MAD — the
+    MAD-consistency-scaled equivalent of ±3sigma that heavy tails and
+    the outliers themselves cannot drag, unlike mean/stddev fences).
+
+    Spark-first: the exact median is computed WITHOUT per-group
+    in-memory state — a (event_type, value) window row_number over a
+    sort-based exchange picks the middle element(s); sort spills,
+    so group size never has to fit in an executor's memory (Spark's
+    `percentile` aggregate, by contrast, buffers every value of a
+    group in one ObjectHashAggregate node). Both median passes and
+    the final fence count reuse the SAME event_type hash
+    partitioning, so the three stages pay one data-sized exchange.
+    Medians are rounded to 6 dp before deviations are taken, making
+    the fences bit-identical across engines. At 100 TB with
+    quantile-sketch tolerance, swap both passes to approx_percentile
+    (mergeable KLL-style state, no sort) — the surrounding plan is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value",
+                                                    "event_id")
+
+    def _median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type", col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"))
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1))
+        return (mid.groupBy("event_type")
+                .agg(F.round(F.avg(col), 6).alias(out)))
+
+    med = _median(ev, "value", "med")
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = _median(dev.select("event_type", "adev", "event_id"),
+                  "adev", "mad")
+    fenced = (dev.join(F.broadcast(mad), "event_type")
+              .withColumn("lo", F.col("med") - 3 * 1.4826 * F.col("mad"))
+              .withColumn("hi", F.col("med") + 3 * 1.4826 * F.col("mad")))
+    return (fenced.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("med").alias("med"), F.min("mad").alias("mad"),
+                 F.round(F.min("lo"), 6).alias("lo_thr"),
+                 F.round(F.min("hi"), 6).alias("hi_thr"),
+                 F.count(F.when(F.col("value") < F.col("lo"), 1))
+                  .alias("n_out_low"),
+                 F.count(F.when(F.col("value") > F.col("hi"), 1))
+                  .alias("n_out_high"))
+            .orderBy("event_type"))

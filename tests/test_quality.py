@@ -62,3 +62,30 @@ def test_constraint_suite_catches_violations(spark, sf_dir, tmp_path):
     # engines, matching standard FK-check semantics)
     assert got.loc["orders_fk_customer", "violations"] == 102
     assert not got.loc["orders_pk_unique", "passed"]
+
+
+def test_reconcile_counts_cover_all_orders(spark, sf_dir):
+    got = quality.quality_reconcile_order_totals(spark, sf_dir).toPandas()
+    orders = load_table(spark, sf_dir, "orders")
+    assert got.n_orders.sum() == orders.count()
+    assert (got.n_within_1pct <= got.n_orders).all()
+    assert (got.n_no_lineitems <= got.n_orders).all()
+    assert (got.avg_abs_diff.fillna(0) <= got.max_abs_diff.fillna(0)).all()
+
+
+def test_mad_outliers_matches_pandas_reference(spark, sf_dir):
+    got = (quality.stats_mad_outliers(spark, sf_dir)
+           .toPandas().set_index("event_type"))
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", "value").toPandas())
+    for etype, g in ev.groupby("event_type"):
+        med = round(g.value.median(), 6)
+        mad = round((g.value - med).abs().median(), 6)
+        row = got.loc[etype]
+        assert abs(row.med - med) < 1e-9
+        assert abs(row.mad - mad) < 1e-9
+        lo = med - 3 * 1.4826 * mad
+        hi = med + 3 * 1.4826 * mad
+        assert row.n_out_low == (g.value < lo).sum()
+        assert row.n_out_high == (g.value > hi).sum()
+        assert row.n == len(g)
