@@ -283,3 +283,69 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("file_hour").alias("from_hour"),
                  F.max("file_hour").alias("to_hour"))
             .orderBy("grp"))
+
+
+@query("layout_zonemap_skipping", sql="""
+    WITH zm AS (
+        SELECT date_trunc('month', o_orderdate) AS file_month,
+               COUNT(*) AS n_rows,
+               MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+               MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total,
+               COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                           AND o_totalprice > 200000 THEN 1 END) AS pred_rows
+        FROM orders GROUP BY 1
+    )
+    SELECT file_month, n_rows, min_date, max_date,
+           ROUND(min_total, 2) AS min_total, ROUND(max_total, 2) AS max_total,
+           (max_date >= TIMESTAMP '1996-01-01 00:00:00'
+            AND min_date < TIMESTAMP '1997-01-01 00:00:00'
+            AND max_total > 200000) AS must_scan,
+           pred_rows
+    FROM zm ORDER BY file_month
+""")
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file skipping, made explicit:
+    treat each month partition of `orders` as one ingestion file,
+    compute the per-file column statistics a parquet footer carries
+    (min/max orderdate, min/max totalprice, row count), and evaluate
+    the skip decision for a fixed conjunctive predicate
+    (orderdate in 1996 AND totalprice > 200k) exactly the way a
+    reader prunes row groups: a file must be scanned iff every
+    conjunct's [min, max] interval intersects the predicate range.
+    `pred_rows` — the actual matching rows per file — is carried
+    alongside so the zone map's soundness is checkable in the result
+    itself: a skipped file always has pred_rows = 0 (zone maps are
+    sound; the converse — scanned files with 0 matches — is the
+    false-positive cost that clustering, e.g. layout_zorder_events,
+    exists to shrink).
+
+    Scale: this is the pruning arithmetic Spark's parquet reader and
+    Delta/Iceberg data-skipping indexes run per file at planning
+    time. Computing the maps here is ONE map-side-combined groupBy on
+    the partition key (no sort, no global window); at 100 TB the maps
+    come free from parquet footers and the decision runs on the
+    manifest only — this operator exists to pin the semantics (and to
+    audit real footers against recomputed stats when corruption is
+    suspected)."""
+    o = load_table(spark, sf_dir, "orders")
+    d0 = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    d1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    pred = ((F.col("o_orderdate") >= d0) & (F.col("o_orderdate") < d1)
+            & (F.col("o_totalprice") > 200000))
+    zm = (o.groupBy(F.date_trunc("month", "o_orderdate")
+                    .alias("file_month"))
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.min("o_orderdate").alias("min_date"),
+               F.max("o_orderdate").alias("max_date"),
+               F.min("o_totalprice").alias("min_total_raw"),
+               F.max("o_totalprice").alias("max_total_raw"),
+               F.count(F.when(pred, 1)).alias("pred_rows")))
+    return (zm.select(
+        "file_month", "n_rows", "min_date", "max_date",
+        F.round("min_total_raw", 2).alias("min_total"),
+        F.round("max_total_raw", 2).alias("max_total"),
+        ((F.col("max_date") >= d0) & (F.col("min_date") < d1)
+         & (F.col("max_total_raw") > 200000)).alias("must_scan"),
+        "pred_rows")
+        .orderBy("file_month"))

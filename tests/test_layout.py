@@ -68,3 +68,20 @@ def test_compaction_plan_partitions_manifest(spark, sf_dir):
     assert int(got.total_rows.sum()) == total
     for i in range(len(got) - 1):
         assert got.to_hour.iloc[i] < got.from_hour.iloc[i + 1]
+
+
+def test_zonemap_skipping_is_sound(spark, sf_dir):
+    """A file the zone map skips may never contain a matching row, and
+    in-range months with a qualifying max price must be scanned."""
+    from mongo_cdc_spark.operators.layout import layout_zonemap_skipping
+    got = layout_zonemap_skipping(spark, sf_dir).toPandas()
+    skipped = got[~got.must_scan]
+    assert (skipped.pred_rows == 0).all()
+    assert (got.min_date <= got.max_date).all()
+    assert (got.min_total <= got.max_total).all()
+    # every month is one file: partition key bounds nest in the month
+    assert (got.min_date.dt.to_period("M")
+            == got.file_month.dt.to_period("M")).all()
+    # the fixture spans several years -> out-of-range months exist and
+    # are skipped, in-range qualifying months exist and are scanned
+    assert len(skipped) > 0 and got.must_scan.any()
