@@ -2502,3 +2502,57 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lead("ts").over(w).alias("valid_to"))
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from", "event_id"))
+
+
+@query("streaming_interval_join_replay", sql="""
+    SELECT b.user_id, b.event_id AS buy_id, c.event_id AS click_id,
+           b.ts AS buy_ts, c.ts AS click_ts, b.value
+    FROM events b JOIN events c
+      ON c.user_id = b.user_id
+     AND b.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL '30 minutes'
+    ORDER BY buy_id, click_id
+""")
+def streaming_interval_join_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch replay twin of streaming.stream_stream_self_join (inner):
+    every purchase joined to the same user's clicks in the 30 minutes
+    at-or-before it — the stream-stream interval join whose state the
+    watermark purges, given an oracle-graded correctness row.
+
+    Spark-first scale plan: NOT a ts-range theta join (which Catalyst
+    can only execute as a broadcast-nested-loop or a full sort-merge
+    over user_id with per-key range scans). Instead both sides are
+    bucketed into 30-minute epochs — the exact interval width — so a
+    click can only match purchases in its own or the following bucket;
+    purchases probe (bucket-1, bucket) via a 2-way explode, the join
+    becomes a plain equi-join on (user_id, bucket), and the exact
+    interval predicate filters the candidates. Each (purchase, click)
+    pair meets in exactly one bucket, so no dedup is needed. This is
+    the batch analog of the streaming join's bounded state: candidate
+    scope per row is two fixed-width buckets, independent of history
+    length — at 100 TB the shuffle key (user, epoch) is fine-grained
+    and skew-resistant, mirroring how the streaming engine scopes its
+    join state by watermark horizon."""
+    ev = _t(spark, sf_dir, "events")
+    width = 1800  # seconds == the join interval
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id",
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"),
+                      F.floor(F.unix_timestamp("ts") / width)
+                       .alias("bkt")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id"), "value",
+                    F.floor(F.unix_timestamp("ts") / width)
+                     .alias("b_bkt")))
+    probes = buys.withColumn(
+        "bkt", F.explode(F.array(F.col("b_bkt") - 1, F.col("b_bkt"))))
+    return (probes.join(clicks, ["user_id", "bkt"])
+            .filter((F.col("click_ts") <= F.col("buy_ts"))
+                    & (F.col("click_ts")
+                       >= F.col("buy_ts") - F.expr("INTERVAL 30 MINUTES")))
+            .select("user_id", "buy_id", "click_id", "buy_ts",
+                    "click_ts", "value")
+            .orderBy("buy_id", "click_id"))

@@ -433,3 +433,31 @@ def test_rocksdb_state_store_accumulates_across_restart(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_interval_join_matches_batch_replay_twin(spark, tmp_path,
+                                                        sf_dir):
+    """The REAL stream-stream interval join over the fixture events
+    must emit exactly the pairs the graded batch replay twin
+    (relational.streaming_interval_join_replay) derives via the
+    bucketed equi-join plan."""
+    from mongo_cdc_spark.operators.relational import (
+        streaming_interval_join_replay)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").toPandas()
+    rows = [{"event_id": int(r.event_id),
+             "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+             "user_id": int(r.user_id), "event_type": r.event_type,
+             "value": float(r.value), "props": r.props or "{}"}
+            for r in ev.itertuples()]
+    stream = read_events_stream(spark, str(src))
+    got = _collect_batched(
+        stream_stream_self_join(stream, stream, within="30 minutes"),
+        tmp_path, src, [rows])
+    want = (streaming_interval_join_replay(spark, sf_dir)
+            .select("buy_id", "click_id").toPandas())
+    assert (set(zip(got.buy_id.astype(int), got.click_id.astype(int)))
+            == set(zip(want.buy_id, want.click_id)))
+    assert len(got) == len(want)
