@@ -1258,3 +1258,171 @@ def knn_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- MMR
+
+MMR_LAMBDA = 0.7     # relevance weight
+MMR_MU = 0.3         # redundancy penalty weight (= 1 - lambda, as an
+                     # EXACT shared literal: deriving it as 1-0.7 in
+                     # Python gives 0.30000000000000004 and splits the
+                     # engines' rounding at the 6th decimal)
+MMR_CAND = 20        # relevance-ranked candidate pool per probe
+MMR_SEL = 5          # diversified results returned per probe
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy-MMR oracle: MMR_SEL fixed selection steps as
+    chained CTEs (greedy argmax is not first-order SQL, but a FIXED
+    number of steps is — each step k computes every remaining
+    candidate's max-similarity-to-selected penalty and takes the
+    argmax, exactly mirroring the engine's unrolled DataFrame plan)."""
+    cos = ("ROUND(list_dot_product({a}.v, {b}.v)"
+           " / (sqrt(list_dot_product({a}.v, {a}.v))"
+           " * sqrt(list_dot_product({b}.v, {b}.v))), 6)")
+    parts = [f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cand AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nid,
+               {cos.format(a='q', b='c')} AS cos_sim
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, nid) <= {MMR_CAND}
+    ), pairs AS (
+      SELECT a.query_id, a.nid AS a_id, b.nid AS b_id,
+             {cos.format(a='ea', b='eb')} AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.nid <> b.nid
+      JOIN e ea ON ea.vec_id = a.nid
+      JOIN e eb ON eb.vec_id = b.nid
+    ), sel1 AS (
+      SELECT * FROM (
+        SELECT query_id, nid, cos_sim,
+               ROUND({MMR_LAMBDA} * cos_sim, 7) AS mmr, 1 AS mmr_rank
+        FROM cand)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, nid) = 1
+    )"""]
+    for k in range(2, MMR_SEL + 1):
+        parts.append(f""", s{k} AS (
+      SELECT * FROM (
+        SELECT c.query_id, c.nid, c.cos_sim,
+               ROUND({MMR_LAMBDA} * c.cos_sim
+                     - {MMR_MU} * p.pen, 7) AS mmr,
+               {k} AS mmr_rank
+        FROM cand c
+        JOIN (SELECT pr.query_id, pr.a_id, MAX(pr.sim) AS pen
+              FROM pairs pr
+              JOIN sel{k - 1} s
+                ON s.query_id = pr.query_id AND s.nid = pr.b_id
+              GROUP BY pr.query_id, pr.a_id) p
+          ON p.query_id = c.query_id AND p.a_id = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM sel{k - 1} s
+                          WHERE s.query_id = c.query_id
+                            AND s.nid = c.nid))
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, nid) = 1
+    ), sel{k} AS (
+      SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM s{k}
+    )""")
+    parts.append(f"""
+    SELECT query_id, mmr_rank, nid AS neighbor_id, cos_sim,
+           mmr AS mmr_score
+    FROM sel{MMR_SEL} ORDER BY query_id, mmr_rank""")
+    return "".join(parts)
+
+
+@query("knn_mmr_rerank", sql=_mmr_oracle_sql())
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein):
+    take each probe's top-{MMR_CAND} relevance candidates, then
+    greedily select {MMR_SEL} results maximizing
+    lambda*sim(c, q) - (1-lambda)*max_{{s in S}} sim(c, s) — the
+    diversity-aware second stage every RAG retrieval pipeline runs so
+    near-duplicate passages don't crowd out coverage.
+
+    Spark-first decomposition of an inherently sequential algorithm:
+    stage 1 (candidate generation) is the broadcast-probe corpus scan
+    of knn_bruteforce_cosine — the only data-sized work, fully
+    narrow. Stage 2 operates on Q x {MMR_CAND} rows (hundreds, at ANY
+    corpus scale — that collapse is what makes greedy re-ranking
+    tractable at 100 TB): candidate pairwise sims via a broadcast
+    self-join, then {MMR_SEL} unrolled greedy steps, each one
+    anti-join (drop selected) + penalty max-agg + argmax window over
+    the tiny candidate frame. `cand` and `pairs` are persisted
+    because every unrolled step references them.
+
+    Determinism: similarities are rounded to 6 dp; MMR scores to
+    7 dp — lambda*sim - mu*penalty over 6-dp inputs lies EXACTLY on
+    the 7-decimal grid, so 7-dp rounding is lossless, while 6-dp
+    rounding would sit on half-boundaries where the engines' rounding
+    modes diverge. Ties break on neighbor_id, so engine and oracle
+    pick identical argmaxes at every step."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
+    scored = (
+        e.select(F.col("vec_id").alias("nid"), "v", "norm")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select("query_id", "nid", "v", "norm",
+                F.round(cosine(F.col("qv"), F.col("v"),
+                               F.col("qnorm"), F.col("norm")), 6)
+                 .alias("cos_sim")))
+    w_rel = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                              F.asc("nid"))
+    cand = (scored.withColumn("r", F.row_number().over(w_rel))
+            .filter(F.col("r") <= MMR_CAND)
+            .select("query_id", "nid", "cos_sim", "v", "norm")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    a = cand.select("query_id", F.col("nid").alias("a_id"),
+                    F.col("v").alias("av"), F.col("norm").alias("an"))
+    b = cand.select("query_id", F.col("nid").alias("b_id"),
+                    F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    pairs = (a.join(b, "query_id")
+             .filter(F.col("a_id") != F.col("b_id"))
+             .select("query_id", "a_id", "b_id",
+                     F.round(cosine(F.col("av"), F.col("bv"),
+                                    F.col("an"), F.col("bn")), 6)
+                      .alias("sim"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+
+    slim = cand.select("query_id", "nid", "cos_sim")
+    w_mmr = W.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("nid"))
+    sel = (slim
+           .withColumn("mmr", F.round(MMR_LAMBDA * F.col("cos_sim"), 7))
+           .withColumn("r", F.row_number().over(w_mmr))
+           .filter(F.col("r") == 1)
+           .select("query_id", "nid", "cos_sim", "mmr",
+                   F.lit(1).alias("mmr_rank"))
+           # O(1) lineage per greedy step: without truncation, step k's
+           # plan embeds step k-1's THREE times (chosen/anti/union) —
+           # exponential subplan fan-out that re-executes the join
+           # machinery ~3^k times even with cand/pairs cached
+           .localCheckpoint(eager=False))
+    for k in range(2, MMR_SEL + 1):
+        chosen = sel.select("query_id", F.col("nid").alias("b_id"))
+        pen = (pairs.join(chosen, ["query_id", "b_id"])
+               .groupBy("query_id", F.col("a_id").alias("nid"))
+               .agg(F.max("sim").alias("pen")))
+        remaining = slim.join(sel.select("query_id", "nid"),
+                              ["query_id", "nid"], "left_anti")
+        step = (remaining.join(pen, ["query_id", "nid"])
+                .withColumn("mmr", F.round(
+                    MMR_LAMBDA * F.col("cos_sim")
+                    - MMR_MU * F.col("pen"), 7))
+                .withColumn("r", F.row_number().over(w_mmr))
+                .filter(F.col("r") == 1)
+                .select("query_id", "nid", "cos_sim", "mmr",
+                        F.lit(k).alias("mmr_rank")))
+        sel = sel.unionByName(step).localCheckpoint(eager=False)
+    return (sel.select("query_id", "mmr_rank",
+                       F.col("nid").alias("neighbor_id"),
+                       "cos_sim", F.col("mmr").alias("mmr_score"))
+            .orderBy("query_id", "mmr_rank"))

@@ -220,3 +220,57 @@ def test_sq8_rank_contract(spark, sf_dir):
         assert list(grp["rank"]) == list(range(1, similarity.TOP_K + 1))
         assert (grp.sort_values("rank").approx_ip.diff().dropna()
                 <= 1e-12).all()
+
+
+def test_mmr_rerank_matches_numpy_greedy_reference(spark, sf_dir):
+    """Independent dense-numpy implementation of greedy MMR over the
+    same candidates must pick the same ids in the same order."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators.similarity import (
+        MMR_CAND, MMR_LAMBDA, MMR_MU, MMR_SEL, N_QUERIES, knn_mmr_rerank)
+
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    V = np.stack(emb.embedding.map(np.asarray).values).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    got = knn_mmr_rerank(spark, sf_dir).toPandas()
+    for qi in range(N_QUERIES):
+        qrow = np.where(ids == qi)[0][0]
+        sims = np.round(Vn @ Vn[qrow], 6)
+        order = np.lexsort((ids, -sims))
+        order = [o for o in order if ids[o] != qi][:MMR_CAND]
+        sel: list = []
+        for _ in range(MMR_SEL):
+            best, best_score = None, None
+            for o in order:
+                if o in sel:
+                    continue
+                pen = max((np.round(float(Vn[o] @ Vn[s]), 6)
+                           for s in sel), default=0.0)
+                score = round(MMR_LAMBDA * float(sims[o])
+                              - (MMR_MU * pen if sel else 0.0), 7)
+                key = (-score, ids[o])
+                if best is None or key < best_score:
+                    best, best_score = o, key
+            sel.append(best)
+        want = [int(ids[s]) for s in sel]
+        have = (got[got.query_id == qi].sort_values("mmr_rank")
+                .neighbor_id.astype(int).tolist())
+        assert have == want, f"query {qi}: {have} != {want}"
+
+
+def test_mmr_scores_non_increasing_and_selection_valid(spark, sf_dir):
+    from mongo_cdc_spark.operators.similarity import (
+        MMR_SEL, N_QUERIES, knn_mmr_rerank)
+
+    got = knn_mmr_rerank(spark, sf_dir).toPandas()
+    assert len(got) == N_QUERIES * MMR_SEL
+    for qi, g in got.groupby("query_id"):
+        g = g.sort_values("mmr_rank")
+        assert list(g.mmr_rank) == list(range(1, MMR_SEL + 1))
+        assert g.neighbor_id.nunique() == MMR_SEL
+        # greedy argmax over a shrinking pool with growing penalties
+        # yields non-increasing scores
+        assert (g.mmr_score.diff().dropna() <= 1e-9).all()
