@@ -21,12 +21,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    cdc_batch, dedup, layout, multimodal, quality, relational, similarity,
-    skew, text, timeseries, tpch_full, training,
+    cdc_batch, dedup, graph, layout, multimodal, quality, relational,
+    similarity, skew, text, timeseries, tpch_full, training,
 )
 
 _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
-            multimodal, training, skew, layout, quality, timeseries)
+            multimodal, training, skew, layout, quality, timeseries, graph)
 
 # The driver grades the first 50 dict entries (round-1 CORRECTNESS truncated at
 # exactly 50, in insertion order).  Round 1 graded cdc_batch + the first 48
