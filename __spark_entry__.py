@@ -41,20 +41,26 @@ _GRADE_FIRST = (
     # now fixture drift invalidating OLD rows (round 2 proved fixtures
     # change between rounds). So the window leads with the rows whose
     # latest grading is oldest.
-    # Tier 1: all 21 queries whose only green row dates from round 1.
-    "q5_local_supplier_volume", "q10_returned_items",
-    "join_anti_customers_no_orders", "join_outer_nation_coverage",
-    "agg_distinct_per_flag", "agg_stats_acctbal", "hof_order_quantities",
-    "sample_deterministic_orders", "window_range_frame_spend",
-    "window_topk_orders_per_segment",
-    "map_priority_profile", "setop_union_nations_with_presence",
-    "scalar_string_part_facets", "scalar_date_order_seasonality",
-    "filter_nullsafe_priority_pairs",
-    # (Six tier-1 rows rotate to round 5 — window_running/_ntile,
-    # agg_collect_nations_per_region, scalar_math_discount_model,
-    # setop_intersect/_except — their families stay covered by the
-    # in-window siblings above; never-graded queries below outrank
-    # stale-green rows for the 50 slots.)
+    # Tier 0: NEW in this session (never graded — outrank everything).
+    "ts_gapfill_interpolate", "ts_ewma_trend", "cdc_snapshot_diff",
+    "quality_reconcile_order_totals", "stats_mad_outliers",
+    "layout_zonemap_skipping", "streaming_interval_join_replay",
+    "knn_mmr_rerank", "graph_pagerank_trade",
+    # Tier 1: r1-only green rows, one representative per family — the
+    # rest of the r1 cohort (q10_returned_items, join_outer_nation_
+    # coverage, agg_stats_acctbal, hof_order_quantities, sample_
+    # deterministic_orders, window_topk_orders_per_segment,
+    # map_priority_profile, scalar_string_part_facets, filter_nullsafe_
+    # priority_pairs, window_running/_ntile, agg_collect_nations_per_
+    # region, scalar_math_discount_model, setop_intersect/_except)
+    # rotates to round 5; never-graded queries above outrank
+    # stale-green rows for the 50 slots.
+    "q5_local_supplier_volume",
+    "join_anti_customers_no_orders",
+    "agg_distinct_per_flag",
+    "window_range_frame_spend",
+    "setop_union_nations_with_presence",
+    "scalar_date_order_seasonality",
     # Tier 2: queries whose implementation CHANGED in round 4 (HOF-CSE
     # materialization in text/training/shingle paths, MinHash adaptive
     # verify, multimodal real decode + empty-text guard, (ts, event_id)
