@@ -163,3 +163,26 @@ def test_scd2_intervals_partition_history(spark, sf_dir):
         assert g.is_current.iloc[-1]
         assert (g.valid_to.iloc[:-1].values
                 == g.valid_from.iloc[1:].values).all()
+
+
+def test_sliding_distinct_users_window_semantics(spark, sf_dir):
+    """users_3d must equal the exact distinct over the trailing 3
+    calendar days, and dominate users_1d; windows crossing silent
+    days must not over-count."""
+    from mongo_cdc_spark.operators.relational import (
+        events_sliding_distinct_users)
+
+    got = events_sliding_distinct_users(spark, sf_dir).toPandas()
+    ev = (load_table(spark, sf_dir, "events")
+          .selectExpr("date_trunc('day', ts) AS d", "user_id").toPandas())
+    ev["day"] = ev.d.dt.strftime("%Y-%m-%d")
+    by_day = {d: set(g.user_id) for d, g in ev.groupby("day")}
+    import pandas as pd
+    for r in got.itertuples():
+        day = pd.Timestamp(r.day)
+        wdays = [(day - pd.Timedelta(days=k)).strftime("%Y-%m-%d")
+                 for k in range(3)]
+        want = set().union(*(by_day.get(d, set()) for d in wdays))
+        assert r.users_3d == len(want), r.day
+        assert r.users_1d == len(by_day[r.day])
+        assert r.users_3d >= r.users_1d

@@ -54,7 +54,13 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
 # triggers the distinct-rewrite Expand pathology — see
 # agg_approx_sketches); every extra exchange carries only small-key
 # aggregated rows, map-side combined:
-SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7}
+SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
+               # sliding bitmap merge: only the (day, bucket) bitmap
+               # construction is data-sized; the other exchanges move
+               # the days x buckets grid of fixed-size binary state
+               # (distinct spines, grid join, per-bucket window, final
+               # day agg) — metadata-grain at any corpus size:
+               "events_sliding_distinct_users": 7}
 
 
 def _strip_cached_lineage(plan: str) -> str:
