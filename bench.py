@@ -19,8 +19,8 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
-    cdc_batch, dedup, layout, multimodal, relational, similarity, text,
-    tpch_full, training,
+    cdc_batch, dedup, graph, layout, multimodal, quality, relational,
+    similarity, text, timeseries, tpch_full, training,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
@@ -60,6 +60,17 @@ HEADLINE = [
     ("knn_sq8_search", similarity.knn_sq8_search),
     ("layout_zorder", layout.layout_zorder_events),
     ("layout_hilbert", layout.layout_hilbert_events),
+    # round-4 session-2 additions
+    ("ts_gapfill", timeseries.ts_gapfill_interpolate),
+    ("ts_ewma", timeseries.ts_ewma_trend),
+    ("cdc_snapshot_diff", cdc_batch.cdc_snapshot_diff),
+    ("reconcile_totals", quality.quality_reconcile_order_totals),
+    ("mad_outliers", quality.stats_mad_outliers),
+    ("zonemap_skipping", layout.layout_zonemap_skipping),
+    ("interval_join", relational.streaming_interval_join_replay),
+    ("knn_mmr", similarity.knn_mmr_rerank),
+    ("pagerank", graph.graph_pagerank_trade),
+    ("sliding_distinct", relational.events_sliding_distinct_users),
 ]
 
 
