@@ -46,7 +46,8 @@ _GRADE_FIRST = (
     "quality_reconcile_order_totals", "stats_mad_outliers",
     "layout_zonemap_skipping", "streaming_interval_join_replay",
     "knn_mmr_rerank", "graph_pagerank_trade",
-    "events_sliding_distinct_users",
+    "events_sliding_distinct_users", "train_quality_calibrate",
+    "mine_hard_negatives",
     # Tier 1: r1-only green rows, one representative per family — the
     # rest of the r1 cohort (q10_returned_items, join_outer_nation_
     # coverage, agg_stats_acctbal, hof_order_quantities, sample_
@@ -58,8 +59,6 @@ _GRADE_FIRST = (
     # stale-green rows for the 50 slots.
     "q5_local_supplier_volume",
     "join_anti_customers_no_orders",
-    "window_range_frame_spend",
-    "setop_union_nations_with_presence",
     "scalar_date_order_seasonality",
     # Tier 2: queries whose implementation CHANGED in round 4 (HOF-CSE
     # materialization in text/training/shingle paths, MinHash adaptive

@@ -1426,3 +1426,65 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("nid").alias("neighbor_id"),
                        "cos_sim", F.col("mmr").alias("mmr_score"))
             .orderBy("query_id", "mmr_rank"))
+
+
+HN_ANCHORS = 25      # vec_id < 25 are the anchor vectors
+HN_K = 3             # hard negatives returned per anchor
+
+
+@query("mine_hard_negatives", sql=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             n.vec_id AS neg_id, n.label AS neg_label,
+             ROUND(list_dot_product(a.v, n.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+      FROM e a JOIN e n ON n.label <> a.label
+      WHERE a.vec_id < {HN_ANCHORS}
+    )
+    SELECT * FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY anchor_id
+               ORDER BY cos_sim DESC, neg_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {HN_K}
+    ORDER BY anchor_id, rank
+""")
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training
+    (DPR, SimCSE, triplet-loss pipelines): for each anchor, the
+    top-{HN_K} most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually move the loss, versus random negatives
+    the model already separates.
+
+    Spark-first: same broadcast-anchor narrow corpus scan as
+    knn_bruteforce_cosine with the label-inequality predicate applied
+    before scoring feeds the per-anchor top-k window (WindowGroupLimit
+    collapses it to per-partition heaps). At 100 TB the exact scan
+    swaps for ANN candidate generation (knn_ivf / knn_ivfpq) followed
+    by this exact label-filtered re-rank over candidates — the scan
+    is the only part that changes; mining stays one narrow pass +
+    one tiny top-k exchange per anchor batch."""
+    e = _emb(spark, sf_dir)
+    anchors = (e.filter(F.col("vec_id") < HN_ANCHORS)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label"),
+                       F.col("v").alias("av"), F.col("norm").alias("an")))
+    scored = (
+        e.select(F.col("vec_id").alias("neg_id"),
+                 F.col("label").alias("neg_label"), "v", "norm")
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label",
+                F.round(cosine(F.col("av"), F.col("v"),
+                               F.col("an"), F.col("norm")), 6)
+                 .alias("cos_sim")))
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("neg_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= HN_K)
+            .select("anchor_id", "anchor_label", "neg_id", "neg_label",
+                    "cos_sim", "rank")
+            .orderBy("anchor_id", "rank"))

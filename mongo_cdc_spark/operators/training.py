@@ -639,3 +639,81 @@ def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_tok", "es_key", "rank")
         .orderBy("lang", "rank")
     )
+
+
+@query("train_quality_calibrate", sql=r"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\s+')) AS n_tok,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT source, doc_id,
+             ROUND(0.6 * (n_stop * 1.0 / n_tok)
+                   + 0.4 * LEAST(n_tok / 100.0, 1.0), 6) AS raw_q
+      FROM scored
+    ), cal AS (
+      SELECT source, doc_id, raw_q,
+             ROUND(percent_rank() OVER (
+                 PARTITION BY source ORDER BY raw_q, doc_id), 6) AS cal_q,
+             CAST(ntile(10) OVER (
+                 PARTITION BY source ORDER BY raw_q, doc_id) AS INT)
+                 AS decile
+      FROM q
+    )
+    SELECT source, decile, COUNT(*) AS n_docs,
+           MIN(raw_q) AS q_min, MAX(raw_q) AS q_max,
+           MIN(cal_q) AS cal_min, MAX(cal_q) AS cal_max
+    FROM cal GROUP BY source, decile
+    ORDER BY source, decile
+""")
+def train_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: map each document's raw
+    quality score (the text_quality_scores formula) onto its source's
+    empirical CDF via percent_rank, plus ntile deciles — the
+    standard normalization step before mixing heterogeneous sources
+    (a raw 0.6 from a clean-wiki source and from a crawl source mean
+    different things; percentiles within source are comparable, so
+    mixture policies like "top-3-deciles per source" become
+    well-defined). Output is the per-(source, decile) calibration
+    table: counts plus the raw-score interval each decile maps from —
+    the monotone bin edges a downstream filter would apply.
+
+    Scale: ONE window shuffle partitioned by source (the natural
+    calibration unit); percent_rank and ntile share a single (source,
+    raw_q, doc_id) sort. Per-source partitions are corpus-sized — a
+    skewed giant source would switch to the approx_percentile-based
+    cut-point variant (sketch the CDF, broadcast the cuts) with the
+    same output contract; the exact window form is the audit-grade
+    reference. Determinism: raw_q rounds to 6 dp BEFORE ranking and
+    the sort totalizes on doc_id, so both engines rank identically."""
+    # text's helper splits the `text` column; dedup's module-level
+    # _tokens (imported above for the shingle paths) takes a column —
+    # alias to keep the two apart
+    from mongo_cdc_spark.operators.text import _STOPWORDS
+    from mongo_cdc_spark.operators.text import _tokens as _text_tokens
+
+    w = W.partitionBy("source").orderBy("raw_q", "doc_id")
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", _text_tokens().alias("toks"))
+        .select("source", "doc_id", F.size("toks").alias("n_tok"),
+                F.size(F.filter("toks", lambda t: t.isin(*_STOPWORDS)))
+                .alias("n_stop"))
+        .select("source", "doc_id",
+                F.round(0.6 * (F.col("n_stop") * F.lit(1.0)
+                               / F.col("n_tok"))
+                        + 0.4 * F.least(F.col("n_tok") / F.lit(100.0),
+                                        F.lit(1.0)), 6).alias("raw_q")))
+    cal = raw.select(
+        "source", "raw_q",
+        F.round(F.percent_rank().over(w), 6).alias("cal_q"),
+        F.ntile(10).over(w).alias("decile"))
+    return (cal.groupBy("source", "decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("raw_q").alias("q_min"),
+                 F.max("raw_q").alias("q_max"),
+                 F.min("cal_q").alias("cal_min"),
+                 F.max("cal_q").alias("cal_max"))
+            .orderBy("source", "decile"))

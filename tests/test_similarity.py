@@ -274,3 +274,30 @@ def test_mmr_scores_non_increasing_and_selection_valid(spark, sf_dir):
         # greedy argmax over a shrinking pool with growing penalties
         # yields non-increasing scores
         assert (g.mmr_score.diff().dropna() <= 1e-9).all()
+
+
+def test_hard_negatives_are_top_cross_label_matches(spark, sf_dir):
+    import numpy as np
+
+    from mongo_cdc_spark.operators.similarity import (
+        HN_ANCHORS, HN_K, mine_hard_negatives)
+
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    V = np.stack(emb.embedding.map(np.asarray).values).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+
+    got = mine_hard_negatives(spark, sf_dir).toPandas()
+    assert (got.neg_label != got.anchor_label).all()
+    for aid, g in got.groupby("anchor_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, HN_K + 1))
+        assert (g.cos_sim.diff().dropna() <= 1e-9).all()
+        arow = np.where(ids == aid)[0][0]
+        sims = np.round(Vn @ Vn[arow], 6)
+        mask = labels != labels[arow]
+        order = sorted(np.where(mask)[0], key=lambda i: (-sims[i], ids[i]))
+        want = [int(ids[i]) for i in order[:HN_K]]
+        assert list(g.neg_id.astype(int)) == want
+    assert got.anchor_id.nunique() == HN_ANCHORS

@@ -123,3 +123,24 @@ def test_weighted_sample_contract(spark, sf_dir):
         assert (grp.sort_values("rank").es_key.diff().dropna()
                 <= 1e-12).all()
     assert got.n_tok.mean() > corpus.n.mean()
+
+
+def test_quality_calibrate_deciles_partition_each_source(spark, sf_dir):
+    from mongo_cdc_spark.operators.training import train_quality_calibrate
+
+    from mongo_cdc_spark.io import load_table
+
+    got = train_quality_calibrate(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {r.source: r.n for r in docs.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, g in got.groupby("source"):
+        g = g.sort_values("decile")
+        assert g.n_docs.sum() == per_source[src]
+        assert list(g.decile) == list(range(1, 11))
+        # deciles form a monotone partition of the raw-score axis
+        assert (g.q_min <= g.q_max).all()
+        assert (g.q_max.values[:-1] <= g.q_min.values[1:] + 1e-12).all()
+        assert g.cal_min.min() == 0.0
+        assert g.cal_max.max() <= 1.0
+        assert (g.cal_min <= g.cal_max).all()

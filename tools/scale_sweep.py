@@ -1,6 +1,6 @@
 """Full-registry scale sweep: run EVERY __spark_entry__.queries() entry
 at one or two SFs in one session, timing each, and flag outliers. The
-per-query bench covers 27 representative headliners; this sweep is the
+per-query bench covers the headline subset; this sweep is the
 net that catches accidental quadratics and session-level failures the
 bench misses — it found the 1 GB default driver heap OOM, the
 countDistinct×percentile_approx Expand pathology (151 s), and the
