@@ -47,19 +47,18 @@ _GRADE_FIRST = (
     "layout_zonemap_skipping", "streaming_interval_join_replay",
     "knn_mmr_rerank", "graph_pagerank_trade",
     "events_sliding_distinct_users", "train_quality_calibrate",
-    "mine_hard_negatives",
-    # Tier 1: r1-only green rows, one representative per family — the
-    # rest of the r1 cohort (q10_returned_items, join_outer_nation_
-    # coverage, agg_stats_acctbal, hof_order_quantities, sample_
-    # deterministic_orders, window_topk_orders_per_segment,
-    # map_priority_profile, scalar_string_part_facets, filter_nullsafe_
-    # priority_pairs, window_running/_ntile, agg_collect_nations_per_
-    # region, scalar_math_discount_model, setop_intersect/_except)
-    # rotates to round 5; never-graded queries above outrank
+    "mine_hard_negatives", "events_seasonal_anomaly",
+    "events_attribution_last_touch",
+    # Tier 1: the single r1-only green representative that still fits;
+    # the rest of the r1 cohort (q10_returned_items, join_anti/join_
+    # outer, agg_stats_acctbal/agg_distinct_per_flag, hof_order_
+    # quantities, sample_deterministic_orders, window_topk/_running/
+    # _ntile/_range_frame, map_priority_profile, scalar_string/
+    # scalar_date/scalar_math, setop_union/_intersect/_except,
+    # filter_nullsafe_priority_pairs, agg_collect_nations_per_region)
+    # rotates to round 5: never-graded queries above outrank
     # stale-green rows for the 50 slots.
     "q5_local_supplier_volume",
-    "join_anti_customers_no_orders",
-    "scalar_date_order_seasonality",
     # Tier 2: queries whose implementation CHANGED in round 4 (HOF-CSE
     # materialization in text/training/shingle paths, MinHash adaptive
     # verify, multimodal real decode + empty-text guard, (ts, event_id)

@@ -2613,3 +2613,141 @@ def events_sliding_distinct_users(spark: SparkSession,
             .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                     "users_1d", "users_3d")
             .orderBy("day"))
+
+
+@query("events_seasonal_anomaly", sql="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), baseline AS (
+        SELECT event_type, EXTRACT(hour FROM h) AS hod,
+               ROUND(AVG(n), 6) AS mu,
+               ROUND(stddev_samp(n), 6) AS sigma,
+               COUNT(*) AS n_days
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.h, h.n, b.mu, b.sigma,
+           ROUND((h.n - b.mu) / b.sigma, 4) AS z
+    FROM hourly h
+    JOIN baseline b ON b.event_type = h.event_type
+                   AND b.hod = EXTRACT(hour FROM h.h)
+    WHERE b.sigma > 0 AND ABS((h.n - b.mu) / b.sigma) > 2
+    ORDER BY h.event_type, h.h
+""")
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each (event_type, hour)
+    count is scored against the baseline for its HOUR-OF-DAY (mean /
+    sample-stddev across all days at that clock hour), flagging
+    |z| > 2 — the upgrade over events_anomaly_zscore's global
+    baseline, which misses that 3 AM and 3 PM have different normals
+    (the diurnal-profile monitoring every ops/abuse pipeline runs).
+
+    Scale: the raw scan collapses to (types x hours) in ONE map-side
+    combined aggregation; the baseline is a second tiny agg over that
+    (types x 24 rows) and joins back broadcast. Baselines use
+    observed hours only (a silent hour contributes no zero row —
+    densify via ts_gapfill_interpolate's spine if zeros should
+    count). Determinism: mu/sigma round to 6 dp before the z-score,
+    z to 4 dp; the sigma>0 guard keeps single-sample cells out."""
+    hourly = (_t(spark, sf_dir, "events")
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    baseline = (hourly
+                .groupBy("event_type", F.hour("h").alias("hod"))
+                .agg(F.round(F.avg("n"), 6).alias("mu"),
+                     F.round(F.stddev_samp("n"), 6).alias("sigma"),
+                     F.count(F.lit(1)).alias("n_days")))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (hourly
+            .withColumn("hod", F.hour("h"))
+            .join(F.broadcast(baseline), ["event_type", "hod"])
+            .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
+            .select("event_type", "h", "n", "mu", "sigma",
+                    F.round(z, 4).alias("z"))
+            .orderBy("event_type", "h"))
+
+
+@query("events_attribution_last_touch", sql="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT user_id, ts AS buy_ts, event_id AS buy_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT * FROM (
+        SELECT b.buy_id, b.value, c.click_ts,
+               ROW_NUMBER() OVER (PARTITION BY b.buy_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM buys b JOIN clicks c
+          ON c.user_id = b.user_id
+         AND c.click_ts <= b.buy_ts
+         AND c.click_ts >= b.buy_ts - INTERVAL '30 minutes')
+      WHERE rn = 1
+    ), attributed AS (
+      SELECT date_trunc('hour', click_ts) AS click_hour,
+             COUNT(*) AS n_purchases,
+             ROUND(SUM(value), 4) AS revenue
+      FROM matched GROUP BY 1
+    ), unattributed AS (
+      SELECT CAST(NULL AS TIMESTAMP) AS click_hour,
+             COUNT(*) AS n_purchases, ROUND(SUM(value), 4) AS revenue
+      FROM buys WHERE buy_id NOT IN (SELECT buy_id FROM matched)
+    )
+    SELECT * FROM attributed
+    UNION ALL SELECT * FROM unattributed WHERE n_purchases > 0
+    ORDER BY click_hour NULLS FIRST
+""")
+def events_attribution_last_touch(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value credits
+    the user's LATEST click within the 30-minute lookback; purchases
+    with no qualifying click land in an explicit unattributed bucket
+    (never silently dropped — the row every marketing-science reader
+    checks first). Revenue rolls up by click hour.
+
+    Scale: candidate generation is the same bucketed interval
+    equi-join as streaming_interval_join_replay (two fixed-width
+    epoch probes per purchase — never a theta join), then ONE
+    per-purchase top-1 window (WindowGroupLimit heap) picks the
+    latest click, and the rollup is a tiny keyed agg. The
+    unattributed leg is a left-anti join on the matched ids —
+    broadcast when small, shuffle otherwise (hint-free)."""
+    ev = _t(spark, sf_dir, "events")
+    width = 1800
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"),
+                      F.floor(F.unix_timestamp("ts") / width)
+                       .alias("bkt")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id"), "value",
+                    F.floor(F.unix_timestamp("ts") / width)
+                     .alias("b_bkt")))
+    probes = buys.withColumn(
+        "bkt", F.explode(F.array(F.col("b_bkt") - 1, F.col("b_bkt"))))
+    cand = (probes.join(clicks, ["user_id", "bkt"])
+            .filter((F.col("click_ts") <= F.col("buy_ts"))
+                    & (F.col("click_ts") >= F.col("buy_ts")
+                       - F.expr("INTERVAL 30 MINUTES"))))
+    w1 = W.partitionBy("buy_id").orderBy(F.desc("click_ts"),
+                                         F.desc("click_id"))
+    matched = (cand.withColumn("rn", F.row_number().over(w1))
+               .filter(F.col("rn") == 1)
+               .select("buy_id", "value", "click_ts"))
+    attributed = (matched
+                  .groupBy(F.date_trunc("hour", "click_ts")
+                           .alias("click_hour"))
+                  .agg(F.count(F.lit(1)).alias("n_purchases"),
+                       F.round(F.sum("value"), 4).alias("revenue")))
+    unattributed = (buys.join(matched.select("buy_id"), "buy_id",
+                              "left_anti")
+                    .agg(F.count(F.lit(1)).alias("n_purchases"),
+                         F.round(F.sum("value"), 4).alias("revenue"))
+                    .filter(F.col("n_purchases") > 0)
+                    .select(F.lit(None).cast("timestamp")
+                            .alias("click_hour"),
+                            "n_purchases", "revenue"))
+    return (attributed.unionByName(unattributed)
+            .orderBy(F.col("click_hour").asc_nulls_first()))

@@ -186,3 +186,42 @@ def test_sliding_distinct_users_window_semantics(spark, sf_dir):
         assert r.users_3d == len(want), r.day
         assert r.users_1d == len(by_day[r.day])
         assert r.users_3d >= r.users_1d
+
+
+def test_seasonal_anomaly_flags_only_beyond_2_sigma(spark, sf_dir):
+    from mongo_cdc_spark.operators.relational import events_seasonal_anomaly
+
+    got = events_seasonal_anomaly(spark, sf_dir).toPandas()
+    assert (got.z.abs() > 2).all()
+    assert (got.sigma > 0).all()
+    # z recomputes from the reported baseline
+    import numpy as np
+    z = (got.n - got.mu) / got.sigma
+    assert np.allclose(z.round(4), got.z)
+    # baselines match per-clock-hour means computed independently
+    ev = (load_table(spark, sf_dir, "events")
+          .selectExpr("event_type", "date_trunc('hour', ts) AS h")
+          .toPandas())
+    hourly = ev.groupby(["event_type", "h"]).size().reset_index(name="n")
+    hourly["hod"] = hourly.h.dt.hour
+    base = (hourly.groupby(["event_type", "hod"]).n
+            .agg(["mean", "std"]).round(6))
+    for r in got.itertuples():
+        mu = base.loc[(r.event_type, r.h.hour), "mean"]
+        assert abs(mu - r.mu) < 1e-6
+
+
+def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
+    from mongo_cdc_spark.operators.relational import (
+        events_attribution_last_touch)
+
+    got = events_attribution_last_touch(spark, sf_dir).toPandas()
+    buys = (load_table(spark, sf_dir, "events")
+            .filter("event_type = 'purchase'")
+            .selectExpr("count(*) AS n", "round(sum(value), 4) AS rev")
+            .collect()[0])
+    # every purchase lands in exactly one bucket (attributed hour or
+    # the unattributed NULL row): counts and revenue conserve
+    assert got.n_purchases.sum() == buys.n
+    assert abs(got.revenue.sum() - buys.rev) < 1e-2
+    assert (got.click_hour.isna().sum()) <= 1

@@ -46,7 +46,14 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # table — both sides are the full table by definition, and
           # full-outer cannot broadcast anyway; with bucketed snapshot
           # storage (cdc/apply.py layout) the exchange disappears:
-          "cdc_snapshot_diff": 1}
+          "cdc_snapshot_diff": 1,
+          # attribution: clicks ⋈ purchases — two slices of the same
+          # event stream, both data-sized at 100 TB, bucketed into
+          # interval-width epochs so the shuffle key is fine-grained;
+          # a (user, epoch)-keyed shuffle join IS the scale plan (the
+          # sibling interval-join replay carries no hint either — AQE
+          # may still broadcast the smaller slice when measured small):
+          "events_attribution_last_touch": 1}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
