@@ -153,6 +153,33 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "h"))
 
 
+def ewma_columns(df: DataFrame, part: str, order: str, x: str,
+                 decay: str = "0.7D", alpha: str = "0.3D",
+                 window: int = 30, nd: int = 4) -> DataFrame:
+    """Append a normalized bounded-window EWMA column to `df`:
+    ewma = sum_j decay^j x_{t-j} / sum_j decay^j over the trailing
+    `window` ROWS per `part`, ordered by `order` — pandas
+    `ewm(alpha, adjust=True)` semantics once the frame covers the
+    series (exactly equal while len(series) <= window; the truncated
+    tail differs only by the dropped decay^{>=window} mass).
+
+    decay/alpha are SQL literal STRINGS (not floats) so engine and
+    oracle share the exact double constants — deriving alpha as
+    1-decay in Python yields 0.30000000000000004 and splits rounding.
+    Property-tested against pandas ewm in tests/test_timeseries.py."""
+    w = (Window.partitionBy(part).orderBy(order)
+         .rowsBetween(-(window - 1), 0))
+    fold = f"""
+        aggregate(
+            transform(_xs, (x, i) -> x * pow({decay}, size(_xs) - 1 - i)),
+            0D, (acc, x) -> acc + x)
+        / ((1.0D - pow({decay}, size(_xs))) / {alpha})
+    """
+    return (df.withColumn("_xs", F.collect_list(x).over(w))
+            .withColumn("ewma", F.round(F.expr(fold), nd))
+            .drop("_xs"))
+
+
 @query("ts_ewma_trend", sql="""
     WITH daily AS (
         SELECT o_orderpriority AS priority,
@@ -198,19 +225,6 @@ def ts_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"),
                  F.date_trunc("day", F.col("o_orderdate")).alias("d"))
         .agg(F.round(F.sum("o_totalprice"), 4).alias("x")))
-    w30 = (Window.partitionBy("priority").orderBy("d").rowsBetween(-29, 0))
-    return (
-        daily
-        .select("priority", "d", F.col("x").alias("day_total"),
-                F.collect_list("x").over(w30).alias("xs"))
-        .select(
-            "priority", "d", "day_total",
-            F.round(
-                F.expr("""
-                    aggregate(
-                        transform(xs,
-                            (x, i) -> x * pow(0.7D, size(xs) - 1 - i)),
-                        0D, (acc, x) -> acc + x)
-                    / ((1.0D - pow(0.7D, size(xs))) / 0.3D)
-                """), 4).alias("ewma"))
-        .orderBy("priority", "d"))
+    return (ewma_columns(daily, "priority", "d", "x")
+            .select("priority", "d", F.col("x").alias("day_total"), "ewma")
+            .orderBy("priority", "d"))

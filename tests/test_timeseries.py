@@ -82,3 +82,34 @@ def test_ewma_weights_recent_days_more(spark, sf_dir):
         moved = abs(g.ewma[i] - prev_ewma)
         gap = abs(x - prev_ewma)
         assert moved >= 0.3 * gap - 1e-3
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _series = st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=30)
+
+    @settings(max_examples=12, deadline=None)
+    @given(_series)
+    def test_ewma_matches_pandas_ewm_property(series):
+        """For any series up to the window length, the engine's fold
+        must equal pandas ewm(alpha=0.3, adjust=True) — an independent
+        implementation of the same normalized-weights definition."""
+        from pyspark.sql import functions as F
+
+        from mongo_cdc_spark.operators.timeseries import ewma_columns
+        from mongo_cdc_spark.session import get_spark
+        spark = get_spark("pytest")
+        rows = [("k", i, round(v, 4)) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "part string, i int, x double")
+        got = (ewma_columns(df, "part", "i", "x")
+               .orderBy("i").toPandas())
+        want = (pd.Series([round(v, 4) for v in series])
+                .ewm(alpha=0.3, adjust=True).mean())
+        assert (got.ewma - want.round(4)).abs().max() <= 1e-3
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass
