@@ -48,17 +48,15 @@ _GRADE_FIRST = (
     "knn_mmr_rerank", "graph_pagerank_trade",
     "events_sliding_distinct_users", "train_quality_calibrate",
     "mine_hard_negatives", "events_seasonal_anomaly",
-    "events_attribution_last_touch",
-    # Tier 1: the single r1-only green representative that still fits;
-    # the rest of the r1 cohort (q10_returned_items, join_anti/join_
-    # outer, agg_stats_acctbal/agg_distinct_per_flag, hof_order_
-    # quantities, sample_deterministic_orders, window_topk/_running/
-    # _ntile/_range_frame, map_priority_profile, scalar_string/
-    # scalar_date/scalar_math, setop_union/_intersect/_except,
-    # filter_nullsafe_priority_pairs, agg_collect_nations_per_region)
-    # rotates to round 5: never-graded queries above outrank
-    # stale-green rows for the 50 slots.
-    "q5_local_supplier_volume",
+    "events_attribution_last_touch", "agg_weighted_median",
+    # (The whole r1-only green cohort — q5/q10, join_anti/join_outer,
+    # agg_stats_acctbal/agg_distinct_per_flag, hof_order_quantities,
+    # sample_deterministic_orders, window_topk/_running/_ntile/
+    # _range_frame, map_priority_profile, scalar_string/scalar_date/
+    # scalar_math, setop_union/_intersect/_except, filter_nullsafe_
+    # priority_pairs, agg_collect_nations_per_region — rotates to
+    # round 5: the fifteen never-graded session additions above
+    # outrank stale-green rows for the 50 slots.)
     # Tier 2: queries whose implementation CHANGED in round 4 (HOF-CSE
     # materialization in text/training/shingle paths, MinHash adaptive
     # verify, multimodal real decode + empty-text guard, (ts, event_id)

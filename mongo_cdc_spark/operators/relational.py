@@ -2751,3 +2751,60 @@ def events_attribution_last_touch(spark: SparkSession,
                             "n_purchases", "revenue"))
     return (attributed.unionByName(unattributed)
             .orderBy(F.col("click_hour").asc_nulls_first()))
+
+
+@query("agg_weighted_median", sql="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             l_quantity AS wt,
+             SUM(l_quantity) OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum_wt,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem
+    ), hit AS (
+      SELECT flag, price, cum_wt, tot_wt,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY cum_wt, price) AS rn
+      FROM w WHERE cum_wt >= tot_wt / 2
+    )
+    SELECT flag, ROUND(price, 2) AS weighted_median_price,
+           ROUND(tot_wt, 2) AS total_weight
+    FROM hit WHERE rn = 1 ORDER BY flag
+""")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the aggregate Spark has no built-in for
+    (percentile() weights rows equally): per return flag, the
+    smallest price whose cumulative QUANTITY weight reaches half the
+    group's total weight. The estimator behind quantity-weighted
+    price floors, sampling-weight-corrected survey medians, and
+    token-weighted corpus statistics (where a document's weight is
+    its token count, not 1).
+
+    Spark-first: one (flag)-partitioned sort with a running weight
+    sum — the same sort serves the cumulative frame and the
+    full-partition total (no self-join, no per-group memory; the sort
+    spills). The crossing row is selected by filter + top-1 window.
+    Ordering totalizes on (price, orderkey, linenumber) so equal
+    prices rank identically in both engines; integer-valued quantity
+    weights make every cumulative sum exact in doubles, so the
+    >= tot/2 crossing never hinges on float noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_cum = (W.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+             .rowsBetween(W.unboundedPreceding, 0))
+    w_tot = W.partitionBy("l_returnflag")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(w_cum).alias("cum_wt"),
+        F.sum("l_quantity").over(w_tot).alias("tot_wt"))
+    w_pick = W.partitionBy("flag").orderBy("cum_wt", "price")
+    return (base.filter(F.col("cum_wt") >= F.col("tot_wt") / 2)
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("flag",
+                    F.round("price", 2).alias("weighted_median_price"),
+                    F.round("tot_wt", 2).alias("total_weight"))
+            .orderBy("flag"))

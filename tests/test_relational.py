@@ -225,3 +225,26 @@ def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
     assert got.n_purchases.sum() == buys.n
     assert abs(got.revenue.sum() - buys.rev) < 1e-2
     assert (got.click_hour.isna().sum()) <= 1
+
+
+def test_weighted_median_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from mongo_cdc_spark.operators.relational import agg_weighted_median
+
+    got = (agg_weighted_median(spark, sf_dir)
+           .toPandas().set_index("flag"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_quantity",
+                  "l_orderkey", "l_linenumber").toPandas())
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values(["l_extendedprice", "l_orderkey",
+                           "l_linenumber"])
+        cum = g.l_quantity.cumsum()
+        tot = g.l_quantity.sum()
+        price = g.l_extendedprice[cum >= tot / 2].iloc[0]
+        row = got.loc[flag]
+        assert abs(row.weighted_median_price - round(price, 2)) < 1e-9
+        assert abs(row.total_weight - round(tot, 2)) < 1e-6
+        # the weighted median is a real data point inside the range
+        assert g.l_extendedprice.min() <= price <= g.l_extendedprice.max()
