@@ -132,10 +132,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PR_DAMP)
                     * F.sum(F.col("pr") / F.col("deg"))).alias("pr"))
               .localCheckpoint(eager=False))
-    w = W.orderBy(F.desc(F.round("pr", 6)), "t", "id")
-    return (pr.select(F.col("t").alias("node_type"),
-                      F.col("id").alias("node_id"),
-                      F.round("pr", 6).alias("pagerank"),
-                      F.row_number().over(w).alias("rank"))
-            .filter(F.col("rank") <= PR_TOP)
+    # top-k WITHOUT a global window: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition heaps, no full sort, no
+    # single-partition WindowExec over every node) — the rank window
+    # then runs over only PR_TOP rows
+    top = (pr.select(F.col("t").alias("node_type"),
+                     F.col("id").alias("node_id"),
+                     F.round("pr", 6).alias("pagerank"))
+           .orderBy(F.desc("pagerank"), "node_type", "node_id")
+           .limit(PR_TOP))
+    w = W.orderBy(F.desc("pagerank"), "node_type", "node_id")
+    return (top.withColumn("rank", F.row_number().over(w))
             .orderBy("rank"))
