@@ -49,6 +49,7 @@ _GRADE_FIRST = (
     "events_sliding_distinct_users", "train_quality_calibrate",
     "mine_hard_negatives", "events_seasonal_anomaly",
     "events_attribution_last_touch", "agg_weighted_median",
+    "basket_part_pairs", "events_time_to_convert",
     # (The whole r1-only green cohort — q5/q10, join_anti/join_outer,
     # agg_stats_acctbal/agg_distinct_per_flag, hof_order_quantities,
     # sample_deterministic_orders, window_topk/_running/_ntile/
@@ -62,10 +63,14 @@ _GRADE_FIRST = (
     # verify, multimodal real decode + empty-text guard, (ts, event_id)
     # session ordering) — a changed query must re-grade regardless of
     # row age.
-    "text_quality_scores", "text_token_stats", "text_langid_confusion",
+    # (text_token_stats and events_sessionization rotate to round 5:
+    # each changed by the same mechanism as an in-window sibling —
+    # the HOF materialization graded via text_quality_scores, the
+    # (ts, event_id) ordering graded via sessions_interval_overlap.)
+    "text_quality_scores", "text_langid_confusion",
     "dedup_minhash_lsh", "multimodal_fake_decode", "multimodal_real_decode",
     "sessions_interval_overlap", "knn_ivfpq_search",
-    "events_sessionization", "train_quality_filter", "dedup_span_kgram",
+    "train_quality_filter", "dedup_span_kgram",
     "dedup_ngram_jaccard", "dedup_containment", "train_decontaminate",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",

@@ -2808,3 +2808,139 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("price", 2).alias("weighted_median_price"),
                     F.round("tot_wt", 2).alias("total_weight"))
             .orderBy("flag"))
+
+
+@query("basket_part_pairs", sql="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), freq AS (
+      SELECT p FROM items GROUP BY p HAVING COUNT(*) >= 2
+    ), pruned AS (
+      SELECT i.o, i.p FROM items i JOIN freq f ON f.p = i.p
+    ), pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_orders
+      FROM pruned a JOIN pruned b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT * FROM (
+      SELECT p1, p2, n_orders,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY n_orders DESC, p1, p2) AS INT) AS rank
+      FROM pairs)
+    WHERE rank <= 20 ORDER BY rank
+""")
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the A-priori candidate step): the
+    top-20 part pairs most often co-ordered in one order. Classic
+    co-occurrence analytics — product affinity, also the
+    co-citation / co-click primitive.
+
+    Spark-first A-priori shape: (1) distinct (order, part) — dedup
+    multi-line parts; (2) prune to parts meeting the ITEM support
+    threshold FIRST (the A-priori monotonicity: no pair can be
+    frequent unless both items are) — at 100 TB this broadcastable
+    frequent-item filter is what keeps the pair space tractable;
+    (3) within-order self-join generates pairs — bounded by basket
+    size k per order (k² blowup per basket, never corpus²); (4) one
+    map-side-combined count shuffle on the pair key; (5) top-20 by
+    orderBy+limit (TakeOrderedAndProject), rank window over 20 rows.
+    Determinism: count ties break on (p1, p2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p")).distinct())
+    freq = (items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2).select("p"))
+    # both self-join sides read ONE materialization of the pruned
+    # item set (localCheckpoint) instead of re-running distinct+prune
+    pruned = (items.join(freq, "p").select("o", "p")
+              .localCheckpoint(eager=False))
+    a = pruned.select("o", F.col("p").alias("p1"))
+    b = pruned.select("o", F.col("p").alias("p2"))
+    pairs = (a.join(b, "o")
+             .filter(F.col("p1") < F.col("p2"))
+             .groupBy("p1", "p2")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    top = (pairs.orderBy(F.desc("n_orders"), "p1", "p2").limit(20))
+    w = W.orderBy(F.desc("n_orders"), "p1", "p2")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))
+
+
+@query("events_time_to_convert", sql="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT user_id, ts AS buy_ts, event_id AS buy_id
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT * FROM (
+        SELECT b.buy_id, b.buy_ts,
+               (epoch_us(b.buy_ts) - epoch_us(c.click_ts))
+                   / 1000000.0 AS gap_sec,
+               ROW_NUMBER() OVER (PARTITION BY b.buy_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM buys b JOIN clicks c
+          ON c.user_id = b.user_id
+         AND c.click_ts <= b.buy_ts
+         AND c.click_ts >= b.buy_ts - INTERVAL '30 minutes')
+      WHERE rn = 1
+    )
+    SELECT EXTRACT(hour FROM buy_ts) AS buy_hod,
+           COUNT(*) AS n_conversions,
+           ROUND(AVG(gap_sec), 4) AS avg_gap_sec,
+           ROUND(quantile_cont(gap_sec, 0.5), 4) AS p50_gap_sec,
+           ROUND(quantile_cont(gap_sec, 0.9), 4) AS p90_gap_sec
+    FROM matched GROUP BY 1 ORDER BY buy_hod
+""")
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase attributed to
+    a click (latest click within 30 minutes — the same last-touch
+    match as events_attribution_last_touch), the click→purchase gap
+    profiled per purchase hour-of-day: conversion count, mean gap,
+    exact p50/p90 — the funnel-latency report behind "how long does
+    intent take to convert, and does it differ at night".
+
+    Scale: candidate generation is the bucketed interval equi-join
+    (two epoch probes per purchase, no theta join); the top-1-click
+    window collapses candidates per purchase; gaps are exact integer
+    microseconds scaled by the same double division on both engines,
+    so the percentile inputs are identical and the interpolated
+    p50/p90 round stably. Exact percentiles per 24-key group are audit-grade; the
+    sketch swap (approx_percentile / KLL) drops in for corpus-scale
+    monitoring with the same output contract."""
+    ev = _t(spark, sf_dir, "events")
+    width = 1800
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"),
+                      F.floor(F.unix_timestamp("ts") / width)
+                       .alias("bkt")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id"),
+                    F.floor(F.unix_timestamp("ts") / width)
+                     .alias("b_bkt")))
+    probes = buys.withColumn(
+        "bkt", F.explode(F.array(F.col("b_bkt") - 1, F.col("b_bkt"))))
+    cand = (probes.join(clicks, ["user_id", "bkt"])
+            .filter((F.col("click_ts") <= F.col("buy_ts"))
+                    & (F.col("click_ts") >= F.col("buy_ts")
+                       - F.expr("INTERVAL 30 MINUTES"))))
+    w1 = W.partitionBy("buy_id").orderBy(F.desc("click_ts"),
+                                         F.desc("click_id"))
+    matched = (cand.withColumn("rn", F.row_number().over(w1))
+               .filter(F.col("rn") == 1)
+               .select("buy_id", "buy_ts",
+                       ((F.unix_micros("buy_ts")
+                         - F.unix_micros("click_ts")) / 1000000.0)
+                       .alias("gap_sec")))
+    return (matched
+            .groupBy(F.hour("buy_ts").alias("buy_hod"))
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+                 F.round(F.percentile("gap_sec", F.lit(0.5)), 4)
+                  .alias("p50_gap_sec"),
+                 F.round(F.percentile("gap_sec", F.lit(0.9)), 4)
+                  .alias("p90_gap_sec"))
+            .orderBy("buy_hod"))

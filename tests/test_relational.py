@@ -248,3 +248,35 @@ def test_weighted_median_matches_numpy_reference(spark, sf_dir):
         assert abs(row.total_weight - round(tot, 2)) < 1e-6
         # the weighted median is a real data point inside the range
         assert g.l_extendedprice.min() <= price <= g.l_extendedprice.max()
+
+
+def test_basket_pairs_counts_match_pandas(spark, sf_dir):
+    from itertools import combinations
+
+    from mongo_cdc_spark.operators.relational import basket_part_pairs
+
+    got = basket_part_pairs(spark, sf_dir).toPandas()
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct().toPandas())
+    sup = li.groupby("l_partkey").size()
+    keep = set(sup[sup >= 2].index)
+    counts: dict = {}
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(p for p in set(g.l_partkey) if p in keep)
+        for p1, p2 in combinations(parts, 2):
+            counts[(p1, p2)] = counts.get((p1, p2), 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    have = [((r.p1, r.p2), r.n_orders) for r in got.itertuples()]
+    assert have == [((p1, p2), n) for (p1, p2), n in want]
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_time_to_convert_gaps_are_in_window(spark, sf_dir):
+    from mongo_cdc_spark.operators.relational import events_time_to_convert
+
+    got = events_time_to_convert(spark, sf_dir).toPandas()
+    assert (got.n_conversions > 0).all()
+    # every gap statistic lies inside the 30-minute attribution window
+    for c in ("avg_gap_sec", "p50_gap_sec", "p90_gap_sec"):
+        assert (got[c] >= 0).all() and (got[c] <= 1800).all()
+    assert (got.p50_gap_sec <= got.p90_gap_sec).all()

@@ -67,7 +67,13 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # the days x buckets grid of fixed-size binary state
                # (distinct spines, grid join, per-bucket window, final
                # day agg) — metadata-grain at any corpus size:
-               "events_sliding_distinct_users": 7}
+               "events_sliding_distinct_users": 7,
+               # A-priori pair mining: distinct baskets, item-support
+               # agg, prune join, the pair self-join, pair-count agg,
+               # and the top-k gather are each a REQUIRED stage of the
+               # algorithm; all are map-side combined or keyed on
+               # (order/part/pair)-grain already-reduced data:
+               "basket_part_pairs": 7}
 
 
 def _strip_cached_lineage(plan: str) -> str:
