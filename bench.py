@@ -71,6 +71,10 @@ HEADLINE = [
     ("knn_mmr", similarity.knn_mmr_rerank),
     ("pagerank", graph.graph_pagerank_trade),
     ("sliding_distinct", relational.events_sliding_distinct_users),
+    ("basket_pairs", relational.basket_part_pairs),
+    ("time_to_convert", relational.events_time_to_convert),
+    ("weighted_median", relational.agg_weighted_median),
+    ("hard_negatives", similarity.mine_hard_negatives),
 ]
 
 
