@@ -96,6 +96,35 @@ def cdc_key_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("order_key"))
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  cols: tuple[str, ...]) -> DataFrame:
+    """Generic snapshot diff: minimal insert/update/delete feed that
+    transforms `old` into `new`, keyed on `key`, change-detected by an
+    md5 digest over `cols` (column-agnostic; digests never leave the
+    engine). Returns (op, <key>, plus old_/new_ copies of `cols`).
+    Property-tested (hypothesis): applying the feed to any generated
+    old snapshot reproduces the new one exactly —
+    tests/test_cdc_batch.py."""
+    def digest(side: str):
+        return F.md5(F.concat_ws(
+            "|", *[F.col(f"{side}.{c}") for c in cols]))
+
+    joined = (old.alias("o")
+              .join(new.alias("n"),
+                    F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer"))
+    op = (F.when(F.col(f"o.{key}").isNull(), "insert")
+          .when(F.col(f"n.{key}").isNull(), "delete")
+          .when(digest("o") != digest("n"), "update")
+          .otherwise("unchanged"))
+    out_cols = ([op.alias("op"),
+                 F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}"))
+                 .alias(key)]
+                + [F.col(f"o.{c}").alias(f"old_{c}") for c in cols]
+                + [F.col(f"n.{c}").alias(f"new_{c}") for c in cols])
+    return (joined.select(*out_cols)
+            .filter(F.col("op") != "unchanged"))
+
+
 @query("cdc_snapshot_diff", sql="""
     WITH base AS (
         SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS p,
@@ -157,26 +186,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("p") + 1000.0)
                              .otherwise(F.col("p"))))
     new = base.filter(F.col("k") % 11 != 3)
-
-    def digest(side):
-        return F.md5(F.concat_ws(
-            "|", F.col(f"{side}.p"), F.col(f"{side}.st"),
-            F.col(f"{side}.pri")))
-
-    joined = (old.alias("o")
-              .join(new.alias("n"),
-                    F.col("o.k") == F.col("n.k"), "full_outer"))
-    op = (F.when(F.col("o.k").isNull(), "insert")
-          .when(F.col("n.k").isNull(), "delete")
-          .when(digest("o") != digest("n"), "update")
-          .otherwise("unchanged"))
-    return (joined
-            .select(op.alias("op"),
-                    F.coalesce(F.col("o.k"), F.col("n.k"))
-                     .alias("order_key"),
-                    F.col("o.p").alias("before_total"),
-                    F.col("n.p").alias("after_total"))
-            .filter(F.col("op") != "unchanged")
+    return (snapshot_diff(old, new, "k", ("p", "st", "pri"))
+            .select("op", F.col("k").alias("order_key"),
+                    F.col("old_p").alias("before_total"),
+                    F.col("new_p").alias("after_total"))
             .orderBy("order_key"))
 
 

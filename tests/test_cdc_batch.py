@@ -41,3 +41,48 @@ def test_snapshot_diff_feed_replays_old_to_new(spark, sf_dir):
     n_old = orders.filter("o_orderkey % 7 != 0").count()
     n_new = orders.filter("o_orderkey % 11 != 3").count()
     assert n_new == n_old - len(dele) + len(ins)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _snapshot = st.dictionaries(
+        st.integers(min_value=0, max_value=30),       # key
+        st.tuples(st.integers(min_value=-5, max_value=5),   # v
+                  st.sampled_from(["a", "b", "c"])),        # tag
+        max_size=20)
+
+    @settings(max_examples=15, deadline=None)
+    @given(_snapshot, _snapshot)
+    def test_snapshot_diff_roundtrip_property(old_rows, new_rows):
+        """For ANY pair of snapshots: applying the emitted feed to the
+        old snapshot reproduces the new snapshot exactly, and the feed
+        contains no no-op rows."""
+        from mongo_cdc_spark.operators.cdc_batch import snapshot_diff
+        from mongo_cdc_spark.session import get_spark
+        spark = get_spark("pytest")
+
+        def df(d):
+            rows = [(k, v, t) for k, (v, t) in sorted(d.items())]
+            return spark.createDataFrame(
+                rows or [(None, None, None)],
+                "k int, v int, tag string").filter("k IS NOT NULL")
+
+        feed = snapshot_diff(df(old_rows), df(new_rows), "k",
+                             ("v", "tag")).toPandas()
+        # replay the feed over the old snapshot
+        state = dict(old_rows)
+        for r in feed.itertuples():
+            if r.op == "delete":
+                state.pop(r.k)
+            else:
+                assert (r.op == "insert") == (r.k not in state)
+                state[r.k] = (r.new_v, r.new_tag)
+        assert state == new_rows
+        # minimality: every update row actually changed something
+        upd = feed[feed.op == "update"]
+        changed = (upd.old_v != upd.new_v) | (upd.old_tag != upd.new_tag)
+        assert changed.all()
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass
