@@ -200,3 +200,62 @@ def test_compact_snapshot_skips_concurrently_modified_bucket(
     assert final["k0"] == '{"v":999}', "concurrent update was lost"
     assert {k: v for k, v in final.items() if k != "k0"} == \
         {f"k{j}": f'{{"v":{j}}}' for j in range(1, 8)}
+
+
+def test_snapshot_diff_feed_converges_apply_store(spark, tmp_path: Path):
+    """Cross-module integration: a snapshot_diff feed, replayed as
+    change events through the CDC apply store, converges the store
+    from the old snapshot to the new one exactly — diff generation
+    and apply are mutual inverses."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.cdc.apply import apply_batch_to_snapshot
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.cdc_batch import snapshot_diff
+
+    from tests.conftest import SF_DIR
+
+    base = (load_table(spark, SF_DIR, "orders")
+            .orderBy("o_orderkey").limit(200)
+            .select(F.col("o_orderkey").cast("string").alias("k"),
+                    F.round("o_totalprice", 2).alias("p"),
+                    F.col("o_orderstatus").alias("st")))
+    old = (base.filter(F.col("k").cast("long") % 3 != 0)
+           .withColumn("p", F.when(F.col("k").cast("long") % 5 == 0,
+                                   F.col("p") + 7.0).otherwise(F.col("p"))))
+    new = base.filter(F.col("k").cast("long") % 4 != 1)
+
+    def to_events(df, op_col, doc_cols, ts):
+        doc = (F.to_json(F.struct(*doc_cols))
+               if doc_cols else F.lit(None).cast("string"))
+        return df.select(
+            F.struct(F.concat(F.lit("rt-"), F.col("k")).alias("_data"))
+             .alias("_id"),
+            op_col.alias("operationType"),
+            F.struct(F.col("k").alias("_id")).alias("documentKey"),
+            doc.alias("fullDocument"),
+            F.lit(ts).cast("timestamp").alias("clusterTime"))
+
+    store = str(tmp_path / "snap")
+    # seed the store with the OLD snapshot as plain inserts
+    seed = to_events(old, F.lit("insert"),
+                     [F.col("p"), F.col("st")], "2024-11-08 00:00:01")
+    apply_batch_to_snapshot(spark, store, seed, n_buckets=4)
+
+    # diff old -> new, replay the feed as change events
+    feed = snapshot_diff(old, new, "k", ("p", "st"))
+    upserts = to_events(
+        feed.filter(F.col("op") != "delete")
+            .select("k", F.col("new_p").alias("p"),
+                    F.col("new_st").alias("st")),
+        F.lit("update"), [F.col("p"), F.col("st")], "2024-11-08 00:00:02")
+    deletes = to_events(
+        feed.filter(F.col("op") == "delete").select("k"),
+        F.lit("delete"), None, "2024-11-08 00:00:02")
+    apply_batch_to_snapshot(spark, store, upserts.unionByName(deletes),
+                            n_buckets=4)
+
+    got = {r.doc_key: json.loads(r.doc)
+           for r in spark.read.parquet(store).collect()}
+    want = {r.k: {"p": r.p, "st": r.st} for r in new.collect()}
+    assert got == want
