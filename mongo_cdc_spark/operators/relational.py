@@ -2504,6 +2504,31 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from", "event_id"))
 
 
+def _interval_candidates(probe: DataFrame, build: DataFrame, key: str,
+                         probe_ts: str, build_ts: str,
+                         within_sec: int = 1800) -> DataFrame:
+    """Bucketed interval-join candidates: probe rows matched to build
+    rows with build_ts in [probe_ts - within, probe_ts]. Both sides
+    bucket into within_sec-wide epochs (a build row can only match
+    probes in its own or the following bucket), each probe explodes
+    into its two admissible buckets, and the join is a plain equi-join
+    on (key, bucket) with the exact interval predicate filtering the
+    candidates — never a theta join. Each qualifying pair meets in
+    exactly one bucket, so no dedup is needed. Shared by
+    streaming_interval_join_replay, events_attribution_last_touch and
+    events_time_to_convert; the bucketing is the batch analog of the
+    streaming join's watermark-bounded state."""
+    b = F.floor(F.unix_timestamp(probe_ts) / within_sec)
+    probes = probe.withColumn("_bkt", F.explode(F.array(b - 1, b)))
+    builds = build.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(build_ts) / within_sec))
+    return (probes.join(builds, [key, "_bkt"])
+            .filter((F.col(build_ts) <= F.col(probe_ts))
+                    & (F.col(build_ts) >= F.col(probe_ts)
+                       - F.expr(f"INTERVAL {within_sec} SECONDS")))
+            .drop("_bkt"))
+
+
 @query("streaming_interval_join_replay", sql="""
     SELECT b.user_id, b.event_id AS buy_id, c.event_id AS click_id,
            b.ts AS buy_ts, c.ts AS click_ts, b.value
@@ -2535,24 +2560,14 @@ def streaming_interval_join_replay(spark: SparkSession,
     and skew-resistant, mirroring how the streaming engine scopes its
     join state by watermark horizon."""
     ev = _t(spark, sf_dir, "events")
-    width = 1800  # seconds == the join interval
     clicks = (ev.filter(F.col("event_type") == "click")
-              .select("user_id",
-                      F.col("ts").alias("click_ts"),
-                      F.col("event_id").alias("click_id"),
-                      F.floor(F.unix_timestamp("ts") / width)
-                       .alias("bkt")))
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
     buys = (ev.filter(F.col("event_type") == "purchase")
             .select("user_id", F.col("ts").alias("buy_ts"),
-                    F.col("event_id").alias("buy_id"), "value",
-                    F.floor(F.unix_timestamp("ts") / width)
-                     .alias("b_bkt")))
-    probes = buys.withColumn(
-        "bkt", F.explode(F.array(F.col("b_bkt") - 1, F.col("b_bkt"))))
-    return (probes.join(clicks, ["user_id", "bkt"])
-            .filter((F.col("click_ts") <= F.col("buy_ts"))
-                    & (F.col("click_ts")
-                       >= F.col("buy_ts") - F.expr("INTERVAL 30 MINUTES")))
+                    F.col("event_id").alias("buy_id"), "value"))
+    return (_interval_candidates(buys, clicks, "user_id",
+                                 "buy_ts", "click_ts")
             .select("user_id", "buy_id", "click_id", "buy_ts",
                     "click_ts", "value")
             .orderBy("buy_id", "click_id"))
@@ -2714,23 +2729,14 @@ def events_attribution_last_touch(spark: SparkSession,
     unattributed leg is a left-anti join on the matched ids —
     broadcast when small, shuffle otherwise (hint-free)."""
     ev = _t(spark, sf_dir, "events")
-    width = 1800
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("user_id", F.col("ts").alias("click_ts"),
-                      F.col("event_id").alias("click_id"),
-                      F.floor(F.unix_timestamp("ts") / width)
-                       .alias("bkt")))
+                      F.col("event_id").alias("click_id")))
     buys = (ev.filter(F.col("event_type") == "purchase")
             .select("user_id", F.col("ts").alias("buy_ts"),
-                    F.col("event_id").alias("buy_id"), "value",
-                    F.floor(F.unix_timestamp("ts") / width)
-                     .alias("b_bkt")))
-    probes = buys.withColumn(
-        "bkt", F.explode(F.array(F.col("b_bkt") - 1, F.col("b_bkt"))))
-    cand = (probes.join(clicks, ["user_id", "bkt"])
-            .filter((F.col("click_ts") <= F.col("buy_ts"))
-                    & (F.col("click_ts") >= F.col("buy_ts")
-                       - F.expr("INTERVAL 30 MINUTES"))))
+                    F.col("event_id").alias("buy_id"), "value"))
+    cand = _interval_candidates(buys, clicks, "user_id",
+                                "buy_ts", "click_ts")
     w1 = W.partitionBy("buy_id").orderBy(F.desc("click_ts"),
                                          F.desc("click_id"))
     matched = (cand.withColumn("rn", F.row_number().over(w1))
@@ -2910,23 +2916,14 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch swap (approx_percentile / KLL) drops in for corpus-scale
     monitoring with the same output contract."""
     ev = _t(spark, sf_dir, "events")
-    width = 1800
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("user_id", F.col("ts").alias("click_ts"),
-                      F.col("event_id").alias("click_id"),
-                      F.floor(F.unix_timestamp("ts") / width)
-                       .alias("bkt")))
+                      F.col("event_id").alias("click_id")))
     buys = (ev.filter(F.col("event_type") == "purchase")
             .select("user_id", F.col("ts").alias("buy_ts"),
-                    F.col("event_id").alias("buy_id"),
-                    F.floor(F.unix_timestamp("ts") / width)
-                     .alias("b_bkt")))
-    probes = buys.withColumn(
-        "bkt", F.explode(F.array(F.col("b_bkt") - 1, F.col("b_bkt"))))
-    cand = (probes.join(clicks, ["user_id", "bkt"])
-            .filter((F.col("click_ts") <= F.col("buy_ts"))
-                    & (F.col("click_ts") >= F.col("buy_ts")
-                       - F.expr("INTERVAL 30 MINUTES"))))
+                    F.col("event_id").alias("buy_id")))
+    cand = _interval_candidates(buys, clicks, "user_id",
+                                "buy_ts", "click_ts")
     w1 = W.partitionBy("buy_id").orderBy(F.desc("click_ts"),
                                          F.desc("click_id"))
     matched = (cand.withColumn("rn", F.row_number().over(w1))
