@@ -136,6 +136,18 @@ class _StubStreamWriter(DataSourceStreamWriter):
                        "delivered_per_topic": totals,
                        "acks": self._acks, "retries": self._retries}, f)
         os.replace(tmp, manifest)  # manifest appears atomically, LAST
+        # Orphan sweep: the micro-batch engine runs ONE epoch at a time
+        # per query, so any file still staged after this batch's
+        # messages were promoted belongs to a task attempt that failed
+        # before returning a commit message (speculative/retried task).
+        # Readers never see staging (manifest-only), so this is disk
+        # hygiene, not correctness.
+        for leftover in (os.listdir(staging)
+                         if os.path.isdir(staging) else ()):
+            try:
+                os.remove(os.path.join(staging, leftover))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         staging = os.path.join(self._base, "_staging")

@@ -131,3 +131,25 @@ def test_stream_sink_replayed_epoch_is_idempotent(tmp_path):
     assert len(read_committed(base)) == 2
     import os
     assert os.listdir(os.path.join(base, "_staging")) == []
+
+
+def test_stream_sink_sweeps_orphaned_task_attempts(tmp_path):
+    """A staged file from a task attempt that died before reporting a
+    commit message is swept at the next successful commit — and never
+    becomes visible to readers."""
+    import os
+
+    from pyspark.sql import Row
+
+    from mongo_cdc_spark.sources.kafka_sink import (
+        _StubStreamWriter, read_committed)
+
+    base = str(tmp_path / "sink")
+    w = _StubStreamWriter(base, {})
+    # simulate a dead attempt: staged data, no commit message returned
+    w.write(iter([Row(topic="t", key=b"zombie", value=b"z")]))
+    m = w.write(iter([Row(topic="t", key=b"k", value=b"v")]))
+    w.commit([m], batchId=0)
+    assert os.listdir(os.path.join(base, "_staging")) == []
+    got = read_committed(base)
+    assert [g["key"] for g in got] == [b"k"]
