@@ -280,3 +280,68 @@ def test_time_to_convert_gaps_are_in_window(spark, sf_dir):
     for c in ("avg_gap_sec", "p50_gap_sec", "p90_gap_sec"):
         assert (got[c] >= 0).all() and (got[c] <= 1800).all()
     assert (got.p50_gap_sec <= got.p90_gap_sec).all()
+
+
+def test_interval_candidates_exact_boundaries(spark):
+    """Window edges: a click exactly 30 min before (inclusive), at the
+    same instant (inclusive), 1 s outside (excluded), and after the
+    purchase (excluded) — including pairs that straddle an epoch
+    boundary."""
+    from mongo_cdc_spark.operators.relational import _interval_candidates
+
+    buys = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)],
+        "user_id int, buy_ts string, buy_id int").selectExpr(
+        "user_id", "CAST(buy_ts AS TIMESTAMP) AS buy_ts", "buy_id")
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 1),   # exactly -30 min: in
+         (1, "2024-01-01 10:00:00", 2),   # same instant: in
+         (1, "2024-01-01 09:29:59", 3),   # 1 s too early: out
+         (1, "2024-01-01 10:00:01", 4),   # after purchase: out
+         (1, "2024-01-01 09:45:00", 5),   # straddles the epoch edge
+         (2, "2024-01-01 09:45:00", 6)],  # other user: out
+        "user_id int, click_ts string, click_id int").selectExpr(
+        "user_id", "CAST(click_ts AS TIMESTAMP) AS click_ts", "click_id")
+    got = sorted(r.click_id for r in _interval_candidates(
+        buys, clicks, "user_id", "buy_ts", "click_ts").collect())
+    assert got == [1, 2, 5]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _offsets = st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),      # user
+                  st.integers(min_value=0, max_value=7200)),  # sec offset
+        max_size=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(_offsets, _offsets)
+    def test_interval_candidates_equals_bruteforce_property(cl, bu):
+        """The bucketed equi-join plan returns EXACTLY the brute-force
+        interval-predicate pairs for any event placement."""
+        from mongo_cdc_spark.operators.relational import (
+            _interval_candidates)
+        from mongo_cdc_spark.session import get_spark
+        spark = get_spark("pytest")
+        base = 1704100000
+
+        def df(rows, ts_name, id_name):
+            data = [(u, int(base + off), i)
+                    for i, (u, off) in enumerate(rows)]
+            return spark.createDataFrame(
+                data, f"user_id int, _e long, {id_name} int"
+            ).selectExpr("user_id", f"timestamp_seconds(_e) AS {ts_name}",
+                         id_name)
+
+        got = {(r.buy_id, r.click_id) for r in _interval_candidates(
+            df(bu, "buy_ts", "buy_id"), df(cl, "click_ts", "click_id"),
+            "user_id", "buy_ts", "click_ts").collect()}
+        want = {(bi, ci)
+                for bi, (bu_u, bo) in enumerate(bu)
+                for ci, (cl_u, co) in enumerate(cl)
+                if bu_u == cl_u and co <= bo and co >= bo - 1800}
+        assert got == want
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass
