@@ -144,3 +144,47 @@ def test_jvm_payload_matches_python_encoder(spark, sf_dir):
     for _, r in docs.iterrows():
         expect = multimodal.ppm_from_doc_bytes(r.text.encode())
         assert bytes(got.loc[r.doc_id, "img"]) == expect
+
+
+def test_audio_real_decode_matches_byte_arithmetic(spark, sf_dir):
+    """The WAV path end-to-end: expected features recomputed from raw
+    document bytes with explicit little-endian int16 math — no wave
+    module involved — must equal the decoded output."""
+    import struct
+
+    from mongo_cdc_spark.operators.multimodal import (
+        _AUD_RATE, _AUD_SAMPLES, audio_real_decode)
+
+    got = (audio_real_decode(spark, sf_dir)
+           .toPandas().set_index("doc_id"))
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter("length(text) > 0")
+            .select("doc_id", "text").collect())
+    assert len(got) == len(docs)
+    for r in docs:
+        raw = r.text.encode()
+        n = _AUD_SAMPLES * 2
+        body = (raw * (n // len(raw) + 1))[:n]
+        samples = struct.unpack(f"<{_AUD_SAMPLES}h", body)
+        row = got.loc[r.doc_id]
+        assert row.framerate == _AUD_RATE
+        assert row.n_samples == _AUD_SAMPLES
+        assert abs(row.duration_sec - _AUD_SAMPLES / _AUD_RATE) < 1e-12
+        assert abs(row.mean_amp - sum(samples) / _AUD_SAMPLES) < 1e-9
+        rms = (sum(s * s for s in samples) / _AUD_SAMPLES) ** 0.5
+        assert abs(row.rms - rms) < 1e-9
+
+
+def test_wav_roundtrip_via_stdlib(spark):
+    """encode_wav/decode_wav are mutual inverses and the JVM-side
+    header literal equals the encoder's real header."""
+    from mongo_cdc_spark.operators.multimodal import (
+        _AUD_RATE, decode_wav, encode_wav, wav_from_doc_bytes)
+
+    pcm = bytes(range(256)) * 2
+    ch, width, rate, frames = decode_wav(encode_wav(_AUD_RATE, pcm))
+    assert (ch, width, rate) == (1, 2, _AUD_RATE)
+    assert frames == pcm
+    clip = wav_from_doc_bytes(b"hello world")
+    assert decode_wav(clip)[3][:11] == b"hello world"
+    assert clip[:4] == b"RIFF" and clip[8:12] == b"WAVE"
