@@ -71,7 +71,12 @@ _GRADE_FIRST = (
     "dedup_minhash_lsh", "multimodal_fake_decode", "multimodal_real_decode",
     "sessions_interval_overlap", "knn_ivfpq_search",
     "train_quality_filter", "dedup_span_kgram",
-    "dedup_ngram_jaccard", "dedup_containment", "train_decontaminate",
+    "dedup_ngram_jaccard", "train_decontaminate",
+    # (dedup_containment rotates to round 5: its round-4 change is the
+    # shared shingle-index mechanism graded via in-window
+    # dedup_ngram_jaccard; the never-graded audio decode below takes
+    # the slot.)
+    "multimodal_audio_decode",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",
     "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",

@@ -446,19 +446,43 @@ def audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+@query("multimodal_audio_decode", sql=f"""
+    WITH s AS (
+      SELECT d.doc_id,
+             ord(substr(d.text, ((2 * g.j) % len(d.text)) + 1, 1))
+             + 256 * ord(substr(d.text,
+                                ((2 * g.j + 1) % len(d.text)) + 1, 1))
+               AS raw
+      FROM documents d, generate_series(0, {_AUD_SAMPLES - 1}) g(j)
+      WHERE len(d.text) > 0
+    ), v AS (
+      SELECT doc_id,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+      FROM s
+    )
+    SELECT doc_id,
+           CAST({_AUD_RATE} AS INT) AS framerate,
+           CAST({_AUD_SAMPLES} AS INT) AS n_samples,
+           ROUND({_AUD_SAMPLES} / ({_AUD_RATE} * 1e0), 6)
+             AS duration_sec,
+           ROUND(AVG(s16), 6) AS mean_amp,
+           ROUND(SQRT(AVG(s16 * s16 * 1e0)), 6) AS rms
+    FROM v GROUP BY doc_id ORDER BY doc_id
+""")
 def audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end (the WAV twin of
     multimodal_real_decode): document bytes -> genuine RIFF/WAVE clip
     (stdlib `wave` writer) -> mapInPandas runs the `wave` reader ->
     per-clip duration / mean amplitude / RMS features.
 
-    Verified by an independent byte-arithmetic replay in
+    Verified two independent ways: (a) a byte-arithmetic replay in
     tests/test_multimodal.py (expected features recomputed from the
     raw document bytes with explicit little-endian int16 math,
-    bypassing the wave module entirely). Not yet in the driver-graded
-    registry — the round-4 window is full of this session's operators;
-    queued for a round-5 slot with a DuckDB byte-pair oracle of the
-    same arithmetic.
+    bypassing the wave module entirely), and (b) the DuckDB oracle
+    above, which re-derives each 16-bit sample from the document's
+    ASCII bytes (fixtures are verified single-byte: max codepoint
+    121) with the same two's-complement arithmetic — so the graded
+    hash pins the REAL decoder's output, not a stand-in.
 
     The RIFF/WAVE container is synthesized JVM-side: for fixed
     (rate, mono, 16-bit, {_AUD_SAMPLES} samples) the 44-byte header
@@ -478,8 +502,16 @@ def audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = (docs.select(
         "doc_id", F.concat(F.lit(header), body).alias("clip"))
         .repartition(spark.sparkContext.defaultParallelism))
-    return (clips.mapInPandas(
+    feats = clips.mapInPandas(
         audio_features_batch,
         schema=("doc_id long, framerate int, n_samples int, "
                 "duration_sec double, mean_amp double, rms double"))
+    # 6-dp rounding on the compared doubles: the Python-side sums are
+    # exact integer arithmetic (|s|<=32768, 256 samples — well inside
+    # 2^53), so rounding only pins the engine/oracle print precision.
+    return (feats.select(
+        "doc_id", "framerate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"))
         .orderBy("doc_id"))

@@ -169,10 +169,13 @@ def test_audio_real_decode_matches_byte_arithmetic(spark, sf_dir):
         row = got.loc[r.doc_id]
         assert row.framerate == _AUD_RATE
         assert row.n_samples == _AUD_SAMPLES
-        assert abs(row.duration_sec - _AUD_SAMPLES / _AUD_RATE) < 1e-12
-        assert abs(row.mean_amp - sum(samples) / _AUD_SAMPLES) < 1e-9
+        # the query rounds compared doubles to 6 dp (oracle parity);
+        # a half-up round of x.xxxxxx5 sits exactly 5e-7 away, so the
+        # bound is strictly above that
+        assert abs(row.duration_sec - _AUD_SAMPLES / _AUD_RATE) < 6e-7
+        assert abs(row.mean_amp - sum(samples) / _AUD_SAMPLES) < 6e-7
         rms = (sum(s * s for s in samples) / _AUD_SAMPLES) ** 0.5
-        assert abs(row.rms - rms) < 1e-9
+        assert abs(row.rms - rms) < 6e-7
 
 
 def test_wav_roundtrip_via_stdlib(spark):
