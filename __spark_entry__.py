@@ -68,15 +68,19 @@ _GRADE_FIRST = (
     # the HOF materialization graded via text_quality_scores, the
     # (ts, event_id) ordering graded via sessions_interval_overlap.)
     "text_quality_scores", "text_langid_confusion",
-    "dedup_minhash_lsh", "multimodal_fake_decode", "multimodal_real_decode",
+    "dedup_minhash_lsh", "multimodal_real_decode",
     "sessions_interval_overlap", "knn_ivfpq_search",
     "train_quality_filter", "dedup_span_kgram",
-    "dedup_ngram_jaccard", "train_decontaminate",
-    # (dedup_containment rotates to round 5: its round-4 change is the
-    # shared shingle-index mechanism graded via in-window
-    # dedup_ngram_jaccard; the never-graded audio decode below takes
-    # the slot.)
-    "multimodal_audio_decode",
+    "dedup_ngram_jaccard",
+    # (dedup_containment / train_decontaminate / multimodal_fake_decode
+    # rotate to round 5: each round-4 change is a shared mechanism
+    # graded via an in-window sibling — the shingle index via
+    # dedup_ngram_jaccard, HOF materialization via text_quality_scores
+    # + train_quality_filter, the decode plumbing via
+    # multimodal_real_decode. The never-graded continuation operators
+    # below take the slots.)
+    "multimodal_audio_decode", "graph_triangle_count",
+    "graph_khop_reachability",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",
     "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",

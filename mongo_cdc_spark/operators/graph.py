@@ -144,3 +144,218 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("pagerank"), "node_type", "node_id")
     return (top.withColumn("rank", F.row_number().over(w))
             .orderBy("rank"))
+
+
+# ------------------------------------------------------- triangles
+
+TRI_SUPPORT = 2  # min co-orders for a co-occurrence edge
+
+
+@query("graph_triangle_count", sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= {TRI_SUPPORT}
+    ), deg AS (
+      SELECT id, COUNT(*) AS deg FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY id
+    ), o AS (
+      SELECT CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+    ), od AS (
+      SELECT o.src, o.dst, d.deg AS ddeg
+      FROM o JOIN deg d ON d.id = o.dst
+    ), wedge AS (
+      SELECT o1.dst AS b, o2.dst AS c
+      FROM od o1 JOIN od o2 ON o1.src = o2.src
+      WHERE o1.ddeg < o2.ddeg
+         OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+              FROM deg) AS n_wedges,
+           (SELECT COUNT(*) FROM wedge w
+             JOIN o ON o.src = w.b AND o.dst = w.c) AS n_triangles,
+           ROUND(3e0 * (SELECT COUNT(*) FROM wedge w
+                         JOIN o ON o.src = w.b AND o.dst = w.c)
+                 / NULLIF((SELECT SUM(deg * (deg - 1) // 2) FROM deg),
+                          0), 6) AS global_clustering
+""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + global clustering coefficient on the
+    part co-occurrence graph (edge = two parts co-ordered in >=
+    TRI_SUPPORT distinct orders).
+
+    Degree-oriented wedge enumeration (the Suri-Vassilvitskii /
+    Cohen MapReduce scheme, entirely as DataFrame joins): every
+    undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, wedges are enumerated only at each wedge's
+    LOWEST-degree apex, and a wedge closes into a triangle iff the
+    oriented closing edge exists. Orientation bounds per-node
+    out-degree by O(sqrt(m)), so the wedge join is O(m^1.5) worst
+    case instead of sum(deg^2) — the difference between feasible and
+    star-node-explosion at 100 TB. The (degree, id) comparison is a
+    tuple compare carried on the edge rows — no global ordinal
+    window, nothing driver-side.
+
+    Shuffles: pair-gen (A-priori shape shared with
+    basket_part_pairs), degree agg, two orientation joins keyed on
+    node id, the wedge self-join keyed on apex, and the closing-edge
+    hash join keyed on (b, c). Edge/degree frames are
+    localCheckpoint'ed once and reused by all downstream joins.
+    Output is a single summary row (counts + 3*tri/wedges), so the
+    final exchange is a scalar agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p")).distinct())
+    a = items.select("o", F.col("p").alias("u"))
+    b = items.select("o", F.col("p").alias("v"))
+    edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
+             .localCheckpoint(eager=False))
+    deg = (edges.select(F.col("u").alias("id"))
+           .unionByName(edges.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
+    e = (edges
+         .join(deg.select(F.col("id").alias("u"),
+                          F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("id").alias("v"),
+                          F.col("deg").alias("dv")), "v"))
+    u_first = ((F.col("du") < F.col("dv"))
+               | ((F.col("du") == F.col("dv"))
+                  & (F.col("u") < F.col("v"))))
+    o = (e.select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                  .alias("src"),
+                  F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                  .alias("dst"))
+         .localCheckpoint(eager=False))
+    od = o.join(deg.select(F.col("id").alias("dst"),
+                           F.col("deg").alias("ddeg")), "dst")
+    o1 = od.select("src", F.col("dst").alias("b"),
+                   F.col("ddeg").alias("db"))
+    o2 = od.select("src", F.col("dst").alias("c"),
+                   F.col("ddeg").alias("dc"))
+    wedge = (o1.join(o2, "src")
+             .filter((F.col("db") < F.col("dc"))
+                     | ((F.col("db") == F.col("dc"))
+                        & (F.col("b") < F.col("c")))))
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    n_tri = wedge.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.expr("CAST(SUM(deg * (deg - 1) DIV 2) AS BIGINT)")
+        .alias("n_wedges"))
+    # four 1-row frames -> one summary row (tiny-grid crossJoin)
+    return (n_nodes.crossJoin(n_edges).crossJoin(n_wedges)
+            .crossJoin(n_tri)
+            .withColumn(
+                "global_clustering",
+                F.round(F.lit(3.0) * F.col("n_triangles")
+                        / F.expr("NULLIF(n_wedges, 0)"), 6)))
+
+
+# --------------------------------------------------- k-hop reachability
+
+BFS_K_OUT = 3    # per-nation top outgoing trade edges kept
+BFS_MAX_HOPS = 4
+BFS_SEED = 0     # seed nation key
+
+
+@query("graph_khop_reachability", sql=f"""
+    WITH tr AS (
+      SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY ROUND(val, 2) DESC, b) AS rn
+        FROM tr)
+      WHERE rn <= {BFS_K_OUT}
+    ), r AS (
+      WITH RECURSIVE reach(id, d) AS (
+        SELECT CAST({BFS_SEED} AS INT), 0
+        UNION
+        SELECT t.b, r.d + 1
+        FROM reach r JOIN topk t ON t.a = r.id
+        WHERE r.d < {BFS_MAX_HOPS}
+      )
+      SELECT id, MIN(d) AS dist FROM reach GROUP BY id
+    )
+    SELECT CAST(r.id AS INT) AS node_id, n.n_name AS nation,
+           CAST(r.dist AS INT) AS dist
+    FROM r JOIN nation n ON n.n_nationkey = r.id
+    ORDER BY dist, node_id
+""")
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (min-hop distance, <= BFS_MAX_HOPS supersteps)
+    from a seed nation over the sparsified trade graph: each nation
+    keeps only its top-BFS_K_OUT outgoing edges by total trade value
+    (per-key top-k — a partitioned window, never a global sort), then
+    frontier expansion runs as the standard Pregel-style iterate:
+    dist' = min over (dist UNION dist-join-edges), one hash join + one
+    keyed min-agg per superstep, lineage truncated per round.
+
+    The DuckDB twin is a genuine recursive CTE (WITH RECURSIVE ...
+    UNION) — the engine unrolls the same fixed-point to a FIXED depth,
+    which is what makes the iterative op oracle-expressible; the
+    UNION-dedup in the CTE and the groupBy-min in the engine agree
+    because min-hop is monotone.
+
+    Scale: the expensive part is the edge derivation (the 4-table
+    join + agg — same shuffle shape as q5); the iteration itself
+    runs on the nation-grain edge list (|V| x K rows). On a 100 TB
+    general graph the identical loop holds with edges bucketed by
+    src: each superstep's join is then co-located, and the frontier
+    frame stays O(|V|) with map-side-combined mins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    tr = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .groupBy(F.col("c_nationkey").alias("a"),
+                   F.col("s_nationkey").alias("b"))
+          .agg(F.sum(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("val")))
+    w = W.partitionBy("a").orderBy(F.desc(F.round("val", 2)), "b")
+    topk = (tr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BFS_K_OUT).select("a", "b")
+            .localCheckpoint(eager=False))
+    dist = (n.filter(F.col("n_nationkey") == BFS_SEED)
+            .select(F.col("n_nationkey").cast("int").alias("id"),
+                    F.lit(0).alias("d")))
+    for _ in range(BFS_MAX_HOPS):
+        step = (dist.join(topk, dist.id == topk.a)
+                .select(F.col("b").cast("int").alias("id"),
+                        (F.col("d") + 1).alias("d")))
+        dist = (dist.unionByName(step)
+                .groupBy("id").agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False))
+    return (dist.join(n, dist.id == n.n_nationkey)
+            .select(F.col("id").alias("node_id"),
+                    F.col("n_name").alias("nation"),
+                    F.col("d").cast("int").alias("dist"))
+            .orderBy("dist", "node_id"))

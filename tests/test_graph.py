@@ -60,3 +60,99 @@ def test_pagerank_output_shape_and_monotonicity(spark, sf_dir):
     # rank mass: every node's floor is (1-d)/n, so top-30 exceeds it
     n_nodes = len(_numpy_pagerank(spark, sf_dir)[0])
     assert (got.pagerank >= (1 - PR_DAMP) / n_nodes - 1e-9).all()
+
+
+# --------------------------------------------------------- triangles
+
+
+def _python_cooccurrence_edges(spark, sf_dir):
+    from mongo_cdc_spark.operators.graph import TRI_SUPPORT
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").toPandas()
+    from collections import Counter, defaultdict
+
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for o, p in zip(li.l_orderkey, li.l_partkey):
+        baskets[int(o)].add(int(p))
+    cnt: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                cnt[(u, v)] += 1
+    return {e for e, n in cnt.items() if n >= TRI_SUPPORT}
+
+
+def test_triangle_count_matches_python_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from mongo_cdc_spark.operators.graph import graph_triangle_count
+
+    edges = _python_cooccurrence_edges(spark, sf_dir)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])   # each triangle seen via 3 edges
+    tri //= 3
+    row = graph_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+    if wedges:
+        assert abs(row.global_clustering - round(3 * tri / wedges, 6)) \
+            < 2e-6
+
+
+# --------------------------------------------------- k-hop reachability
+
+
+def test_khop_reachability_matches_python_bfs(spark, sf_dir):
+    from collections import defaultdict
+
+    from mongo_cdc_spark.operators.graph import (
+        BFS_K_OUT, BFS_MAX_HOPS, BFS_SEED, graph_khop_reachability)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").toPandas()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey").toPandas()
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey").toPandas()
+    m = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m.c_nationkey != m.s_nationkey]
+    m["val"] = m.l_extendedprice * (1 - m.l_discount)
+    tr = m.groupby(["c_nationkey", "s_nationkey"]).val.sum()
+    out: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for (a, b), v in tr.items():
+        out[int(a)].append((-round(v, 2), int(b)))
+    edges: dict[int, list[int]] = {
+        a: [b for _, b in sorted(dsts)[:BFS_K_OUT]]
+        for a, dsts in out.items()}
+    dist = {BFS_SEED: 0}
+    frontier = [BFS_SEED]
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in edges.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got = graph_khop_reachability(spark, sf_dir).toPandas()
+    assert {int(r.node_id): int(r.dist)
+            for r in got.itertuples()} == dist
+    # output ordered by (dist, node_id)
+    key = list(zip(got.dist, got.node_id))
+    assert key == sorted(key)

@@ -24,7 +24,10 @@ from mongo_cdc_spark.session import get_spark  # noqa: E402
 # Python eval is DECLARED (intentional) in exactly these queries:
 PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              "multimodal_real_decode", "knn_lsh_hyperplane",
-             "udaf_geomean_discount"}
+             "udaf_geomean_discount",
+             # the real WAV decoder (stdlib `wave`) runs in the one
+             # declared mapInPandas stage, same shape as real_decode:
+             "multimodal_audio_decode"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
@@ -53,7 +56,17 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # a (user, epoch)-keyed shuffle join IS the scale plan (the
           # sibling interval-join replay carries no hint either — AQE
           # may still broadcast the smaller slice when measured small):
-          "events_attribution_last_touch": 1}
+          "events_attribution_last_touch": 1,
+          # degree-oriented triangle counting: the two orientation
+          # joins (edges ⋈ degrees, both data-sized on a 100 TB
+          # graph), the wedge self-join (oriented-edges ⋈ themselves
+          # keyed on the apex), and the closing-edge join (wedges ⋈
+          # edges on the pair key) are each big-big by the
+          # algorithm's contract — node/edge-grain frames scale with
+          # the graph, so shuffle joins ARE the scale plan (this is
+          # exactly the Suri-Vassilvitskii MR formulation); AQE can
+          # still broadcast the degree side when measured small:
+          "graph_triangle_count": 4}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
@@ -73,7 +86,13 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # and the top-k gather are each a REQUIRED stage of the
                # algorithm; all are map-side combined or keyed on
                # (order/part/pair)-grain already-reduced data:
-               "basket_part_pairs": 7}
+               "basket_part_pairs": 7,
+               # triangle counting: pair-gen (distinct + self-join +
+               # support agg), degree agg, orientation joins, wedge
+               # self-join, closing-edge join, scalar summary — each
+               # a REQUIRED algorithm stage; every exchange past
+               # pair-gen carries node- or edge-grain rows only:
+               "graph_triangle_count": 8}
 
 
 def _strip_cached_lineage(plan: str) -> str:
