@@ -80,7 +80,8 @@ _GRADE_FIRST = (
     # multimodal_real_decode. The never-graded continuation operators
     # below take the slots.)
     "multimodal_audio_decode", "graph_triangle_count",
-    "graph_khop_reachability",
+    "graph_khop_reachability", "ts_autocorr_daily",
+    "ts_cusum_changepoint",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",
     "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",

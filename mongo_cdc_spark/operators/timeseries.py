@@ -228,3 +228,160 @@ def ts_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ewma_columns(daily, "priority", "d", "x")
             .select("priority", "d", F.col("x").alias("day_total"), "ewma")
             .orderBy("priority", "d"))
+
+
+# ------------------------------------------------------ autocorrelation
+
+ACF_MAX_LAG = 7
+
+
+@query("ts_autocorr_daily", sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, CAST(g.k AS INT) AS lag_days,
+           ROUND(CORR(a.v, b.v), 4) AS acf,
+           COUNT(*) AS n_pairs
+    FROM daily a
+    CROSS JOIN range(1, {ACF_MAX_LAG + 1}) g(k)
+    JOIN daily b ON b.event_type = a.event_type
+                AND b.d = a.d - CAST(g.k AS INT)
+    GROUP BY a.event_type, g.k
+    ORDER BY a.event_type, lag_days
+""")
+def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..ACF_MAX_LAG) of each event
+    type's daily mean value — the classic seasonality/persistence
+    diagnostic that sits in front of any forecasting pipeline.
+
+    Formulated as a self-join against a tiny lag grid rather than
+    {ACF_MAX_LAG} stacked window passes: the daily series (bucket
+    grain — |types| x |days| rows regardless of raw volume) joins
+    itself on (type, day - k) for every k in the grid, then ONE
+    hash-agg computes corr per (type, lag). The raw-data-sized work
+    is only the first aggregation (map-side combined); everything
+    after runs on bucket-grain rows, the same asymmetry as the
+    gap-fill operator above. Lag pairing by calendar join (not row
+    offset) means missing days pair up by true distance — lag-k ACF
+    over observed days, robust to gaps.
+
+    Determinism: daily means rounded to 6 dp before pairing, corr
+    rounded to 4 dp (the agg_regression_stats precision — corr's
+    partial-merge summation order wiggles at ~1e-15)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date("ts").alias("d"))
+             .agg(F.round(F.avg("value"), 6).alias("v")))
+    lags = (spark.range(1, ACF_MAX_LAG + 1)
+            .select(F.col("id").cast("int").alias("k")))
+    a = daily.select(F.col("event_type"), F.col("d"),
+                     F.col("v").alias("va"))
+    b = daily.select(F.col("event_type").alias("bt"),
+                     F.col("d").alias("bd"), F.col("v").alias("vb"))
+    return (a.crossJoin(F.broadcast(lags))
+            .join(b, (F.col("bt") == F.col("event_type"))
+                  & (F.col("bd") == F.date_sub(F.col("d"),
+                                               F.col("k"))))
+            .groupBy("event_type", F.col("k").alias("lag_days"))
+            .agg(F.round(F.corr("va", "vb"), 4).alias("acf"),
+                 F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("event_type", "lag_days"))
+
+
+# -------------------------------------------------- CUSUM change points
+
+CUSUM_K = 0.5   # drift allowance (in std units)
+CUSUM_H = 4.0   # decision threshold (in std units)
+
+
+@query("ts_cusum_changepoint", sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, ROUND(AVG(x), 6) AS mu,
+             ROUND(STDDEV_SAMP(x), 6) AS sd
+      FROM daily GROUP BY 1
+    ), z AS (
+      SELECT d.event_type, d.d,
+             (d.x - s.mu) / NULLIF(s.sd, 0) AS z
+      FROM daily d JOIN st s ON s.event_type = d.event_type
+    ), w AS (
+      SELECT event_type, d,
+             SUM(z - {CUSUM_K}) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS wp,
+             SUM(z + {CUSUM_K}) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS wn
+      FROM z
+    ), c AS (
+      SELECT event_type, d,
+             wp - LEAST(MIN(wp) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING), 0) AS cpos,
+             GREATEST(MAX(wn) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING), 0) - wn AS cneg
+      FROM w
+    )
+    SELECT event_type, d AS day,
+           ROUND(cpos, 6) AS cusum_pos, ROUND(cneg, 6) AS cusum_neg,
+           CASE WHEN cpos > {CUSUM_H} OR cneg > {CUSUM_H}
+                THEN TRUE ELSE FALSE END AS shifted
+    FROM c ORDER BY event_type, day
+""")
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection (Page's test) over each
+    event type's daily total value — the standard sequential
+    change-point monitor for metric pipelines.
+
+    The textbook recursion s_t = max(0, s_(t-1) + z_t - k) is not a
+    window aggregate, but it has an exact prefix-scan identity:
+    with W_t = Σ_(s<=t)(z_s - k), s_t = W_t - min(0, min_(s<=t) W_s)
+    — the empty prefix contributes the 0 — and symmetrically for the
+    downward side. So the whole detector is
+    two running sums + two running extrema, all computed in ONE sort
+    per key (all four windows share the (type, day ASC) spec). That
+    identity is what makes CUSUM distributable: no per-row recursion,
+    no UDF, just windowed prefix scans over bucket-grain rows.
+
+    Raw-data-sized work is again only the first aggregation; the
+    per-type mean/std join is a broadcast of |types| rows.
+    Determinism: daily totals and mean/std rounded to 6 dp before
+    standardization; prefix sums evaluate sequentially in the same
+    (type, day) order on both engines; final 6-dp rounding absorbs
+    the residual ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.round(F.sum("value"), 6).alias("x")))
+    st = (daily.groupBy("event_type")
+          .agg(F.round(F.avg("x"), 6).alias("mu"),
+               F.round(F.stddev_samp("x"), 6).alias("sd")))
+    z = (daily.join(F.broadcast(st), "event_type")
+         .select("event_type", "d",
+                 ((F.col("x") - F.col("mu"))
+                  / F.expr("NULLIF(sd, 0)")).alias("z")))
+    run = (Window.partitionBy("event_type").orderBy("d")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w = z.select(
+        "event_type", "d",
+        F.sum(F.col("z") - CUSUM_K).over(run).alias("wp"),
+        F.sum(F.col("z") + CUSUM_K).over(run).alias("wn"))
+    c = w.select(
+        "event_type", "d",
+        (F.col("wp") - F.least(F.min("wp").over(run), F.lit(0.0)))
+        .alias("cpos"),
+        (F.greatest(F.max("wn").over(run), F.lit(0.0)) - F.col("wn"))
+        .alias("cneg"))
+    return (c.select(
+        "event_type", F.col("d").alias("day"),
+        F.round("cpos", 6).alias("cusum_pos"),
+        F.round("cneg", 6).alias("cusum_neg"),
+        F.when((F.col("cpos") > CUSUM_H)
+               | (F.col("cneg") > CUSUM_H), F.lit(True))
+        .otherwise(F.lit(False)).alias("shifted"))
+        .orderBy("event_type", "day"))

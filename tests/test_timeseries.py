@@ -113,3 +113,67 @@ try:
         assert (got.ewma - want.round(4)).abs().max() <= 1e-3
 except ImportError:  # pragma: no cover - hypothesis is in this image
     pass
+
+
+# ------------------------------------------------------ autocorrelation
+
+
+def _daily(spark, sf_dir, agg):
+    from mongo_cdc_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value").toPandas()
+    ev["d"] = ev.ts.dt.normalize()
+    return (ev.groupby(["event_type", "d"]).value.agg(agg)
+            .round(6).rename("v").reset_index())
+
+
+def test_acf_matches_pandas_calendar_lag(spark, sf_dir):
+    daily = _daily(spark, sf_dir, "mean")
+    got = timeseries.ts_autocorr_daily(spark, sf_dir).toPandas()
+    for (et, k), grp in got.groupby(["event_type", "lag_days"]):
+        s = daily[daily.event_type == et].set_index("d").v
+        shifted = s.copy()
+        shifted.index = shifted.index + pd.Timedelta(days=int(k))
+        pair = pd.concat([s, shifted], axis=1, join="inner")
+        pair.columns = ["a", "b"]
+        assert len(pair) == grp.n_pairs.iloc[0]
+        want = pair.a.corr(pair.b)
+        have = grp.acf.iloc[0]
+        if pd.isna(want):
+            assert pd.isna(have)
+        else:
+            assert abs(have - round(want, 4)) < 2e-4
+
+
+def test_acf_lag_grid_complete(spark, sf_dir):
+    got = timeseries.ts_autocorr_daily(spark, sf_dir).toPandas()
+    lags = set(range(1, timeseries.ACF_MAX_LAG + 1))
+    for _, g in got.groupby("event_type"):
+        assert set(g.lag_days) <= lags
+        assert (g.n_pairs >= 1).all()
+
+
+# -------------------------------------------------- CUSUM change points
+
+
+def test_cusum_matches_textbook_recursion(spark, sf_dir):
+    """The windowed prefix-scan identity must equal Page's recursive
+    s_t = max(0, s_(t-1) + z_t -+ k) computed row-by-row in pandas."""
+    daily = _daily(spark, sf_dir, "sum")
+    got = (timeseries.ts_cusum_changepoint(spark, sf_dir)
+           .toPandas().sort_values(["event_type", "day"]))
+    for et, g in got.groupby("event_type"):
+        s = (daily[daily.event_type == et]
+             .sort_values("d").set_index("d").v)
+        mu, sd = round(s.mean(), 6), round(s.std(ddof=1), 6)
+        z = (s - mu) / sd if sd else s * float("nan")
+        sp = sn = 0.0
+        for (day, zv), row in zip(z.items(), g.itertuples()):
+            sp = max(0.0, sp + zv - timeseries.CUSUM_K)
+            sn = max(0.0, sn - zv - timeseries.CUSUM_K)
+            assert pd.Timestamp(row.day) == day
+            assert abs(row.cusum_pos - sp) < 1e-5
+            assert abs(row.cusum_neg - sn) < 1e-5
+            assert row.shifted == (sp > timeseries.CUSUM_H
+                                   or sn > timeseries.CUSUM_H)
