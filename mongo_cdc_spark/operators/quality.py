@@ -349,3 +349,94 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(F.col("value") > F.col("hi"), 1))
                   .alias("n_out_high"))
             .orderBy("event_type"))
+
+
+# ----------------------------------------------------- distribution drift
+
+DRIFT_SPLIT_DAY = 15  # Jan 1-15 = reference window, Jan 16+ = current
+
+
+@query("quality_schema_drift", sql=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-{DRIFT_SPLIT_DAY:02d}'
+                  THEN 'ref' ELSE 'cur' END AS half,
+             event_type, value
+      FROM events
+    ), per AS (
+      SELECT half, event_type, COUNT(*) AS n,
+             ROUND(AVG(value), 6) AS mean_v
+      FROM tagged GROUP BY 1, 2
+    ), tot AS (
+      SELECT half, SUM(n) AS nt FROM per GROUP BY 1
+    ), shares AS (
+      SELECT p.event_type, p.half, p.n, p.n / t.nt AS share, p.mean_v
+      FROM per p JOIN tot t ON t.half = p.half
+    )
+    SELECT r.event_type,
+           r.n AS n_ref, c.n AS n_cur,
+           ROUND(r.share, 6) AS share_ref,
+           ROUND(c.share, 6) AS share_cur,
+           ROUND((c.share - r.share) * LN(c.share / r.share), 6)
+             AS psi_term,
+           r.mean_v AS mean_ref, c.mean_v AS mean_cur,
+           ROUND(c.mean_v - r.mean_v, 6) AS mean_shift
+    FROM shares r JOIN shares c
+      ON c.event_type = r.event_type
+     AND r.half = 'ref' AND c.half = 'cur'
+    ORDER BY r.event_type
+""")
+def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between a reference window (first
+    half of the month) and the current window: per-category share
+    shift with the Population Stability Index contribution
+    (psi_term = (p_cur - p_ref) * ln(p_cur / p_ref); the PSI is the
+    sum over categories — >0.2 is the conventional 'investigate'
+    bar) plus per-category mean shift of the value column. This is
+    the standing data-quality gate every training-data refresh runs
+    before a new crawl snapshot is admitted.
+
+    Scale: the oracle states the semantics as a ref x cur self-join
+    of per-window aggregates, but the engine runs ONE conditional
+    aggregation pass — n_ref/n_cur/mean_ref/mean_cur as
+    count/avg(CASE WHEN half ...) in a single map-side-combined
+    groupBy over the raw data (one scan, one exchange on the
+    category key) — plus a broadcast 1-row frame for the window
+    totals. Categories absent from one window come out with
+    null/zero columns and are filtered exactly like the oracle's
+    inner join drops them; their infinite-PSI signal is the
+    constraint-check operator's job, not a double's.
+
+    Determinism: shares are exact-integer ratios; ln over identical
+    doubles; 6-dp rounding at the compared surface."""
+    ev = load_table(spark, sf_dir, "events")
+    is_ref = (F.to_date("ts")
+              <= F.lit(f"2024-01-{DRIFT_SPLIT_DAY:02d}").cast("date"))
+    tagged = ev.select(
+        F.when(is_ref, F.lit("ref")).otherwise(F.lit("cur"))
+        .alias("half"), "event_type", "value")
+    ref_v = F.when(F.col("half") == "ref", F.col("value"))
+    cur_v = F.when(F.col("half") == "cur", F.col("value"))
+    # row counts via when(cond, 1) — robust to null values (COUNT(*)
+    # semantics per window, matching the oracle's per-window GROUP BY)
+    ref_1 = F.when(F.col("half") == "ref", F.lit(1))
+    cur_1 = F.when(F.col("half") == "cur", F.lit(1))
+    per = (tagged.groupBy("event_type")
+           .agg(F.count(ref_1).alias("n_ref"),
+                F.count(cur_1).alias("n_cur"),
+                F.round(F.avg(ref_v), 6).alias("mean_ref"),
+                F.round(F.avg(cur_v), 6).alias("mean_cur")))
+    tot = tagged.agg(
+        F.count(ref_1).alias("nt_ref"), F.count(cur_1).alias("nt_cur"))
+    sr = F.col("n_ref") / F.col("nt_ref")
+    sc = F.col("n_cur") / F.col("nt_cur")
+    return (per.crossJoin(F.broadcast(tot))
+            .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+            .select("event_type", "n_ref", "n_cur",
+                    F.round(sr, 6).alias("share_ref"),
+                    F.round(sc, 6).alias("share_cur"),
+                    F.round((sc - sr) * F.log(sc / sr), 6)
+                    .alias("psi_term"),
+                    "mean_ref", "mean_cur",
+                    F.round(F.col("mean_cur") - F.col("mean_ref"), 6)
+                    .alias("mean_shift"))
+            .orderBy("event_type"))

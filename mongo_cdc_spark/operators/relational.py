@@ -2941,3 +2941,70 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("gap_sec", F.lit(0.9)), 4)
                   .alias("p90_gap_sec"))
             .orderBy("buy_hod"))
+
+
+@query("scd2_point_in_time_join", sql="""
+    WITH hist AS (
+      SELECT user_id, event_id AS state_id, event_type AS state,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE user_id < 10 AND event_type <> 'click'
+    ), probe AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE user_id < 10 AND event_type = 'click'
+    )
+    SELECT p.user_id, p.click_id, p.click_ts, h.state,
+           h.valid_from AS state_since
+    FROM probe p LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.click_ts
+     AND (h.valid_to IS NULL OR p.click_ts < h.valid_to)
+    ORDER BY p.user_id, p.click_id
+""")
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against an SCD2 dimension: for
+    every click, the user's state per the non-click event history at
+    that instant — the feature-store / temporal-join primitive that
+    prevents label leakage in training pipelines ("what did we know
+    about the user WHEN the click happened").
+
+    The oracle states the textbook semantics — probe LEFT JOIN
+    history ON valid_from <= t < valid_to — but the engine does NOT
+    run that interval join (unbounded validity windows defeat
+    epoch-bucketing, and Catalyst would fall to a per-key range scan
+    inside a sort-merge join). Instead it uses the union-scan
+    formulation: history rows and probe rows union into ONE stream,
+    one window per user sorted by (ts, kind, event_id) — history
+    sorts before probes at equal ts, matching the inclusive
+    valid_from — and last_value(state) IGNORE NULLS carries the
+    in-effect version onto each probe row. ONE window shuffle on the
+    dimension key, zero joins, cost O(rows log partition) — the
+    standard scale plan for as-of semantics (same trick as the as-of
+    join operator, generalized to SCD2 versioning). Zero-width
+    versions (two history rows at one ts) resolve to the later row
+    in both formulations: the window takes the LAST preceding state,
+    the interval join excludes the [t, t) version."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 10))
+    hist = (ev.filter(F.col("event_type") != "click")
+            .select("user_id", F.col("ts"), F.lit(0).alias("kind"),
+                    "event_id", F.col("event_type").alias("h_state"),
+                    F.col("ts").alias("h_since")))
+    probe = (ev.filter(F.col("event_type") == "click")
+             .select("user_id", F.col("ts"), F.lit(1).alias("kind"),
+                     "event_id", F.lit(None).cast("string")
+                     .alias("h_state"),
+                     F.lit(None).cast("timestamp").alias("h_since")))
+    w = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = (hist.unionByName(probe)
+              .withColumn("state",
+                          F.last("h_state", ignorenulls=True).over(w))
+              .withColumn("state_since",
+                          F.last("h_since", ignorenulls=True).over(w)))
+    return (merged.filter(F.col("kind") == 1)
+            .select("user_id", F.col("event_id").alias("click_id"),
+                    F.col("ts").alias("click_ts"), "state",
+                    "state_since")
+            .orderBy("user_id", "click_id"))

@@ -668,3 +668,91 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 15)
             .select("doc_id", "rank_bm25", "rank_tfidf", "rrf", "rn")
             .orderBy("rn"))
+
+
+# ------------------------------------------------------ PMI collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@query("text_pmi_bigrams", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), uni AS (
+      SELECT u.x AS tok, COUNT(*) AS c
+      FROM toks, unnest(w) u(x) GROUP BY 1
+    ), nu AS (SELECT SUM(c) AS n FROM uni),
+    nb AS (
+      SELECT SUM(GREATEST(len(w) - 1, 0)) AS n FROM toks
+    ), big AS (
+      SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS c
+      FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
+            FROM toks WHERE len(w) >= 2)
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT * FROM (
+      SELECT b.w1, b.w2, b.c AS n_pair,
+             ROUND(LN((b.c / nb.n)
+                      / ((u1.c / nu.n) * (u2.c / nu.n))), 6) AS pmi,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND(LN((b.c / nb.n)
+                     / ((u1.c / nu.n) * (u2.c / nu.n))), 6) DESC,
+                 b.w1, b.w2) AS INT) AS rank
+      FROM big b
+      JOIN uni u1 ON u1.tok = b.w1
+      JOIN uni u2 ON u2.tok = b.w2
+      CROSS JOIN nu CROSS JOIN nb)
+    WHERE rank <= {PMI_TOP} ORDER BY rank
+""")
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top-20
+    adjacent-token bigrams by PMI = ln(P(xy) / (P(x)P(y))) with a
+    min-support floor — the classic phrase/collocation detector
+    (Church & Hanks 1990) used to pick merge candidates and protect
+    multi-word entities in training-data tokenization.
+
+    Tokens are materialized ONCE per doc (the HOF-CSE discipline:
+    split runs once, then bigram generation is a transform over the
+    materialized array — no re-split inside higher-order functions).
+    Bigram slots come from a narrow generate (transform+explode),
+    unigram and bigram counts are two map-side-combined hash aggs,
+    and the two vocabulary joins are keyed on the token — genuinely
+    big-big at web-corpus vocabulary sizes, so shuffle joins are the
+    scale plan (AQE broadcasts when a side measures small). The
+    min-support HAVING prunes the bigram table BEFORE the joins.
+    Corpus totals ride along as broadcast 1-row frames. Top-k is
+    orderBy+limit (TakeOrderedAndProject), rank window over 20 rows.
+
+    Determinism: counts are exact integers; the PMI double is two
+    IEEE divisions + ln of identical inputs on both engines, rounded
+    to 6 dp; ties break on (w1, w2)."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", _tokens().alias("w")))
+    uni = (toks.select(F.explode("w").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    n_u = uni.agg(F.sum("c").alias("nu"))
+    n_b = toks.agg(F.sum(F.greatest(F.size("w") - 1, F.lit(0)))
+                   .alias("nb"))
+    big = (toks.filter(F.size("w") >= 2)
+           .select(F.explode(F.expr(
+               "transform(slice(w, 1, size(w) - 1), "
+               "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+           )).alias("bg"))
+           .select("bg.*")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= PMI_MIN_COUNT))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(F.log((F.col("c") / F.col("nb"))
+                        / ((F.col("c1") / F.col("nu"))
+                           * (F.col("c2") / F.col("nu")))), 6)
+    scored = (big.join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(n_u)).crossJoin(F.broadcast(n_b))
+              .select("w1", "w2", F.col("c").alias("n_pair"),
+                      pmi.alias("pmi")))
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP)
+    w = W.orderBy(F.desc("pmi"), "w1", "w2")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))

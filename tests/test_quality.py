@@ -89,3 +89,40 @@ def test_mad_outliers_matches_pandas_reference(spark, sf_dir):
         assert row.n_out_low == (g.value < lo).sum()
         assert row.n_out_high == (g.value > hi).sum()
         assert row.n == len(g)
+
+
+# ----------------------------------------------------- distribution drift
+
+
+def test_schema_drift_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        DRIFT_SPLIT_DAY, quality_schema_drift)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value").toPandas()
+    ev["half"] = np.where(ev.ts.dt.normalize()
+                          <= f"2024-01-{DRIFT_SPLIT_DAY:02d}",
+                          "ref", "cur")
+    got = quality_schema_drift(spark, sf_dir).toPandas()
+    n = ev.groupby(["half", "event_type"]).size()
+    tot = ev.groupby("half").size()
+    psi_total = 0.0
+    for row in got.itertuples():
+        nr, nc = n[("ref", row.event_type)], n[("cur", row.event_type)]
+        assert (row.n_ref, row.n_cur) == (nr, nc)
+        pr, pc = nr / tot["ref"], nc / tot["cur"]
+        assert abs(row.share_ref - round(pr, 6)) < 2e-6
+        assert abs(row.share_cur - round(pc, 6)) < 2e-6
+        want = (pc - pr) * np.log(pc / pr)
+        assert abs(row.psi_term - round(want, 6)) < 2e-6
+        psi_total += want
+        m = ev[ev.event_type == row.event_type].groupby("half").value.mean()
+        assert abs(row.mean_shift
+                   - (round(m["cur"], 6) - round(m["ref"], 6))) < 2e-5
+    # PSI components must be non-negative up to rounding (it's an
+    # f-divergence term: (p-q)ln(p/q) >= 0)
+    assert (got.psi_term >= -1e-6).all()
+    assert psi_total >= 0

@@ -345,3 +345,34 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover - hypothesis is in this image
     pass
+
+
+def test_scd2_point_in_time_matches_python_asof(spark, sf_dir):
+    """The union-window formulation must equal a per-user pure-Python
+    as-of scan over the (ts, event_id)-sorted history."""
+    import pandas as pd
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        scd2_point_in_time_join)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("user_id < 10")
+          .select("user_id", "event_id", "event_type", "ts")
+          .toPandas())
+    got = scd2_point_in_time_join(spark, sf_dir).toPandas()
+    for uid, g in ev.groupby("user_id"):
+        hist = (g[g.event_type != "click"]
+                .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        clicks = g[g.event_type == "click"]
+        sub = got[got.user_id == uid].set_index("click_id")
+        assert len(sub) == len(clicks)
+        for r in clicks.itertuples():
+            prior = hist[hist.ts <= r.ts]
+            row = sub.loc[r.event_id]
+            if prior.empty:
+                assert pd.isna(row.state) and pd.isna(row.state_since)
+            else:
+                last = prior.iloc[-1]
+                assert row.state == last.event_type
+                assert row.state_since == last.ts

@@ -74,3 +74,37 @@ def test_rrf_fusion_scores_are_rank_sums(spark, sf_dir):
         if r.rank_tfidf == r.rank_tfidf:
             want += 1.0 / (60 + r.rank_tfidf)
         assert abs(r.rrf - round(want, 6)) < 1e-9
+
+
+# ------------------------------------------------------ PMI collocations
+
+
+def test_pmi_bigrams_matches_python_counts(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (
+        PMI_MIN_COUNT, PMI_TOP, text_pmi_bigrams)
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    n_b = 0
+    import re
+    for r in docs:
+        w = re.split(r"\s+", r.text)
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+        n_b += max(len(w) - 1, 0)
+    n_u = sum(uni.values())
+    scored = sorted(
+        ((round(math.log((c / n_b) / ((uni[a] / n_u) * (uni[b] / n_u))),
+                6), a, b, c)
+         for (a, b), c in big.items() if c >= PMI_MIN_COUNT),
+        key=lambda t: (-t[0], t[1], t[2]))
+    got = text_pmi_bigrams(spark, sf_dir).toPandas()
+    assert len(got) == min(PMI_TOP, len(scored))
+    for row, (pmi, a, b, c) in zip(got.itertuples(), scored):
+        assert (row.w1, row.w2, row.n_pair) == (a, b, c)
+        assert abs(row.pmi - pmi) < 2e-6
