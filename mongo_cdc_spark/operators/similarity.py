@@ -1488,3 +1488,166 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("anchor_id", "anchor_label", "neg_id", "neg_label",
                     "cos_sim", "rank")
             .orderBy("anchor_id", "rank"))
+
+
+# ------------------------------------------------------- recall eval
+
+EVAL_NPROBE = 2
+
+
+@query("ann_recall_eval", sql=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv
+      FROM comp GROUP BY label
+    ), assigned AS (
+      SELECT vec_id, c_label FROM (
+        SELECT e.vec_id, cent.c_label,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_dot_product(e.v, cent.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(cent.cv, cent.cv))),
+                       6) DESC, cent.c_label) AS rn
+        FROM e CROSS JOIN cent)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, c_label FROM (
+        SELECT q.vec_id AS query_id, cent.c_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_dot_product(q.v, cent.cv)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(cent.cv, cent.cv))),
+                       6) DESC, cent.c_label) AS pr
+        FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES})
+      WHERE pr <= {EVAL_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.c_label = p.c_label
+      WHERE a.vec_id <> p.query_id
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                 ROUND(list_dot_product(q.v, n.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(n.v, n.v))), 6)
+                 DESC, c.neighbor_id) AS rk
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.neighbor_id)
+      WHERE rk <= {TOP_K}
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_dot_product(q.v, n.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(n.v, n.v))), 6)
+                 DESC, n.vec_id) AS rk
+        FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+      WHERE rk <= {TOP_K}
+    ), nc AS (
+      SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1
+    )
+    SELECT x.query_id,
+           CAST({TOP_K} AS INT) AS k,
+           nc.n_candidates,
+           COUNT(a.neighbor_id) AS n_hits,
+           ROUND(COUNT(a.neighbor_id) / ({TOP_K} * 1e0), 6) AS recall
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id
+                      AND a.neighbor_id = x.neighbor_id
+    JOIN nc ON nc.query_id = x.query_id
+    GROUP BY x.query_id, nc.n_candidates
+    ORDER BY x.query_id
+""")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the IVF index (nprobe =
+    EVAL_NPROBE label-seeded cells) against exact brute-force
+    ground truth, per query — the standard index-quality eval every
+    vector-search deployment runs before trading exactness for probe
+    count (the recall/nprobe curve is THE tuning knob in
+    Jégou-style IVF systems).
+
+    One query computes both sides: ground truth by broadcast
+    brute-force (Q×N scored rows, per-query heap top-k), the IVF
+    side by centroid assignment (corpus scans K centroids — N×K,
+    never N²), probe-cell selection for the queries, a cell-keyed
+    candidate join, and candidate-only rescoring. The recall join
+    then matches the two top-k sets per query. At 100 TB the
+    brute-force leg is the expensive one BY DESIGN — it's the
+    ground-truth harness you run on a sampled query set, while the
+    IVF leg is the production path being graded.
+
+    Determinism: every ranking orders by the 6-dp-rounded cosine
+    with id tie-breaks (the ADVICE-r3 rounding discipline), so both
+    top-k sets — and hence the recall — are stable across engines."""
+    e = _emb(spark, sf_dir)
+    cent = _label_centroids(e)
+    scored_cent = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "norm", "c_label", "cv", "cnorm",
+                F.round(cosine(F.col("v"), F.col("cv"),
+                               F.col("norm"), F.col("cnorm")), 6)
+                .alias("ccos")))
+    # ONE ranking window serves both the per-vector assignment (rn=1)
+    # and the query probe lists (rn<=nprobe); only the <=nprobe rows
+    # per vector are materialized (localCheckpoint), so the reuse
+    # costs O(N * nprobe) narrow rows, not a recompute of the N x K
+    # scoring. Vectors ride along on the assignment rows, so the
+    # candidate rescoring needs NO corpus re-join.
+    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_label"))
+    ranked = (scored_cent
+              .select("vec_id", "c_label", "v", "norm",
+                      F.row_number().over(wv).alias("rn"))
+              .filter(F.col("rn") <= max(1, EVAL_NPROBE))
+              .localCheckpoint(eager=False))
+    assigned = ranked.filter(F.col("rn") == 1)
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("rn") <= EVAL_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "c_label"))
+    cand = (F.broadcast(probes).join(assigned, "c_label")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "v", "norm"))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), "v", "norm")
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("neighbor_id"))
+    approx = (cand.join(F.broadcast(q), "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("v"),
+                                     F.col("qnorm"), F.col("norm")), 6)
+                      .alias("cos_sim"))
+              .withColumn("rk", F.row_number().over(wq))
+              .filter(F.col("rk") <= TOP_K)
+              .select("query_id", "neighbor_id"))
+    exact = (n.crossJoin(F.broadcast(q))
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id",
+                     F.round(cosine(F.col("qv"), F.col("v"),
+                                    F.col("qnorm"), F.col("norm")), 6)
+                     .alias("cos_sim"))
+             .withColumn("rk", F.row_number().over(wq))
+             .filter(F.col("rk") <= TOP_K)
+             .select("query_id", "neighbor_id"))
+    nc = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    hit = approx.withColumn("hit", F.lit(1))
+    return (exact.join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").alias("n_hits"))
+            .join(F.broadcast(nc), "query_id")
+            .select("query_id", F.lit(TOP_K).cast("int").alias("k"),
+                    "n_candidates", "n_hits",
+                    F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6)
+                    .alias("recall"))
+            .orderBy("query_id"))

@@ -301,3 +301,56 @@ def test_hard_negatives_are_top_cross_label_matches(spark, sf_dir):
         want = [int(ids[i]) for i in order[:HN_K]]
         assert list(g.neg_id.astype(int)) == want
     assert got.anchor_id.nunique() == HN_ANCHORS
+
+
+# ------------------------------------------------------- recall eval
+
+
+def test_ann_recall_eval_matches_numpy(spark, sf_dir):
+    """Recall@k recomputed with a NumPy IVF + brute-force reference."""
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.similarity import (
+        EVAL_NPROBE, N_QUERIES, TOP_K, ann_recall_eval)
+
+    df = load_table(spark, sf_dir, "embeddings").toPandas()
+    ids = df.vec_id.to_numpy()
+    V = np.stack(df.embedding.map(np.asarray)).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    labels = df.label.to_numpy()
+    cents, cl = [], []
+    for lab in sorted(set(labels)):
+        cents.append(V[labels == lab].mean(axis=0))
+        cl.append(lab)
+    C = np.stack(cents)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ccos = np.round(Vn @ Cn.T, 6)
+    # nearest centroid, tie-break on smaller label
+    order = np.lexsort((cl * np.ones_like(ccos, dtype=int),
+                        -ccos))  # per-row: sort by -cos then label
+    assign = {int(i): cl[order[r][0]]
+              for r, i in enumerate(ids)}
+    got = ann_recall_eval(spark, sf_dir).toPandas()
+    assert list(got.query_id) == sorted(got.query_id)
+    for row in got.itertuples():
+        qi = int(np.where(ids == row.query_id)[0][0])
+        # probe cells
+        pc = np.round(Vn[qi] @ Cn.T, 6)
+        probe_order = sorted(range(len(cl)),
+                             key=lambda j: (-pc[j], cl[j]))
+        probed = {cl[j] for j in probe_order[:EVAL_NPROBE]}
+        cand = [int(i) for i in ids
+                if assign[int(i)] in probed and int(i) != row.query_id]
+        assert row.n_candidates == len(cand)
+        sims = np.round(Vn @ Vn[qi], 6)
+        by_id = {int(i): sims[k] for k, i in enumerate(ids)}
+        def topk(pool):
+            return set(sorted(pool, key=lambda i: (-by_id[i], i))[:TOP_K])
+        exact = topk([int(i) for i in ids if int(i) != row.query_id])
+        approx = topk(cand)
+        assert row.n_hits == len(exact & approx)
+        assert abs(row.recall - round(len(exact & approx) / TOP_K, 6)) \
+            < 2e-6
+    assert (got.recall <= 1.0).all() and (got.recall >= 0.0).all()
+    assert got.query_id.nunique() == min(N_QUERIES, len(ids))

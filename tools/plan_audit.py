@@ -66,7 +66,12 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # the graph, so shuffle joins ARE the scale plan (this is
           # exactly the Suri-Vassilvitskii MR formulation); AQE can
           # still broadcast the degree side when measured small:
-          "graph_triangle_count": 4}
+          "graph_triangle_count": 4,
+          # recall eval: the probe-cell candidate join meets the
+          # corpus-sized assignment frame — big-big on a 100 TB
+          # corpus, shuffle join IS the plan (broadcast hint on the
+          # tiny probe side lets AQE place it when measured small):
+          "ann_recall_eval": 1}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
@@ -92,7 +97,15 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # self-join, closing-edge join, scalar summary — each
                # a REQUIRED algorithm stage; every exchange past
                # pair-gen carries node- or edge-grain rows only:
-               "graph_triangle_count": 8}
+               "graph_triangle_count": 8,
+               # recall eval runs BOTH retrieval paths plus their
+               # comparison in one query by design: centroid build
+               # (2), assignment rank window, candidate join +
+               # rescoring window, exact-side window, candidate
+               # count, and the hit join/agg — each a required stage
+               # of one leg; all post-scan exchanges carry query- or
+               # cell-grain reduced rows:
+               "ann_recall_eval": 12}
 
 
 def _strip_cached_lineage(plan: str) -> str:
