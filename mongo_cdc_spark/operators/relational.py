@@ -3008,3 +3008,166 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ts").alias("click_ts"), "state",
                     "state_since")
             .orderBy("user_id", "click_id"))
+
+
+@query("events_attribution_linear", sql="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT user_id, ts AS buy_ts, event_id AS buy_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT b.buy_id, b.value, c.click_ts,
+             COUNT(*) OVER (PARTITION BY b.buy_id) AS n_touch
+      FROM buys b JOIN clicks c
+        ON c.user_id = b.user_id
+       AND c.click_ts <= b.buy_ts
+       AND c.click_ts >= b.buy_ts - INTERVAL '30 minutes'
+    ), attributed AS (
+      SELECT date_trunc('hour', click_ts) AS click_hour,
+             COUNT(*) AS n_touches,
+             ROUND(SUM(value / n_touch), 4) AS revenue
+      FROM cand GROUP BY 1
+    ), unattributed AS (
+      SELECT CAST(NULL AS TIMESTAMP) AS click_hour,
+             COUNT(*) AS n_touches, ROUND(SUM(value), 4) AS revenue
+      FROM buys WHERE buy_id NOT IN (SELECT buy_id FROM cand)
+    )
+    SELECT * FROM attributed
+    UNION ALL SELECT * FROM unattributed WHERE n_touches > 0
+    ORDER BY click_hour NULLS FIRST
+""")
+def events_attribution_linear(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the sibling of
+    events_attribution_last_touch: each purchase's value splits
+    EQUALLY across ALL the user's qualifying clicks in the 30-minute
+    lookback (credit = value / n_touches), rolled up by click hour,
+    with the explicit unattributed bucket. Last-touch vs linear is
+    the canonical attribution-model A/B in marketing analytics.
+
+    Scale: identical candidate plan (bucketed interval equi-join —
+    two epoch probes per purchase, never a theta join); the touch
+    count is ONE per-purchase window on the already-candidate rows
+    (no second join), and credit assignment is a narrow projection.
+    The rollup agg and the anti-join unattributed leg match the
+    last-touch operator row for row."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id"), "value"))
+    cand = (_interval_candidates(buys, clicks, "user_id",
+                                 "buy_ts", "click_ts")
+            .withColumn("n_touch",
+                        F.count(F.lit(1)).over(W.partitionBy("buy_id"))))
+    attributed = (cand
+                  .groupBy(F.date_trunc("hour", "click_ts")
+                           .alias("click_hour"))
+                  .agg(F.count(F.lit(1)).alias("n_touches"),
+                       F.round(F.sum(F.col("value")
+                                     / F.col("n_touch")), 4)
+                       .alias("revenue")))
+    unattributed = (buys.join(cand.select("buy_id"), "buy_id",
+                              "left_anti")
+                    .agg(F.count(F.lit(1)).alias("n_touches"),
+                         F.round(F.sum("value"), 4).alias("revenue"))
+                    .filter(F.col("n_touches") > 0)
+                    .select(F.lit(None).cast("timestamp")
+                            .alias("click_hour"),
+                            "n_touches", "revenue"))
+    return (attributed.unionByName(unattributed)
+            .orderBy(F.col("click_hour").asc_nulls_first()))
+
+
+@query("events_path_trigrams", sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+             COUNT(*) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT path, n, CAST(ROW_NUMBER() OVER (
+          ORDER BY n DESC, path) AS INT) AS rank
+      FROM paths)
+    WHERE rank <= 15 ORDER BY rank
+""")
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: the 15 most frequent 3-step
+    event-type paths (per-user (ts, event_id) order) — the Sankey /
+    behavioral-flow primitive one step deeper than
+    events_top_transitions' Markov pairs.
+
+    ONE window shuffle on user_id computes both LEADs (shared
+    (ts, event_id) sort), the path count is a map-side-combined agg
+    on already-tiny (|types|^3) keys, and top-k is orderBy+limit.
+    Ordering convention matches the engine-wide (ts, event_id)
+    tie-break."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (_t(spark, sf_dir, "events")
+           .select("user_id", "event_type",
+                   F.lead("event_type", 1).over(w).alias("t2"),
+                   F.lead("event_type", 2).over(w).alias("t3"))
+           .filter(F.col("t3").isNotNull()))
+    paths = (seq.select(F.concat_ws(" > ", "event_type", "t2", "t3")
+                        .alias("path"))
+             .groupBy("path").agg(F.count(F.lit(1)).alias("n")))
+    top = paths.orderBy(F.desc("n"), "path").limit(15)
+    wr = W.orderBy(F.desc("n"), "path")
+    return (top.withColumn("rank", F.row_number().over(wr))
+            .orderBy("rank"))
+
+
+@query("window_percent_rank_spend", sql="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             ROUND(SUM(o.o_totalprice), 2) AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_mktsegment, total_spend,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY total_spend, c_custkey)
+    QUALIFY c_custkey < 300
+    ORDER BY c_mktsegment, c_custkey
+""")
+def window_percent_rank_spend(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank + cume_dist) over
+    per-customer spend within market segment — where each customer
+    sits in their segment's spend distribution. Completes the
+    window-function inventory alongside rank/ntile/lag-lead/frames.
+
+    The window computes over EVERY customer in the segment (the
+    distribution is global) and only the output is then probe-
+    filtered — the filter cannot push below the window without
+    changing semantics, which is exactly what the oracle's QUALIFY
+    states. One agg shuffle + one window shuffle, both keyed on
+    segment-scale keys; ties in spend resolve by c_custkey so both
+    percent_rank and cume_dist are order-deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (c.join(o, o.o_custkey == c.c_custkey)
+             .groupBy("c_custkey", "c_mktsegment")
+             .agg(F.round(F.sum("o_totalprice"), 2)
+                  .alias("total_spend")))
+    w = (W.partitionBy("c_mktsegment")
+         .orderBy("total_spend", "c_custkey"))
+    return (spend
+            .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+            .withColumn("cume_dist", F.round(F.cume_dist().over(w), 6))
+            .filter(F.col("c_custkey") < 300)
+            .orderBy("c_mktsegment", "c_custkey"))

@@ -376,3 +376,65 @@ def test_scd2_point_in_time_matches_python_asof(spark, sf_dir):
                 last = prior.iloc[-1]
                 assert row.state == last.event_type
                 assert row.state_since == last.ts
+
+
+def test_linear_attribution_conserves_revenue(spark, sf_dir):
+    """Equal-split credit must conserve total purchase revenue across
+    attributed + unattributed buckets (up to the 4-dp rounding)."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        events_attribution_linear)
+
+    got = events_attribution_linear(spark, sf_dir).toPandas()
+    total = (load_table(spark, sf_dir, "events")
+             .filter("event_type = 'purchase'")
+             .agg({"value": "sum"}).collect()[0][0])
+    assert abs(got.revenue.sum() - total) < 1e-2 + 5e-4 * len(got)
+    assert (got.n_touches > 0).all()
+
+
+def test_path_trigrams_matches_pandas(spark, sf_dir):
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import events_path_trigrams
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type", "ts", "event_id").toPandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    cnt: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        t = list(g.event_type)
+        cnt.update(" > ".join(t[i:i + 3]) for i in range(len(t) - 2))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = events_path_trigrams(spark, sf_dir).toPandas()
+    assert [(r.path, r.n) for r in got.itertuples()] == want
+
+
+def test_percent_rank_formula(spark, sf_dir):
+    """percent_rank = (rank-1)/(n-1), cume_dist = rank_rows/n within
+    each segment — recomputed from the full distribution in pandas."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        window_percent_rank_spend)
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment").toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").toPandas()
+    spend = (o.merge(c, left_on="o_custkey", right_on="c_custkey")
+             .groupby(["c_custkey", "c_mktsegment"]).o_totalprice
+             .sum().round(2).rename("v").reset_index())
+    got = window_percent_rank_spend(spark, sf_dir).toPandas()
+    assert (got.c_custkey < 300).all()
+    for seg, g in spend.groupby("c_mktsegment"):
+        g = g.sort_values(["v", "c_custkey"]).reset_index(drop=True)
+        n = len(g)
+        sub = got[got.c_mktsegment == seg].set_index("c_custkey")
+        for pos, r in g.iterrows():
+            if r.c_custkey not in sub.index:
+                continue
+            row = sub.loc[r.c_custkey]
+            want_pr = 0.0 if n == 1 else pos / (n - 1)
+            assert abs(row.pct_rank - round(want_pr, 6)) < 2e-6
+            assert abs(row.cume_dist - round((pos + 1) / n, 6)) < 2e-6

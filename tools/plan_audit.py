@@ -57,6 +57,9 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # sibling interval-join replay carries no hint either — AQE
           # may still broadcast the smaller slice when measured small):
           "events_attribution_last_touch": 1,
+          # linear attribution: same bucketed interval join, same
+          # big-big rationale as the last-touch sibling above:
+          "events_attribution_linear": 1,
           # degree-oriented triangle counting: the two orientation
           # joins (edges ⋈ degrees, both data-sized on a 100 TB
           # graph), the wedge self-join (oriented-edges ⋈ themselves
