@@ -75,6 +75,19 @@ HEADLINE = [
     ("time_to_convert", relational.events_time_to_convert),
     ("weighted_median", relational.agg_weighted_median),
     ("hard_negatives", similarity.mine_hard_negatives),
+    # round-4 session-3 (continuation) additions
+    ("audio_decode", multimodal.audio_real_decode),
+    ("graph_triangles", graph.graph_triangle_count),
+    ("graph_khop_bfs", graph.graph_khop_reachability),
+    ("ts_acf", timeseries.ts_autocorr_daily),
+    ("ts_cusum", timeseries.ts_cusum_changepoint),
+    ("pmi_bigrams", text.text_pmi_bigrams),
+    ("schema_drift", quality.quality_schema_drift),
+    ("scd2_pit_join", relational.scd2_point_in_time_join),
+    ("ann_recall", similarity.ann_recall_eval),
+    ("attribution_linear", relational.events_attribution_linear),
+    ("path_trigrams", relational.events_path_trigrams),
+    ("percent_rank", relational.window_percent_rank_spend),
 ]
 
 
@@ -176,6 +189,15 @@ def main() -> None:
     first_rep: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in HEADLINE:
+        # Per-query cache isolation: 60 headline queries in one session
+        # accumulate persisted frames (_emb, edge lists, shingle
+        # indexes...) until executor-memory pressure evicts/GC-churns
+        # whichever query runs late in the list (observed: an 8.5 s
+        # knn_pq_search in-suite vs 1.6 s isolated). Clearing BETWEEN
+        # queries keeps each number position-independent; reps of the
+        # SAME query still share their cache, preserving best-of-N's
+        # warm-rep semantics.
+        spark.catalog.clearCache()
         best = None
         for r in range(reps):
             t0 = time.time()
