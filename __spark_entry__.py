@@ -83,7 +83,8 @@ _GRADE_FIRST = (
     "graph_khop_reachability", "ts_autocorr_daily",
     "ts_cusum_changepoint", "text_pmi_bigrams",
     "quality_schema_drift", "scd2_point_in_time_join",
-    "ann_recall_eval", "events_attribution_linear",
+    "ann_recall_eval", "train_bpe_merge_learn",
+    "events_attribution_linear",
     "events_path_trigrams", "window_percent_rank_spend",
     # Tier 2b: queries NEW in round 4 (first grading).
     "dedup_incremental_new_batch", "dedup_semantic_semdedup",

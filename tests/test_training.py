@@ -144,3 +144,78 @@ def test_quality_calibrate_deciles_partition_each_source(spark, sf_dir):
         assert g.cal_min.min() == 0.0
         assert g.cal_max.max() <= 1.0
         assert (g.cal_min <= g.cal_max).all()
+
+
+# ------------------------------------------------------ BPE merge learning
+
+
+def _py_bpe_merges(words, rounds):
+    """Reference Sennrich-style BPE trainer over a word-freq dict."""
+    from collections import Counter
+
+    state = {w: list(w) for w in words}
+    merges = []
+    for _ in range(rounds):
+        cnt: Counter = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, n))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_merges_match_reference_trainer(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        BPE_ROUNDS, train_bpe_merge_learn)
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freq: Counter = Counter()
+    for r in docs:
+        freq.update(w for w in re.split(r"\s+", r.text) if w)
+    want = _py_bpe_merges(dict(freq), BPE_ROUNDS)
+    got = train_bpe_merge_learn(spark, sf_dir).collect()
+    assert [(r.sym1, r.sym2, r.merged, r.cnt) for r in got] == want
+    assert [r.round for r in got] == list(range(1, BPE_ROUNDS + 1))
+
+
+def test_bpe_doubled_space_replace_is_greedy_merge():
+    """The two-replace trick == greedy left-to-right BPE merging."""
+    import random
+
+    def greedy(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def via_replace(syms, a, b):
+        s = " " + " ".join(syms) + " "
+        d = s.replace(" ", "  ")
+        return d.replace(f" {a}  {b} ", f" {a}{b} ").split()
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "ab", "cd", "d"]
+    for _ in range(3000):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 14))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        assert greedy(syms, a, b) == via_replace(syms, a, b)
