@@ -98,6 +98,12 @@ _GRADE_FIRST = (
     # bloom-style runtime-filter join, compaction planner.
     "quality_profile_orders", "quality_constraint_checks",
     "scd2_user_state_history", "join_bloom_semi_reduction",
+    # Post-window continuation additions (51+): graded in round 5 —
+    # every one is hash-verified locally at sf0.001+sf0.01 and
+    # pytest-pinned; listed here so the round-5 rotation starts with
+    # them in order.
+    "streaming_interval_left_join_replay", "multimodal_audio_resample",
+    "agg_mode_per_segment",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -88,6 +88,10 @@ HEADLINE = [
     ("attribution_linear", relational.events_attribution_linear),
     ("path_trigrams", relational.events_path_trigrams),
     ("percent_rank", relational.window_percent_rank_spend),
+    ("bpe_merge_learn", training.train_bpe_merge_learn),
+    ("interval_left_join", relational.streaming_interval_left_join_replay),
+    ("audio_resample", multimodal.audio_resample),
+    ("mode_per_segment", relational.agg_mode_per_segment),
 ]
 
 

@@ -515,3 +515,93 @@ def audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"))
         .orderBy("doc_id"))
+
+
+AUD_DECIM = 2   # resample: keep every AUD_DECIM-th sample
+
+
+def audio_resample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL WAV decode, then decimate-by-AUD_DECIM
+    (take every AUD_DECIM-th sample — the zero-phase nearest-sample
+    resampler) and recompute duration/mean/RMS at the reduced rate.
+    Same little-endian int16 discipline as audio_features_batch."""
+    import struct
+
+    for pdf in it:
+        rows = {"doc_id": [], "framerate": [], "n_samples": [],
+                "duration_sec": [], "mean_amp": [], "rms": []}
+        for doc_id, clip in zip(pdf["doc_id"], pdf["clip"]):
+            ch, width, rate, frames = decode_wav(bytes(clip))
+            assert ch == 1 and width == 2
+            n = len(frames) // 2
+            samples = struct.unpack(f"<{n}h", frames)[::AUD_DECIM]
+            m = len(samples)
+            new_rate = rate // AUD_DECIM
+            rows["doc_id"].append(doc_id)
+            rows["framerate"].append(new_rate)
+            rows["n_samples"].append(m)
+            rows["duration_sec"].append(m / new_rate)
+            rows["mean_amp"].append(sum(samples) / m)
+            rows["rms"].append((sum(s * s for s in samples) / m) ** 0.5)
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_audio_resample", sql=f"""
+    WITH s AS (
+      SELECT d.doc_id,
+             ord(substr(d.text,
+                        ((2 * {AUD_DECIM} * g.j) % len(d.text)) + 1, 1))
+             + 256 * ord(substr(d.text,
+                        ((2 * {AUD_DECIM} * g.j + 1) % len(d.text)) + 1,
+                        1)) AS raw
+      FROM documents d,
+           generate_series(0, {_AUD_SAMPLES // AUD_DECIM - 1}) g(j)
+      WHERE len(d.text) > 0
+    ), v AS (
+      SELECT doc_id,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+      FROM s
+    )
+    SELECT doc_id,
+           CAST({_AUD_RATE // AUD_DECIM} AS INT) AS framerate,
+           CAST({_AUD_SAMPLES // AUD_DECIM} AS INT) AS n_samples,
+           ROUND({_AUD_SAMPLES // AUD_DECIM}
+                 / ({_AUD_RATE // AUD_DECIM} * 1e0), 6) AS duration_sec,
+           ROUND(AVG(s16), 6) AS mean_amp,
+           ROUND(SQRT(AVG(s16 * s16 * 1e0)), 6) AS rms
+    FROM v GROUP BY doc_id ORDER BY doc_id
+""")
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio RESAMPLE (decimate-by-AUD_DECIM) — the transform
+    sibling of multimodal_audio_decode: decode the WAV clip, keep
+    every AUD_DECIM-th sample (8 kHz -> 4 kHz), recompute features at
+    the new rate. Decode-transform-extract is the standard multimodal
+    preprocessing chain (resample-to-16k is step one of every speech
+    pipeline); this pins the Spark-side plumbing for it — same
+    narrow single-Arrow-stage shape, media bytes never shuffled.
+
+    The DuckDB oracle re-derives the KEPT samples directly from the
+    document's bytes (sample j of the output is input sample
+    AUD_DECIM*j, i.e. bytes 2*AUD_DECIM*j and 2*AUD_DECIM*j+1 of the
+    cycled text) — so the graded hash pins the real decoder AND the
+    decimation arithmetic."""
+    n_bytes = _AUD_SAMPLES * 2
+    header = encode_wav(_AUD_RATE, b"\x00" * n_bytes)[:44]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({n_bytes} / length(text))"
+        f" as int) + 1), 1, {n_bytes})").cast("binary")
+    clips = (docs.select(
+        "doc_id", F.concat(F.lit(header), body).alias("clip"))
+        .repartition(spark.sparkContext.defaultParallelism))
+    feats = clips.mapInPandas(
+        audio_resample_batch,
+        schema=("doc_id long, framerate int, n_samples int, "
+                "duration_sec double, mean_amp double, rms double"))
+    return (feats.select(
+        "doc_id", "framerate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"))
+        .orderBy("doc_id"))

@@ -3171,3 +3171,102 @@ def window_percent_rank_spend(spark: SparkSession,
             .withColumn("cume_dist", F.round(F.cume_dist().over(w), 6))
             .filter(F.col("c_custkey") < 300)
             .orderBy("c_mktsegment", "c_custkey"))
+
+
+@query("streaming_interval_left_join_replay", sql="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), buys AS (
+      SELECT user_id, ts AS buy_ts, event_id AS buy_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT b.user_id, b.buy_id, c.click_id, b.buy_ts, c.click_ts,
+           b.value
+    FROM buys b LEFT JOIN clicks c
+      ON c.user_id = b.user_id
+     AND c.click_ts <= b.buy_ts
+     AND c.click_ts >= b.buy_ts - INTERVAL '30 minutes'
+    ORDER BY b.buy_id, c.click_id NULLS FIRST
+""")
+def streaming_interval_left_join_replay(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Batch replay twin of stream_stream_self_join(how="left_outer"):
+    every purchase keeps a row even with NO qualifying click — the
+    null-extended rows are exactly what the streaming engine emits
+    when the watermark passes a purchase's join interval and proves
+    no match can still arrive. Outer stream-stream join is its own
+    semantics class (state must hold unmatched rows until the
+    watermark closes them), so it gets its own graded twin alongside
+    the inner replay.
+
+    Plan: the SAME bucketed interval equi-join as the inner twin
+    generates candidates (two epoch probes per purchase, never a
+    theta join); the outer extension is then ONE left join of the
+    purchase table onto its own matched candidates keyed on buy_id —
+    null-extending exactly the purchases with zero candidates.
+    Explicit NULLS FIRST on click_id pins the cross-engine ordering
+    of the null-extended rows."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"),
+                    F.col("event_id").alias("buy_id"), "value"))
+    matched = (_interval_candidates(buys, clicks, "user_id",
+                                    "buy_ts", "click_ts")
+               .select("buy_id", "click_id", "click_ts"))
+    return (buys.join(matched, "buy_id", "left")
+            .select("user_id", "buy_id", "click_id", "buy_ts",
+                    "click_ts", "value")
+            .orderBy("buy_id", F.col("click_id").asc_nulls_first()))
+
+
+@query("agg_mode_per_segment", sql="""
+    WITH cnt AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_n,
+           CAST(total AS BIGINT) AS n_orders,
+           ROUND(n / (total * 1e0), 6) AS mode_share
+    FROM (
+      SELECT *, SUM(n) OVER (PARTITION BY c_mktsegment) AS total,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM cnt)
+    WHERE rn = 1 ORDER BY c_mktsegment
+""")
+def agg_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode with a DETERMINISTIC tie-break — the ordered-set
+    aggregate Spark's builtin `mode()` leaves underspecified on ties
+    (its doc says "if there are multiple values, return any"): most
+    frequent order priority per market segment, ties resolving to the
+    lexicographically smallest value, with the mode's share of the
+    segment.
+
+    Plan: one map-side-combined (segment, priority) count agg, then a
+    window over the |segments| x |priorities| grid (tiny at any
+    corpus size) picks the per-segment argmax. This count-then-argmax
+    shape is the portable mode recipe — same result on any engine,
+    unlike builtin mode()'s tie roulette."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cnt = (c.join(o, o.o_custkey == c.c_custkey)
+           .groupBy("c_mktsegment", "o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n")))
+    ws = W.partitionBy("c_mktsegment")
+    wr = ws.orderBy(F.desc("n"), "o_orderpriority")
+    return (cnt
+            .withColumn("total", F.sum("n").over(ws))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("c_mktsegment",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("n").alias("mode_n"),
+                    F.col("total").alias("n_orders"),
+                    F.round(F.col("n") / F.col("total"), 6)
+                    .alias("mode_share"))
+            .orderBy("c_mktsegment"))

@@ -191,3 +191,31 @@ def test_wav_roundtrip_via_stdlib(spark):
     clip = wav_from_doc_bytes(b"hello world")
     assert decode_wav(clip)[3][:11] == b"hello world"
     assert clip[:4] == b"RIFF" and clip[8:12] == b"WAVE"
+
+
+def test_audio_resample_matches_decimated_byte_arithmetic(spark, sf_dir):
+    """Decimated features recomputed from raw doc bytes with stride
+    arithmetic must equal the resample operator's output."""
+    import struct
+
+    from mongo_cdc_spark.operators.multimodal import (
+        _AUD_RATE, _AUD_SAMPLES, AUD_DECIM, audio_resample)
+
+    got = (audio_resample(spark, sf_dir)
+           .toPandas().set_index("doc_id"))
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter("length(text) > 0")
+            .select("doc_id", "text").collect())
+    assert len(got) == len(docs)
+    for r in docs:
+        raw = r.text.encode()
+        n = _AUD_SAMPLES * 2
+        body = (raw * (n // len(raw) + 1))[:n]
+        samples = struct.unpack(f"<{_AUD_SAMPLES}h", body)[::AUD_DECIM]
+        m = len(samples)
+        row = got.loc[r.doc_id]
+        assert row.framerate == _AUD_RATE // AUD_DECIM
+        assert row.n_samples == m
+        assert abs(row.mean_amp - sum(samples) / m) < 6e-7
+        rms = (sum(s * s for s in samples) / m) ** 0.5
+        assert abs(row.rms - rms) < 6e-7

@@ -438,3 +438,42 @@ def test_percent_rank_formula(spark, sf_dir):
             want_pr = 0.0 if n == 1 else pos / (n - 1)
             assert abs(row.pct_rank - round(want_pr, 6)) < 2e-6
             assert abs(row.cume_dist - round((pos + 1) / n, 6)) < 2e-6
+
+
+def test_mode_per_segment_matches_pandas(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import agg_mode_per_segment
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment").toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").toPandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    got = agg_mode_per_segment(spark, sf_dir).toPandas()
+    for row in got.itertuples():
+        g = m[m.c_mktsegment == row.c_mktsegment]
+        cnt = g.o_orderpriority.value_counts()
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (row.mode_priority, row.mode_n) == best
+        assert row.n_orders == len(g)
+        assert abs(row.mode_share - round(best[1] / len(g), 6)) < 2e-6
+
+
+def test_left_join_replay_covers_all_purchases(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        streaming_interval_join_replay, streaming_interval_left_join_replay)
+
+    left = streaming_interval_left_join_replay(spark, sf_dir).toPandas()
+    inner = streaming_interval_join_replay(spark, sf_dir).toPandas()
+    n_buys = (load_table(spark, sf_dir, "events")
+              .filter("event_type = 'purchase'").count())
+    # every purchase appears; matched pairs equal the inner join; the
+    # rest are exactly the null-extended unmatched purchases
+    assert left.buy_id.nunique() == n_buys
+    matched = left[left.click_id.notna()]
+    assert (set(zip(matched.buy_id, matched.click_id.astype(int)))
+            == set(zip(inner.buy_id, inner.click_id)))
+    unmatched = left[left.click_id.isna()]
+    assert set(unmatched.buy_id) == (set(left.buy_id)
+                                     - set(matched.buy_id))

@@ -461,3 +461,47 @@ def test_stream_interval_join_matches_batch_replay_twin(spark, tmp_path,
     assert (set(zip(got.buy_id.astype(int), got.click_id.astype(int)))
             == set(zip(want.buy_id, want.click_id)))
     assert len(got) == len(want)
+
+
+def test_stream_interval_left_join_matches_batch_replay_twin(
+        spark, tmp_path, sf_dir):
+    """The left-outer stream-stream join must emit exactly the rows of
+    the graded batch twin: matched pairs PLUS one null-extended row
+    per purchase with no qualifying click. A far-future sentinel
+    click (user -1, joins nothing) is fed as a second batch so the
+    watermark provably passes every purchase's join interval and the
+    outer rows actually emit."""
+    from mongo_cdc_spark.operators.relational import (
+        streaming_interval_left_join_replay)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").toPandas()
+    rows = [{"event_id": int(r.event_id),
+             "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+             "user_id": int(r.user_id), "event_type": r.event_type,
+             "value": float(r.value), "props": r.props or "{}"}
+            for r in ev.itertuples()]
+    # BOTH event types needed: each join side's watermark advances
+    # only on events surviving its own type filter (see the
+    # stream_stream_self_join docstring), so a click-only sentinel
+    # would leave the purchase-side watermark at the last fixture
+    # purchase and the final unmatched purchases would never close.
+    sentinel = [{"event_id": -1, "ts": "2099-01-01T00:00:00Z",
+                 "user_id": -1, "event_type": et, "value": 0.0,
+                 "props": "{}"} for et in ("click", "purchase")]
+    stream = read_events_stream(spark, str(src))
+    got = _collect_batched(
+        stream_stream_self_join(stream, stream, within="30 minutes",
+                                how="left_outer"),
+        tmp_path, src, [rows, sentinel])
+    got = got[got.buy_id >= 0]  # drop any sentinel-purchase row
+    want = (streaming_interval_left_join_replay(spark, sf_dir)
+            .select("buy_id", "click_id").toPandas())
+
+    def keyset(df):
+        return {(int(b), None if pd.isna(c) else int(c))
+                for b, c in zip(df.buy_id, df.click_id)}
+
+    assert keyset(got) == keyset(want)
+    assert len(got) == len(want)

@@ -27,7 +27,10 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              "udaf_geomean_discount",
              # the real WAV decoder (stdlib `wave`) runs in the one
              # declared mapInPandas stage, same shape as real_decode:
-             "multimodal_audio_decode"}
+             "multimodal_audio_decode",
+             # the resample transform runs the same real WAV decoder
+             # + decimation in the one declared mapInPandas stage:
+             "multimodal_audio_resample"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
@@ -60,6 +63,12 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # linear attribution: same bucketed interval join, same
           # big-big rationale as the last-touch sibling above:
           "events_attribution_linear": 1,
+          # left-outer interval replay: the bucketed candidate join
+          # is the same big-big clicks x purchases stage as the inner
+          # twin, and the outer extension joins the purchase table
+          # onto its own data-sized match list (full-width outer
+          # cannot broadcast the preserved side):
+          "streaming_interval_left_join_replay": 1,
           # degree-oriented triangle counting: the two orientation
           # joins (edges ⋈ degrees, both data-sized on a 100 TB
           # graph), the wedge self-join (oriented-edges ⋈ themselves
