@@ -92,6 +92,8 @@ HEADLINE = [
     ("interval_left_join", relational.streaming_interval_left_join_replay),
     ("audio_resample", multimodal.audio_resample),
     ("mode_per_segment", relational.agg_mode_per_segment),
+    ("benford", quality.quality_benford_digits),
+    ("hourly_entropy", timeseries.ts_hourly_entropy),
 ]
 
 

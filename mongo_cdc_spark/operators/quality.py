@@ -440,3 +440,56 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("mean_cur") - F.col("mean_ref"), 6)
                     .alias("mean_shift"))
             .orderBy("event_type"))
+
+
+# ------------------------------------------------------- Benford check
+
+
+@query("quality_benford_digits", sql="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), cnt AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM cnt)
+    SELECT digit, n,
+           ROUND(n / (t * 1e0), 6) AS share,
+           ROUND(LOG10(1 + 1e0 / digit), 6) AS benford_expected,
+           ROUND(n / (t * 1e0) - LOG10(1 + 1e0 / digit), 6)
+             AS deviation,
+           ROUND(POWER(n / (t * 1e0) - LOG10(1 + 1e0 / digit), 2)
+                 / LOG10(1 + 1e0 / digit) * t, 6) AS chi2_term
+    FROM cnt CROSS JOIN tot ORDER BY digit
+""")
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality check (synthetic or tampered monetary data
+    drifts from the log10(1+1/d) digit curve). Reports per-digit
+    observed share vs Benford expectation plus the chi-square
+    contribution (sum the column for the test statistic, df=8).
+
+    First-digit extraction goes through INTEGER STRING arithmetic
+    (round(x*100) -> bigint -> leading char), never floor(x/10^
+    floor(log10 x)) — log10 of exact powers of ten lands a hair
+    under the integer in binary floating point, which would misbin
+    every 1000.00 as digit 10. One map-side-combined count agg into
+    a 9-row grid; the scan is the only data-sized work."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .cast("string"), 1, 1).cast("int")
+    cnt = (o.select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    share = F.col("n") / F.col("t")
+    exp = F.log10(1 + 1 / F.col("digit"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(share, 6).alias("share"),
+                    F.round(exp, 6).alias("benford_expected"),
+                    F.round(share - exp, 6).alias("deviation"),
+                    F.round(F.pow(share - exp, 2) / exp * F.col("t"), 6)
+                    .alias("chi2_term"))
+            .orderBy("digit"))

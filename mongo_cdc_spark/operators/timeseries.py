@@ -385,3 +385,59 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                | (F.col("cneg") > CUSUM_H), F.lit(True))
         .otherwise(F.lit(False)).alias("shifted"))
         .orderBy("event_type", "day"))
+
+
+# --------------------------------------------------- temporal entropy
+
+
+@query("ts_hourly_entropy", sql="""
+    WITH cnt AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, SUM(n) AS t, COUNT(*) AS n_hours
+      FROM cnt GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(t.n_hours AS INT) AS active_hours,
+           CAST(t.t AS BIGINT) AS n_events,
+           ROUND(-SUM((c.n / (t.t * 1e0)) * LN(c.n / (t.t * 1e0))), 6)
+             AS entropy_nats,
+           ROUND(EXP(-SUM((c.n / (t.t * 1e0))
+                          * LN(c.n / (t.t * 1e0)))), 6) AS perplexity,
+           ROUND(-SUM((c.n / (t.t * 1e0)) * LN(c.n / (t.t * 1e0)))
+                 / LN(24), 6) AS uniformity
+    FROM cnt c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY c.event_type, t.t, t.n_hours
+    ORDER BY c.event_type
+""")
+def ts_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day distribution —
+    the burstiness/diurnality signal (uniform around the clock →
+    entropy ln(24), a one-hour spike → 0). Reports nats, perplexity
+    (effective number of active hours), and uniformity (entropy /
+    ln 24) — the normalized form dashboards alert on.
+
+    One data-sized count agg to the (type, hour) grid, then entropy
+    is a second tiny agg over ≤24 rows per type. Determinism: counts
+    are exact; the p·ln p sum runs over ≤24 identical doubles per
+    group with 6-dp rounding absorbing merge-order ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (ev.groupBy("event_type", F.hour("ts").alias("h"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = (cnt.groupBy("event_type")
+           .agg(F.sum("n").alias("t"),
+                F.count(F.lit(1)).alias("n_hours")))
+    p = F.col("n") / F.col("t")
+    ent = -F.sum(p * F.log(p))
+    return (cnt.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type", "t", "n_hours")
+            .agg(F.round(ent, 6).alias("entropy_nats"),
+                 F.round(F.exp(ent), 6).alias("perplexity"),
+                 F.round(ent / F.log(F.lit(24.0)), 6)
+                 .alias("uniformity"))
+            .select("event_type",
+                    F.col("n_hours").cast("int").alias("active_hours"),
+                    F.col("t").alias("n_events"),
+                    "entropy_nats", "perplexity", "uniformity")
+            .orderBy("event_type"))

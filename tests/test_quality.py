@@ -126,3 +126,29 @@ def test_schema_drift_matches_pandas(spark, sf_dir):
     # f-divergence term: (p-q)ln(p/q) >= 0)
     assert (got.psi_term >= -1e-6).all()
     assert psi_total >= 0
+
+
+def test_benford_digits_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import quality_benford_digits
+
+    prices = [r.o_totalprice for r in
+              load_table(spark, sf_dir, "orders")
+              .select("o_totalprice").collect() if r.o_totalprice > 0]
+    cnt = Counter(str(round(p * 100))[0] for p in prices)
+    got = quality_benford_digits(spark, sf_dir).toPandas()
+    t = len(prices)
+    assert got.n.sum() == t
+    for row in got.itertuples():
+        n = cnt[str(row.digit)]
+        assert row.n == n
+        exp = math.log10(1 + 1 / row.digit)
+        assert abs(row.share - round(n / t, 6)) < 2e-6
+        assert abs(row.benford_expected - round(exp, 6)) < 2e-6
+        assert abs(row.chi2_term
+                   - round((n / t - exp) ** 2 / exp * t, 6)) < 2e-4
+    # digits are 1..9 only
+    assert set(got.digit) <= set(range(1, 10))

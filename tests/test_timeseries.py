@@ -177,3 +177,25 @@ def test_cusum_matches_textbook_recursion(spark, sf_dir):
             assert abs(row.cusum_neg - sn) < 1e-5
             assert row.shifted == (sp > timeseries.CUSUM_H
                                    or sn > timeseries.CUSUM_H)
+
+
+def test_hourly_entropy_matches_scipy_style_formula(spark, sf_dir):
+    import math
+
+    from mongo_cdc_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts").toPandas()
+    ev["h"] = ev.ts.dt.hour
+    got = timeseries.ts_hourly_entropy(spark, sf_dir).toPandas()
+    for row in got.itertuples():
+        g = ev[ev.event_type == row.event_type]
+        counts = g.groupby("h").size()
+        t = len(g)
+        ent = -sum((n / t) * math.log(n / t) for n in counts)
+        assert row.active_hours == len(counts)
+        assert row.n_events == t
+        assert abs(row.entropy_nats - round(ent, 6)) < 2e-6
+        assert abs(row.perplexity - round(math.exp(ent), 6)) < 2e-5
+        assert abs(row.uniformity - round(ent / math.log(24), 6)) < 2e-6
+        assert 0 <= row.uniformity <= 1 + 1e-9
