@@ -94,6 +94,7 @@ HEADLINE = [
     ("mode_per_segment", relational.agg_mode_per_segment),
     ("benford", quality.quality_benford_digits),
     ("hourly_entropy", timeseries.ts_hourly_entropy),
+    ("semantic_decon", training.train_decontaminate_semantic),
 ]
 
 

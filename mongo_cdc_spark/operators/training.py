@@ -841,3 +841,82 @@ def train_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+# ------------------------------------------- semantic decontamination
+
+SEM_DECON_BENCH_LABEL = 7   # label-7 vectors stand in for the benchmark
+SEM_DECON_TAU = 0.92        # cosine threshold for contamination
+
+
+@query("train_decontaminate_semantic", sql=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), bench AS (
+      SELECT vec_id, v FROM e WHERE label = {SEM_DECON_BENCH_LABEL}
+    ), corpus AS (
+      SELECT vec_id, v FROM e WHERE label <> {SEM_DECON_BENCH_LABEL}
+    ), hits AS (
+      SELECT c.vec_id,
+             b.vec_id AS bench_id,
+             ROUND(list_dot_product(c.v, b.v)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM corpus c JOIN bench b
+        ON ROUND(list_dot_product(c.v, b.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6)
+           >= {SEM_DECON_TAU}
+    ), best AS (
+      SELECT vec_id, bench_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos_sim DESC, bench_id) AS rn
+        FROM hits)
+      WHERE rn = 1
+    )
+    SELECT c.vec_id AS doc_vec_id,
+           b.bench_id, b.cos_sim,
+           b.bench_id IS NOT NULL AS contaminated
+    FROM corpus c LEFT JOIN best b ON b.vec_id = c.vec_id
+    ORDER BY doc_vec_id
+""")
+def train_decontaminate_semantic(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (the embedding-space sibling
+    of train_decontaminate's n-gram overlap — the Phi/Llama-report
+    method): flag every corpus vector whose cosine similarity to ANY
+    benchmark vector reaches tau, reporting the closest benchmark hit
+    per contaminated item and an explicit verdict column for every
+    corpus row (silent drops are how eval leakage survives audits).
+
+    Scale plan: the benchmark side is SMALL BY DEFINITION (eval sets
+    are thousands of rows, the corpus is the 100 TB side), so the
+    engine broadcasts the benchmark set and streams the corpus ONCE —
+    no shuffle in the scoring stage at any corpus size, the same
+    shape as knn_bruteforce's probe broadcast. The per-item argmax is
+    a window over only the rows that crossed tau. The oracle states
+    the same semantics as a declarative theta join."""
+    from mongo_cdc_spark.operators.similarity import _emb, cosine
+
+    e = _emb(spark, sf_dir)
+    bench = (e.filter(F.col("label") == SEM_DECON_BENCH_LABEL)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("v").alias("bv"),
+                     F.col("norm").alias("bnorm")))
+    corpus = (e.filter(F.col("label") != SEM_DECON_BENCH_LABEL)
+              .select("vec_id", "v", "norm"))
+    scored = (corpus.crossJoin(F.broadcast(bench))
+              .select("vec_id", "bench_id",
+                      F.round(cosine(F.col("v"), F.col("bv"),
+                                     F.col("norm"), F.col("bnorm")), 6)
+                      .alias("cos_sim"))
+              .filter(F.col("cos_sim") >= SEM_DECON_TAU))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "bench_id")
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "bench_id", "cos_sim"))
+    return (corpus.select("vec_id").join(best, "vec_id", "left")
+            .select(F.col("vec_id").alias("doc_vec_id"), "bench_id",
+                    "cos_sim",
+                    F.col("bench_id").isNotNull().alias("contaminated"))
+            .orderBy("doc_vec_id"))

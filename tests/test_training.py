@@ -219,3 +219,30 @@ def test_bpe_doubled_space_replace_is_greedy_merge():
         syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 14))]
         a, b = rng.choice(alphabet), rng.choice(alphabet)
         assert greedy(syms, a, b) == via_replace(syms, a, b)
+
+
+def test_semantic_decontamination_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        SEM_DECON_BENCH_LABEL, SEM_DECON_TAU, train_decontaminate_semantic)
+
+    df = load_table(spark, sf_dir, "embeddings").toPandas()
+    V = np.stack(df.embedding.map(np.asarray)).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    is_bench = (df.label == SEM_DECON_BENCH_LABEL).to_numpy()
+    ids = df.vec_id.to_numpy()
+    sims = np.round(Vn[~is_bench] @ Vn[is_bench].T, 6)
+    got = (train_decontaminate_semantic(spark, sf_dir)
+           .toPandas().set_index("doc_vec_id"))
+    assert len(got) == (~is_bench).sum()
+    bench_ids = ids[is_bench]
+    for r, cid in enumerate(ids[~is_bench]):
+        row = got.loc[cid]
+        over = sims[r] >= SEM_DECON_TAU
+        assert bool(row.contaminated) == bool(over.any())
+        if over.any():
+            best = max(zip(sims[r][over], -bench_ids[over]))
+            assert (row.bench_id, round(float(row.cos_sim), 6)) == \
+                (-best[1], best[0])

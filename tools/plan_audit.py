@@ -83,7 +83,14 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # corpus-sized assignment frame — big-big on a 100 TB
           # corpus, shuffle join IS the plan (broadcast hint on the
           # tiny probe side lets AQE place it when measured small):
-          "ann_recall_eval": 1}
+          "ann_recall_eval": 1,
+          # semantic decontamination: the verdict LEFT JOIN puts the
+          # full corpus id set against its own data-dependent hit
+          # list (unbounded at a high contamination rate) — hint-free
+          # so AQE broadcasts the hit side exactly when measured
+          # small; the scoring stage itself is broadcast-benchmark,
+          # shuffle-free:
+          "train_decontaminate_semantic": 1}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
