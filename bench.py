@@ -95,6 +95,7 @@ HEADLINE = [
     ("benford", quality.quality_benford_digits),
     ("hourly_entropy", timeseries.ts_hourly_entropy),
     ("semantic_decon", training.train_decontaminate_semantic),
+    ("funnel_steps", relational.events_funnel_steps),
 ]
 
 

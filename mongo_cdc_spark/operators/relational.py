@@ -3270,3 +3270,94 @@ def agg_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n") / F.col("total"), 6)
                     .alias("mode_share"))
             .orderBy("c_mktsegment"))
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_oracle_sql() -> str:
+    ctes = ["""s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    )"""]
+    for k, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(f"""s{k} AS (
+      SELECT e.user_id, MIN(e.ts) AS t{k},
+             ANY_VALUE(s.t{k - 1}) AS prev_t
+      FROM events e JOIN s{k - 1} s ON s.user_id = e.user_id
+      WHERE e.event_type = '{step}' AND e.ts > s.t{k - 1}
+      GROUP BY e.user_id
+    )""")
+    rows = ["""SELECT CAST(1 AS INT) AS step, 'signup' AS event_type,
+           (SELECT COUNT(*) FROM s1) AS n_users,
+           CAST(NULL AS DOUBLE) AS conv_from_prev,
+           CAST(NULL AS DOUBLE) AS avg_gap_hours"""]
+    for k, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        rows.append(f"""SELECT {k}, '{step}',
+           (SELECT COUNT(*) FROM s{k}),
+           ROUND((SELECT COUNT(*) FROM s{k})
+                 / ((SELECT COUNT(*) FROM s{k - 1}) * 1e0), 6),
+           (SELECT ROUND(AVG(date_diff('second', prev_t, t{k}))
+                         / 3600.0, 4) FROM s{k})""")
+    u = "\n      UNION ALL ".join(rows)
+    return f"WITH {', '.join(ctes)}\n    SELECT * FROM ({u}) ORDER BY step"
+
+
+@query("events_funnel_steps", sql=_funnel_oracle_sql())
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-step strict-sequence funnel (signup > view > click > purchase,
+    each step's FIRST occurrence strictly after the user's previous
+    step): per step, surviving users, conversion rate from the
+    previous step, and mean gap hours — the full product funnel, one
+    step deeper than events_funnel_conversion's 2-step version and
+    with earliest-completion semantics throughout.
+
+    Scale: step k is one filtered join (events of type k against the
+    step-(k-1) user frame, both keyed on user_id — Catalyst reuses
+    the user_id exchange down the chain) + a per-user MIN. The user
+    frames only SHRINK down the funnel, so each successive join is
+    cheaper; no window over raw events, no per-user event-list
+    materialization. K steps = K bounded joins, the same iterate
+    shape as BFS with a monotonically shrinking frontier."""
+    ev = _t(spark, sf_dir, "events")
+    cur = (ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+           .groupBy("user_id").agg(F.min("ts").alias("t")))
+    frames = [cur]
+    gaps = [None]
+    for step in FUNNEL_STEPS[1:]:
+        nxt = (ev.filter(F.col("event_type") == step)
+               .join(cur.select("user_id",
+                                F.col("t").alias("prev_t")), "user_id")
+               .filter(F.col("ts") > F.col("prev_t"))
+               .groupBy("user_id")
+               .agg(F.min("ts").alias("t"),
+                    F.first("prev_t").alias("prev_t")))
+        frames.append(nxt)
+        gaps.append(F.avg(F.unix_timestamp("t")
+                          - F.unix_timestamp("prev_t")) / 3600.0)
+        cur = nxt
+    parts = []
+    for k, (step, frame, gap) in enumerate(
+            zip(FUNNEL_STEPS, frames, gaps), start=1):
+        agg = [F.count(F.lit(1)).alias("n_users")]
+        if gap is not None:
+            agg.append(F.round(gap, 4).alias("avg_gap_hours"))
+        row = frame.agg(*agg)
+        if gap is None:
+            row = row.withColumn("avg_gap_hours",
+                                 F.lit(None).cast("double"))
+        parts.append(row.select(
+            F.lit(k).cast("int").alias("step"),
+            F.lit(step).alias("event_type"), "n_users",
+            "avg_gap_hours"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = W.orderBy("step")
+    return (out
+            .withColumn("conv_from_prev",
+                        F.round(F.col("n_users")
+                                / F.lag("n_users").over(w), 6))
+            .select("step", "event_type", "n_users", "conv_from_prev",
+                    "avg_gap_hours")
+            .orderBy("step"))

@@ -477,3 +477,33 @@ def test_left_join_replay_covers_all_purchases(spark, sf_dir):
     unmatched = left[left.click_id.isna()]
     assert set(unmatched.buy_id) == (set(left.buy_id)
                                      - set(matched.buy_id))
+
+
+def test_funnel_steps_matches_pandas(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        FUNNEL_STEPS, events_funnel_steps)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type", "ts").toPandas())
+    prev = (ev[ev.event_type == FUNNEL_STEPS[0]]
+            .groupby("user_id").ts.min())
+    counts, gaps = [len(prev)], [None]
+    for step in FUNNEL_STEPS[1:]:
+        m = ev[ev.event_type == step].merge(
+            prev.rename("prev_t"), on="user_id")
+        m = m[m.ts > m.prev_t]
+        cur = m.groupby("user_id").agg(t=("ts", "min"),
+                                       prev_t=("prev_t", "first"))
+        counts.append(len(cur))
+        gaps.append(((cur.t - cur.prev_t).dt.total_seconds() / 3600
+                     ).mean() if len(cur) else None)
+        prev = cur.t
+    got = events_funnel_steps(spark, sf_dir).toPandas()
+    assert list(got.n_users) == counts
+    # strictly shrinking funnel
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    for k in range(1, len(FUNNEL_STEPS)):
+        assert abs(got.conv_from_prev[k]
+                   - round(counts[k] / counts[k - 1], 6)) < 2e-6
+        assert abs(got.avg_gap_hours[k] - round(gaps[k], 4)) < 2e-4

@@ -124,7 +124,12 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # count, and the hit join/agg — each a required stage
                # of one leg; all post-scan exchanges carry query- or
                # cell-grain reduced rows:
-               "ann_recall_eval": 12}
+               "ann_recall_eval": 12,
+               # N-step funnel: one filtered join + per-user MIN per
+               # step is the algorithm (4 steps here); every exchange
+               # is keyed on user_id over a monotonically SHRINKING
+               # user frame, plus the tiny per-step summary union:
+               "events_funnel_steps": 7}
 
 
 def _strip_cached_lineage(plan: str) -> str:
