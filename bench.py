@@ -96,6 +96,8 @@ HEADLINE = [
     ("hourly_entropy", timeseries.ts_hourly_entropy),
     ("semantic_decon", training.train_decontaminate_semantic),
     ("funnel_steps", relational.events_funnel_steps),
+    ("bpe_apply", training.train_bpe_tokenize_apply),
+    ("zipf_fit", text.text_zipf_fit),
 ]
 
 

@@ -756,3 +756,55 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("pmi"), "w1", "w2")
     return (top.withColumn("rank", F.row_number().over(w))
             .orderBy("rank"))
+
+
+# ------------------------------------------------------------ Zipf fit
+
+ZIPF_MIN_RANK_N = 20   # fit over the top-N ranks
+
+
+@query("text_zipf_fit", sql=f"""
+    WITH uni AS (
+      SELECT u.x AS tok, COUNT(*) AS c
+      FROM (SELECT regexp_split_to_array(text, '\\s+') AS w
+            FROM documents), unnest(w) u(x)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT tok, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+      FROM uni
+    ), top AS (
+      SELECT LN(r) AS lr, LN(c) AS lc FROM ranked
+      WHERE r <= {ZIPF_MIN_RANK_N}
+    )
+    SELECT CAST({ZIPF_MIN_RANK_N} AS INT) AS n_ranks,
+           ROUND(REGR_SLOPE(lc, lr), 6) AS zipf_slope,
+           ROUND(REGR_INTERCEPT(lc, lr), 6) AS log_c0,
+           ROUND(REGR_R2(lc, lr), 6) AS r2
+    FROM top
+""")
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token rank-frequency curve: OLS
+    of ln(freq) on ln(rank) for the top ranks — natural text sits
+    near slope -1, and large deviations are a corpus-pathology
+    signal (boilerplate floods flatten the head, template spam
+    steepens it). The r² says how Zipfian the corpus is at all.
+
+    One token-count agg (map-side combined), a top-N rank selection
+    (orderBy+limit shape via the row_number filter over the
+    vocab-grain frame), then the built-in JVM regression aggregates
+    over N rows. Determinism: ranks tie-break on token; ln/regr over
+    identical doubles, rounded 6 dp."""
+    uni = (_docs(spark, sf_dir)
+           .select(F.explode(_tokens()).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    top = (uni.orderBy(F.desc("c"), "tok").limit(ZIPF_MIN_RANK_N)
+           .select(F.col("c"),
+                   F.row_number().over(
+                       W.orderBy(F.desc("c"), "tok")).alias("r")))
+    lr, lc = F.log(F.col("r").cast("double")), F.log(F.col("c"))
+    return top.agg(
+        F.lit(ZIPF_MIN_RANK_N).cast("int").alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("log_c0"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"))

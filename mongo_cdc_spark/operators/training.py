@@ -920,3 +920,87 @@ def train_decontaminate_semantic(spark: SparkSession,
                     "cos_sim",
                     F.col("bench_id").isNotNull().alias("contaminated"))
             .orderBy("doc_vec_id"))
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """Re-learn the BPE_ROUNDS merges (same CTE chain as the learner),
+    apply them to every word, and report per-language compression."""
+    learn = _bpe_oracle_sql()
+    # reuse the learner CTE chain up to its final SELECT: s{K} holds
+    # every word's post-merge symbol sequence
+    ctes = learn[len("WITH "):learn.index("\n    SELECT")]
+    return f"""WITH {ctes},
+    wordstats AS (
+      SELECT word,
+             len(regexp_split_to_array(trim(seq), ' +')) AS n_sym
+      FROM s{BPE_ROUNDS}
+    ), docs AS (
+      SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents
+    )
+    SELECT d.lang,
+           CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(w.n_sym) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(len(d.word)) / (SUM(w.n_sym) * 1e0), 6)
+             AS chars_per_token
+    FROM docs d JOIN wordstats w ON w.word = d.word
+    WHERE d.word <> ''
+    GROUP BY d.lang ORDER BY d.lang"""
+
+
+@query("train_bpe_tokenize_apply", sql=_bpe_apply_oracle_sql())
+def train_bpe_tokenize_apply(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to tokenize the corpus and
+    report per-language compression (chars per BPE token) — the
+    tokenizer-efficiency metric (fertility's inverse) every
+    multilingual tokenizer eval reports. Completes the
+    learn-then-apply pair with train_bpe_merge_learn.
+
+    The apply side runs at VOCABULARY grain: merges apply once per
+    distinct word (the same doubled-space two-replace per learned
+    rule), and the corpus pass is a token explode joined to the
+    word->token-count map — a vocab-keyed shuffle join, exactly how
+    production tokenizers cache per-word encodings. The corpus text
+    is never string-rewritten row by row."""
+    docs = _docs(spark, sf_dir)
+    words = (docs.select(F.explode(_tokens()).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    state = words.select(
+        "word", "freq",
+        F.concat(F.lit(" "),
+                 F.regexp_replace("word", "(.)", "$1 ")).alias("seq"))
+    for _ in range(BPE_ROUNDS):
+        syms = (state.select(
+            "freq", F.split(F.trim(F.col("seq")), " +").alias("w"))
+            .filter(F.size("w") >= 2))
+        pairs = (syms.select("freq", F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> struct(x AS a, element_at(w, i + 2) AS b))"
+        )).alias("p"))
+            .select("freq", "p.*")
+            .groupBy("a", "b").agg(F.sum("freq").alias("cnt")))
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+               .select("a", "b", F.concat("a", "b").alias("merged")))
+        state = (state.crossJoin(F.broadcast(top))
+                 .select("word", "freq", F.expr(
+                     "concat(' ', array_join(split(trim("
+                     "replace(replace(seq, ' ', '  '), "
+                     "' ' || a || '  ' || b || ' ', "
+                     "' ' || merged || ' ')), ' +'), ' '), ' ')")
+                     .alias("seq"))
+                 .localCheckpoint(eager=False))
+    wordstats = state.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), " +")).alias("n_sym"))
+    toks = (docs.select("lang", F.explode(_tokens()).alias("word"))
+            .filter(F.col("word") != ""))
+    return (toks.join(wordstats, "word")
+            .groupBy("lang")
+            .agg(F.sum(F.length("word")).alias("n_chars"),
+                 F.sum("n_sym").alias("n_bpe_tokens"))
+            .select("lang", "n_chars", "n_bpe_tokens",
+                    F.round(F.col("n_chars")
+                            / F.col("n_bpe_tokens"), 6)
+                    .alias("chars_per_token"))
+            .orderBy("lang"))

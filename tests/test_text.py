@@ -108,3 +108,31 @@ def test_pmi_bigrams_matches_python_counts(spark, sf_dir):
     for row, (pmi, a, b, c) in zip(got.itertuples(), scored):
         assert (row.w1, row.w2, row.n_pair) == (a, b, c)
         assert abs(row.pmi - pmi) < 2e-6
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (
+        ZIPF_MIN_RANK_N, text_zipf_fit)
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        cnt.update(re.split(r"\s+", r.text))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = ranked[:ZIPF_MIN_RANK_N]
+    lr = np.log(np.arange(1, len(top) + 1))
+    lc = np.log([c for _, c in top])
+    slope, intercept = np.polyfit(lr, lc, 1)
+    r2 = np.corrcoef(lr, lc)[0, 1] ** 2
+    row = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row.n_ranks == ZIPF_MIN_RANK_N
+    assert abs(row.zipf_slope - round(slope, 6)) < 1e-4
+    assert abs(row.log_c0 - round(intercept, 6)) < 1e-4
+    assert abs(row.r2 - round(r2, 6)) < 1e-4
+    assert row.zipf_slope < 0  # frequencies decay with rank

@@ -246,3 +246,51 @@ def test_semantic_decontamination_matches_numpy(spark, sf_dir):
             best = max(zip(sims[r][over], -bench_ids[over]))
             assert (row.bench_id, round(float(row.cos_sim), 6)) == \
                 (-best[1], best[0])
+
+
+def test_bpe_apply_compression_matches_reference(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        BPE_ROUNDS, train_bpe_tokenize_apply)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("lang", "text").collect())
+    freq: Counter = Counter()
+    for r in docs:
+        freq.update(w for w in re.split(r"\s+", r.text) if w)
+    merges = _py_bpe_merges(dict(freq), BPE_ROUNDS)
+    # tokenize each distinct word with the learned merges
+    def encode(word):
+        syms = list(word)
+        for a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    n_sym = {w: len(encode(w)) for w in freq}
+    got = train_bpe_tokenize_apply(spark, sf_dir).toPandas()
+    from collections import defaultdict
+    chars = defaultdict(int)
+    toks = defaultdict(int)
+    for r in docs:
+        for w in re.split(r"\s+", r.text):
+            if w:
+                chars[r.lang] += len(w)
+                toks[r.lang] += n_sym[w]
+    for row in got.itertuples():
+        assert row.n_chars == chars[row.lang]
+        assert row.n_bpe_tokens == toks[row.lang]
+        assert abs(row.chars_per_token
+                   - round(chars[row.lang] / toks[row.lang], 6)) < 2e-6
+        # merging can only shrink: tokens <= chars
+        assert row.n_bpe_tokens <= row.n_chars
