@@ -98,6 +98,7 @@ HEADLINE = [
     ("funnel_steps", relational.events_funnel_steps),
     ("bpe_apply", training.train_bpe_tokenize_apply),
     ("zipf_fit", text.text_zipf_fit),
+    ("regex_router", cdc_batch.cdc_topic_regex_router),
 ]
 
 

