@@ -99,6 +99,7 @@ HEADLINE = [
     ("bpe_apply", training.train_bpe_tokenize_apply),
     ("zipf_fit", text.text_zipf_fit),
     ("regex_router", cdc_batch.cdc_topic_regex_router),
+    ("survival_km", relational.events_survival_km),
 ]
 
 

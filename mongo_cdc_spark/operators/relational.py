@@ -3361,3 +3361,123 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("step", "event_type", "n_users", "conv_from_prev",
                     "avg_gap_hours")
             .orderBy("step"))
+
+
+@query("events_survival_km", sql="""
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, MIN(e.ts) AS tc
+      FROM events e JOIN signup s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id
+    ), lastact AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN signup s ON s.user_id = e.user_id
+      GROUP BY e.user_id
+    ), subj AS (
+      SELECT s.user_id,
+             CASE WHEN c.tc IS NOT NULL
+                  THEN CAST(date_diff('second', s.t0, c.tc)
+                            // 86400 AS INT)
+                  ELSE CAST(date_diff('second', s.t0, l.tl)
+                            // 86400 AS INT) END AS dur,
+             c.tc IS NOT NULL AS converted
+      FROM signup s
+      JOIN lastact l ON l.user_id = s.user_id
+      LEFT JOIN conv c ON c.user_id = s.user_id
+    ), per_day AS (
+      SELECT dur AS day,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d,
+             COUNT(*) AS ending
+      FROM subj GROUP BY 1
+    ), tot AS (SELECT COUNT(*) AS n FROM subj),
+    risk AS (
+      SELECT day, d,
+             ending - d AS censored,
+             tot.n - COALESCE(SUM(ending) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS n_risk
+      FROM per_day CROSS JOIN tot
+    )
+    SELECT CAST(day AS INT) AS day,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           d AS n_converted, CAST(censored AS BIGINT) AS n_censored,
+           CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(
+                    CASE WHEN d < n_risk
+                         THEN LN(1 - d / (n_risk * 1e0)) END) OVER (
+                    ORDER BY day ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM risk WHERE d > 0 OR censored > 0
+    ORDER BY day
+""")
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→purchase conversion with
+    right-censoring: users who never convert are censored at their
+    last observed activity — the estimator that makes time-to-event
+    statistics honest when observation windows cut off (naive
+    conversion curves silently treat censored users as eternal
+    non-converters). S(day) = Π(1 − d_t/n_t) over conversion days.
+
+    Distributed formulation: per-subject (duration, converted) from
+    three user-keyed aggs (Catalyst reuses the user_id exchange),
+    then the curve lives at DAY grain — risk sets come from one
+    cumulative window over the per-day ending counts (total minus
+    prior endings — no per-subject resort), and the running product
+    is exp(running-sum(ln)) since Spark has no product aggregate.
+    Both engines evaluate the identical exp∘cumsum∘ln float path in
+    the same day order, so 6-dp rounding pins the hash. Raw-data
+    work is the three aggs; everything after is |distinct days|."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .join(signup, "user_id")
+            .filter(F.col("ts") > F.col("t0"))
+            .groupBy("user_id").agg(F.min("ts").alias("tc")))
+    lastact = (ev.join(signup.select("user_id"), "user_id")
+               .groupBy("user_id").agg(F.max("ts").alias("tl")))
+    dur_sec = F.when(
+        F.col("tc").isNotNull(),
+        F.unix_timestamp("tc") - F.unix_timestamp("t0")) \
+        .otherwise(F.unix_timestamp("tl") - F.unix_timestamp("t0"))
+    subj = (signup.join(lastact, "user_id")
+            .join(conv, "user_id", "left")
+            .select(F.floor(dur_sec / 86400).cast("int").alias("dur"),
+                    F.col("tc").isNotNull().alias("converted")))
+    per_day = (subj.groupBy(F.col("dur").alias("day"))
+               .agg(F.sum(F.when(F.col("converted"), 1).otherwise(0))
+                    .alias("d"),
+                    F.count(F.lit(1)).alias("ending")))
+    tot = subj.agg(F.count(F.lit(1)).alias("n"))
+    w_prior = (W.orderBy("day")
+               .rowsBetween(W.unboundedPreceding, -1))
+    w_run = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    risk = (per_day.crossJoin(F.broadcast(tot))
+            .withColumn("n_risk",
+                        F.col("n") - F.coalesce(
+                            F.sum("ending").over(w_prior), F.lit(0)))
+            .withColumn("censored", F.col("ending") - F.col("d")))
+    # KM zero-absorption: the day a risk set fully converts, survival
+    # hits 0 and stays 0 — ln(0) is skipped (NULL in the windowed sum
+    # on both engines; DuckDB would ERROR on it, Spark nulls silently)
+    ln_term = F.when(F.col("d") < F.col("n_risk"),
+                     F.log(1 - F.col("d") / F.col("n_risk")))
+    zero_seen = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(w_run)
+    return (risk
+            .withColumn("survival",
+                        F.when(zero_seen == 1, F.lit(0.0))
+                        .otherwise(F.round(
+                            F.exp(F.sum(ln_term).over(w_run)), 6)))
+            .filter((F.col("d") > 0) | (F.col("censored") > 0))
+            .select(F.col("day").cast("int").alias("day"),
+                    F.col("n_risk").alias("n_at_risk"),
+                    F.col("d").alias("n_converted"),
+                    F.col("censored").alias("n_censored"), "survival")
+            .orderBy("day"))

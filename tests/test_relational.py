@@ -507,3 +507,47 @@ def test_funnel_steps_matches_pandas(spark, sf_dir):
         assert abs(got.conv_from_prev[k]
                    - round(counts[k] / counts[k - 1], 6)) < 2e-6
         assert abs(got.avg_gap_hours[k] - round(gaps[k], 4)) < 2e-4
+
+
+def test_survival_km_matches_pure_python_estimator(spark, sf_dir):
+    """Engine curve vs a textbook Kaplan-Meier computed row-by-row in
+    Python from the same (duration, converted) subjects."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import events_survival_km
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type", "ts").toPandas())
+    t0 = (ev[ev.event_type == "signup"].groupby("user_id").ts.min())
+    subj = []
+    for uid, start in t0.items():
+        g = ev[ev.user_id == uid]
+        conv = g[(g.event_type == "purchase") & (g.ts > start)]
+        if len(conv):
+            dur = int((conv.ts.min() - start).total_seconds() // 86400)
+            subj.append((dur, True))
+        else:
+            dur = int((g.ts.max() - start).total_seconds() // 86400)
+            subj.append((dur, False))
+    import collections
+    per_day = collections.defaultdict(lambda: [0, 0])  # d, ending
+    for dur, c in subj:
+        per_day[dur][0] += 1 if c else 0
+        per_day[dur][1] += 1
+    n_risk = len(subj)
+    s = 1.0
+    want = []
+    for day in sorted(per_day):
+        d, ending = per_day[day]
+        if d > 0:
+            s *= (1 - d / n_risk)
+        want.append((day, n_risk, d, ending - d, s))
+        n_risk -= ending
+    got = events_survival_km(spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    for row, (day, nr, d, cens, s) in zip(got.itertuples(), want):
+        assert (row.day, row.n_at_risk, row.n_converted,
+                row.n_censored) == (day, nr, d, cens)
+        assert abs(row.survival - s) < 2e-6
+    # survival is monotone non-increasing in [0, 1]
+    assert (got.survival.diff().dropna() <= 1e-12).all()
+    assert got.survival.between(0, 1).all()

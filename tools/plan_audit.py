@@ -129,7 +129,14 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # step is the algorithm (4 steps here); every exchange
                # is keyed on user_id over a monotonically SHRINKING
                # user frame, plus the tiny per-step summary union:
-               "events_funnel_steps": 7}
+               "events_funnel_steps": 7,
+               # Kaplan-Meier: three user-keyed aggs (entry/conversion/
+               # last-activity — Catalyst reuses the user_id exchange),
+               # the subject joins, the per-day agg, and the two
+               # curve windows over |distinct days| rows; every
+               # exchange past the scans carries user- or day-grain
+               # reduced rows:
+               "events_survival_km": 9}
 
 
 def _strip_cached_lineage(plan: str) -> str:
