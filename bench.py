@@ -100,6 +100,8 @@ HEADLINE = [
     ("zipf_fit", text.text_zipf_fit),
     ("regex_router", cdc_batch.cdc_topic_regex_router),
     ("survival_km", relational.events_survival_km),
+    ("basket_rules", relational.basket_rules_lift),
+    ("readability", text.text_readability_proxy),
 ]
 
 

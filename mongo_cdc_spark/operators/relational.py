@@ -3481,3 +3481,85 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d").alias("n_converted"),
                     F.col("censored").alias("n_censored"), "survival")
             .orderBy("day"))
+
+
+RULE_MIN_CO = 3
+RULE_TOP = 15
+
+
+@query("basket_rules_lift", sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), supp AS (
+      SELECT p, COUNT(*) AS s FROM items GROUP BY p
+    ), nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co
+      FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= {RULE_MIN_CO}
+    ), rules AS (
+      SELECT pr.p1 AS antecedent, pr.p2 AS consequent, pr.co,
+             ROUND(pr.co / (nb.n * 1e0), 6) AS support,
+             ROUND(pr.co / (s1.s * 1e0), 6) AS confidence,
+             ROUND(pr.co * nb.n / (s1.s * 1e0 * s2.s), 6) AS lift
+      FROM pairs pr
+      JOIN supp s1 ON s1.p = pr.p1
+      JOIN supp s2 ON s2.p = pr.p2
+      CROSS JOIN nb
+    )
+    SELECT * FROM (
+      SELECT antecedent, consequent, co, support, confidence, lift,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY lift DESC, antecedent, consequent) AS INT)
+               AS rank
+      FROM rules)
+    WHERE rank <= {RULE_TOP} ORDER BY rank
+""")
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with support / confidence / lift — the
+    Agrawal-Srikant second half basket_part_pairs stops short of:
+    directed rules antecedent→consequent over co-ordered parts,
+    ranked by lift (co-occurrence odds vs independence). Lift > 1
+    is the actual recommendation signal; confidence alone just
+    mirrors item popularity.
+
+    Plan shape extends the A-priori pair mining: distinct baskets,
+    item supports (map-side combined), within-basket DIRECTED pair
+    join (both orientations — each rule direction scores its own
+    confidence), min-co-support HAVING prunes before the two
+    support joins, corpus basket count rides as a broadcast 1-row
+    frame, top-k via TakeOrderedAndProject. Determinism: exact
+    integer counts; ratio doubles rounded 6 dp; lift ties break on
+    (antecedent, consequent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p")).distinct()
+             .localCheckpoint(eager=False))
+    supp = items.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    nb = items.agg(F.countDistinct("o").alias("n"))
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    pairs = (a.join(b, "o")
+             .filter(F.col("p1") != F.col("p2"))
+             .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("co"))
+             .filter(F.col("co") >= RULE_MIN_CO))
+    rules = (pairs
+             .join(supp.select(F.col("p").alias("p1"),
+                               F.col("s").alias("s1")), "p1")
+             .join(supp.select(F.col("p").alias("p2"),
+                               F.col("s").alias("s2")), "p2")
+             .crossJoin(F.broadcast(nb))
+             .select(F.col("p1").alias("antecedent"),
+                     F.col("p2").alias("consequent"), "co",
+                     F.round(F.col("co") / F.col("n"), 6)
+                     .alias("support"),
+                     F.round(F.col("co") / F.col("s1"), 6)
+                     .alias("confidence"),
+                     F.round(F.col("co") * F.col("n")
+                             / (F.col("s1") * F.col("s2")), 6)
+                     .alias("lift")))
+    top = (rules.orderBy(F.desc("lift"), "antecedent", "consequent")
+           .limit(RULE_TOP))
+    w = W.orderBy(F.desc("lift"), "antecedent", "consequent")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))

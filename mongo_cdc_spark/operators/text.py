@@ -808,3 +808,62 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lc, lr), 6).alias("log_c0"),
         F.round(F.regr_r2(lc, lr), 6).alias("r2"))
+
+
+# ------------------------------------------------------ readability
+
+
+@query("text_readability_proxy", sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), per_word AS (
+      SELECT doc_id, lang, u.x AS word,
+             GREATEST(len(regexp_extract_all(u.x, '[aeiouy]+')), 1)
+               AS syl
+      FROM toks, unnest(w) u(x) WHERE u.x <> ''
+    ), per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS n_words,
+             SUM(syl) AS n_syl
+      FROM per_word GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_syl / (n_words * 1e0)), 6) AS avg_syl_per_word,
+           ROUND(AVG(206.835 - 1.015 * n_words
+                     - 84.6 * (n_syl / (n_words * 1e0))), 4)
+             AS avg_flesch_proxy
+    FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease proxy per language: syllables approximated
+    by vowel-group runs (the standard no-dictionary heuristic), each
+    document treated as one sentence (the fixture is bag-of-words
+    text with no sentence boundaries — the docstring caveat a real
+    corpus run removes by splitting on terminators first).
+    Readability gates are a stock filter in training-data quality
+    stacks (C4 dropped pages by heuristic text statistics).
+
+    Tokens materialize once; syllable counting is a JVM regex per
+    token inside one explode → per-doc agg → per-lang agg, all
+    map-side combined. GREATEST(…, 1) floors vowel-less tokens so a
+    word never contributes zero syllables."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", "lang", _tokens().alias("w")))
+    per_word = (toks.select(
+        "doc_id", "lang", F.explode("w").alias("word"))
+        .filter(F.col("word") != "")
+        .select("doc_id", "lang",
+                F.greatest(
+                    F.size(F.regexp_extract_all(
+                        F.col("word"), F.lit("[aeiouy]+"), 0)),
+                    F.lit(1)).alias("syl")))
+    per_doc = (per_word.groupBy("doc_id", "lang")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum("syl").alias("n_syl")))
+    spw = F.col("n_syl") / F.col("n_words")
+    flesch = 206.835 - 1.015 * F.col("n_words") - 84.6 * spw
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(spw), 6).alias("avg_syl_per_word"),
+                 F.round(F.avg(flesch), 4).alias("avg_flesch_proxy"))
+            .orderBy("lang"))

@@ -551,3 +551,40 @@ def test_survival_km_matches_pure_python_estimator(spark, sf_dir):
     # survival is monotone non-increasing in [0, 1]
     assert (got.survival.diff().dropna() <= 1e-12).all()
     assert got.survival.between(0, 1).all()
+
+
+def test_basket_rules_lift_matches_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        RULE_MIN_CO, RULE_TOP, basket_rules_lift)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").toPandas()
+    baskets = defaultdict(set)
+    for o, p in zip(li.l_orderkey, li.l_partkey):
+        baskets[int(o)].add(int(p))
+    supp: Counter = Counter()
+    co: Counter = Counter()
+    for parts in baskets.values():
+        supp.update(parts)
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                co[(u, v)] += 1
+                co[(v, u)] += 1
+    n = len(baskets)
+    rules = []
+    for (a, b), c in co.items():
+        if c >= RULE_MIN_CO:
+            rules.append((round(c * n / (supp[a] * supp[b]), 6), a, b,
+                          c, round(c / n, 6), round(c / supp[a], 6)))
+    rules.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = basket_rules_lift(spark, sf_dir).toPandas()
+    assert len(got) == min(RULE_TOP, len(rules))
+    for row, (lift, a, b, c, s, conf) in zip(got.itertuples(), rules):
+        assert (row.antecedent, row.consequent, row.co) == (a, b, c)
+        assert abs(row.lift - lift) < 2e-6
+        assert abs(row.support - s) < 2e-6
+        assert abs(row.confidence - conf) < 2e-6

@@ -136,3 +136,32 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(row.log_c0 - round(intercept, 6)) < 1e-4
     assert abs(row.r2 - round(r2, 6)) < 1e-4
     assert row.zipf_slope < 0  # frequencies decay with rank
+
+
+def test_readability_proxy_matches_python(spark, sf_dir):
+    import re
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import text_readability_proxy
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("lang", "text").collect())
+    spw_sum = defaultdict(float)
+    fl_sum = defaultdict(float)
+    n_docs = defaultdict(int)
+    for r in docs:
+        words = [w for w in re.split(r"\s+", r.text) if w]
+        syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1)
+                  for w in words)
+        spw = syl / len(words)
+        spw_sum[r.lang] += spw
+        fl_sum[r.lang] += 206.835 - 1.015 * len(words) - 84.6 * spw
+        n_docs[r.lang] += 1
+    got = text_readability_proxy(spark, sf_dir).toPandas()
+    for row in got.itertuples():
+        assert row.n_docs == n_docs[row.lang]
+        assert abs(row.avg_syl_per_word
+                   - round(spw_sum[row.lang] / row.n_docs, 6)) < 2e-6
+        assert abs(row.avg_flesch_proxy
+                   - round(fl_sum[row.lang] / row.n_docs, 4)) < 2e-3
