@@ -108,7 +108,7 @@ _GRADE_FIRST = (
     "events_funnel_steps", "train_bpe_tokenize_apply",
     "text_zipf_fit", "cdc_topic_regex_router",
     "events_survival_km", "basket_rules_lift",
-    "text_readability_proxy",
+    "text_readability_proxy", "cdc_op_mix_stats",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -102,6 +102,7 @@ HEADLINE = [
     ("survival_km", relational.events_survival_km),
     ("basket_rules", relational.basket_rules_lift),
     ("readability", text.text_readability_proxy),
+    ("cdc_op_mix", cdc_batch.cdc_op_mix_stats),
 ]
 
 

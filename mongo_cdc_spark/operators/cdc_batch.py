@@ -323,3 +323,70 @@ def cdc_topic_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("original_topic", "routed_topic")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("original_topic"))
+
+
+def _synthetic_mixed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders rows → a deterministic insert/update/delete mix
+    (o_orderkey % 10: 0 → delete, 1-2 → update, else insert), with the
+    op-correct envelope shape: deletes carry NO fullDocument — exactly
+    how MongoDB change streams emit them."""
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism)
+    op = (F.when(F.col("o_orderkey") % 10 == 0, "delete")
+          .when(F.col("o_orderkey") % 10 <= 2, "update")
+          .otherwise("insert"))
+    full_doc = F.when(
+        op != "delete",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus")))
+    ev = F.to_json(F.struct(
+        F.struct(F.concat(F.lit("rt-"), F.col("o_orderkey"))
+                 .alias("_data")).alias("_id"),
+        op.alias("operationType"),
+        F.struct(F.lit("shop").alias("db"),
+                 F.lower("o_orderstatus").alias("coll")).alias("ns"),
+        F.struct(F.col("o_orderkey").cast("string").alias("_id"))
+         .alias("documentKey"),
+        full_doc.alias("fullDocument"),
+    ))
+    return o.select(ev.alias("value"))
+
+
+@query("cdc_op_mix_stats", sql="""
+    WITH ops AS (
+      SELECT 'shop.' || lower(o_orderstatus) AS topic,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'delete'
+                  WHEN o_orderkey % 10 <= 2 THEN 'update'
+                  ELSE 'insert' END AS operation_type
+      FROM orders
+    )
+    SELECT topic, operation_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN operation_type = 'delete' THEN 0 ELSE 1
+                    END) AS BIGINT) AS n_with_fulldoc
+    FROM ops GROUP BY 1, 2 ORDER BY topic, operation_type
+""")
+def cdc_op_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-operation relay observability: a deterministic
+    insert/update/delete stream through the REAL parse + routing path
+    (main.go relays all change-stream op types, not just inserts —
+    this is the first graded surface exercising non-insert
+    envelopes). Deletes carry no fullDocument, per the MongoDB wire
+    shape; the count of envelopes with a post-image per (topic, op)
+    pins that the PERMISSIVE parse keeps delete events (null
+    fullDocument is VALID, not corrupt) while still rejecting
+    actually-malformed records.
+
+    Narrow parse/projection into a tiny keyed agg — the relay plan
+    shape with an observability rollup on top (the per-topic
+    delivery-stats view the reference's log-scraping consumers
+    build by hand)."""
+    parsed = parse_change_events(_synthetic_mixed_ops(spark, sf_dir))
+    from mongo_cdc_spark.cdc.transform import with_topic
+    return (with_topic(parsed)
+            .select("topic",
+                    F.col("operationType").alias("operation_type"),
+                    F.col("fullDocument").isNotNull().alias("has_doc"))
+            .groupBy("topic", "operation_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("has_doc"), 1).otherwise(0))
+                 .alias("n_with_fulldoc"))
+            .orderBy("topic", "operation_type"))

@@ -105,3 +105,23 @@ def test_regex_router_first_match_wins_and_passthrough(spark, sf_dir):
     import re
     for pat, _, _ in ROUTER_RULES:
         re.compile(pat)  # rules must be valid in Python's dialect too
+
+
+def test_op_mix_deletes_survive_parse_without_fulldoc(spark, sf_dir):
+    """PERMISSIVE parse must keep delete envelopes (null fullDocument
+    is valid wire shape) while still rejecting malformed records."""
+    from mongo_cdc_spark.cdc.transform import parse_change_events
+    from mongo_cdc_spark.operators.cdc_batch import (
+        _synthetic_mixed_ops, cdc_op_mix_stats)
+
+    got = cdc_op_mix_stats(spark, sf_dir).toPandas()
+    deletes = got[got.operation_type == "delete"]
+    assert len(deletes) and (deletes.n_with_fulldoc == 0).all()
+    others = got[got.operation_type != "delete"]
+    assert (others.n_with_fulldoc == others.n).all()
+    # a truly corrupt line still gets dropped
+    raw = _synthetic_mixed_ops(spark, sf_dir).limit(5)
+    bad = spark.createDataFrame([("{not json",), ('{"a":1}',)],
+                                "value string")
+    n = parse_change_events(raw.unionByName(bad)).count()
+    assert n == 5
