@@ -109,6 +109,7 @@ _GRADE_FIRST = (
     "text_zipf_fit", "cdc_topic_regex_router",
     "events_survival_km", "basket_rules_lift",
     "text_readability_proxy", "cdc_op_mix_stats",
+    "events_revenue_concentration", "kmeans_silhouette_eval",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -103,6 +103,8 @@ HEADLINE = [
     ("basket_rules", relational.basket_rules_lift),
     ("readability", text.text_readability_proxy),
     ("cdc_op_mix", cdc_batch.cdc_op_mix_stats),
+    ("revenue_gini", relational.events_revenue_concentration),
+    ("silhouette", similarity.kmeans_silhouette_eval),
 ]
 
 

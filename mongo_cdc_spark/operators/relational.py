@@ -3563,3 +3563,70 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("lift"), "antecedent", "consequent")
     return (top.withColumn("rank", F.row_number().over(w))
             .orderBy("rank"))
+
+
+@query("events_revenue_concentration", sql="""
+    WITH per_user AS (
+      SELECT user_id, ROUND(SUM(value), 6) AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, user_id) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER () AS total
+      FROM per_user
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           ROUND(MAX(total), 4) AS total_revenue,
+           ROUND(2e0 * SUM(i * rev) / (MAX(n) * MAX(total))
+                 - (MAX(n) + 1e0) / MAX(n), 6) AS gini,
+           ROUND(SUM(CASE WHEN i > n * 4 // 5 THEN rev END)
+                 / MAX(total), 6) AS top20pct_share,
+           ROUND(SUM(CASE WHEN i > n * 9 // 10 THEN rev END)
+                 / MAX(total), 6) AS top10pct_share
+    FROM ranked
+""")
+def events_revenue_concentration(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: exact Gini coefficient of
+    per-user purchase revenue (rank formulation
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted users)
+    plus the Pareto top-20%/top-10% revenue shares — the
+    whale-concentration metrics every monetization review reports.
+
+    One user-keyed agg, then a single global sort window over the
+    USER-grain frame assigns ranks — at 100 TB the user frame is
+    orders of magnitude smaller than events, and the rank window is
+    the textbook distributed-Gini plan (range-partitioned sort, no
+    all-pairs |x_i − x_j| formulation). Ranks tie-break on user_id,
+    which leaves the Gini invariant (equal values commute in the
+    rank sum) and makes the cutoff shares deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.round(F.sum("value"), 6).alias("rev")))
+    w = W.orderBy("rev", "user_id")
+    ranked = (per_user
+              .select("rev", F.row_number().over(w).alias("i"))
+              .localCheckpoint(eager=False))
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("rev").alias("total"))
+    return (ranked.crossJoin(F.broadcast(tot))
+            .agg(F.max("n").alias("n_users_raw"),
+                 F.round(F.max("total"), 4).alias("total_revenue"),
+                 F.round(2.0 * F.sum(F.col("i") * F.col("rev"))
+                         / (F.max("n") * F.max("total"))
+                         - (F.max("n") + 1.0) / F.max("n"), 6)
+                 .alias("gini"),
+                 F.round(F.sum(F.when(
+                     F.col("i") > F.floor(F.col("n") * 4 / 5),
+                     F.col("rev"))) / F.max("total"), 6)
+                 .alias("top20pct_share"),
+                 F.round(F.sum(F.when(
+                     F.col("i") > F.floor(F.col("n") * 9 / 10),
+                     F.col("rev"))) / F.max("total"), 6)
+                 .alias("top10pct_share"))
+            .select(F.col("n_users_raw").alias("n_users"),
+                    "total_revenue", "gini", "top20pct_share",
+                    "top10pct_share"))

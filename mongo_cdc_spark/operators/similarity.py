@@ -1651,3 +1651,78 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6)
                     .alias("recall"))
             .orderBy("query_id"))
+
+
+# ------------------------------------------------- clustering quality
+
+
+@query("kmeans_silhouette_eval", sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv
+      FROM comp GROUP BY label
+    ), dists AS (
+      SELECT e.vec_id, e.label, cent.c_label,
+             ROUND(sqrt(list_sum(list_transform(
+                 list_zip(e.v, cent.cv),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS d
+      FROM e CROSS JOIN cent
+    ), ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN c_label = label THEN d END) AS a,
+             MIN(CASE WHEN c_label <> label THEN d END) AS b
+      FROM dists GROUP BY vec_id, label
+    ), sil AS (
+      SELECT label,
+             CASE WHEN GREATEST(a, b) > 0
+                  THEN (b - a) / GREATEST(a, b) ELSE 0 END AS s
+      FROM ab
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(s), 6) AS avg_silhouette,
+           ROUND(MIN(s), 6) AS min_silhouette
+    FROM sil GROUP BY label ORDER BY label
+""")
+def kmeans_silhouette_eval(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Simplified-silhouette clustering-quality evaluation of the
+    label partition (Hruschka et al.'s centroid variant — the form
+    sklearn ships as the scalable alternative to full silhouette):
+    per point, a = distance to OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a)/max(a, b); averaged per
+    cluster. The full-pairwise silhouette is O(N²); the centroid
+    form is O(N·K) — the only silhouette anyone computes at 100 TB.
+
+    Plan: centroid build (one (label, dim) shuffle, K×64 rows out),
+    then the corpus streams once against the broadcast centroids and
+    the per-point a/b reduction + per-cluster agg are
+    map-side-combined aggs. Euclidean distances rounded to 6 dp
+    before the a/b min (both engines fold the same zip/transform
+    association), so argmin ties are impossible to split."""
+    e = _emb(spark, sf_dir)
+    cent = _label_centroids(e)
+    d = F.round(F.sqrt(F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)), 6)
+    dists = (e.crossJoin(F.broadcast(cent))
+             .select("vec_id", "label", "c_label", d.alias("d")))
+    ab = (dists.groupBy("vec_id", "label")
+          .agg(F.min(F.when(F.col("c_label") == F.col("label"),
+                            F.col("d"))).alias("a"),
+               F.min(F.when(F.col("c_label") != F.col("label"),
+                            F.col("d"))).alias("b")))
+    s = F.when(F.greatest("a", "b") > 0,
+               (F.col("b") - F.col("a")) / F.greatest("a", "b")) \
+         .otherwise(F.lit(0.0))
+    return (ab.select("label", s.alias("s"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("s"), 6).alias("avg_silhouette"),
+                 F.round(F.min("s"), 6).alias("min_silhouette"))
+            .orderBy("label"))

@@ -588,3 +588,27 @@ def test_basket_rules_lift_matches_python(spark, sf_dir):
         assert abs(row.lift - lift) < 2e-6
         assert abs(row.support - s) < 2e-6
         assert abs(row.confidence - conf) < 2e-6
+
+
+def test_revenue_concentration_matches_python(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        events_revenue_concentration)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter("event_type = 'purchase'")
+          .select("user_id", "value").toPandas())
+    rev = ev.groupby("user_id").value.sum().round(6)
+    xs = sorted(rev)
+    n, total = len(xs), sum(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) \
+        / (n * total) - (n + 1) / n
+    row = events_revenue_concentration(spark, sf_dir).collect()[0]
+    assert row.n_users == n
+    assert abs(row.gini - round(gini, 6)) < 2e-6
+    t20 = sum(xs[(n * 4) // 5:]) / total
+    t10 = sum(xs[(n * 9) // 10:]) / total
+    assert abs(row.top20pct_share - round(t20, 6)) < 2e-6
+    assert abs(row.top10pct_share - round(t10, 6)) < 2e-6
+    assert 0 <= row.gini <= 1
+    assert row.top10pct_share <= row.top20pct_share <= 1

@@ -354,3 +354,30 @@ def test_ann_recall_eval_matches_numpy(spark, sf_dir):
             < 2e-6
     assert (got.recall <= 1.0).all() and (got.recall >= 0.0).all()
     assert got.query_id.nunique() == min(N_QUERIES, len(ids))
+
+
+def test_silhouette_matches_numpy_simplified(spark, sf_dir):
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.similarity import kmeans_silhouette_eval
+
+    df = load_table(spark, sf_dir, "embeddings").toPandas()
+    V = np.stack(df.embedding.map(np.asarray)).astype(np.float64)
+    labels = df.label.to_numpy()
+    labs = sorted(set(labels))
+    C = np.stack([V[labels == lab].mean(axis=0) for lab in labs])
+    D = np.round(np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2)
+                         .sum(axis=2)), 6)
+    got = kmeans_silhouette_eval(spark, sf_dir).toPandas()
+    for k, lab in enumerate(labs):
+        mask = labels == lab
+        a = D[mask, k]
+        b = np.min(np.delete(D[mask], k, axis=1), axis=1)
+        s = np.where(np.maximum(a, b) > 0,
+                     (b - a) / np.maximum(a, b), 0.0)
+        row = got[got.label == lab].iloc[0]
+        assert row.n_vecs == mask.sum()
+        assert abs(row.avg_silhouette - round(float(s.mean()), 6)) < 2e-6
+        assert abs(row.min_silhouette - round(float(s.min()), 6)) < 2e-6
+    assert got.avg_silhouette.between(-1, 1).all()
