@@ -110,6 +110,9 @@ _GRADE_FIRST = (
     "events_survival_km", "basket_rules_lift",
     "text_readability_proxy", "cdc_op_mix_stats",
     "events_revenue_concentration", "kmeans_silhouette_eval",
+    "ts_ohlc_bars", "ts_time_weighted_avg",
+    "stats_chi_square_independence", "stats_jackknife_mean",
+    "ab_test_proportions",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

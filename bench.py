@@ -105,6 +105,12 @@ HEADLINE = [
     ("cdc_op_mix", cdc_batch.cdc_op_mix_stats),
     ("revenue_gini", relational.events_revenue_concentration),
     ("silhouette", similarity.kmeans_silhouette_eval),
+    # round-4 session-4 (continuation) additions
+    ("ohlc_bars", timeseries.ts_ohlc_bars),
+    ("twap", timeseries.ts_time_weighted_avg),
+    ("chi_square", quality.stats_chi_square_independence),
+    ("jackknife", quality.stats_jackknife_mean),
+    ("ab_test", quality.ab_test_proportions),
 ]
 
 

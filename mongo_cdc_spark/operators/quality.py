@@ -493,3 +493,200 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.pow(share - exp, 2) / exp * F.col("t"), 6)
                     .alias("chi2_term"))
             .orderBy("digit"))
+
+
+@query("stats_chi_square_independence", sql="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT seg, prio, n,
+             SUM(n) OVER (PARTITION BY seg) AS row_tot,
+             SUM(n) OVER (PARTITION BY prio) AS col_tot,
+             SUM(n) OVER () AS grand
+      FROM obs
+    )
+    SELECT CAST(MAX(grand) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT seg) - 1)
+                * (COUNT(DISTINCT prio) - 1) AS INT) AS dof,
+           ROUND(SUM(POW(n - row_tot * col_tot / (grand * 1e0), 2)
+                     / (row_tot * col_tot / (grand * 1e0))), 6)
+             AS chi2,
+           ROUND(SQRT(SUM(POW(n - row_tot * col_tot / (grand * 1e0), 2)
+                          / (row_tot * col_tot / (grand * 1e0)))
+                      / (MAX(grand)
+                         * LEAST(COUNT(DISTINCT seg) - 1,
+                                 COUNT(DISTINCT prio) - 1))), 6)
+             AS cramers_v
+    FROM m
+""")
+def stats_chi_square_independence(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority, with Cramer's V effect size — the
+    standard "is this categorical feature informative?" screen in
+    feature-selection and experiment-analysis pipelines.
+
+    Plan: one data-sized join (orders ⋈ customer on custkey —
+    co-partitioned shuffle join at scale, broadcast at fixture size
+    via AQE) feeding one partial-aggregatable count to the r x c
+    contingency grid; everything after (marginals via windows, the
+    chi-square sum) runs on <= r*c rows, independent of data volume.
+    Expected counts stay exact integer-ratio doubles; 6-dp rounding
+    absorbs merge-order ulps."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("prio"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window as W
+    m = (obs
+         .withColumn("row_tot", F.sum("n").over(W.partitionBy("seg")))
+         .withColumn("col_tot", F.sum("n").over(W.partitionBy("prio")))
+         .withColumn("grand", F.sum("n").over(
+             W.partitionBy(F.lit(1)))))
+    e = F.col("row_tot") * F.col("col_tot") / (F.col("grand") * F.lit(1.0))
+    chi2 = F.sum(F.pow(F.col("n") - e, 2) / e)
+    return (m.agg(
+        F.max("grand").cast("bigint").alias("n"),
+        ((F.countDistinct("seg") - 1)
+         * (F.countDistinct("prio") - 1)).cast("int").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.max("grand")
+                               * F.least(F.countDistinct("seg") - 1,
+                                         F.countDistinct("prio") - 1))),
+                6).alias("cramers_v")))
+
+
+@query("stats_jackknife_mean", sql="""
+    WITH per AS (
+      SELECT n.n_name, COUNT(*) AS n_i, SUM(c.c_acctbal) AS s_i
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_i) AS n_all, SUM(s_i) AS s_all, COUNT(*) AS g
+      FROM per
+    )
+    SELECT p.n_name,
+           CAST(p.n_i AS BIGINT) AS n_excluded,
+           ROUND((t.s_all - p.s_i) / (t.n_all - p.n_i), 6) AS loo_mean,
+           ROUND(t.g * (t.s_all / t.n_all)
+                 - (t.g - 1) * ((t.s_all - p.s_i) / (t.n_all - p.n_i)),
+                 6) AS pseudo_value
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.n_name
+""")
+def stats_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife of mean customer account balance:
+    for each nation, the mean with that nation held out, plus the
+    Tukey pseudo-value (g*theta - (g-1)*theta_(-i)) whose spread
+    estimates the statistic's variance. The grouped (delete-block)
+    jackknife is the scale-sane variant: g leave-one-out estimates
+    come from ONE grouped pass + algebra, never g re-scans.
+
+    Plan: one partial-aggregatable shuffle to per-nation (n_i, s_i),
+    then a broadcast of the 1-row grand total; (T - s_i)/(N - n_i)
+    is pure arithmetic on g rows. At 100 TB the cost is identical to
+    a single groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy("n_name")
+           .agg(F.count(F.lit(1)).alias("n_i"),
+                F.sum("c_acctbal").alias("s_i")))
+    tot = per.agg(F.sum("n_i").alias("n_all"),
+                  F.sum("s_i").alias("s_all"),
+                  F.count(F.lit(1)).alias("g"))
+    loo = (F.col("s_all") - F.col("s_i")) / (F.col("n_all") - F.col("n_i"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("n_name",
+                    F.col("n_i").cast("bigint").alias("n_excluded"),
+                    F.round(loo, 6).alias("loo_mean"),
+                    F.round(F.col("g") * (F.col("s_all") / F.col("n_all"))
+                            - (F.col("g") - 1) * loo, 6)
+                    .alias("pseudo_value"))
+            .orderBy("n_name"))
+
+
+@query("ab_test_proportions", sql="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY 1, 2
+    ), v AS (
+      SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM assigned GROUP BY 1
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+        MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+      FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           ROUND(conv_a / (n_a * 1e0), 6) AS rate_a,
+           ROUND(conv_b / (n_b * 1e0), 6) AS rate_b,
+           ROUND((conv_a / (n_a * 1e0) - conv_b / (n_b * 1e0))
+                 / SQRT(((conv_a + conv_b) / ((n_a + n_b) * 1e0))
+                        * (1 - (conv_a + conv_b) / ((n_a + n_b) * 1e0))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM wide
+""")
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a DETERMINISTIC hash-based variant
+    assignment (md5(user_id) first hex digit < '8' -> A) — exactly how
+    production experiment frameworks bucket users (hash-mod, never
+    RNG, so assignment is stable across sessions and replayable by
+    the oracle). Metric: "heavy purchaser" — the user emitted >= 14
+    purchase events (every fixture user has >= 1 of every type, so a
+    presence metric would be degenerate at conversion = 1.0).
+
+    Plan: one partial-aggregatable per-user shuffle (user grain),
+    one tiny variant rollup, then scalar arithmetic on a 1-row
+    frame — the pooled-variance z statistic. At 100 TB the user-grain
+    agg is the only data-sized stage."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        "A").otherwise("B")
+    assigned = (ev.groupBy("user_id", variant.alias("variant"))
+                .agg(F.when(
+                    F.sum(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)) >= 14, 1)
+                     .otherwise(0).alias("converted")))
+    v = (assigned.groupBy("variant")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("converted").alias("conv")))
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv")))
+        .alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv")))
+        .alias("conv_b"))
+    ra = F.col("conv_a") / (F.col("n_a") * F.lit(1.0))
+    rb = F.col("conv_b") / (F.col("n_b") * F.lit(1.0))
+    pp = ((F.col("conv_a") + F.col("conv_b"))
+          / ((F.col("n_a") + F.col("n_b")) * F.lit(1.0)))
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round((ra - rb) / F.sqrt(pp * (1 - pp)
+                                   * (F.lit(1.0) / F.col("n_a")
+                                      + F.lit(1.0) / F.col("n_b"))), 6)
+        .alias("z_score"))

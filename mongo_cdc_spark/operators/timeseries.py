@@ -441,3 +441,110 @@ def ts_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("t").alias("n_events"),
                     "entropy_nats", "perplexity", "uniformity")
             .orderBy("event_type"))
+
+
+@query("ts_ohlc_bars", sql="""
+    WITH keyed AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS h,
+             value,
+             epoch(ts)::BIGINT * 10000000 + event_id AS okey
+      FROM events
+    )
+    SELECT event_type, h,
+           ROUND(arg_min(value, okey), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, okey), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           ROUND(AVG(value), 6) AS vwap
+    FROM keyed
+    GROUP BY event_type, h
+    ORDER BY event_type, h
+    LIMIT 200
+""")
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resampling: per (event_type, hour) bar with
+    open/high/low/close/volume — the standard downsample for any
+    market-data or metrics pipeline (pandas `resample().ohlc()`,
+    kdb+ `xbar`, TimescaleDB `candlestick_agg`).
+
+    Spark-first: ONE data-sized partial-aggregatable shuffle.
+    open/close use `min_by`/`max_by` against a single BIGINT ordering
+    key (epoch-seconds * 1e7 + event_id — unique, overflow-safe to
+    year ~31k), so first/last never need a per-bar sort or a window
+    over raw rows; high/low/volume ride the same agg. At 100 TB this
+    is the textbook map-side-combine plan: every executor emits one
+    partial bar per (type, hour) regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = (F.unix_timestamp("ts") * F.lit(10000000)
+            + F.col("event_id")).alias("okey")
+    return (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"),
+                  "value", okey)
+        .groupBy("event_type", "h")
+        .agg(F.round(F.min_by("value", "okey"), 6).alias("open"),
+             F.round(F.max("value"), 6).alias("high"),
+             F.round(F.min("value"), 6).alias("low"),
+             F.round(F.max_by("value", "okey"), 6).alias("close"),
+             F.count(F.lit(1)).alias("volume"),
+             F.round(F.avg("value"), 6).alias("vwap"))
+        .orderBy("event_type", "h")
+        .limit(200)
+    )
+
+
+@query("ts_time_weighted_avg", sql="""
+    WITH seq AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS d,
+             value,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT event_type, d,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twap,
+           ROUND(AVG(value), 6) AS simple_avg,
+           CAST(SUM(dur_us) AS BIGINT) AS covered_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM seq
+    WHERE dur_us IS NOT NULL
+    GROUP BY event_type, d
+    ORDER BY event_type, d
+""")
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so irregular sampling doesn't bias the mean toward
+    burst periods — the estimator billing/monitoring systems use for
+    "average concurrent X" (and trading uses for TWAP fills). The
+    day's last observation has no successor and is excluded (open
+    interval), mirrored exactly in the oracle.
+
+    Plan: one window (lead) partitioned by (event_type, day) — the
+    partition key bounds sort size at any scale — then one
+    partial-aggregatable shuffle to daily grain. Weights are exact
+    integer MICROSECONDS (`unix_micros` / `epoch_us` — sub-second
+    truncation would skew both engines differently); the
+    weighted-sum ratio is rounded at 6 dp where double merge-order
+    ulps sit far below."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts")
+    w = (Window.partitionBy("event_type", "d")
+         .orderBy("ts", "event_id"))
+    seq = (ev.select("event_type", d.alias("d"), "value", "ts",
+                     "event_id")
+           .withColumn("dur_us",
+                       F.unix_micros(F.lead("ts").over(w))
+                       - F.unix_micros("ts"))
+           .where(F.col("dur_us").isNotNull()))
+    return (
+        seq.groupBy("event_type", "d")
+        .agg(F.round(F.sum(F.col("value") * F.col("dur_us"))
+                     / F.sum("dur_us"), 6).alias("twap"),
+             F.round(F.avg("value"), 6).alias("simple_avg"),
+             F.sum("dur_us").cast("bigint").alias("covered_us"),
+             F.count(F.lit(1)).alias("n_intervals"))
+        .orderBy("event_type", "d")
+    )
