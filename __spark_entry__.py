@@ -112,7 +112,8 @@ _GRADE_FIRST = (
     "events_revenue_concentration", "kmeans_silhouette_eval",
     "ts_ohlc_bars", "ts_time_weighted_avg",
     "stats_chi_square_independence", "stats_jackknife_mean",
-    "ab_test_proportions",
+    "ab_test_proportions", "events_dau_wau_stickiness",
+    "customer_ltv_curve", "feature_winsorized_scale",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -111,6 +111,9 @@ HEADLINE = [
     ("chi_square", quality.stats_chi_square_independence),
     ("jackknife", quality.stats_jackknife_mean),
     ("ab_test", quality.ab_test_proportions),
+    ("dau_wau", relational.events_dau_wau_stickiness),
+    ("ltv_curve", relational.customer_ltv_curve),
+    ("winsorize", quality.feature_winsorized_scale),
 ]
 
 

@@ -690,3 +690,65 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    * (F.lit(1.0) / F.col("n_a")
                                       + F.lit(1.0) / F.col("n_b"))), 6)
         .alias("z_score"))
+
+
+@query("feature_winsorized_scale", sql="""
+    WITH th AS (
+      SELECT c_mktsegment,
+             ROUND(quantile_cont(c_acctbal, 0.05), 4) AS p05,
+             ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+             ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+             ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+             ROUND(quantile_cont(c_acctbal, 0.95), 4) AS p95
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c.c_acctbal < t.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN c.c_acctbal > t.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_high,
+           ROUND(AVG(GREATEST(t.p05, LEAST(t.p95, c.c_acctbal))), 6)
+             AS winsor_mean,
+           ROUND(MAX(t.p50), 4) AS median,
+           ROUND(MAX(t.p75) - MAX(t.p25), 4) AS iqr
+    FROM customer c JOIN th t ON t.c_mktsegment = c.c_mktsegment
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+""")
+def feature_winsorized_scale(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Winsorized robust-scaling profile per market segment: P5/P95
+    clipping counts, the winsorized mean, and the median/IQR pair a
+    robust scaler ((x - median)/IQR) would ship to feature pipelines —
+    the outlier-resistant alternative to z-score normalization that
+    tree-free models and reward-model feature preps standardize on.
+
+    Plan: two passes, both scale-sane — pass 1 is a per-segment exact
+    percentile agg (5 bounded groups; the sketch twin covers
+    high-cardinality keys), whose 5-row threshold frame broadcasts
+    back for pass 2's single partial-aggregatable clip-and-average.
+    Thresholds are rounded to 4 dp on BOTH engines before any
+    comparison, so clip-boundary membership can't flip on a
+    percentile-interpolation ulp."""
+    c = load_table(spark, sf_dir, "customer")
+    th = (c.groupBy("c_mktsegment")
+          .agg(F.round(F.percentile("c_acctbal", 0.05), 4).alias("p05"),
+               F.round(F.percentile("c_acctbal", 0.25), 4).alias("p25"),
+               F.round(F.percentile("c_acctbal", 0.50), 4).alias("p50"),
+               F.round(F.percentile("c_acctbal", 0.75), 4).alias("p75"),
+               F.round(F.percentile("c_acctbal", 0.95), 4).alias("p95")))
+    wx = F.greatest(F.col("p05"), F.least(F.col("p95"),
+                                          F.col("c_acctbal")))
+    return (c.join(F.broadcast(th), "c_mktsegment")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("c_acctbal") < F.col("p05"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_clip_low"),
+                 F.sum(F.when(F.col("c_acctbal") > F.col("p95"), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_clip_high"),
+                 F.round(F.avg(wx), 6).alias("winsor_mean"),
+                 F.round(F.max("p50"), 4).alias("median"),
+                 F.round(F.max("p75") - F.max("p25"), 4).alias("iqr"))
+            .orderBy("c_mktsegment"))

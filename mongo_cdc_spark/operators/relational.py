@@ -3630,3 +3630,126 @@ def events_revenue_concentration(spark: SparkSession,
             .select(F.col("n_users_raw").alias("n_users"),
                     "total_revenue", "gini", "top20pct_share",
                     "top10pct_share"))
+
+
+@query("events_dau_wau_stickiness", sql="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM daily GROUP BY 1
+    ), contrib AS (
+      SELECT user_id,
+             unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS d
+      FROM daily
+    ), wau AS (
+      SELECT d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
+    )
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau / (wau.wau * 1e0), 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY dau.d
+""")
+def events_dau_wau_stickiness(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: per day, distinct active users that day
+    (DAU), distinct users active in the trailing 7-day window (WAU),
+    and their ratio — the engagement headline metric every product
+    analytics stack reports.
+
+    Spark-first scale trick: WAU is NOT a per-day re-scan or a range
+    self-join. Raw events first collapse to distinct (user, day)
+    pairs (the only data-sized shuffle, partial-agg combinable); each
+    pair then explodes to the <= 7 future days it makes active —
+    O(7 x |user-days|) narrow rows — and one distinct-count per day
+    finishes it. A 100x bigger event log changes only the first
+    collapse; the explode runs on user-day grain, which grows with
+    users x days, not events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+             .distinct())
+    dau = daily.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(F.expr(
+            "sequence(d, d + interval 6 days, interval 1 day)"))
+        .alias("d"))
+    wau = contrib.groupBy("d").agg(
+        F.countDistinct("user_id").alias("wau"))
+    return (dau.join(wau, "d")
+            .select("d", F.col("dau").cast("bigint").alias("dau"),
+                    F.col("wau").cast("bigint").alias("wau"),
+                    F.round(F.col("dau") / (F.col("wau") * F.lit(1.0)), 6)
+                    .alias("stickiness"))
+            .orderBy("d"))
+
+
+@query("customer_ltv_curve", sql="""
+    WITH firstm AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), rev AS (
+      SELECT f.cohort,
+             datediff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate)) AS age_m,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o JOIN firstm f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), siz AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM firstm GROUP BY 1
+    )
+    SELECT r.cohort, CAST(r.age_m AS INT) AS age_m,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ((200 * SUM(r.rev_c) OVER (PARTITION BY r.cohort
+                                      ORDER BY r.age_m)
+             + s.cohort_size) // (2 * s.cohort_size)) / 10000.0
+             AS cum_ltv_per_customer
+    FROM rev r JOIN siz s ON s.cohort = r.cohort
+    ORDER BY r.cohort, r.age_m
+""")
+def customer_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative revenue per customer as a function of cohort age
+    in months — the retention-economics curve growth teams plot to
+    compare cohort quality over time.
+
+    Plan: first-order month per customer is one grouped min; revenue
+    folds to (cohort, age) grain in one partial-aggregatable shuffle
+    (the join to first-month is key-co-partitioned on custkey); the
+    cumulative sum then runs on cohort x age rows — dozens, whatever
+    the input size. Determinism: this query is a rounding-divergence
+    minefield solved with INTEGER CENTS — fixture prices are exact
+    2-dp, so revenue folds to exact BIGINT cents, the cumsum is exact,
+    and the 4-dp per-customer value is computed by explicit half-up
+    integer division ((200*cum + size) div (2*size)) / 1e4. Double
+    sums flip fixed-dp rounds via ~1e-8 merge-order noise, and even
+    exact DECIMAL sums land cum/size on exact half-ulps where Spark
+    (HALF_UP on the shortest decimal string) and DuckDB (nearest on
+    the binary double) disagree — both failure modes observed here
+    before the integer formulation."""
+    o = _t(spark, sf_dir, "orders")
+    firstm = (o.groupBy("o_custkey")
+              .agg(F.min(F.date_trunc("month", "o_orderdate"))
+                   .alias("cohort")))
+    rev = (o.join(firstm, "o_custkey")
+           .groupBy("cohort",
+                    F.months_between(
+                        F.date_trunc("month", "o_orderdate"), F.col("cohort"))
+                    .cast("int").alias("age_m"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("bigint")).alias("rev_c")))
+    siz = firstm.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    w = (W.partitionBy("cohort").orderBy("age_m")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (rev.join(F.broadcast(siz), "cohort")
+            .withColumn("cum_c", F.sum("rev_c").over(w))
+            .select("cohort", F.col("age_m").cast("int").alias("age_m"),
+                    F.col("cohort_size").cast("bigint")
+                    .alias("cohort_size"),
+                    (F.expr("(200 * cum_c + cohort_size) "
+                            "div (2 * cohort_size)") / 10000.0)
+                    .alias("cum_ltv_per_customer"))
+            .orderBy("cohort", "age_m"))
