@@ -114,6 +114,8 @@ HEADLINE = [
     ("dau_wau", relational.events_dau_wau_stickiness),
     ("ltv_curve", relational.customer_ltv_curve),
     ("winsorize", quality.feature_winsorized_scale),
+    ("bigram_lm", text.text_bigram_logprob),
+    ("jsd_sources", text.text_js_divergence_sources),
 ]
 
 

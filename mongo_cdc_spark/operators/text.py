@@ -867,3 +867,140 @@ def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(spw), 6).alias("avg_syl_per_word"),
                  F.round(F.avg(flesch), 4).alias("avg_flesch_proxy"))
             .orderBy("lang"))
+
+
+@query("text_bigram_logprob", sql="""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), uni AS (
+      SELECT unnest(w) AS tok FROM arr
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM uni
+    ), bi AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM arr)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1
+    ), scored AS (
+      SELECT b.doc_id,
+             ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v)) AS lp
+      FROM bi b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 4) AS logprob_mean
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed corpus BIGRAM language-model score per document
+    — the next step up from `text_unigram_logprob`'s CCNet-style
+    filter: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Catches
+    wrong-word-order gibberish that unigram scores cannot (same bag of
+    words, broken sequence).
+
+    Scale: bigrams come from ONE array transform over the materialized
+    token array (HOF-CSE discipline — no self-join of exploded
+    positions, no window over raw rows); counts and the probability
+    joins shuffle 8-byte (h1, h2) hash pairs with map-side combine,
+    co-partitioned on the bigram key; V is a 1-row broadcast. The
+    smoothed-count join keys are vocabulary²-sized — far below data
+    size — and per-doc means partial-aggregate before the doc shuffle.
+    Token identity travels as xxhash64 (collision odds ~|V|²/2⁶⁴,
+    below the oracle's detection floor), matching the unigram op."""
+    arr = _docs(spark, sf_dir).select("doc_id", _tokens().alias("w"))
+    # (h1, h2) bigram hash pairs from one pass over the token array
+    big = (arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> struct(xxhash64(x) AS h1, "
+            "xxhash64(element_at(w, i + 2)) AS h2))")).alias("b"))
+        .select("doc_id", "b.h1", "b.h2"))
+    uni = arr.select(F.explode("w").alias("tok"))
+    vocab = uni.agg(F.countDistinct("tok").alias("v"))
+    c2 = big.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (big.join(c2, ["h1", "h2"]).join(c1, "h1")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      F.log((F.col("c2") + 1) * F.lit(1.0)
+                            / (F.col("c1") + F.col("v"))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("lp"), 4).alias("logprob_mean"))
+            .orderBy("doc_id"))
+
+
+@query("text_js_divergence_sources", sql="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ), src AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), srctot AS (
+      SELECT source, SUM(c) AS t FROM src GROUP BY 1
+    ), corp AS (
+      SELECT tok, SUM(c) AS cc FROM src GROUP BY 1
+    ), corptot AS (
+      SELECT SUM(cc) AS ct FROM corp
+    ), parts AS (
+      SELECT s.source,
+             s.c / (st.t * 1e0) AS p,
+             c2.cc / (ct.ct * 1e0) AS q
+      FROM src s
+      JOIN srctot st ON st.source = s.source
+      JOIN corp c2 ON c2.tok = s.tok
+      CROSS JOIN corptot ct
+    )
+    SELECT source,
+           CAST(MAX(st2.t) AS BIGINT) AS n_tokens,
+           ROUND(SUM(0.5 * p * ln(2 * p / (p + q))
+                     + 0.5 * q * ln(2 * q / (p + q))), 6) AS jsd_nats
+    FROM parts JOIN srctot st2 USING (source)
+    GROUP BY source ORDER BY source
+""")
+def text_js_divergence_sources(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token
+    distribution and the whole-corpus distribution — the symmetric,
+    bounded domain-shift score training-mixture tooling uses to rank
+    how far each data source sits from the blend it feeds. (Support
+    note: JSD's q-only term is computed over the source's support,
+    exact here because every fixture token occurs in every source;
+    sources with partial support would add a constant measurable from
+    the same frames.)
+
+    Scale: one (source, token) count shuffle with map-side combine —
+    the only data-sized stage; everything downstream runs on
+    |sources| x |vocab| rows. The corpus marginal derives from the
+    same counts (no second scan), and the tiny probability frames
+    join on token, broadcast-sized at any corpus scale since they are
+    vocabulary-grain."""
+    toks = (_docs(spark, sf_dir)
+            .select("source", F.explode(_tokens()).alias("tok")))
+    src = (toks.groupBy("source", "tok")
+           .agg(F.count(F.lit(1)).alias("c")))
+    srctot = src.groupBy("source").agg(F.sum("c").alias("t"))
+    corp = src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corptot = corp.agg(F.sum("cc").alias("ct"))
+    p = F.col("c") / (F.col("t") * F.lit(1.0))
+    q = F.col("cc") / (F.col("ct") * F.lit(1.0))
+    parts = (src.join(F.broadcast(srctot), "source")
+             .join(corp, "tok")
+             .crossJoin(F.broadcast(corptot))
+             .select("source", p.alias("p"), q.alias("q")))
+    jsd = F.sum(0.5 * F.col("p")
+                * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+                + 0.5 * F.col("q")
+                * F.log(2 * F.col("q") / (F.col("p") + F.col("q"))))
+    return (parts.join(F.broadcast(srctot), "source")
+            .groupBy("source")
+            .agg(F.max("t").cast("bigint").alias("n_tokens"),
+                 F.round(jsd, 6).alias("jsd_nats"))
+            .orderBy("source"))
