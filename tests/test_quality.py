@@ -152,3 +152,49 @@ def test_benford_digits_matches_python(spark, sf_dir):
                    - round((n / t - exp) ** 2 / exp * t, 6)) < 2e-4
     # digits are 1..9 only
     assert set(got.digit) <= set(range(1, 10))
+
+
+def test_chi_square_contingency_consistency(spark, sf_dir):
+    got = quality.stats_chi_square_independence(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # 5 segments x 5 priorities on the fixture
+    assert r.dof == 16
+    assert r.chi2 >= 0
+    assert 0 <= r.cramers_v <= 1
+
+
+def test_jackknife_means_bracket_global_mean(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    got = quality.stats_jackknife_mean(spark, sf_dir).toPandas()
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    mean_all = c.c_acctbal.mean()
+    # every leave-one-out mean is a small perturbation around the
+    # global mean, and excluded counts sum to the population
+    assert got.n_excluded.sum() == len(c)
+    assert (abs(got.loo_mean - mean_all)
+            < abs(mean_all) * 0.5 + 500).all()
+    # pseudo-values average back to ~the global mean (jackknife identity)
+    assert abs(got.pseudo_value.mean() - mean_all) < 1.0
+
+
+def test_ab_test_split_covers_all_users(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    got = quality.ab_test_proportions(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    r = got.iloc[0]
+    assert r.n_a + r.n_b == ev.user_id.nunique()
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert 0 <= r.rate_a <= 1 and 0 <= r.rate_b <= 1
+
+
+def test_winsorized_scale_clip_fractions(spark, sf_dir):
+    got = quality.feature_winsorized_scale(spark, sf_dir).toPandas()
+    # P5/P95 winsorization clips ~5% each side; interpolation plus the
+    # 4-dp threshold rounding allows at most a 2-count overshoot,
+    # which dominates at sf0.001's ~25-row segments
+    assert (got.n_clip_low <= 0.05 * got.n + 2).all()
+    assert (got.n_clip_high <= 0.05 * got.n + 2).all()
+    assert (got.iqr >= 0).all()
+    # winsorized mean lies within the clip thresholds by construction
+    assert got.winsor_mean.notna().all()

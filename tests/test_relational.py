@@ -612,3 +612,33 @@ def test_revenue_concentration_matches_python(spark, sf_dir):
     assert abs(row.top10pct_share - round(t10, 6)) < 2e-6
     assert 0 <= row.gini <= 1
     assert row.top10pct_share <= row.top20pct_share <= 1
+
+
+def test_dau_wau_stickiness_bounds(spark, sf_dir):
+    got = relational.events_dau_wau_stickiness(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # DAU can never exceed the trailing-7-day WAU; ratio in (0, 1]
+    assert (got.dau <= got.wau).all()
+    assert ((got.stickiness > 0) & (got.stickiness <= 1)).all()
+    # a 1-day window degenerate check: first day's WAU >= its DAU and
+    # WAU is bounded by total distinct users
+    from mongo_cdc_spark.io import load_table
+    n_users = load_table(spark, sf_dir, "events").toPandas().user_id.nunique()
+    assert (got.wau <= n_users).all()
+
+
+def test_ltv_curve_monotone_and_anchored(spark, sf_dir):
+    got = relational.customer_ltv_curve(spark, sf_dir).toPandas()
+    from mongo_cdc_spark.io import load_table
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    # cumulative LTV never decreases within a cohort
+    for _, g in got.groupby("cohort"):
+        vals = g.sort_values("age_m").cum_ltv_per_customer
+        assert (vals.diff().dropna() >= -1e-9).all()
+    # cohort sizes partition the customer base that ordered
+    sizes = got.groupby("cohort").cohort_size.first()
+    assert sizes.sum() == orders.o_custkey.nunique()
+    # the final cumulative value accounts for all revenue
+    final = (got.sort_values("age_m").groupby("cohort").tail(1))
+    total = (final.cum_ltv_per_customer * final.cohort_size).sum()
+    assert abs(total - orders.o_totalprice.sum()) / orders.o_totalprice.sum() < 1e-6

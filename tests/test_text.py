@@ -165,3 +165,26 @@ def test_readability_proxy_matches_python(spark, sf_dir):
                    - round(spw_sum[row.lang] / row.n_docs, 6)) < 2e-6
         assert abs(row.avg_flesch_proxy
                    - round(fl_sum[row.lang] / row.n_docs, 4)) < 2e-3
+
+
+def test_bigram_logprob_plausible_range(spark, sf_dir):
+    got = text.text_bigram_logprob(spark, sf_dir).toPandas()
+    from mongo_cdc_spark.io import load_table
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    assert len(got) == len(docs)
+    # each doc contributes len-1 bigrams
+    ntok = docs.set_index("doc_id").text.str.split().str.len()
+    assert (got.set_index("doc_id").n_bigrams == ntok - 1).all()
+    # smoothed log-probs are strictly negative and bounded below by
+    # ln(1/(max_context + V)) (the rarest possible smoothed bigram)
+    assert (got.logprob_mean < 0).all()
+    assert (got.logprob_mean > -20).all()
+
+
+def test_jsd_sources_bounded_and_positive(spark, sf_dir):
+    got = text.text_js_divergence_sources(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # JSD in nats is bounded by ln(2)
+    assert (got.jsd_nats >= 0).all()
+    assert (got.jsd_nats <= 0.6932).all()
+    assert (got.n_tokens > 0).all()

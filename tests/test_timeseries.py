@@ -199,3 +199,32 @@ def test_hourly_entropy_matches_scipy_style_formula(spark, sf_dir):
         assert abs(row.perplexity - round(math.exp(ent), 6)) < 2e-5
         assert abs(row.uniformity - round(ent / math.log(24), 6)) < 2e-6
         assert 0 <= row.uniformity <= 1 + 1e-9
+
+
+def test_ohlc_bars_envelope_and_volume(spark, sf_dir):
+    got = timeseries.ts_ohlc_bars(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # high/low bound open/close; volume positive; vwap inside envelope
+    assert (got.high >= got.low).all()
+    assert ((got.open >= got.low - 1e-6) & (got.open <= got.high + 1e-6)).all()
+    assert ((got.close >= got.low - 1e-6) & (got.close <= got.high + 1e-6)).all()
+    assert (got.volume > 0).all()
+    assert ((got.vwap >= got.low - 1e-6) & (got.vwap <= got.high + 1e-6)).all()
+    # single-observation bars collapse to open==high==low==close
+    one = got[got.volume == 1]
+    if len(one):
+        assert (one.open == one.close).all()
+        assert (one.high == one.low).all()
+
+
+def test_twap_covered_time_within_day(spark, sf_dir):
+    got = timeseries.ts_time_weighted_avg(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # covered time is positive and can never exceed 24h per day
+    assert (got.covered_us > 0).all()
+    assert (got.covered_us <= 24 * 3600 * 1_000_000).all()
+    # TWAP stays inside the day's observed value envelope: compare
+    # against simple average being finite and same order of magnitude
+    assert got.twap.notna().all()
+    assert (abs(got.twap - got.simple_avg)
+            < got.simple_avg.abs() + 100).all()
