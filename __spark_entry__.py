@@ -115,6 +115,7 @@ _GRADE_FIRST = (
     "ab_test_proportions", "events_dau_wau_stickiness",
     "customer_ltv_curve", "feature_winsorized_scale",
     "text_bigram_logprob", "text_js_divergence_sources",
+    "streaming_ohlc_replay", "graph_supplier_similarity",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -116,6 +116,8 @@ HEADLINE = [
     ("winsorize", quality.feature_winsorized_scale),
     ("bigram_lm", text.text_bigram_logprob),
     ("jsd_sources", text.text_js_divergence_sources),
+    ("ohlc_stream_twin", timeseries.streaming_ohlc_replay),
+    ("supplier_simjoin", graph.graph_supplier_similarity),
 ]
 
 

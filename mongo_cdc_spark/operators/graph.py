@@ -359,3 +359,72 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_name").alias("nation"),
                     F.col("d").cast("int").alias("dist"))
             .orderBy("dist", "node_id"))
+
+
+_COSUP_TOP = 30
+
+
+@query("graph_supplier_similarity", sql=f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), deg AS (
+      SELECT s, COUNT(*) AS d FROM e GROUP BY 1
+    ), pairs AS (
+      SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS common_parts
+      FROM e a JOIN e b ON b.p = a.p AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT p.s_a, p.s_b,
+           CAST(p.common_parts AS BIGINT) AS common_parts,
+           CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+           ROUND(p.common_parts * 1e0
+                 / (da.d + db.d - p.common_parts), 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.s = p.s_a
+    JOIN deg db ON db.s = p.s_b
+    ORDER BY jaccard DESC, p.s_a, p.s_b
+    LIMIT {_COSUP_TOP}
+""")
+def graph_supplier_similarity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Co-occurrence link prediction on the supplier-part bipartite
+    graph: for each supplier pair, the number of shared parts and the
+    Jaccard similarity of their part sets — the common-neighbors
+    primitive behind "suppliers like this one" / substitution-risk
+    ranking (same shape as doc-doc co-citation similarity).
+
+    Scale: the pair generation is the classic postings-list self-join
+    THROUGH the shared neighbor (part), never supplier x supplier —
+    cost is sum over parts of per-part supplier-degree squared. On
+    skewed corpora the standard cap (drop hub parts above a
+    degree threshold before pairing, as dedup's shingle index does)
+    bounds the worst posting; this fixture's part degrees are ~30 so
+    the uncapped join is the right plan here. Distinct-edge collapse,
+    the degree frames, and the pair count all partial-aggregate
+    map-side; the top-k is a TakeOrdered, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (a.join(b, (F.col("a.p") == F.col("b.p"))
+                    & (F.col("a.s") < F.col("b.s")))
+             .groupBy(F.col("a.s").alias("s_a"),
+                      F.col("b.s").alias("s_b"))
+             .agg(F.count(F.lit(1)).alias("common_parts")))
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("deg_b"))
+    return (pairs.join(F.broadcast(da), "s_a")
+            .join(F.broadcast(db), "s_b")
+            .select("s_a", "s_b",
+                    F.col("common_parts").cast("bigint")
+                    .alias("common_parts"),
+                    F.col("deg_a").cast("bigint").alias("deg_a"),
+                    F.col("deg_b").cast("bigint").alias("deg_b"),
+                    F.round(F.col("common_parts") * F.lit(1.0)
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("common_parts")), 6)
+                    .alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "s_a", "s_b")
+            .limit(_COSUP_TOP))

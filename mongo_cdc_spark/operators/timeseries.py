@@ -548,3 +548,51 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_intervals"))
         .orderBy("event_type", "d")
     )
+
+
+@query("streaming_ohlc_replay", sql="""
+    WITH keyed AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS ws,
+             value,
+             epoch(ts)::BIGINT * 10000000 + event_id AS okey
+      FROM events
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           ROUND(arg_min(value, okey), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, okey), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM keyed
+    GROUP BY event_type, ws
+    ORDER BY event_type, ws
+""")
+def streaming_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay twin of `streaming.tumbling_ohlc_bars`: the SAME
+    window + min_by/max_by aggregation expressed over the bounded
+    events table (F.window in batch mode), giving the streaming
+    operator an oracle-graded correctness row. Stream/batch parity is
+    additionally pinned by tests/test_streaming.py, which drains the
+    streaming version over a file source and asserts frame equality
+    with this twin.
+
+    Scale posture matches ts_ohlc_bars: one partial-aggregatable
+    shuffle, O(1) state per open bar in the streaming run."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = (F.unix_timestamp("ts") * F.lit(10000000)
+            + F.col("event_id"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.min_by("value", okey), 6).alias("open"),
+             F.round(F.max("value"), 6).alias("high"),
+             F.round(F.min("value"), 6).alias("low"),
+             F.round(F.max_by("value", okey), 6).alias("close"),
+             F.count(F.lit(1)).alias("volume"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "open", "high", "low", "close", "volume")
+        .orderBy("event_type", "window_start")
+    )

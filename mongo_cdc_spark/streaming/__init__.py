@@ -17,6 +17,7 @@ from mongo_cdc_spark.streaming.analytics import (  # noqa: F401
     stream_static_enrich,
     stream_stream_self_join,
     streaming_dedup,
+    tumbling_ohlc_bars,
     tumbling_window_counts,
     user_session_state,
 )

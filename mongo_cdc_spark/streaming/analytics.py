@@ -70,6 +70,33 @@ def sliding_window_counts(events: DataFrame, size: str = "1 hour",
     )
 
 
+def tumbling_ohlc_bars(events: DataFrame, size: str = "1 hour",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Streaming OHLC bars: per (tumbling window, event_type)
+    open/high/low/close/volume over `value`, open/close picked by
+    `min_by`/`max_by` on the same unique BIGINT ordering key as the
+    batch twin (`timeseries.ts_ohlc_bars`) — declarative aggregates,
+    so the streaming state per bar is O(1) (current extreme + key),
+    never a buffered window. Late rows past the watermark drop; bars
+    finalize when the watermark passes window end (append mode).
+    Batch parity is pinned by the `streaming_ohlc_replay` registry
+    twin and tests/test_streaming.py."""
+    okey = (F.unix_timestamp("ts") * F.lit(10000000)
+            + F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.round(F.min_by("value", okey), 6).alias("open"),
+             F.round(F.max("value"), 6).alias("high"),
+             F.round(F.min("value"), 6).alias("low"),
+             F.round(F.max_by("value", okey), 6).alias("close"),
+             F.count(F.lit(1)).alias("volume"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "open", "high", "low", "close", "volume")
+    )
+
+
 def session_window_stats(events: DataFrame, gap: str = "10 minutes",
                          watermark: str = "30 minutes") -> DataFrame:
     """Session windows (gap-based, per user): Spark's native

@@ -505,3 +505,56 @@ def test_stream_interval_left_join_matches_batch_replay_twin(
 
     assert keyset(got) == keyset(want)
     assert len(got) == len(want)
+
+
+def test_streaming_ohlc_matches_batch_replay_twin(spark, tmp_path):
+    from mongo_cdc_spark.streaming import tumbling_ohlc_bars
+    events = [
+        _ev(1, 9, 0, value=10.0), _ev(2, 9, 15, value=13.5),
+        _ev(3, 9, 59, value=7.25), _ev(4, 10, 1, value=3.0),
+        _ev(5, 10, 30, value=9.0),
+        # second type interleaved in the same windows
+        _ev(6, 9, 5, etype="view", value=100.0),
+        _ev(7, 9, 45, etype="view", value=90.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # append mode emits a bar only once the watermark passes window
+    # end — feed a flush batch far in the future to close hour 9-10,
+    # then compare the CLOSED windows only
+    flush = [_ev(99, 15, 0, value=1.0)]
+    stream = read_events_stream(spark, str(src))
+    got = _collect_batched(tumbling_ohlc_bars(stream), tmp_path, src,
+                           [events, flush], mode="append")
+    got = (got[got.window_start.dt.hour <= 10]
+           .sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    # open = first by (ts, event_id); close = last; envelope exact
+    click_9 = got[(got.event_type == "click")
+                  & (got.window_start.dt.hour == 9)].iloc[0]
+    assert click_9.open == 10.0 and click_9.close == 7.25
+    assert click_9.high == 13.5 and click_9.low == 7.25
+    assert click_9.volume == 3
+    view_9 = got[(got.event_type == "view")
+                 & (got.window_start.dt.hour == 9)].iloc[0]
+    assert view_9.open == 100.0 and view_9.close == 90.0
+    # parity with the batch twin formulation on the same frame:
+    # recompute via the batch groupBy over the drained source rows
+    from pyspark.sql import functions as F
+    batch = (spark.read.schema(stream.schema).json(str(src))
+             .filter("event_id != 99"))
+    okey = F.unix_timestamp("ts") * F.lit(10000000) + F.col("event_id")
+    twin = (batch.groupBy(F.window("ts", "1 hour").alias("w"),
+                          "event_type")
+            .agg(F.round(F.min_by("value", okey), 6).alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(F.max_by("value", okey), 6).alias("close"),
+                 F.count(F.lit(1)).alias("volume"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "event_type",
+                    "open", "high", "low", "close", "volume")
+            .toPandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, twin, check_dtype=False)
