@@ -116,6 +116,8 @@ _GRADE_FIRST = (
     "customer_ltv_curve", "feature_winsorized_scale",
     "text_bigram_logprob", "text_js_divergence_sources",
     "streaming_ohlc_replay", "graph_supplier_similarity",
+    "window_cume_dist_spend", "events_rate_ci",
+    "layout_range_bounds", "sketch_accuracy_eval",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -118,6 +118,10 @@ HEADLINE = [
     ("jsd_sources", text.text_js_divergence_sources),
     ("ohlc_stream_twin", timeseries.streaming_ohlc_replay),
     ("supplier_simjoin", graph.graph_supplier_similarity),
+    ("cume_dist", relational.window_cume_dist_spend),
+    ("rate_ci", timeseries.events_rate_ci),
+    ("range_bounds", layout.layout_range_bounds),
+    ("sketch_eval", quality.sketch_accuracy_eval),
 ]
 
 

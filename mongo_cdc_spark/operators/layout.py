@@ -349,3 +349,70 @@ def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("max_total_raw") > 200000)).alias("must_scan"),
         "pred_rows")
         .orderBy("file_month"))
+
+
+_RANGE_PARTS = 8
+_FRACS = "[" + ", ".join(
+    f"{i}/{_RANGE_PARTS}.0" for i in range(1, _RANGE_PARTS)) + "]"
+
+
+@query("layout_range_bounds", sql=f"""
+    WITH b AS (
+      SELECT list_transform(
+                 quantile_cont(l_extendedprice, {_FRACS}),
+                 x -> ROUND(x, 4)) AS bounds,
+             COUNT(*) AS n_total
+      FROM lineitem
+    ), bucketed AS (
+      SELECT len(list_filter(b.bounds, x -> l.l_extendedprice > x))
+               AS bucket,
+             l.l_extendedprice, b.n_total
+      FROM lineitem l CROSS JOIN b
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi,
+           ROUND(COUNT(*) * {_RANGE_PARTS}.0 / MAX(n_total), 6)
+             AS balance_ratio
+    FROM bucketed
+    GROUP BY bucket ORDER BY bucket
+""")
+def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planner: compute {n}-way balanced
+    split points of l_extendedprice from exact percentiles, assign
+    every row to its range bucket, and report per-bucket row counts
+    with a balance ratio (1.0 = perfectly even) — the planning step
+    behind `repartitionByRange` / Iceberg sort-order writes, made
+    inspectable. A ratio far from 1 on some bucket is exactly the
+    signal that range-writing this column would produce skewed files.
+
+    Scale: at 100 TB the percentile step is what RangePartitioner
+    does by reservoir sampling; here it is the exact quantile agg (one
+    pass, bounded group count), and the assignment is a 7-element
+    broadcast array probed by a JVM higher-order filter — a narrow
+    map, no join, no shuffle beyond the final per-bucket count.
+    Bounds are rounded to 4 dp on BOTH engines before any comparison
+    so bucket membership can't flip on interpolation ulps.""".format(
+        n=_RANGE_PARTS)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.array(*[F.round(F.percentile("l_extendedprice",
+                                       i / _RANGE_PARTS), 4)
+                  for i in range(1, _RANGE_PARTS)]).alias("bounds"),
+        F.count(F.lit(1)).alias("n_total"))
+    bucketed = (li.crossJoin(F.broadcast(b))
+                .select(F.size(F.filter(
+                    "bounds",
+                    lambda x: F.col("l_extendedprice") > x))
+                    .alias("bucket"),
+                    "l_extendedprice", "n_total"))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi"),
+                 F.round(F.count(F.lit(1)) * F.lit(float(_RANGE_PARTS))
+                         / F.max("n_total"), 6).alias("balance_ratio"))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    "n_rows", "lo", "hi", "balance_ratio")
+            .orderBy("bucket"))

@@ -752,3 +752,45 @@ def feature_winsorized_scale(spark: SparkSession,
                  F.round(F.max("p50"), 4).alias("median"),
                  F.round(F.max("p75") - F.max("p25"), 4).alias("iqr"))
             .orderBy("c_mktsegment"))
+
+
+@query("sketch_accuracy_eval", sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+           TRUE AS hll_within_5pct,
+           TRUE AS p50_within_1pct
+    FROM events GROUP BY 1 ORDER BY 1
+""")
+def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy CONTRACT for the approximate aggregates the engine
+    recommends at 100 TB (approx_count_distinct for cardinality,
+    percentile_approx for quantiles): per event type, run sketch and
+    exact side by side and emit whether the sketch landed inside its
+    advertised tolerance (HLL++ rsd=0.02 -> 5% gate; percentile_approx
+    accuracy=10000 -> 1% gate on the median). The oracle pins the
+    exact values and expects every gate TRUE — so if a Spark upgrade
+    or config change degrades sketch accuracy, the hash row goes red.
+    This is the measured justification for the "swap countDistinct
+    for the sketch at scale" notes elsewhere (quality_profile_orders,
+    events_hll_sketch_rollup).
+
+    The comparison itself is one pass with both aggregates; the exact
+    side is the expensive one at scale, which is exactly why it's
+    worth gating the cheap one here at fixture size."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("n_exact_users"),
+                F.approx_count_distinct("user_id", 0.02).alias("n_hll"),
+                F.percentile("value", 0.5).alias("p50_exact"),
+                F.percentile_approx("value", 0.5, 10000)
+                .alias("p50_approx")))
+    hll_ok = (F.abs(F.col("n_hll") - F.col("n_exact_users"))
+              <= 0.05 * F.col("n_exact_users"))
+    p50_ok = (F.abs(F.col("p50_approx") - F.col("p50_exact"))
+              <= 0.01 * F.abs(F.col("p50_exact")))
+    return (per.select("event_type",
+                       F.col("n_exact_users").cast("bigint")
+                       .alias("n_exact_users"),
+                       hll_ok.alias("hll_within_5pct"),
+                       p50_ok.alias("p50_within_1pct"))
+            .orderBy("event_type"))

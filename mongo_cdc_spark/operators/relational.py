@@ -3753,3 +3753,44 @@ def customer_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "div (2 * cohort_size)") / 10000.0)
                     .alias("cum_ltv_per_customer"))
             .orderBy("cohort", "age_m"))
+
+
+@query("window_cume_dist_spend", sql="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(o.o_totalprice) AS total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_custkey,
+           ROUND(total, 2) AS total_spend,
+           ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY ROUND(total, 2)), 6)
+             AS spend_cume_dist
+    FROM spend
+    ORDER BY c_mktsegment, total_spend, o_custkey
+    LIMIT 500
+""")
+def window_cume_dist_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST window function: each customer's cumulative spend
+    percentile within their market segment — completes the ranking-
+    family coverage (rank/dense_rank/ntile/percent_rank already
+    graded; cume_dist is the <=-inclusive CDF variant).
+
+    Determinism: the window ORDERS BY THE ROUNDED total (2 dp) on
+    both engines, so tie-groups — which cume_dist counts inclusively
+    and engines would otherwise split on last-ulp double drift — are
+    identical by construction. One data-sized agg to customer grain,
+    one bounded per-segment window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (o.join(c, o.o_custkey == c.c_custkey)
+             .groupBy("c_mktsegment", "o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
+    w = W.partitionBy("c_mktsegment").orderBy("total_spend")
+    return (spend
+            .select("c_mktsegment", "o_custkey", "total_spend",
+                    F.round(F.cume_dist().over(w), 6)
+                    .alias("spend_cume_dist"))
+            .orderBy("c_mktsegment", "total_spend", "o_custkey")
+            .limit(500))

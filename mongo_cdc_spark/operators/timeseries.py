@@ -596,3 +596,43 @@ def streaming_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "open", "high", "low", "close", "volume")
         .orderBy("event_type", "window_start")
     )
+
+
+@query("events_rate_ci", sql="""
+    WITH span AS (
+      SELECT event_type, COUNT(*) AS n,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 3600e6 AS hours
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND(hours, 6) AS span_hours,
+           ROUND(n / hours, 6) AS rate_per_hour,
+           ROUND(n / hours - 1.96 * SQRT(n) / hours, 6) AS rate_lo,
+           ROUND(n / hours + 1.96 * SQRT(n) / hours, 6) AS rate_hi
+    FROM span ORDER BY event_type
+""")
+def events_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event arrival rate with a 95% normal-approximation
+    Poisson confidence interval (rate ± 1.96·sqrt(n)/T) — the
+    alerting primitive behind "is this stream's throughput outside
+    its expected band".
+
+    One partial-aggregatable pass (count + min/max timestamp per
+    type); the CI arithmetic runs on |types| rows. The observation
+    span is exact integer microseconds (epoch_us / unix_micros), so
+    both engines divide identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    span = (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 ((F.unix_micros(F.max("ts"))
+                   - F.unix_micros(F.min("ts"))) / F.lit(3600e6))
+                 .alias("hours")))
+    rate = F.col("n") / F.col("hours")
+    half = F.lit(1.96) * F.sqrt("n") / F.col("hours")
+    return (span.select("event_type",
+                        F.col("n").cast("bigint").alias("n_events"),
+                        F.round("hours", 6).alias("span_hours"),
+                        F.round(rate, 6).alias("rate_per_hour"),
+                        F.round(rate - half, 6).alias("rate_lo"),
+                        F.round(rate + half, 6).alias("rate_hi"))
+            .orderBy("event_type"))
