@@ -122,6 +122,8 @@ HEADLINE = [
     ("rate_ci", timeseries.events_rate_ci),
     ("range_bounds", layout.layout_range_bounds),
     ("sketch_eval", quality.sketch_accuracy_eval),
+    ("image_phash", multimodal.multimodal_image_phash),
+    ("user_lifecycle", relational.events_user_lifecycle),
 ]
 
 

@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
@@ -605,3 +606,123 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"))
         .orderBy("doc_id"))
+
+
+# 8x8 average-hash over the decoded 16x16 raster: each 2x2 pixel block
+# (12 bytes across RGB) reduces to an integer sum; bit i = 1 iff
+# block_sum*64 > total_sum (pure integer cross-multiplication — no
+# float mean, so engines can't diverge). Bits pack into two 32-bit
+# halves (a single 64-bit pack would overflow signed BIGINT at bit 63).
+_AH_BLOCKS = 64
+
+
+def ahash_from_pixels(px: bytes, w: int, h: int) -> tuple[int, int, int]:
+    """(hi32, lo32, bits_set) average-hash of an RGB raster via 2x2
+    block integer sums. Bit index = row-major block order."""
+    bx, by = w // 8, h // 8
+    sums = [0] * _AH_BLOCKS
+    for p in range(w * h):
+        x, y = p % w, p // w
+        b = (y // by) * 8 + (x // bx)
+        o = 3 * p
+        sums[b] += px[o] + px[o + 1] + px[o + 2]
+    total = sum(sums)
+    hi = lo = bits = 0
+    for i, s in enumerate(sums):
+        if s * _AH_BLOCKS > total:
+            bits += 1
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo, bits
+
+
+def ahash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL PPM decode -> perceptual average-hash.
+    Media bytes stay in the task; only (doc_id, hi, lo, bits) leave."""
+    for pdf in it:
+        rows = {"doc_id": [], "phash_hi": [], "phash_lo": [],
+                "bits_set": []}
+        for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+            w, h, px = decode_ppm(bytes(img))
+            hi, lo, bits = ahash_from_pixels(px, w, h)
+            rows["doc_id"].append(doc_id)
+            rows["phash_hi"].append(hi)
+            rows["phash_lo"].append(lo)
+            rows["bits_set"].append(bits)
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_image_phash", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             g.b // 3 AS p,
+             ord(substr(d.text, (g.b % len(d.text)) + 1, 1)) AS v
+      FROM documents d, generate_series(0, {_IMG_BYTES - 1}) g(b)
+      WHERE len(d.text) > 0
+    ), blocks AS (
+      SELECT doc_id,
+             ((p // {_IMG_W}) // 2) * 8 + ((p % {_IMG_W}) // 2) AS blk,
+             SUM(v) AS s
+      FROM px GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(s) AS total FROM blocks GROUP BY 1
+    ), bits AS (
+      SELECT b.doc_id, b.blk,
+             CASE WHEN b.s * {_AH_BLOCKS} > t.total
+                  THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN blk >= 32
+                      THEN bit * (1::BIGINT << (blk - 32)) END)
+                  AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN blk < 32
+                      THEN bit * (1::BIGINT << blk) END)
+                  AS BIGINT) AS phash_lo,
+             CAST(SUM(bit) AS INT) AS bits_set
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, phash_hi, phash_lo, bits_set,
+           CAST(COUNT(*) OVER (PARTITION BY phash_hi, phash_lo)
+                AS BIGINT) AS dup_group_size
+    FROM hashes ORDER BY doc_id
+""")
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) image dedup on the REAL decode
+    path: document bytes -> genuine binary-PPM image -> pure-stdlib
+    decoder -> 8x8 block-mean fingerprint -> identical-fingerprint
+    duplicate groups. This is the multimodal twin of the text dedup
+    family — the standard first pass for near-duplicate image removal
+    in multimodal training corpora (identical aHash = visually
+    near-identical; hamming-banded variants reuse dedup_simhash's
+    pigeonhole chunk join unchanged, since the fingerprint is already
+    two 32-bit chunks).
+
+    Determinism: the hash threshold is integer cross-multiplication
+    (block_sum*64 > total) — no float mean anywhere — so the DuckDB
+    oracle reconstructs every pixel with substr/ord byte arithmetic
+    and re-derives the EXACT fingerprint the real decoder produced.
+
+    Scale: one narrow Arrow stage per batch (media bytes never leave
+    the task; 4 small ints per image do), then a fingerprint-keyed
+    window for group sizes — the same hash-groupBy shape as
+    dedup_exact, at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    n = spark.sparkContext.defaultParallelism
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})")
+    payload = F.concat(
+        F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n"), body).cast("binary")
+    imgs = docs.select("doc_id", payload.alias("img")).repartition(n)
+    hashes = imgs.mapInPandas(
+        ahash_batch,
+        schema="doc_id long, phash_hi long, phash_lo long, bits_set int")
+    w = W.partitionBy("phash_hi", "phash_lo")
+    return (hashes
+            .select("doc_id", "phash_hi", "phash_lo", "bits_set",
+                    F.count(F.lit(1)).over(w).alias("dup_group_size"))
+            .orderBy("doc_id"))

@@ -3794,3 +3794,90 @@ def window_cume_dist_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("spend_cume_dist"))
             .orderBy("c_mktsegment", "total_spend", "o_custkey")
             .limit(500))
+
+
+@query("events_user_lifecycle", sql="""
+    WITH actives AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), maxw AS (
+      SELECT MAX(w) AS mw FROM actives
+    ), seq AS (
+      SELECT user_id, w,
+             lag(w)  OVER (PARTITION BY user_id ORDER BY w) AS pw,
+             lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+      FROM actives
+    ), states AS (
+      SELECT w,
+             CASE WHEN pw IS NULL THEN 'new'
+                  WHEN pw = w - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM seq
+      UNION ALL
+      SELECT w + INTERVAL 7 DAY AS w, 'churned' AS state
+      FROM seq CROSS JOIN maxw
+      WHERE (nw IS NULL OR nw > w + INTERVAL 7 DAY)
+        AND w + INTERVAL 7 DAY <= mw
+    )
+    SELECT w AS week,
+           CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           ROUND((SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END))
+                 / NULLIF(SUM(CASE WHEN state = 'churned'
+                              THEN 1 ELSE 0 END), 0) * 1.0, 6)
+             AS quick_ratio
+    FROM states GROUP BY w ORDER BY w
+""")
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting user lifecycle: per calendar week, how many
+    users are NEW (first-ever active week), RETAINED (also active the
+    previous week), RESURRECTED (returning after a gap), and CHURNED
+    (active last week, absent this week), plus the quick ratio
+    (new+resurrected)/churned — the standard startup growth ledger
+    (Social-Capital accounting).
+
+    Spark-first: churn rows are GENERATED from each active week's
+    lead() (absent next week -> one churn row at w+7d), so inactive
+    (user, week) combinations are never materialized — the frame
+    stays at active user-week grain, never users x weeks. One
+    distinct collapse (the only data-sized shuffle), one per-user
+    window, one weekly rollup."""
+    ev = _t(spark, sf_dir, "events")
+    actives = (ev.select("user_id",
+                         F.date_trunc("week", "ts").alias("w"))
+               .distinct())
+    maxw = actives.agg(F.max("w").alias("mw"))
+    uw = W.partitionBy("user_id").orderBy("w")
+    seq = (actives
+           .withColumn("pw", F.lag("w").over(uw))
+           .withColumn("nw", F.lead("w").over(uw)))
+    states = (seq.select(
+        "w",
+        F.when(F.col("pw").isNull(), "new")
+        .when(F.col("pw") == F.expr("w - interval 7 days"), "retained")
+        .otherwise("resurrected").alias("state"))
+        .unionByName(
+            seq.crossJoin(F.broadcast(maxw))
+            .where((F.col("nw").isNull()
+                    | (F.col("nw") > F.expr("w + interval 7 days")))
+                   & (F.expr("w + interval 7 days") <= F.col("mw")))
+            .select(F.expr("w + interval 7 days").alias("w"),
+                    F.lit("churned").alias("state"))))
+    cnt = lambda st: F.sum(F.when(F.col("state") == st, 1).otherwise(0))
+    return (states.groupBy(F.col("w").alias("week"))
+            .agg(cnt("new").cast("bigint").alias("n_new"),
+                 cnt("retained").cast("bigint").alias("n_retained"),
+                 cnt("resurrected").cast("bigint").alias("n_resurrected"),
+                 cnt("churned").cast("bigint").alias("n_churned"))
+            .withColumn(
+                "quick_ratio",
+                F.round((F.col("n_new") + F.col("n_resurrected"))
+                        / F.nullif(F.col("n_churned"), F.lit(0))
+                        * F.lit(1.0), 6))
+            .orderBy("week"))

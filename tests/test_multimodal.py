@@ -219,3 +219,42 @@ def test_audio_resample_matches_decimated_byte_arithmetic(spark, sf_dir):
         assert abs(row.mean_amp - sum(samples) / m) < 6e-7
         rms = (sum(s * s for s in samples) / m) ** 0.5
         assert abs(row.rms - rms) < 6e-7
+
+
+def test_ahash_from_pixels_reference():
+    from mongo_cdc_spark.operators.multimodal import (
+        _IMG_H, _IMG_W, ahash_from_pixels)
+    # uniform raster: no block exceeds the mean -> all bits zero
+    flat = bytes([7] * (_IMG_W * _IMG_H * 3))
+    assert ahash_from_pixels(flat, _IMG_W, _IMG_H) == (0, 0, 0)
+    # one bright 2x2 block at top-left -> exactly bit 0 set
+    px = bytearray(flat)
+    for y in (0, 1):
+        for x in (0, 1):
+            o = 3 * (y * _IMG_W + x)
+            px[o:o + 3] = b"\xff\xff\xff"
+    hi, lo, bits = ahash_from_pixels(bytes(px), _IMG_W, _IMG_H)
+    assert (hi, lo, bits) == (0, 1, 1)
+    # brightening the bottom-right block flips the highest bit (63)
+    for y in (14, 15):
+        for x in (14, 15):
+            o = 3 * (y * _IMG_W + x)
+            px[o:o + 3] = b"\xff\xff\xff"
+    hi, lo, bits = ahash_from_pixels(bytes(px), _IMG_W, _IMG_H)
+    assert bits == 2 and lo == 1 and hi == 1 << 31
+
+
+def test_image_phash_identical_docs_share_fingerprint(spark, sf_dir):
+    from mongo_cdc_spark.operators import multimodal
+    got = multimodal.multimodal_image_phash(spark, sf_dir).toPandas()
+    from mongo_cdc_spark.io import load_table
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    docs = docs[docs.text.str.len() > 0]
+    assert len(got) == len(docs)
+    # identical text -> identical payload -> identical fingerprint,
+    # so exact-dup documents must land in the same phash group
+    merged = got.merge(docs[["doc_id", "text"]], on="doc_id")
+    for _, g in merged.groupby("text"):
+        assert g.phash_hi.nunique() == 1 and g.phash_lo.nunique() == 1
+        assert (g.dup_group_size >= len(g)).all()
+    assert ((got.bits_set >= 0) & (got.bits_set <= 64)).all()

@@ -642,3 +642,28 @@ def test_ltv_curve_monotone_and_anchored(spark, sf_dir):
     final = (got.sort_values("age_m").groupby("cohort").tail(1))
     total = (final.cum_ltv_per_customer * final.cohort_size).sum()
     assert abs(total - orders.o_totalprice.sum()) / orders.o_totalprice.sum() < 1e-6
+
+
+def test_user_lifecycle_accounting_identities(spark, sf_dir):
+    got = relational.events_user_lifecycle(spark, sf_dir).toPandas()
+    from mongo_cdc_spark.io import load_table
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    n_users = ev.user_id.nunique()
+    # every user is NEW exactly once
+    assert got.n_new.sum() == n_users
+    # first week: everyone is new, nobody retained/resurrected/churned
+    first = got.iloc[0]
+    assert first.n_retained == 0 and first.n_resurrected == 0
+    assert first.n_churned == 0
+    # growth-accounting identity: actives(w) = new + retained +
+    # resurrected, and actives(w) = actives(w-1) - churned(w) + new(w)
+    # + resurrected(w)
+    ev["w"] = ev.ts.dt.to_period("W").dt.start_time
+    actives = ev.groupby("w").user_id.nunique().sort_index()
+    got = got.sort_values("week").reset_index(drop=True)
+    for i, r in got.iterrows():
+        a = actives.iloc[i]
+        assert r.n_new + r.n_retained + r.n_resurrected == a
+        if i > 0:
+            prev_a = actives.iloc[i - 1]
+            assert a == prev_a - r.n_churned + r.n_new + r.n_resurrected
