@@ -119,6 +119,7 @@ _GRADE_FIRST = (
     "window_cume_dist_spend", "events_rate_ci",
     "layout_range_bounds", "sketch_accuracy_eval",
     "multimodal_image_phash", "events_user_lifecycle",
+    "events_peak_concurrency", "events_watermark_lag_profile",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -124,6 +124,8 @@ HEADLINE = [
     ("sketch_eval", quality.sketch_accuracy_eval),
     ("image_phash", multimodal.multimodal_image_phash),
     ("user_lifecycle", relational.events_user_lifecycle),
+    ("peak_concurrency", relational.events_peak_concurrency),
+    ("watermark_lag", relational.events_watermark_lag_profile),
 ]
 
 

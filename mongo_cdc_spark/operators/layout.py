@@ -396,11 +396,17 @@ def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     so bucket membership can't flip on interpolation ulps.""".format(
         n=_RANGE_PARTS)
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.agg(
-        F.array(*[F.round(F.percentile("l_extendedprice",
-                                       i / _RANGE_PARTS), 4)
-                  for i in range(1, _RANGE_PARTS)]).alias("bounds"),
+    # ONE percentile aggregate over the percentage array (a single
+    # sort buffer) — seven separate F.percentile calls each buffer the
+    # whole column in the same single-group task (measured 11.6 s vs
+    # ~1 s at sf0.1)
+    b = (li.agg(
+        F.percentile("l_extendedprice",
+                     [i / _RANGE_PARTS
+                      for i in range(1, _RANGE_PARTS)]).alias("raw"),
         F.count(F.lit(1)).alias("n_total"))
+        .select(F.expr("transform(raw, x -> round(x, 4))")
+                .alias("bounds"), "n_total"))
     bucketed = (li.crossJoin(F.broadcast(b))
                 .select(F.size(F.filter(
                     "bounds",

@@ -3881,3 +3881,181 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.nullif(F.col("n_churned"), F.lit(0))
                         * F.lit(1.0), 6))
             .orderBy("week"))
+
+
+@query("events_peak_concurrency", sql="""
+    WITH sess AS (
+      SELECT user_id, MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 10 MINUTE AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN gap_us IS NULL
+                        OR gap_us > 600000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                   AS gap_us
+          FROM events)
+      ) GROUP BY user_id, sess_id
+    ), deltas AS (
+      SELECT date_trunc('day', s_start) AS d, s_start AS t,
+             1 AS delta, user_id FROM sess
+      UNION ALL
+      SELECT date_trunc('day', s_start) AS d, s_end AS t,
+             -1 AS delta, user_id FROM sess
+    ), swept AS (
+      SELECT d, t,
+             SUM(delta) OVER (PARTITION BY d
+                              ORDER BY t, delta, user_id) AS conc
+      FROM deltas
+    )
+    SELECT d AS day,
+           CAST(MAX(conc) AS INT) AS peak_concurrency,
+           MIN(t) FILTER (WHERE conc = (
+               SELECT MAX(conc) FROM swept s2 WHERE s2.d = swept.d))
+             AS first_peak_at
+    FROM swept GROUP BY d ORDER BY d
+""")
+def events_peak_concurrency(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line: sessions
+    (10-minute inactivity gap, end = last event + gap) become +1/-1
+    boundary deltas, a running sum over time-ordered deltas is the
+    live concurrency curve, and its daily max is the capacity-planning
+    headline ("how many simultaneous users must we serve").
+
+    Spark-first scale shape: NO interval self-join (the naive
+    concurrency query is intervals x time-grid or intervals x
+    intervals) — sessionize (one per-user window), emit 2 rows per
+    session, ONE running-sum window partitioned by day so the sort is
+    bounded per partition, then a per-day max. Tie order at equal
+    timestamps is (delta, user): an end at instant t releases its
+    slot before a start at t claims one — the conservative convention
+    — and both engines sweep the same total order. Sessions that
+    cross midnight contribute their start-day curve (the fixture's
+    10-min-gap sessions are intraday; a day-spanning corpus would
+    split intervals at day boundaries first — one narrow explode)."""
+    ev = _t(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros("ts")
+              - F.unix_micros(F.lag("ts").over(uw)))
+    with_sess = (ev.select("user_id", "ts", "event_id")
+                 .withColumn("gap_us", gap_us)
+                 .withColumn("sess_id", F.sum(
+                     F.when(F.col("gap_us").isNull()
+                            | (F.col("gap_us") > 600000000), 1)
+                     .otherwise(0)).over(uw)))
+    sess = (with_sess.groupBy("user_id", "sess_id")
+            .agg(F.min("ts").alias("s_start"),
+                 (F.max("ts") + F.expr("INTERVAL 10 MINUTES"))
+                 .alias("s_end")))
+    d = F.date_trunc("day", "s_start")
+    deltas = (sess.select(d.alias("d"), F.col("s_start").alias("t"),
+                          F.lit(1).alias("delta"), "user_id")
+              .unionByName(
+                  sess.select(d.alias("d"), F.col("s_end").alias("t"),
+                              F.lit(-1).alias("delta"), "user_id")))
+    sweep = W.partitionBy("d").orderBy("t", "delta", "user_id")
+    swept = deltas.withColumn("conc", F.sum("delta").over(sweep))
+    peak = (swept.groupBy("d")
+            .agg(F.max("conc").alias("peak_concurrency")))
+    first_at = (swept.join(F.broadcast(peak), "d")
+                .where(F.col("conc") == F.col("peak_concurrency"))
+                .groupBy("d", "peak_concurrency")
+                .agg(F.min("t").alias("first_peak_at")))
+    return (first_at
+            .select(F.col("d").alias("day"),
+                    F.col("peak_concurrency").cast("int")
+                    .alias("peak_concurrency"),
+                    "first_peak_at")
+            .orderBy("day"))
+
+
+@query("events_watermark_lag_profile", sql="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type
+                           ORDER BY event_id) AS high_water
+      FROM events
+    ), lag_us AS (
+      SELECT event_type,
+             epoch_us(high_water) - epoch_us(ts) AS lateness_us
+      FROM arr
+    )
+    , ranked AS (
+      SELECT event_type, lateness_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY lateness_us) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM lag_us
+    ), p95 AS (
+      SELECT event_type, lateness_us AS p95_lateness_us
+      FROM ranked WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+             ROUND(SUM(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                   / (COUNT(*) * 1e0), 6) AS late_frac,
+             CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+      FROM lag_us GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_events, a.n_late, a.late_frac,
+           a.max_lateness_us,
+           CAST(p.p95_lateness_us AS BIGINT) AS p95_lateness_us
+    FROM agg a JOIN p95 p ON p.event_type = a.event_type
+    ORDER BY a.event_type
+""")
+def events_watermark_lag_profile(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: treating event_id as ARRIVAL order
+    and ts as EVENT time, how far behind the per-type event-time
+    high-watermark does each arriving event land? The p95/max
+    lateness here IS the measured justification for a streaming
+    job's withWatermark threshold — pick the delay that covers the
+    observed tail, and the late_frac column quantifies what a
+    tighter watermark would drop. (The streaming module defaults to
+    30-minute watermarks; this operator is how that number gets
+    audited against real arrival data.)
+
+    One running-max window per type ordered by arrival (at 100 TB:
+    partition by (type, arrival-day) since the high-watermark resets
+    negligibly across day boundaries), one agg. Lateness is exact
+    integer microseconds; the discrete p95 (quantile_disc = an actual
+    data value, no interpolation) keeps both engines bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    aw = W.partitionBy("event_type").orderBy("event_id")
+    arr = ev.select("event_type", "ts",
+                    F.max("ts").over(aw).alias("high_water"))
+    lat = arr.select("event_type",
+                     (F.unix_micros("high_water")
+                      - F.unix_micros("ts")).alias("lateness_us"))
+    late = F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0))
+    # discrete p95 by explicit rank selection (value at ceil(0.95n)) —
+    # stated identically in the oracle, so no engine-specific
+    # percentile interpolation/rounding can diverge
+    rw = W.partitionBy("event_type").orderBy("lateness_us")
+    cw = W.partitionBy("event_type")
+    p95 = (lat
+           .withColumn("rn", F.row_number().over(rw))
+           .withColumn("n", F.count(F.lit(1)).over(cw))
+           .where(F.col("rn")
+                  == F.ceil(F.lit(0.95) * F.col("n")).cast("bigint"))
+           .select("event_type",
+                   F.col("lateness_us").cast("bigint")
+                   .alias("p95_lateness_us")))
+    agg = (lat.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                late.cast("bigint").alias("n_late"),
+                F.round(late / (F.count(F.lit(1)) * F.lit(1.0)), 6)
+                .alias("late_frac"),
+                F.max("lateness_us").cast("bigint")
+                .alias("max_lateness_us")))
+    return (agg.join(p95, "event_type")
+            .select("event_type", "n_events", "n_late", "late_frac",
+                    "max_lateness_us", "p95_lateness_us")
+            .orderBy("event_type"))
