@@ -667,3 +667,27 @@ def test_user_lifecycle_accounting_identities(spark, sf_dir):
         if i > 0:
             prev_a = actives.iloc[i - 1]
             assert a == prev_a - r.n_churned + r.n_new + r.n_resurrected
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    got = relational.events_peak_concurrency(spark, sf_dir).toPandas()
+    from mongo_cdc_spark.io import load_table
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["d"] = ev.ts.dt.floor("D")
+    dau = ev.groupby("d").user_id.nunique()
+    assert len(got) == len(dau)
+    got = got.sort_values("day").reset_index(drop=True)
+    # peak is at least 1 and can never exceed that day's distinct users
+    assert (got.peak_concurrency >= 1).all()
+    assert (got.peak_concurrency.values <= dau.sort_index().values).all()
+    # the first peak instant lies within (or at the release boundary
+    # just past) its day
+    assert (got.first_peak_at.dt.floor("D") >= got.day).all()
+
+
+def test_watermark_lag_profile_invariants(spark, sf_dir):
+    got = relational.events_watermark_lag_profile(spark, sf_dir).toPandas()
+    assert (got.n_late <= got.n_events).all()
+    assert ((got.late_frac >= 0) & (got.late_frac <= 1)).all()
+    assert (got.p95_lateness_us <= got.max_lateness_us).all()
+    assert (got.max_lateness_us >= 0).all()
