@@ -120,6 +120,8 @@ _GRADE_FIRST = (
     "layout_range_bounds", "sketch_accuracy_eval",
     "multimodal_image_phash", "events_user_lifecycle",
     "events_peak_concurrency", "events_watermark_lag_profile",
+    "join_hint_merge", "events_hour_dow_heatmap",
+    "multimodal_audio_vad", "events_bot_score",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -126,6 +126,10 @@ HEADLINE = [
     ("user_lifecycle", relational.events_user_lifecycle),
     ("peak_concurrency", relational.events_peak_concurrency),
     ("watermark_lag", relational.events_watermark_lag_profile),
+    ("hint_merge", relational.join_hint_merge),
+    ("hour_dow_heatmap", relational.events_hour_dow_heatmap),
+    ("audio_vad", multimodal.multimodal_audio_vad),
+    ("bot_score", relational.events_bot_score),
 ]
 
 

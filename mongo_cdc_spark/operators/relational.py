@@ -4059,3 +4059,146 @@ def events_watermark_lag_profile(spark: SparkSession,
             .select("event_type", "n_events", "n_late", "late_frac",
                     "max_lateness_us", "p95_lateness_us")
             .orderBy("event_type"))
+
+
+@query("join_hint_merge", sql="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+""")
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy control, MERGE flavor (completing the hint
+    family next to join_hint_shuffle_hash): the lineitem ⋈ orders join
+    is forced to sort-merge — the right call when BOTH sides are huge
+    and sorted runs can spill (a 100 TB fact ⋈ 10 TB fact, where a
+    hash table for either side's partitions would blow memory). The
+    hint changes ONLY the physical operator: results hash-match the
+    plain SQL, and tests assert a SortMergeJoin (not BHJ/SHJ) lands
+    in the plan.
+    """
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .hint("merge"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("total_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("events_hour_dow_heatmap", sql="""
+    SELECT CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def events_hour_dow_heatmap(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap (events, distinct
+    users, value mass per cell) — the standard load-shape matrix
+    behind capacity dashboards and send-time optimization.
+
+    One partial-aggregatable shuffle onto a fixed 24x7 key space —
+    per-task state is bounded at 168 cells regardless of input size,
+    the ideal map-side-combine shape. ISO day-of-week (Mon=1) on both
+    engines (Spark dayofweek() is Sun=1; weekday()+1 matches ISO)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("dow", "hour"))
+
+
+@query("events_bot_score", sql="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ), per_user AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT date_trunc('hour', ts)) AS active_hours,
+             ROUND(AVG(gap_us), 6) AS mean_gap_us,
+             ROUND(stddev_samp(gap_us), 6) AS sd_gap_us
+      FROM gaps GROUP BY user_id
+    ), burst AS (
+      SELECT user_id, MAX(m) AS max_burst_1min FROM (
+        SELECT user_id, COUNT(*) AS m
+        FROM events GROUP BY user_id, date_trunc('minute', ts)
+      ) GROUP BY user_id
+    )
+    SELECT p.user_id,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           ROUND(p.n_events / (p.active_hours * 1e0), 6)
+             AS events_per_active_hour,
+           CAST(b.max_burst_1min AS INT) AS max_burst_1min,
+           ROUND(p.sd_gap_us / p.mean_gap_us, 6) AS gap_cv,
+           CAST(CASE WHEN p.n_events / (p.active_hours * 1e0) > 2.0
+                     THEN 1 ELSE 0 END
+              + CASE WHEN b.max_burst_1min >= 3 THEN 1 ELSE 0 END
+              + CASE WHEN p.sd_gap_us / p.mean_gap_us < 0.5
+                     THEN 1 ELSE 0 END AS INT) AS bot_points
+    FROM per_user p JOIN burst b ON b.user_id = p.user_id
+    ORDER BY p.user_id
+""")
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation heuristic per user: sustained rate (events per
+    active hour), burstiness (max events in any one minute), and
+    inter-arrival REGULARITY (coefficient of variation of gaps — the
+    strongest automation tell: humans are bursty, cron jobs are
+    metronomes). Three thresholded flags sum to a 0-3 bot score —
+    the cheap triage layer abuse pipelines run before any model.
+
+    Plan: one per-user window for gaps + one grouped pass for rate
+    and regularity, one (user, minute) agg for bursts — all
+    partial-aggregatable, all keyed on user_id so a 100 TB event log
+    shuffles each stat once. Gap stats are exact integer microseconds
+    averaged at 6 dp; the CV ratio divides two already-rounded
+    doubles, so both engines compare identical values against the
+    thresholds."""
+    ev = _t(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts",
+        (F.unix_micros("ts")
+         - F.unix_micros(F.lag("ts").over(uw))).alias("gap_us"))
+    per_user = (gaps.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct(F.date_trunc("hour", "ts"))
+                     .alias("active_hours"),
+                     F.round(F.avg("gap_us"), 6).alias("mean_gap_us"),
+                     F.round(F.stddev_samp("gap_us"), 6)
+                     .alias("sd_gap_us")))
+    burst = (ev.groupBy("user_id", F.date_trunc("minute", "ts"))
+             .agg(F.count(F.lit(1)).alias("m"))
+             .groupBy("user_id")
+             .agg(F.max("m").alias("max_burst_1min")))
+    rate = F.col("n_events") / (F.col("active_hours") * F.lit(1.0))
+    cv = F.col("sd_gap_us") / F.col("mean_gap_us")
+    points = ((F.when(rate > 2.0, 1).otherwise(0))
+              + (F.when(F.col("max_burst_1min") >= 3, 1).otherwise(0))
+              + (F.when(cv < 0.5, 1).otherwise(0)))
+    return (per_user.join(burst, "user_id")
+            .select("user_id",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.round(rate, 6).alias("events_per_active_hour"),
+                    F.col("max_burst_1min").cast("int")
+                    .alias("max_burst_1min"),
+                    F.round(cv, 6).alias("gap_cv"),
+                    points.cast("int").alias("bot_points"))
+            .orderBy("user_id"))

@@ -258,3 +258,31 @@ def test_image_phash_identical_docs_share_fingerprint(spark, sf_dir):
         assert g.phash_hi.nunique() == 1 and g.phash_lo.nunique() == 1
         assert (g.dup_group_size >= len(g)).all()
     assert ((got.bits_set >= 0) & (got.bits_set <= 64)).all()
+
+
+def test_audio_vad_reference_and_bounds(spark, sf_dir):
+    from mongo_cdc_spark.operators import multimodal as mm
+    got = mm.multimodal_audio_vad(spark, sf_dir).toPandas()
+    assert (got.n_frames == mm._VAD_FRAMES).all()
+    assert ((got.n_active >= 0) & (got.n_active < mm._VAD_FRAMES)).all()
+    assert (got.longest_run <= got.n_active).all()
+    # byte-arithmetic reference for one doc, bypassing the wave module
+    from mongo_cdc_spark.io import load_table
+    import struct
+    doc = (load_table(spark, sf_dir, "documents").toPandas()
+           .sort_values("doc_id").iloc[0])
+    raw = doc.text.encode()
+    n_bytes = mm._AUD_SAMPLES * 2
+    body = (raw * (n_bytes // len(raw) + 1))[:n_bytes]
+    samples = struct.unpack(f"<{mm._AUD_SAMPLES}h", body)
+    es = [sum(s * s for s in samples[f * mm._VAD_FRAME:
+                                     (f + 1) * mm._VAD_FRAME])
+          for f in range(mm._VAD_FRAMES)]
+    active = [e * mm._VAD_FRAMES > sum(es) for e in es]
+    longest = run = 0
+    for a in active:
+        run = run + 1 if a else 0
+        longest = max(longest, run)
+    row = got[got.doc_id == doc.doc_id].iloc[0]
+    assert row.n_active == sum(active)
+    assert row.longest_run == longest

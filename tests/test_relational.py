@@ -691,3 +691,26 @@ def test_watermark_lag_profile_invariants(spark, sf_dir):
     assert ((got.late_frac >= 0) & (got.late_frac <= 1)).all()
     assert (got.p95_lateness_us <= got.max_lateness_us).all()
     assert (got.max_lateness_us >= 0).all()
+
+
+def test_join_hint_forces_sort_merge_join(spark, sf_dir):
+    """The merge hint must land a SortMergeJoin in the physical plan
+    (no broadcast, no shuffled-hash) without changing results."""
+    df = relational.join_hint_merge(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_bot_score_components_consistent(spark, sf_dir):
+    got = relational.events_bot_score(spark, sf_dir).toPandas()
+    assert ((got.bot_points >= 0) & (got.bot_points <= 3)).all()
+    assert (got.max_burst_1min >= 1).all()
+    assert (got.gap_cv > 0).all()
+    # each flag matches its own threshold re-derived from the output
+    import numpy as np
+    expect = ((got.events_per_active_hour > 2.0).astype(int)
+              + (got.max_burst_1min >= 3).astype(int)
+              + (got.gap_cv < 0.5).astype(int))
+    assert (got.bot_points == expect).all()
