@@ -130,6 +130,9 @@ HEADLINE = [
     ("hour_dow_heatmap", relational.events_hour_dow_heatmap),
     ("audio_vad", multimodal.multimodal_audio_vad),
     ("bot_score", relational.events_bot_score),
+    ("seasonal_strength", timeseries.ts_seasonal_strength),
+    ("bollinger", timeseries.ts_bollinger_bands),
+    ("abc_class", relational.parts_abc_classification),
 ]
 
 

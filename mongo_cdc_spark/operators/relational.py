@@ -4202,3 +4202,71 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(cv, 6).alias("gap_cv"),
                     points.cast("int").alias("bot_points"))
             .orderBy("user_id"))
+
+
+@query("parts_abc_classification", sql="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum_c,
+             SUM(rev_c) OVER () AS total_c
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, rev_c,
+             CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(rev_c) / 100.0, 2) AS revenue,
+           ROUND(SUM(rev_c) * 1e0 / MAX(t.total), 6) AS revenue_share
+    FROM classed
+    CROSS JOIN (SELECT SUM(rev_c) AS total FROM rev) t
+    GROUP BY abc ORDER BY abc
+""")
+def parts_abc_classification(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering the first 80% of cumulative revenue, B to
+    95%, C the tail — the Pareto workhorse of assortment and
+    inventory planning, reported as class sizes and revenue shares.
+
+    Determinism end-to-end in INTEGER CENTS (the customer_ltv_curve
+    lesson): per-part revenue folds to exact BIGINT cents, the
+    running total is exact, and the 80/95 cuts compare cum*100 <=
+    total*80 in pure integers — no double cumsum, no round boundary.
+    The ranking window orders by (rev DESC, partkey) so ties are
+    stable. One part-grain shuffle + one global-ordered window (at
+    100 TB: rank against a sampled quantile boundary instead of the
+    exact global cumsum — same output classes within sampling error,
+    documented trade; the exact form is right while parts fit a
+    window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("bigint")).alias("rev_c")))
+    wcum = (W.orderBy(F.desc("rev_c"), "l_partkey")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy(F.lit(1))
+    classed = (rev
+               .withColumn("cum_c", F.sum("rev_c").over(wcum))
+               .withColumn("total_c", F.sum("rev_c").over(wall))
+               .withColumn("abc",
+                           F.when(F.col("cum_c") * 100
+                                  <= F.col("total_c") * 80, "A")
+                           .when(F.col("cum_c") * 100
+                                 <= F.col("total_c") * 95, "B")
+                           .otherwise("C")))
+    total = rev.agg(F.sum("rev_c").alias("total"))
+    return (classed.crossJoin(F.broadcast(total))
+            .groupBy("abc")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
+                 F.round(F.sum("rev_c") * F.lit(1.0) / F.max("total"), 6)
+                 .alias("revenue_share"))
+            .orderBy("abc"))

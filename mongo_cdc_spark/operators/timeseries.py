@@ -636,3 +636,112 @@ def events_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(rate - half, 6).alias("rate_lo"),
                         F.round(rate + half, 6).alias("rate_hi"))
             .orderBy("event_type"))
+
+
+@query("ts_seasonal_strength", sql="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, value
+      FROM events
+    ), seas AS (
+      SELECT event_type, hod, AVG(value) AS s
+      FROM base GROUP BY 1, 2
+    ), joined AS (
+      SELECT b.event_type, b.value, b.value - s.s AS resid
+      FROM base b JOIN seas s
+        ON s.event_type = b.event_type AND s.hod = b.hod
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(var_samp(value), 4) AS var_total,
+           ROUND(var_samp(resid), 4) AS var_resid,
+           ROUND(GREATEST(0, 1 - var_samp(resid) / var_samp(value)), 6)
+             AS seasonal_strength
+    FROM joined GROUP BY event_type ORDER BY event_type
+""")
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength decomposition (the STL-lite diagnostic): fit
+    the hour-of-day profile as the seasonal component, measure
+    max(0, 1 - Var(residual)/Var(series)) — ~1 means the diurnal
+    cycle explains the series, ~0 means the hour-of-day baseline
+    (and any alerting built on it, e.g. events_seasonal_anomaly's
+    per-clock-hour z-scores) adds nothing for that metric.
+
+    Plan: the seasonal profile is a 24-slot-per-type agg; joining it
+    back is a broadcast (|types| x 24 rows) onto one narrow pass, and
+    the variance aggregates partial-combine. Two data-sized passes
+    total, zero windows. Variances round at 4 dp (they sit in the
+    1e3 range; the strength ratio divides unrounded doubles and
+    rounds at 6 where engine noise is ~1e-10 relative)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", F.hour("ts").alias("hod"), "value")
+    seas = (base.groupBy("event_type", "hod")
+            .agg(F.avg("value").alias("s")))
+    joined = (base.join(F.broadcast(seas), ["event_type", "hod"])
+              .select("event_type", "value",
+                      (F.col("value") - F.col("s")).alias("resid")))
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.var_samp("value"), 4).alias("var_total"),
+                 F.round(F.var_samp("resid"), 4).alias("var_resid"),
+                 F.round(F.greatest(
+                     F.lit(0.0),
+                     1 - F.var_samp("resid") / F.var_samp("value")), 6)
+                 .alias("seasonal_strength"))
+            .orderBy("event_type"))
+
+
+@query("ts_bollinger_bands", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             ROUND(SUM(value), 6) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), bands AS (
+      SELECT d, v,
+             ROUND(AVG(v) OVER w, 6) AS ma,
+             ROUND(stddev_samp(v) OVER w, 6) AS sd,
+             COUNT(*) OVER w AS n_window
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, v, ma,
+           ROUND(ma - 2 * sd, 6) AS lower_band,
+           ROUND(ma + 2 * sd, 6) AS upper_band,
+           CASE WHEN n_window >= 7 AND v > ma + 2 * sd THEN 'above'
+                WHEN n_window >= 7 AND v < ma - 2 * sd THEN 'below'
+                WHEN n_window >= 7 THEN 'inside'
+                ELSE 'warmup' END AS band_state
+    FROM bands ORDER BY d
+""")
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily purchase revenue: trailing-7-day
+    rolling mean ± 2 rolling standard deviations, with each day
+    classified inside/above/below (breakout detection) and the
+    partial-window warm-up labeled rather than silently mis-banded —
+    the rolling-band complement to the EWMA trend and CUSUM
+    change-point operators.
+
+    One data-sized partial-agg to daily grain; the rolling window
+    runs on ~60 day-rows. Determinism: daily sums and the rolling
+    mean/sd round at 6 dp BEFORE the band comparison, so both
+    engines classify identical doubles against identical bands (the
+    LTV lesson: never compare unrounded window aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.round(F.sum("value"), 6).alias("v")))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    bands = (daily
+             .withColumn("ma", F.round(F.avg("v").over(w), 6))
+             .withColumn("sd", F.round(F.stddev_samp("v").over(w), 6))
+             .withColumn("n_window", F.count(F.lit(1)).over(w)))
+    full = F.col("n_window") >= 7
+    return (bands.select(
+        "d", "v", "ma",
+        F.round(F.col("ma") - 2 * F.col("sd"), 6).alias("lower_band"),
+        F.round(F.col("ma") + 2 * F.col("sd"), 6).alias("upper_band"),
+        F.when(full & (F.col("v") > F.col("ma") + 2 * F.col("sd")),
+               "above")
+        .when(full & (F.col("v") < F.col("ma") - 2 * F.col("sd")),
+              "below")
+        .when(full, "inside").otherwise("warmup").alias("band_state"))
+        .orderBy("d"))
