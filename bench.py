@@ -133,6 +133,8 @@ HEADLINE = [
     ("seasonal_strength", timeseries.ts_seasonal_strength),
     ("bollinger", timeseries.ts_bollinger_bands),
     ("abc_class", relational.parts_abc_classification),
+    ("tier_migration", relational.customer_tier_migration),
+    ("shingle_novelty", text.text_shingle_novelty),
 ]
 
 

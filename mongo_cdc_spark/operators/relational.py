@@ -4270,3 +4270,78 @@ def parts_abc_classification(spark: SparkSession,
                  F.round(F.sum("rev_c") * F.lit(1.0) / F.max("total"), 6)
                  .alias("revenue_share"))
             .orderBy("abc"))
+
+
+@query("customer_tier_migration", sql="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(o_orderdate))
+              + (epoch_us(MAX(o_orderdate))
+                 - epoch_us(MIN(o_orderdate))) // 2) AS mid_us
+      FROM orders
+    ), spend AS (
+      SELECT o_custkey,
+             CASE WHEN epoch_us(o_orderdate) < b.mid_us
+                  THEN 'H1' ELSE 'H2' END AS half,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ), tiers AS (
+      SELECT o_custkey, half,
+             ntile(3) OVER (PARTITION BY half
+                            ORDER BY cents DESC, o_custkey) AS tier
+      FROM spend
+    ), wide AS (
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS cust,
+             COALESCE('T' || a.tier, 'absent') AS tier_h1,
+             COALESCE('T' || b.tier, 'absent') AS tier_h2
+      FROM (SELECT * FROM tiers WHERE half = 'H1') a
+      FULL OUTER JOIN (SELECT * FROM tiers WHERE half = 'H2') b
+        ON b.o_custkey = a.o_custkey
+    )
+    SELECT tier_h1, tier_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM wide GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def customer_tier_migration(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix: split the order history at
+    its midpoint, rank customers into spend tertiles (T1 = top) within
+    each half, and count every (first-half tier -> second-half tier)
+    transition including churn-in/out ('absent') — the movement matrix
+    behind "are our best customers upgrading or decaying".
+
+    Determinism: spend folds to exact integer cents; the midpoint is
+    integer epoch-microsecond arithmetic; tertiles are ntile(3) over
+    (cents DESC, custkey) — a total order, so both engines assign
+    identical tiers. One customer-grain shuffle per half + a keyed
+    full-outer join; the matrix is 4x4."""
+    o = _t(spark, sf_dir, "orders")
+    od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    bounds = o.agg(
+        (F.min(od_us)
+         + ((F.max(od_us) - F.min(od_us)) / F.lit(2)).cast("bigint"))
+        .alias("mid_us"))
+    spend = (o.crossJoin(F.broadcast(bounds))
+             .groupBy("o_custkey",
+                      F.when(F.unix_micros(
+                          F.col("o_orderdate").cast("timestamp"))
+                             < F.col("mid_us"), "H1").otherwise("H2")
+                      .alias("half"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).alias("cents")))
+    tw = W.partitionBy("half").orderBy(F.desc("cents"), "o_custkey")
+    tiers = spend.withColumn("tier", F.ntile(3).over(tw))
+    h1 = (tiers.where(F.col("half") == "H1")
+          .select(F.col("o_custkey").alias("cust"),
+                  F.concat(F.lit("T"), F.col("tier")).alias("tier_h1")))
+    h2 = (tiers.where(F.col("half") == "H2")
+          .select(F.col("o_custkey").alias("cust"),
+                  F.concat(F.lit("T"), F.col("tier")).alias("tier_h2")))
+    wide = (h1.join(h2, "cust", "full")
+            .select(F.coalesce("tier_h1", F.lit("absent"))
+                    .alias("tier_h1"),
+                    F.coalesce("tier_h2", F.lit("absent"))
+                    .alias("tier_h2")))
+    return (wide.groupBy("tier_h1", "tier_h2")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("tier_h1", "tier_h2"))

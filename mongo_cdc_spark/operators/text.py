@@ -1004,3 +1004,56 @@ def text_js_divergence_sources(spark: SparkSession,
             .agg(F.max("t").cast("bigint").alias("n_tokens"),
                  F.round(jsd, 6).alias("jsd_nats"))
             .orderBy("source"))
+
+
+@query("text_shingle_novelty", sql="""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM arr)
+    ), df AS (
+      SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1e0), 6) AS novelty
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+""")
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty score: the fraction of each document's distinct
+    word 3-grams that appear NOWHERE else in the corpus — the inverse
+    of the dedup family's overlap signals. High novelty marks unique
+    content worth keeping; near-zero novelty marks boilerplate and
+    template spam even when no single pair-wise duplicate exists
+    (the N-to-N redundancy case MinHash pairs miss).
+
+    Plan: the same materialized-token-array + distinct-shingle shape
+    as the dedup inverted index (HOF-CSE discipline; the shuffle
+    carries 8-byte shingle hashes, not strings), one document-
+    frequency agg, one hash-keyed join back, one per-doc rollup —
+    every stage partial-aggregatable."""
+    arr = _docs(spark, sf_dir).select("doc_id", _tokens().alias("w"))
+    sh = (arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 2), (x, i) -> "
+            "xxhash64(concat_ws(' ', x, element_at(w, i + 2), "
+            "element_at(w, i + 3))))")).alias("sh"))
+        .distinct())
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (sh.join(df, "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 novel.cast("bigint").alias("n_novel"),
+                 F.round(novel / (F.count(F.lit(1)) * F.lit(1.0)), 6)
+                 .alias("novelty"))
+            .orderBy("doc_id"))
