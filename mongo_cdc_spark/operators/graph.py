@@ -403,8 +403,11 @@ def graph_supplier_similarity(spark: SparkSession,
     the degree frames, and the pair count all partial-aggregate
     map-side; the top-k is a TakeOrdered, not a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    e = li.select(F.col("l_suppkey").alias("s"),
-                  F.col("l_partkey").alias("p")).distinct()
+    # persisted: the degree agg and both sides of the postings
+    # self-join read the distinct edge frame — otherwise the distinct
+    # collapse runs three times
+    e = (li.select(F.col("l_suppkey").alias("s"),
+                   F.col("l_partkey").alias("p")).distinct()).persist()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a = e.alias("a")
     b = e.alias("b")

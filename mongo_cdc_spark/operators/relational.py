@@ -3667,8 +3667,11 @@ def events_dau_wau_stickiness(spark: SparkSession,
     collapse; the explode runs on user-day grain, which grows with
     users x days, not events."""
     ev = _t(spark, sf_dir, "events")
+    # persisted: both the DAU count and the WAU explode consume the
+    # distinct user-day collapse — without it each re-runs the only
+    # data-sized shuffle
     daily = (ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
-             .distinct())
+             .distinct()).persist()
     dau = daily.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     contrib = daily.select(
         "user_id",
@@ -3730,9 +3733,11 @@ def customer_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binary double) disagree — both failure modes observed here
     before the integer formulation."""
     o = _t(spark, sf_dir, "orders")
+    # persisted: consumed by both the revenue join and the cohort-size
+    # agg — otherwise the customer-grain first-order shuffle runs twice
     firstm = (o.groupBy("o_custkey")
               .agg(F.min(F.date_trunc("month", "o_orderdate"))
-                   .alias("cohort")))
+                   .alias("cohort"))).persist()
     rev = (o.join(firstm, "o_custkey")
            .groupBy("cohort",
                     F.months_between(
@@ -3852,11 +3857,14 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     actives = (ev.select("user_id",
                          F.date_trunc("week", "ts").alias("w"))
                .distinct())
-    maxw = actives.agg(F.max("w").alias("mw"))
     uw = W.partitionBy("user_id").orderBy("w")
+    # persisted: the state branch and the generated-churn branch of the
+    # union both read seq (and the max-week bound derives from it), so
+    # without it the distinct collapse + window would run three times
     seq = (actives
            .withColumn("pw", F.lag("w").over(uw))
-           .withColumn("nw", F.lead("w").over(uw)))
+           .withColumn("nw", F.lead("w").over(uw))).persist()
+    maxw = seq.agg(F.max("w").alias("mw"))
     states = (seq.select(
         "w",
         F.when(F.col("pw").isNull(), "new")
@@ -3948,10 +3956,12 @@ def events_peak_concurrency(spark: SparkSession,
                      F.when(F.col("gap_us").isNull()
                             | (F.col("gap_us") > 600000000), 1)
                      .otherwise(0)).over(uw)))
+    # persisted: the +1 and -1 delta branches both read the session
+    # frame — otherwise the per-user sessionization window runs twice
     sess = (with_sess.groupBy("user_id", "sess_id")
             .agg(F.min("ts").alias("s_start"),
                  (F.max("ts") + F.expr("INTERVAL 10 MINUTES"))
-                 .alias("s_end")))
+                 .alias("s_end"))).persist()
     d = F.date_trunc("day", "s_start")
     deltas = (sess.select(d.alias("d"), F.col("s_start").alias("t"),
                           F.lit(1).alias("delta"), "user_id")
@@ -3959,7 +3969,10 @@ def events_peak_concurrency(spark: SparkSession,
                   sess.select(d.alias("d"), F.col("s_end").alias("t"),
                               F.lit(-1).alias("delta"), "user_id")))
     sweep = W.partitionBy("d").orderBy("t", "delta", "user_id")
-    swept = deltas.withColumn("conc", F.sum("delta").over(sweep))
+    # persisted: read once for the per-day max and again to locate the
+    # first instant that attains it
+    swept = (deltas.withColumn("conc", F.sum("delta").over(sweep))
+             .persist())
     peak = (swept.groupBy("d")
             .agg(F.max("conc").alias("peak_concurrency")))
     first_at = (swept.join(F.broadcast(peak), "d")
@@ -4330,7 +4343,9 @@ def customer_tier_migration(spark: SparkSession,
              .agg(F.sum(F.round(F.col("o_totalprice") * 100)
                         .cast("bigint")).alias("cents")))
     tw = W.partitionBy("half").orderBy(F.desc("cents"), "o_custkey")
-    tiers = spend.withColumn("tier", F.ntile(3).over(tw))
+    # persisted: the H1 and H2 legs of the full-outer both read the
+    # tier frame — otherwise the spend shuffle + ntile window run twice
+    tiers = spend.withColumn("tier", F.ntile(3).over(tw)).persist()
     h1 = (tiers.where(F.col("half") == "H1")
           .select(F.col("o_custkey").alias("cust"),
                   F.concat(F.lit("T"), F.col("tier")).alias("tier_h1")))

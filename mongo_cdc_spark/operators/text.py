@@ -984,8 +984,11 @@ def text_js_divergence_sources(spark: SparkSession,
     vocabulary-grain."""
     toks = (_docs(spark, sf_dir)
             .select("source", F.explode(_tokens()).alias("tok")))
+    # persisted: three consumers (per-source totals, corpus marginal,
+    # the probability frame) would otherwise each re-run the data-sized
+    # (source, token) count shuffle
     src = (toks.groupBy("source", "tok")
-           .agg(F.count(F.lit(1)).alias("c")))
+           .agg(F.count(F.lit(1)).alias("c"))).persist()
     srctot = src.groupBy("source").agg(F.sum("c").alias("t"))
     corp = src.groupBy("tok").agg(F.sum("c").alias("cc"))
     corptot = corp.agg(F.sum("cc").alias("ct"))

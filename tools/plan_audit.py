@@ -30,7 +30,15 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              "multimodal_audio_decode",
              # the resample transform runs the same real WAV decoder
              # + decimation in the one declared mapInPandas stage:
-             "multimodal_audio_resample"}
+             "multimodal_audio_resample",
+             # perceptual average-hash: the real PPM decoder + integer
+             # block-sum fingerprint run in the one declared
+             # mapInPandas stage (multimodal_real_decode's shape):
+             "multimodal_image_phash",
+             # voice-activity detection: the real WAV decoder + integer
+             # frame-energy flags run in the one declared mapInPandas
+             # stage:
+             "multimodal_audio_vad"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
@@ -90,7 +98,16 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # so AQE broadcasts the hit side exactly when measured
           # small; the scoring stage itself is broadcast-benchmark,
           # shuffle-free:
-          "train_decontaminate_semantic": 1}
+          "train_decontaminate_semantic": 1,
+          # join_hint_merge: the SortMergeJoin IS the point — the query
+          # demonstrates forcing SMJ via the merge hint for the
+          # both-sides-huge case, and its plan test asserts exactly one
+          # lands:
+          "join_hint_merge": 1,
+          # tier migration: full-outer join of the H1 and H2 tier
+          # frames — both customer-grain (data-sized at 100 TB) and
+          # full-outer cannot broadcast a preserved side:
+          "customer_tier_migration": 1}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
@@ -99,6 +116,12 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
 # agg_approx_sketches); every extra exchange carries only small-key
 # aggregated rows, map-side combined:
 SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
+               # JSD: ONE data-sized shuffle (the persisted
+               # (source, token) count); the other exchanges move
+               # |sources| x |vocab| probability rows through the
+               # marginal aggs and the token join — metadata-grain at
+               # any corpus size:
+               "text_js_divergence_sources": 7,
                # sliding bitmap merge: only the (day, bucket) bitmap
                # construction is data-sized; the other exchanges move
                # the days x buckets grid of fixed-size binary state
