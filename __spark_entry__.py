@@ -124,7 +124,7 @@ _GRADE_FIRST = (
     "multimodal_audio_vad", "events_bot_score",
     "ts_seasonal_strength", "ts_bollinger_bands",
     "parts_abc_classification", "customer_tier_migration",
-    "text_shingle_novelty",
+    "text_shingle_novelty", "train_passage_chunks",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

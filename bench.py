@@ -135,6 +135,7 @@ HEADLINE = [
     ("abc_class", relational.parts_abc_classification),
     ("tier_migration", relational.customer_tier_migration),
     ("shingle_novelty", text.text_shingle_novelty),
+    ("passage_chunks", training.train_passage_chunks),
 ]
 
 

@@ -1004,3 +1004,94 @@ def train_bpe_tokenize_apply(spark: SparkSession,
                             / F.col("n_bpe_tokens"), 6)
                     .alias("chars_per_token"))
             .orderBy("lang"))
+
+
+# RAG passage chunking: fixed-size sliding chunks with overlap.
+_CHUNK = 10          # tokens per passage
+_STRIDE = 8          # chunk - overlap(2)
+
+
+@query("train_passage_chunks", sql=f"""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, k AS chunk_idx,
+             array_to_string(w[k * {_STRIDE} + 1 :
+                               k * {_STRIDE} + {_CHUNK}], ' ')
+               AS passage,
+             LEAST({_CHUNK}, len(w) - k * {_STRIDE}) AS n_tokens
+      FROM (SELECT *,
+                   unnest(generate_series(
+                       0, CAST(CEIL(len(w) / {_STRIDE}.0) AS BIGINT)
+                          - 1)) AS k
+            FROM arr)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           passage, CAST(n_tokens AS INT) AS n_tokens
+    FROM chunks
+    WHERE doc_id < 50
+    ORDER BY doc_id, chunk_idx
+""")
+def train_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage chunking: each document splits into {c}-token
+    passages with a {o}-token overlap (stride {s}) — the retrieval
+    pre-processing every RAG/embedding pipeline runs before indexing.
+    Graded on the first 50 docs to keep the oracle frame small; the
+    plan is corpus-wide.
+
+    The GRADED path is pure JVM array ops (one materialized token
+    array, one sequence/explode, slice + concat_ws per chunk — a
+    narrow generate, no Python). The package also ships the same
+    chunker as a PYTHON UDTF (`PassageChunker`,
+    `passage_chunks_udtf`) — the lateral-join extension point
+    SURVEY §2.2 declares — and tests/test_training.py asserts the
+    UDTF's output frame-equals this SQL formulation; the UDTF is the
+    extensibility demo, the JVM path is what runs at 100 TB.""".format(
+        c=_CHUNK, o=_CHUNK - _STRIDE, s=_STRIDE)
+    arr = (_docs(spark, sf_dir)
+           .where(F.col("doc_id") < 50)
+           .select("doc_id", _tokens().alias("w")))
+    chunks = (arr.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.ceil(F.size("w") / F.lit(float(_STRIDE))).cast("int")
+            - 1)).alias("chunk_idx"),
+        "w"))
+    sl = F.slice(F.col("w"),
+                 F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return (chunks.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(sl, " ").alias("passage"),
+        F.least(F.lit(_CHUNK),
+                F.size("w") - F.col("chunk_idx") * _STRIDE)
+        .cast("int").alias("n_tokens"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+def passage_chunks_udtf(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The same chunker as a Python UDTF — the user-defined TABLE
+    function extension point (one input row -> many output rows via
+    LATERAL join). Row-at-a-time Python is the SLOW path; this exists
+    to prove the extension mechanism end-to-end (registration, lateral
+    SQL, schema contract), pinned frame-equal to the JVM formulation
+    in tests. Use the JVM path for production chunking."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, passage string, n_tokens int")
+    class PassageChunker:
+        def eval(self, text: str):
+            toks = text.split()
+            n = len(toks)
+            k = 0
+            while k * _STRIDE < n:
+                sl = toks[k * _STRIDE: k * _STRIDE + _CHUNK]
+                yield k, " ".join(sl), len(sl)
+                k += 1
+
+    spark.udtf.register("passage_chunker", PassageChunker)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.passage, c.n_tokens "
+        "FROM udtf_docs_in d, LATERAL passage_chunker(d.text) c")
