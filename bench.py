@@ -136,6 +136,7 @@ HEADLINE = [
     ("tier_migration", relational.customer_tier_migration),
     ("shingle_novelty", text.text_shingle_novelty),
     ("passage_chunks", training.train_passage_chunks),
+    ("theilsen", timeseries.ts_theilsen_trend),
 ]
 
 

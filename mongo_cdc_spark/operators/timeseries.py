@@ -745,3 +745,82 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
               "below")
         .when(full, "inside").otherwise("warmup").alias("band_state"))
         .orderBy("d"))
+
+
+def _theilsen_group(pdf):
+    """Per-group Theil-Sen estimator: median of all pairwise slopes,
+    intercept = median(y - slope*x). O(n²) pairs per group — exactly
+    the per-group dense-math shape grouped-map applyInPandas exists
+    for (n is bounded: one row per DAY per group)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("x")
+    x = pdf["x"].to_numpy(dtype="float64")
+    y = pdf["y"].to_numpy(dtype="float64")
+    i, j = np.triu_indices(len(x), k=1)
+    slopes = (y[j] - y[i]) / (x[j] - x[i])
+    slope = float(np.median(slopes))
+    intercept = float(np.median(y - slope * x))
+    import pandas as _p
+    return _p.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                         "n_days": [len(x)],
+                         "slope_per_day": [slope],
+                         "intercept": [intercept]})
+
+
+@query("ts_theilsen_trend", sql="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '2024-01-01',
+                       date_trunc('day', ts)) AS x,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ), sl AS (
+      SELECT event_type, quantile_cont(s, 0.5) AS slope
+      FROM pairs GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS INT) AS n_days,
+           ROUND(MAX(sl.slope), 6) AS slope_per_day,
+           ROUND(quantile_cont(d.y - sl.slope * d.x, 0.5), 6)
+             AS intercept
+    FROM daily d JOIN sl ON sl.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+""")
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise slopes of daily value totals (plus the median-residual
+    intercept) — the outlier-immune alternative to OLS for noisy
+    operational metrics (one bad day can't move it, unlike
+    regr_slope).
+
+    This is the declared GROUPED-MAP extension point
+    (df.groupBy().applyInPandas — §2.2 'UDF/UDAF/UDTF'): the O(n²)
+    pairwise-slope median is genuinely per-group dense matrix math,
+    the shape Arrow grouped-map exists for. State is bounded — one
+    row per DAY per group reaches Python, never raw events (the
+    data-sized work is the JVM daily pre-aggregation), so at 100 TB
+    each group ships ~365 rows/year regardless of event volume.
+    Determinism: day index and 6-dp-rounded daily sums are identical
+    on both engines; NumPy's median and DuckDB's quantile_cont(0.5)
+    both average the two middle values of identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"),
+                   F.lit("2024-01-01").cast("timestamp")).alias("x"))
+        .agg(F.round(F.sum("value"), 6).alias("y")))
+    fitted = (daily.groupBy("event_type").applyInPandas(
+        _theilsen_group,
+        schema=("event_type string, n_days int, slope_per_day double, "
+                "intercept double")))
+    return (fitted.select(
+        "event_type", "n_days",
+        F.round("slope_per_day", 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"))
+        .orderBy("event_type"))

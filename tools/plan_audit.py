@@ -38,7 +38,11 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # voice-activity detection: the real WAV decoder + integer
              # frame-energy flags run in the one declared mapInPandas
              # stage:
-             "multimodal_audio_vad"}
+             "multimodal_audio_vad",
+             # Theil-Sen: the O(n^2) pairwise-slope median runs in the
+             # one declared grouped-map applyInPandas stage over
+             # day-grain rows (JVM pre-aggregation bounds the group):
+             "ts_theilsen_trend"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
