@@ -125,7 +125,8 @@ _GRADE_FIRST = (
     "ts_seasonal_strength", "ts_bollinger_bands",
     "parts_abc_classification", "customer_tier_migration",
     "text_shingle_novelty", "train_passage_chunks",
-    "ts_theilsen_trend",
+    "ts_theilsen_trend", "knn_ivf_balance_report",
+    "events_incident_windows", "train_shard_manifest",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -137,6 +137,9 @@ HEADLINE = [
     ("shingle_novelty", text.text_shingle_novelty),
     ("passage_chunks", training.train_passage_chunks),
     ("theilsen", timeseries.ts_theilsen_trend),
+    ("ivf_balance", similarity.knn_ivf_balance_report),
+    ("incident_windows", timeseries.events_incident_windows),
+    ("shard_manifest", training.train_shard_manifest),
 ]
 
 

@@ -1726,3 +1726,96 @@ def kmeans_silhouette_eval(spark: SparkSession,
                  F.round(F.avg("s"), 6).alias("avg_silhouette"),
                  F.round(F.min("s"), 6).alias("min_silhouette"))
             .orderBy("label"))
+
+
+@query("knn_ivf_balance_report", sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv
+      FROM comp GROUP BY label
+    ), assigned AS (
+      SELECT e.vec_id,
+             ROUND(list_dot_product(e.v, cent.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cent.cv, cent.cv))), 6)
+               AS cos_sim,
+             cent.c_label
+      FROM e CROSS JOIN cent
+    ), best AS (
+      SELECT vec_id, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, c_label) AS rn
+      FROM assigned
+    ), cells AS (
+      SELECT c_label AS cell, COUNT(*) AS n_vecs
+      FROM best WHERE rn = 1 GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_vecs) AS n, COUNT(*) AS k,
+             SUM(n_vecs * n_vecs) AS sum_sq
+      FROM cells
+    )
+    SELECT c.cell, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(c.n_vecs * 1e0 / t.n, 6) AS share,
+           ROUND(c.n_vecs * t.k * 1e0 / t.n, 6) AS skew,
+           ROUND(t.sum_sq * t.k * 1e0 / (t.n * t.n), 6)
+             AS imbalance_factor
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.cell
+""")
+def knn_ivf_balance_report(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell vector counts, each cell's
+    skew vs the even split, and the global imbalance factor
+    (k·Σn²/N² — 1.0 = perfectly balanced, 2.0 = probe costs average
+    2x their fair share). Cell imbalance is THE IVF serving-latency
+    killer at scale (a hot cell makes every probe touching it scan
+    multiples of N/k), and this metadata-grain report is what decides
+    re-clustering — the ANN twin of layout_range_bounds' balance
+    audit.
+
+    Plan: reuses the IVF assignment shape (broadcast K centroids, one
+    narrow corpus scan, per-vector top-1) then aggregates to K rows;
+    the report math is a 1-row broadcast join. The imbalance factor
+    is exactly the expected relative probe cost under uniform query
+    distribution."""
+    e = _emb(spark, sf_dir)
+    comp = (e.select("label", F.posexplode("v").alias("i", "x"))
+            .groupBy("label", "i").agg(F.avg("x").alias("c")))
+    cent = (comp.groupBy(F.col("label").alias("c_label"))
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c")))
+                 .alias("pairs"))
+            .select("c_label",
+                    F.transform("pairs", lambda p: p.getField("c"))
+                    .alias("cv"))
+            .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv")))))
+    assigned = (e.crossJoin(F.broadcast(cent))
+                .select("vec_id", "c_label",
+                        F.round(cosine(F.col("v"), F.col("cv"),
+                                       F.col("norm"), F.col("cnorm")),
+                                6).alias("cos_sim")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
+                                        F.asc("c_label"))
+    cells = (assigned.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1")
+             .groupBy(F.col("c_label").alias("cell"))
+             .agg(F.count(F.lit(1)).alias("n_vecs")))
+    tot = cells.agg(F.sum("n_vecs").alias("n"),
+                    F.count(F.lit(1)).alias("k"),
+                    F.sum(F.col("n_vecs") * F.col("n_vecs"))
+                    .alias("sum_sq"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("cell",
+                    F.col("n_vecs").cast("bigint").alias("n_vecs"),
+                    F.round(F.col("n_vecs") * F.lit(1.0) / F.col("n"), 6)
+                    .alias("share"),
+                    F.round(F.col("n_vecs") * F.col("k") * F.lit(1.0)
+                            / F.col("n"), 6).alias("skew"),
+                    F.round(F.col("sum_sq") * F.col("k") * F.lit(1.0)
+                            / (F.col("n") * F.col("n")), 6)
+                    .alias("imbalance_factor"))
+            .orderBy("cell"))

@@ -824,3 +824,79 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope_per_day", 6).alias("slope_per_day"),
         F.round("intercept", 6).alias("intercept"))
         .orderBy("event_type"))
+
+
+@query("events_incident_windows", sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sd
+      FROM hourly GROUP BY 1
+    ), scored AS (
+      SELECT h.event_type, h.h, h.n,
+             ROUND((h.n - s.mu) / s.sd, 6) AS z
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+    ), flagged AS (
+      SELECT event_type, h, n, z,
+             epoch(h)::BIGINT // 3600 AS hidx
+      FROM scored WHERE ABS(z) > 2
+    ), islands AS (
+      SELECT *,
+             hidx - ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY hidx) AS isl
+      FROM flagged
+    )
+    SELECT event_type,
+           MIN(h) AS incident_start,
+           MAX(h) + INTERVAL 1 HOUR AS incident_end,
+           CAST(COUNT(*) AS INT) AS n_hours,
+           ROUND(MAX(ABS(z)), 6) AS peak_abs_z,
+           CAST(SUM(n) AS BIGINT) AS events_in_incident
+    FROM islands
+    GROUP BY event_type, isl
+    ORDER BY event_type, incident_start
+""")
+def events_incident_windows(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Incident-window extraction: hourly volume z-scores per type,
+    |z| > 2 hours flagged, and CONTIGUOUS flagged hours merged into
+    incidents (start, end, duration, peak z, event mass) via
+    gaps-and-islands — what turns a pointwise anomaly detector
+    (events_anomaly_zscore's grain) into the incident records an
+    on-call actually pages on: one row per episode, not one per
+    noisy hour.
+
+    Plan: one data-sized count to hour grain, per-type stats on
+    bucket rows, islands via (hour-index − row_number) on the FLAGGED
+    subset only (tiny), one island rollup. Determinism: z is rounded
+    at 6 dp BEFORE the |z|>2 comparison on both engines, so flag
+    membership can't flip on a stddev merge-order ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.avg("n").alias("mu"),
+                  F.stddev_samp("n").alias("sd")))
+    scored = (hourly.join(F.broadcast(stats), "event_type")
+              .select("event_type", "h", "n",
+                      F.round((F.col("n") - F.col("mu")) / F.col("sd"),
+                              6).alias("z")))
+    flagged = (scored.where(F.abs("z") > 2)
+               .withColumn("hidx",
+                           (F.unix_timestamp("h")
+                            / F.lit(3600)).cast("bigint")))
+    iw = Window.partitionBy("event_type").orderBy("hidx")
+    islands = flagged.withColumn(
+        "isl", F.col("hidx") - F.row_number().over(iw))
+    return (islands.groupBy("event_type", "isl")
+            .agg(F.min("h").alias("incident_start"),
+                 (F.max("h") + F.expr("INTERVAL 1 HOUR"))
+                 .alias("incident_end"),
+                 F.count(F.lit(1)).cast("int").alias("n_hours"),
+                 F.round(F.max(F.abs("z")), 6).alias("peak_abs_z"),
+                 F.sum("n").cast("bigint").alias("events_in_incident"))
+            .drop("isl")
+            .orderBy("event_type", "incident_start"))

@@ -1095,3 +1095,55 @@ def passage_chunks_udtf(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, c.chunk_idx, c.passage, c.n_tokens "
         "FROM udtf_docs_in d, LATERAL passage_chunker(d.text) c")
+
+
+@query("train_shard_manifest", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, text, n_chars,
+             {_SHARD_SQL.format(k=_PERM_SQL, n=_N_SHARDS)} AS shard,
+             ('0x' || substr(md5(text), 1, 10))::BIGINT AS digest40,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(digest40) AS BIGINT) AS content_digest,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM keyed GROUP BY shard ORDER BY shard
+""")
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release provenance manifest per training shard: document and
+    token counts plus an ORDER-INDEPENDENT content digest (the sum of
+    per-document 60-bit md5 prefixes — commutative, so any write
+    order or partitioning yields the same digest). This is the
+    reproducibility record shipped next to a dataset release: rerun
+    the pipeline, compare manifests, and any dropped/duplicated/
+    mutated document changes the digest; the per-shard grain localizes
+    which shard to diff.
+
+    One shard-keyed partial-aggregatable shuffle; the digest is the
+    engine-portable md5-prefix idiom the SimHash family uses
+    (conv(substr(md5,...),16,10) == ('0x'||substr)::BIGINT), sized at
+    40 bits per document precisely so the SUM stays inside signed
+    BIGINT for shards up to ~2^23 documents (a 60-bit prefix
+    overflowed ANSI-mode long addition at fixture size — caught by
+    the oracle gate; collision odds on 40 bits are irrelevant here
+    because the digest detects corpus drift, not pairwise identity)."""
+    k = _perm_key()
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        _shard_of(k, _N_SHARDS).cast("int").alias("shard"),
+        F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
+        .cast("bigint").alias("digest40"),
+        F.size(_tokens()).alias("n_tok"))
+    return (keyed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars"),
+                 F.sum("digest40").cast("bigint").alias("content_digest"),
+                 F.min("doc_id").cast("bigint").alias("min_doc_id"),
+                 F.max("doc_id").cast("bigint").alias("max_doc_id"))
+            .orderBy("shard"))
