@@ -127,6 +127,7 @@ _GRADE_FIRST = (
     "text_shingle_novelty", "train_passage_chunks",
     "ts_theilsen_trend", "knn_ivf_balance_report",
     "events_incident_windows", "train_shard_manifest",
+    "cdc_resume_gap_audit",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -140,6 +140,7 @@ HEADLINE = [
     ("ivf_balance", similarity.knn_ivf_balance_report),
     ("incident_windows", timeseries.events_incident_windows),
     ("shard_manifest", training.train_shard_manifest),
+    ("resume_gap_audit", cdc_batch.cdc_resume_gap_audit),
 ]
 
 

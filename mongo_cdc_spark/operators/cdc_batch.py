@@ -11,7 +11,7 @@ value (main.go:117,138).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongo_cdc_spark.cdc.transform import parse_change_events, to_kafka_records
@@ -390,3 +390,67 @@ def cdc_op_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("has_doc"), 1).otherwise(0))
                  .alias("n_with_fulldoc"))
             .orderBy("topic", "operation_type"))
+
+
+@query("cdc_resume_gap_audit", sql="""
+    WITH seq AS (
+      SELECT lower(o_orderstatus) AS coll,
+             ROW_NUMBER() OVER (PARTITION BY lower(o_orderstatus)
+                                ORDER BY o_orderkey) AS s
+      FROM orders
+    ), delivered AS (
+      SELECT coll, s FROM seq WHERE s % 97 <> 0
+    ), diffs AS (
+      SELECT coll, s,
+             s - lag(s) OVER (PARTITION BY coll ORDER BY s) AS d
+      FROM delivered
+    )
+    SELECT 'shop.' || coll AS topic,
+           CAST(COUNT(*) AS BIGINT) AS n_delivered,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           CAST(SUM(CASE WHEN d > 1 THEN d - 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(MAX(CASE WHEN d > 1 THEN d - 1 ELSE 0 END) AS INT)
+             AS max_gap_span
+    FROM diffs GROUP BY coll ORDER BY topic
+""")
+def cdc_resume_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream continuity audit: every CDC source stamps events
+    with a per-namespace monotone sequence (Mongo's clusterTime/resume
+    ordinal, Kafka's offset); a consumer that sees ordinal jumps has
+    LOST events — the at-least-once guarantee's blind spot that only
+    sequence auditing catches. This operator replays that check:
+    events carry a per-collection sequence number, a deterministic
+    subset (every 97th) is 'lost in transit', and the audit detects
+    per-topic gap count, total missing events, and the widest hole
+    from the delivered ordinals alone — what an operator pages on and
+    replays from the last-good resume token to heal.
+
+    Plan: one per-namespace window (lag over delivered ordinals — the
+    data-sized sort is keyed by collection; at 100 TB it partitions
+    further by ordinal epoch since gaps are detectable within
+    overlapping ranges), then a per-topic rollup. Integer arithmetic
+    end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    ns = F.lower("o_orderstatus")
+    sw = Window.partitionBy("coll").orderBy("o_orderkey")
+    seq = (o.select(ns.alias("coll"), "o_orderkey")
+           .withColumn("s", F.row_number().over(sw)))
+    delivered = seq.where(F.col("s") % 97 != 0)
+    dw = Window.partitionBy("coll").orderBy("s")
+    diffs = delivered.withColumn(
+        "d", F.col("s") - F.lag("s").over(dw))
+    gap = F.when(F.col("d") > 1, F.col("d") - 1).otherwise(0)
+    return (diffs.groupBy("coll")
+            .agg(F.count(F.lit(1)).alias("n_delivered"),
+                 F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_gaps"),
+                 F.sum(gap).cast("bigint").alias("n_missing"),
+                 F.max(gap).cast("int").alias("max_gap_span"))
+            .select(F.concat(F.lit("shop."), F.col("coll"))
+                    .alias("topic"),
+                    F.col("n_delivered").cast("bigint")
+                    .alias("n_delivered"),
+                    "n_gaps", "n_missing", "max_gap_span")
+            .orderBy("topic"))
