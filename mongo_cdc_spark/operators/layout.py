@@ -357,17 +357,22 @@ _FRACS = "[" + ", ".join(
 
 
 @query("layout_range_bounds", sql=f"""
-    WITH b AS (
+    WITH samp AS (
+      SELECT l_extendedprice FROM lineitem
+      WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber),
+                            1, 8))::BIGINT % 10 = 0
+    ), b AS (
       SELECT list_transform(
                  quantile_cont(l_extendedprice, {_FRACS}),
-                 x -> ROUND(x, 4)) AS bounds,
-             COUNT(*) AS n_total
-      FROM lineitem
+                 x -> ROUND(x, 4)) AS bounds
+      FROM samp
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM lineitem
     ), bucketed AS (
       SELECT len(list_filter(b.bounds, x -> l.l_extendedprice > x))
                AS bucket,
-             l.l_extendedprice, b.n_total
-      FROM lineitem l CROSS JOIN b
+             l.l_extendedprice, tot.n_total
+      FROM lineitem l CROSS JOIN b CROSS JOIN tot
     )
     SELECT CAST(bucket AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -387,26 +392,37 @@ def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     inspectable. A ratio far from 1 on some bucket is exactly the
     signal that range-writing this column would produce skewed files.
 
-    Scale: at 100 TB the percentile step is what RangePartitioner
-    does by reservoir sampling; here it is the exact quantile agg (one
-    pass, bounded group count), and the assignment is a 7-element
-    broadcast array probed by a JVM higher-order filter — a narrow
-    map, no join, no shuffle beyond the final per-bucket count.
+    Scale: the split points come from a deterministic md5 row-sample
+    (the RangePartitioner design — bounds never need the full sort),
+    sized 10% here; the assignment is a 7-element broadcast array
+    probed by a JVM higher-order filter — a narrow map, no join, no
+    shuffle beyond the final per-bucket count. The per-bucket counts
+    and balance audit still run over EVERY row, so the report shows
+    the true skew the sampled bounds would produce.
     Bounds are rounded to 4 dp on BOTH engines before any comparison
     so bucket membership can't flip on interpolation ulps.""".format(
         n=_RANGE_PARTS)
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE percentile aggregate over the percentage array (a single
-    # sort buffer) — seven separate F.percentile calls each buffer the
-    # whole column in the same single-group task (measured 11.6 s vs
-    # ~1 s at sf0.1)
-    b = (li.agg(
+    # Bounds come from a DETERMINISTIC 10% md5 row-sample — exactly
+    # what RangePartitioner does (sample, never the full sort), and the md5
+    # selection replays bit-identically in DuckDB. The exact-percentile
+    # full-column form was the bench's worst query (8-11 s at sf0.1:
+    # a single task sorting every row); the sampled form cuts the
+    # single-group buffer 10x and is the honest 100 TB design. ONE
+    # percentile aggregate over the percentage array (a single sort
+    # buffer) — separate calls would each buffer the sample again.
+    samp = li.where(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 8),
+            16, 10).cast("bigint") % 10 == 0)
+    bounds = (samp.agg(
         F.percentile("l_extendedprice",
                      [i / _RANGE_PARTS
-                      for i in range(1, _RANGE_PARTS)]).alias("raw"),
-        F.count(F.lit(1)).alias("n_total"))
+                      for i in range(1, _RANGE_PARTS)]).alias("raw"))
         .select(F.expr("transform(raw, x -> round(x, 4))")
-                .alias("bounds"), "n_total"))
+                .alias("bounds")))
+    tot = li.agg(F.count(F.lit(1)).alias("n_total"))
+    b = bounds.crossJoin(tot)
     bucketed = (li.crossJoin(F.broadcast(b))
                 .select(F.size(F.filter(
                     "bounds",

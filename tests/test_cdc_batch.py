@@ -125,3 +125,28 @@ def test_op_mix_deletes_survive_parse_without_fulldoc(spark, sf_dir):
                                 "value string")
     n = parse_change_events(raw.unionByName(bad)).count()
     assert n == 5
+
+
+def test_resume_gap_audit_accounts_for_all_drops(spark, sf_dir):
+    """Every interior dropped ordinal is detected: per namespace with
+    N events, ordinals k*97 <= N are dropped; all are interior (97 | k*97
+    < N for the fixture sizes), so n_missing == floor(N/97) exactly
+    (minus a trailing drop if k*97 == N)."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators import cdc_batch
+
+    got = (cdc_batch.cdc_resume_gap_audit(spark, sf_dir).toPandas()
+           .set_index("topic"))
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    per_ns = orders.o_orderstatus.str.lower().value_counts()
+    for coll, n in per_ns.items():
+        row = got.loc[f"shop.{coll}"]
+        dropped = n // 97
+        trailing = 1 if n % 97 == 0 and n >= 97 else 0
+        assert row.n_delivered == n - dropped
+        assert row.n_missing == dropped - trailing
+        # consecutive single drops -> every gap spans exactly 1 here
+        # (97 > 1 so two dropped ordinals are never adjacent)
+        if row.n_gaps:
+            assert row.max_gap_span == 1
+            assert row.n_gaps == row.n_missing

@@ -228,3 +228,19 @@ def test_twap_covered_time_within_day(spark, sf_dir):
     assert got.twap.notna().all()
     assert (abs(got.twap - got.simple_avg)
             < got.simple_avg.abs() + 100).all()
+
+
+def test_incident_windows_contiguity_and_mass(spark, sf_dir):
+    got = timeseries.events_incident_windows(spark, sf_dir).toPandas()
+    if len(got) == 0:
+        return  # no |z|>2 hours at this SF — valid
+    # duration arithmetic: end - start == n_hours
+    dur_h = (got.incident_end - got.incident_start).dt.total_seconds() / 3600
+    assert (dur_h == got.n_hours).all()
+    assert (got.peak_abs_z > 2).all()
+    assert (got.events_in_incident > 0).all()
+    # incidents within a type never overlap (gaps-and-islands merged them)
+    for _, g in got.groupby("event_type"):
+        g = g.sort_values("incident_start")
+        assert (g.incident_start.iloc[1:].values
+                >= g.incident_end.iloc[:-1].values).all()

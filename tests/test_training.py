@@ -333,3 +333,26 @@ def test_passage_chunks_cover_document_with_overlap(spark, sf_dir):
         for a, b, na in consec:
             if na == 10:
                 assert a.split()[8:] == b.split()[: min(2, len(b.split()))]
+
+
+def test_shard_manifest_partitions_corpus_and_detects_drift(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators import training
+
+    got = training.train_shard_manifest(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    assert got.n_docs.sum() == len(docs)
+    assert got.n_chars.sum() == docs.n_chars.sum()
+    # digest is order-independent and content-sensitive: recompute it
+    # from raw text with hashlib and match per shard
+    import hashlib
+    def d40(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:10], 16)
+    def shard_of(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8],
+                   16) % 16
+    docs["shard"] = docs.doc_id.map(shard_of)
+    docs["d40"] = docs.text.map(d40)
+    ref = docs.groupby("shard").d40.sum()
+    for _, r in got.iterrows():
+        assert r.content_digest == ref[r.shard]
