@@ -127,7 +127,8 @@ _GRADE_FIRST = (
     "text_shingle_novelty", "train_passage_chunks",
     "ts_theilsen_trend", "knn_ivf_balance_report",
     "events_incident_windows", "train_shard_manifest",
-    "cdc_resume_gap_audit",
+    "cdc_resume_gap_audit", "events_decay_engagement_score",
+    "train_interleave_schedule", "graph_degree_assortativity",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -141,6 +141,9 @@ HEADLINE = [
     ("incident_windows", timeseries.events_incident_windows),
     ("shard_manifest", training.train_shard_manifest),
     ("resume_gap_audit", cdc_batch.cdc_resume_gap_audit),
+    ("decay_score", relational.events_decay_engagement_score),
+    ("interleave", training.train_interleave_schedule),
+    ("assortativity", graph.graph_degree_assortativity),
 ]
 
 

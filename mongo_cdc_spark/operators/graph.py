@@ -431,3 +431,55 @@ def graph_supplier_similarity(spark: SparkSession,
                     .alias("jaccard"))
             .orderBy(F.desc("jaccard"), "s_a", "s_b")
             .limit(_COSUP_TOP))
+
+
+@query("graph_degree_assortativity", sql="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), cdeg AS (
+      SELECT c, COUNT(*) AS dc FROM e0 GROUP BY 1
+    ), sdeg AS (
+      SELECT s, COUNT(*) AS ds FROM e0 GROUP BY 1
+    ), edges AS (
+      SELECT cd.dc, sd.ds
+      FROM e0 JOIN cdeg cd ON cd.c = e0.c
+              JOIN sdeg sd ON sd.s = e0.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           ROUND(AVG(dc), 6) AS mean_cust_degree,
+           ROUND(AVG(ds), 6) AS mean_supp_degree,
+           ROUND(corr(dc, ds), 6) AS assortativity
+    FROM edges
+""")
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier trade graph:
+    the Pearson correlation, over edges, between the two endpoints'
+    degrees — positive means high-degree customers concentrate on
+    high-degree suppliers (hub-hub coupling: resilient to random
+    failure, fragile to hub outage), negative means hubs serve the
+    periphery. The single summary number network scientists check
+    before any partitioning decision, because hub-hub coupling is
+    what makes graph workloads skew-bound.
+
+    Plan: distinct edges once (persisted — three consumers), two
+    degree aggs, two key-co-partitioned joins attaching endpoint
+    degrees, one corr aggregate (Spark's corr and DuckDB's corr both
+    compute sample correlation). All stages partial-aggregatable;
+    nothing exceeds edge grain."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct()).persist()
+    cdeg = e0.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    sdeg = e0.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    edges = (e0.join(cdeg, "c").join(sdeg, "s")
+             .select("dc", "ds"))
+    return edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.avg("dc"), 6).alias("mean_cust_degree"),
+        F.round(F.avg("ds"), 6).alias("mean_supp_degree"),
+        F.round(F.corr("dc", "ds"), 6).alias("assortativity"))

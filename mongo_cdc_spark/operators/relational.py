@@ -4360,3 +4360,53 @@ def customer_tier_migration(spark: SparkSession,
     return (wide.groupBy("tier_h1", "tier_h2")
             .agg(F.count(F.lit(1)).alias("n_customers"))
             .orderBy("tier_h1", "tier_h2"))
+
+
+@query("events_decay_engagement_score", sql="""
+    WITH ref AS (
+      SELECT MAX(date_trunc('day', ts)) AS mx FROM events
+    ), per AS (
+      SELECT user_id,
+             date_diff('day', date_trunc('day', ts),
+                       (SELECT mx FROM ref)) AS age_d,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(EXP(-0.05 * age_d)), 6) AS decay_score,
+           ROUND(SUM(value * EXP(-0.05 * age_d)), 4)
+             AS decayed_value,
+           CAST(MIN(age_d) AS INT) AS days_since_last
+    FROM per GROUP BY user_id ORDER BY user_id
+""")
+def events_decay_engagement_score(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user
+    (half-life ≈ 14 days at lambda=0.05/day): each purchase
+    contributes exp(-lambda * age), so the score is an RFM-style
+    ranking signal that updates monotonically without windows or
+    state — recommenders and churn models use exactly this shape
+    because it's INCREMENTALLY maintainable (yesterday's score times
+    a constant plus today's events; the CDC incremental-view module
+    could maintain it from deltas).
+
+    One partial-aggregatable user-grain shuffle; ages are exact
+    integer days against the data's max-day anchor (never now(), so
+    runs are reproducible); exp of integer-scaled doubles is
+    identical on both engines, 6-dp rounding absorbs sum order."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.date_trunc("day", "ts")).alias("mx"))
+    per = (ev.where(F.col("event_type") == "purchase")
+           .crossJoin(F.broadcast(ref))
+           .select("user_id", "value",
+                   F.datediff("mx", F.date_trunc("day", "ts"))
+                   .alias("age_d")))
+    decay = F.exp(F.lit(-0.05) * F.col("age_d"))
+    return (per.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum(decay), 6).alias("decay_score"),
+                 F.round(F.sum(F.col("value") * decay), 4)
+                 .alias("decayed_value"),
+                 F.min("age_d").cast("int").alias("days_since_last"))
+            .orderBy("user_id"))

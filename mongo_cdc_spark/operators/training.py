@@ -1147,3 +1147,66 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").cast("bigint").alias("min_doc_id"),
                  F.max("doc_id").cast("bigint").alias("max_doc_id"))
             .orderBy("shard"))
+
+
+@query("train_interleave_schedule", sql=f"""
+    WITH shares AS (
+      SELECT lang, COUNT(*) AS n,
+             COUNT(*) * 1e0 / SUM(COUNT(*)) OVER () AS share
+      FROM documents GROUP BY lang
+    ), pos AS (
+      SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY {_PERM_SQL}) AS k,
+             s.share
+      FROM documents d JOIN shares s ON s.lang = d.lang
+    )
+    , sched AS (
+      SELECT doc_id, lang,
+             CAST(k AS INT) AS pos_in_source,
+             ROUND((k - 0.5) / share, 6) AS vtime,
+             CAST(ROW_NUMBER() OVER (ORDER BY (k - 0.5) / share, lang,
+                                     doc_id) AS INT) AS global_pos
+      FROM pos
+    )
+    SELECT * FROM sched WHERE doc_id < 100 ORDER BY global_pos
+""")
+def train_interleave_schedule(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Deterministic mixture-interleave schedule: each source's k-th
+    document is assigned virtual time (k - 0.5)/share and the global
+    training order merges by virtual time — the stride-scheduling
+    recipe dataloaders use to realize mixture weights EXACTLY (after
+    N steps every source has contributed ~share*N docs, bounded drift
+    <1) with no RNG and bit-reproducible resume from any step.
+    Within-source order is the md5 permutation shard_assign uses.
+    Graded on doc_id<100 to bound the oracle frame; the plan is
+    corpus-wide.
+
+    Plan: per-source position = one window keyed by source; the
+    global order is a rank over virtual time — at 100 TB the global
+    window becomes repartitionByRange(vtime) + per-partition offsets
+    (the layout_range_bounds mechanics); ties (k - 0.5)/share are
+    broken (lang, doc_id) identically on both engines."""
+    docs = _docs(spark, sf_dir)
+    shares = (docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("share",
+                          F.col("n") * F.lit(1.0)
+                          / F.sum("n").over(W.partitionBy(F.lit(1)))))
+    pos = (docs.join(F.broadcast(shares), "lang")
+           .select("doc_id", "lang", "share",
+                   F.row_number().over(
+                       W.partitionBy("lang").orderBy(_perm_key()))
+                   .alias("k")))
+    vtime = (F.col("k") - 0.5) / F.col("share")
+    gw = W.orderBy(vtime, "lang", "doc_id")
+    return (pos
+            .withColumn("vtime", F.round(vtime, 6))
+            .withColumn("global_pos",
+                        F.row_number().over(gw).cast("int"))
+            .where(F.col("doc_id") < 100)
+            .select("doc_id", "lang",
+                    F.col("k").cast("int").alias("pos_in_source"),
+                    "vtime", "global_pos")
+            .orderBy("global_pos"))
