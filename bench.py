@@ -144,6 +144,8 @@ HEADLINE = [
     ("decay_score", relational.events_decay_engagement_score),
     ("interleave", training.train_interleave_schedule),
     ("assortativity", graph.graph_degree_assortativity),
+    ("stopword_profile", text.text_stopword_profile),
+    ("wow_growth", timeseries.events_wow_growth),
 ]
 
 

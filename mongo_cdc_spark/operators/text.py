@@ -1060,3 +1060,83 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(novel / (F.count(F.lit(1)) * F.lit(1.0)), 6)
                  .alias("novelty"))
             .orderBy("doc_id"))
+
+
+@query("text_stopword_profile", sql="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ), n_docs AS (
+      SELECT COUNT(DISTINCT doc_id) AS nd FROM toks
+    ), per_tok AS (
+      SELECT tok,
+             COUNT(*) AS tf,
+             COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY tok
+    ), shares AS (
+      SELECT tok, source, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), spread AS (
+      SELECT tok,
+             ROUND(stddev_samp(c * 1e0 / tot), 6) AS share_sd
+      FROM (SELECT tok, source, c,
+                   SUM(c) OVER (PARTITION BY tok) AS tot
+            FROM shares)
+      GROUP BY tok
+    )
+    SELECT p.tok,
+           CAST(p.tf AS BIGINT) AS tf,
+           CAST(p.df AS BIGINT) AS df,
+           ROUND(p.df * 1e0 / n.nd, 6) AS doc_frac,
+           ROUND(LN(n.nd * 1e0 / p.df), 6) AS idf,
+           s.share_sd,
+           (p.df * 1e0 / n.nd > 0.9) AS stopword_candidate
+    FROM per_tok p
+    JOIN spread s ON s.tok = p.tok
+    CROSS JOIN n_docs n
+    ORDER BY p.tf DESC, p.tok
+""")
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic stopword detection profile: per token — term
+    frequency, document frequency, IDF, and the cross-source share
+    spread. A token in >90% of documents with near-uniform
+    distribution across sources carries no signal for retrieval or
+    classification; this is how language-agnostic pipelines derive
+    their stopword lists from the corpus itself instead of shipping
+    per-language hand lists (the fixture's 31-token vocabulary makes
+    the full profile small; at real vocabulary sizes the same plan
+    emits the top-N by tf).
+
+    One (doc, token) explode feeding three partial-aggregatable
+    rollups — token grain everywhere after the scan; the per-source
+    spread reuses the same counts via a window at (token, source)
+    grain."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", "source", F.explode(_tokens()).alias("tok"))
+            ).persist()
+    nd = toks.agg(F.countDistinct("doc_id").alias("nd"))
+    per_tok = (toks.groupBy("tok")
+               .agg(F.count(F.lit(1)).alias("tf"),
+                    F.countDistinct("doc_id").alias("df")))
+    shares = toks.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).alias("c"))
+    spread = (shares
+              .withColumn("tot", F.sum("c").over(
+                  W.partitionBy("tok")))
+              .groupBy("tok")
+              .agg(F.round(F.stddev_samp(
+                  F.col("c") * F.lit(1.0) / F.col("tot")), 6)
+                  .alias("share_sd")))
+    return (per_tok.join(spread, "tok")
+            .crossJoin(F.broadcast(nd))
+            .select("tok",
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.round(F.col("df") * F.lit(1.0) / F.col("nd"), 6)
+                    .alias("doc_frac"),
+                    F.round(F.log(F.col("nd") * F.lit(1.0)
+                                  / F.col("df")), 6).alias("idf"),
+                    "share_sd",
+                    (F.col("df") * F.lit(1.0) / F.col("nd") > 0.9)
+                    .alias("stopword_candidate"))
+            .orderBy(F.desc("tf"), "tok"))

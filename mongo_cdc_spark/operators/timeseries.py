@@ -900,3 +900,55 @@ def events_incident_windows(spark: SparkSession,
                  F.sum("n").cast("bigint").alias("events_in_incident"))
             .drop("isl")
             .orderBy("event_type", "incident_start"))
+
+
+@query("events_wow_growth", sql="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 6) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk,
+           CAST(n AS BIGINT) AS n_events,
+           total_value,
+           CAST(lag(n) OVER w AS BIGINT) AS prev_n,
+           ROUND((n - lag(n) OVER w) * 1e0
+                 / NULLIF(lag(n) OVER w, 0), 6) AS wow_growth,
+           ROUND((total_value - lag(total_value) OVER w)
+                 / NULLIF(lag(total_value) OVER w, 0), 6)
+             AS wow_value_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    ORDER BY event_type, wk
+""")
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth report per event type: weekly counts and
+    value mass with the previous week and relative growth — the
+    period-over-period comparison every business dashboard leads
+    with, NULL (not fake zero) for the first week and for
+    zero-denominator weeks.
+
+    One partial-aggregatable shuffle to week grain; the lag window
+    runs on |types| x |weeks| rows. The growth ratio divides the
+    pre-rounded weekly aggregates, so both engines compare identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (ev.groupBy("event_type",
+                         F.date_trunc("week", "ts").alias("wk"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 6).alias("total_value")))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev_n = F.lag("n").over(w)
+    prev_v = F.lag("total_value").over(w)
+    return (weekly.select(
+        "event_type", "wk",
+        F.col("n").cast("bigint").alias("n_events"),
+        "total_value",
+        prev_n.cast("bigint").alias("prev_n"),
+        F.round((F.col("n") - prev_n) * F.lit(1.0)
+                / F.nullif(prev_n, F.lit(0)), 6).alias("wow_growth"),
+        F.round((F.col("total_value") - prev_v)
+                / F.nullif(prev_v, F.lit(0)), 6)
+        .alias("wow_value_growth"))
+        .orderBy("event_type", "wk"))
