@@ -111,7 +111,13 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # tier migration: full-outer join of the H1 and H2 tier
           # frames — both customer-grain (data-sized at 100 TB) and
           # full-outer cannot broadcast a preserved side:
-          "customer_tier_migration": 1}
+          "customer_tier_migration": 1,
+          # assortativity: attaching endpoint degrees joins the edge
+          # frame to two NODE-grain degree frames — nodes scale with
+          # the graph, so key-co-partitioned shuffle joins ARE the
+          # 100 TB plan (triangle counting's rationale); AQE still
+          # broadcasts the degree side when measured small:
+          "graph_degree_assortativity": 2}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
@@ -126,6 +132,12 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # marginal aggs and the token join — metadata-grain at
                # any corpus size:
                "text_js_divergence_sources": 7,
+               # stopword profile: ONE data-sized explode feeds a
+               # persisted token frame; the six exchanges beyond it
+               # are token- or (token, source)-grain rollups and the
+               # final token-keyed join — vocabulary-sized at any
+               # corpus scale:
+               "text_stopword_profile": 7,
                # sliding bitmap merge: only the (day, bucket) bitmap
                # construction is data-sized; the other exchanges move
                # the days x buckets grid of fixed-size binary state
