@@ -130,6 +130,7 @@ _GRADE_FIRST = (
     "cdc_resume_gap_audit", "events_decay_engagement_score",
     "train_interleave_schedule", "graph_degree_assortativity",
     "text_stopword_profile", "events_wow_growth",
+    "ab_test_cuped", "stats_mutual_information",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -146,6 +146,8 @@ HEADLINE = [
     ("assortativity", graph.graph_degree_assortativity),
     ("stopword_profile", text.text_stopword_profile),
     ("wow_growth", timeseries.events_wow_growth),
+    ("cuped", quality.ab_test_cuped),
+    ("mutual_info", quality.stats_mutual_information),
 ]
 
 

@@ -801,3 +801,144 @@ def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        hll_ok.alias("hll_within_5pct"),
                        p50_ok.alias("p50_within_1pct"))
             .orderBy("event_type"))
+
+
+@query("ab_test_cuped", sql="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts))
+             + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             SUM(CASE WHEN epoch_us(ts) < b.mid
+                      AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS pre,
+             SUM(CASE WHEN epoch_us(ts) >= b.mid
+                      AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS post
+      FROM events CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ), theta AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS th,
+             AVG(pre) AS pre_mean
+      FROM per_user
+    ), adj AS (
+      SELECT variant,
+             post - t.th * (pre - t.pre_mean) AS y
+      FROM per_user CROSS JOIN theta t
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 6) AS adjusted_mean,
+           ROUND(var_samp(y), 6) AS adjusted_var,
+           ROUND(MAX(t2.th), 6) AS theta
+    FROM adj CROSS JOIN theta t2
+    GROUP BY variant ORDER BY variant
+""")
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the standard
+    experimentation-platform technique): adjust each user's
+    post-period metric by their PRE-period covariate,
+    y' = y - theta*(x - x̄) with theta = cov(x,y)/var(x), shrinking
+    metric variance by the squared pre/post correlation so
+    experiments reach significance on a fraction of the traffic.
+    Periods split at the data's integer-microsecond midpoint; the
+    variant split reuses ab_test_proportions' md5 bucketing.
+
+    Plan: ONE user-grain conditional aggregation builds (pre, post);
+    theta is a 1-row broadcast; the adjusted stats are a second tiny
+    agg. Determinism: covar_samp/var_samp on exact integer counts,
+    ratio on identical doubles, 6-dp rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    bounds = ev.agg(
+        (F.min(ts_us)
+         + ((F.max(ts_us) - F.min(ts_us)) / F.lit(2)).cast("bigint"))
+        .alias("mid"))
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        "A").otherwise("B")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (ev.crossJoin(F.broadcast(bounds))
+                .groupBy("user_id", variant.alias("variant"))
+                .agg(F.sum(F.when((ts_us < F.col("mid")) & is_p, 1)
+                           .otherwise(0)).alias("pre"),
+                     F.sum(F.when((ts_us >= F.col("mid")) & is_p, 1)
+                           .otherwise(0)).alias("post")))
+    theta = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("th"),
+        F.avg("pre").alias("pre_mean"))
+    adj = (per_user.crossJoin(F.broadcast(theta))
+           .select("variant", "th",
+                   (F.col("post")
+                    - F.col("th") * (F.col("pre") - F.col("pre_mean")))
+                   .alias("y")))
+    return (adj.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.avg("y"), 6).alias("adjusted_mean"),
+                 F.round(F.var_samp("y"), 6).alias("adjusted_var"),
+                 F.round(F.max("th"), 6).alias("theta"))
+            .orderBy("variant"))
+
+
+@query("stats_mutual_information", sql="""
+    WITH binned AS (
+      SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS qb,
+             CAST(FLOOR(l_extendedprice / 20000) AS INT) AS pb
+      FROM lineitem
+    ), joint AS (
+      SELECT qb, pb, COUNT(*) AS n FROM binned GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n) AS t FROM joint
+    ), marg AS (
+      SELECT j.qb, j.pb, j.n,
+             SUM(j.n) OVER (PARTITION BY j.qb) AS nq,
+             SUM(j.n) OVER (PARTITION BY j.pb) AS np,
+             t.t
+      FROM joint j CROSS JOIN tot t
+    )
+    SELECT CAST(MAX(t) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS INT) AS n_cells,
+           ROUND(SUM((n * 1e0 / t)
+                     * LN((n * 1e0 / t)
+                          / ((nq * 1e0 / t) * (np * 1e0 / t)))), 6)
+             AS mutual_info_nats,
+           ROUND(-SUM((n * 1e0 / t) * LN(n * 1e0 / t)), 6)
+             AS joint_entropy_nats
+    FROM marg
+""")
+def stats_mutual_information(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Binned mutual information between line-item quantity and price
+    — the dependence measure that catches NONLINEAR relationships
+    chi-square's contingency view and Pearson correlation both
+    understate, used as a model-free feature-relevance screen. Fixed
+    integer bin widths (10 units / 20k) so binning is exact on both
+    engines; reported with the joint entropy for normalization.
+
+    Plan: one data-sized partial-aggregatable count to the joint bin
+    grid; marginals via windows on grid rows; one scalar rollup —
+    identical shape to the chi-square op, O(cells) after the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.floor(F.col("l_quantity") / 10).cast("int").alias("qb"),
+        F.floor(F.col("l_extendedprice") / 20000).cast("int")
+        .alias("pb"))
+    joint = binned.groupBy("qb", "pb").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = joint.agg(F.sum("n").alias("t"))
+    from pyspark.sql import Window as W
+    marg = (joint.crossJoin(F.broadcast(tot))
+            .withColumn("nq", F.sum("n").over(W.partitionBy("qb")))
+            .withColumn("np", F.sum("n").over(W.partitionBy("pb"))))
+    p = F.col("n") * F.lit(1.0) / F.col("t")
+    pq = F.col("nq") * F.lit(1.0) / F.col("t")
+    pp = F.col("np") * F.lit(1.0) / F.col("t")
+    return marg.agg(
+        F.max("t").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.round(F.sum(p * F.log(p / (pq * pp))), 6)
+        .alias("mutual_info_nats"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("joint_entropy_nats"))
