@@ -131,6 +131,8 @@ _GRADE_FIRST = (
     "train_interleave_schedule", "graph_degree_assortativity",
     "text_stopword_profile", "events_wow_growth",
     "ab_test_cuped", "stats_mutual_information",
+    "ab_test_power_analysis", "events_burstiness_index",
+    "text_heaps_law_fit",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

@@ -148,6 +148,9 @@ HEADLINE = [
     ("wow_growth", timeseries.events_wow_growth),
     ("cuped", quality.ab_test_cuped),
     ("mutual_info", quality.stats_mutual_information),
+    ("power_analysis", quality.ab_test_power_analysis),
+    ("burstiness", timeseries.events_burstiness_index),
+    ("heaps_law", text.text_heaps_law_fit),
 ]
 
 

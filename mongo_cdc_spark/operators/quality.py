@@ -942,3 +942,57 @@ def stats_mutual_information(spark: SparkSession,
         F.round(F.sum(p * F.log(p / (pq * pp))), 6)
         .alias("mutual_info_nats"),
         F.round(-F.sum(p * F.log(p)), 6).alias("joint_entropy_nats"))
+
+
+@query("ab_test_power_analysis", sql="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ), base AS (
+      SELECT AVG(converted * 1e0) AS p, COUNT(*) AS n FROM assigned
+    )
+    SELECT ROUND(p, 6) AS baseline_rate,
+           CAST(n AS BIGINT) AS n_users_available,
+           ROUND(2 * POW(1.959964 + 0.841621, 2) * p * (1 - p)
+                 / POW(0.05, 2), 2) AS n_per_arm_mde_5pp,
+           ROUND(2 * POW(1.959964 + 0.841621, 2) * p * (1 - p)
+                 / POW(0.02, 2), 2) AS n_per_arm_mde_2pp,
+           ROUND(SQRT(2 * POW(1.959964 + 0.841621, 2) * p * (1 - p)
+                      / (n / 2.0)), 6) AS mde_at_current_n
+    FROM base
+""")
+def ab_test_power_analysis(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Experiment power analysis completing the A/B trio (z-test,
+    CUPED, power): from the measured baseline conversion rate, the
+    required sample size per arm for 5pp and 2pp minimum detectable
+    effects at alpha=0.05 / power=0.80 (n = 2(z_a/2+z_b)^2 p(1-p) /
+    delta^2), and conversely the MDE the CURRENT population can
+    resolve — the go/no-go arithmetic every experiment review starts
+    with, computed from the data instead of a webapp calculator.
+    z constants are fixed 6-dp literals identical in both engines.
+
+    One user-grain conditional agg -> a 1-row frame of pure
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (ev.groupBy("user_id")
+                .agg(F.when(
+                    F.sum(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)) >= 14, 1)
+                    .otherwise(0).alias("converted")))
+    base = assigned.agg(F.avg(F.col("converted") * F.lit(1.0)).alias("p"),
+                        F.count(F.lit(1)).alias("n"))
+    z2 = F.pow(F.lit(1.959964) + F.lit(0.841621), 2)
+    var = F.col("p") * (1 - F.col("p"))
+    return base.select(
+        F.round("p", 6).alias("baseline_rate"),
+        F.col("n").cast("bigint").alias("n_users_available"),
+        F.round(2 * z2 * var / F.pow(F.lit(0.05), 2), 2)
+        .alias("n_per_arm_mde_5pp"),
+        F.round(2 * z2 * var / F.pow(F.lit(0.02), 2), 2)
+        .alias("n_per_arm_mde_2pp"),
+        F.round(F.sqrt(2 * z2 * var / (F.col("n") / F.lit(2.0))), 6)
+        .alias("mde_at_current_n"))

@@ -1140,3 +1140,103 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("df") * F.lit(1.0) / F.col("nd") > 0.9)
                     .alias("stopword_candidate"))
             .orderBy(F.desc("tf"), "tok"))
+
+
+_HEAPS_CHECKPOINTS = (500, 1000, 2000, 4000, 8000, 16000)
+
+
+@query("text_heaps_law_fit", sql=f"""
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), doclen AS (
+      SELECT doc_id, len(w) AS n,
+             SUM(len(w)) OVER (ORDER BY doc_id) - len(w) AS off
+      FROM arr
+    ), toks AS (
+      SELECT a.doc_id, d.off + i AS gpos, a.w[i] AS tok
+      FROM arr a
+      JOIN doclen d ON d.doc_id = a.doc_id,
+      unnest(generate_series(1, len(a.w))) AS t(i)
+    ), firstpos AS (
+      SELECT tok, MIN(gpos) AS fp FROM toks GROUP BY tok
+    ), total AS (
+      SELECT SUM(n) AS tt FROM doclen
+    ), cp AS (
+      SELECT unnest(ARRAY{list(_HEAPS_CHECKPOINTS)}) AS n
+    ), growth AS (
+      SELECT cp.n,
+             (SELECT COUNT(*) FROM firstpos WHERE fp <= cp.n) AS v
+      FROM cp CROSS JOIN total WHERE cp.n <= total.tt
+    ), ols AS (
+      SELECT COUNT(*) AS k,
+             SUM(LN(n)) AS sx, SUM(LN(v)) AS sy,
+             SUM(LN(n) * LN(n)) AS sxx,
+             SUM(LN(n) * LN(v)) AS sxy,
+             SUM(LN(v) * LN(v)) AS syy
+      FROM growth
+    )
+    SELECT CAST(k AS INT) AS n_checkpoints,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+           ROUND(EXP((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                      * sx) / k), 6) AS k_coef,
+           ROUND(POW(k * sxy - sx * sy, 2)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+             AS r2
+    FROM ols
+""")
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^beta measured at
+    fixed token-count checkpoints over the doc-ordered stream, with
+    OLS in log-log space — the companion corpus-pathology signal to
+    `text_zipf_fit` (natural corpora: beta ≈ 0.4-0.6; a synthetic
+    closed vocabulary like this fixture saturates early — beta near 0
+    at the later checkpoints — and template spam shows the same
+    signature, which is exactly why release pipelines chart it).
+
+    Plan: global token positions come from a doc-grain prefix-sum
+    (cheap window over |docs| rows) plus a narrow posexplode — no
+    global per-token window; first-occurrence is one hash agg; V(n)
+    evaluates all checkpoints against the tiny first-position frame;
+    the OLS closed form runs on ≤6 rows. Integer positions make every
+    comparison exact."""
+    arr = _docs(spark, sf_dir).select("doc_id", _tokens().alias("w"))
+    dw = (W.orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    doclen = (arr.select("doc_id", F.size("w").alias("n"))
+              .withColumn("off", F.sum("n").over(dw) - F.col("n")))
+    toks = (arr.join(doclen, "doc_id")
+            .select(F.posexplode("w").alias("i", "tok"), "off")
+            .select((F.col("off") + F.col("i") + 1).alias("gpos"),
+                    "tok"))
+    firstpos = toks.groupBy("tok").agg(F.min("gpos").alias("fp"))
+    total = doclen.agg(F.sum("n").alias("tt"))
+    cp = (spark.range(len(_HEAPS_CHECKPOINTS))
+          .select(F.element_at(
+              F.array(*[F.lit(c) for c in _HEAPS_CHECKPOINTS]),
+              (F.col("id") + 1).cast("int")).alias("n")))
+    growth = (cp.crossJoin(F.broadcast(total))
+              .where(F.col("n") <= F.col("tt"))
+              .crossJoin(F.broadcast(firstpos))
+              .groupBy("n")
+              .agg(F.sum(F.when(F.col("fp") <= F.col("n"), 1)
+                         .otherwise(0)).alias("v")))
+    lx, ly = F.log("n"), F.log("v")
+    ols = growth.agg(F.count(F.lit(1)).alias("k"),
+                     F.sum(lx).alias("sx"), F.sum(ly).alias("sy"),
+                     F.sum(lx * lx).alias("sxx"),
+                     F.sum(lx * ly).alias("sxy"),
+                     F.sum(ly * ly).alias("syy"))
+    slope = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return ols.select(
+        F.col("k").cast("int").alias("n_checkpoints"),
+        F.round(slope, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx"))
+                      / F.col("k")), 6).alias("k_coef"),
+        F.round(F.pow(F.col("k") * F.col("sxy")
+                      - F.col("sx") * F.col("sy"), 2)
+                / ((F.col("k") * F.col("sxx")
+                    - F.col("sx") * F.col("sx"))
+                   * (F.col("k") * F.col("syy")
+                      - F.col("sy") * F.col("sy"))), 6).alias("r2"))

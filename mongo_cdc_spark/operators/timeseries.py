@@ -952,3 +952,53 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(prev_v, F.lit(0)), 6)
         .alias("wow_value_growth"))
         .orderBy("event_type", "wk"))
+
+
+@query("events_burstiness_index", sql="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id)
+               AS g
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(g) AS BIGINT) AS n_gaps,
+           ROUND(AVG(g), 2) AS mean_gap_us,
+           ROUND(stddev_samp(g), 2) AS sd_gap_us,
+           ROUND((stddev_samp(g) - AVG(g))
+                 / (stddev_samp(g) + AVG(g)), 6) AS burstiness
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+""")
+def events_burstiness_index(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness index per event type:
+    B = (sigma - mu)/(sigma + mu) of inter-arrival times — -1 for a
+    metronome, 0 for a Poisson process, toward +1 for heavy-tailed
+    bursts. The single number that says whether a stream's load can
+    be provisioned at mean rate (B<=0) or needs burst headroom (B>0);
+    the per-user version of the same signal drives
+    events_bot_score's regularity flag.
+
+    One per-type ordered window (at 100 TB: sub-partition by day —
+    gaps straddling boundaries are a negligible count), one rollup.
+    Exact integer microsecond gaps; mean/sd report at 2 dp (1e9-µs
+    magnitudes at 6 dp would demand 16 significant digits — past
+    cross-engine double determinism; measured a last-digit flip) and
+    the scale-free B ratio rounds at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (ev.select(
+        "event_type",
+        (F.unix_micros("ts")
+         - F.lag(F.unix_micros("ts")).over(w)).alias("g"))
+        .where(F.col("g").isNotNull()))
+    mu = F.avg("g")
+    sd = F.stddev_samp("g")
+    return (gaps.groupBy("event_type")
+            .agg(F.count("g").alias("n_gaps"),
+                 F.round(mu, 2).alias("mean_gap_us"),
+                 F.round(sd, 2).alias("sd_gap_us"),
+                 F.round((sd - mu) / (sd + mu), 6).alias("burstiness"))
+            .orderBy("event_type"))
