@@ -132,7 +132,8 @@ _GRADE_FIRST = (
     "text_stopword_profile", "events_wow_growth",
     "ab_test_cuped", "stats_mutual_information",
     "ab_test_power_analysis", "events_burstiness_index",
-    "text_heaps_law_fit",
+    "text_heaps_law_fit", "multimodal_phash_near_pairs",
+    "events_littles_law_audit", "ts_snaive_backtest",
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is

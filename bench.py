@@ -151,6 +151,9 @@ HEADLINE = [
     ("power_analysis", quality.ab_test_power_analysis),
     ("burstiness", timeseries.events_burstiness_index),
     ("heaps_law", text.text_heaps_law_fit),
+    ("phash_near_pairs", multimodal.multimodal_phash_near_pairs),
+    ("littles_law", relational.events_littles_law_audit),
+    ("snaive_backtest", timeseries.ts_snaive_backtest),
 ]
 
 

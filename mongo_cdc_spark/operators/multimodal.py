@@ -832,3 +832,112 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         vad_batch,
         schema="doc_id long, n_frames int, n_active int, longest_run int")
         .orderBy("doc_id"))
+
+
+@query("multimodal_phash_near_pairs", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             g.b // 3 AS p,
+             ord(substr(d.text, (g.b % len(d.text)) + 1, 1)) AS v
+      FROM documents d, generate_series(0, {_IMG_BYTES - 1}) g(b)
+      WHERE len(d.text) > 0
+    ), blocks AS (
+      SELECT doc_id,
+             ((p // {_IMG_W}) // 2) * 8 + ((p % {_IMG_W}) // 2) AS blk,
+             SUM(v) AS s
+      FROM px GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(s) AS total FROM blocks GROUP BY 1
+    ), bits AS (
+      SELECT b.doc_id, b.blk,
+             CASE WHEN b.s * {_AH_BLOCKS} > t.total
+                  THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (1::BIGINT << (blk % 16))
+                      * CASE WHEN blk // 16 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0,
+             CAST(SUM(bit * (1::BIGINT << (blk % 16))
+                      * CASE WHEN blk // 16 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(bit * (1::BIGINT << (blk % 16))
+                      * CASE WHEN blk // 16 = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2,
+             CAST(SUM(bit * (1::BIGINT << (blk % 16))
+                      * CASE WHEN blk // 16 = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c3
+      FROM bits GROUP BY doc_id
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+             b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+      FROM hashes a JOIN hashes b
+        ON a.doc_id < b.doc_id
+       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    )
+    SELECT id1, id2,
+           CAST(bit_count(CAST(xor(a0, b0) AS BIGINT))
+              + bit_count(CAST(xor(a1, b1) AS BIGINT))
+              + bit_count(CAST(xor(a2, b2) AS BIGINT))
+              + bit_count(CAST(xor(a3, b3) AS BIGINT)) AS INT)
+             AS hamming
+    FROM cand
+    ORDER BY hamming, id1, id2
+    LIMIT 10
+""")
+def multimodal_phash_near_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs by perceptual-hash hamming distance:
+    the 64-bit aHash splits into four 16-bit chunks, candidate pairs
+    must match on at least one chunk (pigeonhole: hamming <= 3 ⇒ some
+    chunk is exact — the same guarantee dedup_simhash uses), and the
+    ten closest candidate pairs report with exact hamming distances
+    (complete for hamming <= 3 by the pigeonhole; beyond that,
+    best-effort among chunk-collisions — the honest contract of any
+    banded index). This fixture has no byte-identical documents, so
+    the report surfaces the nearest visual neighbours rather than an
+    empty dup list; the candidate join stays chunk-keyed — never
+    all-pairs.
+
+    The fingerprint derivation matches multimodal_image_phash's
+    integer arithmetic bit-for-bit, so the oracle re-derives chunks
+    from document bytes; the engine computes them JVM-side from the
+    persisted decode-stage output shape (here recomputed inline via
+    the same mapInPandas decoder)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    n = spark.sparkContext.defaultParallelism
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})")
+    payload = F.concat(
+        F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n"), body).cast("binary")
+    imgs = docs.select("doc_id", payload.alias("img")).repartition(n)
+    hashes = (imgs.mapInPandas(
+        ahash_batch,
+        schema="doc_id long, phash_hi long, phash_lo long, bits_set int")
+        # 4x16-bit chunks from the two 32-bit halves
+        .select("doc_id",
+                (F.col("phash_lo") % 65536).alias("c0"),
+                (F.col("phash_lo") / 65536).cast("bigint").alias("c1"),
+                (F.col("phash_hi") % 65536).alias("c2"),
+                (F.col("phash_hi") / 65536).cast("bigint").alias("c3"))
+        ).persist()
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    cand = (a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & ((F.col("a.c0") == F.col("b.c0"))
+                      | (F.col("a.c1") == F.col("b.c1"))
+                      | (F.col("a.c2") == F.col("b.c2"))
+                      | (F.col("a.c3") == F.col("b.c3"))))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"),
+                    *[F.col(f"a.c{i}").alias(f"a{i}") for i in range(4)],
+                    *[F.col(f"b.c{i}").alias(f"b{i}") for i in range(4)])
+            .distinct())
+    ham = sum(F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+              for i in range(4))
+    return (cand.select("id1", "id2", ham.cast("int").alias("hamming"))
+            .orderBy("hamming", "id1", "id2")
+            .limit(10))

@@ -4410,3 +4410,96 @@ def events_decay_engagement_score(spark: SparkSession,
                  .alias("decayed_value"),
                  F.min("age_d").cast("int").alias("days_since_last"))
             .orderBy("user_id"))
+
+
+@query("events_littles_law_audit", sql="""
+    WITH sess AS (
+      SELECT user_id, MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 10 MINUTE AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN gap_us IS NULL
+                        OR gap_us > 600000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                   AS gap_us
+          FROM events)
+      ) GROUP BY user_id, sess_id
+    ), perday AS (
+      SELECT date_trunc('day', s_start) AS d,
+             COUNT(*) AS n_sessions,
+             SUM(epoch_us(s_end) - epoch_us(s_start)) AS dur_us,
+             SUM(epoch_us(LEAST(s_end,
+                                date_trunc('day', s_start)
+                                + INTERVAL 1 DAY))
+                 - epoch_us(s_start)) AS clipped_us
+      FROM sess GROUP BY 1
+    )
+    SELECT d AS day,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           ROUND(n_sessions / 24.0, 6) AS lambda_per_hour,
+           ROUND(dur_us / (n_sessions * 3600e6), 6) AS w_hours,
+           ROUND(clipped_us / 86400e6, 6) AS l_direct,
+           ROUND(dur_us / 86400e6, 6) AS l_littles,
+           ROUND((dur_us - clipped_us) / 86400e6, 6) AS spillover
+    FROM perday ORDER BY d
+""")
+def events_littles_law_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Little's law audit (L = lambda * W): per day, arrival rate
+    (sessions/hour), mean session duration W, the DIRECT time-average
+    concurrency L from the day-clipped occupancy integral, and the
+    law's prediction lambda*W — with the spillover column showing
+    exactly the midnight-crossing session mass that separates the two
+    (they match to rounding when every session is intraday). This is
+    the standard capacity-planning sanity check: if measured
+    concurrency and lambda*W diverge beyond spillover, the
+    sessionization or the metrics pipeline is broken — the operator
+    carries its own invariant the way layout_zonemap_skipping does.
+
+    Plan: the same one-window sessionization as events_peak_concurrency
+    (persisted), then one day-grain rollup — the occupancy integral
+    needs NO sweep or time grid because sum-of-durations IS the
+    integral. Exact integer microseconds throughout."""
+    ev = _t(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros("ts")
+              - F.unix_micros(F.lag("ts").over(uw)))
+    with_sess = (ev.select("user_id", "ts", "event_id")
+                 .withColumn("gap_us", gap_us)
+                 .withColumn("sess_id", F.sum(
+                     F.when(F.col("gap_us").isNull()
+                            | (F.col("gap_us") > 600000000), 1)
+                     .otherwise(0)).over(uw)))
+    sess = (with_sess.groupBy("user_id", "sess_id")
+            .agg(F.min("ts").alias("s_start"),
+                 (F.max("ts") + F.expr("INTERVAL 10 MINUTES"))
+                 .alias("s_end"))).persist()
+    day = F.date_trunc("day", "s_start")
+    day_end = F.expr("date_trunc('day', s_start) + INTERVAL 1 DAY")
+    perday = (sess.groupBy(day.alias("d"))
+              .agg(F.count(F.lit(1)).alias("n_sessions"),
+                   F.sum(F.unix_micros("s_end")
+                         - F.unix_micros("s_start")).alias("dur_us"),
+                   F.sum(F.unix_micros(F.least(F.col("s_end"), day_end))
+                         - F.unix_micros("s_start"))
+                   .alias("clipped_us")))
+    return (perday.select(
+        F.col("d").alias("day"),
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        F.round(F.col("n_sessions") / F.lit(24.0), 6)
+        .alias("lambda_per_hour"),
+        F.round(F.col("dur_us")
+                / (F.col("n_sessions") * F.lit(3600e6)), 6)
+        .alias("w_hours"),
+        F.round(F.col("clipped_us") / F.lit(86400e6), 6)
+        .alias("l_direct"),
+        F.round(F.col("dur_us") / F.lit(86400e6), 6)
+        .alias("l_littles"),
+        F.round((F.col("dur_us") - F.col("clipped_us"))
+                / F.lit(86400e6), 6).alias("spillover"))
+        .orderBy("day"))

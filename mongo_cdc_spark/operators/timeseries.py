@@ -1002,3 +1002,51 @@ def events_burstiness_index(spark: SparkSession,
                  F.round(sd, 2).alias("sd_gap_us"),
                  F.round((sd - mu) / (sd + mu), 6).alias("burstiness"))
             .orderBy("event_type"))
+
+
+@query("ts_snaive_backtest", sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT a.event_type, a.d, a.v, f.v AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type
+       AND f.d = a.d - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           ROUND(AVG(ABS(v - forecast) / v), 6) AS mape,
+           ROUND(AVG(ABS(v - forecast)), 4) AS mae,
+           ROUND(AVG(v - forecast), 4) AS bias
+    FROM joined GROUP BY event_type ORDER BY event_type
+""")
+def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: forecast(d) = value(d - 7
+    days), scored with MAPE / MAE / bias per event type — the
+    baseline every forecasting system must beat before it earns its
+    complexity (M-competition practice), and the cheapest possible
+    drift monitor: a rising seasonal-naive MAPE means the weekly
+    pattern itself is shifting.
+
+    Plan: one data-sized partial-agg to daily grain, one
+    calendar-offset self-join on (type, d-7) — robust to missing days
+    (no row-offset lag), grid-sized — one rollup. Daily totals are
+    pre-rounded so both engines score identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("d"))
+             .agg(F.round(F.sum("value"), 6).alias("v"))).persist()
+    f = (daily.select("event_type",
+                      F.expr("d + INTERVAL 7 DAYS").alias("d"),
+                      F.col("v").alias("forecast")))
+    joined = daily.join(f, ["event_type", "d"])
+    err = F.col("v") - F.col("forecast")
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days_scored"),
+                 F.round(F.avg(F.abs(err) / F.col("v")), 6)
+                 .alias("mape"),
+                 F.round(F.avg(F.abs(err)), 4).alias("mae"),
+                 F.round(F.avg(err), 4).alias("bias"))
+            .orderBy("event_type"))

@@ -42,7 +42,11 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # Theil-Sen: the O(n^2) pairwise-slope median runs in the
              # one declared grouped-map applyInPandas stage over
              # day-grain rows (JVM pre-aggregation bounds the group):
-             "ts_theilsen_trend"}
+             "ts_theilsen_trend",
+             # phash near-pairs: the same real-decoder mapInPandas
+             # stage as multimodal_image_phash feeds the chunk-keyed
+             # candidate join:
+             "multimodal_phash_near_pairs"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
