@@ -134,6 +134,12 @@ _GRADE_FIRST = (
     "ab_test_power_analysis", "events_burstiness_index",
     "text_heaps_law_fit", "multimodal_phash_near_pairs",
     "events_littles_law_audit", "ts_snaive_backtest",
+    # (Everything from "ts_ohlc_bars" down to here landed in the
+    # round-4 FOURTH session — 50 operators, all never officially
+    # graded, all hash-verified locally at sf0.001+sf0.01 via
+    # tools/oracle_check and pytest-pinned. They queue after the
+    # 50-slot window cut above; the round-5 rotation should lead
+    # with them, oldest-session first.)
     # (layout_compaction_plan — the 51st never-graded candidate —
     # rotates to round 5: it is a metadata-only planner whose
     # chunking invariants are pytest-pinned and whose oracle is
