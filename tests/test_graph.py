@@ -156,3 +156,23 @@ def test_khop_reachability_matches_python_bfs(spark, sf_dir):
     # output ordered by (dist, node_id)
     key = list(zip(got.dist, got.node_id))
     assert key == sorted(key)
+
+
+def test_supplier_similarity_jaccard_bounds(spark, sf_dir):
+    from mongo_cdc_spark.operators import graph
+    got = graph.graph_supplier_similarity(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert ((got.jaccard > 0) & (got.jaccard <= 1)).all()
+    # |A ∩ B| <= min(|A|, |B|), strict pair ordering, sorted output
+    assert (got.common_parts <= got[["deg_a", "deg_b"]].min(axis=1)).all()
+    assert (got.s_a < got.s_b).all()
+    assert (got.jaccard.diff().dropna() <= 1e-12).all()
+
+
+def test_degree_assortativity_is_valid_correlation(spark, sf_dir):
+    from mongo_cdc_spark.operators import graph
+    got = graph.graph_degree_assortativity(spark, sf_dir).toPandas()
+    r = got.iloc[0]
+    assert -1 <= r.assortativity <= 1
+    assert r.n_edges > 0
+    assert r.mean_cust_degree > 0 and r.mean_supp_degree > 0
