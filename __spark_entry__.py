@@ -134,6 +134,7 @@ _GRADE_FIRST = (
     "ab_test_power_analysis", "events_burstiness_index",
     "text_heaps_law_fit", "multimodal_phash_near_pairs",
     "events_littles_law_audit", "ts_snaive_backtest",
+    "events_transition_entropy",
     # (Everything from "ts_ohlc_bars" down to here landed in the
     # round-4 FOURTH session — 50 operators, all never officially
     # graded, all hash-verified locally at sf0.001+sf0.01 via

@@ -154,6 +154,7 @@ HEADLINE = [
     ("phash_near_pairs", multimodal.multimodal_phash_near_pairs),
     ("littles_law", relational.events_littles_law_audit),
     ("snaive_backtest", timeseries.ts_snaive_backtest),
+    ("transition_entropy", timeseries.events_transition_entropy),
 ]
 
 

@@ -1050,3 +1050,60 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(F.abs(err)), 4).alias("mae"),
                  F.round(F.avg(err), 4).alias("bias"))
             .orderBy("event_type"))
+
+
+@query("events_transition_entropy", sql="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), joint AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT cur, nxt, n,
+             SUM(n) OVER (PARTITION BY cur) AS nc,
+             SUM(n) OVER () AS t
+      FROM joint
+    )
+    SELECT CAST(MAX(t) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS INT) AS n_pairs,
+           ROUND(-SUM((n * 1e0 / t) * LN(n * 1e0 / nc)), 6)
+             AS cond_entropy_nats,
+           ROUND(EXP(-SUM((n * 1e0 / t) * LN(n * 1e0 / nc))), 6)
+             AS branching_factor
+    FROM m
+""")
+def events_transition_entropy(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Conditional entropy of the event-type Markov chain,
+    H(next | current) = -Σ p(i,j)·ln p(j|i), with its exponential (the
+    effective branching factor): how PREDICTABLE the next user action
+    is given the current one. ln(|types|) means the current event
+    tells you nothing (this fixture's shape — uniform synthetic
+    transitions); near 0 means rigid funnels. The summary number that
+    says whether next-event prediction is worth modeling at all, and
+    the information-theoretic companion to events_top_transitions'
+    raw matrix.
+
+    One per-user lead window (the data-sized stage, user-keyed), one
+    count to the |types|² grid, windows + rollup on grid rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("user_id", F.col("event_type").alias("cur"),
+                     F.lead("event_type").over(w).alias("nxt"))
+           .where(F.col("nxt").isNotNull()))
+    joint = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    m = (joint
+         .withColumn("nc", F.sum("n").over(Window.partitionBy("cur")))
+         .withColumn("t", F.sum("n").over(
+             Window.partitionBy(F.lit(1)))))
+    p_joint = F.col("n") * F.lit(1.0) / F.col("t")
+    p_cond = F.col("n") * F.lit(1.0) / F.col("nc")
+    h = -F.sum(p_joint * F.log(p_cond))
+    return m.agg(
+        F.max("t").cast("bigint").alias("n_transitions"),
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        F.round(h, 6).alias("cond_entropy_nats"),
+        F.round(F.exp(h), 6).alias("branching_factor"))
