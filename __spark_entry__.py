@@ -134,7 +134,8 @@ _GRADE_FIRST = (
     "ab_test_power_analysis", "events_burstiness_index",
     "text_heaps_law_fit", "multimodal_phash_near_pairs",
     "events_littles_law_audit", "ts_snaive_backtest",
-    "events_transition_entropy",
+    "events_transition_entropy", "events_session_stats",
+    "train_padding_waste", "embedding_quality_gate",
     # (Everything from "ts_ohlc_bars" down to here landed in the
     # round-4 FOURTH session — 50 operators, all never officially
     # graded, all hash-verified locally at sf0.001+sf0.01 via

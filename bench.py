@@ -155,6 +155,9 @@ HEADLINE = [
     ("littles_law", relational.events_littles_law_audit),
     ("snaive_backtest", timeseries.ts_snaive_backtest),
     ("transition_entropy", timeseries.events_transition_entropy),
+    ("session_stats", relational.events_session_stats),
+    ("padding_waste", training.train_padding_waste),
+    ("embedding_gate", similarity.embedding_quality_gate),
 ]
 
 

@@ -4503,3 +4503,83 @@ def events_littles_law_audit(spark: SparkSession,
         F.round((F.col("dur_us") - F.col("clipped_us"))
                 / F.lit(86400e6), 6).alias("spillover"))
         .orderBy("day"))
+
+
+@query("events_session_stats", sql="""
+    WITH sess AS (
+      SELECT user_id, sess_id,
+             COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM (
+        SELECT user_id, ts, event_id,
+               SUM(CASE WHEN gap_us IS NULL
+                        OR gap_us > 600000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                   AS gap_us
+          FROM events)
+      ) GROUP BY user_id, sess_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(AVG(n_events), 6) AS mean_events,
+           CAST(quantile_cont(n_events, 0.5) AS DOUBLE)
+             AS median_events,
+           ROUND(AVG(dur_us) / 60e6, 6) AS mean_duration_min,
+           ROUND(quantile_cont(dur_us, 0.5) / 60e6, 6)
+             AS median_duration_min,
+           ROUND(quantile_cont(dur_us, 0.95) / 60e6, 6)
+             AS p95_duration_min,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1e0), 6) AS bounce_rate
+    FROM sess
+""")
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement profile: session counts, events per
+    session, duration percentiles, and the bounce rate
+    (single-event sessions) — the product-analytics summary row that
+    sits above sessionization in every web-analytics stack.
+
+    Reuses the one-window 10-minute-gap sessionization (same
+    definition as events_peak_concurrency / littles-law, so the three
+    operators describe one consistent session universe); the final
+    aggregate buffers session-grain rows for exact percentiles —
+    session counts are bounded by user activity, and the sketch twin
+    (percentile_approx) is the documented swap at extreme scale.
+    Durations are exact integer microseconds; percentile
+    interpolation runs on identical doubles in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros("ts")
+              - F.unix_micros(F.lag("ts").over(uw)))
+    with_sess = (ev.select("user_id", "ts", "event_id")
+                 .withColumn("gap_us", gap_us)
+                 .withColumn("sess_id", F.sum(
+                     F.when(F.col("gap_us").isNull()
+                            | (F.col("gap_us") > 600000000), 1)
+                     .otherwise(0)).over(uw)))
+    sess = (with_sess.groupBy("user_id", "sess_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.unix_micros(F.max("ts"))
+                  - F.unix_micros(F.min("ts"))).alias("dur_us")))
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("n_events"), 6).alias("mean_events"),
+        F.percentile("n_events", 0.5).alias("median_events"),
+        F.round(F.avg("dur_us") / F.lit(60e6), 6)
+        .alias("mean_duration_min"),
+        F.round(F.percentile("dur_us", 0.5) / F.lit(60e6), 6)
+        .alias("median_duration_min"),
+        F.round(F.percentile("dur_us", 0.95) / F.lit(60e6), 6)
+        .alias("p95_duration_min"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce / (F.count(F.lit(1)) * F.lit(1.0)), 6)
+        .alias("bounce_rate"))

@@ -1819,3 +1819,56 @@ def knn_ivf_balance_report(spark: SparkSession,
                             / (F.col("n") * F.col("n")), 6)
                     .alias("imbalance_factor"))
             .orderBy("cell"))
+
+
+@query("embedding_quality_gate", sql="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             len(embedding) AS dim,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT dim) AS INT) AS n_distinct_dims,
+           CAST(MAX(dim) AS INT) AS dim,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors,
+           CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate,
+           ROUND(MIN(nrm), 6) AS norm_min,
+           ROUND(quantile_cont(nrm, 0.5), 6) AS norm_median,
+           ROUND(MAX(nrm), 6) AS norm_max,
+           CAST(COUNT(DISTINCT label) AS INT) AS n_labels
+    FROM v
+""")
+def embedding_quality_gate(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Vector-ingest quality gate: dimension constancy (a single
+    distinct dim or the index build corrupts), zero/degenerate-norm
+    counts (cosine against a zero vector is NaN poison downstream),
+    and the norm distribution (a collapsed or bimodal norm profile is
+    the classic symptom of a broken embedding export). This is the
+    check every vector pipeline runs between embedding export and
+    index build — the ANN twin of quality_profile_orders.
+
+    One narrow pass computing per-vector (dim, norm) + a single
+    aggregate with an exact median over scalar norms; norms at 6 dp
+    where per-vector dot products are order-fixed (sequential fold
+    over one array — no cross-engine reassociation)."""
+    e = _emb(spark, sf_dir)
+    v = e.select("vec_id", "label",
+                 F.size("v").alias("dim"),
+                 F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    return v.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").cast("int").alias("n_distinct_dims"),
+        F.max("dim").cast("int").alias("dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_zero_vectors"),
+        F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+        .cast("bigint").alias("n_degenerate"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.percentile("nrm", 0.5), 6).alias("norm_median"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+        F.countDistinct("label").cast("int").alias("n_labels"))

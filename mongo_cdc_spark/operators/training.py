@@ -1210,3 +1210,53 @@ def train_interleave_schedule(spark: SparkSession,
                     F.col("k").cast("int").alias("pos_in_source"),
                     "vtime", "global_pos")
             .orderBy("global_pos"))
+
+
+@query("train_padding_waste", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_SHARD_SQL.format(k=_PERM_SQL, n=_PACK_SHARDS)} AS shard,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ), per_shard AS (
+      SELECT shard, SUM(n_tok) AS tok,
+             CAST(CEIL(SUM(n_tok) / {_PACK_BUDGET}.0) AS BIGINT)
+               AS n_seqs
+      FROM keyed GROUP BY shard
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(tok AS BIGINT) AS n_tokens,
+           CAST(n_seqs AS BIGINT) AS n_sequences,
+           CAST(n_seqs * {_PACK_BUDGET} - tok AS BIGINT) AS pad_tokens,
+           ROUND((n_seqs * {_PACK_BUDGET} - tok) * 1e0
+                 / (n_seqs * {_PACK_BUDGET}), 6) AS pad_frac
+    FROM per_shard ORDER BY shard
+""")
+def train_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for the sequence packer: per shard, total
+    tokens, sequences of {b} the concat-then-chunk packer emits, and
+    the padding the LAST partial sequence burns — the compute-waste
+    number (pad_frac of every training FLOP is spent on pad tokens)
+    that justifies dense packing over per-document padding, and the
+    regression metric to watch when the packing strategy changes.
+    Arithmetic mirrors train_sequence_pack's shard/budget constants,
+    so the two operators describe the same pack.
+
+    One shard-keyed partial-aggregatable pass; pure integer
+    arithmetic.""".format(b=_PACK_BUDGET)
+    k = _perm_key()
+    keyed = _docs(spark, sf_dir).select(
+        _shard_of(k, _PACK_SHARDS).cast("int").alias("shard"),
+        F.size(_tokens()).alias("n_tok"))
+    per = (keyed.groupBy("shard")
+           .agg(F.sum("n_tok").alias("tok")))
+    n_seqs = F.ceil(F.col("tok") / F.lit(float(_PACK_BUDGET))).cast("bigint")
+    return (per.select(
+        "shard",
+        F.col("tok").cast("bigint").alias("n_tokens"),
+        n_seqs.alias("n_sequences"),
+        (n_seqs * _PACK_BUDGET - F.col("tok")).cast("bigint")
+        .alias("pad_tokens"),
+        F.round((n_seqs * _PACK_BUDGET - F.col("tok")) * F.lit(1.0)
+                / (n_seqs * _PACK_BUDGET), 6).alias("pad_frac"))
+        .orderBy("shard"))
