@@ -158,6 +158,9 @@ HEADLINE = [
     ("session_stats", relational.events_session_stats),
     ("padding_waste", training.train_padding_waste),
     ("embedding_gate", similarity.embedding_quality_gate),
+    ("cross_type_lift", relational.events_cross_type_lift),
+    ("welch_test", timeseries.events_weekend_welch_test),
+    ("lsh_scurve", dedup.dedup_lsh_scurve_tuning),
 ]
 
 

@@ -992,3 +992,40 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("j_raw", 4).alias("jaccard"))
         .orderBy("new_doc")
     )
+
+
+_SCURVE_CONFIGS = ((4, 16), (8, 8), (16, 4))   # (rows r, bands b): r*b = 64
+
+
+@query("dedup_lsh_scurve_tuning", sql=f"""
+    WITH pairs AS ({_JACCARD_ORACLE.strip().rstrip()})
+    SELECT doc1, doc2, jaccard,
+           ROUND(1 - POW(1 - POW(jaccard, 4), 16), 6) AS p_r4_b16,
+           ROUND(1 - POW(1 - POW(jaccard, 8), 8), 6) AS p_r8_b8,
+           ROUND(1 - POW(1 - POW(jaccard, 16), 4), 6) AS p_r16_b4
+    FROM pairs ORDER BY doc1, doc2
+""")
+def dedup_lsh_scurve_tuning(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding S-curve tuning report: for every TRUE
+    near-dup pair (the exact-Jaccard ground truth this corpus's dedup
+    gates on), the candidate-recall probability 1-(1-J^r)^b under
+    three 64-slot banding splits — steep-late (r=16,b=4),
+    the production default (r=4,b=16), and the midpoint. This is the
+    table an engineer reads before picking (r, b): it shows
+    per-observed-pair how much recall each config buys at the
+    similarity levels that actually occur, instead of reasoning from
+    the idealized curve. (dedup_minhash_lsh's measured recall=1 at
+    this corpus's J>=0.889 pairs is exactly what the r=4,b=16 column
+    predicts: P > 0.999998.)
+
+    Plan: rides the exact-Jaccard pair computation (inverted index,
+    never all-pairs); the probability columns are scalar arithmetic
+    on pair rows. Probabilities are deterministic closed-form doubles
+    of the 4-dp-rounded Jaccard, identical on both engines."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    j = F.col("jaccard")
+    cols = [F.round(1 - F.pow(1 - F.pow(j, r), b), 6)
+            .alias(f"p_r{r}_b{b}") for r, b in _SCURVE_CONFIGS]
+    return (pairs.select("doc1", "doc2", "jaccard", *cols)
+            .orderBy("doc1", "doc2"))

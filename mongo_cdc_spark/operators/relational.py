@@ -4583,3 +4583,56 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("bigint").alias("n_bounces"),
         F.round(bounce / (F.count(F.lit(1)) * F.lit(1.0)), 6)
         .alias("bounce_rate"))
+
+
+@query("events_cross_type_lift", sql="""
+    WITH peruser AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(corr(n_click, n_purchase), 6) AS corr_click_purchase,
+           ROUND(corr(n_error, n_purchase), 6) AS corr_error_purchase,
+           ROUND(AVG(n_click), 6) AS mean_clicks,
+           ROUND(AVG(n_purchase), 6) AS mean_purchases,
+           ROUND(covar_samp(n_click, n_purchase), 6)
+             AS cov_click_purchase
+    FROM peruser
+""")
+def events_cross_type_lift(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Cross-behavior association at the user grain: does clicking
+    more go with buying more (and do errors suppress purchases)? —
+    per-user event-type counts correlated across the population, the
+    screen that ranks which engagement behaviors to optimize. (On
+    this synthetic fixture every user has every type, so PRESENCE
+    lift is degenerate — the count correlations carry the signal,
+    which is why they are the reported statistics.)
+
+    One user-grain conditional aggregation, then a 1-row corr/cov
+    rollup — all partial-aggregatable, nothing beyond user grain."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(
+        F.when(F.col("event_type") == t, 1).otherwise(0))
+    peruser = (ev.groupBy("user_id")
+               .agg(cnt("click").alias("n_click"),
+                    cnt("purchase").alias("n_purchase"),
+                    cnt("error").alias("n_error")))
+    return peruser.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.corr("n_click", "n_purchase"), 6)
+        .alias("corr_click_purchase"),
+        F.round(F.corr("n_error", "n_purchase"), 6)
+        .alias("corr_error_purchase"),
+        F.round(F.avg("n_click"), 6).alias("mean_clicks"),
+        F.round(F.avg("n_purchase"), 6).alias("mean_purchases"),
+        F.round(F.covar_samp("n_click", "n_purchase"), 6)
+        .alias("cov_click_purchase"))

@@ -1107,3 +1107,81 @@ def events_transition_entropy(spark: SparkSession,
         F.count(F.lit(1)).cast("int").alias("n_pairs"),
         F.round(h, 6).alias("cond_entropy_nats"),
         F.round(F.exp(h), 6).alias("branching_factor"))
+
+
+@query("events_weekend_welch_test", sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CASE WHEN EXTRACT(isodow FROM ts) >= 6
+                  THEN 1 ELSE 0 END AS is_weekend,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), g AS (
+      SELECT event_type, is_weekend,
+             COUNT(*) AS n, AVG(v) AS m, var_samp(v) AS s2
+      FROM daily GROUP BY 1, 2
+    ), wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN is_weekend = 0 THEN n END) AS n_wd,
+             MAX(CASE WHEN is_weekend = 0 THEN m END) AS m_wd,
+             MAX(CASE WHEN is_weekend = 0 THEN s2 END) AS s2_wd,
+             MAX(CASE WHEN is_weekend = 1 THEN n END) AS n_we,
+             MAX(CASE WHEN is_weekend = 1 THEN m END) AS m_we,
+             MAX(CASE WHEN is_weekend = 1 THEN s2 END) AS s2_we
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_wd AS INT) AS n_weekday,
+           CAST(n_we AS INT) AS n_weekend,
+           ROUND(m_wd, 6) AS mean_weekday,
+           ROUND(m_we, 6) AS mean_weekend,
+           ROUND((m_we - m_wd)
+                 / SQRT(s2_wd / n_wd + s2_we / n_we), 6) AS welch_t,
+           ROUND(POW(s2_wd / n_wd + s2_we / n_we, 2)
+                 / (POW(s2_wd / n_wd, 2) / (n_wd - 1)
+                    + POW(s2_we / n_we, 2) / (n_we - 1)), 6)
+             AS welch_df
+    FROM wide ORDER BY event_type
+""")
+def events_weekend_welch_test(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of weekend vs weekday daily
+    value totals per event type (with the Welch-Satterthwaite degrees
+    of freedom) — the two-sample location test that doesn't assume
+    equal variances or sizes, the right default for "is weekend load
+    actually different" questions the hour/dow heatmap only eyeballs.
+
+    One data-sized partial agg to (type, day) grain with rounded
+    totals; the test statistic is closed-form arithmetic on a 2-row
+    group summary per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("d"),
+                        (F.weekday("ts") >= 5).cast("int")
+                        .alias("is_weekend"))
+             .agg(F.round(F.sum("value"), 6).alias("v")))
+    g = (daily.groupBy("event_type", "is_weekend")
+         .agg(F.count(F.lit(1)).alias("n"), F.avg("v").alias("m"),
+              F.var_samp("v").alias("s2")))
+    pick = lambda w, c: F.max(
+        F.when(F.col("is_weekend") == w, F.col(c)))
+    wide = (g.groupBy("event_type")
+            .agg(pick(0, "n").alias("n_wd"), pick(0, "m").alias("m_wd"),
+                 pick(0, "s2").alias("s2_wd"),
+                 pick(1, "n").alias("n_we"), pick(1, "m").alias("m_we"),
+                 pick(1, "s2").alias("s2_we")))
+    se2 = F.col("s2_wd") / F.col("n_wd") + F.col("s2_we") / F.col("n_we")
+    return (wide.select(
+        "event_type",
+        F.col("n_wd").cast("int").alias("n_weekday"),
+        F.col("n_we").cast("int").alias("n_weekend"),
+        F.round("m_wd", 6).alias("mean_weekday"),
+        F.round("m_we", 6).alias("mean_weekend"),
+        F.round((F.col("m_we") - F.col("m_wd")) / F.sqrt(se2), 6)
+        .alias("welch_t"),
+        F.round(F.pow(se2, 2)
+                / (F.pow(F.col("s2_wd") / F.col("n_wd"), 2)
+                   / (F.col("n_wd") - 1)
+                   + F.pow(F.col("s2_we") / F.col("n_we"), 2)
+                   / (F.col("n_we") - 1)), 6).alias("welch_df"))
+        .orderBy("event_type"))
