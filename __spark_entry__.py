@@ -137,7 +137,8 @@ _GRADE_FIRST = (
     "events_transition_entropy", "events_session_stats",
     "train_padding_waste", "embedding_quality_gate",
     "events_cross_type_lift", "events_weekend_welch_test",
-    "dedup_lsh_scurve_tuning",
+    "dedup_lsh_scurve_tuning", "orders_aging_buckets",
+    "parts_supplier_hhi",
     # (Everything from "ts_ohlc_bars" down to here landed in the
     # round-4 FOURTH session — 50 operators, all never officially
     # graded, all hash-verified locally at sf0.001+sf0.01 via

@@ -161,6 +161,8 @@ HEADLINE = [
     ("cross_type_lift", relational.events_cross_type_lift),
     ("welch_test", timeseries.events_weekend_welch_test),
     ("lsh_scurve", dedup.dedup_lsh_scurve_tuning),
+    ("aging_buckets", relational.orders_aging_buckets),
+    ("supplier_hhi", relational.parts_supplier_hhi),
 ]
 
 

@@ -4636,3 +4636,105 @@ def events_cross_type_lift(spark: SparkSession,
         F.round(F.avg("n_purchase"), 6).alias("mean_purchases"),
         F.round(F.covar_samp("n_click", "n_purchase"), 6)
         .alias("cov_click_purchase"))
+
+
+@query("orders_aging_buckets", sql="""
+    WITH ref AS (
+      SELECT MAX(o_orderdate) AS mx FROM orders
+    ), aged AS (
+      SELECT o_orderstatus,
+             LEAST(CAST(date_diff('day', o_orderdate,
+                                  (SELECT mx FROM ref)) AS BIGINT)
+                   // 90, 8) AS bucket_90d,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(bucket_90d AS INT) AS bucket_90d,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2)
+             AS total_value
+    FROM aged
+    GROUP BY o_orderstatus, bucket_90d
+    ORDER BY o_orderstatus, bucket_90d
+""")
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order aging report: 90-day age buckets (capped at 2 years+)
+    per order status with counts and exact decimal value — the
+    receivables/backlog aging table every operations dashboard
+    carries, anchored to the data's max date for reproducibility.
+
+    One partial-aggregatable shuffle onto a bounded (status x 9
+    buckets) key space; value sums are exact DECIMAL cast to double
+    only for the final 2-dp print."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("mx"))
+    bucket = F.least(
+        (F.datediff("mx", "o_orderdate") / F.lit(90))
+        .cast("bigint"), F.lit(8))
+    return (o.crossJoin(F.broadcast(ref))
+            .groupBy("o_orderstatus", bucket.cast("int")
+                     .alias("bucket_90d"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,2)")).cast("double"),
+                         2).alias("total_value"))
+            .orderBy("o_orderstatus", "bucket_90d"))
+
+
+@query("parts_supplier_hhi", sql="""
+    WITH ps AS (
+      SELECT l_partkey,
+             l_suppkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, SUM(rev_c) AS t, COUNT(*) AS n_suppliers
+      FROM ps GROUP BY 1
+    ), hhi AS (
+      SELECT p.l_partkey, t.n_suppliers,
+             SUM(POW(p.rev_c * 1e0 / t.t, 2)) AS h
+      FROM ps p JOIN tot t ON t.l_partkey = p.l_partkey
+      GROUP BY p.l_partkey, t.n_suppliers
+    )
+    SELECT l_partkey,
+           CAST(n_suppliers AS INT) AS n_suppliers,
+           ROUND(h, 6) AS hhi,
+           CASE WHEN h > 0.25 THEN 'concentrated'
+                WHEN h > 0.15 THEN 'moderate'
+                ELSE 'competitive' END AS band
+    FROM hhi
+    ORDER BY hhi DESC, l_partkey
+    LIMIT 25
+""")
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl-Hirschman index per part:
+    the sum of squared supplier revenue shares, banded at the
+    DOJ/FTC 0.15/0.25 thresholds — the supply-risk screen
+    procurement teams rank parts by (an HHI near 1 = single-source
+    dependency). Top-25 most concentrated parts reported.
+
+    Plan: one (part, supplier) exact-cents rollup, a part-grain
+    total, one share-squared agg — every stage partial-aggregatable
+    and keyed no wider than part grain; the top-k is a TakeOrdered.
+    Shares divide exact integer cents so the squared sum is
+    deterministic at 6 dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                     .cast("bigint")).alias("rev_c")))
+    tot = (ps.groupBy("l_partkey")
+           .agg(F.sum("rev_c").alias("t"),
+                F.count(F.lit(1)).alias("n_suppliers")))
+    hhi = (ps.join(tot, "l_partkey")
+           .groupBy("l_partkey", "n_suppliers")
+           .agg(F.sum(F.pow(F.col("rev_c") * F.lit(1.0)
+                            / F.col("t"), 2)).alias("h")))
+    return (hhi.select(
+        "l_partkey",
+        F.col("n_suppliers").cast("int").alias("n_suppliers"),
+        F.round("h", 6).alias("hhi"),
+        F.when(F.col("h") > 0.25, "concentrated")
+        .when(F.col("h") > 0.15, "moderate")
+        .otherwise("competitive").alias("band"))
+        .orderBy(F.desc("hhi"), "l_partkey")
+        .limit(25))
