@@ -163,6 +163,8 @@ HEADLINE = [
     ("lsh_scurve", dedup.dedup_lsh_scurve_tuning),
     ("aging_buckets", relational.orders_aging_buckets),
     ("supplier_hhi", relational.parts_supplier_hhi),
+    ("elasticity", relational.discount_quantity_elasticity),
+    ("error_budget", relational.events_error_budget),
 ]
 
 

@@ -4738,3 +4738,101 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("competitive").alias("band"))
         .orderBy(F.desc("hhi"), "l_partkey")
         .limit(25))
+
+
+@query("discount_quantity_elasticity", sql="""
+    WITH banded AS (
+      SELECT CAST(FLOOR(l_discount * 100) AS INT) AS disc_pct,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    )
+    SELECT disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 2) AS revenue,
+           ROUND(AVG(l_extendedprice), 4) AS avg_line_value
+    FROM banded
+    GROUP BY disc_pct ORDER BY disc_pct
+""")
+def discount_quantity_elasticity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Discount-band elasticity view: per integer discount percent,
+    line counts, average quantity, and exact revenue — the table a
+    pricing analyst reads to see whether deeper discounts actually
+    move volume (flat avg_qty across bands = discounts are pure
+    margin giveaway; the fixture's regression twin
+    agg_regression_stats fits the continuous slope this table bins).
+
+    One partial-aggregatable shuffle onto ~11 integer bands; revenue
+    in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.floor(F.col("l_discount") * 100).cast("int")
+                       .alias("disc_pct"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
+                               .cast("bigint")) / F.lit(100.0), 2)
+                 .alias("revenue"),
+                 F.round(F.avg("l_extendedprice"), 4)
+                 .alias("avg_line_value"))
+            .orderBy("disc_pct"))
+
+
+@query("events_error_budget", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS n_err
+      FROM events GROUP BY 1
+    ), burn AS (
+      SELECT d, n, n_err,
+             SUM(n_err) OVER (ORDER BY d) AS cum_err,
+             SUM(n) OVER (ORDER BY d) AS cum_n
+      FROM daily
+    )
+    SELECT d AS day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_err AS BIGINT) AS n_errors,
+           ROUND(n_err * 1e0 / n, 6) AS error_rate,
+           ROUND(cum_err * 1e0 / cum_n, 6) AS cum_error_rate,
+           ROUND(cum_err * 1e0 / (cum_n * 0.25), 6)
+             AS budget_burned_frac,
+           (cum_err * 1e0 / cum_n > 0.25) AS budget_exhausted
+    FROM burn ORDER BY d
+""")
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down: daily and cumulative error rates
+    against a 75% non-error SLO (budget = 25% of events may be
+    errors — sized to this synthetic fixture's uniform 20% error
+    share so the report shows a meaningful burn fraction), with the
+    budget_burned fraction and the exhausted flag — the SLO
+    dashboard's core table, and the trigger for freezing launches
+    when burn > 1.
+
+    One partial-aggregatable day rollup + a day-grain cumulative
+    window. Exact integer counts everywhere; ratios round at 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).alias("n_err")))
+    w = (W.orderBy("d")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    burn = (daily
+            .withColumn("cum_err", F.sum("n_err").over(w))
+            .withColumn("cum_n", F.sum("n").over(w)))
+    cum_rate = F.col("cum_err") * F.lit(1.0) / F.col("cum_n")
+    return (burn.select(
+        F.col("d").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_err").cast("bigint").alias("n_errors"),
+        F.round(F.col("n_err") * F.lit(1.0) / F.col("n"), 6)
+        .alias("error_rate"),
+        F.round(cum_rate, 6).alias("cum_error_rate"),
+        F.round(F.col("cum_err") * F.lit(1.0)
+                / (F.col("cum_n") * F.lit(0.25)), 6)
+        .alias("budget_burned_frac"),
+        (cum_rate > 0.25).alias("budget_exhausted"))
+        .orderBy("day"))
