@@ -139,7 +139,8 @@ _GRADE_FIRST = (
     "events_cross_type_lift", "events_weekend_welch_test",
     "dedup_lsh_scurve_tuning", "orders_aging_buckets",
     "parts_supplier_hhi", "discount_quantity_elasticity",
-    "events_error_budget",
+    "events_error_budget", "nation_trade_balance",
+    "text_vocab_coverage_curve",
     # (Everything from "ts_ohlc_bars" down to here landed in the
     # round-4 FOURTH session — 50 operators, all never officially
     # graded, all hash-verified locally at sf0.001+sf0.01 via

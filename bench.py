@@ -165,6 +165,8 @@ HEADLINE = [
     ("supplier_hhi", relational.parts_supplier_hhi),
     ("elasticity", relational.discount_quantity_elasticity),
     ("error_budget", relational.events_error_budget),
+    ("trade_balance", relational.nation_trade_balance),
+    ("vocab_coverage", text.text_vocab_coverage_curve),
 ]
 
 

@@ -4836,3 +4836,66 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("budget_burned_frac"),
         (cum_rate > 0.25).alias("budget_exhausted"))
         .orderBy("day"))
+
+
+@query("nation_trade_balance", sql="""
+    WITH buy AS (
+      SELECT n.n_name,
+             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               AS buy_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ), sell AS (
+      SELECT n.n_name,
+             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               AS sell_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    )
+    SELECT COALESCE(b.n_name, s.n_name) AS nation,
+           ROUND(COALESCE(b.buy_c, 0) / 100.0, 2) AS purchases,
+           ROUND(COALESCE(s.sell_c, 0) / 100.0, 2) AS supplies,
+           ROUND((COALESCE(s.sell_c, 0) - COALESCE(b.buy_c, 0))
+                 / 100.0, 2) AS trade_balance
+    FROM buy b FULL OUTER JOIN sell s ON s.n_name = b.n_name
+    ORDER BY nation
+""")
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade balance per nation: demand-side revenue (what the
+    nation's customers buy) vs supply-side revenue (what its
+    suppliers ship), netted — the macro view Q7's pairwise
+    volume-shipping matrix rolls up to, answering "which nations are
+    net exporters in this trade network".
+
+    Two independent star joins (fact ⋈ broadcast dims) each reduced
+    to nation grain before the tiny full-outer merge; exact integer
+    cents end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.sum(F.round(F.col("l_extendedprice") * 100)
+                  .cast("bigint"))
+    buy = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy("n_name").agg(cents.alias("buy_c")))
+    sell = (li.join(su, li.l_suppkey == su.s_suppkey)
+            .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+            .groupBy("n_name").agg(cents.alias("sell_c")))
+    return (buy.join(sell, "n_name", "full")
+            .select(F.col("n_name").alias("nation"),
+                    F.round(F.coalesce("buy_c", F.lit(0)) / 100.0, 2)
+                    .alias("purchases"),
+                    F.round(F.coalesce("sell_c", F.lit(0)) / 100.0, 2)
+                    .alias("supplies"),
+                    F.round((F.coalesce("sell_c", F.lit(0))
+                             - F.coalesce("buy_c", F.lit(0))) / 100.0,
+                            2).alias("trade_balance"))
+            .orderBy("nation"))

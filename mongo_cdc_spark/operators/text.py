@@ -1240,3 +1240,56 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("sx") * F.col("sx"))
                    * (F.col("k") * F.col("syy")
                       - F.col("sy") * F.col("sy"))), 6).alias("r2"))
+
+
+@query("text_vocab_coverage_curve", sql="""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT tok, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+             SUM(c) OVER (ORDER BY c DESC, tok) AS cum,
+             SUM(c) OVER () AS total
+      FROM tf
+    )
+    SELECT CAST(rnk AS INT) AS vocab_size,
+           tok AS last_token,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           ROUND(cum * 1e0 / total, 6) AS coverage
+    FROM ranked
+    WHERE rnk IN (1, 2, 5, 10, 20, 31)
+    ORDER BY rnk
+""")
+def text_vocab_coverage_curve(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: corpus token mass covered by the
+    top-k most frequent types at fixed checkpoints — the table that
+    sizes a tokenizer vocabulary (pick k where coverage crosses the
+    OOV budget) and quantifies how head-heavy the distribution is
+    (the integral view of the Zipf fit's slope).
+
+    One token-count shuffle with map-side combine, then a
+    vocabulary-grain ranking window with a deterministic
+    (count DESC, token) total order; cumulative sums are exact
+    integers."""
+    tf = (_docs(spark, sf_dir)
+          .select(F.explode(_tokens()).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    rw = W.orderBy(F.desc("c"), "tok")
+    cw = rw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = (tf
+              .withColumn("rnk", F.row_number().over(rw))
+              .withColumn("cum", F.sum("c").over(cw))
+              .withColumn("total", F.sum("c").over(
+                  W.partitionBy(F.lit(1)))))
+    return (ranked
+            .where(F.col("rnk").isin(1, 2, 5, 10, 20, 31))
+            .select(F.col("rnk").cast("int").alias("vocab_size"),
+                    F.col("tok").alias("last_token"),
+                    F.col("cum").cast("bigint").alias("tokens_covered"),
+                    F.round(F.col("cum") * F.lit(1.0) / F.col("total"),
+                            6).alias("coverage"))
+            .orderBy("vocab_size"))
