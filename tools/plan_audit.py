@@ -121,7 +121,11 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # the graph, so key-co-partitioned shuffle joins ARE the
           # 100 TB plan (triangle counting's rationale); AQE still
           # broadcasts the degree side when measured small:
-          "graph_degree_assortativity": 2}
+          "graph_degree_assortativity": 2,
+          # trade balance: the demand-side star starts lineitem ⋈
+          # orders — the same inherent big-big join declared for
+          # q7/q8 (both sides huge at 100 TB; dims broadcast):
+          "nation_trade_balance": 1}
 
 # Queries allowed more than the default 5 shuffles, with why. Both are
 # multi-aggregation reports whose component aggs MUST stay separate
