@@ -36,72 +36,15 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # representative spread of each already-passing category — inside the window.
 # Everything not listed follows in module order, so the full registry is intact.
 _GRADE_FIRST = (
-    # Round-4 window: staleness rotation (VERDICT_r3 task #3). After
-    # round 3 every registered query has a green latest row; the risk is
-    # now fixture drift invalidating OLD rows (round 2 proved fixtures
-    # change between rounds). So the window leads with the rows whose
-    # latest grading is oldest.
-    # Tier 0: NEW in this session (never graded — outrank everything).
-    "ts_gapfill_interpolate", "ts_ewma_trend", "cdc_snapshot_diff",
-    "quality_reconcile_order_totals", "stats_mad_outliers",
-    "layout_zonemap_skipping", "streaming_interval_join_replay",
-    "knn_mmr_rerank", "graph_pagerank_trade",
-    "events_sliding_distinct_users", "train_quality_calibrate",
-    "mine_hard_negatives", "events_seasonal_anomaly",
-    "events_attribution_last_touch", "agg_weighted_median",
-    "basket_part_pairs", "events_time_to_convert",
-    # (The whole r1-only green cohort — q5/q10, join_anti/join_outer,
-    # agg_stats_acctbal/agg_distinct_per_flag, hof_order_quantities,
-    # sample_deterministic_orders, window_topk/_running/_ntile/
-    # _range_frame, map_priority_profile, scalar_string/scalar_date/
-    # scalar_math, setop_union/_intersect/_except, filter_nullsafe_
-    # priority_pairs, agg_collect_nations_per_region — rotates to
-    # round 5: the fifteen never-graded session additions above
-    # outrank stale-green rows for the 50 slots.)
-    # (Round 4 ended with MORE never-graded queries than the 50 slots
-    # hold — 30 operators landed this round. Priority rule: a query
-    # with NO official correctness row ever outranks one whose row is
-    # merely stale or whose round-4 change is locally re-verified.
-    # So the whole changed-in-round-4 cohort rotates to the round-5
-    # window — text_quality_scores, text_langid_confusion,
-    # dedup_minhash_lsh, dedup_ngram_jaccard, dedup_span_kgram,
-    # dedup_containment, train_quality_filter, train_decontaminate,
-    # multimodal_real_decode, multimodal_fake_decode,
-    # sessions_interval_overlap, knn_ivfpq_search, text_token_stats,
-    # events_sessionization — each holds a green r1-r3 row, each
-    # round-4 change is hash-verified by tools/oracle_check at
-    # sf0.001+sf0.01 this session, and the full pytest suite pins
-    # their semantics. Never-graded operators take every slot.)
-    # Continuation-session additions (never graded):
-    "multimodal_audio_decode", "graph_triangle_count",
-    "graph_khop_reachability", "ts_autocorr_daily",
-    "ts_cusum_changepoint", "text_pmi_bigrams",
-    "quality_schema_drift", "scd2_point_in_time_join",
-    "ann_recall_eval", "train_bpe_merge_learn",
-    "events_attribution_linear",
-    "events_path_trigrams", "window_percent_rank_spend",
-    # Tier 2b: queries NEW in round 4 (first grading).
-    "dedup_incremental_new_batch", "dedup_semantic_semdedup",
-    "train_curriculum_order", "knn_sq8_search", "layout_zorder_events",
-    "cdc_incremental_view_replay", "train_dataset_card",
-    "events_hll_sketch_rollup", "train_weighted_sample",
-    "layout_hilbert_events",
-    # Tier 2c: also NEW in round 4 — the mergeable-summary trio
-    # completion (exact bitmap distinct, KLL quantile rollup, theta
-    # set algebra), count-min heavy hitters, and the retrieval pair
-    # (BM25 + reciprocal-rank fusion). Never graded -> in-window.
-    "events_bitmap_distinct_rollup", "events_kll_quantile_rollup",
-    "events_theta_distinct_setops", "events_countmin_heavy_hitters",
-    "text_bm25_topk", "search_rrf_fusion",
-    # Tier 2d: NEW in round 4, second batch — data-quality suite
-    # (Deequ-style profiler + constraints), SCD2 history build,
-    # bloom-style runtime-filter join, compaction planner.
-    "quality_profile_orders", "quality_constraint_checks",
-    "scd2_user_state_history", "join_bloom_semi_reduction",
-    # Post-window continuation additions (51+): graded in round 5 —
-    # every one is hash-verified locally at sf0.001+sf0.01 and
-    # pytest-pinned; listed here so the round-5 rotation starts with
-    # them in order.
+    # Round-5 window (VERDICT_r4 task #1: drain the grading backlog).
+    # After round 4, 79 registered queries have NEVER had a driver
+    # CORRECTNESS row (the window holds 50/round; rounds 3-4 each added
+    # 30+ operators). Priority rule: never-graded outranks stale-green
+    # and outranks locally-re-verified-changed. So the round-5 window
+    # is EXACTLY the 50 oldest never-graded entries, in the order they
+    # landed (oldest session first) — computed against the union of
+    # CORRECTNESS_r01..r04 keys, zero new operators added this round.
+    # Slots 1-50: never graded, oldest first.
     "streaming_interval_left_join_replay", "multimodal_audio_resample",
     "agg_mode_per_segment", "quality_benford_digits",
     "ts_hourly_entropy", "train_decontaminate_semantic",
@@ -127,6 +70,9 @@ _GRADE_FIRST = (
     "text_shingle_novelty", "train_passage_chunks",
     "ts_theilsen_trend", "knn_ivf_balance_report",
     "events_incident_windows", "train_shard_manifest",
+    # ---- 50-slot window cut (round 5 grades exactly the above) ----
+    # Round-6 queue, in priority order: the remaining 29 never-graded
+    # entries (oldest first), then the changed-since-last-row cohort.
     "cdc_resume_gap_audit", "events_decay_engagement_score",
     "train_interleave_schedule", "graph_degree_assortativity",
     "text_stopword_profile", "events_wow_growth",
@@ -140,22 +86,24 @@ _GRADE_FIRST = (
     "dedup_lsh_scurve_tuning", "orders_aging_buckets",
     "parts_supplier_hhi", "discount_quantity_elasticity",
     "events_error_budget", "nation_trade_balance",
-    "text_vocab_coverage_curve",
-    # (Everything from "ts_ohlc_bars" down to here landed in the
-    # round-4 FOURTH session — 50 operators, all never officially
-    # graded, all hash-verified locally at sf0.001+sf0.01 via
-    # tools/oracle_check and pytest-pinned. They queue after the
-    # 50-slot window cut above; the round-5 rotation should lead
-    # with them, oldest-session first.)
-    # (layout_compaction_plan — the 51st never-graded candidate —
-    # rotates to round 5: it is a metadata-only planner whose
-    # chunking invariants are pytest-pinned and whose oracle is
-    # hash-verified locally; every other never-graded op carries
-    # data-shaping semantics and outranks it for an official row.
-    # The former tier-3 fillers — sample_stratified_orders,
-    # agg_approx_sketches, unpivot_lineitem_metrics, q2, q4 — and
-    # q7-q22 also rotate to round 5: never-graded and changed
-    # queries outrank unchanged r2-green rows for the 50 slots.)
+    "text_vocab_coverage_curve", "multimodal_real_decode",
+    "layout_compaction_plan",
+    # Changed-after-their-last-driver-row cohort (r4 changes:
+    # text_quality_scores, text_langid_confusion, dedup_minhash_lsh,
+    # dedup_ngram_jaccard, dedup_span_kgram, dedup_containment,
+    # train_quality_filter, train_decontaminate, multimodal_fake_decode,
+    # sessions_interval_overlap, knn_ivfpq_search, text_token_stats,
+    # events_sessionization; r5 changes: train_curriculum_order — the
+    # two-phase ntile fix landed after its r4 green row). Each change
+    # is hash-verified locally at sf0.001+sf0.01 via tools/oracle_check
+    # and pytest-pinned; they take round-6 slots 30-43.
+    "text_quality_scores", "text_langid_confusion",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_span_kgram", "dedup_containment",
+    "train_quality_filter", "train_decontaminate",
+    "multimodal_fake_decode", "sessions_interval_overlap",
+    "knn_ivfpq_search", "text_token_stats",
+    "events_sessionization", "train_curriculum_order",
 )
 
 
