@@ -36,43 +36,12 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # representative spread of each already-passing category — inside the window.
 # Everything not listed follows in module order, so the full registry is intact.
 _GRADE_FIRST = (
-    # Round-5 window (VERDICT_r4 task #1: drain the grading backlog).
-    # After round 4, 79 registered queries have NEVER had a driver
-    # CORRECTNESS row (the window holds 50/round; rounds 3-4 each added
-    # 30+ operators). Priority rule: never-graded outranks stale-green
-    # and outranks locally-re-verified-changed. So the round-5 window
-    # is EXACTLY the 50 oldest never-graded entries, in the order they
-    # landed (oldest session first) — computed against the union of
-    # CORRECTNESS_r01..r04 keys, zero new operators added this round.
-    # Slots 1-50: never graded, oldest first.
-    "streaming_interval_left_join_replay", "multimodal_audio_resample",
-    "agg_mode_per_segment", "quality_benford_digits",
-    "ts_hourly_entropy", "train_decontaminate_semantic",
-    "events_funnel_steps", "train_bpe_tokenize_apply",
-    "text_zipf_fit", "cdc_topic_regex_router",
-    "events_survival_km", "basket_rules_lift",
-    "text_readability_proxy", "cdc_op_mix_stats",
-    "events_revenue_concentration", "kmeans_silhouette_eval",
-    "ts_ohlc_bars", "ts_time_weighted_avg",
-    "stats_chi_square_independence", "stats_jackknife_mean",
-    "ab_test_proportions", "events_dau_wau_stickiness",
-    "customer_ltv_curve", "feature_winsorized_scale",
-    "text_bigram_logprob", "text_js_divergence_sources",
-    "streaming_ohlc_replay", "graph_supplier_similarity",
-    "window_cume_dist_spend", "events_rate_ci",
-    "layout_range_bounds", "sketch_accuracy_eval",
-    "multimodal_image_phash", "events_user_lifecycle",
-    "events_peak_concurrency", "events_watermark_lag_profile",
-    "join_hint_merge", "events_hour_dow_heatmap",
-    "multimodal_audio_vad", "events_bot_score",
-    "ts_seasonal_strength", "ts_bollinger_bands",
-    "parts_abc_classification", "customer_tier_migration",
-    "text_shingle_novelty", "train_passage_chunks",
-    "ts_theilsen_trend", "knn_ivf_balance_report",
-    "events_incident_windows", "train_shard_manifest",
-    # ---- 50-slot window cut (round 5 grades exactly the above) ----
-    # Round-6 queue, in priority order: the remaining 29 never-graded
-    # entries (oldest first), then the changed-since-last-row cohort.
+    # Round-6 window (VERDICT_r5 task #2: finish the grading drain).
+    # After round 5, 29 registered queries have never had a driver
+    # CORRECTNESS row and 16 changed after their latest green row, so
+    # the whole backlog fits the 50-slot window. Priority rule:
+    # never-graded outranks changed-since-grading outranks stale-green.
+    # Slots 1-29: the never-graded entries, oldest session first.
     "cdc_resume_gap_audit", "events_decay_engagement_score",
     "train_interleave_schedule", "graph_degree_assortativity",
     "text_stopword_profile", "events_wow_growth",
@@ -88,15 +57,18 @@ _GRADE_FIRST = (
     "events_error_budget", "nation_trade_balance",
     "text_vocab_coverage_curve", "multimodal_real_decode",
     "layout_compaction_plan",
-    # Changed-after-their-last-driver-row cohort (r4 changes:
-    # text_quality_scores, text_langid_confusion, dedup_minhash_lsh,
-    # dedup_ngram_jaccard, dedup_span_kgram, dedup_containment,
-    # train_quality_filter, train_decontaminate, multimodal_fake_decode,
-    # sessions_interval_overlap, knn_ivfpq_search, text_token_stats,
-    # events_sessionization; r5 changes: train_curriculum_order — the
-    # two-phase ntile fix landed after its r4 green row). Each change
-    # is hash-verified locally at sf0.001+sf0.01 via tools/oracle_check
-    # and pytest-pinned; they take round-6 slots 30-43.
+    # Slots 30-45: changed after their latest driver row. 13 are the
+    # round-4 edits (each hash-verified locally at sf0.001+sf0.01 and
+    # pytest-pinned in that session); 5 are the round-6 two-phase
+    # window rewrites of the VERDICT_r5 scale-killer class
+    # (events_revenue_concentration, parts_abc_classification,
+    # train_curriculum_order, train_interleave_schedule [already above
+    # as never-graded], text_heaps_law_fit [already above]) — NOTE the
+    # round-5 manifest comment claimed the train_curriculum_order
+    # ntile fix had already landed; that was FALSE (training.py was
+    # untouched in round 5). The fix actually landed in round 6 via
+    # operators/_twophase.py, verified green at both SFs with zero
+    # single-partition-window warnings before this rotation.
     "text_quality_scores", "text_langid_confusion",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_span_kgram", "dedup_containment",
@@ -104,6 +76,16 @@ _GRADE_FIRST = (
     "multimodal_fake_decode", "sessions_interval_overlap",
     "knn_ivfpq_search", "text_token_stats",
     "events_sessionization", "train_curriculum_order",
+    "events_revenue_concentration", "parts_abc_classification",
+    # Slots 46-48: new in round 6, each shipped with oracle + pytest
+    # pins + plan-audit pass (train/val/test hash split with
+    # cross-split exact-dup leakage audit; longest contiguous
+    # contaminated-span detection; label-propagation communities).
+    "train_split_leakage", "train_contamination_span",
+    "graph_label_propagation",
+    # ---- round-6 rotation ends here (48 entries; slots 49-50 open).
+    # Everything below follows in module order with its latest green
+    # row intact.
 )
 
 

@@ -303,11 +303,32 @@ def main() -> None:
         relay = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"# cdc_relay_stream: ERROR {relay['error']}", file=sys.stderr)
 
+    # Full per-query detail goes to a SIDECAR file: with 130+ headline
+    # queries the single JSON line grew past the driver artifact's
+    # capture window — BENCH_r04/r05.json kept only a truncated tail
+    # ("parsed": null, first ~60 timings lost). The stdout line stays
+    # compact (<1 KB: totals + the top-10 slowest, which is what the
+    # plan audit needs) and points at the sidecar with every timing.
+    detail = {
+        "sf": sf,
+        "reps": reps,
+        "queries": timings,
+        "first_rep": first_rep,
+        "errors": errors,
+        "cdc_relay_stream": relay,
+    }
+    detail_path = REPO / "bench_detail.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True))
+    except OSError as exc:
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": top10,
+        "n_queries": len(timings),
         "sf": sf,
         "reps": reps,
         # single-shot (rep-0) total: rounds 1-2 were single-shot, so this
@@ -318,10 +339,10 @@ def main() -> None:
         # deflate the cross-round number.
         "first_rep_total_sec": round(sum(first_rep.values()), 3),
         "first_rep_n": len(first_rep),
+        "n_errors": len(errors),
         "cdc_relay_stream": relay,
+        "detail_file": "bench_detail.json",
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
 from mongo_cdc_spark.operators import make_registry
+from mongo_cdc_spark.operators._twophase import with_global_order
 
 QUERIES, ORACLE, query = make_registry()
 
@@ -3595,20 +3596,23 @@ def events_revenue_concentration(spark: SparkSession,
     plus the Pareto top-20%/top-10% revenue shares — the
     whale-concentration metrics every monetization review reports.
 
-    One user-keyed agg, then a single global sort window over the
-    USER-grain frame assigns ranks — at 100 TB the user frame is
-    orders of magnitude smaller than events, and the rank window is
-    the textbook distributed-Gini plan (range-partitioned sort, no
-    all-pairs |x_i − x_j| formulation). Ranks tie-break on user_id,
-    which leaves the Gini invariant (equal values commute in the
-    rank sum) and makes the cutoff shares deterministic."""
+    One user-keyed agg, then ranks over the USER-grain frame via the
+    two-phase plan (`_twophase.with_global_order`): repartitionByRange
+    on (rev, user_id), per-range-partition row_number, broadcast
+    partition offsets — no single-task sort anywhere (an unpartitioned
+    rank window would move the whole user frame to one partition; the
+    rank formulation still avoids the all-pairs |x_i − x_j| form).
+    Ranks tie-break on user_id, which leaves the Gini invariant
+    (equal values commute in the rank sum) and makes the cutoff
+    shares deterministic."""
     ev = _t(spark, sf_dir, "events")
     per_user = (ev.filter(F.col("event_type") == "purchase")
                 .groupBy("user_id")
                 .agg(F.round(F.sum("value"), 6).alias("rev")))
-    w = W.orderBy("rev", "user_id")
-    ranked = (per_user
-              .select("rev", F.row_number().over(w).alias("i"))
+    ranked = (with_global_order(per_user,
+                                [F.asc("rev"), F.asc("user_id")],
+                                rank_col="i")
+              .select("rev", "i")
               .localCheckpoint(eager=False))
     tot = ranked.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("rev").alias("total"))
@@ -4253,30 +4257,29 @@ def parts_abc_classification(spark: SparkSession,
     lesson): per-part revenue folds to exact BIGINT cents, the
     running total is exact, and the 80/95 cuts compare cum*100 <=
     total*80 in pure integers — no double cumsum, no round boundary.
-    The ranking window orders by (rev DESC, partkey) so ties are
-    stable. One part-grain shuffle + one global-ordered window (at
-    100 TB: rank against a sampled quantile boundary instead of the
-    exact global cumsum — same output classes within sampling error,
-    documented trade; the exact form is right while parts fit a
-    window)."""
+    The cumulative ordering is (rev DESC, partkey) so ties are
+    stable. One part-grain shuffle, then the EXACT global cumsum via
+    the two-phase plan (`_twophase.with_global_order`):
+    repartitionByRange on the ordering, per-range-partition running
+    sum, broadcast partition offsets — no single-task sort, no
+    sampled-boundary approximation needed; the grand total is a
+    broadcast scalar, not a whole-frame window."""
     li = _t(spark, sf_dir, "lineitem")
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                       .cast("bigint")).alias("rev_c")))
-    wcum = (W.orderBy(F.desc("rev_c"), "l_partkey")
-            .rowsBetween(W.unboundedPreceding, W.currentRow))
-    wall = W.partitionBy(F.lit(1))
-    classed = (rev
-               .withColumn("cum_c", F.sum("rev_c").over(wcum))
-               .withColumn("total_c", F.sum("rev_c").over(wall))
+    total = rev.agg(F.sum("rev_c").alias("total"))
+    classed = (with_global_order(rev,
+                                 [F.desc("rev_c"), F.asc("l_partkey")],
+                                 cumsums={"rev_c": "cum_c"})
+               .crossJoin(F.broadcast(total))
                .withColumn("abc",
                            F.when(F.col("cum_c") * 100
-                                  <= F.col("total_c") * 80, "A")
+                                  <= F.col("total") * 80, "A")
                            .when(F.col("cum_c") * 100
-                                 <= F.col("total_c") * 95, "B")
+                                 <= F.col("total") * 95, "B")
                            .otherwise("C")))
-    total = rev.agg(F.sum("rev_c").alias("total"))
-    return (classed.crossJoin(F.broadcast(total))
+    return (classed
             .groupBy("abc")
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),

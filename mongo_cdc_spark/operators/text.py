@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
 from mongo_cdc_spark.operators import make_registry
+from mongo_cdc_spark.operators._twophase import with_global_order
 
 QUERIES, ORACLE, query = make_registry()
 
@@ -1194,17 +1195,22 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the later checkpoints — and template spam shows the same
     signature, which is exactly why release pipelines chart it).
 
-    Plan: global token positions come from a doc-grain prefix-sum
-    (cheap window over |docs| rows) plus a narrow posexplode — no
-    global per-token window; first-occurrence is one hash agg; V(n)
-    evaluates all checkpoints against the tiny first-position frame;
-    the OLS closed form runs on ≤6 rows. Integer positions make every
-    comparison exact."""
+    Plan: global token positions come from a doc-grain prefix-sum via
+    the two-phase plan (`_twophase.with_global_order`):
+    repartitionByRange(doc_id), per-range-partition running sum,
+    broadcast partition offsets — no single-task sort (an
+    unpartitioned cumsum window would move the whole doc frame to one
+    partition) — plus a narrow posexplode; no global per-token
+    window; first-occurrence is one hash agg; V(n) evaluates all
+    checkpoints against the tiny first-position frame; the OLS closed
+    form runs on ≤6 rows. Integer positions make every comparison
+    exact."""
     arr = _docs(spark, sf_dir).select("doc_id", _tokens().alias("w"))
-    dw = (W.orderBy("doc_id")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    doclen = (arr.select("doc_id", F.size("w").alias("n"))
-              .withColumn("off", F.sum("n").over(dw) - F.col("n")))
+    doclen = (with_global_order(
+        arr.select("doc_id", F.size("w").alias("n")),
+        [F.asc("doc_id")], cumsums={"n": "cum_n"})
+        .withColumn("off", F.col("cum_n") - F.col("n"))
+        .drop("cum_n"))
     toks = (arr.join(doclen, "doc_id")
             .select(F.posexplode("w").alias("i", "tok"), "off")
             .select((F.col("off") + F.col("i") + 1).alias("gpos"),

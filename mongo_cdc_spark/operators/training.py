@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from mongo_cdc_spark.io import load_table
 from mongo_cdc_spark.operators import make_registry
+from mongo_cdc_spark.operators._twophase import with_global_order
 from mongo_cdc_spark.operators.dedup import _tokens, shingle_sets
 
 QUERIES, ORACLE, query = make_registry()
@@ -484,13 +485,16 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fix a deterministic md5-permutation order within each phase —
     the reproducible easy-to-hard dataloader schedule.
 
-    Scale: difficulty is a narrow projection; the ntile is ONE global
-    sort on (difficulty, doc_id) — at 100 TB that global ntile becomes
-    the standard sample-quantile cut (range-partition by difficulty,
-    assign phases from broadcast quantile bounds), same semantics with
-    no single-task sort; the within-phase window shuffles on the
-    {_CURR_PHASES}-value phase key. Deterministic tie-breaks on doc_id
-    everywhere, so the schedule is bit-stable across engines and runs.
+    Scale: difficulty is a narrow projection; the phase cut is the
+    two-phase global rank (`_twophase.with_global_order`):
+    repartitionByRange on (difficulty, doc_id), per-range-partition
+    row_number, broadcast partition offsets — then the ANSI-ntile
+    bucket arithmetic (first n%P buckets get ceil(n/P) rows) applied
+    to the exact rank against a broadcast row count. Bit-identical to
+    a global ntile window with NO single-task sort; the within-phase
+    window shuffles on the {_CURR_PHASES}-value phase key.
+    Deterministic tie-breaks on doc_id everywhere, so the schedule is
+    bit-stable across engines and runs.
     """
     toks = _tokens()
     scored = _docs(spark, sf_dir).select(
@@ -502,9 +506,23 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.select(
         "doc_id", "k", "n_tok",
         F.round(F.col("n_tok") * F.col("ttr"), 4).alias("difficulty"))
-    phased = ranked.withColumn(
-        "phase", F.ntile(_CURR_PHASES).over(
-            W.orderBy("difficulty", "doc_id")))
+    pos = with_global_order(ranked,
+                            [F.asc("difficulty"), F.asc("doc_id")],
+                            rank_col="g")
+    n_docs = ranked.agg(F.count(F.lit(1)).alias("n"))
+    # ANSI ntile(P) over n rows: q = n div P, r = n mod P; buckets
+    # 1..r hold q+1 rows, buckets r+1..P hold q (ceil(x/0) is never
+    # evaluated: when n < P, r = n and every rank takes the first arm)
+    q = F.floor(F.col("n") / _CURR_PHASES)
+    r = F.col("n") % _CURR_PHASES
+    g = F.col("g")
+    phased = (pos.crossJoin(F.broadcast(n_docs))
+              .withColumn("phase",
+                          F.when(g <= (q + 1) * r,
+                                 F.ceil(g / (q + 1)))
+                          .otherwise(r + F.ceil((g - (q + 1) * r) / q))
+                          .cast("int"))
+              .drop("g", "n"))
     return (
         phased.withColumn(
             "order_in_phase",
@@ -1184,31 +1202,37 @@ def train_interleave_schedule(spark: SparkSession,
     corpus-wide.
 
     Plan: per-source position = one window keyed by source; the
-    global order is a rank over virtual time — at 100 TB the global
-    window becomes repartitionByRange(vtime) + per-partition offsets
-    (the layout_range_bounds mechanics); ties (k - 0.5)/share are
-    broken (lang, doc_id) identically on both engines."""
+    global order is the two-phase rank over virtual time
+    (`_twophase.with_global_order`): repartitionByRange(vtime, lang,
+    doc_id), per-range-partition row_number, broadcast partition
+    offsets — no single-task sort; ties (k - 0.5)/share are broken
+    (lang, doc_id) identically on both engines. The share
+    denominator is a broadcast scalar joined onto the |langs|-row
+    frame."""
     docs = _docs(spark, sf_dir)
+    n_total = docs.agg(F.count(F.lit(1)).alias("nt"))
     shares = (docs.groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n"))
+              .crossJoin(F.broadcast(n_total))
               .withColumn("share",
-                          F.col("n") * F.lit(1.0)
-                          / F.sum("n").over(W.partitionBy(F.lit(1)))))
+                          F.col("n") * F.lit(1.0) / F.col("nt"))
+              .drop("nt"))
     pos = (docs.join(F.broadcast(shares), "lang")
            .select("doc_id", "lang", "share",
                    F.row_number().over(
                        W.partitionBy("lang").orderBy(_perm_key()))
                    .alias("k")))
     vtime = (F.col("k") - 0.5) / F.col("share")
-    gw = W.orderBy(vtime, "lang", "doc_id")
-    return (pos
-            .withColumn("vtime", F.round(vtime, 6))
-            .withColumn("global_pos",
-                        F.row_number().over(gw).cast("int"))
+    sched = with_global_order(
+        pos.withColumn("_vt", vtime),
+        [F.asc("_vt"), F.asc("lang"), F.asc("doc_id")],
+        rank_col="gp")
+    return (sched
+            .withColumn("vtime", F.round(F.col("_vt"), 6))
             .where(F.col("doc_id") < 100)
             .select("doc_id", "lang",
                     F.col("k").cast("int").alias("pos_in_source"),
-                    "vtime", "global_pos")
+                    "vtime", F.col("gp").cast("int").alias("global_pos"))
             .orderBy("global_pos"))
 
 
@@ -1260,3 +1284,173 @@ def train_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n_seqs * _PACK_BUDGET - F.col("tok")) * F.lit(1.0)
                 / (n_seqs * _PACK_BUDGET), 6).alias("pad_frac"))
         .orderBy("shard"))
+
+
+# ------------------------------------------------- split + leakage audit
+
+# Deterministic 20-bucket hash split: buckets 0-17 train (90%), 18 val
+# (5%), 19 test (5%) — the standard held-out carve, keyed on the same
+# portable md5 permutation the shard assigner uses.
+_SPLIT_BUCKETS = 20
+_SPLIT_VAL, _SPLIT_TEST = 18, 19
+_SPLIT_CASE_SQL = f"""CASE
+        WHEN {_SHARD_SQL.format(k=_PERM_SQL, n=_SPLIT_BUCKETS)}
+             = {_SPLIT_TEST} THEN 'test'
+        WHEN {_SHARD_SQL.format(k=_PERM_SQL, n=_SPLIT_BUCKETS)}
+             = {_SPLIT_VAL} THEN 'val'
+        ELSE 'train' END"""
+
+
+@query("train_split_leakage", sql=f"""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS fp,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             {_SPLIT_CASE_SQL} AS split
+      FROM documents
+    ), leaked AS (
+      SELECT fp FROM base GROUP BY fp
+      HAVING COUNT(DISTINCT split) > 1
+    ), tot AS (SELECT COUNT(*) AS n FROM base)
+    SELECT bs.split AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bs.n_tok) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(*) * 1e0 / MAX(tot.n), 6) AS doc_share,
+           CAST(SUM(CASE WHEN l.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_docs
+    FROM base bs
+    LEFT JOIN leaked l ON l.fp = bs.fp
+    CROSS JOIN tot
+    GROUP BY bs.split ORDER BY bs.split
+""")
+def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment + cross-split leakage audit:
+    every doc lands in a split via the deterministic md5 hash bucket
+    (90/5/5 — the reproducible carve that survives re-runs and corpus
+    appends, unlike random splits), and the audit counts docs whose
+    exact-content fingerprint (md5 of text) ALSO appears in a
+    different split — the train→test contamination that silently
+    inflates eval numbers, the first check any release eval runs.
+
+    Plan: one narrow projection (fingerprint, token count, bucket),
+    ONE fingerprint-keyed agg to find multi-split fingerprints
+    (map-side combined; the leaked set is duplicate-grain — tiny
+    relative to the corpus, so the verdict join is hint-free and AQE
+    broadcasts it when measured small), one split-keyed rollup (3
+    groups). No window, no self-join; survives 100 TB because every
+    shuffle is keyed on fingerprints or the 3-value split."""
+    k = _perm_key()
+    b = _shard_of(k, _SPLIT_BUCKETS)
+    base = _docs(spark, sf_dir).select(
+        F.md5("text").alias("fp"),
+        F.size(_tokens()).alias("n_tok"),
+        F.when(b == _SPLIT_TEST, "test")
+        .when(b == _SPLIT_VAL, "val")
+        .otherwise("train").alias("split"))
+    leaked = (base.groupBy("fp")
+              .agg(F.count_distinct("split").alias("ns"))
+              .where(F.col("ns") > 1)
+              .select("fp", F.lit(1).alias("is_leak")))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    return (base.join(leaked, "fp", "left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.round(F.count(F.lit(1)) * F.lit(1.0) / F.max("n"), 6)
+                 .alias("doc_share"),
+                 F.sum(F.coalesce(F.col("is_leak"), F.lit(0)))
+                 .cast("bigint").alias("n_leaked_docs"))
+            .orderBy("split"))
+
+
+# -------------------------------------------- contiguous-span contamination
+
+# A contaminated RUN of >= this many consecutive overlapping 3-gram
+# windows (i.e. run + 2 contiguous benchmark tokens) marks a doc for
+# span-level scrubbing rather than whole-doc drop.
+_SPAN_RUN_MIN = 3
+
+
+@query("train_contamination_span", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s,
+             len(w) - 2 AS n_win
+      FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), bench AS (
+      SELECT DISTINCT s FROM pos WHERE doc_id % {_BENCH_MOD} = 0
+    ), hits AS (
+      SELECT p.doc_id, p.i, p.n_win,
+             p.i - ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                      ORDER BY p.i) AS grp
+      FROM pos p JOIN bench b USING (s)
+      WHERE p.doc_id % {_BENCH_MOD} <> 0
+    ), runs AS (
+      SELECT doc_id, MAX(n_win) AS n_win, grp,
+             COUNT(*) AS run_len
+      FROM hits GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(MAX(n_win) AS INT) AS n_windows,
+           CAST(SUM(run_len) AS INT) AS n_hit_windows,
+           CAST(MAX(run_len) AS INT) AS longest_run,
+           CAST(MAX(run_len) + 2 AS INT) AS longest_span_tokens,
+           MAX(run_len) >= {_SPAN_RUN_MIN} AS scrub_flag
+    FROM runs GROUP BY doc_id ORDER BY doc_id
+""")
+def train_contamination_span(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Contiguous-span contamination: for each corpus doc that overlaps
+    the held-out benchmark at all, the LONGEST consecutive run of
+    benchmark-matching 3-gram windows (= longest verbatim shared span,
+    in tokens) — the signal that separates a quoted sentence
+    (long run → scrub the span) from scattered common phrases (many
+    short runs → keep). `train_decontaminate` asks "how MUCH
+    overlaps"; this asks "how CONTIGUOUS is it", which is what
+    span-level scrubbing (Lee et al. suffix-array style) acts on.
+
+    Plan: positional 3-gram hashes via posexplode (positions matter
+    here, unlike the shingle SET ops), hash-joined against the
+    broadcast benchmark shingle union; runs form with the classic
+    islands-and-gaps trick (position − per-doc hit rank is constant
+    within a run) — the rank window is PARTITIONED BY doc_id, so no
+    global sort anywhere; per-run and per-doc rollups are map-side
+    combinable. Shuffles carry (doc, position) hit rows only —
+    benchmark-overlap grain, far below corpus grain."""
+    from mongo_cdc_spark.operators.dedup import _token_hashes
+
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", _tokens().alias("w"))
+            .filter(F.size("w") >= 3)
+            .select("doc_id", F.size("w").alias("nw"),
+                    _token_hashes(F.col("w")).alias("th")))
+    tri = docs.select(
+        "doc_id", (F.col("nw") - 2).alias("n_win"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("th") - 2),
+            lambda i: F.xxhash64(F.element_at("th", i),
+                                 F.element_at("th", i + 1),
+                                 F.element_at("th", i + 2)))
+        ).alias("i0", "h"))
+    bench = (tri.where(F.col("doc_id") % _BENCH_MOD == 0)
+             .select("h").distinct())
+    hits = (tri.where(F.col("doc_id") % _BENCH_MOD != 0)
+            .join(F.broadcast(bench), "h")
+            .select("doc_id", "n_win", (F.col("i0") + 1).alias("i")))
+    grp = (F.col("i") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("i")))
+    runs = (hits.withColumn("grp", grp)
+            .groupBy("doc_id", "grp")
+            .agg(F.max("n_win").alias("n_win"),
+                 F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("doc_id")
+            .agg(F.max("n_win").cast("int").alias("n_windows"),
+                 F.sum("run_len").cast("int").alias("n_hit_windows"),
+                 F.max("run_len").cast("int").alias("longest_run"),
+                 (F.max("run_len") + 2).cast("int")
+                 .alias("longest_span_tokens"),
+                 (F.max("run_len") >= _SPAN_RUN_MIN).alias("scrub_flag"))
+            .orderBy("doc_id"))

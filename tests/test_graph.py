@@ -176,3 +176,37 @@ def test_degree_assortativity_is_valid_correlation(spark, sf_dir):
     assert -1 <= r.assortativity <= 1
     assert r.n_edges > 0
     assert r.mean_cust_degree > 0 and r.mean_supp_degree > 0
+
+
+def test_label_propagation_matches_python_lpa(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_suppkey", "l_partkey").distinct().collect()
+    by_part = defaultdict(set)
+    for r in li:
+        by_part[r.l_partkey].add(r.l_suppkey)
+    adj = defaultdict(set)
+    for sup in by_part.values():
+        for x in sup:
+            for y in sup:
+                if x != y:
+                    adj[x].add(y)
+    labels = {n: n for n in adj}
+    for _ in range(graph.LPA_ITERS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            cnt[labels[n]] += 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    want = Counter(labels.values())
+    got = graph.graph_label_propagation(spark, sf_dir).collect()
+    assert {(r.community, r.n_members) for r in got} \
+        == {(lab, c) for lab, c in want.items()}
+    # deterministic across runs
+    again = graph.graph_label_propagation(spark, sf_dir).collect()
+    assert got == again

@@ -356,3 +356,64 @@ def test_shard_manifest_partitions_corpus_and_detects_drift(spark, sf_dir):
     ref = docs.groupby("shard").d40.sum()
     for _, r in got.iterrows():
         assert r.content_digest == ref[r.shard]
+
+
+def test_split_leakage_shares_and_ground_truth(spark, sf_dir):
+    rows = {r.split: r for r in
+            training.train_split_leakage(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r.n_docs for r in rows.values())
+    # 90/5/5 hash split within hash-uniformity tolerance
+    assert 0.80 <= rows["train"].n_docs / total <= 0.97
+    for s in ("val", "test"):
+        assert 0.005 <= rows[s].n_docs / total <= 0.15
+    assert abs(sum(r.doc_share for r in rows.values()) - 1.0) < 1e-4
+    # ground truth: recompute leaked fingerprints driver-side
+    import collections
+    docs = training._docs(spark, sf_dir).select("doc_id", "text").collect()
+    import hashlib
+    by_fp = collections.defaultdict(set)
+    for r in docs:
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) \
+            % training._SPLIT_BUCKETS
+        split = ("test" if b == training._SPLIT_TEST
+                 else "val" if b == training._SPLIT_VAL else "train")
+        by_fp[hashlib.md5(r.text.encode()).hexdigest()].add((r.doc_id, split))
+    want = collections.Counter()
+    for members in by_fp.values():
+        splits = {s for _, s in members}
+        if len(splits) > 1:
+            for _, s in members:
+                want[s] += 1
+    for s, r in rows.items():
+        assert r.n_leaked_docs == want.get(s, 0)
+
+
+def test_contamination_span_runs_match_bruteforce(spark, sf_dir):
+    got = {r.doc_id: r for r in
+           training.train_contamination_span(spark, sf_dir).collect()}
+    assert got  # fixture has contaminated docs
+    docs = training._docs(spark, sf_dir).select("doc_id", "text").collect()
+    tris = {}
+    for r in docs:
+        w = r.text.split()
+        tris[r.doc_id] = [tuple(w[i:i + 3]) for i in range(len(w) - 2)]
+    bench = {t for d, ts in tris.items()
+             if d % training._BENCH_MOD == 0 for t in ts}
+    for d, ts in tris.items():
+        if d % training._BENCH_MOD == 0:
+            continue
+        flags = [t in bench for t in ts]
+        if not any(flags):
+            assert d not in got
+            continue
+        longest = run = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            longest = max(longest, run)
+        r = got[d]
+        assert r.n_windows == len(ts)
+        assert r.n_hit_windows == sum(flags)
+        assert r.longest_run == longest
+        assert r.longest_span_tokens == longest + 2
+        assert r.scrub_flag == (longest >= training._SPAN_RUN_MIN)

@@ -1,0 +1,91 @@
+"""Two-phase global ordering (operators/_twophase.py) and the plan
+shape of the five operators the round-5 verdict flagged for
+single-partition windows (Gini, ABC, curriculum ntile, interleave
+merge, Heaps prefix-sum)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from plan_audit import count_global_windows  # noqa: E402
+
+from mongo_cdc_spark.operators import relational, text, training  # noqa: E402
+from mongo_cdc_spark.operators._twophase import with_global_order  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_rank_and_cumsum_match_single_sort(spark):
+    df = spark.range(1, 5001).select(
+        (F.col("id") * 37 % 997).alias("v"), F.col("id").alias("k"))
+    out = with_global_order(df, [F.asc("v"), F.asc("k")],
+                            rank_col="g", cumsums={"v": "cum_v"})
+    got = {(r.v, r.k): (r.g, r.cum_v) for r in out.collect()}
+    cum = 0
+    for i, r in enumerate(df.orderBy("v", "k").collect(), 1):
+        cum += r.v
+        assert got[(r.v, r.k)] == (i, cum)
+
+
+def test_global_rank_desc_ordering(spark):
+    df = spark.range(1, 2001).select(
+        (F.col("id") * 13 % 211).alias("v"), F.col("id").alias("k"))
+    out = with_global_order(df, [F.desc("v"), F.asc("k")], rank_col="g")
+    got = {(r.v, r.k): r.g for r in out.collect()}
+    ref = df.orderBy(F.desc("v"), "k").collect()
+    assert all(got[(r.v, r.k)] == i for i, r in enumerate(ref, 1))
+
+
+def test_helper_plan_has_no_unpartitioned_window(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("k"))
+    out = with_global_order(df, [F.asc("v"), F.asc("k")],
+                            rank_col="g", cumsums={"v": "c"})
+    assert count_global_windows(_plan(out)) == 0
+
+
+def test_detector_sees_unpartitioned_window(spark):
+    from pyspark.sql import Window as W
+    df = spark.range(100).select((F.col("id") % 7).alias("v"), "id")
+    bad = df.withColumn("r", F.row_number().over(W.orderBy("v", "id")))
+    assert count_global_windows(_plan(bad)) == 1
+    good = df.withColumn(
+        "r", F.row_number().over(W.partitionBy("v").orderBy("id")))
+    assert count_global_windows(_plan(good)) == 0
+
+
+def test_two_phased_operators_have_no_unpartitioned_window(spark, sf_dir):
+    for fn in (relational.events_revenue_concentration,
+               relational.parts_abc_classification,
+               training.train_curriculum_order,
+               training.train_interleave_schedule,
+               text.text_heaps_law_fit):
+        assert count_global_windows(_plan(fn(spark, sf_dir))) == 0, fn
+
+
+def test_curriculum_phase_matches_sql_ntile(spark, sf_dir, oracle):
+    """The hand-rolled ANSI-ntile arithmetic must agree with a real
+    ntile for every row (bucket sizes ceil/floor split)."""
+    got = training.train_curriculum_order(spark, sf_dir) \
+        .select("doc_id", "phase").toPandas()
+    ref = oracle.sql("""
+        SELECT doc_id, CAST(ntile(4) OVER (
+            ORDER BY difficulty, doc_id) AS INT) AS phase
+        FROM (
+          SELECT doc_id,
+                 ROUND(len(w) * (len(list_distinct(w)) * 1.0 / len(w)),
+                       4) AS difficulty
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(text, '\\s+') AS w
+                FROM documents)
+        ) ORDER BY doc_id
+    """).df()
+    merged = got.merge(ref, on="doc_id", suffixes=("_got", "_ref"))
+    assert len(merged) == len(got)
+    assert (merged.phase_got == merged.phase_ref).all()

@@ -186,30 +186,122 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                "events_survival_km": 9}
 
 
-def _strip_cached_lineage(plan: str) -> str:
+# Single-partition (unpartitioned) windows are DECLARED only where the
+# frame is provably bounded — top-k output after a LIMIT, calendar
+# grids (days/hours), vocabulary/manifest grain — never data grain.
+# Anything data-grain must two-phase via
+# operators/_twophase.with_global_order (the VERDICT_r5 scale-killer
+# class: Gini / ABC / curriculum ntile / interleave / Heaps all
+# two-phased in round 6 and absent here by construction).
+WINDOW_OK: dict[str, int] = {
+    # rank assignment over an orderBy().limit(k) result — the top-k
+    # itself is TakeOrderedAndProject (per-partition heaps); the
+    # window sorts only the k surviving rows:
+    "basket_part_pairs": 1,        # limit 20
+    "basket_rules_lift": 1,        # limit RULE_TOP
+    "events_countmin_heavy_hitters": 1,   # limit 10
+    "events_path_trigrams": 1,     # limit 15
+    "graph_pagerank_trade": 1,     # limit PR_TOP
+    "text_bm25_topk": 1,           # limit 20
+    "text_pmi_bigrams": 1,         # limit PMI_TOP
+    "text_zipf_fit": 1,            # limit ZIPF_MIN_RANK_N (20)
+    # both ranker lists truncate to top-100 via TakeOrderedAndProject
+    # before their rank windows; the fused-rank window runs over the
+    # <=200-row union:
+    "search_rrf_fusion": 3,
+    # calendar-grid frames: one row per day (or trailing-7-day frame
+    # over day rows) — bounded by the time span, not the data:
+    "events_error_budget": 1,
+    "ts_bollinger_bands": 1,
+    "events_survival_km": 2,       # KM curve over |distinct days|
+    # 4-row per-step funnel summary union:
+    "events_funnel_steps": 1,
+    # file-manifest grain (thousands of rows at 100 TB) — compaction
+    # planning is metadata-only by design, declared in its docstring:
+    "layout_compaction_plan": 1,
+    # vocabulary-grain coverage curve (type counts, not tokens):
+    "text_vocab_coverage_curve": 1,
+}
+
+
+def _window_groups(line: str) -> list[str]:
+    """Top-level [...] groups after a Window node name (bracket-depth
+    parse — windowspecdefinition nests brackets inside the first
+    group)."""
+    groups, depth, cur = [], 0, []
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+_WINDOW_NODE = re.compile(r"^[\s:+*()-]*(Window|WindowInPandas)\s+\[")
+_SORT_MARK = re.compile(r"\b(ASC|DESC) NULLS")
+
+
+def count_global_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec — the plan shape Spark
+    warns about ("No Partition Defined ... moving all data to a single
+    partition"). A partitioned window prints three top-level groups
+    [functions], [partitionSpec], [orderSpec]; an unpartitioned one
+    prints two: [functions], [orderSpec] (the last group is a sort
+    spec). Windows with a partition spec but no order print two groups
+    whose last has no sort markers — not counted."""
+    n = 0
+    for line in plan.splitlines():
+        if not _WINDOW_NODE.match(line):
+            continue
+        groups = _window_groups(line)
+        if len(groups) == 2 and _SORT_MARK.search(groups[-1]):
+            n += 1
+    return n
+
+
+def _strip_cached_lineage(plan: str) -> tuple[str, list[str]]:
     """Drop subtrees under InMemoryRelation nodes. The cached lineage is
     printed once per InMemoryTableScan reference, so a persisted frame
     referenced N times repeats its cache-fill exchange N times in the
     text while executing at most once (subsequent scans hit the cache).
     Counting those as N shuffles misgrades exactly the queries that
-    persist correctly."""
+    persist correctly. Returns (stripped plan, deduped cached subtrees)
+    so features that execute once inside the cache fill — e.g. a
+    global window — can still be counted exactly once."""
     out, skip_col = [], None
+    cached: dict[str, None] = {}
+    cur: list[str] = []
     for line in plan.splitlines():
         col = re.match(r"[\s:+-]*", line).end()
         if skip_col is not None:
             if col > skip_col:
+                cur.append(line[skip_col:])
                 continue
-            skip_col = None
+            cached["\n".join(cur)] = None
+            cur, skip_col = [], None
         if "InMemoryRelation" in line:
             skip_col = col
             continue
         out.append(line)
-    return "\n".join(out)
+    if cur:
+        cached["\n".join(cur)] = None
+    return "\n".join(out), list(cached)
 
 
 def audit(plan: str) -> dict[str, int]:
-    plan = _strip_cached_lineage(plan)
+    plan, cached = _strip_cached_lineage(plan)
+    gwin = (count_global_windows(plan)
+            + sum(count_global_windows(c) for c in cached))
     return {
+        "gwin": gwin,
         "shuffles": (plan.count("Exchange hashpartitioning")
                      + plan.count("Exchange rangepartitioning")
                      + plan.count("Exchange RoundRobinPartitioning")),
@@ -246,11 +338,15 @@ def main() -> int:
             flags.append(f"{name}: undeclared Python eval in plan")
         if a["shuffles"] > SHUFFLES_OK.get(name, 5):
             flags.append(f"{name}: {a['shuffles']} shuffles")
+        if a["gwin"] > WINDOW_OK.get(name, 0):
+            flags.append(f"{name}: {a['gwin']} single-partition window(s) "
+                         "(whole frame sorts on one task)")
     w = max(len(n) for n, _ in rows) if rows else 10
-    print(f"{'query':<{w}}  shuffles smj bhj bnlj python")
+    print(f"{'query':<{w}}  shuffles smj bhj bnlj python gwin")
     for name, a in rows:
         print(f"{name:<{w}}  {a['shuffles']:>8} {a['smj']:>3} "
-              f"{a['bhj']:>3} {a['bnlj']:>4} {a['python']:>6}")
+              f"{a['bhj']:>3} {a['bnlj']:>4} {a['python']:>6} "
+              f"{a['gwin']:>4}")
     print()
     if flags:
         print("FLAGS:")
