@@ -219,8 +219,17 @@ WINDOW_OK: dict[str, int] = {
     # file-manifest grain (thousands of rows at 100 TB) — compaction
     # planning is metadata-only by design, declared in its docstring:
     "layout_compaction_plan": 1,
-    # vocabulary-grain coverage curve (type counts, not tokens):
-    "text_vocab_coverage_curve": 1,
+    # vocabulary-grain coverage curve (type counts, not tokens): the
+    # rank/cumsum window plus the whole-frame total (a lit(1)
+    # partition Spark 4 folds to an order-less global window):
+    "text_vocab_coverage_curve": 2,
+    # whole-frame totals over FIXED-CARDINALITY grids (order-less
+    # global windows after literal-partition folding) — the frames are
+    # |event types|^2, |segments| x |priorities|, and |langs| rows
+    # respectively, independent of data volume:
+    "events_transition_entropy": 1,
+    "stats_chi_square_independence": 1,
+    "train_mixture_weights": 1,
 }
 
 
@@ -253,16 +262,20 @@ def count_global_windows(plan: str) -> int:
     """Count Window nodes with NO partition spec — the plan shape Spark
     warns about ("No Partition Defined ... moving all data to a single
     partition"). A partitioned window prints three top-level groups
-    [functions], [partitionSpec], [orderSpec]; an unpartitioned one
-    prints two: [functions], [orderSpec] (the last group is a sort
-    spec). Windows with a partition spec but no order print two groups
-    whose last has no sort markers — not counted."""
+    [functions], [partitionSpec], [orderSpec]; an unpartitioned ordered
+    one prints two: [functions], [orderSpec] (the last group is a sort
+    spec); an unpartitioned order-less one (e.g. a whole-frame SUM —
+    note Spark 4's EliminateWindowPartitions folds literal partition
+    specs like partitionBy(lit(1)) into this shape, silently) prints
+    ONE group. Windows with a partition spec but no order print two
+    groups whose last has no sort markers — not counted."""
     n = 0
     for line in plan.splitlines():
         if not _WINDOW_NODE.match(line):
             continue
         groups = _window_groups(line)
-        if len(groups) == 2 and _SORT_MARK.search(groups[-1]):
+        if len(groups) == 1 or (len(groups) == 2
+                                and _SORT_MARK.search(groups[-1])):
             n += 1
     return n
 
