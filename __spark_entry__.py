@@ -77,15 +77,18 @@ _GRADE_FIRST = (
     "knn_ivfpq_search", "text_token_stats",
     "events_sessionization", "train_curriculum_order",
     "events_revenue_concentration", "parts_abc_classification",
-    # Slots 46-48: new in round 6, each shipped with oracle + pytest
+    # Slots 46-50: new in round 6, each shipped with oracle + pytest
     # pins + plan-audit pass (train/val/test hash split with
     # cross-split exact-dup leakage audit; longest contiguous
-    # contaminated-span detection; label-propagation communities).
+    # contaminated-span detection; label-propagation communities;
+    # file-overlap clustering-depth metric; head-fingerprint
+    # quality-aware dedup keeper selection).
     "train_split_leakage", "train_contamination_span",
-    "graph_label_propagation",
-    # ---- round-6 rotation ends here (48 entries; slots 49-50 open).
-    # Everything below follows in module order with its latest green
-    # row intact.
+    "graph_label_propagation", "layout_clustering_depth",
+    "train_dedup_keep_best",
+    # ---- round-6 rotation ends here (50 entries — the window is
+    # full). Everything below follows in module order with its latest
+    # green row intact.
 )
 
 

@@ -438,3 +438,69 @@ def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("bucket").cast("int").alias("bucket"),
                     "n_rows", "lo", "hi", "balance_ratio")
             .orderBy("bucket"))
+
+
+@query("layout_clustering_depth", sql="""
+    WITH zm AS (
+      SELECT date_trunc('month', o_orderdate) AS file_month,
+             COUNT(*) AS n_rows,
+             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT a.file_month,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           ROUND(a.lo, 2) AS lo, ROUND(a.hi, 2) AS hi,
+           CAST(COUNT(b.file_month) AS INT) AS overlap_depth,
+           ROUND((COUNT(b.file_month) + 1) * 1e0
+                 / (SELECT COUNT(*) FROM zm), 6) AS read_amplification
+    FROM zm a
+    LEFT JOIN zm b
+      ON b.file_month <> a.file_month
+     AND b.lo <= a.hi AND a.lo <= b.hi
+    GROUP BY a.file_month, a.n_rows, a.lo, a.hi
+    ORDER BY a.file_month
+""")
+def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-health metric for a sort/cluster column: treating
+    each month partition of `orders` as one file, how many OTHER
+    files each file's [min, max] o_totalprice envelope overlaps —
+    Delta/Iceberg's "clustering depth". Depth ~= |files| (as here:
+    totalprice is uncorrelated with ingestion month, every envelope
+    spans the full range) means a point query on the column must read
+    EVERY file and re-clustering (layout_range_bounds' split points,
+    or a Z-order write) pays for itself; depth ~= small constant means
+    the layout already prunes. read_amplification = fraction of files
+    a worst-case point lookup inside this file's range must touch —
+    the number a re-clustering decision thresholds on.
+
+    Scale: the envelope stats are ONE map-side-combined groupBy (free
+    from parquet footers in production); the overlap join runs on the
+    FILE MANIFEST only (thousands of rows at 100 TB, like
+    layout_compaction_plan) — an interval self-join at manifest grain,
+    never data grain. Bounds round to cents on both engines before
+    the overlap comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    zm = (o.groupBy(F.date_trunc("month", "o_orderdate")
+                    .alias("file_month"))
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.round(F.min("o_totalprice"), 2).alias("lo"),
+               F.round(F.max("o_totalprice"), 2).alias("hi"))
+          .localCheckpoint(eager=False))
+    nf = zm.agg(F.count(F.lit(1)).alias("n_files"))
+    a, b = zm.alias("a"), zm.alias("b")
+    return (a.join(b, (F.col("b.file_month") != F.col("a.file_month"))
+                   & (F.col("b.lo") <= F.col("a.hi"))
+                   & (F.col("a.lo") <= F.col("b.hi")), "left")
+            .groupBy(F.col("a.file_month").alias("file_month"),
+                     F.col("a.n_rows").alias("n_rows"),
+                     F.col("a.lo").alias("lo"), F.col("a.hi").alias("hi"))
+            .agg(F.count(F.col("b.file_month")).cast("int")
+                 .alias("overlap_depth"))
+            .crossJoin(F.broadcast(nf))
+            .select("file_month",
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    "lo", "hi", "overlap_depth",
+                    F.round((F.col("overlap_depth") + 1) * F.lit(1.0)
+                            / F.col("n_files"), 6)
+                    .alias("read_amplification"))
+            .orderBy("file_month"))

@@ -1454,3 +1454,76 @@ def train_contamination_span(spark: SparkSession,
                  .alias("longest_span_tokens"),
                  (F.max("run_len") >= _SPAN_RUN_MIN).alias("scrub_flag"))
             .orderBy("doc_id"))
+
+
+@query("train_dedup_keep_best", sql="""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 regexp_split_to_array(text, '\\s+')[1:10], ' ')) AS fp,
+             len(list_distinct(regexp_split_to_array(text, '\\s+')))
+               AS n_types,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ), grp AS (
+      SELECT fp, COUNT(*) AS group_size
+      FROM scored GROUP BY fp HAVING COUNT(*) > 1
+    ), ranked AS (
+      SELECT s.fp, s.doc_id, s.n_types, s.n_tok, g.group_size,
+             ROW_NUMBER() OVER (PARTITION BY s.fp
+                                ORDER BY s.n_types DESC, s.n_tok DESC,
+                                         s.doc_id) AS rn
+      FROM scored s JOIN grp g ON g.fp = s.fp
+    )
+    SELECT fp, CAST(group_size AS INT) AS group_size,
+           CAST(doc_id AS BIGINT) AS keeper_doc_id,
+           CAST(n_types AS INT) AS keeper_types,
+           CAST(n_tok AS INT) AS keeper_tokens,
+           CAST(group_size - 1 AS INT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY fp
+""")
+def train_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection over HEAD-FINGERPRINT duplicate
+    groups: block documents on the md5 of their first 10 tokens (the
+    cheap prefix key crawl pipelines use — truncated/boilerplate-
+    wrapped copies of one page share their head even when tails
+    differ, which is exactly this fixture's near-dup shape), then
+    within each multi-member group keep the richest copy — max
+    distinct-token count, then max token count, then min doc_id —
+    instead of dedup_exact's blind min-id rule. The kept copy is what
+    trains; the (group, keeper, dropped-count) table is the dedup
+    stage's provenance record.
+
+    Plan: one narrow scoring projection, a fingerprint-keyed count to
+    isolate multi-member groups (map-side combined; the group frame
+    is duplicate-grain, hint-free so AQE broadcasts it when small),
+    then per-GROUP argmax inside a fingerprint-PARTITIONED rank — no
+    global window, shuffles keyed on fingerprints throughout. At
+    100 TB this is exactly the dedup_exact plan plus one more
+    fingerprint-grain pass."""
+    toks = _tokens()
+    scored = (_docs(spark, sf_dir)
+              .select("doc_id", toks.alias("w"))
+              .select(
+                  "doc_id",
+                  F.md5(F.concat_ws(" ", F.slice("w", 1, 10))).alias("fp"),
+                  F.size(F.array_distinct("w")).cast("int")
+                  .alias("n_types"),
+                  F.size("w").cast("int").alias("n_tok")))
+    grp = (scored.groupBy("fp")
+           .agg(F.count(F.lit(1)).alias("group_size"))
+           .where(F.col("group_size") > 1))
+    w = W.partitionBy("fp").orderBy(F.desc("n_types"), F.desc("n_tok"),
+                                    F.asc("doc_id"))
+    return (scored.join(grp, "fp")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("fp",
+                    F.col("group_size").cast("int").alias("group_size"),
+                    F.col("doc_id").cast("bigint").alias("keeper_doc_id"),
+                    F.col("n_types").alias("keeper_types"),
+                    F.col("n_tok").alias("keeper_tokens"),
+                    (F.col("group_size") - 1).cast("int")
+                    .alias("n_dropped"))
+            .orderBy("fp"))

@@ -85,3 +85,18 @@ def test_zonemap_skipping_is_sound(spark, sf_dir):
     # the fixture spans several years -> out-of-range months exist and
     # are skipped, in-range qualifying months exist and are scanned
     assert len(skipped) > 0 and got.must_scan.any()
+
+
+def test_clustering_depth_counts_pairwise_overlaps(spark, sf_dir):
+    from mongo_cdc_spark.operators import layout
+
+    rows = layout.layout_clustering_depth(spark, sf_dir).collect()
+    assert rows
+    ivals = {r.file_month: (r.lo, r.hi) for r in rows}
+    n = len(ivals)
+    for r in rows:
+        lo, hi = ivals[r.file_month]
+        want = sum(1 for m, (l2, h2) in ivals.items()
+                   if m != r.file_month and l2 <= hi and lo <= h2)
+        assert r.overlap_depth == want
+        assert abs(r.read_amplification - (want + 1) / n) < 1e-6

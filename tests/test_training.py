@@ -417,3 +417,25 @@ def test_contamination_span_runs_match_bruteforce(spark, sf_dir):
         assert r.longest_run == longest
         assert r.longest_span_tokens == longest + 2
         assert r.scrub_flag == (longest >= training._SPAN_RUN_MIN)
+
+
+def test_dedup_keep_best_keeper_is_argmax_of_group(spark, sf_dir):
+    rows = training.train_dedup_keep_best(spark, sf_dir).collect()
+    assert rows  # the fixture's near-dups share 10-token heads
+    import hashlib
+    docs = training._docs(spark, sf_dir).select("doc_id", "text").collect()
+    groups = {}
+    for r in docs:
+        w = r.text.split()
+        fp = hashlib.md5(" ".join(w[:10]).encode()).hexdigest()
+        groups.setdefault(fp, []).append(
+            (len(set(w)), len(w), r.doc_id))
+    want = {}
+    for fp, members in groups.items():
+        if len(members) > 1:
+            best = max(members, key=lambda m: (m[0], m[1], -m[2]))
+            want[fp] = (len(members), best[2], best[0], best[1])
+    got = {r.fp: (r.group_size, r.keeper_doc_id, r.keeper_types,
+                  r.keeper_tokens) for r in rows}
+    assert got == want
+    assert all(r.n_dropped == r.group_size - 1 for r in rows)
