@@ -1277,20 +1277,21 @@ def text_vocab_coverage_curve(spark: SparkSession,
     OOV budget) and quantifies how head-heavy the distribution is
     (the integral view of the Zipf fit's slope).
 
-    One token-count shuffle with map-side combine, then a
-    vocabulary-grain ranking window with a deterministic
-    (count DESC, token) total order; cumulative sums are exact
-    integers."""
+    One token-count shuffle with map-side combine, then the rank and
+    running sum come from the two-phase plan
+    (`_twophase.with_global_order`) over the deterministic
+    (count DESC, token) total order — vocabulary grain usually fits a
+    single task, but web-scale corpora push distinct types to 10^8+,
+    so the curve gets the same no-single-partition treatment as the
+    data-grain windows; the grand total is a broadcast scalar.
+    Cumulative sums are exact integers."""
     tf = (_docs(spark, sf_dir)
           .select(F.explode(_tokens()).alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
-    rw = W.orderBy(F.desc("c"), "tok")
-    cw = rw.rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = (tf
-              .withColumn("rnk", F.row_number().over(rw))
-              .withColumn("cum", F.sum("c").over(cw))
-              .withColumn("total", F.sum("c").over(
-                  W.partitionBy(F.lit(1)))))
+    total = tf.agg(F.sum("c").alias("total"))
+    ranked = (with_global_order(tf, [F.desc("c"), F.asc("tok")],
+                                rank_col="rnk", cumsums={"c": "cum"})
+              .crossJoin(F.broadcast(total)))
     return (ranked
             .where(F.col("rnk").isin(1, 2, 5, 10, 20, 31))
             .select(F.col("rnk").cast("int").alias("vocab_size"),

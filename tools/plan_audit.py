@@ -219,10 +219,6 @@ WINDOW_OK: dict[str, int] = {
     # file-manifest grain (thousands of rows at 100 TB) — compaction
     # planning is metadata-only by design, declared in its docstring:
     "layout_compaction_plan": 1,
-    # vocabulary-grain coverage curve (type counts, not tokens): the
-    # rank/cumsum window plus the whole-frame total (a lit(1)
-    # partition Spark 4 folds to an order-less global window):
-    "text_vocab_coverage_curve": 2,
     # whole-frame totals over FIXED-CARDINALITY grids (order-less
     # global windows after literal-partition folding) — the frames are
     # |event types|^2, |segments| x |priorities|, and |langs| rows
