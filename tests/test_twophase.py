@@ -89,3 +89,39 @@ def test_curriculum_phase_matches_sql_ntile(spark, sf_dir, oracle):
     merged = got.merge(ref, on="doc_id", suffixes=("_got", "_ref"))
     assert len(merged) == len(got)
     assert (merged.phase_got == merged.phase_ref).all()
+
+
+def test_global_order_across_partition_counts_and_ties(spark):
+    df = spark.range(1, 1201).select(
+        (F.col("id") % 11).alias("v"),          # heavy ties
+        (-F.col("id") % 7).alias("w"),          # negatives in cumsum src
+        F.col("id").alias("k"))
+    ref = df.orderBy("v", "k").collect()
+    ref_ranks = {(r.v, r.k): i for i, r in enumerate(ref, 1)}
+    cum = 0
+    ref_cums = {}
+    for r in ref:
+        cum += r.w
+        ref_cums[(r.v, r.k)] = cum
+    for nparts in (1, 2, 7, 32, 64):
+        out = with_global_order(df, [F.asc("v"), F.asc("k")],
+                                rank_col="g", cumsums={"w": "cw"},
+                                num_partitions=nparts).collect()
+        assert len(out) == 1200, nparts
+        for r in out:
+            assert r.g == ref_ranks[(r.v, r.k)], nparts
+            assert r.cw == ref_cums[(r.v, r.k)], nparts
+
+
+def test_global_order_empty_frame(spark):
+    df = spark.range(0).select(F.col("id").alias("v"),
+                               F.col("id").alias("k"))
+    out = with_global_order(df, [F.asc("v"), F.asc("k")],
+                            rank_col="g", cumsums={"v": "c"})
+    assert out.count() == 0
+    assert {"v", "k", "g", "c"} <= set(out.columns)
+
+
+def test_global_order_noop_without_outputs(spark):
+    df = spark.range(5).select(F.col("id").alias("v"))
+    assert with_global_order(df, [F.asc("v")]) is df
