@@ -87,8 +87,12 @@ _GRADE_FIRST = (
     "graph_label_propagation", "layout_clustering_depth",
     "train_dedup_keep_best",
     # ---- round-6 rotation ends here (50 entries — the window is
-    # full). Everything below follows in module order with its latest
-    # green row intact.
+    # full). Below: the round-7 queue head — operators added late in
+    # round 6 after the window filled, each already oracle-green at
+    # sf0.001+sf0.01 and pytest-pinned; they take round-7 slots first
+    # (never-graded outranks everything). Everything after follows in
+    # module order with its latest green row intact.
+    "stats_ks_two_sample",
 )
 
 

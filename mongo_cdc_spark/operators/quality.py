@@ -996,3 +996,103 @@ def ab_test_power_analysis(spark: SparkSession,
         .alias("n_per_arm_mde_2pp"),
         F.round(F.sqrt(2 * z2 * var / (F.col("n") / F.lit(2.0))), 6)
         .alias("mde_at_current_n"))
+
+
+# --------------------------------------------- two-sample KS test
+
+# Kolmogorov asymptotic p-value series truncation (terms decay as
+# exp(-2 j^2 lambda^2); j > 5 is already below double precision for any
+# detectable statistic — 100 keeps the formula textbook-shaped).
+_KS_TERMS = 100
+
+
+@query("stats_ks_two_sample", sql=f"""
+    WITH s AS (
+      SELECT ROUND(value, 6) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), pv AS (
+      SELECT v, SUM(a) AS na, SUM(b) AS nb FROM s GROUP BY v
+    ), cdf AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v) AS ca,
+             SUM(nb) OVER (ORDER BY v) AS cb
+      FROM pv
+    ), tot AS (
+      SELECT SUM(a) AS n1, SUM(b) AS n2 FROM s
+    ), stat AS (
+      SELECT MAX(ABS(ca * 1e0 / n1 - cb * 1e0 / n2)) AS d,
+             MAX(n1) AS n1, MAX(n2) AS n2
+      FROM cdf CROSS JOIN tot
+    ), lam AS (
+      SELECT d, n1, n2,
+             (SQRT(n1 * n2 * 1e0 / (n1 + n2)) + 0.12
+              + 0.11 / SQRT(n1 * n2 * 1e0 / (n1 + n2))) * d AS l
+      FROM stat
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(d, 6) AS ks_stat,
+           ROUND(l, 6) AS lambda,
+           ROUND(LEAST(1e0, GREATEST(0e0,
+             2 * (SELECT SUM(CASE WHEN j % 2 = 1 THEN 1 ELSE -1 END
+                             * EXP(-2e0 * j * j * l * l))
+                  FROM generate_series(1, {_KS_TERMS}) AS t(j)))), 6)
+             AS p_value,
+           d > 1.358 * SQRT((n1 + n2) * 1e0 / (n1 * n2)) AS reject_05
+    FROM lam
+""")
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: is the purchase-value
+    distribution the same as the click-value distribution? The
+    nonparametric companion to events_weekend_welch_test (which only
+    compares means): D = sup over x of |F1(x) - F2(x)| over the merged
+    empirical CDFs, with the asymptotic Kolmogorov p-value and the
+    alpha = 0.05 decision (c(0.05) = 1.358) — the distribution-drift
+    test run between data releases when a mean shift is not the
+    failure mode.
+
+    Plan: one conditional-count groupBy to value grain (map-side
+    combined), then BOTH cumulative sample counts come from a single
+    two-phase pass (`_twophase.with_global_order` takes the two
+    cumsums in one call) — distinct values grow with data (~90% of
+    rows at this fixture), so the ECDF cumsum is data-grain and gets
+    the repartitionByRange + broadcast-offset plan, not a global
+    window; sample sizes are a broadcast scalar; the p-value series
+    runs on the 1-row result. Values and every emitted double round
+    at 6 dp so both engines compare identical numbers."""
+    from mongo_cdc_spark.operators._twophase import with_global_order
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.where(F.col("event_type").isin("purchase", "click"))
+         .select(F.round("value", 6).alias("v"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("a"),
+                 F.when(F.col("event_type") == "click", 1)
+                 .otherwise(0).alias("b")))
+    pv = s.groupBy("v").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    cdf = with_global_order(pv, [F.asc("v")],
+                            cumsums={"na": "ca", "nb": "cb"})
+    tot = s.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    stat = (cdf.crossJoin(F.broadcast(tot))
+            .agg(F.max(F.abs(F.col("ca") * F.lit(1.0) / F.col("n1")
+                             - F.col("cb") * F.lit(1.0) / F.col("n2")))
+                 .alias("d"),
+                 F.max("n1").alias("n1"), F.max("n2").alias("n2")))
+    en = F.col("n1") * F.col("n2") * F.lit(1.0) / (F.col("n1") + F.col("n2"))
+    lam = (F.sqrt(en) + 0.12 + 0.11 / F.sqrt(en)) * F.col("d")
+    series = F.expr(
+        f"""aggregate(sequence(1, {_KS_TERMS}), 0D,
+            (acc, j) -> acc + CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END
+                        * EXP(-2.0D * j * j * l * l))""")
+    return (stat.withColumn("l", lam)
+            .select(F.col("n1").cast("bigint").alias("n1"),
+                    F.col("n2").cast("bigint").alias("n2"),
+                    F.round("d", 6).alias("ks_stat"),
+                    F.round("l", 6).alias("lambda"),
+                    F.round(F.least(F.lit(1.0), F.greatest(
+                        F.lit(0.0), 2 * series)), 6).alias("p_value"),
+                    (F.col("d") > 1.358 * F.sqrt(
+                        (F.col("n1") + F.col("n2")) * F.lit(1.0)
+                        / (F.col("n1") * F.col("n2"))))
+                    .alias("reject_05")))

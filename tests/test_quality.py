@@ -198,3 +198,33 @@ def test_winsorized_scale_clip_fractions(spark, sf_dir):
     assert (got.iqr >= 0).all()
     # winsorized mean lies within the clip thresholds by construction
     assert got.winsor_mean.notna().all()
+
+
+def test_ks_two_sample_matches_python_reference(spark, sf_dir):
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (_KS_TERMS,
+                                                   stats_ks_two_sample)
+
+    got = stats_ks_two_sample(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "value").collect()
+    a = sorted(round(r.value, 6) for r in ev
+               if r.event_type == "purchase")
+    b = sorted(round(r.value, 6) for r in ev if r.event_type == "click")
+    import bisect
+    pts = sorted(set(a) | set(b))
+    d = max(abs(bisect.bisect_right(a, x) / len(a)
+                - bisect.bisect_right(b, x) / len(b)) for x in pts)
+    en = len(a) * len(b) / (len(a) + len(b))
+    lam = (math.sqrt(en) + 0.12 + 0.11 / math.sqrt(en)) * d
+    p = 2 * sum((-1) ** (j - 1) * math.exp(-2 * j * j * lam * lam)
+                for j in range(1, _KS_TERMS + 1))
+    p = min(1.0, max(0.0, p))
+    assert got.n1 == len(a) and got.n2 == len(b)
+    assert abs(got.ks_stat - d) < 1e-6
+    assert abs(got["lambda"] - lam) < 1e-6
+    assert abs(got.p_value - p) < 1e-6
+    crit = 1.358 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    assert got.reject_05 == (d > crit)
