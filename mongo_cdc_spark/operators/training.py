@@ -1527,3 +1527,101 @@ def train_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("group_size") - 1).cast("int")
                     .alias("n_dropped"))
             .orderBy("fp"))
+
+
+# ------------------------------------------------ length-bucket batching
+
+_LEN_BUCKETS = 8
+_LEN_FRACS = "[" + ", ".join(
+    f"{i}/{_LEN_BUCKETS}.0" for i in range(1, _LEN_BUCKETS)) + "]"
+
+
+@query("train_length_buckets", sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ), samp AS (
+      SELECT n_tok FROM toks
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 10 = 0
+    ), b AS (
+      SELECT list_transform(quantile_cont(n_tok, {_LEN_FRACS}),
+                            x -> ROUND(x, 4)) AS bounds
+      FROM samp
+    ), g AS (
+      SELECT COUNT(*) AS gn, SUM(n_tok) AS gsum, MAX(n_tok) AS gmax
+      FROM toks
+    ), bucketed AS (
+      SELECT len(list_filter(b.bounds, x -> t.n_tok > x)) AS bucket,
+             t.n_tok
+      FROM toks t CROSS JOIN b
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS INT) AS min_tok,
+           CAST(MAX(n_tok) AS INT) AS max_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+             AS pad_tokens,
+           ROUND((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1e0
+                 / (COUNT(*) * MAX(n_tok)), 6) AS pad_frac,
+           ROUND((g.gn * g.gmax - g.gsum) * 1e0 / (g.gn * g.gmax), 6)
+             AS unbucketed_pad_frac
+    FROM bucketed CROSS JOIN g
+    GROUP BY bucket, g.gn, g.gsum, g.gmax
+    ORDER BY bucket
+""")
+def train_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching planner: split documents into
+    {_LEN_BUCKETS} token-length buckets at sampled octile boundaries
+    and report the padding each bucket burns when its batches pad to
+    the BUCKET max, against the unbucketed baseline (every batch pads
+    to the global max) — the dataloader design table that justifies
+    length-bucketed batching (pad_frac collapses because same-length
+    docs batch together), sibling to train_padding_waste's
+    concat-packer audit.
+
+    Plan: boundaries come from a deterministic 10% md5 row-sample
+    (layout_range_bounds' RangePartitioner recipe — bounds never need
+    the full sort, and the sample replays bit-identically in DuckDB);
+    assignment probes the broadcast 7-element bound array with a JVM
+    higher-order filter (no join, no shuffle); everything else is two
+    partial-aggregatable rollups (bucket grain + one global row). No
+    window anywhere — the only sort is the sample's percentile
+    buffer."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tokens()).alias("n_tok"))
+    samp = toks.where(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                 .cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 10 == 0)
+    bounds = (samp.agg(F.percentile(
+        "n_tok", [i / _LEN_BUCKETS for i in range(1, _LEN_BUCKETS)])
+        .alias("raw"))
+        .select(F.expr("transform(raw, x -> round(x, 4))")
+                .alias("bounds")))
+    g = toks.agg(F.count(F.lit(1)).alias("gn"),
+                 F.sum("n_tok").alias("gsum"),
+                 F.max("n_tok").alias("gmax"))
+    bucketed = (toks.crossJoin(F.broadcast(bounds))
+                .select(F.size(F.filter(
+                    "bounds", lambda x: F.col("n_tok") > x))
+                    .cast("int").alias("bucket"), "n_tok"))
+    pad = F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")
+    gpad = (F.col("gn") * F.col("gmax") - F.col("gsum")) * F.lit(1.0) \
+        / (F.col("gn") * F.col("gmax"))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_tok").cast("int").alias("min_tok"),
+                 F.max("n_tok").cast("int").alias("max_tok"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 pad.cast("bigint").alias("pad_tokens"),
+                 F.round(pad * F.lit(1.0)
+                         / (F.count(F.lit(1)) * F.max("n_tok")), 6)
+                 .alias("pad_frac"))
+            .crossJoin(F.broadcast(g))
+            .select("bucket", "n_docs", "min_tok", "max_tok",
+                    "n_tokens", "pad_tokens", "pad_frac",
+                    F.round(gpad, 6).alias("unbucketed_pad_frac"))
+            .orderBy("bucket"))

@@ -439,3 +439,25 @@ def test_dedup_keep_best_keeper_is_argmax_of_group(spark, sf_dir):
                   r.keeper_tokens) for r in rows}
     assert got == want
     assert all(r.n_dropped == r.group_size - 1 for r in rows)
+
+
+def test_length_buckets_pad_arithmetic_and_savings(spark, sf_dir):
+    rows = training.train_length_buckets(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pad_tokens == r.n_docs * r.max_tok - r.n_tokens
+        assert r.min_tok <= r.max_tok
+        assert 0.0 <= r.pad_frac < 1.0
+    # buckets partition the corpus and are ordered by length
+    n_total = sum(r.n_docs for r in rows)
+    docs = training._docs(spark, sf_dir).count()
+    assert n_total == docs
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_tok <= b.min_tok or a.max_tok <= b.max_tok
+    # bucketed padding beats (or ties) padding to the global max
+    bucket_pad = sum(r.pad_tokens for r in rows)
+    gmax = max(r.max_tok for r in rows)
+    global_pad = n_total * gmax - sum(r.n_tokens for r in rows)
+    assert bucket_pad <= global_pad
+    assert rows[0].unbucketed_pad_frac == round(
+        global_pad / (n_total * gmax), 6)
