@@ -93,7 +93,7 @@ _GRADE_FIRST = (
     # (never-graded outranks everything). Everything after follows in
     # module order with its latest green row intact.
     "stats_ks_two_sample", "multimodal_image_patches",
-    "train_length_buckets",
+    "train_length_buckets", "ab_test_sequential_sprt",
 )
 
 

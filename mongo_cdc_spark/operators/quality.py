@@ -1096,3 +1096,104 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("n1") + F.col("n2")) * F.lit(1.0)
                         / (F.col("n1") * F.col("n2"))))
                     .alias("reject_05")))
+
+
+# --------------------------------------------- sequential A/B (SPRT)
+
+# Wald boundaries at alpha = beta = 0.05: ln((1-b)/a) = ln 19, rounded
+# to the same 6 dp the LLR is emitted at so the crossing decision
+# compares identical numbers on both engines.
+_SPRT_UP = 2.944439
+_SPRT_LO = -2.944439
+_SPRT_DELTA = 0.02                       # H1 lift in B's event share
+
+
+@query("ab_test_sequential_sprt", sql=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ), p AS (
+      SELECT SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) * 1e0
+             / COUNT(*) AS p0
+      FROM u
+    ), daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) AS n,
+             SUM(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) >= '8'
+                      THEN 1 ELSE 0 END) AS k
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), walk AS (
+      SELECT day,
+             SUM(n) OVER (ORDER BY day) AS nc,
+             SUM(k) OVER (ORDER BY day) AS kc,
+             p.p0, p.p0 + {_SPRT_DELTA} AS p1
+      FROM daily CROSS JOIN p
+    )
+    SELECT day,
+           CAST(nc AS BIGINT) AS n_events,
+           CAST(kc AS BIGINT) AS n_from_b,
+           ROUND(p0, 6) AS p0,
+           ROUND(kc * LN(p1 / p0)
+                 + (nc - kc) * LN((1 - p1) / (1 - p0)), 6) AS llr,
+           CASE WHEN ROUND(kc * LN(p1 / p0)
+                     + (nc - kc) * LN((1 - p1) / (1 - p0)), 6)
+                     >= {_SPRT_UP} THEN 'accept_h1'
+                WHEN ROUND(kc * LN(p1 / p0)
+                     + (nc - kc) * LN((1 - p1) / (1 - p0)), 6)
+                     <= {_SPRT_LO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM walk ORDER BY day
+""")
+def ab_test_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test over the experiment's
+    daily stream: each purchase event is a Bernoulli trial "came from
+    variant B"; H0: B's share = its user-split share p0, H1: share =
+    p0 + {d} — the cumulative log-likelihood-ratio random walk with
+    the alpha = beta = 0.05 decision boundaries (+/- ln 19). This is
+    the ALWAYS-VALID sequential companion to ab_test_proportions'
+    fixed-horizon z-test: the experimenter may look every day and
+    stop at first crossing without inflating the false-positive rate
+    — the standard peeking-safe A/B machinery.
+
+    Plan: variant comes from the same md5 hash bucket every ab_test_*
+    op uses (no RNG, oracle-replayable); one day-grain
+    partial-aggregatable rollup, p0 as a broadcast scalar, and the
+    cumulative walk is ONE window over the day-grain calendar grid
+    (bounded by the time span — declared in the audit's WINDOW_OK
+    class). LLR rounds at 6 dp BEFORE the boundary comparison so both
+    engines make the identical crossing decision.""".format(
+        d=_SPRT_DELTA)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    is_b = F.substring(F.md5(F.col("user_id").cast("string")
+                             .cast("binary")), 1, 1) >= "8"
+    u = ev.select("user_id", is_b.alias("b")).distinct()
+    p = u.agg((F.sum(F.when(F.col("b"), 1).otherwise(0)) * F.lit(1.0)
+               / F.count(F.lit(1))).alias("p0"))
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(is_b, 1).otherwise(0)).alias("k")))
+    cw = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walk = (daily
+            .withColumn("nc", F.sum("n").over(cw))
+            .withColumn("kc", F.sum("k").over(cw))
+            .crossJoin(F.broadcast(p))
+            .withColumn("p1", F.col("p0") + _SPRT_DELTA))
+    llr = F.round(
+        F.col("kc") * F.log(F.col("p1") / F.col("p0"))
+        + (F.col("nc") - F.col("kc"))
+        * F.log((1 - F.col("p1")) / (1 - F.col("p0"))), 6)
+    return (walk.select(
+        "day",
+        F.col("nc").cast("bigint").alias("n_events"),
+        F.col("kc").cast("bigint").alias("n_from_b"),
+        F.round("p0", 6).alias("p0"),
+        llr.alias("llr"),
+        F.when(llr >= _SPRT_UP, "accept_h1")
+        .when(llr <= _SPRT_LO, "accept_h0")
+        .otherwise("continue").alias("decision"))
+        .orderBy("day"))

@@ -228,3 +228,46 @@ def test_ks_two_sample_matches_python_reference(spark, sf_dir):
     assert abs(got.p_value - p) < 1e-6
     crit = 1.358 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
     assert got.reject_05 == (d > crit)
+
+
+def test_sprt_walk_matches_python_reference(spark, sf_dir):
+    import hashlib
+    import math
+
+    from mongo_cdc_spark.operators.quality import (_SPRT_DELTA, _SPRT_LO,
+                                                   _SPRT_UP,
+                                                   ab_test_sequential_sprt)
+
+    got = ab_test_sequential_sprt(spark, sf_dir).collect()
+    assert got
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "user_id", "event_type").collect()
+
+    def is_b(uid):
+        return hashlib.md5(str(uid).encode()).hexdigest()[0] >= "8"
+
+    users = {r.user_id for r in ev}
+    p0 = sum(1 for u in users if is_b(u)) / len(users)
+    p1 = p0 + _SPRT_DELTA
+    daily = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        d = r.ts.date()
+        n, k = daily.get(d, (0, 0))
+        daily[d] = (n + 1, k + (1 if is_b(r.user_id) else 0))
+    nc = kc = 0
+    la, lb = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    want = []
+    for d in sorted(daily):
+        n, k = daily[d]
+        nc, kc = nc + n, kc + k
+        llr = round(kc * la + (nc - kc) * lb, 6)
+        dec = ("accept_h1" if llr >= _SPRT_UP
+               else "accept_h0" if llr <= _SPRT_LO else "continue")
+        want.append((d, nc, kc, llr, dec))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.day.date(), g.n_events, g.n_from_b) == w[:3]
+        assert abs(g.llr - w[3]) < 1e-6
+        assert g.decision == w[4]

@@ -217,6 +217,7 @@ WINDOW_OK: dict[str, int] = {
     # over day rows) — bounded by the time span, not the data:
     "events_error_budget": 1,
     "ts_bollinger_bands": 1,
+    "ab_test_sequential_sprt": 1,  # SPRT walk over the daily grid
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
     "events_funnel_steps": 1,
