@@ -314,3 +314,27 @@ def test_image_patches_match_python_decode(spark, sf_dir):
             s[3] = max(s[3], v)
     assert got == {k: tuple(v) for k, v in want.items()}
     assert all(k[1] in range(16) for k in got)
+
+
+def test_video_shots_match_python_decode(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.operators import multimodal as mm
+
+    got = {r.doc_id: (r.n_shots, r.max_jump, r.first_boundary)
+           for r in mm.multimodal_video_shots(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .where((F.length("text") > 0) & (F.col("doc_id") < 100)) \
+        .select("doc_id", "text").collect()
+    assert docs and set(got) == {d.doc_id for d in docs}
+    for d in docs:
+        raw = d.text.encode()
+        sums = []
+        for f in range(mm._VID_FRAMES):
+            sums.append(sum(raw[(f * mm._VID_STRIDE + b) % len(raw)]
+                            for b in range(mm._IMG_BYTES)))
+        jumps = [abs(b - a) for a, b in zip(sums, sums[1:])]
+        n_shots = 1 + sum(1 for j in jumps if j > mm._SHOT_TAU)
+        first = next((i + 1 for i, j in enumerate(jumps)
+                      if j > mm._SHOT_TAU), -1)
+        assert got[d.doc_id] == (n_shots, max(jumps), first), d.doc_id

@@ -50,7 +50,11 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # ViT patchify: the real PPM decoder + per-patch integer
              # channel stats run in the one declared mapInPandas stage
              # (multimodal_real_decode's shape):
-             "multimodal_image_patches"}
+             "multimodal_image_patches",
+             # shot boundaries: the real PPM decoder runs per frame in
+             # the one declared mapInPandas stage; the jump detection
+             # is JVM-side per-doc windows:
+             "multimodal_video_shots"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
