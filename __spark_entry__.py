@@ -94,7 +94,7 @@ _GRADE_FIRST = (
     # module order with its latest green row intact.
     "stats_ks_two_sample", "multimodal_image_patches",
     "train_length_buckets", "ab_test_sequential_sprt",
-    "multimodal_video_shots",
+    "multimodal_video_shots", "cdc_schema_evolution_audit",
 )
 
 

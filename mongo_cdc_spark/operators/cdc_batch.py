@@ -454,3 +454,93 @@ def cdc_resume_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_delivered"),
                     "n_gaps", "n_missing", "max_gap_span")
             .orderBy("topic"))
+
+
+def _evolving_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders rows → change-event JSON lines whose fullDocument SCHEMA
+    EVOLVES: version = o_orderkey % 3 picks the field set (v0 base, v1
+    adds o_totalprice, v2 additionally adds o_orderpriority) — the
+    additive-field rollout shape a long-lived collection actually
+    produces mid-stream."""
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism)
+    ver = F.col("o_orderkey") % 3
+    doc = (F.when(ver == 0, F.to_json(F.struct(
+               "o_orderkey", "o_orderstatus")))
+           .when(ver == 1, F.to_json(F.struct(
+               "o_orderkey", "o_orderstatus", "o_totalprice")))
+           .otherwise(F.to_json(F.struct(
+               "o_orderkey", "o_orderstatus", "o_totalprice",
+               "o_orderpriority"))))
+    ev = F.to_json(F.struct(
+        F.struct(F.concat(F.lit("se-"), F.col("o_orderkey"))
+                 .alias("_data")).alias("_id"),
+        F.lit("insert").alias("operationType"),
+        F.struct(F.lit("shop").alias("db"),
+                 F.lower("o_orderstatus").alias("coll")).alias("ns"),
+        F.struct(F.col("o_orderkey").cast("string").alias("_id"))
+         .alias("documentKey"),
+        doc.alias("fullDocument"),
+    ))
+    return o.select(ev.alias("value"))
+
+
+@query("cdc_schema_evolution_audit", sql="""
+    WITH v AS (
+      SELECT lower(o_orderstatus) AS coll,
+             CASE o_orderkey % 3
+               WHEN 0 THEN 'o_orderkey,o_orderstatus'
+               WHEN 1 THEN 'o_orderkey,o_orderstatus,o_totalprice'
+               ELSE 'o_orderkey,o_orderpriority,o_orderstatus,'
+                    || 'o_totalprice'
+             END AS schema_fields,
+             o_orderkey
+      FROM orders
+    )
+    SELECT coll, schema_fields,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key,
+           CAST(COUNT(*) OVER (PARTITION BY coll) AS BIGINT)
+             AS coll_schemas_total
+    FROM v GROUP BY coll, schema_fields
+    ORDER BY coll, schema_fields
+""")
+def cdc_schema_evolution_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Schema-evolution audit over the live change stream: per
+    collection, every DISTINCT fullDocument field-set observed (the
+    schema fingerprint: sorted JSON keys), with event counts and
+    first/last document keys per fingerprint — what a schema-registry
+    compatibility check consumes, and the alarm that catches an
+    unannounced field rollout or a producer regression dropping
+    fields. Runs the synthetic evolving stream through the REAL parse
+    path (cdc.transform.parse_change_events, main.go:104-108's
+    skip-on-error decode), then extracts the fingerprint from the
+    parsed envelope's fullDocument with json_object_keys — so the
+    oracle (which derives the expected fingerprints from the
+    generative rule) cross-checks the whole decode + extraction
+    chain, not a reimplementation of it.
+
+    Scale: the parse is a narrow stage; the rollup shuffles
+    (coll, fingerprint) keys — schema-grain (a handful of rows per
+    collection at any stream size), map-side combined. The per-coll
+    window runs over that schema-grain frame."""
+    parsed = parse_change_events(_evolving_change_events(spark, sf_dir))
+    fp = F.concat_ws(
+        ",", F.sort_array(F.json_object_keys("fullDocument")))
+    key = F.col("documentKey._id").cast("bigint")
+    per = (parsed
+           .select(F.col("ns.coll").alias("coll"),
+                   fp.alias("schema_fields"), key.alias("k"))
+           .groupBy("coll", "schema_fields")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min("k").alias("first_key"),
+                F.max("k").alias("last_key")))
+    w = Window.partitionBy("coll")
+    return (per
+            .select("coll", "schema_fields", "n_events",
+                    "first_key", "last_key",
+                    F.count(F.lit(1)).over(w).cast("bigint")
+                    .alias("coll_schemas_total"))
+            .orderBy("coll", "schema_fields"))

@@ -150,3 +150,28 @@ def test_resume_gap_audit_accounts_for_all_drops(spark, sf_dir):
         if row.n_gaps:
             assert row.max_gap_span == 1
             assert row.n_gaps == row.n_missing
+
+
+def test_schema_evolution_audit_detects_field_rollout(spark, sf_dir):
+    """Every collection must show exactly the three generative
+    fingerprints, additive in field count, with disjoint key sets."""
+    from mongo_cdc_spark.operators.cdc_batch import (
+        cdc_schema_evolution_audit)
+
+    rows = cdc_schema_evolution_audit(spark, sf_dir).collect()
+    assert rows
+    base = "o_orderkey,o_orderstatus"
+    v1 = "o_orderkey,o_orderstatus,o_totalprice"
+    v2 = "o_orderkey,o_orderpriority,o_orderstatus,o_totalprice"
+    by_coll = {}
+    for r in rows:
+        by_coll.setdefault(r.coll, {})[r.schema_fields] = r
+    for coll, schemas in by_coll.items():
+        assert set(schemas) <= {base, v1, v2}, coll
+        assert all(r.coll_schemas_total == len(schemas)
+                   for r in schemas.values())
+        for fields, r in schemas.items():
+            # version rule: key % 3 picks the field set
+            want_mod = {base: 0, v1: 1, v2: 2}[fields]
+            assert r.first_key % 3 == want_mod
+            assert r.last_key % 3 == want_mod
