@@ -96,3 +96,26 @@ def to_kafka_records(parsed: DataFrame) -> DataFrame:
     df = connect_key_envelope(df)
     df = ext_json_value(df)
     return df.select("topic", "key", "value")
+
+
+def schema_fingerprints(events: DataFrame) -> DataFrame:
+    """Per-collection fullDocument schema fingerprints (sorted JSON
+    keys) with event counts — the schema-registry compatibility feed.
+    Works identically on batch and STREAMING parsed change events:
+    the aggregation keys on (coll, fingerprint), which is
+    schema-grain (a handful of live rows per collection at any stream
+    size), so streaming state stays O(schemas) and the batch twin
+    (`operators.cdc_batch.cdc_schema_evolution_audit`) is its graded
+    oracle; drain parity is pinned in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    fp = F.concat_ws(
+        ",", F.sort_array(F.json_object_keys("fullDocument")))
+    key = F.col("documentKey._id").cast("bigint")
+    return (events
+            .select(F.col("ns.coll").alias("coll"),
+                    fp.alias("schema_fields"), key.alias("k"))
+            .groupBy("coll", "schema_fields")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("k").alias("first_key"),
+                 F.max("k").alias("last_key")))

@@ -525,7 +525,10 @@ def cdc_schema_evolution_audit(spark: SparkSession,
     Scale: the parse is a narrow stage; the rollup shuffles
     (coll, fingerprint) keys — schema-grain (a handful of rows per
     collection at any stream size), map-side combined. The per-coll
-    window runs over that schema-grain frame."""
+    window runs over that schema-grain frame. The LIVE monitor is
+    `cdc.transform.schema_fingerprints` — the identical aggregation
+    running as a complete-mode streaming query with O(schemas) state;
+    drain parity vs this twin is pinned in tests/test_streaming.py."""
     parsed = parse_change_events(_evolving_change_events(spark, sf_dir))
     fp = F.concat_ws(
         ",", F.sort_array(F.json_object_keys("fullDocument")))

@@ -558,3 +558,54 @@ def test_streaming_ohlc_matches_batch_replay_twin(spark, tmp_path):
             .sort_values(["event_type", "window_start"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, twin, check_dtype=False)
+
+
+def test_streaming_schema_fingerprints_match_batch(spark, tmp_path):
+    """The live schema-evolution monitor (complete-mode streaming agg
+    over parsed change events) must drain to exactly the batch
+    computation over the same lines — including the additive-field
+    rollout and a corrupt line dropped by skip-on-error."""
+    import json as _json
+
+    from mongo_cdc_spark.cdc.pipeline import read_change_stream_files
+    from mongo_cdc_spark.cdc.transform import (parse_change_events,
+                                               schema_fingerprints)
+
+    def line(key, coll, doc):
+        return _json.dumps({
+            "_id": {"_data": f"se-{key}"}, "operationType": "insert",
+            "ns": {"db": "shop", "coll": coll},
+            "documentKey": {"_id": str(key)},
+            "fullDocument": _json.dumps(doc)})
+
+    lines = [
+        line(1, "o", {"a": 1, "b": "x"}),
+        line(2, "o", {"a": 2, "b": "y", "c": 3.5}),     # field added
+        line(3, "o", {"a": 3, "b": "z"}),
+        line(4, "p", {"a": 4}),
+        "this is not json",                              # dropped
+        line(5, "p", {"a": 5, "d": True}),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = read_change_stream_files(spark, str(src))
+    q = (schema_fingerprints(stream)
+         .writeStream.format("memory").queryName("schemas")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.coll, r.schema_fields):
+           (r.n_events, r.first_key, r.last_key)
+           for r in spark.sql("select * from schemas").collect()}
+    raw = spark.read.text(str(src))
+    want = {(r.coll, r.schema_fields):
+            (r.n_events, r.first_key, r.last_key)
+            for r in schema_fingerprints(
+                parse_change_events(raw)).collect()}
+    assert got == want
+    assert got[("o", "a,b")] == (2, 1, 3)
+    assert got[("o", "a,b,c")] == (1, 2, 2)
+    assert got[("p", "a")] == (1, 4, 4)
+    assert got[("p", "a,d")] == (1, 5, 5)
