@@ -1073,7 +1073,10 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = s.groupBy("v").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     cdf = with_global_order(pv, [F.asc("v")],
                             cumsums={"na": "ca", "nb": "cb"})
-    tot = s.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    # sample sizes ARE the final cumsums — max(ca)/max(cb) — so no
+    # second pass over events; D normalizes against them via a
+    # broadcast 1-row self-aggregate of the same cumsum frame
+    tot = cdf.agg(F.max("ca").alias("n1"), F.max("cb").alias("n2"))
     stat = (cdf.crossJoin(F.broadcast(tot))
             .agg(F.max(F.abs(F.col("ca") * F.lit(1.0) / F.col("n1")
                              - F.col("cb") * F.lit(1.0) / F.col("n2")))

@@ -4265,9 +4265,13 @@ def parts_abc_classification(spark: SparkSession,
     sampled-boundary approximation needed; the grand total is a
     broadcast scalar, not a whole-frame window."""
     li = _t(spark, sf_dir, "lineitem")
+    # checkpointed: the total agg and the two-phase cumsum both read
+    # the part-grain rollup — without the barrier each re-runs the
+    # lineitem scan+shuffle
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
-                      .cast("bigint")).alias("rev_c")))
+                      .cast("bigint")).alias("rev_c"))
+           .localCheckpoint(eager=False))
     total = rev.agg(F.sum("rev_c").alias("total"))
     classed = (with_global_order(rev,
                                  [F.desc("rev_c"), F.asc("l_partkey")],

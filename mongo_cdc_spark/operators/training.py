@@ -503,9 +503,12 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "k", F.size("w").cast("int").alias("n_tok"),
         (F.size(F.array_distinct("w")) * F.lit(1.0) / F.size("w"))
         .alias("ttr"))
+    # checkpointed: the row count and the two-phase rank both read the
+    # difficulty frame — without the barrier each re-runs tokenization
     ranked = scored.select(
         "doc_id", "k", "n_tok",
-        F.round(F.col("n_tok") * F.col("ttr"), 4).alias("difficulty"))
+        F.round(F.col("n_tok") * F.col("ttr"), 4).alias("difficulty")) \
+        .localCheckpoint(eager=False)
     pos = with_global_order(ranked,
                             [F.asc("difficulty"), F.asc("doc_id")],
                             rank_col="g")
@@ -1340,12 +1343,15 @@ def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is keyed on fingerprints or the 3-value split."""
     k = _perm_key()
     b = _shard_of(k, _SPLIT_BUCKETS)
+    # checkpointed: the leak detection, the total, and the final
+    # rollup all read this narrow doc-grain frame — without the
+    # barrier each re-runs the scan+tokenization
     base = _docs(spark, sf_dir).select(
         F.md5("text").alias("fp"),
         F.size(_tokens()).alias("n_tok"),
         F.when(b == _SPLIT_TEST, "test")
         .when(b == _SPLIT_VAL, "val")
-        .otherwise("train").alias("split"))
+        .otherwise("train").alias("split")).localCheckpoint(eager=False)
     leaked = (base.groupBy("fp")
               .agg(F.count_distinct("split").alias("ns"))
               .where(F.col("ns") > 1)
