@@ -95,7 +95,7 @@ _GRADE_FIRST = (
     "stats_ks_two_sample", "multimodal_image_patches",
     "train_length_buckets", "ab_test_sequential_sprt",
     "multimodal_video_shots", "cdc_schema_evolution_audit",
-    "similarity_mips_norm_augment",
+    "similarity_mips_norm_augment", "stats_fdr_bh_weekend",
 )
 
 

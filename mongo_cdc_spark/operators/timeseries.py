@@ -1185,3 +1185,128 @@ def events_weekend_welch_test(spark: SparkSession,
                    + F.pow(F.col("s2_we") / F.col("n_we"), 2)
                    / (F.col("n_we") - 1)), 6).alias("welch_df"))
         .orderBy("event_type"))
+
+
+# ------------------------------------------ multiple testing (BH FDR)
+
+_BH_Q = 0.10                     # target false-discovery rate
+# Abramowitz & Stegun 26.2.17 constants for the normal CDF tail —
+# a pure polynomial-in-exp form both engines evaluate identically.
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_SQRT_2PI = 2.5066282746310002
+
+
+def _norm_sf_sql(x: str) -> str:
+    """Upper-tail normal probability 1 - Phi(x) for x >= 0 (A&S
+    26.2.17) as a SQL expression string shared by oracle and engine."""
+    k = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(f"{b} * POW({k}, {i + 1})"
+                      for i, b in enumerate(_AS_B))
+    return (f"(EXP(-({x}) * ({x}) / 2.0) / {_SQRT_2PI} * ({poly}))")
+
+
+@query("stats_fdr_bh_weekend", sql=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CASE WHEN EXTRACT(isodow FROM ts) >= 6
+                  THEN 1 ELSE 0 END AS is_weekend,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), g AS (
+      SELECT event_type, is_weekend,
+             COUNT(*) AS n, AVG(v) AS m, var_samp(v) AS s2
+      FROM daily GROUP BY 1, 2
+    ), wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN is_weekend = 0 THEN n END) AS n_wd,
+             MAX(CASE WHEN is_weekend = 0 THEN m END) AS m_wd,
+             MAX(CASE WHEN is_weekend = 0 THEN s2 END) AS s2_wd,
+             MAX(CASE WHEN is_weekend = 1 THEN n END) AS n_we,
+             MAX(CASE WHEN is_weekend = 1 THEN m END) AS m_we,
+             MAX(CASE WHEN is_weekend = 1 THEN s2 END) AS s2_we
+      FROM g GROUP BY event_type
+    ), tstat AS (
+      SELECT event_type,
+             ABS((m_we - m_wd)
+                 / SQRT(s2_wd / n_wd + s2_we / n_we)) AS at
+      FROM wide
+    ), pv AS (
+      SELECT event_type,
+             ROUND(2.0 * {_norm_sf_sql('at')}, 6) AS p_value
+      FROM tstat
+    ), ranked AS (
+      SELECT event_type, p_value,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+                  AS INT) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ), cutoff AS (
+      SELECT COALESCE(MAX(CASE WHEN p_value * m <= rnk * {_BH_Q}
+                               THEN rnk END), 0) AS kmax
+      FROM ranked
+    )
+    SELECT r.event_type, r.p_value, r.rnk AS p_rank,
+           ROUND(r.rnk * {_BH_Q} / r.m, 6) AS bh_threshold,
+           r.rnk <= c.kmax AS reject
+    FROM ranked r CROSS JOIN cutoff c
+    ORDER BY r.rnk
+""")
+def stats_fdr_bh_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the weekend-effect test
+    FAMILY: one Welch test per event type (the same daily-revenue
+    statistic events_weekend_welch_test reports), two-sided normal-
+    approximation p-values via the Abramowitz-Stegun 26.2.17
+    polynomial (portable — no erf on either engine), then the BH
+    step-up rule at q = {q}: reject every hypothesis ranked at or
+    below the LARGEST k with p(k) <= k/m * q. This is the
+    multiple-testing control every metrics platform applies when one
+    experiment readout fans out into per-segment tests — without it,
+    five 5%-level tests produce a false positive ~23% of the time.
+
+    Plan: the per-type stats are the Welch rollup (day-grain then
+    type-grain, partial-aggregatable); everything after — p-values,
+    the BH rank window, the step-up cutoff — runs on the |event
+    types|-row family frame (declared bounded in the audit). P-values
+    round at 6 dp before ranking and thresholding, so both engines
+    make identical reject decisions.""".format(q=_BH_Q)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("d"),
+                        (F.dayofweek("ts").isin(1, 7)).cast("int")
+                        .alias("is_weekend"))
+             .agg(F.round(F.sum("value"), 6).alias("v")))
+    g = (daily.groupBy("event_type", "is_weekend")
+         .agg(F.count(F.lit(1)).alias("n"), F.avg("v").alias("m"),
+              F.var_samp("v").alias("s2")))
+    side = lambda c, w: F.max(F.when(F.col("is_weekend") == w,
+                                     F.col(c)))  # noqa: E731
+    wide = (g.groupBy("event_type")
+            .agg(side("n", 0).alias("n_wd"), side("m", 0).alias("m_wd"),
+                 side("s2", 0).alias("s2_wd"),
+                 side("n", 1).alias("n_we"), side("m", 1).alias("m_we"),
+                 side("s2", 1).alias("s2_we")))
+    at = F.abs((F.col("m_we") - F.col("m_wd"))
+               / F.sqrt(F.col("s2_wd") / F.col("n_wd")
+                        + F.col("s2_we") / F.col("n_we")))
+    pv = (wide.select("event_type", at.alias("at"))
+          .select("event_type",
+                  F.round(2.0 * F.expr(_norm_sf_sql("at")), 6)
+                  .alias("p_value")))
+    rw = Window.orderBy("p_value", "event_type")
+    ranked = (pv.withColumn("rnk", F.row_number().over(rw).cast("int"))
+              .withColumn("m", F.count(F.lit(1)).over(
+                  Window.partitionBy(F.lit(1))))
+              .localCheckpoint(eager=False))
+    cutoff = ranked.agg(
+        F.coalesce(F.max(F.when(
+            F.col("p_value") * F.col("m") <= F.col("rnk") * _BH_Q,
+            F.col("rnk"))), F.lit(0)).alias("kmax"))
+    return (ranked.crossJoin(F.broadcast(cutoff))
+            .select("event_type", "p_value",
+                    F.col("rnk").alias("p_rank"),
+                    F.round(F.col("rnk") * _BH_Q / F.col("m"), 6)
+                    .alias("bh_threshold"),
+                    (F.col("rnk") <= F.col("kmax")).alias("reject"))
+            .orderBy("p_rank"))

@@ -244,3 +244,51 @@ def test_incident_windows_contiguity_and_mass(spark, sf_dir):
         g = g.sort_values("incident_start")
         assert (g.incident_start.iloc[1:].values
                 >= g.incident_end.iloc[:-1].values).all()
+
+
+def test_bh_fdr_matches_python_reference(spark, sf_dir):
+    """P-values and the BH step-up decision recomputed driver-side
+    with the same A&S normal-tail polynomial."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.operators.timeseries import (_AS_B, _AS_P,
+                                                      _BH_Q, _SQRT_2PI,
+                                                      stats_fdr_bh_weekend)
+
+    from mongo_cdc_spark.io import load_table
+
+    got = stats_fdr_bh_weekend(spark, sf_dir).collect()
+    assert got
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts", "value").collect()
+    daily = defaultdict(float)
+    for r in ev:
+        wk = 1 if r.ts.isoweekday() >= 6 else 0
+        daily[(r.event_type, r.ts.date(), wk)] += r.value
+    groups = defaultdict(list)
+    for (et, _, wk), v in daily.items():
+        groups[(et, wk)].append(round(v, 6))
+    pvals = {}
+    for et in {k[0] for k in groups}:
+        stats = {}
+        for wk in (0, 1):
+            xs = groups[(et, wk)]
+            n, m = len(xs), sum(xs) / len(xs)
+            s2 = sum((x - m) ** 2 for x in xs) / (n - 1)
+            stats[wk] = (n, m, s2)
+        (n0, m0, s0), (n1, m1, s1) = stats[0], stats[1]
+        at = abs((m1 - m0) / math.sqrt(s0 / n0 + s1 / n1))
+        k = 1.0 / (1.0 + _AS_P * at)
+        poly = sum(b * k ** (i + 1) for i, b in enumerate(_AS_B))
+        sf = math.exp(-at * at / 2) / _SQRT_2PI * poly
+        pvals[et] = round(2 * sf, 6)
+    ordered = sorted(pvals.items(), key=lambda kv: (kv[1], kv[0]))
+    m = len(ordered)
+    kmax = max((i + 1 for i, (_, p) in enumerate(ordered)
+                if p * m <= (i + 1) * _BH_Q), default=0)
+    for i, r in enumerate(got):
+        et, p = ordered[i]
+        assert r.event_type == et and abs(r.p_value - p) < 1e-6
+        assert r.p_rank == i + 1
+        assert r.reject == (i + 1 <= kmax)

@@ -1,9 +1,17 @@
 """Physical-plan audit over every registered query (SURVEY §6.5).
 
 For each __spark_entry__.queries() entry, counts the plan features that
-matter at 100 TB: shuffle exchanges, sort-merge vs broadcast joins, and
-Python evaluation nodes (the slow path). Flags queries whose plan
-drifts from the declared posture.
+matter at 100 TB: shuffle exchanges, sort-merge vs broadcast joins,
+Python evaluation nodes (the slow path), and single-partition windows.
+Flags queries whose plan drifts from the declared posture.
+
+Known blind spot: a lazy `localCheckpoint(eager=False)` replaces its
+subtree with an RDD scan in the printed plan, so features UPSTREAM of a
+checkpoint are invisible here. The single-partition-window class is
+additionally guarded at runtime — tools/oracle_check runs surface
+Spark's "No Partition Defined for Window" warning (zero across the
+suite since the round-6 two-phase rewrites), and
+tests/test_twophase.py pins the rewritten operators.
 
     python tools/plan_audit.py [sf_dir]           # table for all queries
     python tools/plan_audit.py sf_dir q1 q2 ...   # subset
@@ -225,6 +233,10 @@ WINDOW_OK: dict[str, int] = {
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
     "events_funnel_steps": 1,
+    # BH family frame: the p-value rank + family-size windows run on
+    # |event types| rows (currently hidden from the static audit by
+    # the frame's lazy checkpoint — declared here for when it isn't):
+    "stats_fdr_bh_weekend": 2,
     # file-manifest grain (thousands of rows at 100 TB) — compaction
     # planning is metadata-only by design, declared in its docstring:
     "layout_compaction_plan": 1,
