@@ -28,13 +28,12 @@ from mongo_cdc_spark.operators import (  # noqa: E402
 _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
             multimodal, training, skew, layout, quality, timeseries, graph)
 
-# The driver grades the first 50 dict entries (round-1 CORRECTNESS truncated at
-# exactly 50, in insertion order).  Round 1 graded cdc_batch + the first 48
-# relational queries, leaving every tpch_full / dedup / similarity / text /
-# multimodal query without a hard correctness row.  _GRADE_FIRST puts all
-# previously-ungraded queries — plus the repaired agg_approx_sketches and a
-# representative spread of each already-passing category — inside the window.
-# Everything not listed follows in module order, so the full registry is intact.
+# The driver grades the first 50 dict entries (in insertion order), so
+# _GRADE_FIRST is the rotation manifest: each round it leads with the
+# queries that most need a fresh CORRECTNESS row (never-graded first,
+# then changed-since-their-last-green-row, then new operators).
+# Everything not listed follows in module order, so the full registry
+# is intact and every entry keeps its newest green row on record.
 _GRADE_FIRST = (
     # Round-6 window (VERDICT_r5 task #2: finish the grading drain).
     # After round 5, 29 registered queries have never had a driver
