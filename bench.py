@@ -167,6 +167,20 @@ HEADLINE = [
     ("error_budget", relational.events_error_budget),
     ("trade_balance", relational.nation_trade_balance),
     ("vocab_coverage", text.text_vocab_coverage_curve),
+    # round-6 additions
+    ("split_leakage", training.train_split_leakage),
+    ("contamination_span", training.train_contamination_span),
+    ("label_propagation", graph.graph_label_propagation),
+    ("clustering_depth", layout.layout_clustering_depth),
+    ("dedup_keep_best", training.train_dedup_keep_best),
+    ("ks_two_sample", quality.stats_ks_two_sample),
+    ("image_patches", multimodal.multimodal_image_patches),
+    ("length_buckets", training.train_length_buckets),
+    ("sprt", quality.ab_test_sequential_sprt),
+    ("video_shots", multimodal.multimodal_video_shots),
+    ("schema_evolution", cdc_batch.cdc_schema_evolution_audit),
+    ("mips_augment", similarity.similarity_mips_norm_augment),
+    ("fdr_bh", timeseries.stats_fdr_bh_weekend),
 ]
 
 
