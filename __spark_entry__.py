@@ -95,6 +95,15 @@ _GRADE_FIRST = (
     "train_length_buckets", "ab_test_sequential_sprt",
     "multimodal_video_shots", "cdc_schema_evolution_audit",
     "similarity_mips_norm_augment", "stats_fdr_bh_weekend",
+    # late-round-6 batch 2 (same contract: oracle + pytest pins +
+    # plan-audit pass before registration): WOE/IV feature scoring,
+    # leave-one-out target encoding, two-phase strict-cummax Pareto
+    # skyline, hashing-trick featurizer, partial-Gram PCA covariance,
+    # vocabulary-grain Jaro-Winkler, positional-index phrase search.
+    "feature_woe_iv", "feature_target_encode_loo",
+    "parts_pareto_skyline", "feature_hashing_trick",
+    "embedding_pca_covariance", "dedup_jaro_winkler",
+    "search_phrase_match",
 )
 
 

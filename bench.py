@@ -181,6 +181,13 @@ HEADLINE = [
     ("schema_evolution", cdc_batch.cdc_schema_evolution_audit),
     ("mips_augment", similarity.similarity_mips_norm_augment),
     ("fdr_bh", timeseries.stats_fdr_bh_weekend),
+    ("woe_iv", quality.feature_woe_iv),
+    ("target_encode_loo", quality.feature_target_encode_loo),
+    ("pareto_skyline", relational.parts_pareto_skyline),
+    ("hashing_trick", text.feature_hashing_trick),
+    ("pca_covariance", similarity.embedding_pca_covariance),
+    ("jaro_winkler", dedup.dedup_jaro_winkler),
+    ("phrase_match", text.search_phrase_match),
 ]
 
 

@@ -47,6 +47,7 @@ def with_global_order(df: DataFrame,
                       *,
                       rank_col: str | None = None,
                       cumsums: Mapping[str, str] | None = None,
+                      strict_cummaxes: Mapping[str, str] | None = None,
                       num_partitions: int | None = None) -> DataFrame:
     """Attach exact global-order columns without a single-partition sort.
 
@@ -55,11 +56,18 @@ def with_global_order(df: DataFrame,
     rank_col       if set, adds the global row_number under this name.
     cumsums        {source_col: out_col} inclusive global running sums
                    in the same order.
+    strict_cummaxes {source_col: out_col} EXCLUSIVE global running max
+                   — max over all rows strictly before this one in the
+                   order (NULL for the global first row). Same
+                   two-phase shape: per-partition strict running max +
+                   the max of every earlier partition's total, merged
+                   with greatest() (which skips NULLs).
     num_partitions range-partition count; defaults to the session's
                    spark.sql.shuffle.partitions.
     """
     cumsums = dict(cumsums or {})
-    if rank_col is None and not cumsums:
+    strict_cummaxes = dict(strict_cummaxes or {})
+    if rank_col is None and not cumsums and not strict_cummaxes:
         return df
     if num_partitions is None:
         num_partitions = int(
@@ -78,6 +86,11 @@ def with_global_order(df: DataFrame,
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     for src, out in cumsums.items():
         local = local.withColumn(f"__tp_run_{out}", F.sum(src).over(run_w))
+    strict_w = (W.partitionBy(_PID).orderBy(*order_exprs)
+                .rowsBetween(W.unboundedPreceding, -1))
+    for src, out in strict_cummaxes.items():
+        local = local.withColumn(f"__tp_runm_{out}",
+                                 F.max(src).over(strict_w))
     # Shared by the offsets agg and the final join — checkpoint so the
     # (sampled, pid-stamped) frame is computed once and both branches
     # see identical partition ids.
@@ -86,6 +99,8 @@ def with_global_order(df: DataFrame,
     aggs = [F.count(F.lit(1)).alias("__tp_cnt")]
     aggs += [F.sum(src).alias(f"__tp_tot_{out}")
              for src, out in cumsums.items()]
+    aggs += [F.max(src).alias(f"__tp_totm_{out}")
+             for src, out in strict_cummaxes.items()]
     per_part = local.groupBy(_PID).agg(*aggs)
     # Exclusive prefix-sum over the ≤ num_partitions-row frame via a
     # triangular self-join (b.pid < a.pid): O(P²) pairs on a frame
@@ -102,6 +117,11 @@ def with_global_order(df: DataFrame,
         F.coalesce(F.sum(f"__tp_b.__tp_tot_{out}"), F.lit(0))
         .alias(f"__tp_off_{out}")
         for out in cumsums.values()]
+    # max's identity is NULL (left join yields no b-rows for the first
+    # partition) — greatest() below skips NULLs, so no coalesce here.
+    off_aggs += [
+        F.max(f"__tp_b.__tp_totm_{out}").alias(f"__tp_offm_{out}")
+        for out in strict_cummaxes.values()]
     offsets = (tri.groupBy(F.col(f"__tp_a.{_PID}").alias(_PID))
                .agg(*off_aggs))
 
@@ -115,4 +135,9 @@ def with_global_order(df: DataFrame,
         res = res.withColumn(
             out, F.col(f"__tp_off_{out}") + F.col(f"__tp_run_{out}"))
         drop += [f"__tp_run_{out}", f"__tp_off_{out}"]
+    for out in strict_cummaxes.values():
+        res = res.withColumn(
+            out, F.greatest(F.col(f"__tp_offm_{out}"),
+                            F.col(f"__tp_runm_{out}")))
+        drop += [f"__tp_runm_{out}", f"__tp_offm_{out}"]
     return res.drop(*drop)

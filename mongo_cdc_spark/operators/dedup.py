@@ -13,6 +13,7 @@ LSH/SimHash variants are measured against in tests.
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1029,3 +1030,102 @@ def dedup_lsh_scurve_tuning(spark: SparkSession,
             .alias(f"p_r{r}_b{b}") for r, b in _SCURVE_CONFIGS]
     return (pairs.select("doc1", "doc2", "jaccard", *cols)
             .orderBy("doc1", "doc2"))
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Classic Jaro-Winkler (p=0.1, prefix cap 4, 0.7 boost
+    threshold) — the exact convention DuckDB's
+    jaro_winkler_similarity implements, pinned pairwise against it in
+    tests/test_dedup.py over every fixture name pair."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    l1, l2 = len(s1), len(s2)
+    window = max(0, max(l1, l2) // 2 - 1)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - window), min(l2, i + window + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2
+            + (matches - t) / matches) / 3.0
+    if jaro > 0.7:
+        pfx = 0
+        for a, b in zip(s1, s2):
+            if a != b or pfx == 4:
+                break
+            pfx += 1
+        jaro += pfx * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+@query("dedup_jaro_winkler", sql="""
+    WITH n AS (
+      SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY 1
+    ), pr AS (
+      SELECT a.p_name AS a_name, b.p_name AS b_name,
+             ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+               AS jw,
+             a.cnt * b.cnt AS n_part_pairs
+      FROM n a JOIN n b ON b.p_name > a.p_name
+    )
+    SELECT a_name, b_name, jw,
+           CAST(n_part_pairs AS BIGINT) AS n_part_pairs
+    FROM pr WHERE jw >= 0.8 ORDER BY a_name, b_name
+""")
+def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy name matching at VOCABULARY grain — the
+    entity-resolution companion to dedup_fuzzy_levenshtein, using the
+    edit metric record-linkage systems standardize on for short names
+    (Winkler '90, census string comparators). The oracle is DuckDB's
+    native jaro_winkler_similarity; the Spark side carries its own
+    implementation (pinned equal pairwise in pytest), since Spark has
+    no built-in JW.
+
+    Plan — the quadratic never touches the data grain: names first
+    collapse to (name, count) via one map-side-combinable groupBy (64
+    rows here; bounded by the name vocabulary, not the part count),
+    the vocab x vocab self-join and the per-pair Python scorer run on
+    that collapsed frame, and each surviving name pair reports its
+    implied record-pair count as cnt_a * cnt_b — no record-grain pair
+    ever materializes, so data growth only changes the counts. A
+    vocabulary too large for vocab**2 moves to the blocked/LSH
+    variants (dedup_ngram_jaccard, dedup_minhash_lsh); this operator
+    is the exact scorer for bounded name domains. Membership filters
+    on the 6-dp ROUNDED score on both engines."""
+    @F.pandas_udf("double")
+    def jw_udf(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        return _pd.Series([_jaro_winkler(x, y)
+                           for x, y in zip(a, b)])
+
+    n = (load_table(spark, sf_dir, "part")
+         .groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt")))
+    a = n.select(F.col("p_name").alias("a_name"),
+                 F.col("cnt").alias("a_cnt"))
+    b = n.select(F.col("p_name").alias("b_name"),
+                 F.col("cnt").alias("b_cnt"))
+    pairs = a.join(b, F.col("b_name") > F.col("a_name"))
+    return (pairs
+            .withColumn("jw", F.round(jw_udf("a_name", "b_name"), 6))
+            .where(F.col("jw") >= 0.8)
+            .select("a_name", "b_name", "jw",
+                    (F.col("a_cnt") * F.col("b_cnt")).cast("bigint")
+                    .alias("n_part_pairs"))
+            .orderBy("a_name", "b_name"))

@@ -1200,3 +1200,153 @@ def ab_test_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(llr <= _SPRT_LO, "accept_h0")
         .otherwise("continue").alias("decision"))
         .orderBy("day"))
+
+
+# --------------------------------------- feature scoring / encoding
+
+@query("feature_woe_iv", sql="""
+    WITH base AS (
+      SELECT 'priority' AS feature, o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      UNION ALL
+      SELECT 'segment', c.c_mktsegment,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cat AS (
+      SELECT feature, category,
+             COUNT(*) AS n, SUM(y) AS n_pos,
+             COUNT(*) - SUM(y) AS n_neg
+      FROM base GROUP BY 1, 2
+    ), tot AS (
+      SELECT feature, SUM(n_pos) AS tp, SUM(n_neg) AS tn,
+             COUNT(*) AS n_cats
+      FROM cat GROUP BY 1
+    ), w AS (
+      SELECT c.feature, c.category, c.n, c.n_pos,
+             ln(((c.n_pos + 0.5) / (t.tp + 0.5 * t.n_cats))
+                / ((c.n_neg + 0.5) / (t.tn + 0.5 * t.n_cats))) AS woe,
+             ((c.n_pos + 0.5) / (t.tp + 0.5 * t.n_cats)
+              - (c.n_neg + 0.5) / (t.tn + 0.5 * t.n_cats)) AS pdiff
+      FROM cat c JOIN tot t ON t.feature = c.feature
+    )
+    SELECT feature, category,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(woe, 6) AS woe,
+           ROUND(pdiff * woe, 6) AS iv_contrib,
+           ROUND(SUM(pdiff * woe) OVER (PARTITION BY feature), 6)
+             AS feature_iv
+    FROM w ORDER BY feature, category
+""")
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature scoring against
+    the binary label "order finished" (o_orderstatus = 'F') for two
+    categorical features — order priority and the customer's market
+    segment. WOE_i = ln((pos_i/pos)/(neg_i/neg)) with Laplace 0.5
+    smoothing per cell; IV = sum_i (pos_i/pos - neg_i/neg) * WOE_i —
+    the credit-scoring-era screen still standard for ranking
+    categorical features before training an encoder on them.
+
+    Plan: the (feature, category) grain is an aggregation output
+    (~10 rows regardless of data size), so everything past the first
+    groupBy is metadata-grain: the per-feature totals broadcast back,
+    and the feature_iv window partitions BY FEATURE over <= n_cats
+    rows — a bounded-frame window, never a data-grain sort. The
+    segment feature needs orders->customer, a plain key-hash shuffle
+    join at scale (both sides data-grain, no broadcast assumption).
+    feature_iv sums the UNROUNDED contributions then rounds, on both
+    engines, so the total can't drift off the rounded parts."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    base = (o.select(F.lit("priority").alias("feature"),
+                     F.col("o_orderpriority").alias("category"),
+                     y.alias("y"))
+            .unionByName(
+                o.join(c, o.o_custkey == c.c_custkey)
+                .select(F.lit("segment").alias("feature"),
+                        F.col("c_mktsegment").alias("category"),
+                        y.alias("y"))))
+    cat = (base.groupBy("feature", "category")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("n_pos"),
+                (F.count(F.lit(1)) - F.sum("y")).alias("n_neg")))
+    tot = (cat.groupBy("feature")
+           .agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"),
+                F.count(F.lit(1)).alias("n_cats")))
+    ppos = (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5 * F.col("n_cats"))
+    pneg = (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5 * F.col("n_cats"))
+    w = (cat.join(F.broadcast(tot), "feature")
+         .withColumn("woe", F.log(ppos / pneg))
+         .withColumn("pdiff", ppos - pneg))
+    return (w.select(
+        "feature", "category",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round("woe", 6).alias("woe"),
+        F.round(F.col("pdiff") * F.col("woe"), 6).alias("iv_contrib"),
+        F.round(F.sum(F.col("pdiff") * F.col("woe"))
+                .over(W.partitionBy("feature")), 6).alias("feature_iv"))
+        .orderBy("feature", "category"))
+
+
+@query("feature_target_encode_loo", sql="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             o.o_totalprice AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), st AS (
+      SELECT segment, SUM(x) AS s, COUNT(*) AS n
+      FROM seg GROUP BY 1
+    ), enc AS (
+      SELECT seg.segment, seg.priority,
+             (st.s - seg.x) / (st.n - 1) AS loo
+      FROM seg JOIN st ON st.segment = seg.segment
+    )
+    SELECT segment, priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(loo), 6) AS enc_mean,
+           ROUND(STDDEV_SAMP(loo), 6) AS enc_std,
+           ROUND(MIN(loo), 6) AS enc_min,
+           ROUND(MAX(loo), 6) AS enc_max
+    FROM enc GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def feature_target_encode_loo(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order value: each order's encoding is the mean
+    o_totalprice of every OTHER order in its segment,
+    (S_seg - x) / (n_seg - 1) — the standard leakage-free categorical
+    encoder for gradient-boosted / linear models (plain mean encoding
+    leaks the row's own label; LOO subtracts it). Emitted at the
+    (segment, priority) audit grain: encoding mean/std/min/max per
+    cell, which is what a feature-store validation job pins.
+
+    Plan: the LOO closed form is what makes this scale — no
+    per-row "all other rows" self-join ever materializes. One
+    key-hash shuffle join (orders->customer, both sides data-grain),
+    one segment-grain aggregate whose ~5-row (sum, count) frame
+    broadcasts back, then a row-local subtraction and a final
+    map-side-combinable rollup. Sums stay UNROUNDED until the final
+    6-dp emit on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (o.join(c, o.o_custkey == c.c_custkey)
+           .select(F.col("c_mktsegment").alias("segment"),
+                   F.col("o_orderpriority").alias("priority"),
+                   F.col("o_totalprice").alias("x")))
+    st = seg.groupBy("segment").agg(F.sum("x").alias("s"),
+                                    F.count(F.lit(1)).alias("n"))
+    enc = (seg.join(F.broadcast(st), "segment")
+           .withColumn("loo", (F.col("s") - F.col("x"))
+                       / (F.col("n") - 1)))
+    return (enc.groupBy("segment", "priority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("loo"), 6).alias("enc_mean"),
+                 F.round(F.stddev_samp("loo"), 6).alias("enc_std"),
+                 F.round(F.min("loo"), 6).alias("enc_min"),
+                 F.round(F.max("loo"), 6).alias("enc_max"))
+            .orderBy("segment", "priority"))

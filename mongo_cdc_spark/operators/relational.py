@@ -4906,3 +4906,55 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              - F.coalesce("buy_c", F.lit(0))) / 100.0,
                             2).alias("trade_balance"))
             .orderBy("nation"))
+
+
+@query("parts_pareto_skyline", sql="""
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           ROUND(p.p_retailprice, 2) AS price,
+           p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size)
+    )
+    ORDER BY price, size, p.p_partkey
+""")
+def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts for which no other
+    part is both cheaper-or-equal AND larger-or-equal with at least
+    one strict — minimize p_retailprice, maximize p_size. The classic
+    multi-criteria OLAP operator (Borzsony/Kossmann/Stocker, ICDE'01
+    "The Skyline Operator"); the oracle states it as the textbook
+    NOT EXISTS dominance query, which is O(n^2) and only viable at
+    oracle scale.
+
+    Plan — 2-D skylines collapse to a strict running max, so the
+    distributed form needs NO pairwise join at all: collapse to price
+    grain with M(price) = max size at that price (one map-side-
+    combinable groupBy), attach SM(price) = max{M(r) : r < price} via
+    the two-phase strict-cummax (`_twophase.with_global_order` —
+    repartitionByRange + per-partition strict window + broadcast
+    per-partition maxes; no single-partition sort), then re-join each
+    part to its price row: dominated  <=>  SM(price) >= size  (a
+    strictly cheaper part at least as large exists)  OR  M(price) >
+    size (a same-price strictly larger part exists). Equal
+    (price, size) twins survive together — neither dominates
+    strictly. Both the groupBy and the join key on price: at 100 TB
+    that's two key-hash shuffles on a grain no wider than the data,
+    vs the naive self-join's n^2. Prices round to 2 dp on both
+    engines before any comparison so dominance can't flip on an ulp."""
+    p = (load_table(spark, sf_dir, "part")
+         .withColumn("price", F.round("p_retailprice", 2)))
+    m = p.groupBy("price").agg(F.max("p_size").alias("m_size"))
+    sm = with_global_order(m, [F.asc("price")],
+                           strict_cummaxes={"m_size": "sm_size"})
+    return (p.join(sm, "price")
+            .where(~(F.coalesce(F.col("sm_size") >= F.col("p_size"),
+                                F.lit(False))
+                     | (F.col("m_size") > F.col("p_size"))))
+            .select("p_partkey", "p_name", "p_brand", "price",
+                    F.col("p_size").alias("size"))
+            .orderBy("price", "size", "p_partkey"))

@@ -1952,3 +1952,75 @@ def similarity_mips_norm_augment(spark: SparkSession,
             .withColumn("ranks_agree",
                         F.col("rank_ip") == F.col("rank_aug"))
             .orderBy("query_id", "rank_ip"))
+
+
+@query("embedding_pca_covariance", sql="""
+    WITH e AS (
+      SELECT vec_id, t.i,
+             embedding[t.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) AS t(i)
+    ), p AS (
+      SELECT a.i AS i, b.i AS j,
+             COUNT(*) AS n,
+             SUM(a.x) AS sx, SUM(b.x) AS sy,
+             SUM(a.x * b.x) AS sxy
+      FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    )
+    SELECT i, j, cov FROM (
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             ROUND(sxy / n - (sx / n) * (sy / n), 6) AS cov
+      FROM p
+    ) WHERE ABS(cov) >= 0.001
+    ORDER BY i, j
+""")
+def embedding_pca_covariance(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Distributed PCA, step 1: the exact d x d covariance matrix of
+    the 64-dim embedding corpus (upper triangle, entries with
+    |cov| >= 1e-3 — the input a driver-side eigendecomposition turns
+    into principal components / a whitening transform; d**2 is tiny,
+    N is not, so THIS pass is the whole scale problem).
+
+    Plan: the textbook partial-Gram pattern — one Arrow-batched
+    mapInPandas pass computes per-batch numpy X^T X, per-column sums
+    and the row count, emitting d*(d+1)/2 = 2080 partial rows PER
+    BATCH regardless of batch row count; the only shuffle is the
+    groupBy(i, j) over those partials, whose key space is d**2 —
+    bounded by the embedding width, not the corpus. No N x d**2 row
+    explosion ever materializes (the oracle's lateral self-join form
+    is exactly that explosion, viable only at oracle scale). The
+    per-batch float64 accumulation also keeps the numerics identical
+    to the oracle's direct sums at 6 dp."""
+    import numpy as _np
+
+    d = 64
+    schema = ("i int, j int, n long, sx double, sy double, "
+              "sxy double")
+
+    def gram(batches):
+        iu, ju = _np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield _pd.DataFrame({
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "n": _np.full(iu.size, len(pdf), dtype="int64"),
+                "sx": s[iu], "sy": s[ju], "sxy": g[iu, ju]})
+
+    part = (load_table(spark, sf_dir, "embeddings")
+            .select("embedding").mapInPandas(gram, schema))
+    tot = (part.groupBy("i", "j")
+           .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+                F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy")))
+    cov = (F.col("sxy") / F.col("n")
+           - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+    # membership filters on the ROUNDED value — bit-identical on both
+    # engines — so a boundary entry can't flip on an accumulation ulp
+    return (tot.select("i", "j", F.round(cov, 6).alias("cov"))
+            .where(F.abs(F.col("cov")) >= 0.001)
+            .orderBy("i", "j"))

@@ -1300,3 +1300,108 @@ def text_vocab_coverage_curve(spark: SparkSession,
                     F.round(F.col("cum") * F.lit(1.0) / F.col("total"),
                             6).alias("coverage"))
             .orderBy("vocab_size"))
+
+
+@query("feature_hashing_trick", sql="""
+    WITH t AS (
+      SELECT doc_id, tok,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+    ), tf AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS total_tf
+      FROM t GROUP BY 1
+    ), df AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT bucket, doc_id FROM t) GROUP BY 1
+    ), cl AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_collided_terms
+      FROM (SELECT DISTINCT bucket, tok FROM t) GROUP BY 1
+    )
+    SELECT tf.bucket, tf.total_tf, df.df, cl.n_collided_terms
+    FROM tf JOIN df ON df.bucket = tf.bucket
+            JOIN cl ON cl.bucket = tf.bucket
+    ORDER BY tf.bucket
+""")
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer audit (Weinberger et al., ICML'09
+    "Feature Hashing for Large Scale Multitask Learning"): every token
+    maps to one of 64 buckets via a PORTABLE md5-derived hash (the
+    conv(substr(md5,1,8),16,10) idiom both engines compute bit-
+    identically), the fixed-width sparse encoding that replaces an
+    unbounded vocabulary lookup at training time. Emits the per-bucket
+    corpus profile a feature-store job pins: total term frequency,
+    document frequency, and the collision load (distinct terms sharing
+    the bucket) — the quantity that tells you whether 64 is too small.
+
+    Plan: one explode, then THREE separate aggregates joined on the
+    64-row bucket grain — never two countDistincts in one groupBy
+    (Catalyst's distinct-rewrite Expand multiplies every row k ways;
+    the round-3 scale-sweep pathology). Each distinct pre-collapses
+    map-side to its (bucket, key) pairs; the final three-way join is
+    64 rows a side, broadcast. At 100 TB the only data-grain shuffles
+    are the two distincts, both on collapsed pair grains."""
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", F.explode(_tokens()).alias("tok"))
+         .withColumn("bucket",
+                     F.conv(F.substring(
+                         F.md5(F.col("tok").cast("binary")), 1, 8),
+                         16, 10).cast("long") % 64))
+    tf = (t.groupBy("bucket")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("total_tf")))
+    df = (t.select("bucket", "doc_id").distinct().groupBy("bucket")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    cl = (t.select("bucket", "tok").distinct().groupBy("bucket")
+          .agg(F.count(F.lit(1)).cast("bigint")
+               .alias("n_collided_terms")))
+    return (tf.join(F.broadcast(df), "bucket")
+            .join(F.broadcast(cl), "bucket")
+            .orderBy("bucket"))
+
+
+@query("search_phrase_match", sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+             unnest(range(1, len(regexp_split_to_array(text, '\\s+'))
+                          + 1)) AS pos
+      FROM documents
+    ), nx AS (
+      SELECT doc_id, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
+      FROM tk
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM nx WHERE tok = 'fast' AND tok2 = 'table'
+    GROUP BY doc_id
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 20
+""")
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("fast table") via a POSITIONAL inverted
+    index — the operator that separates a search engine from a
+    bag-of-words ranker (text_bm25_topk scores terms independently;
+    phrases need positions). Emits the top-20 matching docs by hit
+    count.
+
+    Plan: posexplode builds the (term -> doc, position) postings;
+    the phrase probe then touches ONLY the two query terms' postings
+    lists — each side is filtered BEFORE the join (predicate on the
+    exploded term), so the adjacency equi-join on (doc_id, pos) is
+    postings-bounded, never corpus-bounded, exactly how a distributed
+    index serves phrase queries at 100 TB. The top-20 is
+    TakeOrderedAndProject. The oracle states the same semantics as a
+    lead() window over zipped-unnest positions; n-word phrases chain
+    n-1 position-shifted joins of the same shape."""
+    tk = (_docs(spark, sf_dir)
+          .select("doc_id",
+                  F.posexplode(_tokens()).alias("pos", "tok")))
+    w1 = tk.where(F.col("tok") == "fast").select("doc_id", "pos")
+    w2 = (tk.where(F.col("tok") == "table")
+          .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    return (w1.join(w2, ["doc_id", "pos"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+            .limit(20))

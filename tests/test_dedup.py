@@ -160,3 +160,35 @@ def test_semdedup_keeper_invariants(spark, sf_dir):
     for _, r in dropped.iterrows():
         assert cell_of[r.keeper_id] == r.cell, \
             "keeper must share the vector's cell (within-cell dedup)"
+
+
+def test_jaro_winkler_matches_duckdb_exactly(spark, sf_dir, oracle):
+    """The Python scorer must agree with DuckDB's native
+    jaro_winkler_similarity on EVERY fixture name pair (the oracle's
+    scorer) plus the textbook record-linkage examples."""
+    from mongo_cdc_spark.operators.dedup import _jaro_winkler
+
+    assert round(_jaro_winkler("martha", "marhta"), 6) == 0.961111
+    assert round(_jaro_winkler("dixon", "dicksonx"), 6) == 0.813333
+    names = [r[0] for r in oracle.sql(
+        "SELECT DISTINCT p_name FROM part ORDER BY 1").fetchall()]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            want = oracle.sql(
+                "SELECT jaro_winkler_similarity(?, ?)",
+                params=[a, b]).fetchone()[0]
+            assert abs(_jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_jaro_winkler_pairs_are_vocab_grain(spark, sf_dir):
+    """Scale guard: the pair frame the Python scorer sees is the
+    name-vocabulary self-join, so its size must be bounded by
+    vocab*(vocab-1)/2 — not by the part count."""
+    from mongo_cdc_spark.operators import dedup
+
+    got = dedup.dedup_jaro_winkler(spark, sf_dir).toPandas()
+    n_vocab = (dedup.load_table(spark, sf_dir, "part")
+               .select("p_name").distinct().count())
+    assert len(got) <= n_vocab * (n_vocab - 1) // 2
+    assert (got.jw >= 0.8).all() and (got.jw <= 1.0).all()
+    assert (got.n_part_pairs >= 1).all()

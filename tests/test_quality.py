@@ -271,3 +271,42 @@ def test_sprt_walk_matches_python_reference(spark, sf_dir):
         assert (g.day.date(), g.n_events, g.n_from_b) == w[:3]
         assert abs(g.llr - w[3]) < 1e-6
         assert g.decision == w[4]
+
+
+def test_woe_iv_invariants(spark, sf_dir, oracle):
+    """Counts reconcile with the orders table; feature_iv is the
+    constant sum of its feature's contributions; smoothed WOE is
+    finite everywhere."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators import quality
+
+    got = quality.feature_woe_iv(spark, sf_dir).toPandas()
+    n_orders = oracle.sql("SELECT COUNT(*) FROM orders").fetchone()[0]
+    for feat, grp in got.groupby("feature"):
+        assert grp.n.sum() == n_orders
+        assert np.isfinite(grp.woe).all()
+        # one IV per feature, equal (to rounding) to the contrib sum
+        assert grp.feature_iv.nunique() == 1
+        assert abs(grp.iv_contrib.sum()
+                   - grp.feature_iv.iloc[0]) < 5e-6
+
+
+def test_target_encode_loo_reconstructs_segment_mean(spark, sf_dir,
+                                                     oracle):
+    """Closed-form identity: the n-weighted mean of per-cell LOO
+    encodings within a segment equals the segment's plain mean —
+    LOO redistributes, it never shifts the segment total."""
+    from mongo_cdc_spark.operators import quality
+
+    got = quality.feature_target_encode_loo(spark, sf_dir).toPandas()
+    seg_means = dict(oracle.sql("""
+        SELECT c.c_mktsegment, AVG(o.o_totalprice)
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1""").fetchall())
+    for seg, grp in got.groupby("segment"):
+        w = (grp.enc_mean * grp.n).sum() / grp.n.sum()
+        assert abs(w - seg_means[seg]) < 1e-3, seg
+        # every cell's band sits inside [enc_min, enc_max]
+        assert (grp.enc_min <= grp.enc_mean).all()
+        assert (grp.enc_mean <= grp.enc_max).all()

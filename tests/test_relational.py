@@ -714,3 +714,29 @@ def test_bot_score_components_consistent(spark, sf_dir):
               + (got.max_burst_1min >= 3).astype(int)
               + (got.gap_cv < 0.5).astype(int))
     assert (got.bot_points == expect).all()
+
+
+def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
+    """The two-phase strict-cummax skyline must equal the O(n^2)
+    dominance definition computed directly on the fixture."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.operators import relational
+
+    got = relational.parts_pareto_skyline(spark, sf_dir).toPandas()
+    parts = (relational.load_table(spark, sf_dir, "part")
+             .select("p_partkey", F.round("p_retailprice", 2)
+                     .alias("price"), "p_size").toPandas())
+    keep = []
+    for _, r in parts.iterrows():
+        dominated = ((parts.price <= r.price) & (parts.p_size >= r.p_size)
+                     & ((parts.price < r.price)
+                        | (parts.p_size > r.p_size))).any()
+        if not dominated:
+            keep.append(r.p_partkey)
+    assert sorted(got.p_partkey) == sorted(keep)
+    # distinct frontier points form a strict staircase: sorted by
+    # price asc, the surviving sizes must strictly increase
+    stair = (got.drop_duplicates(["price", "size"])
+             .sort_values("price")["size"].tolist())
+    assert all(b > a for a, b in zip(stair, stair[1:]))

@@ -403,3 +403,27 @@ def test_mips_reduction_preserves_inner_product_order(spark, sf_dir):
                       for cid, v in emb.items() if cid != qid),
                      key=lambda t: (-t[0], t[1]))
         assert got == [cid for _, cid in ips[:TOP_K]]
+
+
+def test_pca_covariance_matches_numpy(spark, sf_dir):
+    """The mapInPandas partial-Gram aggregation must reproduce the
+    direct numpy population covariance of the whole fixture corpus."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators import similarity
+
+    got = (similarity.embedding_pca_covariance(spark, sf_dir)
+           .toPandas())
+    x = np.stack(
+        similarity.load_table(spark, sf_dir, "embeddings")
+        .select("embedding").toPandas().embedding.to_numpy()
+    ).astype(np.float64)
+    full = np.cov(x, rowvar=False, bias=True)
+    for r in got.itertuples():
+        assert abs(full[r.i - 1, r.j - 1] - r.cov) < 5e-6, (r.i, r.j)
+    # every above-threshold upper-triangle entry is present
+    want = sum(1 for i in range(64) for j in range(i, 64)
+               if abs(round(full[i, j], 6)) >= 0.001)
+    assert len(got) == want
+    # diagonal variances are all positive and reported
+    assert ((got.i == got.j) & (got["cov"] > 0)).sum() == 64

@@ -188,3 +188,40 @@ def test_jsd_sources_bounded_and_positive(spark, sf_dir):
     assert (got.jsd_nats >= 0).all()
     assert (got.jsd_nats <= 0.6932).all()
     assert (got.n_tokens > 0).all()
+
+
+def test_hashing_trick_conserves_tokens(spark, sf_dir, oracle):
+    """Bucket totals must conserve the corpus: sum(total_tf) = token
+    count, every bucket in [0, 64), df bounded by the doc count, and
+    collision load bounded by the vocabulary."""
+    from mongo_cdc_spark.operators import text
+
+    got = text.feature_hashing_trick(spark, sf_dir).toPandas()
+    n_tok, n_doc, n_vocab = oracle.sql("""
+        SELECT COUNT(*), COUNT(DISTINCT doc_id), COUNT(DISTINCT tok)
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS tok
+              FROM documents)""").fetchone()
+    assert got.total_tf.sum() == n_tok
+    assert got.bucket.between(0, 63).all()
+    assert got.df.le(n_doc).all()
+    assert got.n_collided_terms.sum() == n_vocab
+
+
+def test_phrase_match_equals_token_adjacency(spark, sf_dir):
+    """Postings-join hit counts must equal a direct per-doc adjacency
+    scan of the token arrays."""
+    from mongo_cdc_spark.operators import text
+
+    got = (text.search_phrase_match(spark, sf_dir).toPandas()
+           .set_index("doc_id").n_hits)
+    docs = text._docs(spark, sf_dir).select("doc_id", "text").toPandas()
+    want = {}
+    for r in docs.itertuples():
+        toks = r.text.split()
+        n = sum(1 for a, b in zip(toks, toks[1:])
+                if a == "fast" and b == "table")
+        if n:
+            want[r.doc_id] = n
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert sorted(got.items()) == sorted(top)

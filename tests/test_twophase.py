@@ -125,3 +125,27 @@ def test_global_order_empty_frame(spark):
 def test_global_order_noop_without_outputs(spark):
     df = spark.range(5).select(F.col("id").alias("v"))
     assert with_global_order(df, [F.asc("v")]) is df
+
+
+def test_strict_cummax_matches_single_partition_window(spark):
+    """strict_cummaxes must equal the textbook exclusive running max
+    (max over all strictly-preceding rows; NULL for the first)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.operators._twophase import with_global_order
+
+    df = (spark.range(0, 997)
+          .withColumn("k", (F.col("id") * 7919) % 997)
+          .withColumn("v", (F.col("id") * 104729) % 1009))
+    got = (with_global_order(df, [F.asc("k")],
+                             strict_cummaxes={"v": "sm"},
+                             num_partitions=8)
+           .select("k", "sm").toPandas().set_index("k").sm)
+    ref = (df.withColumn(
+        "sm", F.max("v").over(
+            W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)))
+        .select("k", "sm").toPandas().set_index("k").sm)
+    got, ref = got.sort_index(), ref.sort_index()
+    assert got.isna().sum() == ref.isna().sum() == 1
+    assert (got.dropna() == ref.dropna()).all()

@@ -62,7 +62,16 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # shot boundaries: the real PPM decoder runs per frame in
              # the one declared mapInPandas stage; the jump detection
              # is JVM-side per-doc windows:
-             "multimodal_video_shots"}
+             "multimodal_video_shots",
+             # partial-Gram PCA: the numpy X^T X accumulation runs in
+             # the one declared mapInPandas stage, emitting d*(d+1)/2
+             # partials per Arrow batch; everything after is a
+             # d**2-keyed JVM aggregate:
+             "embedding_pca_covariance",
+             # Jaro-Winkler scorer: the per-pair Python loop runs on
+             # the vocabulary-grain name-pair frame (64 names here —
+             # bounded by the name domain, never the record count):
+             "dedup_jaro_winkler"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
@@ -150,6 +159,12 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
 # agg_approx_sketches); every extra exchange carries only small-key
 # aggregated rows, map-side combined:
 SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
+               # hashing trick: ONE data-sized explode feeds three
+               # independent aggregates (tf; the two distinct+rollup
+               # pairs for df and collision load) — each pre-collapses
+               # map-side to (bucket, key) pairs, and the sixth
+               # exchange is the 64-row final sort:
+               "feature_hashing_trick": 6,
                # JSD: ONE data-sized shuffle (the persisted
                # (source, token) count); the other exchanges move
                # |sources| x |vocab| probability rows through the
