@@ -104,6 +104,12 @@ _GRADE_FIRST = (
     "parts_pareto_skyline", "feature_hashing_trick",
     "embedding_pca_covariance", "dedup_jaro_winkler",
     "search_phrase_match",
+    # late-round-6 batch 3: stream-static dim-enrich replay twin,
+    # termwise-DFT audio spectral signature on the real WAV decode
+    # path, and the driver-eigen PCA explained-variance report
+    # (rows-only; its covariance input is the hash-graded twin).
+    "streaming_static_enrich_replay", "multimodal_audio_spectrum",
+    "embedding_pca_explained_variance",
 )
 
 

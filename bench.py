@@ -188,6 +188,9 @@ HEADLINE = [
     ("pca_covariance", similarity.embedding_pca_covariance),
     ("jaro_winkler", dedup.dedup_jaro_winkler),
     ("phrase_match", text.search_phrase_match),
+    ("static_enrich", relational.streaming_static_enrich_replay),
+    ("audio_spectrum", multimodal.multimodal_audio_spectrum),
+    ("pca_explained", similarity.embedding_pca_explained_variance),
 ]
 
 

@@ -1141,3 +1141,105 @@ def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("frame_idx"))),
                      F.lit(-1)).cast("int").alias("first_boundary"))
             .orderBy("doc_id"))
+
+
+_SPEC_BINS = 8                           # DFT bins 1..8 analyzed
+
+
+def audio_spectrum_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL WAV decode, then an explicit 8-bin DFT
+    (vectorized numpy trig sums — the same termwise formulation the
+    SQL oracle states, NOT a fast-transform reordering, so both sides
+    accumulate in comparable order). Magnitudes round to 2 dp before
+    any comparison; dominant-bin selection runs on the rounded values
+    so an ulp can never flip the argmax between engines."""
+    import numpy as np
+    import struct
+
+    n = _AUD_SAMPLES
+    j = np.arange(n, dtype=np.float64)
+    ks = np.arange(1, _SPEC_BINS + 1, dtype=np.float64)
+    cosm = np.cos(2.0 * np.pi * ks[:, None] * j[None, :] / n)
+    sinm = np.sin(2.0 * np.pi * ks[:, None] * j[None, :] / n)
+    for pdf in it:
+        rows = {"doc_id": [], "dom_bin": [], "dom_mag": [],
+                "sum_mag": []}
+        for doc_id, clip in zip(pdf["doc_id"], pdf["clip"]):
+            ch, width, rate, frames = decode_wav(bytes(clip))
+            assert ch == 1 and width == 2
+            s = np.array(struct.unpack(f"<{len(frames) // 2}h", frames),
+                         dtype=np.float64)
+            mags = np.round(np.hypot(cosm @ s, sinm @ s), 2)
+            dom = mags.max()
+            rows["doc_id"].append(doc_id)
+            rows["dom_bin"].append(int(np.argmax(mags == dom)) + 1)
+            rows["dom_mag"].append(float(dom))
+            rows["sum_mag"].append(round(float(mags.sum()), 2))
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_audio_spectrum", sql=f"""
+    WITH s AS (
+      SELECT d.doc_id, g.j,
+             ord(substr(d.text, ((2 * g.j) % len(d.text)) + 1, 1))
+             + 256 * ord(substr(d.text,
+                                ((2 * g.j + 1) % len(d.text)) + 1, 1))
+               AS raw
+      FROM documents d, generate_series(0, {_AUD_SAMPLES - 1}) g(j)
+      WHERE len(d.text) > 0
+    ), v AS (
+      SELECT doc_id, j,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+      FROM s
+    ), m AS (
+      SELECT doc_id, k.k,
+             ROUND(SQRT(
+               POWER(SUM(s16 * COS(2 * pi() * k.k * j / {_AUD_SAMPLES})),
+                     2)
+               + POWER(SUM(s16 * SIN(2 * pi() * k.k * j
+                                     / {_AUD_SAMPLES})), 2)), 2) AS mag
+      FROM v, generate_series(1, {_SPEC_BINS}) k(k)
+      GROUP BY doc_id, k.k
+    ), agg AS (
+      SELECT doc_id, MAX(mag) AS dom_mag,
+             ROUND(SUM(mag), 2) AS sum_mag
+      FROM m GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(MIN(m.k) AS INT) AS dom_bin,
+           a.dom_mag, a.sum_mag
+    FROM agg a JOIN m ON m.doc_id = a.doc_id AND m.mag = a.dom_mag
+    GROUP BY a.doc_id, a.dom_mag, a.sum_mag
+    ORDER BY a.doc_id
+""")
+def multimodal_audio_spectrum(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Spectral analysis on the REAL audio decode path: each
+    document-derived RIFF/WAVE clip (stdlib `wave` round trip, same
+    container construction as multimodal_audio_decode) is decoded in
+    the one declared mapInPandas stage and reduced to its 8-bin DFT
+    signature — dominant bin, dominant magnitude, and total band
+    magnitude — the cheap frequency fingerprint audio-dedup and
+    music-ID pipelines bucket on before any expensive matching.
+
+    The DFT is stated TERMWISE (explicit cos/sin sums, not an FFT)
+    so the DuckDB oracle can re-derive the identical spectrum from
+    the documents' ASCII bytes; magnitudes round to 2 dp on both
+    engines BEFORE the argmax/total so bin selection can't flip on a
+    trig ulp. Scale shape: media bytes never shuffle — only the
+    4-value signature per clip leaves the task."""
+    n_bytes = _AUD_SAMPLES * 2
+    header = encode_wav(_AUD_RATE, b"\x00" * n_bytes)[:44]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({n_bytes} / length(text))"
+        f" as int) + 1), 1, {n_bytes})").cast("binary")
+    clips = (docs.select(
+        "doc_id", F.concat(F.lit(header), body).alias("clip"))
+        .repartition(spark.sparkContext.defaultParallelism))
+    return (clips.mapInPandas(
+        audio_spectrum_batch,
+        schema="doc_id long, dom_bin int, dom_mag double, "
+               "sum_mag double")
+        .orderBy("doc_id"))

@@ -4958,3 +4958,48 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "p_name", "p_brand", "price",
                     F.col("p_size").alias("size"))
             .orderBy("price", "size", "p_partkey"))
+
+
+@query("streaming_static_enrich_replay", sql="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(e.value), 4) AS revenue
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+""")
+def streaming_static_enrich_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch replay twin of `streaming.stream_static_enrich` + an
+    hourly rollup: purchases enriched with the customer dimension via
+    the SAME broadcast left join the streaming operator runs per
+    micro-batch, aggregated to (hour window, segment) revenue — the
+    canonical "enrich the stream against a slowly-changing dim"
+    deployment, now with an oracle-graded correctness row (stream/
+    batch frame equality is pinned in tests/test_streaming.py).
+
+    Scale: the dim side broadcasts (bounded by the dimension, not the
+    stream); the rollup is one partial-aggregatable shuffle keyed on
+    (window, segment). In the streaming run the join holds NO state —
+    the static side re-resolves per micro-batch, so dim updates are
+    picked up between batches."""
+    from mongo_cdc_spark.streaming import stream_static_enrich
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase"))
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = stream_static_enrich(ev, cust)
+    return (enriched
+            .groupBy(F.window("ts", "1 hour").alias("w"),
+                     F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                     .alias("segment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                 F.round(F.sum("value"), 4).alias("revenue"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "segment", "n_purchases", "revenue")
+            .orderBy("window_start", "segment"))

@@ -1954,6 +1954,38 @@ def similarity_mips_norm_augment(spark: SparkSession,
             .orderBy("query_id", "rank_ip"))
 
 
+def _pca_cov_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared partial-Gram pass: (i, j, n, sx, sy, sxy) totals for the
+    upper triangle of the 64-dim second-moment matrix — one Arrow
+    batched mapInPandas stage emitting d*(d+1)/2 partials per batch,
+    then a d**2-keyed aggregate. Both PCA steps derive from this."""
+    import numpy as _np
+
+    d = 64
+    schema = ("i int, j int, n long, sx double, sy double, "
+              "sxy double")
+
+    def gram(batches):
+        iu, ju = _np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield _pd.DataFrame({
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "n": _np.full(iu.size, len(pdf), dtype="int64"),
+                "sx": s[iu], "sy": s[ju], "sxy": g[iu, ju]})
+
+    part = (load_table(spark, sf_dir, "embeddings")
+            .select("embedding").mapInPandas(gram, schema))
+    return (part.groupBy("i", "j")
+            .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+                 F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy")))
+
+
 @query("embedding_pca_covariance", sql="""
     WITH e AS (
       SELECT vec_id, t.i,
@@ -1992,31 +2024,7 @@ def embedding_pca_covariance(spark: SparkSession,
     is exactly that explosion, viable only at oracle scale). The
     per-batch float64 accumulation also keeps the numerics identical
     to the oracle's direct sums at 6 dp."""
-    import numpy as _np
-
-    d = 64
-    schema = ("i int, j int, n long, sx double, sy double, "
-              "sxy double")
-
-    def gram(batches):
-        iu, ju = _np.triu_indices(d)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
-            g = x.T @ x
-            s = x.sum(axis=0)
-            yield _pd.DataFrame({
-                "i": (iu + 1).astype("int32"),
-                "j": (ju + 1).astype("int32"),
-                "n": _np.full(iu.size, len(pdf), dtype="int64"),
-                "sx": s[iu], "sy": s[ju], "sxy": g[iu, ju]})
-
-    part = (load_table(spark, sf_dir, "embeddings")
-            .select("embedding").mapInPandas(gram, schema))
-    tot = (part.groupBy("i", "j")
-           .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"),
-                F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy")))
+    tot = _pca_cov_totals(spark, sf_dir)
     cov = (F.col("sxy") / F.col("n")
            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
     # membership filters on the ROUNDED value — bit-identical on both
@@ -2024,3 +2032,43 @@ def embedding_pca_covariance(spark: SparkSession,
     return (tot.select("i", "j", F.round(cov, 6).alias("cov"))
             .where(F.abs(F.col("cov")) >= 0.001)
             .orderBy("i", "j"))
+
+
+@query("embedding_pca_explained_variance", sql=None)
+def embedding_pca_explained_variance(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Distributed PCA, step 2 (rows-only: eigendecomposition has no
+    SQL form — the covariance INPUT is the hash-graded twin,
+    embedding_pca_covariance): assemble the full 64x64 population
+    covariance from the same mapInPandas partial-Gram aggregation,
+    eigendecompose ON THE DRIVER (d x d is bounded by the embedding
+    width — the same bounded-collect class as the IVF centroid and PQ
+    codebook collects), and emit the top-10 principal components'
+    eigenvalues with per-component and cumulative explained-variance
+    ratios — the report that decides how many components a whitening /
+    dimensionality-reduction stage keeps.
+
+    The corpus-sized work is entirely in the partial-Gram pass (one
+    d**2-keyed shuffle); the driver step is O(d**3) on a 64-wide
+    matrix at ANY data scale. numpy eigvalsh on the symmetric matrix
+    is deterministic; values round at 6 dp. Pinned against a direct
+    numpy covariance eigendecomposition in tests/test_similarity.py."""
+    import numpy as np
+
+    d = 64
+    rows = (_pca_cov_totals(spark, sf_dir).collect())
+    cov = np.zeros((d, d))
+    for r in rows:
+        c = r.sxy / r.n - (r.sx / r.n) * (r.sy / r.n)
+        cov[r.i - 1, r.j - 1] = c
+        cov[r.j - 1, r.i - 1] = c
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    total = float(ev.sum())
+    out, cum = [], 0.0
+    for comp, lam in enumerate(ev[:10], start=1):
+        cum += float(lam) / total
+        out.append((comp, round(float(lam), 6),
+                    round(float(lam) / total, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, "
+             "explained_ratio double, cum_ratio double")

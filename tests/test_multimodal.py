@@ -338,3 +338,38 @@ def test_video_shots_match_python_decode(spark, sf_dir):
         first = next((i + 1 for i, j in enumerate(jumps)
                       if j > mm._SHOT_TAU), -1)
         assert got[d.doc_id] == (n_shots, max(jumps), first), d.doc_id
+
+
+def test_audio_spectrum_matches_direct_dft(spark, sf_dir):
+    """The mapInPandas spectral signature must equal a direct DFT on
+    samples reconstructed from the raw document bytes (bypassing the
+    wave module entirely — the independent byte-arithmetic replay)."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators import multimodal
+    from mongo_cdc_spark.operators.multimodal import (_AUD_SAMPLES,
+                                                      _SPEC_BINS)
+
+    got = (multimodal.multimodal_audio_spectrum(spark, sf_dir)
+           .toPandas().set_index("doc_id"))
+    docs = (multimodal.load_table(spark, sf_dir, "documents")
+            .filter("length(text) > 0")
+            .select("doc_id", "text").toPandas())
+    n = _AUD_SAMPLES
+    j = np.arange(n)
+    for r in docs.itertuples():
+        raw = r.text.encode()
+        body = (raw * (2 * n // len(raw) + 1))[:2 * n]
+        s = np.frombuffer(body, dtype="<i2").astype(np.float64)
+        mags = np.round(np.hypot(
+            *[m @ s for m in (
+                np.cos(2 * np.pi
+                       * np.arange(1, _SPEC_BINS + 1)[:, None]
+                       * j[None, :] / n),
+                np.sin(2 * np.pi
+                       * np.arange(1, _SPEC_BINS + 1)[:, None]
+                       * j[None, :] / n))]), 2)
+        row = got.loc[r.doc_id]
+        assert row.dom_bin == int(np.argmax(mags == mags.max())) + 1
+        assert abs(row.dom_mag - mags.max()) < 1e-9
+        assert abs(row.sum_mag - round(float(mags.sum()), 2)) < 1e-9

@@ -427,3 +427,27 @@ def test_pca_covariance_matches_numpy(spark, sf_dir):
     assert len(got) == want
     # diagonal variances are all positive and reported
     assert ((got.i == got.j) & (got["cov"] > 0)).sum() == 64
+
+
+def test_pca_explained_variance_matches_numpy(spark, sf_dir):
+    """Driver-side eigenvalues over the distributed covariance must
+    match a direct numpy eigendecomposition of the full corpus."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators import similarity
+
+    got = (similarity.embedding_pca_explained_variance(spark, sf_dir)
+           .toPandas())
+    x = np.stack(
+        similarity.load_table(spark, sf_dir, "embeddings")
+        .select("embedding").toPandas().embedding.to_numpy()
+    ).astype(np.float64)
+    ev = np.linalg.eigvalsh(np.cov(x, rowvar=False, bias=True))[::-1]
+    assert len(got) == 10
+    assert np.allclose(got.eigenvalue, ev[:10], atol=5e-6)
+    assert np.allclose(got.explained_ratio, ev[:10] / ev.sum(),
+                       atol=5e-6)
+    # ratios are a valid decreasing distribution with increasing cum
+    assert (got.eigenvalue.diff().dropna() <= 1e-12).all()
+    assert got.cum_ratio.is_monotonic_increasing
+    assert got.cum_ratio.iloc[-1] <= 1.0 + 1e-9

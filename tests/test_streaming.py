@@ -609,3 +609,46 @@ def test_streaming_schema_fingerprints_match_batch(spark, tmp_path):
     assert got[("o", "a,b,c")] == (1, 2, 2)
     assert got[("p", "a")] == (1, 4, 4)
     assert got[("p", "a,d")] == (1, 5, 5)
+
+
+def test_stream_static_enrich_windowed_matches_batch(spark, tmp_path):
+    """The enrich-then-rollup pipeline the registry grades as
+    streaming_static_enrich_replay must produce the same frame when
+    the SAME operators run over a drained file stream."""
+    from pyspark.sql import functions as F
+
+    events = [
+        _ev(1, 9, 0, user=1, etype="purchase", value=10.0),
+        _ev(2, 9, 30, user=2, etype="purchase", value=5.5),
+        _ev(3, 10, 10, user=1, etype="purchase", value=2.0),
+        _ev(4, 9, 40, user=999999, etype="purchase", value=7.0),
+        _ev(5, 9, 45, user=1, etype="click", value=99.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", events)
+    cust = spark.createDataFrame(
+        [(1, "c1", "BUILDING"), (2, "c2", "MACHINERY")],
+        "c_custkey long, c_name string, c_mktsegment string")
+
+    def pipe(ev):
+        return (stream_static_enrich(
+            ev.filter(F.col("event_type") == "purchase"), cust)
+            .groupBy(F.window("ts", "1 hour").alias("w"),
+                     F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                     .alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("revenue"))
+            .select(F.col("w.start").alias("ws"), "segment",
+                    "n", "revenue"))
+
+    stream = read_events_stream(spark, str(src))
+    got = (_collect_stream(pipe(stream), tmp_path, mode="complete")
+           .sort_values(["ws", "segment"]).reset_index(drop=True))
+    want = (pipe(spark.read.schema(stream.schema).json(str(src)))
+            .toPandas()
+            .sort_values(["ws", "segment"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the unmatched user lands in the UNKNOWN bucket, not dropped
+    assert (got.segment == "UNKNOWN").sum() == 1
+    assert got[got.segment == "UNKNOWN"].revenue.iloc[0] == 7.0

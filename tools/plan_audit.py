@@ -71,7 +71,12 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # Jaro-Winkler scorer: the per-pair Python loop runs on
              # the vocabulary-grain name-pair frame (64 names here —
              # bounded by the name domain, never the record count):
-             "dedup_jaro_winkler"}
+             "dedup_jaro_winkler",
+             # audio DFT signature: the real WAV decoder + termwise
+             # numpy DFT run in the one declared mapInPandas stage
+             # (multimodal_audio_decode's shape); only the 4-value
+             # signature per clip leaves the task:
+             "multimodal_audio_spectrum"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
