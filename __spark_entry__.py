@@ -110,6 +110,11 @@ _GRADE_FIRST = (
     # (rows-only; its covariance input is the hash-graded twin).
     "streaming_static_enrich_replay", "multimodal_audio_spectrum",
     "embedding_pca_explained_variance",
+    # Markov-chain attribution with removal effects: distributed
+    # journey/edge aggregation + driver fixed-point on the channel-
+    # vocabulary matrix, oracle = the same 200 iterations as a
+    # recursive CTE; pinned against an exact linear solve in pytest.
+    "events_attribution_markov",
 )
 
 

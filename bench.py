@@ -191,6 +191,7 @@ HEADLINE = [
     ("static_enrich", relational.streaming_static_enrich_replay),
     ("audio_spectrum", multimodal.multimodal_audio_spectrum),
     ("pca_explained", similarity.embedding_pca_explained_variance),
+    ("markov_attribution", relational.events_attribution_markov),
 ]
 
 

@@ -5003,3 +5003,148 @@ def streaming_static_enrich_replay(spark: SparkSession,
                     F.col("w.end").alias("window_end"),
                     "segment", "n_purchases", "revenue")
             .orderBy("window_start", "segment"))
+
+
+_MARKOV_ITERS = 200
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+@query("events_attribution_markov", sql=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firstbuy AS (
+      SELECT user_id, MIN(rn) AS buy_rn FROM seq
+      WHERE event_type = 'purchase' GROUP BY 1
+    ), j AS (
+      SELECT s.user_id, s.rn, s.event_type
+      FROM seq s LEFT JOIN firstbuy f ON f.user_id = s.user_id
+      WHERE f.buy_rn IS NULL OR s.rn <= f.buy_rn
+    ), ed AS (
+      SELECT user_id, event_type AS src,
+             COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY rn),
+                      CASE WHEN event_type = 'purchase' THEN NULL
+                           ELSE 'END' END) AS dst
+      FROM j
+      UNION ALL
+      SELECT user_id, 'START', event_type FROM j WHERE rn = 1
+    ), tr AS (
+      SELECT src, dst, COUNT(*) AS n FROM ed
+      WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), probs AS (
+      SELECT src, dst,
+             n * 1e0 / SUM(n) OVER (PARTITION BY src) AS prob
+      FROM tr
+      UNION ALL SELECT 'purchase', 'purchase', 1.0
+      UNION ALL SELECT 'END', 'END', 1.0
+    ), states AS (
+      SELECT DISTINCT src AS state FROM probs
+    ), removals AS (
+      SELECT unnest(['none', 'click', 'error', 'signup', 'view'])
+        AS removed
+    ), it AS (
+      SELECT 0 AS k, r.removed, s.state,
+             CASE WHEN s.state = 'purchase' THEN 1e0 ELSE 0e0 END AS p
+      FROM states s CROSS JOIN removals r
+      UNION ALL
+      SELECT i.k + 1, i.removed, pr.src,
+             SUM(CASE WHEN pr.dst = i.removed THEN 0e0
+                      ELSE pr.prob * i.p END)
+      FROM it i JOIN probs pr ON pr.dst = i.state
+      WHERE i.k < {_MARKOV_ITERS}
+      GROUP BY i.k, i.removed, pr.src
+    ), fin AS (
+      SELECT removed, p FROM it
+      WHERE k = {_MARKOV_ITERS} AND state = 'START'
+    )
+    SELECT f.removed AS channel,
+           ROUND(1 - f.p / b.p, 6) AS removal_effect,
+           ROUND((1 - f.p / b.p)
+                 / SUM(1 - f.p / b.p) OVER (), 6) AS attribution_share
+    FROM fin f, (SELECT p FROM fin WHERE removed = 'none') b(p)
+    WHERE f.removed <> 'none'
+    ORDER BY channel
+""")
+def events_attribution_markov(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with removal effects (Anderl et al.
+    2016, "Mapping the customer journey") — the data-driven
+    alternative to last-touch/linear: model each user's journey
+    (events ordered by time, truncated at the first purchase) as a
+    first-order Markov chain over channels, then credit channel c by
+    how much the conversion probability DROPS when every edge into c
+    is redirected to loss: removal_effect_c = 1 - p_removed(c)/p_base,
+    normalized into attribution shares.
+
+    Plan: everything data-sized is distributed and partitioned — the
+    journey windows key on user_id, the edge list collapses map-side
+    to (src, dst) counts. The chain itself is bounded by the CHANNEL
+    vocabulary (7 states here), so the absorption fixed-point runs on
+    the driver over the collected count matrix (the same
+    bounded-collect class as the IVF centroids): {_MARKOV_ITERS}
+    synchronized iterations of p <- P_c p with absorbing self-loops,
+    the EXACT iteration the oracle's recursive CTE performs, so both
+    engines converge to the same 6-dp values (contraction leaves the
+    engines' float noise ~1e-12 apart; far inside the rounding).
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(W.partitionBy("user_id")
+                            .orderBy("ts", "event_id")).alias("rn"))
+    firstbuy = (seq.where(F.col("event_type") == "purchase")
+                .groupBy("user_id").agg(F.min("rn").alias("buy_rn")))
+    j = (seq.join(firstbuy, "user_id", "left")
+         .where(F.col("buy_rn").isNull()
+                | (F.col("rn") <= F.col("buy_rn"))))
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("rn"))
+    ed = (j.select(F.col("event_type").alias("src"),
+                   F.coalesce(nxt,
+                              F.when(F.col("event_type") == "purchase",
+                                     F.lit(None))
+                              .otherwise(F.lit("END"))).alias("dst"))
+          .unionByName(j.where(F.col("rn") == 1)
+                       .select(F.lit("START").alias("src"),
+                               F.col("event_type").alias("dst"))))
+    tr = (ed.where(F.col("dst").isNotNull())
+          .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    # channel-vocabulary grain: |states|^2 rows, bounded collect
+    counts = {(r.src, r.dst): r.n for r in tr.collect()}
+    states = sorted({s for s, _ in counts} | {d for _, d in counts}
+                    | {"purchase", "END"})
+    idx = {s: i for i, s in enumerate(states)}
+    p_mat = np.zeros((len(states), len(states)))
+    for (s, d), n in counts.items():
+        p_mat[idx[s], idx[d]] = n
+    row = p_mat.sum(axis=1)
+    p_mat[row > 0] /= row[row > 0, None]
+    for absorb in ("purchase", "END"):
+        p_mat[idx[absorb]] = 0.0
+        p_mat[idx[absorb], idx[absorb]] = 1.0
+
+    def absorb_prob(removed: str | None) -> float:
+        m = p_mat.copy()
+        if removed is not None:
+            m[:, idx[removed]] = 0.0     # edges into c become loss
+        p = np.zeros(len(states))
+        p[idx["purchase"]] = 1.0
+        for _ in range(_MARKOV_ITERS):
+            p = m @ p
+        return float(p[idx["START"]])
+
+    base = absorb_prob(None)
+    effects = {c: 1.0 - absorb_prob(c) / base
+               for c in _MARKOV_CHANNELS}
+    tot = sum(effects.values())
+    out = [(c, round(e, 6), round(e / tot, 6))
+           for c, e in sorted(effects.items())]
+    return spark.createDataFrame(
+        out, "channel string, removal_effect double, "
+             "attribution_share double")

@@ -740,3 +740,70 @@ def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
     stair = (got.drop_duplicates(["price", "size"])
              .sort_values("price")["size"].tolist())
     assert all(b > a for a, b in zip(stair, stair[1:]))
+
+
+def test_markov_attribution_matches_exact_linear_solve(spark, sf_dir,
+                                                       oracle):
+    """The 200-step fixed point must agree with the EXACT absorbing-
+    chain solution p = (I - Q)^-1 R computed independently from
+    DuckDB-derived transition counts — a different algorithm on a
+    different engine's counts."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators import relational
+
+    got = (relational.events_attribution_markov(spark, sf_dir)
+           .toPandas().set_index("channel"))
+    tr = oracle.sql("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), firstbuy AS (
+          SELECT user_id, MIN(rn) AS buy_rn FROM seq
+          WHERE event_type = 'purchase' GROUP BY 1
+        ), j AS (
+          SELECT s.user_id, s.rn, s.event_type
+          FROM seq s LEFT JOIN firstbuy f ON f.user_id = s.user_id
+          WHERE f.buy_rn IS NULL OR s.rn <= f.buy_rn
+        ), ed AS (
+          SELECT event_type AS src,
+                 COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY rn),
+                          CASE WHEN event_type = 'purchase' THEN NULL
+                               ELSE 'END' END) AS dst
+          FROM j
+          UNION ALL
+          SELECT 'START', event_type FROM j WHERE rn = 1
+        )
+        SELECT src, dst, COUNT(*) FROM ed
+        WHERE dst IS NOT NULL GROUP BY 1, 2""").fetchall()
+    states = sorted({r[0] for r in tr} | {r[1] for r in tr}
+                    | {"purchase", "END"})
+    idx = {s: i for i, s in enumerate(states)}
+    p = np.zeros((len(states), len(states)))
+    for s, d, n in tr:
+        p[idx[s], idx[d]] = n
+    p /= p.sum(axis=1, keepdims=True).clip(1e-12)
+    for a in ("purchase", "END"):
+        p[idx[a]] = 0.0
+        p[idx[a], idx[a]] = 1.0
+
+    def exact(removed=None):
+        m = p.copy()
+        if removed is not None:
+            m[:, idx[removed]] = 0.0
+        trans = [i for s, i in idx.items()
+                 if s not in ("purchase", "END")]
+        q = m[np.ix_(trans, trans)]
+        r = m[trans, idx["purchase"]]
+        sol = np.linalg.solve(np.eye(len(trans)) - q, r)
+        return sol[trans.index(idx["START"])]
+
+    base = exact()
+    for ch in ("click", "error", "signup", "view"):
+        want = 1.0 - exact(ch) / base
+        assert abs(got.loc[ch].removal_effect - want) < 1e-5, ch
+    assert abs(got.attribution_share.sum() - 1.0) < 5e-6
+    assert (got.removal_effect > 0).all()
