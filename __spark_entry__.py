@@ -115,6 +115,11 @@ _GRADE_FIRST = (
     # vocabulary matrix, oracle = the same 200 iterations as a
     # recursive CTE; pinned against an exact linear solve in pytest.
     "events_attribution_markov",
+    # late-round-6 batch 4: m-out-of-n subsample bootstrap CI
+    # (portable hash replicas), matrix-profile motif discovery at
+    # day grain, SSIM probe retrieval on the real PPM decode path.
+    "stats_bootstrap_subsample_ci", "ts_motif_discovery",
+    "multimodal_ssim_probe_rank",
 )
 
 

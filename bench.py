@@ -192,6 +192,9 @@ HEADLINE = [
     ("audio_spectrum", multimodal.multimodal_audio_spectrum),
     ("pca_explained", similarity.embedding_pca_explained_variance),
     ("markov_attribution", relational.events_attribution_markov),
+    ("bootstrap_ci", quality.stats_bootstrap_subsample_ci),
+    ("motif_discovery", timeseries.ts_motif_discovery),
+    ("ssim_probe", multimodal.multimodal_ssim_probe_rank),
 ]
 
 

@@ -1243,3 +1243,121 @@ def multimodal_audio_spectrum(spark: SparkSession,
         schema="doc_id long, dom_bin int, dom_mag double, "
                "sum_mag double")
         .orderBy("doc_id"))
+
+
+# SSIM stabilizers at the summed-channel dynamic range (3 * 255):
+_SSIM_L = 765
+_SSIM_C1 = (0.01 * _SSIM_L) ** 2
+_SSIM_C2 = (0.03 * _SSIM_L) ** 2
+_SSIM_PX = _IMG_W * _IMG_H
+
+
+def ssim_stats_batch(probe_y):
+    """Build the mapInPandas stage: REAL PPM decode per payload, then
+    the exact integer moment sums of the summed-channel luminance
+    signal against the broadcast probe vector. Only five doubles per
+    image leave the task."""
+    import numpy as np
+
+    py = np.asarray(probe_y, dtype=np.float64)
+
+    def stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = _SSIM_PX
+        for pdf in it:
+            rows = {"doc_id": [], "mx": [], "sxx": [], "sxy": []}
+            for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+                w, h, px = decode_ppm(bytes(img))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+                y = a[0::3] + a[1::3] + a[2::3]
+                rows["doc_id"].append(doc_id)
+                rows["mx"].append(float(y.sum()) / n)
+                rows["sxx"].append(float((y * y).sum()) / n)
+                rows["sxy"].append(float((y * py).sum()) / n)
+            yield pd.DataFrame(rows)
+
+    return stage
+
+
+@query("multimodal_ssim_probe_rank", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id, g.p AS pos,
+             ord(substr(d.text, ((3 * g.p) % len(d.text)) + 1, 1))
+           + ord(substr(d.text, ((3 * g.p + 1) % len(d.text)) + 1, 1))
+           + ord(substr(d.text, ((3 * g.p + 2) % len(d.text)) + 1, 1))
+               AS y
+      FROM documents d, generate_series(0, {_SSIM_PX - 1}) g(p)
+      WHERE len(d.text) > 0
+    ), probe AS (
+      SELECT pos, y FROM px WHERE doc_id = 0
+    ), st AS (
+      SELECT px.doc_id,
+             AVG(px.y * 1e0) AS mx, AVG(pr.y * 1e0) AS my,
+             AVG(px.y * px.y * 1e0) AS sxx,
+             AVG(pr.y * pr.y * 1e0) AS syy,
+             AVG(px.y * pr.y * 1e0) AS sxy
+      FROM px JOIN probe pr ON pr.pos = px.pos
+      WHERE px.doc_id <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           ROUND(((2 * mx * my + {_SSIM_C1})
+                  * (2 * (sxy - mx * my) + {_SSIM_C2}))
+                 / ((mx * mx + my * my + {_SSIM_C1})
+                    * ((sxx - mx * mx) + (syy - my * my)
+                       + {_SSIM_C2})), 6) AS ssim
+    FROM st
+    ORDER BY ssim DESC, doc_id
+    LIMIT 10
+""")
+def multimodal_ssim_probe_rank(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SSIM retrieval on the REAL image decode path: every document-
+    derived PPM image is scored against doc 0's image with global
+    structural similarity (Wang et al. 2004) over the summed-channel
+    luminance signal, and the top-10 most-similar images return —
+    the perceptual-verify stage a near-dup image pipeline runs after
+    cheap hash blocking (phash finds candidates; SSIM confirms).
+
+    The probe's 256-value luminance vector is decoded ONCE on the
+    driver and broadcast into the one declared mapInPandas stage,
+    which runs the real stdlib P6 decoder per image and emits only
+    the three exact integer moment sums (mx, sxx, sxy) — media bytes
+    never shuffle, and the probe side never re-decodes per row. All
+    moments are exact-integer averages, so the 6-dp SSIM and the
+    rounded-value ordering (doc_id tie-break) are engine-identical;
+    the oracle replays the decoder with substr/ord byte arithmetic.
+    Scale: one data-grain decode pass + TakeOrderedAndProject."""
+    import numpy as np
+
+    probe_txt = (load_table(spark, sf_dir, "documents")
+                 .where((F.col("doc_id") == 0)
+                        & (F.length("text") > 0))
+                 .select("text").collect()[0][0])
+    _, _, ppx = decode_ppm(ppm_from_doc_bytes(probe_txt.encode()))
+    pa = np.frombuffer(ppx, dtype=np.uint8).astype(np.float64)
+    py = pa[0::3] + pa[1::3] + pa[2::3]
+    my = float(py.sum()) / _SSIM_PX
+    syy = float((py * py).sum()) / _SSIM_PX
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.length("text") > 0) & (F.col("doc_id") != 0)))
+    header = encode_ppm(_IMG_W, _IMG_H, b"\x00" * _IMG_BYTES)[
+        :-_IMG_BYTES]
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})").cast("binary")
+    imgs = (docs.select(
+        "doc_id", F.concat(F.lit(header), body).alias("img"))
+        .repartition(spark.sparkContext.defaultParallelism))
+    st = imgs.mapInPandas(
+        ssim_stats_batch(py.tolist()),
+        schema="doc_id long, mx double, sxx double, sxy double")
+    num = ((2 * F.col("mx") * my + _SSIM_C1)
+           * (2 * (F.col("sxy") - F.col("mx") * my) + _SSIM_C2))
+    den = ((F.col("mx") * F.col("mx") + my * my + _SSIM_C1)
+           * ((F.col("sxx") - F.col("mx") * F.col("mx"))
+              + (syy - my * my) + _SSIM_C2))
+    return (st.select("doc_id",
+                      F.round(num / den, 6).alias("ssim"))
+            .orderBy(F.desc("ssim"), F.asc("doc_id"))
+            .limit(10))

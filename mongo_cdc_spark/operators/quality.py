@@ -1350,3 +1350,76 @@ def feature_target_encode_loo(spark: SparkSession,
                  F.round(F.min("loo"), 6).alias("enc_min"),
                  F.round(F.max("loo"), 6).alias("enc_max"))
             .orderBy("segment", "priority"))
+
+
+_BOOT_REPS = 64
+
+
+@query("stats_bootstrap_subsample_ci", sql=f"""
+    WITH r AS (
+      SELECT b.b, o.o_totalprice
+      FROM orders o, generate_series(0, {_BOOT_REPS - 1}) b(b)
+      WHERE ('0x' || substr(md5(o.o_orderkey::VARCHAR || '_'
+                                || b.b::VARCHAR), 1, 8))::BIGINT
+            % 2 = 0
+    ), rm AS (
+      SELECT b, ROUND(AVG(o_totalprice), 6) AS m FROM r GROUP BY 1
+    ), f AS (
+      SELECT AVG(o_totalprice) AS fm FROM orders
+    )
+    SELECT CAST({_BOOT_REPS} AS INT) AS n_replicas,
+           ROUND(f.fm, 6) AS full_mean,
+           ROUND(AVG(rm.m), 6) AS boot_mean,
+           ROUND(STDDEV_SAMP(rm.m), 6) AS replica_sd,
+           ROUND(quantile_cont(rm.m, 0.025), 6) AS q025,
+           ROUND(quantile_cont(rm.m, 0.975), 6) AS q975,
+           ROUND(f.fm - 1.96 * STDDEV_SAMP(rm.m) / SQRT(2), 6)
+             AS ci_lo,
+           ROUND(f.fm + 1.96 * STDDEV_SAMP(rm.m) / SQRT(2), 6)
+             AS ci_hi
+    FROM rm CROSS JOIN f GROUP BY f.fm
+""")
+def stats_bootstrap_subsample_ci(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """m-out-of-n subsample bootstrap CI for mean order value:
+    {_BOOT_REPS} deterministic half-subsample replicas (row r joins
+    replica b iff the portable md5(key, b) hash is even — seedless,
+    engine-reproducible resampling), each replica's mean collapses
+    map-side, and the half-sample spread rescales by sqrt(m/n) =
+    1/sqrt(2) into the full-sample standard error (Politis/Romano/
+    Wolf subsampling; the distributed stand-in for the classic
+    bootstrap, whose with-replacement resample would need per-row
+    Poisson draws — this variant stays a pure filter).
+
+    Plan: ONE data-grain pass — the replicate explode multiplies
+    compute {_BOOT_REPS}x but partial aggregation collapses every
+    task to {_BOOT_REPS} partial sums before the shuffle, so shuffle
+    width is replicas-not-rows at any scale; the replica means (6 dp
+    on both engines before the quantile so interpolation sees
+    identical inputs) and the 1-row full mean then cross-join at
+    metadata grain."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.concat(F.col("o_orderkey").cast("string"), F.lit("_"),
+                   F.col("b").cast("string"))
+    keep = (F.conv(F.substring(F.md5(key.cast("binary")), 1, 8),
+                   16, 10).cast("long") % 2 == 0)
+    rm = (o.select("o_orderkey", "o_totalprice",
+                   F.explode(F.sequence(
+                       F.lit(0), F.lit(_BOOT_REPS - 1))).alias("b"))
+          .where(keep)
+          .groupBy("b")
+          .agg(F.round(F.avg("o_totalprice"), 6).alias("m")))
+    f = o.agg(F.avg("o_totalprice").alias("fm"))
+    half = F.stddev_samp("m") / F.sqrt(F.lit(2.0))
+    return (rm.crossJoin(F.broadcast(f))
+            .groupBy("fm")
+            .agg(F.lit(_BOOT_REPS).cast("int").alias("n_replicas"),
+                 F.round(F.avg("m"), 6).alias("boot_mean"),
+                 F.round(F.stddev_samp("m"), 6).alias("replica_sd"),
+                 F.round(F.percentile("m", 0.025), 6).alias("q025"),
+                 F.round(F.percentile("m", 0.975), 6).alias("q975"),
+                 F.round(F.first("fm") - 1.96 * half, 6).alias("ci_lo"),
+                 F.round(F.first("fm") + 1.96 * half, 6).alias("ci_hi"))
+            .select("n_replicas", F.round("fm", 6).alias("full_mean"),
+                    "boot_mean", "replica_sd", "q025", "q975",
+                    "ci_lo", "ci_hi"))

@@ -1310,3 +1310,111 @@ def stats_fdr_bh_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("bh_threshold"),
                     (F.col("rnk") <= F.col("kmax")).alias("reject"))
             .orderBy("p_rank"))
+
+
+_MOTIF_W = 7                             # window length in days
+
+
+@query("ts_motif_discovery", sql=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, SUM(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), d2 AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx
+      FROM daily
+    ), win AS (
+      SELECT a.idx AS i, b.idx - a.idx AS k, b.rev AS x,
+             a.day AS sday
+      FROM d2 a JOIN d2 b
+        ON b.idx BETWEEN a.idx AND a.idx + {_MOTIF_W - 1}
+    ), ws AS (
+      SELECT i, MIN(sday) AS sday, AVG(x) AS mu, STDDEV_POP(x) AS sd
+      FROM win GROUP BY i HAVING COUNT(*) = {_MOTIF_W}
+    ), pair AS (
+      SELECT wa.i AS i, wb.i AS j,
+             SUM(wa.x * wb.x) / {_MOTIF_W} AS exy
+      FROM win wa JOIN win wb
+        ON wb.k = wa.k AND wb.i >= wa.i + {_MOTIF_W}
+      GROUP BY 1, 2 HAVING COUNT(*) = {_MOTIF_W}
+    )
+    SELECT sa.sday AS window_a, sb.sday AS window_b,
+           ROUND((p.exy - sa.mu * sb.mu) / (sa.sd * sb.sd), 6)
+             AS corr,
+           ROUND(SQRT(GREATEST(0.0,
+                 2 * {_MOTIF_W} * (1 - (p.exy - sa.mu * sb.mu)
+                                   / (sa.sd * sb.sd)))), 6) AS zdist
+    FROM pair p JOIN ws sa ON sa.i = p.i JOIN ws sb ON sb.i = p.j
+    WHERE sa.sd > 1e-9 AND sb.sd > 1e-9
+    ORDER BY zdist, window_a, window_b
+    LIMIT 3
+""")
+def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile-style motif discovery (Yeh et al., ICDM'16) on
+    the daily purchase-revenue series: the top-3 non-overlapping
+    {_MOTIF_W}-day window pairs with the smallest z-normalized
+    Euclidean distance — the recurring-shape detector behind anomaly
+    triage and seasonality mining. The z-distance reduces to
+    correlation (d^2 = 2w(1 - r)), so no normalized series ever
+    materializes: per-window (mu, sd) plus one aligned-offset
+    cross-product aggregate give every pairwise distance.
+
+    Scale: the series is DAY grain — bounded by the calendar, not the
+    event count (the one data-sized pass is the daily rollup). The
+    window expansion and the offset-aligned pair join are
+    calendar^2 at worst, and the top-3 is TakeOrderedAndProject on
+    the ROUNDED distance (identical on both engines) with day
+    tie-breaks, so rank boundaries can't flip on an ulp."""
+    from pyspark.sql import Window as W
+
+    w = _MOTIF_W
+    daily = (load_table(spark, sf_dir, "events")
+             .where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum("value").alias("rev")))
+    # the day-grain index window is calendar-bounded (declared in the
+    # plan audit); checkpoint it so the four downstream branches
+    # (window expansion sides, per-window stats, pair join) share ONE
+    # daily rollup instead of re-running the data-grain scan each
+    d2 = (daily.withColumn(
+        "idx", F.row_number().over(W.orderBy("day")) - 1)
+        .localCheckpoint(eager=False))
+    # every frame below is calendar-bounded (days / day-windows), so
+    # the joins broadcast by construction at ANY data scale — the
+    # hints are load-bearing because the checkpoint hides sizes
+    a = d2.select(F.col("idx").alias("i"), F.col("day").alias("sday"))
+    b = d2.select(F.col("idx").alias("bi"), F.col("rev").alias("x"))
+    win = (a.join(F.broadcast(b), (F.col("bi") >= F.col("i"))
+                  & (F.col("bi") <= F.col("i") + (w - 1)))
+           .select("i", (F.col("bi") - F.col("i")).alias("k"),
+                   "x", "sday")
+           .localCheckpoint(eager=False))
+    ws = (win.groupBy("i")
+          .agg(F.min("sday").alias("sday"), F.avg("x").alias("mu"),
+               F.stddev_pop("x").alias("sd"),
+               F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") == w))
+    wa = win.select("i", "k", F.col("x").alias("xa"))
+    wb = win.select(F.col("i").alias("j"), F.col("k").alias("k2"),
+                    F.col("x").alias("xb"))
+    pair = (wa.join(F.broadcast(wb), (F.col("k") == F.col("k2"))
+                    & (F.col("j") >= F.col("i") + w))
+            .groupBy("i", "j")
+            .agg((F.sum(F.col("xa") * F.col("xb")) / w).alias("exy"),
+                 F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == w))
+    sa = ws.select(F.col("i").alias("i"), F.col("sday").alias("sa_day"),
+                   F.col("mu").alias("mu_a"), F.col("sd").alias("sd_a"))
+    sb = ws.select(F.col("i").alias("j"), F.col("sday").alias("sb_day"),
+                   F.col("mu").alias("mu_b"), F.col("sd").alias("sd_b"))
+    r = ((F.col("exy") - F.col("mu_a") * F.col("mu_b"))
+         / (F.col("sd_a") * F.col("sd_b")))
+    return (pair.join(F.broadcast(sa), "i").join(F.broadcast(sb), "j")
+            .where((F.col("sd_a") > 1e-9) & (F.col("sd_b") > 1e-9))
+            .select(F.col("sa_day").alias("window_a"),
+                    F.col("sb_day").alias("window_b"),
+                    F.round(r, 6).alias("corr"),
+                    F.round(F.sqrt(F.greatest(
+                        F.lit(0.0), 2 * w * (1 - r))), 6)
+                    .alias("zdist"))
+            .orderBy("zdist", "window_a", "window_b")
+            .limit(3))

@@ -373,3 +373,43 @@ def test_audio_spectrum_matches_direct_dft(spark, sf_dir):
         assert row.dom_bin == int(np.argmax(mags == mags.max())) + 1
         assert abs(row.dom_mag - mags.max()) < 1e-9
         assert abs(row.sum_mag - round(float(mags.sum()), 2)) < 1e-9
+
+
+def test_ssim_probe_rank_matches_direct_recompute(spark, sf_dir):
+    """Top-10 SSIM scores must equal a direct byte-arithmetic SSIM
+    against doc 0 computed without the wave/ppm machinery."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators import multimodal
+    from mongo_cdc_spark.operators.multimodal import (_IMG_BYTES,
+                                                      _SSIM_C1,
+                                                      _SSIM_C2)
+
+    got = (multimodal.multimodal_ssim_probe_rank(spark, sf_dir)
+           .toPandas())
+    docs = (multimodal.load_table(spark, sf_dir, "documents")
+            .filter("length(text) > 0")
+            .select("doc_id", "text").toPandas()
+            .set_index("doc_id"))
+
+    def lum(doc_id):
+        raw = docs.loc[doc_id].text.encode()
+        body = (raw * (_IMG_BYTES // len(raw) + 1))[:_IMG_BYTES]
+        a = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+        return a[0::3] + a[1::3] + a[2::3]
+
+    py = lum(0)
+    my, syy = py.mean(), (py * py).mean()
+    scores = {}
+    for did in docs.index:
+        if did == 0:
+            continue
+        y = lum(did)
+        mx, sxx, sxy = y.mean(), (y * y).mean(), (y * py).mean()
+        scores[did] = round(
+            ((2 * mx * my + _SSIM_C1) * (2 * (sxy - mx * my) + _SSIM_C2))
+            / ((mx * mx + my * my + _SSIM_C1)
+               * ((sxx - mx * mx) + (syy - my * my) + _SSIM_C2)), 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.doc_id, got.ssim)) == want
+    assert (got.ssim <= 1.0).all() and (got.ssim > 0).all()

@@ -310,3 +310,22 @@ def test_target_encode_loo_reconstructs_segment_mean(spark, sf_dir,
         # every cell's band sits inside [enc_min, enc_max]
         assert (grp.enc_min <= grp.enc_mean).all()
         assert (grp.enc_mean <= grp.enc_max).all()
+
+
+def test_bootstrap_subsample_ci_envelope(spark, sf_dir, oracle):
+    """The replica machinery must behave like a bootstrap: the CI
+    brackets the full mean, replica spread is positive, and the
+    replica-mean quantiles straddle the replica mean."""
+    from mongo_cdc_spark.operators import quality
+
+    got = (quality.stats_bootstrap_subsample_ci(spark, sf_dir)
+           .toPandas().iloc[0])
+    full = oracle.sql(
+        "SELECT AVG(o_totalprice) FROM orders").fetchone()[0]
+    assert abs(got.full_mean - full) < 1e-4
+    assert got.ci_lo < got.full_mean < got.ci_hi
+    assert got.replica_sd > 0
+    assert got.q025 <= got.boot_mean <= got.q975
+    # half-sampling keeps replica means near the full mean (the
+    # subsample SE at this n is < 3% of the mean)
+    assert abs(got.boot_mean - got.full_mean) < 0.1 * got.full_mean

@@ -292,3 +292,22 @@ def test_bh_fdr_matches_python_reference(spark, sf_dir):
         assert r.event_type == et and abs(r.p_value - p) < 1e-6
         assert r.p_rank == i + 1
         assert r.reject == (i + 1 <= kmax)
+
+
+def test_motif_pairs_are_non_overlapping_and_consistent(spark, sf_dir):
+    """Motif windows must not overlap (|i-j| >= w in day terms) and
+    zdist must satisfy the d^2 = 2w(1-r) identity on its own row."""
+    import math
+
+    from mongo_cdc_spark.operators import timeseries
+
+    got = timeseries.ts_motif_discovery(spark, sf_dir).toPandas()
+    assert 1 <= len(got) <= 3
+    w = timeseries._MOTIF_W
+    for r in got.itertuples():
+        assert (r.window_b - r.window_a).days >= w
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+        assert abs(r.zdist
+                   - math.sqrt(max(0.0, 2 * w * (1 - r.corr)))) < 2e-6
+    # ranked ascending by distance
+    assert got.zdist.is_monotonic_increasing

@@ -76,7 +76,12 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # numpy DFT run in the one declared mapInPandas stage
              # (multimodal_audio_decode's shape); only the 4-value
              # signature per clip leaves the task:
-             "multimodal_audio_spectrum"}
+             "multimodal_audio_spectrum",
+             # SSIM probe ranking: the real PPM decoder + integer
+             # moment sums against the broadcast probe vector run in
+             # the one declared mapInPandas stage; 3 doubles per
+             # image leave the task:
+             "multimodal_ssim_probe_rank"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
@@ -250,6 +255,7 @@ WINDOW_OK: dict[str, int] = {
     "events_error_budget": 1,
     "ts_bollinger_bands": 1,
     "ab_test_sequential_sprt": 1,  # SPRT walk over the daily grid
+    "ts_motif_discovery": 1,       # day-index assignment on day rows
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
     "events_funnel_steps": 1,
