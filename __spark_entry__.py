@@ -120,6 +120,10 @@ _GRADE_FIRST = (
     # day grain, SSIM probe retrieval on the real PPM decode path.
     "stats_bootstrap_subsample_ci", "ts_motif_discovery",
     "multimodal_ssim_probe_rank",
+    # batch 5: Spark 4 WITH RECURSIVE front-end graded verbatim
+    # against DuckDB's recursion; assumption-free permutation test on
+    # deterministic md5 label permutations.
+    "sql_recursive_reachability", "stats_permutation_weekend",
 )
 
 

