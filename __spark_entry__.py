@@ -124,6 +124,9 @@ _GRADE_FIRST = (
     # against DuckDB's recursion; assumption-free permutation test on
     # deterministic md5 label permutations.
     "sql_recursive_reachability", "stats_permutation_weekend",
+    # exact isotonic calibration via PAVA's minimax identity — pure
+    # bin-grain aggregation algebra after one bucket-assign pass.
+    "stats_isotonic_calibration",
 )
 
 

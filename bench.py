@@ -197,6 +197,7 @@ HEADLINE = [
     ("ssim_probe", multimodal.multimodal_ssim_probe_rank),
     ("recursive_cte", relational.sql_recursive_reachability),
     ("permutation_test", quality.stats_permutation_weekend),
+    ("isotonic", quality.stats_isotonic_calibration),
 ]
 
 

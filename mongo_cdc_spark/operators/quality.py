@@ -1536,3 +1536,102 @@ def stats_permutation_weekend(spark: SparkSession,
                     F.lit(_PERM_REPS).cast("int").alias("n_perms"),
                     F.col("d_obs").alias("obs_diff"),
                     "perm_mean", "perm_sd", "p_value"))
+
+
+_ISO_BINS = 20
+
+
+@query("stats_isotonic_calibration", sql=f"""
+    WITH cuts AS (
+      SELECT ROUND(unnest(quantile_cont(o_totalprice,
+                                        [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95])), 4) AS c
+      FROM orders
+    ), binned AS (
+      SELECT (SELECT COUNT(*) FROM cuts
+              WHERE o.o_totalprice > cuts.c) AS bin,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o
+    ), bins AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS p
+      FROM binned GROUP BY bin
+    ), pairavg AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             SUM(m.p) * 1e0 / SUM(m.n) AS a
+      FROM bins j JOIN bins k ON k.bin >= j.bin
+      JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+      GROUP BY 1, 2
+    ), innermin AS (
+      SELECT i.bin, p.jb, MIN(p.a) AS mn
+      FROM bins i JOIN pairavg p
+        ON p.jb <= i.bin AND p.kb >= i.bin
+      GROUP BY 1, 2
+    ), iso AS (
+      SELECT bin, MAX(mn) AS iso_rate FROM innermin GROUP BY bin
+    )
+    SELECT b.bin AS bin,
+           CAST(b.n AS BIGINT) AS n,
+           CAST(b.p AS BIGINT) AS n_pos,
+           ROUND(b.p * 1e0 / b.n, 6) AS raw_rate,
+           ROUND(i.iso_rate, 6) AS iso_rate
+    FROM bins b JOIN iso i ON i.bin = b.bin
+    ORDER BY b.bin
+""")
+def stats_isotonic_calibration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exact isotonic regression (monotone probability calibration)
+    of order-completion rate against order-value bins — the
+    calibration step reward-model and quality-classifier pipelines
+    run before thresholding scores (Zadrozny/Elkan '02). Instead of
+    the sequential pool-adjacent-violators scan — useless on a
+    cluster — this uses PAVA's closed-form MINIMAX identity
+    iso_i = max_(j<=i) min_(k>=i) avg(y[j..k]), which is pure
+    aggregation algebra once the data collapses to bins.
+
+    Plan: the only data-sized stages are the exact {_ISO_BINS}-ile
+    cut computation and one bucket-assign + count pass (cuts
+    broadcast as 4-dp-rounded literals so bin membership can't flip
+    on an interpolation ulp — the winsorize discipline). Everything
+    after runs on the <= {_ISO_BINS}-row bin frame: the interval
+    averages, inner mins and outer maxes are bin-grain triple joins
+    (~{_ISO_BINS}^3 rows at ANY corpus size). Interval averages are
+    single divisions of exact integer sums, so min/max selection is
+    bit-identical across engines. PAVA-reference parity + guaranteed
+    monotonicity pinned in tests/test_quality.py."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(*[
+        F.round(F.percentile("o_totalprice", i / _ISO_BINS), 4)
+        .alias(f"c{i}") for i in range(1, _ISO_BINS)])
+    cut_arr = F.array(*[F.col(f"c{i}") for i in range(1, _ISO_BINS)])
+    binned = (o.crossJoin(F.broadcast(cuts))
+              .select(
+        F.aggregate(cut_arr, F.lit(0),
+                    lambda acc, c: acc + (F.col("o_totalprice") > c)
+                    .cast("int")).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .alias("y")))
+    bins = (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
+            .localCheckpoint(eager=False))
+    j = bins.select(F.col("bin").alias("jb"))
+    k = bins.select(F.col("bin").alias("kb"))
+    m = bins.select(F.col("bin").alias("mb"), "n", "p")
+    pairavg = (j.join(F.broadcast(k), F.col("kb") >= F.col("jb"))
+               .join(F.broadcast(m),
+                     (F.col("mb") >= F.col("jb"))
+                     & (F.col("mb") <= F.col("kb")))
+               .groupBy("jb", "kb")
+               .agg((F.sum("p") * F.lit(1.0) / F.sum("n")).alias("a")))
+    i_f = bins.select(F.col("bin").alias("ib"))
+    innermin = (i_f.join(F.broadcast(pairavg),
+                         (F.col("jb") <= F.col("ib"))
+                         & (F.col("kb") >= F.col("ib")))
+                .groupBy("ib", "jb").agg(F.min("a").alias("mn")))
+    iso = innermin.groupBy("ib").agg(F.max("mn").alias("iso_rate"))
+    return (bins.join(F.broadcast(iso), bins.bin == iso.ib)
+            .select("bin",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("p").cast("bigint").alias("n_pos"),
+                    F.round(F.col("p") * F.lit(1.0) / F.col("n"), 6)
+                    .alias("raw_rate"),
+                    F.round("iso_rate", 6).alias("iso_rate"))
+            .orderBy("bin"))

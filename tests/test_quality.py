@@ -366,3 +366,39 @@ def test_permutation_weekend_agrees_with_direct_python(spark, sf_dir,
             hits += 1
     assert abs(got.p_value
                - round((1 + hits) / (_PERM_REPS + 1), 6)) < 1e-9
+
+
+def test_isotonic_calibration_matches_pava(spark, sf_dir):
+    """The minimax form must equal the classic sequential
+    pool-adjacent-violators fit on the same bins, and be monotone."""
+    from mongo_cdc_spark.operators import quality
+
+    got = (quality.stats_isotonic_calibration(spark, sf_dir)
+           .toPandas().sort_values("bin").reset_index(drop=True))
+
+    # textbook sequential PAVA on (n, p) blocks
+    blocks = [[r.n, r.n_pos] for r in got.itertuples()]
+    i = 0
+    while i < len(blocks) - 1:
+        if (blocks[i][1] / blocks[i][0]
+                > blocks[i + 1][1] / blocks[i + 1][0] + 1e-15):
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    assert got.iso_rate.is_monotonic_increasing
+    # block-level equality: pooled segments share one fitted value
+    # and every fitted value equals its pooled block rate
+    fitted = got.iso_rate.tolist()
+    k = 0
+    for n, p in blocks:
+        seg_n = 0
+        vals = set()
+        while seg_n < n:
+            vals.add(fitted[k])
+            seg_n += got.n[k]
+            k += 1
+        assert vals == {round(p / n, 6)}, (n, p, vals)
+    assert k == len(fitted)
