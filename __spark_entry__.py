@@ -127,6 +127,10 @@ _GRADE_FIRST = (
     # exact isotonic calibration via PAVA's minimax identity — pure
     # bin-grain aggregation algebra after one bucket-assign pass.
     "stats_isotonic_calibration",
+    # k-core decomposition: fixed-round degree peeling on the
+    # sparsified trade graph; oracle unrolls the same rounds, pytest
+    # peels to true convergence and checks the round budget covers it.
+    "graph_kcore_decomposition",
 )
 
 

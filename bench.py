@@ -198,6 +198,7 @@ HEADLINE = [
     ("recursive_cte", relational.sql_recursive_reachability),
     ("permutation_test", quality.stats_permutation_weekend),
     ("isotonic", quality.stats_isotonic_calibration),
+    ("kcore", graph.graph_kcore_decomposition),
 ]
 
 

@@ -589,3 +589,143 @@ def graph_label_propagation(spark: SparkSession,
                     F.col("min_member").cast("bigint").alias("min_member"),
                     F.col("max_member").cast("bigint").alias("max_member"))
             .orderBy(F.desc("n_members"), "community"))
+
+
+# --------------------------------------------------- k-core decomposition
+
+KCORE_ROUNDS = 6
+KCORE_KS = (2, 3)
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled peel rounds per k — the oracle replays the EXACT
+    fixed number of rounds the engine runs."""
+    base = f"""
+    WITH tr AS (
+      SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY ROUND(val, 2) DESC, b) AS rn
+        FROM tr)
+      WHERE rn <= {BFS_K_OUT}
+    ), sym AS (
+      SELECT a, b FROM topk
+      UNION SELECT b, a FROM topk
+    )"""
+    parts = []
+    for k in KCORE_KS:
+        prev = "sym"
+        alive = f"a_{k}_0"
+        base += f""",
+    {alive} AS (SELECT DISTINCT a AS id FROM sym)"""
+        for r in range(1, KCORE_ROUNDS + 1):
+            nxt = f"a_{k}_{r}"
+            base += f""",
+    {nxt} AS (
+      SELECT a AS id FROM sym
+      WHERE a IN (SELECT id FROM {alive})
+        AND b IN (SELECT id FROM {alive})
+      GROUP BY a HAVING COUNT(*) >= {k}
+    )"""
+            alive = nxt
+        parts.append(f"""
+      SELECT {k} AS k, s.a AS node_id, COUNT(*) AS core_degree
+      FROM sym s
+      WHERE s.a IN (SELECT id FROM {alive})
+        AND s.b IN (SELECT id FROM {alive})
+      GROUP BY s.a""")
+    return (base + """
+    SELECT r.k, CAST(r.node_id AS INT) AS node_id,
+           n.n_name AS nation,
+           CAST(r.core_degree AS BIGINT) AS core_degree
+    FROM (""" + " UNION ALL ".join(parts) + """) r
+    JOIN nation n ON n.n_nationkey = r.node_id
+    ORDER BY r.k, r.node_id""")
+
+
+@query("graph_kcore_decomposition", sql=_kcore_oracle_sql())
+def graph_kcore_decomposition(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman '83) of the symmetrized
+    sparsified nation trade graph: for k in {2, 3}, iteratively peel
+    nodes of degree < k until (a fixed number of rounds reaches) the
+    stable core, reporting each surviving node's within-core degree —
+    the classic "dense nucleus" screen behind community seeding,
+    influence pruning and graph-robustness triage; the degree-peeling
+    companion to graph_label_propagation's mode dynamics.
+
+    Scale: the data-sized stage is the same 4-table trade rollup as
+    graph_khop_reachability; peeling then runs on the node-grain
+    edge list, hash-partitioned by src ONCE — each round is two
+    BROADCAST semi-joins of edges against the O(|V|) alive set (both
+    endpoints; the alive frame only ever shrinks) + a co-located
+    keyed count filter that reuses the src partitioning (no per-round
+    edge shuffle), lineage truncated per round. On a 100 TB general
+    graph where |V| outgrows a broadcast, the alive set swaps to a
+    bloom-filtered shuffle semi-join with the same loop shape.
+    KCORE_ROUNDS is fixed so the DuckDB oracle unrolls the EXACT
+    same rounds; the fixture reaches its fixed point well inside the
+    bound — pinned by pytest peeling the graph to convergence
+    independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    tr = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .groupBy(F.col("c_nationkey").alias("a"),
+                   F.col("s_nationkey").alias("b"))
+          .agg(F.sum(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("val")))
+    w = W.partitionBy("a").orderBy(F.desc(F.round("val", 2)), "b")
+    topk = (tr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BFS_K_OUT).select("a", "b"))
+    sym = (topk.unionByName(topk.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+           .distinct().repartition("a").localCheckpoint(eager=False))
+
+    def _restrict(alive: DataFrame) -> DataFrame:
+        """Edges with BOTH endpoints alive, grouped to src degree —
+        alive is node-grain and shrink-only, so both probes are
+        explicit broadcasts; the groupBy reuses sym's src hashing."""
+        return (sym
+                .join(F.broadcast(alive.withColumnRenamed("a", "id")),
+                      sym.a == F.col("id")).drop("id")
+                .join(F.broadcast(alive.select(F.col("a").alias("id"))),
+                      sym.b == F.col("id")).drop("id")
+                .groupBy("a"))
+
+    outs = []
+    for k in KCORE_KS:
+        alive = sym.select("a").distinct()
+        for _ in range(KCORE_ROUNDS):
+            alive = (_restrict(alive)
+                     .agg(F.count(F.lit(1)).alias("deg"))
+                     .where(F.col("deg") >= k)
+                     .select("a")
+                     .localCheckpoint(eager=False))
+        core = (_restrict(alive)
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+                .select(F.lit(k).alias("k"),
+                        F.col("a").cast("int").alias("node_id"),
+                        F.col("core_degree").cast("bigint")
+                        .alias("core_degree")))
+        outs.append(core)
+    res = outs[0]
+    for more in outs[1:]:
+        res = res.unionByName(more)
+    return (res.join(F.broadcast(n), res.node_id == n.n_nationkey)
+            .select("k", "node_id", F.col("n_name").alias("nation"),
+                    "core_degree")
+            .orderBy("k", "node_id"))

@@ -210,3 +210,65 @@ def test_label_propagation_matches_python_lpa(spark, sf_dir):
     # deterministic across runs
     again = graph.graph_label_propagation(spark, sf_dir).collect()
     assert got == again
+
+
+def test_kcore_matches_python_peel_to_convergence(spark, sf_dir):
+    """Independent peel: iterate to the TRUE fixed point (no round
+    bound) and require (a) the engine's fixed-round answer equals it
+    and (b) the fixture converges inside KCORE_ROUNDS, validating the
+    unrolled oracle's round budget."""
+    from collections import defaultdict
+
+    from mongo_cdc_spark.operators.graph import (
+        BFS_K_OUT, KCORE_KS, KCORE_ROUNDS, graph_kcore_decomposition)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").toPandas()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey").toPandas()
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey").toPandas()
+    m = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m.c_nationkey != m.s_nationkey]
+    m["val"] = m.l_extendedprice * (1 - m.l_discount)
+    tr = m.groupby(["c_nationkey", "s_nationkey"]).val.sum()
+    out: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for (a, b), v in tr.items():
+        out[int(a)].append((-round(v, 2), int(b)))
+    edges = {(a, b) for a, dsts in out.items()
+             for _, b in sorted(dsts)[:BFS_K_OUT]}
+    sym = edges | {(b, a) for a, b in edges}
+
+    want: dict[int, dict[int, int]] = {}
+    for k in KCORE_KS:
+        alive = {a for a, _ in sym}
+        rounds = 0
+        while True:
+            deg = defaultdict(int)
+            for a, b in sym:
+                if a in alive and b in alive:
+                    deg[a] += 1
+            nxt = {a for a, d in deg.items() if d >= k}
+            if nxt == alive:
+                break
+            alive = nxt
+            rounds += 1
+        assert rounds <= KCORE_ROUNDS, \
+            f"k={k} needs {rounds} peel rounds > budget {KCORE_ROUNDS}"
+        want[k] = {a: d for a, d in deg.items() if a in alive}
+
+    got = graph_kcore_decomposition(spark, sf_dir).toPandas()
+    have: dict[int, dict[int, int]] = defaultdict(dict)
+    for r in got.itertuples():
+        have[int(r.k)][int(r.node_id)] = int(r.core_degree)
+    assert dict(have) == want
+    # nested cores: the 3-core is a subset of the 2-core
+    assert set(want[3]) <= set(want[2])
+    # sorted output
+    key = list(zip(got.k, got.node_id))
+    assert key == sorted(key)
