@@ -131,6 +131,9 @@ _GRADE_FIRST = (
     # sparsified trade graph; oracle unrolls the same rounds, pytest
     # peels to true convergence and checks the round budget covers it.
     "graph_kcore_decomposition",
+    # PSI feature-drift gate: reference-bin population stability
+    # index, one data-grain bin-count shuffle, 20-row downstream.
+    "feature_psi_drift",
 )
 
 

@@ -199,6 +199,7 @@ HEADLINE = [
     ("permutation_test", quality.stats_permutation_weekend),
     ("isotonic", quality.stats_isotonic_calibration),
     ("kcore", graph.graph_kcore_decomposition),
+    ("psi_drift", quality.feature_psi_drift),
 ]
 
 

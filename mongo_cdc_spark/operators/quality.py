@@ -1635,3 +1635,148 @@ def stats_isotonic_calibration(spark: SparkSession,
                     .alias("raw_rate"),
                     F.round("iso_rate", 6).alias("iso_rate"))
             .orderBy("bin"))
+
+
+# ------------------------------------------------ PSI feature drift
+
+PSI_BINS = 10
+PSI_PIVOT = "1995-06-01"
+
+
+@query("feature_psi_drift", sql=f"""
+    WITH stacked AS (
+      SELECT 'extprice' AS feature,
+             CAST(l_extendedprice AS DOUBLE) AS x,
+             CASE WHEN l_shipdate < DATE '{PSI_PIVOT}'
+                  THEN 'ref' ELSE 'cur' END AS cohort
+      FROM lineitem
+      UNION ALL
+      SELECT 'qty', CAST(l_quantity AS DOUBLE),
+             CASE WHEN l_shipdate < DATE '{PSI_PIVOT}'
+                  THEN 'ref' ELSE 'cur' END
+      FROM lineitem
+    ), bounds AS (
+      SELECT feature, MIN(x) AS mn, MAX(x) AS mx
+      FROM stacked WHERE cohort = 'ref' GROUP BY 1
+    ), binned AS (
+      SELECT s.feature, s.cohort,
+             LEAST(GREATEST(CAST(FLOOR((s.x - b.mn)
+                 / ((b.mx - b.mn) / {PSI_BINS}.0)) AS INT), 0),
+               {PSI_BINS - 1}) AS bin
+      FROM stacked s JOIN bounds b ON b.feature = s.feature
+    ), cnt AS (
+      SELECT feature, cohort, bin, COUNT(*) AS c
+      FROM binned GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT b.feature, g.g AS bin,
+             b.mn + g.g * (b.mx - b.mn) / {PSI_BINS}.0 AS bin_lo,
+             b.mn + (g.g + 1) * (b.mx - b.mn) / {PSI_BINS}.0 AS bin_hi
+      FROM bounds b, generate_series(0, {PSI_BINS - 1}) g(g)
+    ), wide AS (
+      SELECT gr.feature, gr.bin, gr.bin_lo, gr.bin_hi,
+             COALESCE(r.c, 0) AS n_ref, COALESCE(u.c, 0) AS n_cur
+      FROM grid gr
+      LEFT JOIN cnt r ON r.feature = gr.feature AND r.bin = gr.bin
+                     AND r.cohort = 'ref'
+      LEFT JOIN cnt u ON u.feature = gr.feature AND u.bin = gr.bin
+                     AND u.cohort = 'cur'
+    ), pct AS (
+      SELECT feature, bin, bin_lo, bin_hi, n_ref, n_cur,
+             (n_ref + 0.5) / (SUM(n_ref) OVER (PARTITION BY feature)
+                              + 0.5 * {PSI_BINS}) AS ref_pct,
+             (n_cur + 0.5) / (SUM(n_cur) OVER (PARTITION BY feature)
+                              + 0.5 * {PSI_BINS}) AS cur_pct
+      FROM wide
+    )
+    SELECT feature, CAST(bin AS INT) AS bin,
+           ROUND(bin_lo, 4) AS bin_lo, ROUND(bin_hi, 4) AS bin_hi,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(ref_pct, 6) AS ref_pct,
+           ROUND(cur_pct, 6) AS cur_pct,
+           ROUND((cur_pct - ref_pct) * ln(cur_pct / ref_pct), 6)
+             AS psi_contrib,
+           ROUND(SUM((cur_pct - ref_pct) * ln(cur_pct / ref_pct))
+                 OVER (PARTITION BY feature), 6) AS feature_psi
+    FROM pct ORDER BY feature, bin
+""")
+def feature_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: for each numeric
+    feature (line extended price, line quantity), bin the pre-pivot
+    "reference" cohort into PSI_BINS fixed-width bins from the
+    reference min/max, drop the post-pivot "current" cohort into the
+    same edges (outliers clamp to the edge bins), Laplace-smooth the
+    bin shares and report PSI = sum (cur-ref)*ln(cur/ref) — the
+    standard go/no-go feature-drift gate in model-monitoring stacks
+    (PSI < 0.1 stable, 0.1-0.25 watch, > 0.25 retrain).
+
+    Plan: ONE column-pruned scan melts both features via stack (no
+    double read), one 2-row bounds agg over the reference cohort
+    broadcasts back as a frame (no driver collect), then ONE
+    data-grain shuffle — groupBy(feature, cohort, bin) with map-side
+    partial counts collapsing each task to <= 2*2*PSI_BINS rows.
+    Everything downstream (grid fill, smoothing, the feature_psi
+    window) is metadata-grain (20 rows), and the per-feature window
+    is bounded by PSI_BINS. The smoothed shares sum unrounded then
+    round, so feature_psi can't drift off the printed contributions.
+    At 100 TB the single wide shuffle carries only the pre-collapsed
+    per-task bin counts — bytes ~ tasks * 40 rows."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cohort = F.when(F.col("l_shipdate") < F.lit(PSI_PIVOT).cast("date"),
+                    "ref").otherwise("cur")
+    stacked = li.select(
+        F.expr("stack(2, 'extprice', CAST(l_extendedprice AS DOUBLE), "
+               "'qty', CAST(l_quantity AS DOUBLE))").alias("feature", "x"),
+        cohort.alias("cohort"))
+    bounds = (stacked.filter(F.col("cohort") == "ref")
+              .groupBy("feature")
+              .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    wbin = (F.col("x") - F.col("mn")) \
+        / ((F.col("mx") - F.col("mn")) / float(PSI_BINS))
+    cnt = (stacked.join(F.broadcast(bounds), "feature")
+           .withColumn("bin", F.least(F.greatest(
+               F.floor(wbin).cast("int"), F.lit(0)),
+               F.lit(PSI_BINS - 1)))
+           .groupBy("feature", "cohort", "bin")
+           .agg(F.count(F.lit(1)).alias("c")))
+    grid = (bounds
+            .select("feature", "mn", "mx",
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"))
+            .select("feature", "bin",
+                    (F.col("mn") + F.col("bin") * (F.col("mx") - F.col("mn"))
+                     / PSI_BINS).alias("bin_lo"),
+                    (F.col("mn") + (F.col("bin") + 1)
+                     * (F.col("mx") - F.col("mn")) / PSI_BINS)
+                    .alias("bin_hi")))
+    wide = (grid
+            .join(cnt.filter(F.col("cohort") == "ref")
+                  .select("feature", "bin", F.col("c").alias("n_ref")),
+                  ["feature", "bin"], "left")
+            .join(cnt.filter(F.col("cohort") == "cur")
+                  .select("feature", "bin", F.col("c").alias("n_cur")),
+                  ["feature", "bin"], "left")
+            .fillna(0, ["n_ref", "n_cur"]))
+    wf = W.partitionBy("feature")
+    ref_pct = (F.col("n_ref") + 0.5) \
+        / (F.sum("n_ref").over(wf) + 0.5 * PSI_BINS)
+    cur_pct = (F.col("n_cur") + 0.5) \
+        / (F.sum("n_cur").over(wf) + 0.5 * PSI_BINS)
+    pct = (wide.withColumn("ref_pct", ref_pct)
+           .withColumn("cur_pct", cur_pct)
+           .withColumn("contrib",
+                       (F.col("cur_pct") - F.col("ref_pct"))
+                       * F.log(F.col("cur_pct") / F.col("ref_pct"))))
+    return (pct.select(
+        "feature", F.col("bin").cast("int").alias("bin"),
+        F.round("bin_lo", 4).alias("bin_lo"),
+        F.round("bin_hi", 4).alias("bin_hi"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round("ref_pct", 6).alias("ref_pct"),
+        F.round("cur_pct", 6).alias("cur_pct"),
+        F.round("contrib", 6).alias("psi_contrib"),
+        F.round(F.sum("contrib").over(wf), 6).alias("feature_psi"))
+        .orderBy("feature", "bin"))

@@ -402,3 +402,42 @@ def test_isotonic_calibration_matches_pava(spark, sf_dir):
             k += 1
         assert vals == {round(p / n, 6)}, (n, p, vals)
     assert k == len(fitted)
+
+
+def test_psi_drift_matches_pandas_recompute(spark, sf_dir):
+    """Independent pandas PSI: same pivot, reference-derived fixed
+    bins, Laplace smoothing — exact per-bin counts and totals."""
+    import math
+
+    import numpy as np
+
+    from mongo_cdc_spark.operators.quality import (
+        PSI_BINS, PSI_PIVOT, feature_psi_drift)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_shipdate").toPandas()
+    ref_mask = li.l_shipdate < np.datetime64(PSI_PIVOT)
+    got = feature_psi_drift(spark, sf_dir).toPandas()
+    for feat, col in [("extprice", "l_extendedprice"),
+                      ("qty", "l_quantity")]:
+        x = li[col].astype(float)
+        mn, mx = x[ref_mask].min(), x[ref_mask].max()
+        w = (mx - mn) / PSI_BINS
+        b = np.clip(np.floor((x - mn) / w).astype(int), 0, PSI_BINS - 1)
+        n_ref = np.bincount(b[ref_mask], minlength=PSI_BINS)
+        n_cur = np.bincount(b[~ref_mask], minlength=PSI_BINS)
+        rp = (n_ref + 0.5) / (n_ref.sum() + 0.5 * PSI_BINS)
+        cp = (n_cur + 0.5) / (n_cur.sum() + 0.5 * PSI_BINS)
+        psi = float(((cp - rp) * np.log(cp / rp)).sum())
+        g = got[got.feature == feat].sort_values("bin")
+        assert list(g.n_ref) == list(n_ref)
+        assert list(g.n_cur) == list(n_cur)
+        assert abs(g.feature_psi.iloc[0] - round(psi, 6)) < 2e-6
+        # smoothed shares each sum to exactly 1
+        assert math.isclose(g.ref_pct.sum(), 1.0, abs_tol=1e-4)
+        assert math.isclose(g.cur_pct.sum(), 1.0, abs_tol=1e-4)
+        # bin edges tile [mn, mx] contiguously
+        assert math.isclose(g.bin_lo.iloc[0], round(mn, 4), abs_tol=1e-4)
+        assert math.isclose(g.bin_hi.iloc[-1], round(mx, 4), abs_tol=1e-4)
+        assert np.allclose(g.bin_hi.values[:-1], g.bin_lo.values[1:],
+                           atol=1e-4)

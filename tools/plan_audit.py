@@ -175,6 +175,12 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # map-side to (bucket, key) pairs, and the sixth
                # exchange is the 64-row final sort:
                "feature_hashing_trick": 6,
+               # PSI drift: TWO data-grain aggs (reference bounds +
+               # the (feature, cohort, bin) counts, both map-side
+               # combined); the other four exchanges carry the
+               # 20-row grid fill, the per-feature window and the
+               # final sort — metadata-grain at any data size:
+               "feature_psi_drift": 6,
                # JSD: ONE data-sized shuffle (the persisted
                # (source, token) count); the other exchanges move
                # |sources| x |vocab| probability rows through the
