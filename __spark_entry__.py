@@ -134,6 +134,9 @@ _GRADE_FIRST = (
     # PSI feature-drift gate: reference-bin population stability
     # index, one data-grain bin-count shuffle, 20-row downstream.
     "feature_psi_drift",
+    # split conformal prediction intervals: md5 train/calib/test
+    # split, two-phase exact order statistic, broadcast coverage.
+    "stats_conformal_interval",
 )
 
 

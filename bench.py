@@ -200,6 +200,7 @@ HEADLINE = [
     ("isotonic", quality.stats_isotonic_calibration),
     ("kcore", graph.graph_kcore_decomposition),
     ("psi_drift", quality.feature_psi_drift),
+    ("conformal", quality.stats_conformal_interval),
 ]
 
 

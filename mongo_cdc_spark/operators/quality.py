@@ -1780,3 +1780,144 @@ def feature_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrib", 6).alias("psi_contrib"),
         F.round(F.sum("contrib").over(wf), 6).alias("feature_psi"))
         .orderBy("feature", "bin"))
+
+
+# ------------------------------------------- split conformal interval
+
+CONF_ALPHAS = (0.1, 0.05)
+
+
+@query("stats_conformal_interval", sql=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             substr(md5(l_orderkey::VARCHAR || ':'
+                        || l_linenumber::VARCHAR), 1, 1) AS h,
+             l_orderkey AS okey, l_linenumber AS lnum
+      FROM lineitem
+    ), coef AS (
+      SELECT ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                   / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+               AS slope,
+             ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                    / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                    * SUM(x)) / COUNT(*), 6) AS intercept,
+             COUNT(*) AS n_train
+      FROM base WHERE h < '8'
+    ), calib AS (
+      SELECT ROUND(ABS(y - (c.intercept + c.slope * x)), 2) AS r,
+             okey, lnum
+      FROM base, coef c WHERE h >= '8' AND h < 'c'
+    ), ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, okey, lnum) AS rk
+      FROM calib
+    ), nc AS (SELECT COUNT(*) AS n_calib FROM calib),
+    ak AS (
+      SELECT a.alpha,
+             CAST(CEIL((nc.n_calib + 1) * (1 - a.alpha)) AS BIGINT) AS k,
+             nc.n_calib
+      FROM (SELECT UNNEST(ARRAY[{CONF_ALPHAS[0]}, {CONF_ALPHAS[1]}])
+              AS alpha) a, nc
+    ), q AS (
+      SELECT ak.alpha, ak.k, ak.n_calib, ranked.r AS q_hat
+      FROM ak JOIN ranked ON ranked.rk = ak.k
+    ), test AS (
+      SELECT ROUND(ABS(y - (c.intercept + c.slope * x)), 2) AS r
+      FROM base, coef c WHERE h >= 'c'
+    ), cov AS (
+      SELECT q.alpha, COUNT(*) AS n_test,
+             AVG(CASE WHEN t.r <= q.q_hat THEN 1.0 ELSE 0.0 END)
+               AS coverage
+      FROM test t, q GROUP BY 1
+    )
+    SELECT q.alpha,
+           CAST(c.n_train AS BIGINT) AS n_train,
+           CAST(q.n_calib AS BIGINT) AS n_calib,
+           CAST(cov.n_test AS BIGINT) AS n_test,
+           c.slope, c.intercept,
+           CAST(q.k AS BIGINT) AS k, q.q_hat,
+           ROUND(cov.coverage, 6) AS coverage
+    FROM q JOIN cov ON cov.alpha = q.alpha, coef c
+    ORDER BY q.alpha
+""")
+def stats_conformal_interval(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Split conformal prediction intervals (Papadopoulos '02 /
+    Vovk) around a least-squares fit of line revenue on quantity:
+    deterministic md5 three-way split (8/4/4 hex buckets ->
+    train/calibration/test), OLS slope+intercept from the train
+    moments, the calibration set's k-th smallest absolute residual
+    with k = ceil((n+1)(1-alpha)) as the distribution-free interval
+    half-width, and the held-out empirical coverage that the
+    finite-sample guarantee (>= 1-alpha in expectation) is audited
+    against — the standard recipe for honest uncertainty on any
+    point model, no normality assumed.
+
+    Plan: one column-pruned scan; the train moments collapse in ONE
+    partial agg to a 1-row coefficient frame (rounded to 6dp BEFORE
+    residuals so both engines' residual grids agree bit-for-bit);
+    the order statistic is an exact global rank via the two-phase
+    range-partitioned machinery (_twophase.with_global_order — never
+    a single-partition window at the calibration grain) probed by
+    the broadcast 2-row (alpha, k) frame; coverage is a broadcast
+    nested-loop of the 2-row quantile frame against the test slice,
+    collapsing map-side. Every data-grain stage is a scan + partial
+    agg; the residual rounding (2dp) fixes the comparison grid so
+    coverage can't flip on engine ulps."""
+    from mongo_cdc_spark.operators._twophase import with_global_order
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.substring(F.md5(F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"))), 1, 1).alias("h"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"))
+    tr = base.filter(F.col("h") < "8").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    raw_slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    coef = tr.select(
+        F.round(raw_slope, 6).alias("slope"),
+        F.round((F.col("sy") - raw_slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.col("n").alias("n_train"))
+    resid = F.round(F.abs(F.col("y") - (F.col("intercept")
+                                        + F.col("slope") * F.col("x"))), 2)
+    calib = (base.filter((F.col("h") >= "8") & (F.col("h") < "c"))
+             .crossJoin(F.broadcast(coef.select("slope", "intercept")))
+             .select(resid.alias("r"), "okey", "lnum"))
+    ranked = with_global_order(
+        calib, [F.col("r"), F.col("okey"), F.col("lnum")],
+        rank_col="rk")
+    nc = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    ak = (nc.select(
+        F.explode(F.array(*[F.lit(a) for a in CONF_ALPHAS]))
+        .alias("alpha"), "n_calib")
+        .withColumn("k", F.ceil((F.col("n_calib") + 1)
+                                * (1 - F.col("alpha"))).cast("bigint")))
+    q = (ranked.join(F.broadcast(ak), ranked.rk == ak.k)
+         .select("alpha", "k", "n_calib", F.col("r").alias("q_hat")))
+    test = (base.filter(F.col("h") >= "c")
+            .crossJoin(F.broadcast(coef.select("slope", "intercept")))
+            .select(resid.alias("r")))
+    cov = (test.crossJoin(F.broadcast(q.select("alpha", "q_hat")))
+           .groupBy("alpha")
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.avg(F.when(F.col("r") <= F.col("q_hat"), 1.0)
+                      .otherwise(0.0)).alias("coverage")))
+    return (q.join(F.broadcast(cov), "alpha")
+            .crossJoin(F.broadcast(coef))
+            .select("alpha",
+                    F.col("n_train").cast("bigint").alias("n_train"),
+                    F.col("n_calib").cast("bigint").alias("n_calib"),
+                    F.col("n_test").cast("bigint").alias("n_test"),
+                    "slope", "intercept",
+                    F.col("k").cast("bigint").alias("k"), "q_hat",
+                    F.round("coverage", 6).alias("coverage"))
+            .orderBy("alpha"))

@@ -441,3 +441,47 @@ def test_psi_drift_matches_pandas_recompute(spark, sf_dir):
         assert math.isclose(g.bin_hi.iloc[-1], round(mx, 4), abs_tol=1e-4)
         assert np.allclose(g.bin_hi.values[:-1], g.bin_lo.values[1:],
                            atol=1e-4)
+
+
+def test_conformal_interval_matches_python_recompute(spark, sf_dir):
+    """Independent Python split conformal: same md5 split, same
+    rounded coefficients, same k-th order statistic and coverage."""
+    import hashlib
+    import math
+
+    from mongo_cdc_spark.operators.quality import (
+        CONF_ALPHAS, stats_conformal_interval)
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).collect()
+    tr, ca, te = [], [], []
+    for r in rows:
+        h = hashlib.md5(
+            f"{r.l_orderkey}:{r.l_linenumber}".encode()).hexdigest()[0]
+        rec = (float(r.l_quantity), float(r.l_extendedprice))
+        (tr if h < "8" else ca if h < "c" else te).append(rec)
+    n = len(tr)
+    sx = sum(x for x, _ in tr); sy = sum(y for _, y in tr)
+    sxy = sum(x * y for x, y in tr); sxx = sum(x * x for x, _ in tr)
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    inter = round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                  / n, 6)
+    cr = sorted(round(abs(y - (inter + slope * x)), 2) for x, y in ca)
+    got = stats_conformal_interval(spark, sf_dir).toPandas() \
+        .set_index("alpha")
+    for alpha in CONF_ALPHAS:
+        k = math.ceil((len(ca) + 1) * (1 - alpha))
+        q = cr[k - 1]
+        trow = [round(abs(y - (inter + slope * x)), 2) for x, y in te]
+        coverage = sum(1 for r_ in trow if r_ <= q) / len(trow)
+        g = got.loc[alpha]
+        assert (int(g.n_train), int(g.n_calib), int(g.n_test)) \
+            == (n, len(ca), len(te))
+        assert (g.slope, g.intercept) == (slope, inter)
+        assert int(g.k) == k and abs(g.q_hat - q) < 1e-9
+        assert abs(g.coverage - round(coverage, 6)) < 2e-6
+        # guarantee sanity: held-out coverage near/above 1 - alpha
+        assert g.coverage >= 1 - alpha - 0.02
+    # tighter alpha (0.05) must have the wider (>=) interval
+    assert got.loc[0.05, "q_hat"] >= got.loc[0.1, "q_hat"]

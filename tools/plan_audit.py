@@ -175,6 +175,12 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # map-side to (bucket, key) pairs, and the sixth
                # exchange is the 64-row final sort:
                "feature_hashing_trick": 6,
+               # split conformal: FOUR data-grain stages (train-moment
+               # agg, calibration range-repartition for the two-phase
+               # rank, n_calib agg, test coverage agg — all partial
+               # map-side); the rest move the 1-2-row coefficient /
+               # quantile frames and the final 2-row sort:
+               "stats_conformal_interval": 6,
                # PSI drift: TWO data-grain aggs (reference bounds +
                # the (feature, cohort, bin) counts, both map-side
                # combined); the other four exchanges carry the
