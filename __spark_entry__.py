@@ -137,6 +137,9 @@ _GRADE_FIRST = (
     # split conformal prediction intervals: md5 train/calib/test
     # split, two-phase exact order statistic, broadcast coverage.
     "stats_conformal_interval",
+    # 2x2 diff-in-diff on integer purchase counts — exact-integer
+    # moments, one user-grain shuffle, A&S p-value (A/A probe).
+    "ab_test_diff_in_diff",
 )
 
 

@@ -201,6 +201,7 @@ HEADLINE = [
     ("kcore", graph.graph_kcore_decomposition),
     ("psi_drift", quality.feature_psi_drift),
     ("conformal", quality.stats_conformal_interval),
+    ("diff_in_diff", quality.ab_test_diff_in_diff),
 ]
 
 

@@ -1921,3 +1921,140 @@ def stats_conformal_interval(spark: SparkSession,
                     F.col("k").cast("bigint").alias("k"), "q_hat",
                     F.round("coverage", 6).alias("coverage"))
             .orderBy("alpha"))
+
+
+# ------------------------------------------------- difference in differences
+
+DID_PIVOT = "2024-01-16"
+
+
+def _did_oracle_sql() -> str:
+    from mongo_cdc_spark.operators.timeseries import _norm_sf_sql
+    return f"""
+    WITH peru AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS treat,
+             CASE WHEN ts < TIMESTAMP '{DID_PIVOT} 00:00:00'
+                  THEN 'pre' ELSE 'post' END AS period,
+             COUNT(*) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    ), cell AS (
+      SELECT treat, period, COUNT(*) AS n,
+             SUM(y) AS sy, SUM(y * y) AS sy2
+      FROM peru GROUP BY 1, 2
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN treat = 1 AND period = 'pre'  THEN n END) AS n_tp,
+        MAX(CASE WHEN treat = 1 AND period = 'pre'  THEN sy END) AS sy_tp,
+        MAX(CASE WHEN treat = 1 AND period = 'pre'  THEN sy2 END) AS sy2_tp,
+        MAX(CASE WHEN treat = 1 AND period = 'post' THEN n END) AS n_ta,
+        MAX(CASE WHEN treat = 1 AND period = 'post' THEN sy END) AS sy_ta,
+        MAX(CASE WHEN treat = 1 AND period = 'post' THEN sy2 END) AS sy2_ta,
+        MAX(CASE WHEN treat = 0 AND period = 'pre'  THEN n END) AS n_cp,
+        MAX(CASE WHEN treat = 0 AND period = 'pre'  THEN sy END) AS sy_cp,
+        MAX(CASE WHEN treat = 0 AND period = 'pre'  THEN sy2 END) AS sy2_cp,
+        MAX(CASE WHEN treat = 0 AND period = 'post' THEN n END) AS n_ca,
+        MAX(CASE WHEN treat = 0 AND period = 'post' THEN sy END) AS sy_ca,
+        MAX(CASE WHEN treat = 0 AND period = 'post' THEN sy2 END) AS sy2_ca
+      FROM cell
+    ), est AS (
+      SELECT n_tp, n_ta, n_cp, n_ca,
+             sy_tp * 1.0 / n_tp AS m_tp, sy_ta * 1.0 / n_ta AS m_ta,
+             sy_cp * 1.0 / n_cp AS m_cp, sy_ca * 1.0 / n_ca AS m_ca,
+             (sy2_tp - sy_tp * 1.0 * sy_tp / n_tp) / (n_tp - 1) AS v_tp,
+             (sy2_ta - sy_ta * 1.0 * sy_ta / n_ta) / (n_ta - 1) AS v_ta,
+             (sy2_cp - sy_cp * 1.0 * sy_cp / n_cp) / (n_cp - 1) AS v_cp,
+             (sy2_ca - sy_ca * 1.0 * sy_ca / n_ca) / (n_ca - 1) AS v_ca
+      FROM wide
+    ), z AS (
+      SELECT n_tp, n_ta, n_cp, n_ca, m_tp, m_ta, m_cp, m_ca,
+             (m_ta - m_tp) - (m_ca - m_cp) AS did,
+             SQRT(v_tp / n_tp + v_ta / n_ta
+                  + v_cp / n_cp + v_ca / n_ca) AS se
+      FROM est
+    ), zz AS (
+      SELECT *, ABS(did / se) AS az FROM z
+    )
+    SELECT CAST(n_tp AS BIGINT) AS n_treat_pre,
+           CAST(n_ta AS BIGINT) AS n_treat_post,
+           CAST(n_cp AS BIGINT) AS n_ctrl_pre,
+           CAST(n_ca AS BIGINT) AS n_ctrl_post,
+           ROUND(m_tp, 6) AS mean_treat_pre,
+           ROUND(m_ta, 6) AS mean_treat_post,
+           ROUND(m_cp, 6) AS mean_ctrl_pre,
+           ROUND(m_ca, 6) AS mean_ctrl_post,
+           ROUND(did, 6) AS did,
+           ROUND(se, 6) AS se,
+           ROUND(did / se, 6) AS z_stat,
+           ROUND(2.0 * {_norm_sf_sql('az')}, 6) AS p_value
+    FROM zz"""
+
+
+@query("ab_test_diff_in_diff", sql=_did_oracle_sql())
+def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the hash-assigned
+    "treatment"'s effect on per-user purchase frequency: the 2x2
+    (treated/control x pre/post-{DID_PIVOT}) design, effect =
+    (T_post - T_pre) - (C_post - C_pre), which nets out both the
+    stable group difference and the common time trend — the workhorse
+    quasi-experimental estimator when a feature launches to a cohort
+    instead of a randomized holdout. SE from the four cell variances
+    (repeated cross-section), z and a two-sided Abramowitz-Stegun
+    normal p-value; the hash split means the true effect is 0, so
+    the p-value doubles as an A/A sanity probe.
+
+    Plan: purchases collapse in ONE user-period-grain partial agg
+    (count only — the outcome is an INTEGER, so every downstream
+    moment is exact integer algebra: sum and sum-of-squares are
+    bit-identical on both engines, no float-accumulation-order risk
+    anywhere); the 4-row cell frame and the 1-row wide report are
+    metadata-grain. At 100 TB the user-grain agg is the only
+    data-sized stage.""".format(DID_PIVOT=DID_PIVOT)
+    from mongo_cdc_spark.operators.timeseries import _norm_sf_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    peru = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id",
+                     (F.substring(F.md5(F.col("user_id").cast("string")),
+                                  1, 1) < "8").cast("int").alias("treat"),
+                     F.when(F.col("ts") < F.lit(DID_PIVOT + " 00:00:00")
+                            .cast("timestamp"), "pre").otherwise("post")
+                     .alias("period"))
+            .agg(F.count(F.lit(1)).alias("y")))
+    cell = (peru.groupBy("treat", "period")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                 F.sum(F.col("y") * F.col("y")).alias("sy2")))
+    pick = lambda c, t, p: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("period") == p),
+               F.col(c)))
+    wide = cell.agg(
+        *[pick(c, t, p).alias(f"{c}_{tag}")
+          for tag, t, p in [("tp", 1, "pre"), ("ta", 1, "post"),
+                            ("cp", 0, "pre"), ("ca", 0, "post")]
+          for c in ("n", "sy", "sy2")])
+    m = {tag: F.col(f"sy_{tag}") * 1.0 / F.col(f"n_{tag}")
+         for tag in ("tp", "ta", "cp", "ca")}
+    v = {tag: (F.col(f"sy2_{tag}")
+               - F.col(f"sy_{tag}") * 1.0 * F.col(f"sy_{tag}")
+               / F.col(f"n_{tag}")) / (F.col(f"n_{tag}") - 1)
+         for tag in ("tp", "ta", "cp", "ca")}
+    did = (m["ta"] - m["tp"]) - (m["ca"] - m["cp"])
+    se = F.sqrt(sum(v[t] / F.col(f"n_{t}")
+                    for t in ("tp", "ta", "cp", "ca")))
+    z = (wide.withColumn("did", did).withColumn("se", se)
+         .withColumn("az", F.abs(F.col("did") / F.col("se"))))
+    return z.select(
+        F.col("n_tp").cast("bigint").alias("n_treat_pre"),
+        F.col("n_ta").cast("bigint").alias("n_treat_post"),
+        F.col("n_cp").cast("bigint").alias("n_ctrl_pre"),
+        F.col("n_ca").cast("bigint").alias("n_ctrl_post"),
+        F.round(m["tp"], 6).alias("mean_treat_pre"),
+        F.round(m["ta"], 6).alias("mean_treat_post"),
+        F.round(m["cp"], 6).alias("mean_ctrl_pre"),
+        F.round(m["ca"], 6).alias("mean_ctrl_post"),
+        F.round("did", 6).alias("did"),
+        F.round("se", 6).alias("se"),
+        F.round(F.col("did") / F.col("se"), 6).alias("z_stat"),
+        F.round(2.0 * F.expr(_norm_sf_sql("az")), 6).alias("p_value"))

@@ -485,3 +485,55 @@ def test_conformal_interval_matches_python_recompute(spark, sf_dir):
         assert g.coverage >= 1 - alpha - 0.02
     # tighter alpha (0.05) must have the wider (>=) interval
     assert got.loc[0.05, "q_hat"] >= got.loc[0.1, "q_hat"]
+
+
+def test_diff_in_diff_matches_python_recompute(spark, sf_dir):
+    """Independent Python DiD: same md5 assignment, same 2x2 cells,
+    same exact-integer moment algebra and A&S p-value."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.operators.quality import (
+        DID_PIVOT, ab_test_diff_in_diff)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase").select("user_id", "ts") \
+        .collect()
+    y = Counter()
+    for r in ev:
+        treat = 1 if hashlib.md5(
+            str(r.user_id).encode()).hexdigest()[0] < "8" else 0
+        period = "pre" if str(r.ts) < DID_PIVOT else "post"
+        y[(r.user_id, treat, period)] += 1
+    cells = {}
+    for (u, t, p), c in y.items():
+        n, sy, sy2 = cells.get((t, p), (0, 0, 0))
+        cells[(t, p)] = (n + 1, sy + c, sy2 + c * c)
+    m, v, n = {}, {}, {}
+    for k, (cn, sy, sy2) in cells.items():
+        n[k] = cn
+        m[k] = sy / cn
+        v[k] = (sy2 - sy * sy / cn) / (cn - 1)
+    did = (m[(1, "post")] - m[(1, "pre")]) \
+        - (m[(0, "post")] - m[(0, "pre")])
+    se = math.sqrt(sum(v[k] / n[k] for k in cells))
+    az = abs(did / se)
+    # A&S 26.2.17 tail
+    kk = 1.0 / (1.0 + 0.2316419 * az)
+    poly = sum(b * kk ** (i + 1) for i, b in enumerate(
+        (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)))
+    p = 2.0 * math.exp(-az * az / 2) / 2.5066282746310002 * poly
+
+    g = ab_test_diff_in_diff(spark, sf_dir).toPandas().iloc[0]
+    assert (int(g.n_treat_pre), int(g.n_treat_post)) \
+        == (n[(1, "pre")], n[(1, "post")])
+    assert (int(g.n_ctrl_pre), int(g.n_ctrl_post)) \
+        == (n[(0, "pre")], n[(0, "post")])
+    assert abs(g.mean_treat_pre - round(m[(1, "pre")], 6)) < 2e-6
+    assert abs(g.did - round(did, 6)) < 2e-6
+    assert abs(g.se - round(se, 6)) < 2e-6
+    assert abs(g.z_stat - round(did / se, 6)) < 2e-6
+    assert abs(g.p_value - round(p, 6)) < 2e-6
+    assert 0 < g.p_value <= 1
