@@ -140,6 +140,9 @@ _GRADE_FIRST = (
     # 2x2 diff-in-diff on integer purchase counts — exact-integer
     # moments, one user-grain shuffle, A&S p-value (A/A probe).
     "ab_test_diff_in_diff",
+    # System-R join-cardinality audit: est |R||S|/max(ndv) vs the
+    # exact join size from key-grain count products (no raw join).
+    "stats_join_size_estimate",
 )
 
 

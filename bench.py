@@ -202,6 +202,7 @@ HEADLINE = [
     ("psi_drift", quality.feature_psi_drift),
     ("conformal", quality.stats_conformal_interval),
     ("diff_in_diff", quality.ab_test_diff_in_diff),
+    ("join_estimate", relational.stats_join_size_estimate),
 ]
 
 

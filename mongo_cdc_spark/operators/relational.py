@@ -5203,3 +5203,136 @@ def sql_recursive_reachability(spark: SparkSession,
     return spark.sql(_RECUR_SQL.format(
         lineitem="lineitem_recur_v", orders="orders_recur_v",
         customer="customer_recur_v", supplier="supplier_recur_v"))
+
+
+# -------------------------------------------- CBO join-size estimation
+
+_JSE_PAIRS = (
+    ("cust_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem",
+     "l_orderkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+)
+
+
+def _jse_oracle_sql() -> str:
+    melts = []
+    for pair, lt, lk, rt, rk in _JSE_PAIRS:
+        melts.append(f"SELECT '{pair}' AS pair, 'L' AS side, "
+                     f"{lk} AS key FROM {lt}")
+        melts.append(f"SELECT '{pair}', 'R', {rk} FROM {rt}")
+    melt = "\n      UNION ALL ".join(melts)
+    return f"""
+    WITH melt AS (
+      {melt}
+    ), kc AS (
+      SELECT pair, side, key, COUNT(*) AS c
+      FROM melt GROUP BY 1, 2, 3
+    ), sidestats AS (
+      SELECT pair, side, SUM(c) AS n, COUNT(*) AS ndv
+      FROM kc GROUP BY 1, 2
+    ), act AS (
+      SELECT l.pair, SUM(l.c * r.c) AS actual_rows
+      FROM kc l JOIN kc r
+        ON r.pair = l.pair AND r.key = l.key AND r.side = 'R'
+      WHERE l.side = 'L'
+      GROUP BY 1
+    ), wide AS (
+      SELECT s.pair,
+             MAX(CASE WHEN side = 'L' THEN n END) AS n_left,
+             MAX(CASE WHEN side = 'L' THEN ndv END) AS ndv_left,
+             MAX(CASE WHEN side = 'R' THEN n END) AS n_right,
+             MAX(CASE WHEN side = 'R' THEN ndv END) AS ndv_right
+      FROM sidestats s GROUP BY 1
+    ), est AS (
+      SELECT w.pair, w.n_left, w.ndv_left, w.n_right, w.ndv_right,
+             COALESCE(a.actual_rows, 0) AS actual_rows,
+             w.n_left * 1.0 * w.n_right
+               / GREATEST(w.ndv_left, w.ndv_right) AS est_rows
+      FROM wide w LEFT JOIN act a ON a.pair = w.pair
+    )
+    SELECT pair,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(ndv_left AS BIGINT) AS ndv_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(ndv_right AS BIGINT) AS ndv_right,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           ROUND(est_rows, 2) AS est_rows,
+           ROUND(GREATEST(est_rows / actual_rows,
+                          actual_rows / est_rows), 4) AS q_error
+    FROM est ORDER BY pair"""
+
+
+@query("stats_join_size_estimate", sql=_jse_oracle_sql())
+def stats_join_size_estimate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """System-R join-cardinality estimation audit: for each FK join
+    in the schema, the textbook CBO estimate |R||S|/max(ndv_R, ndv_S)
+    (uniformity + containment assumptions — what Catalyst's CBO and
+    every Selinger-descendant planner uses) next to the TRUE join
+    size and the q-error max(est/act, act/est), the planner-quality
+    metric from Leis et al.'s "How Good Are Query Optimizers,
+    Really?". FK joins satisfy both assumptions, so q-error ~= 1
+    here; the operator is the harness a planner regression-tests
+    its statistics pipeline with.
+
+    Plan: the true join size NEVER materializes the join — both
+    sides melt into ONE narrow (pair, side, key) frame, collapse to
+    key-grain counts in a single partial-agg shuffle, and
+    sum(c_L * c_R) over the key-grain equi-join gives the exact
+    row count; the join inputs arrive hash-partitioned on the
+    groupBy key, so the join itself adds no exchange. Side totals
+    and NDVs are a second agg of the SAME key-grain frame. All
+    counts are exact integers — zero float-order risk; only the
+    estimate/q-error division is float, computed from those
+    integers identically on both engines."""
+    frames = []
+    for pair, lt, lk, rt, rk in _JSE_PAIRS:
+        frames.append(load_table(spark, sf_dir, lt).select(
+            F.lit(pair).alias("pair"), F.lit("L").alias("side"),
+            F.col(lk).alias("key")))
+        frames.append(load_table(spark, sf_dir, rt).select(
+            F.lit(pair).alias("pair"), F.lit("R").alias("side"),
+            F.col(rk).alias("key")))
+    melt = frames[0]
+    for f in frames[1:]:
+        melt = melt.unionByName(f)
+    kc = (melt.groupBy("pair", "side", "key")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .persist())
+    sidestats = (kc.groupBy("pair", "side")
+                 .agg(F.sum("c").alias("n"),
+                      F.count(F.lit(1)).alias("ndv")))
+    kl = kc.filter(F.col("side") == "L").select(
+        "pair", "key", F.col("c").alias("cl"))
+    kr = kc.filter(F.col("side") == "R").select(
+        "pair", "key", F.col("c").alias("cr"))
+    act = (kl.join(kr, ["pair", "key"])
+           .groupBy("pair")
+           .agg(F.sum(F.col("cl") * F.col("cr")).alias("actual_rows")))
+    side = lambda c, s: F.max(F.when(F.col("side") == s,  # noqa: E731
+                                     F.col(c)))
+    wide = (sidestats.groupBy("pair")
+            .agg(side("n", "L").alias("n_left"),
+                 side("ndv", "L").alias("ndv_left"),
+                 side("n", "R").alias("n_right"),
+                 side("ndv", "R").alias("ndv_right")))
+    est_rows = (F.col("n_left") * 1.0 * F.col("n_right")
+                / F.greatest("ndv_left", "ndv_right"))
+    out = (wide.join(F.broadcast(act), "pair", "left")
+           .withColumn("actual_rows",
+                       F.coalesce("actual_rows", F.lit(0)))
+           .withColumn("est_rows", est_rows))
+    return (out.select(
+        "pair",
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("ndv_left").cast("bigint").alias("ndv_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        F.col("ndv_right").cast("bigint").alias("ndv_right"),
+        F.col("actual_rows").cast("bigint").alias("actual_rows"),
+        F.round("est_rows", 2).alias("est_rows"),
+        F.round(F.greatest(
+            F.col("est_rows") / F.col("actual_rows"),
+            F.col("actual_rows") / F.col("est_rows")), 4)
+        .alias("q_error"))
+        .orderBy("pair"))

@@ -823,3 +823,28 @@ def test_recursive_reachability_consistent_with_khop(spark, sf_dir):
     assert list(root.nation) == [0]
     assert (got.n_walks >= 1).all()
     assert got.nation.is_unique
+
+
+def test_join_size_estimate_actuals_are_true_join_counts(spark, sf_dir):
+    """actual_rows must equal the materialized join's count (computed
+    independently here via the raw join the operator never runs),
+    q-error >= 1 by construction, and the estimate formula replays."""
+    from mongo_cdc_spark.operators.relational import (
+        _JSE_PAIRS, stats_join_size_estimate)
+
+    got = (stats_join_size_estimate(spark, sf_dir)
+           .toPandas().set_index("pair"))
+    for pair, lt, lk, rt, rk in _JSE_PAIRS:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        true_n = left.join(right, left[lk] == right[rk]).count()
+        g = got.loc[pair]
+        assert int(g.actual_rows) == true_n
+        assert int(g.n_left) == left.count()
+        assert int(g.n_right) == right.count()
+        assert int(g.ndv_left) == left.select(lk).distinct().count()
+        est = g.n_left * g.n_right / max(g.ndv_left, g.ndv_right)
+        assert abs(g.est_rows - round(est, 2)) < 1e-6
+        assert g.q_error >= 1.0
+        # FK joins satisfy uniformity+containment: estimates are tight
+        assert g.q_error < 1.5
