@@ -143,6 +143,9 @@ _GRADE_FIRST = (
     # System-R join-cardinality audit: est |R||S|/max(ndv) vs the
     # exact join size from key-grain count products (no raw join).
     "stats_join_size_estimate",
+    # Murphy Brier decomposition: train-half bin forecasts scored on
+    # the held-out half; BS = REL - RES + UNC pinned exactly.
+    "stats_brier_decomposition",
 )
 
 

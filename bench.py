@@ -203,6 +203,7 @@ HEADLINE = [
     ("conformal", quality.stats_conformal_interval),
     ("diff_in_diff", quality.ab_test_diff_in_diff),
     ("join_estimate", relational.stats_join_size_estimate),
+    ("brier", quality.stats_brier_decomposition),
 ]
 
 

@@ -2058,3 +2058,140 @@ def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("se", 6).alias("se"),
         F.round(F.col("did") / F.col("se"), 6).alias("z_stat"),
         F.round(2.0 * F.expr(_norm_sf_sql("az")), 6).alias("p_value"))
+
+
+# ------------------------------------------ Brier score decomposition
+
+_BRIER_BINS = 10
+_BRIER_QS = [i / _BRIER_BINS for i in range(1, _BRIER_BINS)]
+
+
+@query("stats_brier_decomposition", sql=f"""
+    WITH base AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             substr(md5(o_orderkey::VARCHAR), 1, 1) < '8' AS is_train
+      FROM orders
+    ), cuts AS (
+      SELECT ROUND(unnest(quantile_cont(x,
+               [{', '.join(str(q) for q in _BRIER_QS)}])), 4) AS c
+      FROM base WHERE is_train
+    ), carr AS (
+      SELECT LIST(c ORDER BY c) AS cs FROM cuts
+    ), binned AS (
+      SELECT (SELECT COUNT(*) FROM unnest(carr.cs) AS u(c)
+              WHERE base.x > u.c) AS bin,
+             y, is_train
+      FROM base, carr
+    ), train AS (
+      SELECT bin, COUNT(*) AS m, SUM(y) AS s
+      FROM binned WHERE is_train GROUP BY 1
+    ), test AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS o
+      FROM binned WHERE NOT is_train GROUP BY 1
+    ), cell AS (
+      SELECT t.bin, tr.s * 1.0 / tr.m AS f_hat,
+             t.n, t.o, t.o * 1.0 / t.n AS obs_rate
+      FROM test t JOIN train tr ON tr.bin = t.bin
+    ), tot AS (
+      SELECT SUM(n) AS nn, SUM(o) AS oo,
+             SUM(o) * 1.0 / SUM(n) AS obar
+      FROM cell
+    ), terms AS (
+      SELECT c.bin, c.f_hat, c.n, c.obs_rate,
+             (c.n * c.f_hat * c.f_hat - 2 * c.f_hat * c.o + c.o)
+               / t.nn AS brier_part,
+             c.n * (c.f_hat - c.obs_rate) * (c.f_hat - c.obs_rate)
+               / t.nn AS rel_part,
+             c.n * (c.obs_rate - t.obar) * (c.obs_rate - t.obar)
+               / t.nn AS res_part,
+             t.obar * (1 - t.obar) AS unc
+      FROM cell c, tot t
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           ROUND(f_hat, 6) AS f_hat,
+           CAST(n AS BIGINT) AS n,
+           ROUND(obs_rate, 6) AS obs_rate,
+           ROUND(rel_part, 6) AS rel_term,
+           ROUND(res_part, 6) AS res_term,
+           ROUND(SUM(brier_part) OVER (), 6) AS brier,
+           ROUND(SUM(rel_part) OVER (), 6) AS reliability,
+           ROUND(SUM(res_part) OVER (), 6) AS resolution,
+           ROUND(unc, 6) AS uncertainty
+    FROM terms ORDER BY bin
+""")
+def stats_brier_decomposition(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the
+    bin-rate forecaster: train-half completion rates per order-value
+    decile are the forecasts, the held-out half is scored, and the
+    score splits exactly into BS = reliability - resolution +
+    uncertainty — the forecast-verification identity that separates
+    "the probabilities are miscalibrated" (REL) from "the model
+    can't discriminate" (low RES) from irreducible base-rate noise
+    (UNC). The per-bin rel/res terms localize which forecast bucket
+    is off; the companion to stats_isotonic_calibration's fix.
+
+    Plan: decile cuts come from ONE exact-percentile agg over the
+    train half, broadcast 4-dp-rounded so bin membership can't flip
+    on interpolation ulps; then ONE bucket-assign + (bin, half)
+    count pass — the only data-grain shuffle. Every forecast,
+    observed rate and decomposition term is a ratio of exact
+    INTEGER counts combined in identical expression trees, so both
+    engines agree bit-for-bit before rounding; the bin-frame windows
+    run over <= {_BRIER_BINS} rows via a broadcast totals frame (no
+    unpartitioned data-grain window). The BS = REL - RES + UNC
+    identity is pinned exactly in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        (F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+         < "8").alias("is_train"))
+    cuts = base.filter("is_train").agg(*[
+        F.round(F.percentile("x", q), 4).alias(f"c{i}")
+        for i, q in enumerate(_BRIER_QS)])
+    cut_arr = F.array(*[F.col(f"c{i}") for i in range(len(_BRIER_QS))])
+    binned = (base.crossJoin(F.broadcast(cuts))
+              .select(F.aggregate(
+                  cut_arr, F.lit(0),
+                  lambda acc, c: acc + (F.col("x") > c).cast("int"))
+                  .alias("bin"), "y", "is_train"))
+    halves = (binned.groupBy("bin", "is_train")
+              .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("sy"))
+              .localCheckpoint(eager=False))
+    train = halves.filter("is_train").select(
+        "bin", F.col("cnt").alias("m"), F.col("sy").alias("s"))
+    test = halves.filter(~F.col("is_train")).select(
+        "bin", F.col("cnt").alias("n"), F.col("sy").alias("o"))
+    cell = (test.join(F.broadcast(train), "bin")
+            .select("bin", (F.col("s") * 1.0 / F.col("m")).alias("f_hat"),
+                    "n", "o", (F.col("o") * 1.0 / F.col("n"))
+                    .alias("obs_rate")))
+    tot = cell.agg(F.sum("n").alias("nn"), F.sum("o").alias("oo"),
+                   (F.sum("o") * 1.0 / F.sum("n")).alias("obar"))
+    t = (cell.crossJoin(F.broadcast(tot))
+         .withColumn("brier_part",
+                     (F.col("n") * F.col("f_hat") * F.col("f_hat")
+                      - 2 * F.col("f_hat") * F.col("o") + F.col("o"))
+                     / F.col("nn"))
+         .withColumn("rel_part",
+                     F.col("n") * (F.col("f_hat") - F.col("obs_rate"))
+                     * (F.col("f_hat") - F.col("obs_rate")) / F.col("nn"))
+         .withColumn("res_part",
+                     F.col("n") * (F.col("obs_rate") - F.col("obar"))
+                     * (F.col("obs_rate") - F.col("obar")) / F.col("nn")))
+    sums = t.agg(F.round(F.sum("brier_part"), 6).alias("brier"),
+                 F.round(F.sum("rel_part"), 6).alias("reliability"),
+                 F.round(F.sum("res_part"), 6).alias("resolution"))
+    return (t.crossJoin(F.broadcast(sums))
+            .select(F.col("bin").cast("int").alias("bin"),
+                    F.round("f_hat", 6).alias("f_hat"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round("obs_rate", 6).alias("obs_rate"),
+                    F.round("rel_part", 6).alias("rel_term"),
+                    F.round("res_part", 6).alias("res_term"),
+                    "brier", "reliability", "resolution",
+                    F.round(F.col("obar") * (1 - F.col("obar")), 6)
+                    .alias("uncertainty"))
+            .orderBy("bin"))

@@ -537,3 +537,53 @@ def test_diff_in_diff_matches_python_recompute(spark, sf_dir):
     assert abs(g.z_stat - round(did / se, 6)) < 2e-6
     assert abs(g.p_value - round(p, 6)) < 2e-6
     assert 0 < g.p_value <= 1
+
+
+def test_brier_decomposition_identity_and_python_recompute(spark,
+                                                           sf_dir):
+    """BS = REL - RES + UNC must hold exactly (same-bin constant
+    forecasts), and every term matches an independent recompute
+    scoring the test half row by row."""
+    import hashlib
+
+    from mongo_cdc_spark.operators.quality import (
+        _BRIER_BINS, stats_brier_decomposition)
+
+    got = stats_brier_decomposition(spark, sf_dir).toPandas()
+    r = got.iloc[0]
+    assert abs(r.brier - (r.reliability - r.resolution
+                          + r.uncertainty)) < 5e-6
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus").collect()
+    recs = [(float(x.o_totalprice),
+             1 if x.o_orderstatus == "F" else 0,
+             hashlib.md5(str(x.o_orderkey).encode()).hexdigest()[0]
+             < "8") for x in rows]
+    # replicate the 4dp-rounded type-7 decile cuts on the train half
+    import numpy as np
+    tr = sorted(x for x, _, t in recs if t)
+    cuts = [round(float(np.quantile(tr, q, method="linear")), 4)
+            for q in [i / _BRIER_BINS for i in range(1, _BRIER_BINS)]]
+    f_hat, nst = {}, {}
+    for x, y, t in recs:
+        b = sum(1 for c in cuts if x > c)
+        k = (b, t)
+        n, s = nst.get(k, (0, 0))
+        nst[k] = (n + 1, s + y)
+    test_n = sum(n for (b, t), (n, _) in nst.items() if not t)
+    brier = 0.0
+    for b in range(_BRIER_BINS):
+        m, s = nst[(b, True)]
+        f = s / m
+        n, o = nst[(b, False)]
+        brier += n * f * f - 2 * f * o + o
+        g = got[got.bin == b].iloc[0]
+        assert int(g.n) == n
+        assert abs(g.f_hat - round(f, 6)) < 2e-6
+        assert abs(g.obs_rate - round(o / n, 6)) < 2e-6
+    assert abs(r.brier - round(brier / test_n, 6)) < 5e-6
+    # a probability forecast always beats/meets climatology only via
+    # positive resolution; both quadratic terms are non-negative
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0 < r.uncertainty <= 0.25
