@@ -146,6 +146,9 @@ _GRADE_FIRST = (
     # Murphy Brier decomposition: train-half bin forecasts scored on
     # the held-out half; BS = REL - RES + UNC pinned exactly.
     "stats_brier_decomposition",
+    # Shazam-style constellation fingerprint retrieval on the real
+    # WAV decode path — hash-keyed landmark join, byte-level replay.
+    "multimodal_audio_fingerprint",
 )
 
 

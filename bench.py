@@ -204,6 +204,7 @@ HEADLINE = [
     ("diff_in_diff", quality.ab_test_diff_in_diff),
     ("join_estimate", relational.stats_join_size_estimate),
     ("brier", quality.stats_brier_decomposition),
+    ("audio_fingerprint", multimodal.multimodal_audio_fingerprint),
 ]
 
 

@@ -1361,3 +1361,147 @@ def multimodal_ssim_probe_rank(spark: SparkSession,
                       F.round(num / den, 6).alias("ssim"))
             .orderBy(F.desc("ssim"), F.asc("doc_id"))
             .limit(10))
+
+
+# ------------------------------------------- audio constellation hash
+
+_FP_FRAMES = 4                       # analysis frames per clip
+_FP_FLEN = _AUD_SAMPLES // _FP_FRAMES
+_FP_PROBES = 8                       # probe clips: doc_id < _FP_PROBES
+_FP_TOPK = 5
+
+
+def audio_fingerprint_batch(it: Iterator[pd.DataFrame]
+                            ) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL WAV decode, per-frame termwise DFT
+    (same accumulation order the SQL oracle states), dominant bin per
+    frame on 2-dp-rounded magnitudes, then the landmark-pair hashes
+    dom[f] * 16 + dom[f+1] — only (doc_id, f, hash) triples leave
+    the task, never samples."""
+    import struct
+
+    import numpy as np
+
+    n = _FP_FLEN
+    j = np.arange(n, dtype=np.float64)
+    ks = np.arange(1, _SPEC_BINS + 1, dtype=np.float64)
+    cosm = np.cos(2.0 * np.pi * ks[:, None] * j[None, :] / n)
+    sinm = np.sin(2.0 * np.pi * ks[:, None] * j[None, :] / n)
+    for pdf in it:
+        rows = {"doc_id": [], "f": [], "h": []}
+        for doc_id, clip in zip(pdf["doc_id"], pdf["clip"]):
+            ch, width, rate, frames = decode_wav(bytes(clip))
+            assert ch == 1 and width == 2
+            s = np.array(struct.unpack(f"<{len(frames) // 2}h", frames),
+                         dtype=np.float64).reshape(_FP_FRAMES, _FP_FLEN)
+            doms = []
+            for fr in range(_FP_FRAMES):
+                mags = np.round(np.hypot(cosm @ s[fr], sinm @ s[fr]), 2)
+                doms.append(int(np.argmax(mags == mags.max())) + 1)
+            for fr in range(_FP_FRAMES - 1):
+                rows["doc_id"].append(doc_id)
+                rows["f"].append(fr)
+                rows["h"].append(doms[fr] * 16 + doms[fr + 1])
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_audio_fingerprint", sql=f"""
+    WITH s AS (
+      SELECT d.doc_id, g.j // {_FP_FLEN} AS f, g.j % {_FP_FLEN} AS jl,
+             ord(substr(d.text, ((2 * g.j) % len(d.text)) + 1, 1))
+             + 256 * ord(substr(d.text,
+                                ((2 * g.j + 1) % len(d.text)) + 1, 1))
+               AS raw
+      FROM documents d, generate_series(0, {_AUD_SAMPLES - 1}) g(j)
+      WHERE len(d.text) > 0
+    ), v AS (
+      SELECT doc_id, f, jl,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+      FROM s
+    ), m AS (
+      SELECT doc_id, f, k.k,
+             ROUND(SQRT(
+               POWER(SUM(s16 * COS(2 * pi() * k.k * jl / {_FP_FLEN})),
+                     2)
+               + POWER(SUM(s16 * SIN(2 * pi() * k.k * jl
+                                     / {_FP_FLEN})), 2)), 2) AS mag
+      FROM v, generate_series(1, {_SPEC_BINS}) k(k)
+      GROUP BY doc_id, f, k.k
+    ), dom AS (
+      SELECT m.doc_id, m.f, MIN(m.k) AS dom
+      FROM m JOIN (SELECT doc_id, f, MAX(mag) AS mx
+                   FROM m GROUP BY 1, 2) mm
+        ON mm.doc_id = m.doc_id AND mm.f = m.f AND m.mag = mm.mx
+      GROUP BY 1, 2
+    ), fp AS (
+      SELECT a.doc_id, a.f, a.dom * 16 + b.dom AS h
+      FROM dom a JOIN dom b
+        ON b.doc_id = a.doc_id AND b.f = a.f + 1
+    ), score AS (
+      SELECT p.doc_id AS probe_doc, c.doc_id AS cand_doc,
+             COUNT(*) AS n_matches
+      FROM fp p JOIN fp c ON c.f = p.f AND c.h = p.h
+      WHERE p.doc_id < {_FP_PROBES} AND c.doc_id <> p.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_doc, cand_doc,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY probe_doc
+              ORDER BY n_matches DESC, cand_doc) AS rn
+          FROM score)
+    WHERE rn <= {_FP_TOPK}
+    ORDER BY probe_doc, rank
+""")
+def multimodal_audio_fingerprint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Shazam-style constellation fingerprint retrieval on the REAL
+    audio decode path (Wang '03): each clip splits into
+    {_FP_FRAMES} frames, the per-frame dominant DFT bin is its
+    spectral landmark, adjacent-landmark pairs hash into the
+    constellation keys, and each probe clip retrieves its top-k
+    corpus matches by counting aligned (frame, hash) agreements —
+    the inverted-index shape real audio-ID systems run, where only
+    compact hashes (never samples) hit the index.
+
+    Scale: the media bytes stay inside the one declared mapInPandas
+    stage — {_FP_FRAMES - 1} (doc_id, f, hash) triples per clip is
+    all that shuffles. The probe side ({_FP_PROBES} clips) broadcasts
+    into the hash-keyed equi-join against the corpus fingerprints
+    (at 100 TB: the same join hash-partitioned on h, landmark
+    postings bounded per key), scores collapse in a keyed count,
+    and the top-k window partitions per probe — bounded by that
+    probe's candidate set, never a global sort. The termwise DFT +
+    2-dp rounding discipline is inherited from
+    multimodal_audio_spectrum so the byte-level DuckDB replay grades
+    the whole decode → landmark → hash → retrieve pipeline."""
+    from pyspark.sql import Window as W
+
+    n_bytes = _AUD_SAMPLES * 2
+    header = encode_wav(_AUD_RATE, b"\x00" * n_bytes)[:44]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({n_bytes} / length(text))"
+        f" as int) + 1), 1, {n_bytes})").cast("binary")
+    clips = (docs.select(
+        "doc_id", F.concat(F.lit(header), body).alias("clip"))
+        .repartition(spark.sparkContext.defaultParallelism))
+    fp = (clips.mapInPandas(
+        audio_fingerprint_batch, schema="doc_id long, f int, h int")
+        .localCheckpoint(eager=False))
+    probes = (fp.filter(F.col("doc_id") < _FP_PROBES)
+              .select(F.col("doc_id").alias("probe_doc"), "f", "h"))
+    score = (fp.join(F.broadcast(probes), ["f", "h"])
+             .filter(F.col("doc_id") != F.col("probe_doc"))
+             .groupBy("probe_doc", F.col("doc_id").alias("cand_doc"))
+             .agg(F.count(F.lit(1)).alias("n_matches")))
+    w = W.partitionBy("probe_doc").orderBy(
+        F.desc("n_matches"), F.asc("cand_doc"))
+    return (score.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _FP_TOPK)
+            .select("probe_doc", "cand_doc",
+                    F.col("n_matches").cast("bigint").alias("n_matches"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("probe_doc", "rank"))

@@ -413,3 +413,58 @@ def test_ssim_probe_rank_matches_direct_recompute(spark, sf_dir):
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got.doc_id, got.ssim)) == want
     assert (got.ssim <= 1.0).all() and (got.ssim > 0).all()
+
+
+def test_audio_fingerprint_matches_python_retrieval(spark, sf_dir):
+    """End-to-end independent replay: rebuild every clip from the
+    document text, landmark it with numpy, score the probes and
+    compare the full top-k table."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from mongo_cdc_spark.operators.multimodal import (
+        _AUD_SAMPLES, _FP_FLEN, _FP_FRAMES, _FP_PROBES, _FP_TOPK,
+        _SPEC_BINS, multimodal_audio_fingerprint)
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0).select("doc_id", "text").collect()
+    j = np.arange(_FP_FLEN, dtype=np.float64)
+    ks = np.arange(1, _SPEC_BINS + 1, dtype=np.float64)
+    cosm = np.cos(2.0 * np.pi * ks[:, None] * j[None, :] / _FP_FLEN)
+    sinm = np.sin(2.0 * np.pi * ks[:, None] * j[None, :] / _FP_FLEN)
+    fps = defaultdict(list)
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        need = _AUD_SAMPLES * 2
+        body = (raw * (need // len(raw) + 2))[:need]
+        s = np.frombuffer(body, dtype="<i2").astype(np.float64) \
+            .reshape(_FP_FRAMES, _FP_FLEN)
+        doms = []
+        for fr in range(_FP_FRAMES):
+            mags = np.round(np.hypot(cosm @ s[fr], sinm @ s[fr]), 2)
+            doms.append(int(np.argmax(mags == mags.max())) + 1)
+        for fr in range(_FP_FRAMES - 1):
+            fps[d.doc_id].append((fr, doms[fr] * 16 + doms[fr + 1]))
+    inv = defaultdict(set)
+    for did, hs in fps.items():
+        for key in hs:
+            inv[key].add(did)
+    want = {}
+    for p in range(_FP_PROBES):
+        score = Counter()
+        for key in fps[p]:
+            for c in inv[key]:
+                if c != p:
+                    score[c] += 1
+        top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[p] = [(c, n, i + 1)
+                   for i, (c, n) in enumerate(top[:_FP_TOPK])]
+    got = multimodal_audio_fingerprint(spark, sf_dir).toPandas()
+    have = defaultdict(list)
+    for r in got.itertuples():
+        have[int(r.probe_doc)].append(
+            (int(r.cand_doc), int(r.n_matches), int(r.rank)))
+    assert dict(have) == {p: v for p, v in want.items() if v}

@@ -77,6 +77,9 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # (multimodal_audio_decode's shape); only the 4-value
              # signature per clip leaves the task:
              "multimodal_audio_spectrum",
+             # constellation fingerprint runs the same real WAV
+             # decode + termwise DFT in its one declared stage:
+             "multimodal_audio_fingerprint",
              # SSIM probe ranking: the real PPM decoder + integer
              # moment sums against the broadcast probe vector run in
              # the one declared mapInPandas stage; 3 doubles per
