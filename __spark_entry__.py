@@ -149,6 +149,9 @@ _GRADE_FIRST = (
     # Shazam-style constellation fingerprint retrieval on the real
     # WAV decode path — hash-keyed landmark join, byte-level replay.
     "multimodal_audio_fingerprint",
+    # Neyman-optimal stratified allocation plan from exact
+    # integer-cents moments; Var_neyman <= Var_prop pinned.
+    "sample_neyman_allocation",
 )
 
 

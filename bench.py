@@ -205,6 +205,7 @@ HEADLINE = [
     ("join_estimate", relational.stats_join_size_estimate),
     ("brier", quality.stats_brier_decomposition),
     ("audio_fingerprint", multimodal.multimodal_audio_fingerprint),
+    ("neyman", quality.sample_neyman_allocation),
 ]
 
 

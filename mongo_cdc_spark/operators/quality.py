@@ -2195,3 +2195,94 @@ def stats_brier_decomposition(spark: SparkSession,
                     F.round(F.col("obar") * (1 - F.col("obar")), 6)
                     .alias("uncertainty"))
             .orderBy("bin"))
+
+
+# --------------------------------------------- Neyman allocation plan
+
+NEYMAN_BUDGET = 1000
+
+
+@query("sample_neyman_allocation", sql=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y
+      FROM customer
+    ), st AS (
+      SELECT stratum, COUNT(*) AS nh,
+             SUM(y) AS sy, SUM(y * y) AS sy2
+      FROM cents GROUP BY 1
+    ), sd AS (
+      SELECT stratum, nh,
+             SQRT((sy2 - sy * 1.0 * sy / nh) / (nh - 1)) / 100.0
+               AS sd_h
+      FROM st
+    ), tot AS (
+      SELECT SUM(nh) AS n_pop, SUM(nh * sd_h) AS sum_ns,
+             SUM(nh * sd_h * sd_h) AS sum_ns2
+      FROM sd
+    ), alloc AS (
+      SELECT s.stratum, s.nh, s.sd_h,
+             s.nh * 1.0 / t.n_pop AS w_h,
+             {NEYMAN_BUDGET} * s.nh * s.sd_h / t.sum_ns AS n_neyman,
+             {NEYMAN_BUDGET} * s.nh * 1.0 / t.n_pop AS n_prop,
+             t.sum_ns, t.sum_ns2, t.n_pop
+      FROM sd s, tot t
+    )
+    SELECT stratum,
+           CAST(nh AS BIGINT) AS n_stratum,
+           ROUND(sd_h, 6) AS sd_h,
+           ROUND(w_h, 6) AS weight,
+           ROUND(n_neyman, 2) AS n_neyman,
+           ROUND(n_prop, 2) AS n_prop,
+           ROUND(POWER(sum_ns / n_pop, 2) / {NEYMAN_BUDGET}, 6)
+             AS var_neyman,
+           ROUND((sum_ns2 / n_pop) / {NEYMAN_BUDGET}, 6) AS var_prop
+    FROM alloc ORDER BY stratum
+""")
+def sample_neyman_allocation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934) of a
+    {NEYMAN_BUDGET}-row measurement budget across customer market
+    segments: n_h proportional to N_h * sigma_h — concentrate samples
+    where the strata are big AND noisy — next to the proportional
+    allocation, with the resulting estimator variances
+    (sum W_h sigma_h)^2 / n vs (sum W_h sigma_h^2) / n so the design
+    gain is explicit. This is the planning table every
+    data-profiling / quality-audit sampler should consult before
+    burning its labeling or scan budget uniformly.
+
+    Plan: ONE data-grain partial agg over integer CENTS (sums and
+    sums-of-squares exact — zero float-order risk), a 5-row stratum
+    frame, a broadcast 1-row totals frame, pure algebra after. At
+    100 TB the stratum agg is the only data-sized stage."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("y"))
+    st = (cents.groupBy("stratum")
+          .agg(F.count(F.lit(1)).alias("nh"), F.sum("y").alias("sy"),
+               F.sum(F.col("y") * F.col("y")).alias("sy2")))
+    sd = st.select(
+        "stratum", "nh",
+        (F.sqrt((F.col("sy2") - F.col("sy") * 1.0 * F.col("sy")
+                 / F.col("nh")) / (F.col("nh") - 1)) / 100.0)
+        .alias("sd_h"))
+    tot = sd.agg(F.sum("nh").alias("n_pop"),
+                 F.sum(F.col("nh") * F.col("sd_h")).alias("sum_ns"),
+                 F.sum(F.col("nh") * F.col("sd_h") * F.col("sd_h"))
+                 .alias("sum_ns2"))
+    a = sd.crossJoin(F.broadcast(tot))
+    return (a.select(
+        "stratum",
+        F.col("nh").cast("bigint").alias("n_stratum"),
+        F.round("sd_h", 6).alias("sd_h"),
+        F.round(F.col("nh") * 1.0 / F.col("n_pop"), 6).alias("weight"),
+        F.round(NEYMAN_BUDGET * F.col("nh") * F.col("sd_h")
+                / F.col("sum_ns"), 2).alias("n_neyman"),
+        F.round(NEYMAN_BUDGET * F.col("nh") * 1.0 / F.col("n_pop"), 2)
+        .alias("n_prop"),
+        F.round(F.pow(F.col("sum_ns") / F.col("n_pop"), 2)
+                / NEYMAN_BUDGET, 6).alias("var_neyman"),
+        F.round((F.col("sum_ns2") / F.col("n_pop")) / NEYMAN_BUDGET, 6)
+        .alias("var_prop"))
+        .orderBy("stratum"))

@@ -587,3 +587,46 @@ def test_brier_decomposition_identity_and_python_recompute(spark,
     # positive resolution; both quadratic terms are non-negative
     assert r.reliability >= 0 and r.resolution >= 0
     assert 0 < r.uncertainty <= 0.25
+
+
+def test_neyman_allocation_matches_numpy_and_dominates(spark, sf_dir):
+    """Independent numpy recompute + the design guarantee:
+    Var_neyman <= Var_prop (Cauchy-Schwarz), allocations sum to the
+    budget, weights sum to 1."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators.quality import (
+        NEYMAN_BUDGET, sample_neyman_allocation)
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal").toPandas()
+    c["y"] = (c.c_acctbal * 100).round().astype("int64")
+    got = (sample_neyman_allocation(spark, sf_dir)
+           .toPandas().set_index("stratum"))
+    g = c.groupby("c_mktsegment").y
+    nh = g.size()
+    sd = {}
+    for k, grp in g:
+        v = grp.to_numpy(dtype=np.float64)
+        sd[k] = float(np.sqrt((v @ v - v.sum() ** 2 / len(v))
+                              / (len(v) - 1)) / 100.0)
+    n_pop = int(nh.sum())
+    sum_ns = sum(nh[k] * sd[k] for k in sd)
+    sum_ns2 = sum(nh[k] * sd[k] ** 2 for k in sd)
+    for k in sd:
+        row = got.loc[k]
+        assert int(row.n_stratum) == nh[k]
+        assert abs(row.sd_h - round(sd[k], 6)) < 2e-6
+        assert abs(row.n_neyman
+                   - round(NEYMAN_BUDGET * nh[k] * sd[k] / sum_ns,
+                           2)) < 0.02
+        assert abs(row.n_prop
+                   - round(NEYMAN_BUDGET * nh[k] / n_pop, 2)) < 0.02
+    assert abs(got.weight.sum() - 1.0) < 1e-4
+    assert abs(got.n_neyman.sum() - NEYMAN_BUDGET) < 0.1
+    assert abs(got.n_prop.sum() - NEYMAN_BUDGET) < 0.1
+    vn, vp = got.var_neyman.iloc[0], got.var_prop.iloc[0]
+    assert abs(vn - round((sum_ns / n_pop) ** 2 / NEYMAN_BUDGET, 6)) \
+        < 2e-6
+    assert abs(vp - round((sum_ns2 / n_pop) / NEYMAN_BUDGET, 6)) < 2e-6
+    assert vn <= vp + 1e-9
