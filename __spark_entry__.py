@@ -152,6 +152,9 @@ _GRADE_FIRST = (
     # Neyman-optimal stratified allocation plan from exact
     # integer-cents moments; Var_neyman <= Var_prop pinned.
     "sample_neyman_allocation",
+    # k-fold CV slope via the leave-fold-out sum identity — k models
+    # from one moment frame, held-out RMSE per fold.
+    "stats_kfold_cv_slope",
 )
 
 

@@ -206,6 +206,7 @@ HEADLINE = [
     ("brier", quality.stats_brier_decomposition),
     ("audio_fingerprint", multimodal.multimodal_audio_fingerprint),
     ("neyman", quality.sample_neyman_allocation),
+    ("kfold_cv", quality.stats_kfold_cv_slope),
 ]
 
 

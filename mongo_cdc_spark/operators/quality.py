@@ -2286,3 +2286,130 @@ def sample_neyman_allocation(spark: SparkSession,
         F.round((F.col("sum_ns2") / F.col("n_pop")) / NEYMAN_BUDGET, 6)
         .alias("var_prop"))
         .orderBy("stratum"))
+
+
+# -------------------------------------------------- k-fold CV slope
+
+CV_FOLDS = 4
+
+
+@query("stats_kfold_cv_slope", sql=f"""
+    WITH base AS (
+      SELECT (instr('0123456789abcdef',
+                    substr(md5(l_orderkey::VARCHAR || ':'
+                               || l_linenumber::VARCHAR), 1, 1)) - 1)
+               // {16 // CV_FOLDS} AS fold,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ), fs AS (
+      SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(yc) AS sy,
+             SUM(x * yc) AS sxy, SUM(x * x) AS sxx
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxy) AS sxy, SUM(sxx) AS sxx
+      FROM fs
+    ), coef AS (
+      SELECT f.fold,
+             t.n - f.n AS n_train, f.n AS n_eval,
+             ROUND(((t.n - f.n) * (t.sxy - f.sxy)
+                    - (t.sx - f.sx) * (t.sy - f.sy)) * 1.0
+                   / (((t.n - f.n) * (t.sxx - f.sxx)
+                       - (t.sx - f.sx) * (t.sx - f.sx)) * 100.0), 6)
+               AS slope,
+             ROUND(((t.sy - f.sy) / 100.0
+                    - ((t.n - f.n) * (t.sxy - f.sxy)
+                       - (t.sx - f.sx) * (t.sy - f.sy)) * 1.0
+                      / (((t.n - f.n) * (t.sxx - f.sxx)
+                          - (t.sx - f.sx) * (t.sx - f.sx)) * 100.0)
+                      * (t.sx - f.sx)) / (t.n - f.n), 6) AS intercept
+      FROM fs f, tot t
+    ), ev AS (
+      SELECT c.fold, c.n_train, c.n_eval, c.slope, c.intercept,
+             ROUND(SQRT(AVG(POWER(b.yc / 100.0
+                 - (c.intercept + c.slope * b.x), 2))), 4) AS rmse
+      FROM base b JOIN coef c ON c.fold = b.fold
+      GROUP BY 1, 2, 3, 4, 5
+    ), cv AS (
+      SELECT AVG(slope) AS ms, stddev_samp(slope) AS ss FROM ev
+    )
+    SELECT CAST(e.fold AS INT) AS fold,
+           CAST(e.n_train AS BIGINT) AS n_train,
+           CAST(e.n_eval AS BIGINT) AS n_eval,
+           e.slope, e.intercept, e.rmse,
+           ROUND(cv.ms, 6) AS cv_mean_slope,
+           ROUND(cv.ss, 6) AS cv_sd_slope
+    FROM ev e, cv ORDER BY e.fold
+""")
+def stats_kfold_cv_slope(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """{CV_FOLDS}-fold cross-validated OLS of line revenue on
+    quantity: deterministic md5 fold assignment, each fold's
+    coefficients fit on the OTHER folds via the leave-fold-out SUM
+    identity (total moments minus fold moments — the folds are never
+    re-scanned per model), held-out RMSE per fold, and the
+    cross-fold slope mean/sd that tells you whether the fit is
+    stable enough to ship — the model-validation loop every feature
+    pipeline runs, done with k+1 aggregate frames instead of k
+    training jobs.
+
+    Plan: ONE data-grain partial agg produces the per-fold moment
+    frame ({CV_FOLDS} rows); totals and all 2x{CV_FOLDS} coefficients
+    are pure algebra on it. Moments use integer CENTS so every sum
+    is exact (fits 2^53 comfortably at test SFs; a 100 TB run swaps
+    the moment sums to DECIMAL(38) — same identity). The second
+    data-grain pass scores each row against ITS fold's broadcast
+    coefficients for the held-out RMSE. Everything else is
+    {CV_FOLDS}-row metadata."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        ((F.instr(F.lit("0123456789abcdef"),
+                  F.substring(F.md5(F.concat_ws(
+                      ":", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))), 1, 1))
+          - 1).cast("int") / (16 // CV_FOLDS)).cast("int").alias("fold"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("yc"))
+    fs = (base.groupBy("fold")
+          .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+               F.sum("yc").alias("sy"),
+               F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+          .localCheckpoint(eager=False))
+    tot = fs.agg(*[F.sum(c).alias(c)
+                   for c in ("n", "sx", "sy", "sxy", "sxx")])
+    f = fs.select(*[F.col(c).alias(f"f_{c}")
+                    for c in ("fold", "n", "sx", "sy", "sxy", "sxx")])
+    jt = f.crossJoin(F.broadcast(tot))
+    num = ((F.col("n") - F.col("f_n")) * (F.col("sxy") - F.col("f_sxy"))
+           - (F.col("sx") - F.col("f_sx"))
+           * (F.col("sy") - F.col("f_sy")))
+    den = (((F.col("n") - F.col("f_n")) * (F.col("sxx") - F.col("f_sxx"))
+            - (F.col("sx") - F.col("f_sx"))
+            * (F.col("sx") - F.col("f_sx"))) * 100.0)
+    slope = num * 1.0 / den
+    coef = jt.select(
+        F.col("f_fold").alias("fold"),
+        (F.col("n") - F.col("f_n")).alias("n_train"),
+        F.col("f_n").alias("n_eval"),
+        F.round(slope, 6).alias("slope"),
+        F.round(((F.col("sy") - F.col("f_sy")) / 100.0
+                 - slope * (F.col("sx") - F.col("f_sx")))
+                / (F.col("n") - F.col("f_n")), 6).alias("intercept"))
+    ev = (base.join(F.broadcast(coef), "fold")
+          .groupBy("fold", "n_train", "n_eval", "slope", "intercept")
+          .agg(F.round(F.sqrt(F.avg(F.pow(
+              F.col("yc") / 100.0
+              - (F.col("intercept") + F.col("slope") * F.col("x")),
+              2))), 4).alias("rmse")))
+    cv = ev.agg(F.round(F.avg("slope"), 6).alias("cv_mean_slope"),
+                F.round(F.stddev_samp("slope"), 6).alias("cv_sd_slope"))
+    return (ev.crossJoin(F.broadcast(cv))
+            .select(F.col("fold").cast("int").alias("fold"),
+                    F.col("n_train").cast("bigint").alias("n_train"),
+                    F.col("n_eval").cast("bigint").alias("n_eval"),
+                    "slope", "intercept", "rmse",
+                    "cv_mean_slope", "cv_sd_slope")
+            .orderBy("fold"))

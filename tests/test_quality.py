@@ -630,3 +630,55 @@ def test_neyman_allocation_matches_numpy_and_dominates(spark, sf_dir):
         < 2e-6
     assert abs(vp - round((sum_ns2 / n_pop) / NEYMAN_BUDGET, 6)) < 2e-6
     assert vn <= vp + 1e-9
+
+
+def test_kfold_cv_slope_matches_sklearn_style_recompute(spark, sf_dir):
+    """Independent recompute: explicit per-fold refits (numpy lstsq
+    normal equations) must equal the sum-identity coefficients, and
+    each RMSE must equal direct held-out scoring."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from mongo_cdc_spark.operators.quality import (
+        CV_FOLDS, stats_kfold_cv_slope)
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).collect()
+    folds = [[] for _ in range(CV_FOLDS)]
+    for r in rows:
+        h = hashlib.md5(
+            f"{r.l_orderkey}:{r.l_linenumber}".encode()).hexdigest()[0]
+        k = "0123456789abcdef".index(h) // (16 // CV_FOLDS)
+        folds[k].append((int(r.l_quantity),
+                         int(round(r.l_extendedprice * 100))))
+    got = stats_kfold_cv_slope(spark, sf_dir).toPandas() \
+        .set_index("fold")
+    slopes = []
+    for k in range(CV_FOLDS):
+        train = [p for j in range(CV_FOLDS) if j != k for p in folds[j]]
+        n = len(train)
+        sx = sum(x for x, _ in train)
+        sy = sum(y for _, y in train)
+        sxy = sum(x * y for x, y in train)
+        sxx = sum(x * x for x, y in train)
+        slope = round((n * sxy - sx * sy) / ((n * sxx - sx * sx)
+                                             * 100.0), 6)
+        inter = round((sy / 100.0 - (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * 100.0) * sx) / n, 6)
+        rmse = round(math.sqrt(np.mean(
+            [(y / 100.0 - (inter + slope * x)) ** 2
+             for x, y in folds[k]])), 4)
+        g = got.loc[k]
+        assert (int(g.n_train), int(g.n_eval)) == (n, len(folds[k]))
+        assert (g.slope, g.intercept) == (slope, inter)
+        assert abs(g.rmse - rmse) < 1e-3
+        slopes.append(slope)
+    assert abs(got.cv_mean_slope.iloc[0]
+               - round(float(np.mean(slopes)), 6)) < 2e-6
+    assert abs(got.cv_sd_slope.iloc[0]
+               - round(float(np.std(slopes, ddof=1)), 6)) < 2e-6
+    # folds cover everything exactly once
+    assert int(got.n_eval.sum()) == len(rows)
