@@ -155,6 +155,9 @@ _GRADE_FIRST = (
     # k-fold CV slope via the leave-fold-out sum identity — k models
     # from one moment frame, held-out RMSE per fold.
     "stats_kfold_cv_slope",
+    # Watts-Strogatz local clustering top-k on the oriented-wedge
+    # O(m^1.5) pipeline; checkpointed triangle list, 3-row explode.
+    "graph_local_clustering",
 )
 
 

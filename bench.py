@@ -207,6 +207,7 @@ HEADLINE = [
     ("audio_fingerprint", multimodal.multimodal_audio_fingerprint),
     ("neyman", quality.sample_neyman_allocation),
     ("kfold_cv", quality.stats_kfold_cv_slope),
+    ("local_clustering", graph.graph_local_clustering),
 ]
 
 

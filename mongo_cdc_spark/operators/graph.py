@@ -729,3 +729,127 @@ def graph_kcore_decomposition(spark: SparkSession,
             .select("k", "node_id", F.col("n_name").alias("nation"),
                     "core_degree")
             .orderBy("k", "node_id"))
+
+
+# ------------------------------------------- local clustering top-k
+
+LCC_TOP = 20
+
+
+@query("graph_local_clustering", sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= {TRI_SUPPORT}
+    ), deg AS (
+      SELECT id, COUNT(*) AS deg FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY id
+    ), o AS (
+      SELECT CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.deg < dv.deg
+                    OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+    ), od AS (
+      SELECT o.src, o.dst, d.deg AS ddeg
+      FROM o JOIN deg d ON d.id = o.dst
+    ), tri AS (
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM od o1 JOIN od o2 ON o1.src = o2.src
+      JOIN o cl ON cl.src = o1.dst AND cl.dst = o2.dst
+      WHERE o1.ddeg < o2.ddeg
+         OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)
+    ), pern AS (
+      SELECT id, COUNT(*) AS t FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY id
+    ), cc AS (
+      SELECT p.id, d.deg, p.t,
+             ROUND(2.0 * p.t / (d.deg * (d.deg - 1)), 6) AS local_cc
+      FROM pern p JOIN deg d ON d.id = p.id
+      WHERE d.deg >= 2
+    )
+    SELECT CAST(id AS BIGINT) AS node_id,
+           CAST(deg AS BIGINT) AS degree,
+           CAST(t AS BIGINT) AS n_triangles,
+           local_cc
+    FROM cc ORDER BY local_cc DESC, node_id LIMIT {LCC_TOP}
+""")
+def graph_local_clustering(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients (Watts-Strogatz '98)
+    on the part co-occurrence graph: cc_i = 2 t_i / (deg_i (deg_i -
+    1)), the "how clique-like is this node's neighborhood" score
+    behind ego-community detection and link-spam screens — the
+    node-grain refinement of graph_triangle_count's single global
+    number, reported as the top-{LCC_TOP} most clustered nodes.
+
+    Plan: identical O(m^1.5) degree-oriented wedge pipeline as
+    graph_triangle_count (same checkpointed edge/degree frames, same
+    closing-edge hash join); each found triangle then explodes to
+    its 3 members — 3 rows per triangle, never per wedge — and the
+    per-node counts join degrees for the coefficient. Top-k is
+    TakeOrderedAndProject on the 6-dp-rounded score with node-id
+    tiebreak. Python adjacency-set reference in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p")).distinct())
+    a = items.select("o", F.col("p").alias("u"))
+    b = items.select("o", F.col("p").alias("v"))
+    edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
+             .localCheckpoint(eager=False))
+    deg = (edges.select(F.col("u").alias("id"))
+           .unionByName(edges.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
+    e = (edges
+         .join(deg.select(F.col("id").alias("u"),
+                          F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("id").alias("v"),
+                          F.col("deg").alias("dv")), "v"))
+    u_first = ((F.col("du") < F.col("dv"))
+               | ((F.col("du") == F.col("dv"))
+                  & (F.col("u") < F.col("v"))))
+    o = (e.select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                  .alias("src"),
+                  F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                  .alias("dst"))
+         .localCheckpoint(eager=False))
+    od = o.join(deg.select(F.col("id").alias("dst"),
+                           F.col("deg").alias("ddeg")), "dst")
+    o1 = od.select("src", F.col("dst").alias("b"),
+                   F.col("ddeg").alias("db"))
+    o2 = od.select("src", F.col("dst").alias("c"),
+                   F.col("ddeg").alias("dc"))
+    wedge = (o1.join(o2, "src")
+             .filter((F.col("db") < F.col("dc"))
+                     | ((F.col("db") == F.col("dc"))
+                        & (F.col("b") < F.col("c")))))
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    # checkpoint the triangle list: the 3-way member union below
+    # must read it ONCE, not replay the wedge join per branch
+    tri = (wedge.join(closing, ["b", "c"]).select("src", "b", "c")
+           .localCheckpoint(eager=False))
+    pern = (tri.select(F.col("src").alias("id"))
+            .unionByName(tri.select(F.col("b").alias("id")))
+            .unionByName(tri.select(F.col("c").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("t")))
+    cc = (pern.join(deg, "id")
+          .filter(F.col("deg") >= 2)
+          .select(F.col("id").cast("bigint").alias("node_id"),
+                  F.col("deg").cast("bigint").alias("degree"),
+                  F.col("t").cast("bigint").alias("n_triangles"),
+                  F.round(2.0 * F.col("t")
+                          / (F.col("deg") * (F.col("deg") - 1)), 6)
+                  .alias("local_cc")))
+    return (cc.orderBy(F.desc("local_cc"), "node_id").limit(LCC_TOP))

@@ -272,3 +272,43 @@ def test_kcore_matches_python_peel_to_convergence(spark, sf_dir):
     # sorted output
     key = list(zip(got.k, got.node_id))
     assert key == sorted(key)
+
+
+def test_local_clustering_matches_python_adjacency(spark, sf_dir):
+    """Independent adjacency-set recompute of every node's triangle
+    count and coefficient; the operator's top-k must match the
+    reference's (rounded cc, node) ordering exactly."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from mongo_cdc_spark.operators.graph import (
+        LCC_TOP, TRI_SUPPORT, graph_local_clustering)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct().collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_n = defaultdict(int)
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_n[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), c in pair_n.items():
+        if c >= TRI_SUPPORT:
+            adj[u].add(v)
+            adj[v].add(u)
+    want = []
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        t = sum(len(adj[x] & nbrs) for x in nbrs) // 2
+        if t:
+            want.append((node, d, t, round(2.0 * t / (d * (d - 1)), 6)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    got = graph_local_clustering(spark, sf_dir).toPandas()
+    have = [(int(r.node_id), int(r.degree), int(r.n_triangles),
+             r.local_cc) for r in got.itertuples()]
+    assert have == want[:LCC_TOP]
+    assert (got.local_cc <= 1.0).all() and (got.local_cc > 0).all()

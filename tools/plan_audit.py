@@ -160,6 +160,11 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # 100 TB plan (triangle counting's rationale); AQE still
           # broadcasts the degree side when measured small:
           "graph_degree_assortativity": 2,
+          # local clustering: the per-node triangle counts join the
+          # NODE-grain degree frame for the coefficient — both sides
+          # scale with the graph (assortativity's rationale); AQE
+          # broadcasts the smaller side when measured small:
+          "graph_local_clustering": 1,
           # trade balance: the demand-side star starts lineitem ⋈
           # orders — the same inherent big-big join declared for
           # q7/q8 (both sides huge at 100 TB; dims broadcast):
