@@ -158,6 +158,12 @@ _GRADE_FIRST = (
     # Watts-Strogatz local clustering top-k on the oriented-wedge
     # O(m^1.5) pipeline; checkpointed triangle list, 3-row explode.
     "graph_local_clustering",
+    # hot-key salting plan table: fan-out = ceil(n/budget), skew
+    # factor before/after — feeds skew.salted_join's n_salts.
+    "skew_salting_plan",
+    # XLM-R temperature-scaled mixture: q = p^a / sum p^a sweep over
+    # token shares; one lang-grain agg, bounded grid downstream.
+    "train_mixture_temperature",
 )
 
 

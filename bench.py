@@ -20,7 +20,7 @@ sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
     cdc_batch, dedup, graph, layout, multimodal, quality, relational,
-    similarity, text, timeseries, tpch_full, training,
+    similarity, skew, text, timeseries, tpch_full, training,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
@@ -208,6 +208,8 @@ HEADLINE = [
     ("neyman", quality.sample_neyman_allocation),
     ("kfold_cv", quality.stats_kfold_cv_slope),
     ("local_clustering", graph.graph_local_clustering),
+    ("salting_plan", skew.skew_salting_plan),
+    ("mixture_temp", training.train_mixture_temperature),
 ]
 
 

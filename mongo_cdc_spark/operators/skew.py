@@ -189,3 +189,88 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy("o_orderpriority"))
+
+
+# ------------------------------------------------- salting plan table
+
+SALT_TARGET_ROWS = 5_000     # per-reducer row budget (fixture-sized;
+#                              production: rows that fit one task's
+#                              memory/runtime envelope)
+
+
+@query("skew_salting_plan", sql=f"""
+    WITH kc AS (
+      SELECT event_type AS key, COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_rows) AS n_total, COUNT(*) AS n_keys,
+             MAX(n_rows) AS max_before
+      FROM kc
+    ), plan AS (
+      SELECT k.key, k.n_rows,
+             k.n_rows * 1.0 / t.n_total AS share,
+             CASE WHEN k.n_rows > {SALT_TARGET_ROWS}
+                  THEN CAST(CEIL(k.n_rows * 1.0
+                                 / {SALT_TARGET_ROWS}) AS BIGINT)
+                  ELSE 1 END AS n_salts,
+             t.n_total, t.n_keys, t.max_before
+      FROM kc k, tot t
+    ), after AS (
+      SELECT MAX(-((-n_rows) // n_salts)) AS max_after FROM plan
+    )
+    SELECT p.key,
+           CAST(p.n_rows AS BIGINT) AS n_rows,
+           ROUND(p.share, 6) AS share,
+           p.n_salts,
+           CAST(-((-p.n_rows) // p.n_salts) AS BIGINT)
+             AS rows_per_salt,
+           ROUND(p.max_before * 1.0 * p.n_keys / p.n_total, 4)
+             AS skew_before,
+           ROUND(a.max_after * 1.0
+                 * (SELECT SUM(n_salts) FROM plan) / p.n_total, 4)
+             AS skew_after
+    FROM plan p, after a ORDER BY p.n_rows DESC, p.key
+""")
+def skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting plan for the case AQE cannot fix (a build-side
+    hot key every probe split still reads): per join key, the row
+    count, its share, the salt fan-out ceil(n / target) that brings
+    every reducer under the {SALT_TARGET_ROWS}-row budget, and the
+    max-over-avg skew factor before vs after salting — the planning
+    table `skew.salted_join` / `salted_sum_count` consume as
+    n_salts. Emitting the plan as data (instead of hard-coding 16)
+    is what lets a nightly job adapt fan-out to drift.
+
+    Plan: ONE data-grain partial-agg count shuffle; everything after
+    runs on the |keys|-row frame with a broadcast totals row. All
+    inputs integers; ceil via the portable -((-n) // s) identity
+    (no float division near integer boundaries on either engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    kc = (ev.groupBy(F.col("event_type").alias("key"))
+          .agg(F.count(F.lit(1)).alias("n_rows"))
+          .localCheckpoint(eager=False))
+    tot = kc.agg(F.sum("n_rows").alias("n_total"),
+                 F.count(F.lit(1)).alias("n_keys"),
+                 F.max("n_rows").alias("max_before"))
+    plan = (kc.crossJoin(F.broadcast(tot))
+            .withColumn("n_salts", F.when(
+                F.col("n_rows") > SALT_TARGET_ROWS,
+                F.ceil(F.col("n_rows") * 1.0 / SALT_TARGET_ROWS)
+                .cast("bigint")).otherwise(F.lit(1).cast("bigint")))
+            # integer ceil via -((-n) DIV s): Spark's / on bigint
+            # is double-valued, DIV is the exact integer twin
+            .withColumn("rows_per_salt", F.expr(
+                "CAST(-((-n_rows) DIV n_salts) AS BIGINT)")))
+    after = plan.agg(F.max("rows_per_salt").alias("max_after"),
+                     F.sum("n_salts").alias("sum_salts"))
+    return (plan.crossJoin(F.broadcast(after))
+            .select("key",
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    F.round(F.col("n_rows") * 1.0 / F.col("n_total"), 6)
+                    .alias("share"),
+                    "n_salts", "rows_per_salt",
+                    F.round(F.col("max_before") * 1.0 * F.col("n_keys")
+                            / F.col("n_total"), 4).alias("skew_before"),
+                    F.round(F.col("max_after") * 1.0 * F.col("sum_salts")
+                            / F.col("n_total"), 4).alias("skew_after"))
+            .orderBy(F.desc("n_rows"), "key"))

@@ -1631,3 +1631,79 @@ def train_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_tokens", "pad_tokens", "pad_frac",
                     F.round(gpad, 6).alias("unbucketed_pad_frac"))
             .orderBy("bucket"))
+
+
+# --------------------------------------- temperature-scaled mixture
+
+MIX_TEMPS = (0.3, 0.7)
+
+
+@query("train_mixture_temperature", sql=f"""
+    WITH counts AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             SUM(len(regexp_split_to_array(text, '\\s+'))) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_tokens) AS t FROM counts
+    ), p AS (
+      SELECT c.lang, c.n_docs, c.n_tokens,
+             c.n_tokens * 1.0 / t.t AS p
+      FROM counts c, tot t
+    ), q AS (
+      SELECT p.lang, p.n_docs, p.n_tokens, p.p, a.alpha,
+             POWER(p.p, a.alpha)
+               / SUM(POWER(p.p, a.alpha))
+                   OVER (PARTITION BY a.alpha) AS q
+      FROM p, (SELECT UNNEST(ARRAY[{MIX_TEMPS[0]}, {MIX_TEMPS[1]}])
+                 AS alpha) a
+    )
+    SELECT alpha, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(p, 6) AS p_raw,
+           ROUND(q, 6) AS p_temp,
+           ROUND(q / p, 6) AS boost
+    FROM q ORDER BY alpha, lang
+""")
+def train_mixture_temperature(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (the XLM-R / mT5
+    multilingual recipe, Conneau et al. '19): per language,
+    q_i = p_i^alpha / sum_j p_j^alpha over token shares for
+    alpha in {MIX_TEMPS} — alpha < 1 upsamples the tail languages
+    without flattening to uniform, and boost = q/p is the per-source
+    dataloader repetition factor. The generalization of
+    train_mixture_weights' uniform target (alpha = 0 is uniform,
+    alpha = 1 is proportional); shipping the alpha sweep as data is
+    how a mixture ablation picks its operating point.
+
+    Plan: ONE data-grain (lang, counts) partial agg; the temperature
+    sweep is a |langs| x |alphas| grid with per-alpha normalization
+    windows over that bounded grid. Shares are ratios of exact
+    integer token counts; POWER/sum run in identical expression
+    trees on both engines before the 6-dp round."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.size(_tokens())).alias("n_tokens")))
+    tot = counts.agg(F.sum("n_tokens").alias("t"))
+    p = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("p", F.col("n_tokens") * 1.0 / F.col("t")))
+    alphas = F.explode(F.array(*[F.lit(a) for a in MIX_TEMPS]))
+    g = p.select("lang", "n_docs", "n_tokens", "p",
+                 alphas.alias("alpha"))
+    wa = W.partitionBy("alpha")
+    q = F.pow("p", F.col("alpha")) \
+        / F.sum(F.pow("p", F.col("alpha"))).over(wa)
+    return (g.select(
+        "alpha", "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("p", 6).alias("p_raw"),
+        F.round(q, 6).alias("p_temp"),
+        F.round(q / F.col("p"), 6).alias("boost"))
+        .orderBy("alpha", "lang"))

@@ -132,3 +132,35 @@ def test_bloom_semi_reduction_matches_plain_join(spark, sf_dir):
     plan = join_bloom_semi_reduction(spark, sf_dir)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_salting_plan_matches_pandas_and_bounds(spark, sf_dir):
+    """Pandas recompute + plan guarantees: fan-out covers every key
+    under the budget and salting never increases the skew factor."""
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.skew import (
+        SALT_TARGET_ROWS, skew_salting_plan)
+
+    ev = load_table(spark, sf_dir, "events").groupBy("event_type") \
+        .count().toPandas().set_index("event_type")["count"]
+    got = skew_salting_plan(spark, sf_dir).toPandas().set_index("key")
+    assert set(got.index) == set(ev.index)
+    n_total = int(ev.sum())
+    for k, n in ev.items():
+        g = got.loc[k]
+        salts = max(1, math.ceil(n / SALT_TARGET_ROWS)) \
+            if n > SALT_TARGET_ROWS else 1
+        assert int(g.n_rows) == n
+        assert int(g.n_salts) == salts
+        assert int(g.rows_per_salt) == math.ceil(n / salts)
+        # the budget actually holds after salting (hot keys only)
+        if n > SALT_TARGET_ROWS:
+            assert g.rows_per_salt <= SALT_TARGET_ROWS
+        assert abs(g.share - round(n / n_total, 6)) < 2e-6
+    assert abs(got.share.sum() - 1.0) < 1e-4
+    r = got.iloc[0]
+    assert r.skew_after <= r.skew_before + 1e-9
+    # descending size order
+    assert list(got.n_rows) == sorted(got.n_rows, reverse=True)

@@ -461,3 +461,39 @@ def test_length_buckets_pad_arithmetic_and_savings(spark, sf_dir):
     assert bucket_pad <= global_pad
     assert rows[0].unbucketed_pad_frac == round(
         global_pad / (n_total * gmax), 6)
+
+
+def test_mixture_temperature_matches_numpy(spark, sf_dir):
+    """Temperature identities: q sums to 1 per alpha, tail languages
+    get boost > 1 and head languages < 1 (for alpha < 1), and every
+    value matches a numpy recompute from raw token counts."""
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        MIX_TEMPS, train_mixture_temperature)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", r"\s+")).alias("n")).toPandas()
+    cnt = docs.groupby("lang").n.sum()
+    p = cnt / cnt.sum()
+    got = train_mixture_temperature(spark, sf_dir).toPandas()
+    for alpha in MIX_TEMPS:
+        g = got[got.alpha == alpha].set_index("lang")
+        q = p ** alpha / (p ** alpha).sum()
+        for lang in p.index:
+            assert int(g.loc[lang, "n_tokens"]) == int(cnt[lang])
+            assert abs(g.loc[lang, "p_raw"] - round(p[lang], 6)) < 2e-6
+            assert abs(g.loc[lang, "p_temp"] - round(q[lang], 6)) < 2e-6
+            assert abs(g.loc[lang, "boost"]
+                       - round(q[lang] / p[lang], 6)) < 2e-6
+        assert abs(g.p_temp.sum() - 1.0) < 1e-4
+        # alpha < 1 compresses: below-average shares boost up,
+        # above-average shares boost down
+        mean_p = 1.0 / len(p)
+        for lang in p.index:
+            if p[lang] < mean_p * 0.8:
+                assert g.loc[lang, "boost"] > 1
+            if p[lang] > mean_p * 1.25:
+                assert g.loc[lang, "boost"] < 1
