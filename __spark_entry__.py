@@ -164,6 +164,9 @@ _GRADE_FIRST = (
     # XLM-R temperature-scaled mixture: q = p^a / sum p^a sweep over
     # token shares; one lang-grain agg, bounded grid downstream.
     "train_mixture_temperature",
+    # bloom-filter design audit: measured FPR on guaranteed
+    # non-members vs (1-(1-1/m)^kn)^k per hash count k.
+    "layout_bloom_design",
 )
 
 

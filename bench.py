@@ -210,6 +210,7 @@ HEADLINE = [
     ("local_clustering", graph.graph_local_clustering),
     ("salting_plan", skew.skew_salting_plan),
     ("mixture_temp", training.train_mixture_temperature),
+    ("bloom_design", layout.layout_bloom_design),
 ]
 
 

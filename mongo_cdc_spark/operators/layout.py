@@ -504,3 +504,133 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_files"), 6)
                     .alias("read_amplification"))
             .orderBy("file_month"))
+
+
+# ---------------------------------------------- bloom design audit
+
+BLOOM_M = 4096                    # filter bits
+BLOOM_KS = (2, 4, 6)              # hash-count configurations
+
+
+def _bloom_oracle_sql() -> str:
+    ks = ", ".join(str(k) for k in BLOOM_KS)
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ), probes AS (
+      -- adversarial non-member probes: offset keys, provably
+      -- disjoint (and re-checked with the anti-filter)
+      SELECT c_custkey + 10000000 AS key FROM customer
+      WHERE c_custkey + 10000000 NOT IN (SELECT key FROM members)
+    ), cfg AS (
+      SELECT k.k, i.i
+      FROM (SELECT UNNEST(ARRAY[{ks}]) AS k) k,
+           generate_series(0, {max(BLOOM_KS) - 1}) i(i)
+      WHERE i.i < k.k
+    ), bits AS (
+      SELECT DISTINCT cfg.k,
+             ('0x' || substr(md5(CAST(m.key AS VARCHAR) || ':'
+                                 || CAST(cfg.i AS VARCHAR)), 1, 15))
+               ::BIGINT % {BLOOM_M} AS bit
+      FROM members m, cfg
+    ), ph AS (
+      SELECT cfg.k, p.key,
+             ('0x' || substr(md5(CAST(p.key AS VARCHAR) || ':'
+                                 || CAST(cfg.i AS VARCHAR)), 1, 15))
+               ::BIGINT % {BLOOM_M} AS bit
+      FROM probes p, cfg
+    ), hits AS (
+      SELECT ph.k, ph.key, COUNT(b.bit) AS n_hit
+      FROM ph LEFT JOIN bits b ON b.k = ph.k AND b.bit = ph.bit
+      GROUP BY 1, 2
+    ), meas AS (
+      SELECT k, COUNT(*) AS n_probes,
+             SUM(CASE WHEN n_hit = k THEN 1 ELSE 0 END) AS fp
+      FROM hits GROUP BY 1
+    ), sizes AS (
+      SELECT k, COUNT(*) AS bits_set FROM bits GROUP BY 1
+    ), nm AS (SELECT COUNT(*) AS n FROM members)
+    SELECT m.k,
+           {BLOOM_M} AS m_bits,
+           CAST(nm.n AS BIGINT) AS n_members,
+           CAST(m.n_probes AS BIGINT) AS n_probes,
+           CAST(s.bits_set AS BIGINT) AS bits_set,
+           ROUND(s.bits_set * 1.0 / {BLOOM_M}, 6) AS fill_ratio,
+           CAST(m.fp AS BIGINT) AS fp_count,
+           ROUND(m.fp * 1.0 / m.n_probes, 6) AS fpr_measured,
+           ROUND(POWER(1.0 - POWER(1.0 - 1.0 / {BLOOM_M},
+                                   m.k * nm.n), m.k), 6) AS fpr_theory
+    FROM meas m JOIN sizes s ON s.k = m.k, nm
+    ORDER BY m.k"""
+
+
+@query("layout_bloom_design", sql=_bloom_oracle_sql())
+def layout_bloom_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter design audit for the runtime-filter family
+    (join_bloom_semi_reduction's production knob): for each
+    hash-count k, build the m-bit filter over the distinct order
+    custkeys with engine-portable 60-bit md5 hashes, probe it with
+    guaranteed non-member keys (offset probe ids, anti-join
+    re-checked), and report measured false-positive rate next to the
+    textbook (1 - (1 - 1/m)^(kn))^k — the table that picks k before
+    a nightly job trusts a runtime filter's pruning factor. The
+    measured-vs-theory gap also smoke-tests hash uniformity.
+
+    Plan: member/probe sets are data-grain (distinct + anti-join);
+    the (k, i) hash grid is a {sum(BLOOM_KS)}-row broadcast, bit
+    sets collapse to <= m rows per k via map-side-combined distinct,
+    and the probe verdict is one LEFT join on (k, bit) + a per-probe
+    count — every stage integer-exact, FPR a ratio of exact counts.
+    At 100 TB the filter build is the same one-pass agg the real
+    bloom build runs; only the audit's probe join is extra."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    members = o.select(F.col("o_custkey").alias("key")).distinct() \
+        .localCheckpoint(eager=False)
+    probes = (c.select((F.col("c_custkey") + 10_000_000).alias("key"))
+              .join(members, "key", "left_anti")
+              .localCheckpoint(eager=False))
+    cfg_rows = [(k, i) for k in BLOOM_KS for i in range(k)]
+    cfg = spark.createDataFrame(cfg_rows, "k int, i int")
+
+    def bit_of(key_col, i_col):
+        h = F.md5(F.concat_ws(":", key_col.cast("string"),
+                              i_col.cast("string")).cast("binary"))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % BLOOM_M)
+
+    bits = (members.crossJoin(F.broadcast(cfg))
+            .select("k", bit_of(F.col("key"), F.col("i")).alias("bit"))
+            .distinct())
+    ph = (probes.crossJoin(F.broadcast(cfg))
+          .select("k", "key",
+                  bit_of(F.col("key"), F.col("i")).alias("bit")))
+    bset = bits.select(F.col("k").alias("bk"),
+                       F.col("bit").alias("b"))
+    # the bit set is bounded by |configs| * m bits — broadcast it
+    hits = (ph.join(F.broadcast(bset),
+                    (ph.k == bset.bk) & (ph.bit == bset.b), "left")
+            .groupBy("k", "key")
+            .agg(F.count("b").alias("n_hit")))
+    meas = (hits.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum((F.col("n_hit") == F.col("k")).cast("int"))
+                 .alias("fp")))
+    sizes = bits.groupBy("k").agg(F.count(F.lit(1)).alias("bits_set"))
+    nm = members.agg(F.count(F.lit(1)).alias("n"))
+    return (meas.join(F.broadcast(sizes), "k")
+            .crossJoin(F.broadcast(nm))
+            .select("k", F.lit(BLOOM_M).alias("m_bits"),
+                    F.col("n").cast("bigint").alias("n_members"),
+                    F.col("n_probes").cast("bigint").alias("n_probes"),
+                    F.col("bits_set").cast("bigint").alias("bits_set"),
+                    F.round(F.col("bits_set") * 1.0 / BLOOM_M, 6)
+                    .alias("fill_ratio"),
+                    F.col("fp").cast("bigint").alias("fp_count"),
+                    F.round(F.col("fp") * 1.0 / F.col("n_probes"), 6)
+                    .alias("fpr_measured"),
+                    F.round(F.pow(1.0 - F.pow(
+                        F.lit(1.0) - 1.0 / BLOOM_M,
+                        F.col("k") * F.col("n")), F.col("k")), 6)
+                    .alias("fpr_theory"))
+            .orderBy("k"))

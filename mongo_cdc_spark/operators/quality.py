@@ -2313,16 +2313,24 @@ CV_FOLDS = 4
     ), coef AS (
       SELECT f.fold,
              t.n - f.n AS n_train, f.n AS n_eval,
-             ROUND(((t.n - f.n) * (t.sxy - f.sxy)
-                    - (t.sx - f.sx) * (t.sy - f.sy)) * 1.0
-                   / (((t.n - f.n) * (t.sxx - f.sxx)
-                       - (t.sx - f.sx) * (t.sx - f.sx)) * 100.0), 6)
+             ROUND((CAST(t.n - f.n AS DOUBLE)
+                      * CAST(t.sxy - f.sxy AS DOUBLE)
+                    - CAST(t.sx - f.sx AS DOUBLE)
+                      * CAST(t.sy - f.sy AS DOUBLE))
+                   / ((CAST(t.n - f.n AS DOUBLE)
+                         * CAST(t.sxx - f.sxx AS DOUBLE)
+                       - CAST(t.sx - f.sx AS DOUBLE)
+                         * CAST(t.sx - f.sx AS DOUBLE)) * 100.0), 6)
                AS slope,
              ROUND(((t.sy - f.sy) / 100.0
-                    - ((t.n - f.n) * (t.sxy - f.sxy)
-                       - (t.sx - f.sx) * (t.sy - f.sy)) * 1.0
-                      / (((t.n - f.n) * (t.sxx - f.sxx)
-                          - (t.sx - f.sx) * (t.sx - f.sx)) * 100.0)
+                    - (CAST(t.n - f.n AS DOUBLE)
+                         * CAST(t.sxy - f.sxy AS DOUBLE)
+                       - CAST(t.sx - f.sx AS DOUBLE)
+                         * CAST(t.sy - f.sy AS DOUBLE))
+                      / ((CAST(t.n - f.n AS DOUBLE)
+                            * CAST(t.sxx - f.sxx AS DOUBLE)
+                          - CAST(t.sx - f.sx AS DOUBLE)
+                            * CAST(t.sx - f.sx AS DOUBLE)) * 100.0)
                       * (t.sx - f.sx)) / (t.n - f.n), 6) AS intercept
       FROM fs f, tot t
     ), ev AS (
@@ -2357,8 +2365,10 @@ def stats_kfold_cv_slope(spark: SparkSession,
     Plan: ONE data-grain partial agg produces the per-fold moment
     frame ({CV_FOLDS} rows); totals and all 2x{CV_FOLDS} coefficients
     are pure algebra on it. Moments use integer CENTS so every sum
-    is exact (fits 2^53 comfortably at test SFs; a 100 TB run swaps
-    the moment sums to DECIMAL(38) — same identity). The second
+    is exact; the closed-form coefficient algebra then runs in
+    DOUBLE (the bigint cross-products overflow past ~sf0.1 — a
+    100 TB run keeps the same identity, optionally in DECIMAL(38)
+    for exactness). The second
     data-grain pass scores each row against ITS fold's broadcast
     coefficients for the held-out RMSE. Everything else is
     {CV_FOLDS}-row metadata."""
@@ -2383,13 +2393,18 @@ def stats_kfold_cv_slope(spark: SparkSession,
     f = fs.select(*[F.col(c).alias(f"f_{c}")
                     for c in ("fold", "n", "sx", "sy", "sxy", "sxx")])
     jt = f.crossJoin(F.broadcast(tot))
-    num = ((F.col("n") - F.col("f_n")) * (F.col("sxy") - F.col("f_sxy"))
-           - (F.col("sx") - F.col("f_sx"))
-           * (F.col("sy") - F.col("f_sy")))
-    den = (((F.col("n") - F.col("f_n")) * (F.col("sxx") - F.col("f_sxx"))
-            - (F.col("sx") - F.col("f_sx"))
-            * (F.col("sx") - F.col("f_sx"))) * 100.0)
-    slope = num * 1.0 / den
+    # coefficient algebra in DOUBLE: the integer sums are exact, but
+    # (n - f_n) * (sxy - f_sxy) overflows BIGINT past ~sf0.1 (ANSI
+    # mode errors); double keeps ~1e-16 relative error, absorbed by
+    # the 6-dp round on a O(1e3) slope
+    dnf = (F.col("n") - F.col("f_n")).cast("double")
+    num = (dnf * (F.col("sxy") - F.col("f_sxy")).cast("double")
+           - (F.col("sx") - F.col("f_sx")).cast("double")
+           * (F.col("sy") - F.col("f_sy")).cast("double"))
+    den = ((dnf * (F.col("sxx") - F.col("f_sxx")).cast("double")
+            - (F.col("sx") - F.col("f_sx")).cast("double")
+            * (F.col("sx") - F.col("f_sx")).cast("double")) * 100.0)
+    slope = num / den
     coef = jt.select(
         F.col("f_fold").alias("fold"),
         (F.col("n") - F.col("f_n")).alias("n_train"),

@@ -100,3 +100,46 @@ def test_clustering_depth_counts_pairwise_overlaps(spark, sf_dir):
                    if m != r.file_month and l2 <= hi and lo <= h2)
         assert r.overlap_depth == want
         assert abs(r.read_amplification - (want + 1) / n) < 1e-6
+
+
+def test_bloom_design_matches_python_filter(spark, sf_dir):
+    """Independent Python bloom build+probe with the same md5 hashes:
+    exact bit sets, exact FP counts, and theory within sanity range."""
+    import hashlib
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.layout import (
+        BLOOM_KS, BLOOM_M, layout_bloom_design)
+
+    members = {r.o_custkey for r in load_table(spark, sf_dir, "orders")
+               .select("o_custkey").distinct().collect()}
+    cust = [r.c_custkey for r in load_table(spark, sf_dir, "customer")
+            .select("c_custkey").collect()]
+    probes = [c + 10_000_000 for c in cust
+              if c + 10_000_000 not in members]
+
+    def h(key, i):
+        return int(hashlib.md5(f"{key}:{i}".encode())
+                   .hexdigest()[:15], 16) % BLOOM_M
+
+    got = layout_bloom_design(spark, sf_dir).toPandas() \
+        .set_index("k")
+    for k in BLOOM_KS:
+        bits = {h(m, i) for m in members for i in range(k)}
+        fp = sum(1 for p in probes
+                 if all(h(p, i) in bits for i in range(k)))
+        g = got.loc[k]
+        assert int(g.n_members) == len(members)
+        assert int(g.n_probes) == len(probes)
+        assert int(g.bits_set) == len(bits)
+        assert int(g.fp_count) == fp
+        assert abs(g.fpr_measured - round(fp / len(probes), 6)) < 2e-6
+        th = (1 - (1 - 1 / BLOOM_M) ** (k * len(members))) ** k
+        assert abs(g.fpr_theory - round(th, 6)) < 2e-6
+        # hash uniformity sanity: measured within a loose factor of
+        # theory (tiny fixture -> wide tolerance, zero-FP allowed
+        # only when theory is already sub-1%)
+        if th > 0.01:
+            assert g.fpr_measured < max(5 * th, 0.1)
+    # more hashes fill more bits
+    assert got.bits_set.is_monotonic_increasing

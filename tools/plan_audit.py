@@ -189,6 +189,12 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # map-side); the rest move the 1-2-row coefficient /
                # quantile frames and the final 2-row sort:
                "stats_conformal_interval": 6,
+               # bloom design audit: THREE data-grain stages (member
+               # distinct, probe anti-join, per-config bit-set
+               # distinct — all map-side combined) + the per-probe
+               # hit count; the remaining exchanges carry the 3-row
+               # config rollups and the final sort:
+               "layout_bloom_design": 6,
                # PSI drift: TWO data-grain aggs (reference bounds +
                # the (feature, cohort, bin) counts, both map-side
                # combined); the other four exchanges carry the
