@@ -167,6 +167,9 @@ _GRADE_FIRST = (
     # bloom-filter design audit: measured FPR on guaranteed
     # non-members vs (1-(1-1/m)^kn)^k per hash count k.
     "layout_bloom_design",
+    # approximate-FD profiling (Kivinen-Mannila g3) over the
+    # denormalized join view; exact holds/violations verdicts.
+    "quality_fd_discovery",
 )
 
 

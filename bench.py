@@ -211,6 +211,7 @@ HEADLINE = [
     ("salting_plan", skew.skew_salting_plan),
     ("mixture_temp", training.train_mixture_temperature),
     ("bloom_design", layout.layout_bloom_design),
+    ("fd_discovery", quality.quality_fd_discovery),
 ]
 
 

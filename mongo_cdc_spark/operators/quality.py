@@ -2428,3 +2428,92 @@ def stats_kfold_cv_slope(spark: SparkSession,
                     "slope", "intercept", "rmse",
                     "cv_mean_slope", "cv_sd_slope")
             .orderBy("fold"))
+
+
+# ------------------------------------------ functional dependencies
+
+_FD_CANDIDATES = (
+    ("o_custkey", "c_mktsegment"),      # holds: customer attribute
+    ("o_custkey", "c_nationkey"),       # holds: customer attribute
+    ("c_mktsegment", "o_orderpriority"),  # violates: independent
+    ("c_nationkey", "c_mktsegment"),    # violates: many-to-many
+)
+
+
+def _fd_oracle_sql() -> str:
+    melts = []
+    for lhs, rhs in _FD_CANDIDATES:
+        melts.append(
+            f"SELECT '{lhs}->{rhs}' AS fd, CAST({lhs} AS VARCHAR) AS l,"
+            f" CAST({rhs} AS VARCHAR) AS r FROM joined")
+    melt = "\n      UNION ALL ".join(melts)
+    return f"""
+    WITH joined AS (
+      SELECT o.o_custkey, o.o_orderpriority,
+             c.c_mktsegment, c.c_nationkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), melt AS (
+      {melt}
+    ), pairc AS (
+      SELECT fd, l, r, COUNT(*) AS c FROM melt GROUP BY 1, 2, 3
+    ), perl AS (
+      SELECT fd, l, SUM(c) AS n, MAX(c) AS keep
+      FROM pairc GROUP BY 1, 2
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(n - keep) AS BIGINT) AS n_violations,
+           SUM(n - keep) = 0 AS holds,
+           ROUND(1.0 - SUM(n - keep) * 1.0 / SUM(n), 6) AS g3_conf
+    FROM perl GROUP BY fd ORDER BY fd"""
+
+
+@query("quality_fd_discovery", sql=_fd_oracle_sql())
+def quality_fd_discovery(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency profiling over the
+    denormalized orders⋈customer view: for each candidate X -> Y,
+    the Kivinen-Mannila g3 measure — the minimum fraction of rows to
+    delete before the FD holds exactly, computed as
+    sum_x (|group x| - max single-y count) — plus the exact
+    holds/violations verdict. This is the schema-discovery pass
+    (Metanome/Deequ territory) that tells a lakehouse which
+    post-join columns are redundant (true FDs -> normalize or trust
+    for dedup keys) and which "obvious" dependencies are actually
+    dirty. Two candidates hold by construction, two genuinely
+    violate, so both verdict paths are exercised.
+
+    Plan: ONE key-hash join (orders⋈customer, both data-grain at
+    100 TB), checkpointed and melted into (candidate, lhs, rhs)
+    triples — each stage then collapses by counting: pair counts,
+    per-lhs totals + max, candidate rollup; every shuffle carries
+    only pre-collapsed count rows (map-side combine), every number
+    an exact integer until the final g3 division."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (o.join(c, o.o_custkey == c.c_custkey)
+              .select("o_custkey", "o_orderpriority",
+                      "c_mktsegment", "c_nationkey")
+              .localCheckpoint(eager=False))
+    melts = [joined.select(
+        F.lit(f"{lhs}->{rhs}").alias("fd"),
+        F.col(lhs).cast("string").alias("l"),
+        F.col(rhs).cast("string").alias("r"))
+        for lhs, rhs in _FD_CANDIDATES]
+    melt = melts[0]
+    for m in melts[1:]:
+        melt = melt.unionByName(m)
+    pairc = (melt.groupBy("fd", "l", "r")
+             .agg(F.count(F.lit(1)).alias("c")))
+    perl = (pairc.groupBy("fd", "l")
+            .agg(F.sum("c").alias("n"), F.max("c").alias("keep")))
+    return (perl.groupBy("fd")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                 F.sum("n").cast("bigint").alias("n_rows"),
+                 F.sum(F.col("n") - F.col("keep")).cast("bigint")
+                 .alias("n_violations"),
+                 (F.sum(F.col("n") - F.col("keep")) == 0).alias("holds"),
+                 F.round(1.0 - F.sum(F.col("n") - F.col("keep")) * 1.0
+                         / F.sum("n"), 6).alias("g3_conf"))
+            .orderBy("fd"))

@@ -682,3 +682,32 @@ def test_kfold_cv_slope_matches_sklearn_style_recompute(spark, sf_dir):
                - round(float(np.std(slopes, ddof=1)), 6)) < 2e-6
     # folds cover everything exactly once
     assert int(got.n_eval.sum()) == len(rows)
+
+
+def test_fd_discovery_verdicts_and_g3(spark, sf_dir):
+    """Pandas recompute of the g3 measure per candidate; the two
+    by-construction FDs must hold, the two independents must not."""
+    from mongo_cdc_spark.operators.quality import (
+        _FD_CANDIDATES, quality_fd_discovery)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").toPandas()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    got = quality_fd_discovery(spark, sf_dir).toPandas() \
+        .set_index("fd")
+    for lhs, rhs in _FD_CANDIDATES:
+        pair = j.groupby([lhs, rhs]).size().rename("c").reset_index()
+        perl = pair.groupby(lhs).c.agg(["sum", "max"])
+        viol = int((perl["sum"] - perl["max"]).sum())
+        g = got.loc[f"{lhs}->{rhs}"]
+        assert int(g.n_groups) == len(perl)
+        assert int(g.n_rows) == len(j)
+        assert int(g.n_violations) == viol
+        assert bool(g.holds) == (viol == 0)
+        assert abs(g.g3_conf - round(1 - viol / len(j), 6)) < 2e-6
+    assert bool(got.loc["o_custkey->c_mktsegment", "holds"])
+    assert bool(got.loc["o_custkey->c_nationkey", "holds"])
+    assert not bool(got.loc["c_mktsegment->o_orderpriority", "holds"])
+    assert not bool(got.loc["c_nationkey->c_mktsegment", "holds"])
