@@ -170,6 +170,9 @@ _GRADE_FIRST = (
     # approximate-FD profiling (Kivinen-Mannila g3) over the
     # denormalized join view; exact holds/violations verdicts.
     "quality_fd_discovery",
+    # RAKE keyphrases: stopword-island segmentation, deg/freq word
+    # scores, per-doc windows only, TakeOrdered top-k.
+    "text_rake_keywords",
 )
 
 

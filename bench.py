@@ -212,6 +212,7 @@ HEADLINE = [
     ("mixture_temp", training.train_mixture_temperature),
     ("bloom_design", layout.layout_bloom_design),
     ("fd_discovery", quality.quality_fd_discovery),
+    ("rake", text.text_rake_keywords),
 ]
 
 

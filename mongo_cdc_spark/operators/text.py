@@ -1405,3 +1405,100 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
             .orderBy(F.desc("n_hits"), F.asc("doc_id"))
             .limit(20))
+
+
+# -------------------------------------------------- RAKE keyphrases
+
+RAKE_TOP = 15
+_RAKE_STOPS = "', '".join(_STOPWORDS)
+
+
+@query("text_rake_keywords", sql=f"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok, t.pos
+      FROM documents d,
+           LATERAL (SELECT UNNEST(regexp_split_to_array(d.text,
+                      '\\s+')) AS tok,
+                    GENERATE_SUBSCRIPTS(regexp_split_to_array(d.text,
+                      '\\s+'), 1) AS pos) t
+    ), content AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks WHERE tok NOT IN ('{_RAKE_STOPS}') AND tok <> ''
+    ), phrase AS (
+      SELECT doc_id, grp,
+             STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM content GROUP BY 1, 2
+    ), wordstat AS (
+      SELECT c.tok, COUNT(*) AS freq, SUM(p.plen) AS deg
+      FROM content c
+      JOIN phrase p ON p.doc_id = c.doc_id AND p.grp = c.grp
+      GROUP BY 1
+    ), wscore AS (
+      SELECT tok, ROUND(deg * 1.0 / freq, 6) AS ws FROM wordstat
+    ), pscore AS (
+      SELECT p.phrase,
+             ROUND(SUM(w.ws), 4) AS score
+      FROM content c
+      JOIN phrase p ON p.doc_id = c.doc_id AND p.grp = c.grp
+      JOIN wscore w ON w.tok = c.tok
+      GROUP BY p.doc_id, p.grp, p.phrase
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(score) AS score
+    FROM pscore
+    GROUP BY phrase
+    ORDER BY MAX(score) DESC, phrase
+    LIMIT {RAKE_TOP}
+""")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (the
+    islands-and-gaps trick: pos - row_number over kept tokens),
+    word score = degree/frequency where degree sums the lengths of
+    every phrase the word appears in, phrase score sums its words'
+    scores — the zero-training keyword extractor content pipelines
+    run before tagging/routing, and the cheap first pass before any
+    neural keyphrase model.
+
+    Plan: posexplode at token grain; the phrase segmentation window
+    partitions PER DOCUMENT (bounded by doc length, never global);
+    word stats collapse at vocabulary grain, phrase scores at
+    phrase-occurrence grain — both map-side-combined count/sum
+    shuffles; final top-k is TakeOrderedAndProject on the
+    4-dp-rounded score with phrase-text tiebreak. Word scores round
+    at 6 dp before the per-phrase sum (<= phrase-length terms) so
+    cross-engine sum order can't flip the 4-dp phrase score."""
+    from pyspark.sql import Window as W
+
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(_tokens())
+                    .alias("pos", "tok")))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    content = (toks.filter(~F.col("tok").isin(*_STOPWORDS)
+                           & (F.col("tok") != ""))
+               .withColumn("grp",
+                           F.col("pos") - F.row_number().over(wdoc))
+               .localCheckpoint(eager=False))
+    phrase = (content.groupBy("doc_id", "grp")
+              .agg(F.concat_ws(
+                  " ", F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("pos", "tok"))),
+                      lambda s: s.tok)).alias("phrase"),
+                   F.count(F.lit(1)).alias("plen")))
+    cp = content.join(phrase, ["doc_id", "grp"])
+    wscore = (cp.groupBy("tok")
+              .agg(F.round(F.sum("plen") * 1.0 / F.count(F.lit(1)), 6)
+                   .alias("ws")))
+    pscore = (cp.join(wscore, "tok")
+              .groupBy("doc_id", "grp", "phrase")
+              .agg(F.round(F.sum("ws"), 4).alias("score")))
+    return (pscore.groupBy("phrase")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                 F.max("score").alias("score"))
+            .orderBy(F.desc("score"), "phrase")
+            .limit(RAKE_TOP))

@@ -225,3 +225,45 @@ def test_phrase_match_equals_token_adjacency(spark, sf_dir):
             want[r.doc_id] = n
     top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert sorted(got.items()) == sorted(top)
+
+
+def test_rake_keywords_match_python_reference(spark, sf_dir):
+    """Pure-Python RAKE over the corpus: same stopword segmentation,
+    same deg/freq scores, same rounded top-k."""
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (
+        _STOPWORDS, RAKE_TOP, text_rake_keywords)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").collect()
+    stops = set(_STOPWORDS)
+    phrases = []
+    for d in docs:
+        run = []
+        for tok in d.text.split():
+            if tok in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            elif tok:
+                run.append(tok)
+        if run:
+            phrases.append(tuple(run))
+    freq, deg = Counter(), Counter()
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    ws = {w: round(deg[w] / freq[w], 6) for w in freq}
+    occ = Counter(phrases)
+    scored = {}
+    for ph, n in occ.items():
+        scored[" ".join(ph)] = (round(sum(ws[w] for w in ph), 4), n)
+    want = sorted(((s, p, n) for p, (s, n) in scored.items()),
+                  key=lambda t: (-t[0], t[1]))[:RAKE_TOP]
+    got = text_rake_keywords(spark, sf_dir).toPandas()
+    have = [(r.score, r.phrase, int(r.n_occurrences))
+            for r in got.itertuples()]
+    assert have == want
