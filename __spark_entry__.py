@@ -173,6 +173,9 @@ _GRADE_FIRST = (
     # RAKE keyphrases: stopword-island segmentation, deg/freq word
     # scores, per-doc windows only, TakeOrdered top-k.
     "text_rake_keywords",
+    # two-round binary-segmentation changepoints on day-grain prefix
+    # frames; exhaustive O(n^2) Python reference pinned.
+    "ts_binseg_changepoints",
 )
 
 

@@ -213,6 +213,7 @@ HEADLINE = [
     ("bloom_design", layout.layout_bloom_design),
     ("fd_discovery", quality.quality_fd_discovery),
     ("rake", text.text_rake_keywords),
+    ("binseg", timeseries.ts_binseg_changepoints),
 ]
 
 

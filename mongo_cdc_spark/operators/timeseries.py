@@ -1418,3 +1418,190 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("zdist"))
             .orderBy("zdist", "window_a", "window_b")
             .limit(3))
+
+
+# ------------------------------------------ binary-seg changepoints
+
+
+@query("ts_binseg_changepoints", sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT a.d, a.vc,
+             (SELECT COUNT(*) FROM daily b WHERE b.d < a.d) AS i
+      FROM daily a
+    ), nn AS (SELECT COUNT(*) AS n FROM daily),
+    tp AS (
+      SELECT t.t,
+             COALESCE(SUM(CASE WHEN m.i < t.t
+                               THEN CAST(m.vc AS DOUBLE) END), 0)
+               AS p,
+             COALESCE(SUM(CASE WHEN m.i < t.t
+                               THEN CAST(m.vc AS DOUBLE)
+                                    * CAST(m.vc AS DOUBLE) END), 0)
+               AS p2
+      FROM (SELECT i AS t FROM idx UNION SELECT n FROM nn) t, idx m
+      GROUP BY t.t
+    ), tot AS (
+      SELECT a.p AS p0, a.p2 AS p20, b.p AS pn, b.p2 AS p2n, nn.n
+      FROM tp a, tp b, nn
+      WHERE a.t = 0 AND b.t = nn.n
+    ), g1 AS (
+      SELECT tp.t,
+             ((tot.p2n - tot.p20) - (tot.pn - tot.p0)
+                * (tot.pn - tot.p0) / tot.n)
+             - ((tp.p2 - tot.p20) - (tp.p - tot.p0)
+                  * (tp.p - tot.p0) / tp.t)
+             - ((tot.p2n - tp.p2) - (tot.pn - tp.p)
+                  * (tot.pn - tp.p) / (tot.n - tp.t)) AS gain
+      FROM tp, tot WHERE tp.t >= 1 AND tp.t <= tot.n - 1
+    ), b1 AS (
+      SELECT t AS t1, ROUND(gain, 4) AS gain1 FROM g1
+      ORDER BY ROUND(gain, 4) DESC, t LIMIT 1
+    ), s1 AS (
+      SELECT b1.t1, b1.gain1, tp.p AS p1, tp.p2 AS p21
+      FROM b1 JOIN tp ON tp.t = b1.t1
+    ), g2 AS (
+      SELECT tp.t,
+             CASE WHEN tp.t < s1.t1 THEN
+               ((s1.p21 - tot.p20) - (s1.p1 - tot.p0)
+                  * (s1.p1 - tot.p0) / s1.t1)
+               - ((tp.p2 - tot.p20) - (tp.p - tot.p0)
+                    * (tp.p - tot.p0) / tp.t)
+               - ((s1.p21 - tp.p2) - (s1.p1 - tp.p)
+                    * (s1.p1 - tp.p) / (s1.t1 - tp.t))
+             ELSE
+               ((tot.p2n - s1.p21) - (tot.pn - s1.p1)
+                  * (tot.pn - s1.p1) / (tot.n - s1.t1))
+               - ((tp.p2 - s1.p21) - (tp.p - s1.p1)
+                    * (tp.p - s1.p1) / (tp.t - s1.t1))
+               - ((tot.p2n - tp.p2) - (tot.pn - tp.p)
+                    * (tot.pn - tp.p) / (tot.n - tp.t))
+             END AS gain
+      FROM tp, tot, s1
+      WHERE tp.t >= 1 AND tp.t <= tot.n - 1 AND tp.t <> s1.t1
+    ), b2 AS (
+      SELECT t AS t2, ROUND(gain, 4) AS gain2 FROM g2
+      ORDER BY ROUND(gain, 4) DESC, t LIMIT 1
+    ), rows_ AS (
+      SELECT 1 AS round, s1.t1 AS split_idx, s1.gain1 AS gain FROM s1
+      UNION ALL
+      SELECT 2, b2.t2, b2.gain2 FROM b2
+    )
+    SELECT r.round,
+           CAST(r.split_idx AS INT) AS split_idx,
+           i.d AS split_day,
+           ROUND(r.gain / 10000.0, 4) AS gain_sse,
+           CAST(nn.n AS INT) AS n_days
+    FROM rows_ r JOIN idx i ON i.i = r.split_idx, nn
+    ORDER BY r.round
+""")
+def ts_binseg_changepoints(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection (Scott-Knott /
+    Vostrikova) on daily purchase revenue: round 1 finds the split
+    minimizing total within-segment SSE; round 2 re-splits whichever
+    side yields the larger further reduction — the multi-changepoint
+    upgrade of ts_cusum_changepoint's single-shift alarm, and the
+    standard first pass before fitting per-regime forecast models.
+    Gains are reported in revenue^2 units (SSE reduction).
+
+    Plan: the data-sized stage is ONE day-grain partial agg (exact
+    integer cents); everything after runs on the <= n_days+1 prefix
+    frame via triangular joins — prefix sums, candidate gains and
+    both argmax selections are bounded by the day grid at ANY corpus
+    size, no unpartitioned window anywhere. Cents cast to double
+    before squaring (day-sum squares overflow BIGINT); every SSE is
+    the same closed-form expression tree on both engines, and gains
+    round at 4 dp before each argmax so split selection can't flip
+    on an ulp. Exhaustive O(n^2) Python reference in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.round(F.sum("value") * 100).cast("bigint")
+                  .alias("vc"))
+             .localCheckpoint(eager=False))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    idx = (a.join(b, F.col("b.d") < F.col("a.d"), "left")
+           .groupBy(F.col("a.d").alias("d"), F.col("a.vc").alias("vc"))
+           .agg(F.count(F.col("b.d")).alias("i"))
+           .localCheckpoint(eager=False))
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    tpts = (idx.select(F.col("i").alias("t"))
+            .unionByName(nn.select(F.col("n").alias("t"))))
+    m = idx.select(F.col("i").alias("mi"),
+                   F.col("vc").cast("double").alias("mv"))
+    tp = (tpts.crossJoin(m)
+          .groupBy("t")
+          .agg(F.coalesce(F.sum(F.when(F.col("mi") < F.col("t"),
+                                       F.col("mv"))), F.lit(0.0))
+               .alias("p"),
+               F.coalesce(F.sum(F.when(F.col("mi") < F.col("t"),
+                                       F.col("mv") * F.col("mv"))),
+                          F.lit(0.0)).alias("p2"))
+          .localCheckpoint(eager=False))
+    tot = (tp.filter(F.col("t") == 0)
+           .select(F.col("p").alias("p0"), F.col("p2").alias("p20"))
+           .crossJoin(nn.join(tp, tp.t == nn.n)
+                      .select(F.col("p").alias("pn"),
+                              F.col("p2").alias("p2n"), "n")))
+
+    def sse(pa, p2a, pb, p2b, ln):
+        return (p2b - p2a) - (pb - pa) * (pb - pa) / ln
+
+    g1 = (tp.crossJoin(F.broadcast(tot))
+          .filter((F.col("t") >= 1) & (F.col("t") <= F.col("n") - 1))
+          .select("t", (sse(F.col("p0"), F.col("p20"), F.col("pn"),
+                            F.col("p2n"), F.col("n"))
+                        - sse(F.col("p0"), F.col("p20"), F.col("p"),
+                              F.col("p2"), F.col("t"))
+                        - sse(F.col("p"), F.col("p2"), F.col("pn"),
+                              F.col("p2n"), F.col("n") - F.col("t")))
+                  .alias("gain")))
+    b1 = (g1.select(F.col("t").alias("t1"),
+                    F.round("gain", 4).alias("gain1"))
+          .orderBy(F.desc("gain1"), "t1").limit(1))
+    s1 = (F.broadcast(b1).join(tp, tp.t == b1.t1)
+          .select("t1", "gain1", F.col("p").alias("p1"),
+                  F.col("p2").alias("p21")))
+    g2_base = (tp.crossJoin(F.broadcast(tot))
+               .crossJoin(F.broadcast(s1))
+               .filter((F.col("t") >= 1) & (F.col("t") <= F.col("n") - 1)
+                       & (F.col("t") != F.col("t1"))))
+    left_gain = (sse(F.col("p0"), F.col("p20"), F.col("p1"),
+                     F.col("p21"), F.col("t1"))
+                 - sse(F.col("p0"), F.col("p20"), F.col("p"),
+                       F.col("p2"), F.col("t"))
+                 - sse(F.col("p"), F.col("p2"), F.col("p1"),
+                       F.col("p21"), F.col("t1") - F.col("t")))
+    right_gain = (sse(F.col("p1"), F.col("p21"), F.col("pn"),
+                      F.col("p2n"), F.col("n") - F.col("t1"))
+                  - sse(F.col("p1"), F.col("p21"), F.col("p"),
+                        F.col("p2"), F.col("t") - F.col("t1"))
+                  - sse(F.col("p"), F.col("p2"), F.col("pn"),
+                        F.col("p2n"), F.col("n") - F.col("t")))
+    g2 = g2_base.select(
+        "t", F.when(F.col("t") < F.col("t1"), left_gain)
+        .otherwise(right_gain).alias("gain"))
+    b2 = (g2.select(F.col("t").alias("t2"),
+                    F.round("gain", 4).alias("gain2"))
+          .orderBy(F.desc("gain2"), "t2").limit(1))
+    r1 = s1.select(F.lit(1).alias("round"),
+                   F.col("t1").alias("split_idx"),
+                   F.col("gain1").alias("gain"))
+    r2 = b2.select(F.lit(2).alias("round"),
+                   F.col("t2").alias("split_idx"),
+                   F.col("gain2").alias("gain"))
+    out = r1.unionByName(r2)
+    return (out.join(F.broadcast(idx), idx.i == out.split_idx)
+            .crossJoin(F.broadcast(nn))
+            .select("round",
+                    F.col("split_idx").cast("int").alias("split_idx"),
+                    F.col("d").alias("split_day"),
+                    F.round(F.col("gain") / 10000.0, 4)
+                    .alias("gain_sse"),
+                    F.col("n").cast("int").alias("n_days"))
+            .orderBy("round"))

@@ -311,3 +311,60 @@ def test_motif_pairs_are_non_overlapping_and_consistent(spark, sf_dir):
                    - math.sqrt(max(0.0, 2 * w * (1 - r.corr)))) < 2e-6
     # ranked ascending by distance
     assert got.zdist.is_monotonic_increasing
+
+
+def test_binseg_changepoints_match_exhaustive_python(spark, sf_dir):
+    """Exhaustive binary segmentation in Python on the same
+    integer-cents daily series — identical splits and gains."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        ts_binseg_changepoints)
+    from pyspark.sql import functions as F
+
+    daily = (load_table(spark, sf_dir, "events")
+             .filter(F.col("event_type") == "purchase")
+             .groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.round(F.sum("value") * 100).cast("bigint")
+                  .alias("vc"))
+             .orderBy("d").collect())
+    days = [r.d for r in daily]
+    v = [float(r.vc) for r in daily]
+    n = len(v)
+    P = [0.0] * (n + 1)
+    P2 = [0.0] * (n + 1)
+    for i, x in enumerate(v):
+        P[i + 1] = P[i] + x
+        P2[i + 1] = P2[i] + x * x
+
+    def sse(a_, b_):
+        if b_ <= a_:
+            return 0.0
+        s = P[b_] - P[a_]
+        return (P2[b_] - P2[a_]) - s * s / (b_ - a_)
+
+    g1 = [(round(sse(0, n) - sse(0, t) - sse(t, n), 4), t)
+          for t in range(1, n)]
+    gain1, t1 = max(g1, key=lambda p: (p[0], -p[1]))
+    g2 = []
+    for t in range(1, n):
+        if t == t1:
+            continue
+        if t < t1:
+            g = sse(0, t1) - sse(0, t) - sse(t, t1)
+        else:
+            g = sse(t1, n) - sse(t1, t) - sse(t, n)
+        g2.append((round(g, 4), t))
+    gain2, t2 = max(g2, key=lambda p: (p[0], -p[1]))
+
+    got = ts_binseg_changepoints(spark, sf_dir).toPandas() \
+        .set_index("round")
+    assert int(got.loc[1, "split_idx"]) == t1
+    assert got.loc[1, "split_day"] == days[t1]
+    assert abs(got.loc[1, "gain_sse"] - round(gain1 / 1e4, 4)) < 1e-3
+    assert int(got.loc[2, "split_idx"]) == t2
+    assert got.loc[2, "split_day"] == days[t2]
+    assert abs(got.loc[2, "gain_sse"] - round(gain2 / 1e4, 4)) < 1e-3
+    assert (got.n_days == n).all()
+    # each round's gain is a genuine SSE reduction (round-2 may
+    # exceed round-1: segment-local splits can unlock larger drops)
+    assert gain1 > 0 and gain2 >= 0
