@@ -176,6 +176,9 @@ _GRADE_FIRST = (
     # two-round binary-segmentation changepoints on day-grain prefix
     # frames; exhaustive O(n^2) Python reference pinned.
     "ts_binseg_changepoints",
+    # JL Rademacher projection distortion audit — narrow per-row
+    # 64->16 map, probe x sample pair ratios, md5-parity matrix.
+    "similarity_jl_projection_audit",
 )
 
 

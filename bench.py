@@ -214,6 +214,7 @@ HEADLINE = [
     ("fd_discovery", quality.quality_fd_discovery),
     ("rake", text.text_rake_keywords),
     ("binseg", timeseries.ts_binseg_changepoints),
+    ("jl_audit", similarity.similarity_jl_projection_audit),
 ]
 
 

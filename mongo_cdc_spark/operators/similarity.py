@@ -2072,3 +2072,134 @@ def embedding_pca_explained_variance(spark: SparkSession,
     return spark.createDataFrame(
         out, "component int, eigenvalue double, "
              "explained_ratio double, cum_ratio double")
+
+
+# ---------------------------------------- JL projection distortion
+
+JL_K = 16                 # target dimensionality
+JL_D = 64                 # source dimensionality (fixture embeddings)
+JL_PROBES = 8             # probe vectors: vec_id < JL_PROBES
+JL_CAND_MOD = 7           # candidate sample: vec_id % MOD == RES
+JL_CAND_RES = 3
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 Rademacher matrix from md5 parity — the
+    same bit the oracle reads, so NO RNG and NO shipped constants."""
+    import hashlib
+
+    return [[1 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] < "8"
+             else -1 for j in range(JL_D)] for i in range(JL_K)]
+
+
+@query("similarity_jl_projection_audit", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), grid AS (
+      SELECT i.i, j.j,
+             CASE WHEN substr(md5(i.i || ':' || j.j), 1, 1) < '8'
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM generate_series(0, {JL_K - 1}) i(i),
+           generate_series(0, {JL_D - 1}) j(j)
+    ), proj AS (
+      SELECT e.vec_id, g.i,
+             SUM(g.sgn * e.v[g.j + 1]) / sqrt({JL_K}.0) AS y
+      FROM e, grid g GROUP BY 1, 2
+    ), pv AS (
+      SELECT vec_id, LIST(y ORDER BY i) AS w FROM proj GROUP BY 1
+    ), pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             SQRT(list_dot_product(pe.v, pe.v)
+                  - 2 * list_dot_product(pe.v, ce.v)
+                  + list_dot_product(ce.v, ce.v)) AS d_orig,
+             SQRT(list_dot_product(p.w, p.w)
+                  - 2 * list_dot_product(p.w, c.w)
+                  + list_dot_product(c.w, c.w)) AS d_proj
+      FROM pv p JOIN pv c
+        ON c.vec_id % {JL_CAND_MOD} = {JL_CAND_RES}
+       AND c.vec_id <> p.vec_id
+      JOIN e pe ON pe.vec_id = p.vec_id
+      JOIN e ce ON ce.vec_id = c.vec_id
+      WHERE p.vec_id < {JL_PROBES}
+    ), ratio AS (
+      SELECT probe_id, cand_id,
+             ROUND(d_proj / d_orig, 6) AS r
+      FROM pairs WHERE d_orig > 0
+    )
+    SELECT probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(r), 4) AS mean_distortion,
+           ROUND(MIN(r), 4) AS min_distortion,
+           ROUND(MAX(r), 4) AS max_distortion,
+           ROUND(AVG(CASE WHEN ABS(r - 1) <= 0.5
+                          THEN 1.0 ELSE 0.0 END), 4)
+             AS frac_within_eps
+    FROM ratio GROUP BY 1 ORDER BY 1
+""")
+def similarity_jl_projection_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: project the
+    {JL_D}-d embeddings to {JL_K}-d with a deterministic Rademacher
+    (±1/sqrt k) matrix derived from md5 parity (Achlioptas '03 —
+    database-friendly projections), then measure the pairwise
+    Euclidean distortion d_proj/d_orig over probe x sampled-corpus
+    pairs: mean/min/max ratio and the fraction inside the eps=0.5
+    JL band per probe. This is the go/no-go audit before swapping
+    the ANN index (IVF/PQ upstream) onto projected vectors at a
+    quarter of the storage and FLOPs.
+
+    Plan: the projection is a NARROW per-row map — {JL_K} aggregate
+    folds over the {JL_D}-term zip, no shuffle, exactly how a 100 TB
+    corpus re-embeds; probes broadcast into the sampled-candidate
+    BNLJ ({JL_PROBES} x sample), ratios round at 6 dp before the
+    bounded per-probe rollup. numpy projection parity in tests."""
+    signs = _jl_signs()
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v")))
+    scale = float(JL_K) ** 0.5
+
+    def proj_component(i: int):
+        row = F.array(*[F.lit(float(s)) for s in signs[i]])
+        return (F.aggregate(
+            F.zip_with(F.col("v"), row, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x) / scale)
+
+    pv = e.select(
+        "vec_id", "v",
+        F.array(*[proj_component(i) for i in range(JL_K)]).alias("w"))
+    probes = (pv.filter(F.col("vec_id") < JL_PROBES)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("v").alias("pv"), F.col("w").alias("pw")))
+    cands = (pv.filter(F.col("vec_id") % JL_CAND_MOD == JL_CAND_RES)
+             .select(F.col("vec_id").alias("cand_id"),
+                     F.col("v").alias("cv"), F.col("w").alias("cw")))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, v_: acc + v_)
+
+    pairs = (cands.crossJoin(F.broadcast(probes))
+             .filter(F.col("cand_id") != F.col("probe_id"))
+             .select("probe_id", "cand_id",
+                     F.sqrt(dot(F.col("pv"), F.col("pv"))
+                            - 2 * dot(F.col("pv"), F.col("cv"))
+                            + dot(F.col("cv"), F.col("cv")))
+                     .alias("d_orig"),
+                     F.sqrt(dot(F.col("pw"), F.col("pw"))
+                            - 2 * dot(F.col("pw"), F.col("cw"))
+                            + dot(F.col("cw"), F.col("cw")))
+                     .alias("d_proj")))
+    ratio = (pairs.filter(F.col("d_orig") > 0)
+             .select("probe_id",
+                     F.round(F.col("d_proj") / F.col("d_orig"), 6)
+                     .alias("r")))
+    return (ratio.groupBy("probe_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.avg("r"), 4).alias("mean_distortion"),
+                 F.round(F.min("r"), 4).alias("min_distortion"),
+                 F.round(F.max("r"), 4).alias("max_distortion"),
+                 F.round(F.avg(F.when(F.abs(F.col("r") - 1) <= 0.5,
+                                      1.0).otherwise(0.0)), 4)
+                 .alias("frac_within_eps"))
+            .orderBy("probe_id"))

@@ -451,3 +451,44 @@ def test_pca_explained_variance_matches_numpy(spark, sf_dir):
     assert (got.eigenvalue.diff().dropna() <= 1e-12).all()
     assert got.cum_ratio.is_monotonic_increasing
     assert got.cum_ratio.iloc[-1] <= 1.0 + 1e-9
+
+
+def test_jl_projection_audit_matches_numpy(spark, sf_dir):
+    """numpy rebuild of the md5 Rademacher projection and all pair
+    distortions; also checks the JL concentration direction (mean
+    ratio near 1)."""
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.similarity import (
+        _jl_signs, JL_CAND_MOD, JL_CAND_RES, JL_K, JL_PROBES,
+        similarity_jl_projection_audit)
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding").collect()
+    X = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+         for r in rows}
+    R = np.asarray(_jl_signs(), dtype=np.float64) / np.sqrt(JL_K)
+    Y = {k: R @ v for k, v in X.items()}
+    got = similarity_jl_projection_audit(spark, sf_dir).toPandas() \
+        .set_index("probe_id")
+    for p in range(JL_PROBES):
+        rs = []
+        for c in X:
+            if c == p or c % JL_CAND_MOD != JL_CAND_RES:
+                continue
+            d0 = float(np.linalg.norm(X[p] - X[c]))
+            if d0 <= 0:
+                continue
+            d1 = float(np.linalg.norm(Y[p] - Y[c]))
+            rs.append(round(d1 / d0, 6))
+        g = got.loc[p]
+        assert int(g.n_pairs) == len(rs)
+        assert abs(g.mean_distortion - round(float(np.mean(rs)), 4)) \
+            < 2e-3
+        assert abs(g.min_distortion - round(min(rs), 4)) < 2e-4
+        assert abs(g.max_distortion - round(max(rs), 4)) < 2e-4
+        within = sum(1 for r_ in rs if abs(r_ - 1) <= 0.5) / len(rs)
+        assert abs(g.frac_within_eps - round(within, 4)) < 2e-3
+        # concentration: the average ratio is near 1, not collapsed
+        assert 0.6 < g.mean_distortion < 1.4
