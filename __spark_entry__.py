@@ -179,6 +179,9 @@ _GRADE_FIRST = (
     # JL Rademacher projection distortion audit — narrow per-row
     # 64->16 map, probe x sample pair ratios, md5-parity matrix.
     "similarity_jl_projection_audit",
+    # ROC AUC via Mann-Whitney U with exact tie halves — no scored
+    # pairs materialize; score-vocabulary-grain cumulative counts.
+    "stats_auc_roc",
 )
 
 

@@ -215,6 +215,7 @@ HEADLINE = [
     ("rake", text.text_rake_keywords),
     ("binseg", timeseries.ts_binseg_changepoints),
     ("jl_audit", similarity.similarity_jl_projection_audit),
+    ("auc_roc", quality.stats_auc_roc),
 ]
 
 

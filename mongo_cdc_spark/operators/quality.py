@@ -2517,3 +2517,86 @@ def quality_fd_discovery(spark: SparkSession,
                  F.round(1.0 - F.sum(F.col("n") - F.col("keep")) * 1.0
                          / F.sum("n"), 6).alias("g3_conf"))
             .orderBy("fd"))
+
+
+# --------------------------------------------------------- ROC AUC
+
+AUC_POS_MIN = 14          # label: user made >= this many purchases
+
+
+@query("stats_auc_roc", sql=f"""
+    WITH peru AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= {AUC_POS_MIN}
+                  THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY 1
+    ), sc AS (
+      SELECT score, SUM(y) AS n_pos,
+             COUNT(*) - SUM(y) AS n_neg
+      FROM peru GROUP BY 1
+    ), cum AS (
+      SELECT s.score, s.n_pos, s.n_neg,
+             COALESCE(SUM(b.n_neg), 0) AS neg_below
+      FROM sc s LEFT JOIN sc b ON b.score < s.score
+      GROUP BY 1, 2, 3
+    ), u AS (
+      SELECT SUM(n_pos * (neg_below + n_neg / 2.0)) AS u_stat,
+             SUM(n_pos) AS np, SUM(n_neg) AS nn
+      FROM cum
+    )
+    SELECT CAST(np + nn AS BIGINT) AS n_users,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           ROUND(u_stat, 2) AS u_stat,
+           ROUND(u_stat / (np * nn), 6) AS auc,
+           ROUND(2 * u_stat / (np * nn) - 1, 6) AS gini
+    FROM u
+""")
+def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the click-count score against the heavy-purchaser
+    label via the Mann-Whitney U identity AUC = U / (n+ n-), with
+    EXACT tie handling (each tied pair counts 1/2) — the
+    classifier-evaluation number every model gate thresholds on,
+    computed without materializing a single scored pair or ROC
+    curve point.
+
+    Plan: one user-grain partial agg (integer score, integer label),
+    one score-vocabulary-grain count frame, and the cumulative
+    negatives below each score from a triangular self-join over that
+    bounded frame (score values are small integers here; an
+    unbounded-score deployment swaps in the two-phase
+    with_global_order cumsum, same algebra). U is a sum of integer
+    products with a single half-integer term — bit-identical on
+    both engines before rounding. sklearn-parity (roc_auc_score
+    reimplemented in numpy) pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    peru = (ev.groupBy("user_id")
+            .agg(F.sum((F.col("event_type") == "click").cast("int"))
+                 .alias("score"),
+                 (F.sum((F.col("event_type") == "purchase").cast("int"))
+                  >= AUC_POS_MIN).cast("int").alias("y")))
+    sc = (peru.groupBy("score")
+          .agg(F.sum("y").alias("n_pos"),
+               (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"))
+          .localCheckpoint(eager=False))
+    b = sc.select(F.col("score").alias("bs"),
+                  F.col("n_neg").alias("bn"))
+    cum = (sc.join(F.broadcast(b), F.col("bs") < F.col("score"), "left")
+           .groupBy("score", "n_pos", "n_neg")
+           .agg(F.coalesce(F.sum("bn"), F.lit(0)).alias("neg_below")))
+    u = cum.agg(
+        F.sum(F.col("n_pos") * (F.col("neg_below")
+                                + F.col("n_neg") / 2.0)).alias("u_stat"),
+        F.sum("n_pos").alias("np"), F.sum("n_neg").alias("nn"))
+    return u.select(
+        (F.col("np") + F.col("nn")).cast("bigint").alias("n_users"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round("u_stat", 2).alias("u_stat"),
+        F.round(F.col("u_stat") / (F.col("np") * F.col("nn")), 6)
+        .alias("auc"),
+        F.round(2 * F.col("u_stat") / (F.col("np") * F.col("nn")) - 1,
+                6).alias("gini"))

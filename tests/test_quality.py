@@ -711,3 +711,43 @@ def test_fd_discovery_verdicts_and_g3(spark, sf_dir):
     assert bool(got.loc["o_custkey->c_nationkey", "holds"])
     assert not bool(got.loc["c_mktsegment->o_orderpriority", "holds"])
     assert not bool(got.loc["c_nationkey->c_mktsegment", "holds"])
+
+
+def test_auc_roc_matches_rank_based_reference(spark, sf_dir):
+    """Average-rank AUC recompute (the roc_auc_score algorithm) must
+    equal the Mann-Whitney U form with tie correction exactly."""
+    from collections import Counter
+
+    from mongo_cdc_spark.operators.quality import (
+        AUC_POS_MIN, stats_auc_roc)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").toPandas()
+    g = ev.groupby("user_id").event_type
+    score = g.apply(lambda s: (s == "click").sum())
+    y = (g.apply(lambda s: (s == "purchase").sum())
+         >= AUC_POS_MIN).astype(int)
+    # average-rank formulation with ties
+    import numpy as np
+    order = np.argsort(score.values, kind="mergesort")
+    ranks = np.empty(len(score), dtype=float)
+    sv = score.values[order]
+    i = 0
+    r = 1
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    auc = (ranks[y.values == 1].sum()
+           - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    got = stats_auc_roc(spark, sf_dir).toPandas().iloc[0]
+    assert int(got.n_users) == len(y)
+    assert (int(got.n_pos), int(got.n_neg)) == (n_pos, n_neg)
+    assert abs(got.auc - round(auc, 6)) < 2e-6
+    assert abs(got.gini - round(2 * auc - 1, 6)) < 2e-6
+    assert 0.0 <= got.auc <= 1.0
