@@ -182,6 +182,9 @@ _GRADE_FIRST = (
     # ROC AUC via Mann-Whitney U with exact tie halves — no scored
     # pairs materialize; score-vocabulary-grain cumulative counts.
     "stats_auc_roc",
+    # epoch-reshuffle decorrelation audit: exact Spearman over
+    # two-phase global ranks per md5 epoch order.
+    "train_epoch_shuffle_audit",
 )
 
 

@@ -216,6 +216,7 @@ HEADLINE = [
     ("binseg", timeseries.ts_binseg_changepoints),
     ("jl_audit", similarity.similarity_jl_projection_audit),
     ("auc_roc", quality.stats_auc_roc),
+    ("epoch_shuffle", training.train_epoch_shuffle_audit),
 ]
 
 

@@ -1707,3 +1707,107 @@ def train_mixture_temperature(spark: SparkSession,
         F.round(q, 6).alias("p_temp"),
         F.round(q / F.col("p"), 6).alias("boost"))
         .orderBy("alpha", "lang"))
+
+
+# ------------------------------------------- epoch reshuffle audit
+
+SHUF_EPOCHS = (1, 2)        # epochs compared against epoch 0
+
+
+@query("train_epoch_shuffle_audit", sql=f"""
+    WITH ranked AS (
+      SELECT d.doc_id, e.e,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.e
+               ORDER BY md5(d.doc_id::VARCHAR || ':'
+                            || e.e::VARCHAR), d.doc_id) AS rk
+      FROM documents d,
+           (SELECT UNNEST(ARRAY[0, {SHUF_EPOCHS[0]},
+                                {SHUF_EPOCHS[1]}]) AS e) e
+    ), base AS (
+      SELECT doc_id, rk AS rk0 FROM ranked WHERE e = 0
+    ), nn AS (SELECT COUNT(*) AS n FROM base),
+    pairs AS (
+      SELECT r.e, r.doc_id, r.rk, b.rk0,
+             (r.rk - b.rk0) * (r.rk - b.rk0) AS d2,
+             ABS(r.rk - b.rk0) AS shift,
+             CASE WHEN (r.rk - 1) * 10 // nn.n
+                       = (b.rk0 - 1) * 10 // nn.n
+                  THEN 1 ELSE 0 END AS same_decile
+      FROM ranked r JOIN base b ON b.doc_id = r.doc_id, nn
+      WHERE r.e <> 0
+    )
+    SELECT p.e AS epoch,
+           CAST(nn.n AS BIGINT) AS n_docs,
+           ROUND(1.0 - 6.0 * SUM(p.d2)
+                 / (nn.n * (CAST(nn.n AS DOUBLE) * nn.n - 1)), 6)
+             AS spearman_rho,
+           ROUND(AVG(p.shift * 1.0 / nn.n), 6) AS mean_shift_frac,
+           CAST(MAX(p.shift) AS BIGINT) AS max_shift,
+           ROUND(AVG(p.same_decile * 1.0), 6) AS frac_same_decile
+    FROM pairs p, nn
+    GROUP BY p.e, nn.n ORDER BY p.e
+""")
+def train_epoch_shuffle_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Epoch-reshuffle decorrelation audit: each training epoch
+    orders the corpus by md5(doc_id:epoch) — the deterministic,
+    seedless, resumable shuffle train_shard_assign uses — and this
+    operator PROVES successive epochs are genuinely decorrelated:
+    Spearman rho between epoch-e and epoch-0 positions (exact
+    integer-rank formula 1 - 6*sum(d^2)/(n(n^2-1)) ~ 0), the mean
+    normalized position shift (-> 1/3 for independent permutations),
+    max shift, and the fraction of docs stuck in their epoch-0
+    decile (-> 0.1). A correlated reshuffle silently reorders
+    gradient noise; this is the dataloader audit that catches it.
+
+    Plan: ranks per epoch are exact global row_numbers via the
+    two-phase range machinery (never a single-partition window at
+    doc grain); the epoch frames join on doc_id and collapse in one
+    agg. Every statistic is integer algebra (sum d^2 fits BIGINT to
+    ~2M docs; the DOUBLE cast in n(n^2-1) dodges the bigint cube
+    overflow, and a 100 TB run moves sum(d^2) to DECIMAL(38))."""
+    from mongo_cdc_spark.operators._twophase import with_global_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = {}
+    for e in (0,) + SHUF_EPOCHS:
+        key = F.md5(F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.lit(str(e)))
+            .cast("binary"))
+        ranked = with_global_order(
+            docs.select("doc_id", key.alias("k")),
+            [F.col("k"), F.col("doc_id")], rank_col="rk")
+        frames[e] = ranked.select(
+            "doc_id", F.col("rk").alias(f"rk{e}"))
+    base = frames[0]
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    outs = []
+    for e in SHUF_EPOCHS:
+        p = (frames[e].join(base, "doc_id")
+             .crossJoin(F.broadcast(nn)))
+        d = F.col(f"rk{e}") - F.col("rk0")
+        dec_e = (F.col(f"rk{e}") - 1) * 10
+        dec_0 = (F.col("rk0") - 1) * 10
+        st = p.agg(
+            F.sum(d * d).alias("sd2"),
+            F.avg(F.abs(d) * 1.0 / F.col("n")).alias("msf"),
+            F.max(F.abs(d)).alias("mx"),
+            F.avg((F.floor(dec_e / F.col("n"))
+                   == F.floor(dec_0 / F.col("n")))
+                  .cast("double")).alias("fsd"),
+            F.max("n").alias("n"))
+        outs.append(st.select(
+            F.lit(e).alias("epoch"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(1.0 - 6.0 * F.col("sd2")
+                    / (F.col("n") * (F.col("n").cast("double")
+                                     * F.col("n") - 1)), 6)
+            .alias("spearman_rho"),
+            F.round("msf", 6).alias("mean_shift_frac"),
+            F.col("mx").cast("bigint").alias("max_shift"),
+            F.round("fsd", 6).alias("frac_same_decile")))
+    res = outs[0]
+    for more in outs[1:]:
+        res = res.unionByName(more)
+    return res.orderBy("epoch")

@@ -497,3 +497,48 @@ def test_mixture_temperature_matches_numpy(spark, sf_dir):
                 assert g.loc[lang, "boost"] > 1
             if p[lang] > mean_p * 1.25:
                 assert g.loc[lang, "boost"] < 1
+
+
+def test_epoch_shuffle_audit_matches_python(spark, sf_dir):
+    """Python rebuild of the three md5 epoch orders; exact Spearman,
+    shifts and decile stats — plus the decorrelation guarantees."""
+    import hashlib
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        SHUF_EPOCHS, train_epoch_shuffle_audit)
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_dir, "documents")
+           .select("doc_id").collect()]
+    n = len(ids)
+
+    def ranks(e):
+        order = sorted(
+            ids, key=lambda d: (hashlib.md5(
+                f"{d}:{e}".encode()).hexdigest(), d))
+        return {d: i + 1 for i, d in enumerate(order)}
+
+    r0 = ranks(0)
+    got = train_epoch_shuffle_audit(spark, sf_dir).toPandas() \
+        .set_index("epoch")
+    for e in SHUF_EPOCHS:
+        re_ = ranks(e)
+        d2 = sum((re_[d] - r0[d]) ** 2 for d in ids)
+        rho = 1 - 6 * d2 / (n * (n * n - 1))
+        msf = sum(abs(re_[d] - r0[d]) for d in ids) / (n * n)
+        mx = max(abs(re_[d] - r0[d]) for d in ids)
+        fsd = sum(1 for d in ids
+                  if (re_[d] - 1) * 10 // n == (r0[d] - 1) * 10 // n
+                  ) / n
+        g = got.loc[e]
+        assert int(g.n_docs) == n
+        assert abs(g.spearman_rho - round(rho, 6)) < 2e-6
+        assert abs(g.mean_shift_frac - round(msf, 6)) < 2e-6
+        assert int(g.max_shift) == mx
+        assert abs(g.frac_same_decile - round(fsd, 6)) < 2e-6
+        # independent permutations: rho ~ 0, mean shift ~ 1/3,
+        # decile retention ~ 0.1 (loose bands for small fixtures)
+        assert abs(g.spearman_rho) < 0.25
+        assert 0.2 < g.mean_shift_frac < 0.45
+        assert g.frac_same_decile < 0.3

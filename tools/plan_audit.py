@@ -160,6 +160,11 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # 100 TB plan (triangle counting's rationale); AQE still
           # broadcasts the degree side when measured small:
           "graph_degree_assortativity": 2,
+          # epoch shuffle audit: epoch-e ranks join epoch-0 ranks on
+          # doc_id — BOTH sides doc-grain (data-sized at 100 TB), so
+          # the key-co-partitioned shuffle join is the plan; AQE
+          # broadcasts when measured small:
+          "train_epoch_shuffle_audit": 2,
           # local clustering: the per-node triangle counts join the
           # NODE-grain degree frame for the coefficient — both sides
           # scale with the graph (assortativity's rationale); AQE
@@ -189,6 +194,12 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # map-side); the rest move the 1-2-row coefficient /
                # quantile frames and the final 2-row sort:
                "stats_conformal_interval": 6,
+               # epoch shuffle audit: THREE independent exact global
+               # ranks (one per epoch), each paying the two-phase
+               # range-repartition + pid-window + offset exchanges —
+               # the price of three different total orders over the
+               # same frame; the final joins/aggs add the rest:
+               "train_epoch_shuffle_audit": 12,
                # bloom design audit: THREE data-grain stages (member
                # distinct, probe anti-join, per-config bit-set
                # distinct — all map-side combined) + the per-probe
