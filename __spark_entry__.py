@@ -185,6 +185,9 @@ _GRADE_FIRST = (
     # epoch-reshuffle decorrelation audit: exact Spearman over
     # two-phase global ranks per md5 epoch order.
     "train_epoch_shuffle_audit",
+    # equi-width histogram selectivity audit — the scan-side CBO
+    # statistic, interpolated estimate vs exact count + q-error.
+    "stats_selectivity_estimate",
 )
 
 

@@ -217,6 +217,7 @@ HEADLINE = [
     ("jl_audit", similarity.similarity_jl_projection_audit),
     ("auc_roc", quality.stats_auc_roc),
     ("epoch_shuffle", training.train_epoch_shuffle_audit),
+    ("selectivity", relational.stats_selectivity_estimate),
 ]
 
 

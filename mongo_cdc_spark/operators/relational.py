@@ -5336,3 +5336,128 @@ def stats_join_size_estimate(spark: SparkSession,
             F.col("actual_rows") / F.col("est_rows")), 4)
         .alias("q_error"))
         .orderBy("pair"))
+
+
+# --------------------------------------- selectivity estimation audit
+
+_SEL_BUCKETS = 20
+_SEL_PREDICATES = (
+    ("price_mid", 50_000.0, 150_000.0),
+    ("price_low", 0.0, 40_000.0),
+    ("price_high", 250_000.0, 600_000.0),
+)
+
+
+def _sel_oracle_sql() -> str:
+    preds = " UNION ALL ".join(
+        f"SELECT '{name}' AS pred, {lo}::DOUBLE AS lo, {hi}::DOUBLE AS hi"
+        for name, lo, hi in _SEL_PREDICATES)
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             COUNT(*) AS n
+      FROM orders
+    ), hist AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.mn)
+                 / ((b.mx - b.mn) / {_SEL_BUCKETS}.0)) AS INT),
+               {_SEL_BUCKETS - 1}) AS bucket,
+             COUNT(*) AS c
+      FROM orders, bounds b GROUP BY 1
+    ), preds AS ({preds}),
+    est AS (
+      SELECT p.pred, p.lo, p.hi,
+             SUM(h.c * GREATEST(0.0, LEAST(
+                   (b.mn + (h.bucket + 1) * (b.mx - b.mn)
+                      / {_SEL_BUCKETS}.0),
+                   p.hi)
+                 - GREATEST(
+                   (b.mn + h.bucket * (b.mx - b.mn)
+                      / {_SEL_BUCKETS}.0),
+                   p.lo))
+                 / ((b.mx - b.mn) / {_SEL_BUCKETS}.0)) AS est_rows,
+             MAX(b.n) AS n
+      FROM preds p, hist h, bounds b
+      GROUP BY 1, 2, 3
+    ), act AS (
+      SELECT p.pred, COUNT(*) AS actual_rows
+      FROM preds p JOIN orders o
+        ON o.o_totalprice >= p.lo AND o.o_totalprice < p.hi
+      GROUP BY 1
+    )
+    SELECT e.pred,
+           CAST(e.n AS BIGINT) AS n_rows,
+           ROUND(e.est_rows, 2) AS est_rows,
+           CAST(COALESCE(a.actual_rows, 0) AS BIGINT) AS actual_rows,
+           ROUND(e.est_rows / e.n, 6) AS est_selectivity,
+           ROUND(COALESCE(a.actual_rows, 0) * 1.0 / e.n, 6)
+             AS actual_selectivity,
+           ROUND(GREATEST((e.est_rows + 1.0)
+                            / (COALESCE(a.actual_rows, 0) + 1.0),
+                          (COALESCE(a.actual_rows, 0) + 1.0)
+                            / (e.est_rows + 1.0)), 4) AS q_error
+    FROM est e LEFT JOIN act a ON a.pred = e.pred
+    ORDER BY e.pred"""
+
+
+@query("stats_selectivity_estimate", sql=_sel_oracle_sql())
+def stats_selectivity_estimate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Range-predicate selectivity estimation audit — the scan-side
+    companion to stats_join_size_estimate: build the equi-width
+    histogram a Selinger CBO keeps per column, estimate each
+    predicate's row count with uniform intra-bucket interpolation
+    (fractional bucket overlap), and report it against the true
+    count with the (+1-smoothed) q-error. Together the two audits
+    regression-test exactly the statistics a planner multiplies:
+    scan selectivity x join fan-out.
+
+    Plan: ONE bounds agg (broadcast 1-row), ONE bucket-count
+    partial-agg shuffle, and the true counts from a single
+    conditional pass over the broadcast 3-predicate grid — the data
+    is scanned twice total, never per predicate. Histogram counts
+    are exact integers; the interpolation arithmetic runs the same
+    expression tree on both engines before rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("mn"),
+                   F.max("o_totalprice").alias("mx"),
+                   F.count(F.lit(1)).alias("n"))
+    width = (F.col("mx") - F.col("mn")) / float(_SEL_BUCKETS)
+    hist = (o.crossJoin(F.broadcast(bounds))
+            .select(F.least(F.floor((F.col("o_totalprice") - F.col("mn"))
+                                    / width).cast("int"),
+                            F.lit(_SEL_BUCKETS - 1)).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("c")))
+    preds = spark.createDataFrame(
+        list(_SEL_PREDICATES), "pred string, lo double, hi double")
+    b_lo = F.col("mn") + F.col("bucket") * width
+    b_hi = F.col("mn") + (F.col("bucket") + 1) * width
+    overlap = (F.greatest(
+        F.lit(0.0), F.least(b_hi, F.col("hi"))
+        - F.greatest(b_lo, F.col("lo"))) / width)
+    est = (hist.crossJoin(F.broadcast(preds))
+           .crossJoin(F.broadcast(bounds))
+           .groupBy("pred", "lo", "hi")
+           .agg(F.sum(F.col("c") * overlap).alias("est_rows"),
+                F.max("n").alias("n")))
+    act = (o.crossJoin(F.broadcast(preds))
+           .filter((F.col("o_totalprice") >= F.col("lo"))
+                   & (F.col("o_totalprice") < F.col("hi")))
+           .groupBy("pred")
+           .agg(F.count(F.lit(1)).alias("actual_rows")))
+    out = (est.join(F.broadcast(act), "pred", "left")
+           .withColumn("actual_rows",
+                       F.coalesce("actual_rows", F.lit(0))))
+    qe = F.greatest(
+        (F.col("est_rows") + 1.0) / (F.col("actual_rows") + 1.0),
+        (F.col("actual_rows") + 1.0) / (F.col("est_rows") + 1.0))
+    return (out.select(
+        "pred",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round("est_rows", 2).alias("est_rows"),
+        F.col("actual_rows").cast("bigint").alias("actual_rows"),
+        F.round(F.col("est_rows") / F.col("n"), 6)
+        .alias("est_selectivity"),
+        F.round(F.col("actual_rows") * 1.0 / F.col("n"), 6)
+        .alias("actual_selectivity"),
+        F.round(qe, 4).alias("q_error"))
+        .orderBy("pred"))

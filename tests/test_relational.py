@@ -848,3 +848,38 @@ def test_join_size_estimate_actuals_are_true_join_counts(spark, sf_dir):
         assert g.q_error >= 1.0
         # FK joins satisfy uniformity+containment: estimates are tight
         assert g.q_error < 1.5
+
+
+def test_selectivity_estimate_matches_numpy_histogram(spark, sf_dir):
+    """numpy rebuild of the equi-width histogram interpolation and
+    exact predicate counts; q-error must stay modest on the smooth
+    fixture distribution."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators.relational import (
+        _SEL_BUCKETS, _SEL_PREDICATES, stats_selectivity_estimate)
+
+    x = np.array([r.o_totalprice for r in
+                  load_table(spark, sf_dir, "orders")
+                  .select("o_totalprice").collect()])
+    mn, mx, n = x.min(), x.max(), len(x)
+    w = (mx - mn) / _SEL_BUCKETS
+    b = np.clip(((x - mn) / w).astype(int), 0, _SEL_BUCKETS - 1)
+    hist = np.bincount(b, minlength=_SEL_BUCKETS)
+    got = stats_selectivity_estimate(spark, sf_dir).toPandas() \
+        .set_index("pred")
+    for name, lo, hi in _SEL_PREDICATES:
+        est = 0.0
+        for k in range(_SEL_BUCKETS):
+            blo, bhi = mn + k * w, mn + (k + 1) * w
+            ov = max(0.0, min(bhi, hi) - max(blo, lo)) / w
+            est += hist[k] * ov
+        actual = int(((x >= lo) & (x < hi)).sum())
+        g = got.loc[name]
+        assert int(g.n_rows) == n
+        assert abs(g.est_rows - round(est, 2)) < 0.5
+        assert int(g.actual_rows) == actual
+        qe = max((est + 1) / (actual + 1), (actual + 1) / (est + 1))
+        assert abs(g.q_error - round(qe, 4)) < 1e-2
+        # equi-width on a smooth distribution: within 2x
+        assert g.q_error < 2.0
