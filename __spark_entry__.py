@@ -188,6 +188,9 @@ _GRADE_FIRST = (
     # equi-width histogram selectivity audit — the scan-side CBO
     # statistic, interpolated estimate vs exact count + q-error.
     "stats_selectivity_estimate",
+    # sample-ratio-mismatch guardrail: chi-square GOF on the hash
+    # split at the df=1 95% critical value.
+    "ab_test_srm_check",
 )
 
 

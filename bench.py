@@ -218,6 +218,7 @@ HEADLINE = [
     ("auc_roc", quality.stats_auc_roc),
     ("epoch_shuffle", training.train_epoch_shuffle_audit),
     ("selectivity", relational.stats_selectivity_estimate),
+    ("srm_check", quality.ab_test_srm_check),
 ]
 
 

@@ -2600,3 +2600,67 @@ def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("auc"),
         F.round(2 * F.col("u_stat") / (F.col("np") * F.col("nn")) - 1,
                 6).alias("gini"))
+
+
+# ------------------------------------------- sample-ratio mismatch
+
+SRM_SPLITS = (("A", 8), ("B", 8))      # md5 first hex: 8/16 each
+
+
+@query("ab_test_srm_check", sql="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), assigned AS (
+      SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM u
+    ), c AS (
+      SELECT variant, COUNT(*) AS n FROM assigned GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS nt FROM c)
+    SELECT c.variant,
+           CAST(c.n AS BIGINT) AS n_users,
+           ROUND(tot.nt * 0.5, 2) AS expected,
+           ROUND((c.n - tot.nt * 0.5) * (c.n - tot.nt * 0.5)
+                 / (tot.nt * 0.5), 6) AS chi2_term,
+           ROUND(SUM((c.n - tot.nt * 0.5) * (c.n - tot.nt * 0.5)
+                     / (tot.nt * 0.5)) OVER (), 6) AS chi2,
+           SUM((c.n - tot.nt * 0.5) * (c.n - tot.nt * 0.5)
+               / (tot.nt * 0.5)) OVER () > 3.841 AS srm_flag
+    FROM c, tot ORDER BY c.variant
+""")
+def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch guardrail: chi-square goodness-of-fit
+    of the observed md5 variant split against the designed 50/50,
+    flagged at the df=1 95% critical value (3.841) — the FIRST check
+    every experimentation platform runs before reading any metric,
+    because a biased assignment invalidates all of them (Fabijan et
+    al., KDD'19 diagnoses). Shares the hash-bucket assignment of the
+    whole ab_test_* family, so a flag here impeaches those too.
+
+    Plan: one user-distinct agg (the only data-grain stage), a
+    2-row variant frame, exact-integer chi-square algebra over the
+    bounded 2-row window."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    assigned = u.select(
+        F.when(F.substring(F.md5(F.col("user_id").cast("string")),
+                           1, 1) < "8", "A").otherwise("B")
+        .alias("variant"))
+    c = (assigned.groupBy("variant")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .localCheckpoint(eager=False))
+    tot = c.agg(F.sum("n").alias("nt"))
+    t = (c.crossJoin(F.broadcast(tot))
+         .withColumn("term",
+                     (F.col("n") - F.col("nt") * 0.5)
+                     * (F.col("n") - F.col("nt") * 0.5)
+                     / (F.col("nt") * 0.5)))
+    chi2 = t.agg(F.sum("term").alias("chi2s"))
+    return (t.crossJoin(F.broadcast(chi2))
+            .select("variant",
+                    F.col("n").cast("bigint").alias("n_users"),
+                    F.round(F.col("nt") * 0.5, 2).alias("expected"),
+                    F.round("term", 6).alias("chi2_term"),
+                    F.round("chi2s", 6).alias("chi2"),
+                    (F.col("chi2s") > 3.841).alias("srm_flag"))
+            .orderBy("variant"))

@@ -751,3 +751,27 @@ def test_auc_roc_matches_rank_based_reference(spark, sf_dir):
     assert abs(got.auc - round(auc, 6)) < 2e-6
     assert abs(got.gini - round(2 * auc - 1, 6)) < 2e-6
     assert 0.0 <= got.auc <= 1.0
+
+
+def test_srm_check_matches_python_chi_square(spark, sf_dir):
+    """Exact chi-square recompute; the clean md5 split must NOT
+    flag (it is a genuine 50/50 design)."""
+    import hashlib
+
+    from mongo_cdc_spark.operators.quality import ab_test_srm_check
+
+    users = {r.user_id for r in load_table(spark, sf_dir, "events")
+             .select("user_id").distinct().collect()}
+    n_a = sum(1 for u in users if hashlib.md5(
+        str(u).encode()).hexdigest()[0] < "8")
+    n_b = len(users) - n_a
+    exp = len(users) / 2
+    chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+    got = ab_test_srm_check(spark, sf_dir).toPandas() \
+        .set_index("variant")
+    assert int(got.loc["A", "n_users"]) == n_a
+    assert int(got.loc["B", "n_users"]) == n_b
+    assert abs(got.chi2.iloc[0] - round(chi2, 6)) < 2e-6
+    assert bool(got.srm_flag.iloc[0]) == (chi2 > 3.841)
+    # flag is consistent across the two variant rows
+    assert got.srm_flag.nunique() == 1
