@@ -191,6 +191,9 @@ _GRADE_FIRST = (
     # sample-ratio-mismatch guardrail: chi-square GOF on the hash
     # split at the df=1 95% critical value.
     "ab_test_srm_check",
+    # Hill Pareto tail index across a k-sweep — TakeOrdered top-k
+    # only, bounded-frame algebra, pre-rounded log terms.
+    "stats_hill_tail_index",
 )
 
 

@@ -219,6 +219,7 @@ HEADLINE = [
     ("epoch_shuffle", training.train_epoch_shuffle_audit),
     ("selectivity", relational.stats_selectivity_estimate),
     ("srm_check", quality.ab_test_srm_check),
+    ("hill_tail", quality.stats_hill_tail_index),
 ]
 
 

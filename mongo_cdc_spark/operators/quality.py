@@ -2664,3 +2664,74 @@ def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("chi2s", 6).alias("chi2"),
                     (F.col("chi2s") > 3.841).alias("srm_flag"))
             .orderBy("variant"))
+
+
+# ------------------------------------------------ Hill tail index
+
+HILL_KS = (50, 100, 200)
+
+
+@query("stats_hill_tail_index", sql=f"""
+    WITH top AS (
+      SELECT o_totalprice AS x,
+             ROW_NUMBER() OVER (
+               ORDER BY o_totalprice DESC, o_orderkey) AS r
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT {max(HILL_KS) + 1}
+    ), ks AS (
+      SELECT UNNEST(ARRAY[{', '.join(str(k) for k in HILL_KS)}]) AS k
+    ), thr AS (
+      SELECT ks.k, t.x AS x_thresh
+      FROM ks JOIN top t ON t.r = ks.k + 1
+    ), terms AS (
+      SELECT thr.k, thr.x_thresh,
+             ROUND(LN(t.x / thr.x_thresh), 8) AS lt
+      FROM thr JOIN top t ON t.r <= thr.k
+    )
+    SELECT k,
+           ROUND(x_thresh, 2) AS x_thresh,
+           ROUND(k / SUM(lt), 6) AS hill_alpha,
+           ROUND((k / SUM(lt)) / SQRT(k), 6) AS alpha_se
+    FROM terms GROUP BY k, x_thresh ORDER BY k
+""")
+def stats_hill_tail_index(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index (Hill 1975) of order
+    values at several order-statistic depths k: alpha_k =
+    k / sum ln(x_(i) / x_(k+1)) with asymptotic SE alpha/sqrt(k) —
+    the heavy-tail diagnostic behind capacity planning, fraud
+    thresholds and the "does a mean even exist" sanity check
+    (alpha <= 1 means it doesn't); reading it across the k-sweep is
+    the standard Hill-plot stability check. Completes the tail
+    family next to text_zipf_fit's rank-frequency slope.
+
+    Plan: the ONLY data-sized stage is TakeOrderedAndProject for the
+    top max(k)+1 rows (per-partition heaps, no global sort); ranks,
+    thresholds and the log-sum all run on that bounded frame against
+    the broadcast k-grid. Log terms round at 8 dp before the k-term
+    sum so the 6-dp estimate can't flip on summation order."""
+    from pyspark.sql import Window as W
+
+    kmax = max(HILL_KS) + 1
+    top = (load_table(spark, sf_dir, "orders")
+           .select(F.col("o_totalprice").alias("x"), "o_orderkey")
+           .orderBy(F.desc("x"), "o_orderkey").limit(kmax)
+           .withColumn("r", F.row_number().over(
+               W.orderBy(F.desc("x"), "o_orderkey")))
+           .localCheckpoint(eager=False))
+    ks = spark.createDataFrame([(k,) for k in HILL_KS], "k int")
+    thr = (ks.join(F.broadcast(top), top.r == ks.k + 1)
+           .select("k", F.col("x").alias("x_thresh")))
+    terms = (thr.join(F.broadcast(top), top.r <= thr.k)
+             .select("k", "x_thresh",
+                     F.round(F.log(F.col("x") / F.col("x_thresh")), 8)
+                     .alias("lt")))
+    return (terms.groupBy("k", "x_thresh")
+            .agg(F.round(F.col("k") / F.sum("lt"), 6)
+                 .alias("hill_alpha"),
+                 F.round((F.col("k") / F.sum("lt")) / F.sqrt("k"), 6)
+                 .alias("alpha_se"))
+            .select("k", F.round("x_thresh", 2).alias("x_thresh"),
+                    "hill_alpha", "alpha_se")
+            .orderBy("k"))

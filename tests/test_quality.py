@@ -775,3 +775,31 @@ def test_srm_check_matches_python_chi_square(spark, sf_dir):
     assert bool(got.srm_flag.iloc[0]) == (chi2 > 3.841)
     # flag is consistent across the two variant rows
     assert got.srm_flag.nunique() == 1
+
+
+def test_hill_tail_index_matches_numpy(spark, sf_dir):
+    """numpy order-statistic recompute at every k; SE identity and
+    the k-sweep stability property."""
+    import numpy as np
+
+    from mongo_cdc_spark.operators.quality import (
+        HILL_KS, stats_hill_tail_index)
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey").collect()
+    xs = sorted(((r.o_totalprice, r.o_orderkey) for r in rows),
+                key=lambda t: (-t[0], t[1]))
+    got = stats_hill_tail_index(spark, sf_dir).toPandas() \
+        .set_index("k")
+    for k in HILL_KS:
+        thresh = xs[k][0]
+        lts = [round(np.log(xs[i][0] / thresh), 8) for i in range(k)]
+        alpha = k / sum(lts)
+        g = got.loc[k]
+        assert abs(g.x_thresh - round(thresh, 2)) < 1e-6
+        assert abs(g.hill_alpha - round(alpha, 6)) < 2e-6
+        assert abs(g.alpha_se - round(alpha / np.sqrt(k), 6)) < 2e-6
+        assert g.hill_alpha > 0
+    # SE shrinks with k (same-alpha scale, more order statistics)
+    assert got.alpha_se.loc[HILL_KS[-1]] \
+        < got.alpha_se.loc[HILL_KS[0]] * 1.5
