@@ -194,6 +194,9 @@ _GRADE_FIRST = (
     # Hill Pareto tail index across a k-sweep — TakeOrdered top-k
     # only, bounded-frame algebra, pre-rounded log terms.
     "stats_hill_tail_index",
+    # keyframe selection: integer gradient-energy sharpness argmax
+    # per clip on the real PPM decode path; byte-replayed oracle.
+    "multimodal_video_keyframe",
 )
 
 

@@ -220,6 +220,7 @@ HEADLINE = [
     ("selectivity", relational.stats_selectivity_estimate),
     ("srm_check", quality.ab_test_srm_check),
     ("hill_tail", quality.stats_hill_tail_index),
+    ("keyframe", multimodal.multimodal_video_keyframe),
 ]
 
 

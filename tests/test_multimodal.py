@@ -468,3 +468,40 @@ def test_audio_fingerprint_matches_python_retrieval(spark, sf_dir):
         have[int(r.probe_doc)].append(
             (int(r.cand_doc), int(r.n_matches), int(r.rank)))
     assert dict(have) == {p: v for p, v in want.items() if v}
+
+
+def test_video_keyframe_matches_python_decode(spark, sf_dir):
+    """Pure-Python clip rebuild + sharpness argmax for every doc."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.operators.multimodal import (
+        _IMG_BYTES, _IMG_H, _IMG_W, _VID_FRAMES, _VID_STRIDE,
+        multimodal_video_keyframe)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") < 100)).select(
+        "doc_id", "text").collect()
+    want = {}
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        sharps = []
+        for f in range(_VID_FRAMES):
+            px = bytes((raw * ((_IMG_BYTES + _VID_FRAMES * _VID_STRIDE)
+                               // len(raw) + 2))[
+                f * _VID_STRIDE % len(raw):
+                f * _VID_STRIDE % len(raw) + _IMG_BYTES])
+            lum = [[sum(px[3 * (y * _IMG_W + x) + c] for c in range(3))
+                    for x in range(_IMG_W)] for y in range(_IMG_H)]
+            s = sum(abs(lum[y][x + 1] - lum[y][x])
+                    for y in range(_IMG_H) for x in range(_IMG_W - 1))
+            sharps.append(s)
+        best = max(range(_VID_FRAMES),
+                   key=lambda i: (sharps[i], -i))
+        want[d.doc_id] = (best, sharps[best],
+                          round(sum(sharps) / len(sharps), 2))
+    got = multimodal_video_keyframe(spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        b, s, m = want[r.doc_id]
+        assert (int(r.keyframe_idx), int(r.key_sharpness)) == (b, s)
+        assert abs(r.mean_sharpness - m) < 1e-6

@@ -80,6 +80,9 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # constellation fingerprint runs the same real WAV
              # decode + termwise DFT in its one declared stage:
              "multimodal_audio_fingerprint",
+             # keyframe selection: real PPM decode + integer
+             # gradient energy in its one declared stage:
+             "multimodal_video_keyframe",
              # SSIM probe ranking: the real PPM decoder + integer
              # moment sums against the broadcast probe vector run in
              # the one declared mapInPandas stage; 3 doubles per
