@@ -197,6 +197,9 @@ _GRADE_FIRST = (
     # keyframe selection: integer gradient-energy sharpness argmax
     # per clip on the real PPM decode path; byte-replayed oracle.
     "multimodal_video_keyframe",
+    # Angrist-Imbens IV/Wald LATE for the encouragement design —
+    # exact 2-cell moments, ITT + first stage + take-ups surfaced.
+    "ab_test_iv_wald",
 )
 
 

@@ -221,6 +221,7 @@ HEADLINE = [
     ("srm_check", quality.ab_test_srm_check),
     ("hill_tail", quality.stats_hill_tail_index),
     ("keyframe", multimodal.multimodal_video_keyframe),
+    ("iv_wald", quality.ab_test_iv_wald),
 ]
 
 

@@ -803,3 +803,47 @@ def test_hill_tail_index_matches_numpy(spark, sf_dir):
     # SE shrinks with k (same-alpha scale, more order statistics)
     assert got.alpha_se.loc[HILL_KS[-1]] \
         < got.alpha_se.loc[HILL_KS[0]] * 1.5
+
+
+def test_iv_wald_matches_python_and_surfaces_weak_instrument(
+        spark, sf_dir):
+    """Python cell recompute; the hash instrument is A/A so the
+    first stage must be SMALL and visibly reported (the
+    weak-instrument guard a platform needs before trusting LATE)."""
+    import hashlib
+
+    from mongo_cdc_spark.operators.quality import (
+        IV_HEAVY_MIN, ab_test_iv_wald)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase").select(
+        "user_id", "value").toPandas()
+    allu = {r.user_id for r in load_table(spark, sf_dir, "events")
+            .select("user_id").distinct().collect()}
+    per = ev.groupby("user_id").value.agg(["count", "sum"])
+    cells = {0: [0, 0, 0], 1: [0, 0, 0]}   # n, sum_d, sum_yc
+    for u in allu:
+        z = 1 if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" \
+            else 0
+        cnt = int(per["count"].get(u, 0))
+        yc = int(round(per["sum"].get(u, 0.0) * 100)) if cnt else 0
+        # per-user cents: sum of per-event rounded cents
+        if cnt:
+            yc = int(ev[ev.user_id == u].value.mul(100).round()
+                     .astype("int64").sum())
+        cells[z][0] += 1
+        cells[z][1] += 1 if cnt >= IV_HEAVY_MIN else 0
+        cells[z][2] += yc
+    n1, sd1, sy1 = cells[1]
+    n0, sd0, sy0 = cells[0]
+    itt = sy1 / 100 / n1 - sy0 / 100 / n0
+    fs = sd1 / n1 - sd0 / n0
+    got = ab_test_iv_wald(spark, sf_dir).toPandas().iloc[0]
+    assert (int(got.n_encouraged), int(got.n_control)) == (n1, n0)
+    assert abs(got.itt_y - round(itt, 6)) < 2e-6
+    assert abs(got.first_stage - round(fs, 6)) < 2e-6
+    if fs != 0:
+        assert abs(got.late_wald - round(itt / fs, 6)) < 2e-4
+    assert 0 <= got.takeup_encouraged <= 1
+    assert 0 <= got.takeup_control <= 1
+    assert -1 <= got.first_stage <= 1
