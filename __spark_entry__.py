@@ -200,6 +200,9 @@ _GRADE_FIRST = (
     # Angrist-Imbens IV/Wald LATE for the encouragement design —
     # exact 2-cell moments, ITT + first stage + take-ups surfaced.
     "ab_test_iv_wald",
+    # time-partition granularity planner: day/week/month partition
+    # size distributions vs the writer row budget.
+    "layout_partition_granularity_plan",
 )
 
 

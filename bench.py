@@ -222,6 +222,7 @@ HEADLINE = [
     ("hill_tail", quality.stats_hill_tail_index),
     ("keyframe", multimodal.multimodal_video_keyframe),
     ("iv_wald", quality.ab_test_iv_wald),
+    ("partition_plan", layout.layout_partition_granularity_plan),
 ]
 
 

@@ -634,3 +634,76 @@ def layout_bloom_design(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("k") * F.col("n")), F.col("k")), 6)
                     .alias("fpr_theory"))
             .orderBy("k"))
+
+
+# ------------------------------------- partition granularity plan
+
+PART_TARGET_ROWS = 20_000      # rows per partition the writer wants
+#                                (fixture-sized; production: rows
+#                                 that give ~128 MB files)
+
+
+@query("layout_partition_granularity_plan", sql=f"""
+    WITH g AS (
+      SELECT 'day' AS granularity, date_trunc('day', ts) AS b
+      FROM events
+      UNION ALL
+      SELECT 'week', date_trunc('week', ts) FROM events
+      UNION ALL
+      SELECT 'month', date_trunc('month', ts) FROM events
+    ), pc AS (
+      SELECT granularity, b, COUNT(*) AS c FROM g GROUP BY 1, 2
+    )
+    SELECT granularity,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MIN(c) AS BIGINT) AS rows_min,
+           ROUND(AVG(c), 2) AS rows_avg,
+           CAST(MAX(c) AS BIGINT) AS rows_max,
+           ROUND(AVG(CASE WHEN c < {PART_TARGET_ROWS}
+                          THEN 1.0 ELSE 0.0 END), 4)
+             AS frac_below_target,
+           ROUND(MAX(c) * 1.0 / AVG(c), 4) AS skew_factor,
+           AVG(c) >= {PART_TARGET_ROWS} AS meets_target
+    FROM pc GROUP BY 1
+    ORDER BY CASE granularity WHEN 'day' THEN 1
+                              WHEN 'week' THEN 2 ELSE 3 END
+""")
+def layout_partition_granularity_plan(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Time-partition granularity planning: for day/week/month
+    partitioning of the event stream, the partition count, row
+    distribution, small-partition fraction against the
+    {PART_TARGET_ROWS}-row writer budget, and the max/avg skew — the
+    table that decides PARTITIONED BY (day) vs (month) before a
+    table fills with millions of tiny files (the small-files problem
+    layout_compaction_plan then has to clean up; this op prevents
+    it at design time). The coarsest granularity failing
+    meets_target marks where partition pruning stops paying for
+    file-count overhead.
+
+    Plan: one melted scan (three date_trunc projections of the same
+    column-pruned read), ONE (granularity, bucket) count shuffle
+    with map-side combine, calendar-bounded rollup — at 100 TB the
+    bucket grid is still days/weeks/months."""
+    ev = load_table(spark, sf_dir, "events")
+    gs = None
+    for g in ("day", "week", "month"):
+        part = ev.select(F.lit(g).alias("granularity"),
+                         F.date_trunc(g, "ts").alias("b"))
+        gs = part if gs is None else gs.unionByName(part)
+    pc = (gs.groupBy("granularity", "b")
+          .agg(F.count(F.lit(1)).alias("c")))
+    order = F.when(F.col("granularity") == "day", 1) \
+        .when(F.col("granularity") == "week", 2).otherwise(3)
+    return (pc.groupBy("granularity")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                 F.min("c").cast("bigint").alias("rows_min"),
+                 F.round(F.avg("c"), 2).alias("rows_avg"),
+                 F.max("c").cast("bigint").alias("rows_max"),
+                 F.round(F.avg((F.col("c") < PART_TARGET_ROWS)
+                               .cast("double")), 4)
+                 .alias("frac_below_target"),
+                 F.round(F.max("c") * 1.0 / F.avg("c"), 4)
+                 .alias("skew_factor"),
+                 (F.avg("c") >= PART_TARGET_ROWS).alias("meets_target"))
+            .orderBy(order))

@@ -143,3 +143,40 @@ def test_bloom_design_matches_python_filter(spark, sf_dir):
             assert g.fpr_measured < max(5 * th, 0.1)
     # more hashes fill more bits
     assert got.bits_set.is_monotonic_increasing
+
+
+def test_partition_granularity_plan_matches_pandas(spark, sf_dir):
+    """Pandas recompute per granularity + the structural
+    guarantees: coarser granularity -> fewer partitions, bigger
+    average, and partition counts nest."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.layout import (
+        PART_TARGET_ROWS, layout_partition_granularity_plan)
+
+    ev = load_table(spark, sf_dir, "events").select("ts").toPandas()
+    got = layout_partition_granularity_plan(spark, sf_dir) \
+        .toPandas().set_index("granularity")
+    sizes = {}
+    for g, freq in (("day", "D"), ("week", "W-MON"), ("month", "MS")):
+        if g == "week":
+            b = ev.ts.dt.to_period("W-SUN").dt.start_time
+        elif g == "day":
+            b = ev.ts.dt.normalize()
+        else:
+            b = ev.ts.dt.to_period("M").dt.start_time
+        c = b.value_counts()
+        sizes[g] = c
+        r = got.loc[g]
+        assert int(r.n_partitions) == len(c)
+        assert int(r.rows_min) == int(c.min())
+        assert int(r.rows_max) == int(c.max())
+        assert abs(r.rows_avg - round(float(c.mean()), 2)) < 0.05
+        assert abs(r.frac_below_target
+                   - round((c < PART_TARGET_ROWS).mean(), 4)) < 1e-3
+        assert abs(r.skew_factor
+                   - round(float(c.max() / c.mean()), 4)) < 1e-3
+        assert bool(r.meets_target) == (c.mean() >= PART_TARGET_ROWS)
+    assert (got.loc["day", "n_partitions"]
+            >= got.loc["week", "n_partitions"]
+            >= got.loc["month", "n_partitions"])
+    assert got.loc["month", "rows_avg"] >= got.loc["day", "rows_avg"]
