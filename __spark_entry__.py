@@ -203,6 +203,9 @@ _GRADE_FIRST = (
     # time-partition granularity planner: day/week/month partition
     # size distributions vs the writer row budget.
     "layout_partition_granularity_plan",
+    # trending top-k per tumbling window — the stateful-counts +
+    # sink-rank deployment; stream/batch parity pinned.
+    "streaming_trending_topk_replay",
 )
 
 

@@ -223,6 +223,7 @@ HEADLINE = [
     ("keyframe", multimodal.multimodal_video_keyframe),
     ("iv_wald", quality.ab_test_iv_wald),
     ("partition_plan", layout.layout_partition_granularity_plan),
+    ("trending_topk", relational.streaming_trending_topk_replay),
 ]
 
 

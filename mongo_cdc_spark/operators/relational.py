@@ -5461,3 +5461,59 @@ def stats_selectivity_estimate(spark: SparkSession,
         .alias("actual_selectivity"),
         F.round(qe, 4).alias("q_error"))
         .orderBy("pred"))
+
+
+# ------------------------------------------- trending top-k replay
+
+_TREND_K = 3
+
+
+@query("streaming_trending_topk_replay", sql=f"""
+    WITH wc AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 4) AS total_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, event_type,
+           CAST(n AS BIGINT) AS n, total_value,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start
+              ORDER BY n DESC, event_type) AS rnk
+          FROM wc)
+    WHERE rnk <= {_TREND_K}
+    ORDER BY window_start, rnk
+""")
+def streaming_trending_topk_replay(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch replay twin of the "trending now" panel: the SAME
+    per-(tumbling window, event_type) counts
+    `streaming.tumbling_window_counts` maintains, ranked to the
+    top-{_TREND_K} types per closed window — in the streaming
+    deployment the windowed counts are the stateful stage and this
+    ranking runs in foreachBatch on each window's bounded slice
+    (exactly how dashboards serve trending lists: state holds
+    counts, the sink ranks). Stream/batch frame parity is pinned in
+    tests/test_streaming.py by draining the real file-source stream
+    and applying the identical rank.
+
+    Scale: ONE partial-aggregatable (window, type) count shuffle;
+    the rank window partitions per window over <= |event types|
+    rows — bounded at any stream length."""
+    ev = load_table(spark, sf_dir, "events")
+    wc = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.round(F.sum("value"), 4).alias("total_value")))
+    rw = W.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    return (wc.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= _TREND_K)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    "total_value",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("window_start", "rank"))

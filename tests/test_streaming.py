@@ -652,3 +652,54 @@ def test_stream_static_enrich_windowed_matches_batch(spark, tmp_path):
     # the unmatched user lands in the UNKNOWN bucket, not dropped
     assert (got.segment == "UNKNOWN").sum() == 1
     assert got[got.segment == "UNKNOWN"].revenue.iloc[0] == 7.0
+
+
+def test_trending_topk_stream_matches_batch_replay(spark, tmp_path):
+    """The windowed counts run as a REAL stream (complete mode);
+    ranking each drained window's slice in the sink must equal the
+    registry's streaming_trending_topk_replay batch twin."""
+    from pyspark.sql import functions as F
+
+    events = [
+        _ev(1, 9, 0, etype="click"), _ev(2, 9, 5, etype="click"),
+        _ev(3, 9, 10, etype="view"), _ev(4, 9, 15, etype="view"),
+        _ev(5, 9, 20, etype="view"), _ev(6, 9, 25, etype="error"),
+        _ev(7, 9, 30, etype="signup"),
+        _ev(8, 10, 0, etype="error"), _ev(9, 10, 5, etype="error"),
+        _ev(10, 10, 10, etype="click"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", events)
+    stream = read_events_stream(spark, str(src))
+    counts = (_collect_stream(
+        tumbling_window_counts(stream), tmp_path, mode="complete"))
+    # sink-side ranking of each window's bounded slice
+    counts["rank"] = (counts
+                      .sort_values(["n", "event_type"],
+                                   ascending=[False, True])
+                      .groupby("window_start").cumcount() + 1)
+    got = (counts[counts["rank"] <= 3]
+           .sort_values(["window_start", "rank"])
+           .reset_index(drop=True))
+    batch = spark.read.schema(stream.schema).json(str(src))
+    wc = (batch.groupBy(F.window("ts", "1 hour").alias("w"),
+                        "event_type")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.round(F.sum("value"), 4).alias("total_value")))
+    from pyspark.sql import Window as W
+    rw = W.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    want = (wc.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "total_value", "rank")
+            .toPandas()
+            .sort_values(["window_start", "rank"])
+            .reset_index(drop=True))
+    got = got[want.columns].reset_index(drop=True)
+    got["rank"] = got["rank"].astype(want["rank"].dtype)
+    pd.testing.assert_frame_equal(got, want)
+    # hour 9's top type is view (3 events)
+    h9 = want[want.window_start.astype(str).str.contains("09:00")]
+    assert h9.iloc[0].event_type == "view" and h9.iloc[0].n == 3
