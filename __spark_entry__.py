@@ -206,6 +206,9 @@ _GRADE_FIRST = (
     # trending top-k per tumbling window — the stateful-counts +
     # sink-rank deployment; stream/batch parity pinned.
     "streaming_trending_topk_replay",
+    # Deng-et-al delta-method cluster-robust SE for the per-event
+    # ratio metric randomized by user; design effect vs naive SE.
+    "ab_test_clustered_se",
 )
 
 

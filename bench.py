@@ -224,6 +224,7 @@ HEADLINE = [
     ("iv_wald", quality.ab_test_iv_wald),
     ("partition_plan", layout.layout_partition_granularity_plan),
     ("trending_topk", relational.streaming_trending_topk_replay),
+    ("clustered_se", quality.ab_test_clustered_se),
 ]
 
 

@@ -2828,3 +2828,106 @@ def ab_test_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("takeup_encouraged"),
         F.round(F.col("sd0") * 1.0 / F.col("n0"), 6)
         .alias("takeup_control"))
+
+
+# ---------------------------------------- cluster-robust A/B SEs
+
+
+@query("ab_test_clustered_se", sql="""
+    WITH peru AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             COUNT(*) AS k,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS s
+      FROM events GROUP BY 1
+    ), ev2 AS (
+      SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             SUM(value * value) AS sv2
+      FROM events GROUP BY 1
+    ), cell AS (
+      SELECT variant, COUNT(*) AS nu, SUM(k) AS ne, SUM(s) AS ss,
+             SUM(s * s) AS ss2, SUM(k * 1.0 * k) AS kk2,
+             SUM(s * k) AS ssk
+      FROM peru GROUP BY 1
+    ), est AS (
+      SELECT c.variant, c.nu, c.ne,
+             c.ss / c.ne AS r,
+             (c.ss2 / c.nu - (c.ss / c.nu) * (c.ss / c.nu)) AS var_s,
+             (c.kk2 / c.nu - (c.ne * 1.0 / c.nu)
+                * (c.ne * 1.0 / c.nu)) AS var_k,
+             (c.ssk / c.nu - (c.ss / c.nu) * (c.ne * 1.0 / c.nu))
+               AS cov_sk,
+             c.ne * 1.0 / c.nu AS kbar,
+             (e.sv2 / c.ne - (c.ss / c.ne) * (c.ss / c.ne))
+               AS var_event
+      FROM cell c JOIN ev2 e ON e.variant = c.variant
+    )
+    SELECT variant,
+           CAST(nu AS BIGINT) AS n_users,
+           CAST(ne AS BIGINT) AS n_events,
+           ROUND(r, 6) AS mean_per_event,
+           ROUND(SQRT(var_event / ne), 6) AS se_naive,
+           ROUND(SQRT((var_s - 2 * r * cov_sk + r * r * var_k)
+                      / nu) / kbar, 6) AS se_clustered,
+           ROUND(((var_s - 2 * r * cov_sk + r * r * var_k)
+                  / nu / (kbar * kbar)) / (var_event / ne), 4)
+             AS design_effect
+    FROM est ORDER BY variant
+""")
+def ab_test_clustered_se(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Cluster-robust standard error for the ratio metric
+    "revenue per event" when randomization is BY USER but the metric
+    is per event — the Deng-Knoblich-Lu (KDD'18) delta method:
+    Var(R) = (var S - 2R cov(S,K) + R^2 var K) / (n_u * kbar^2)
+    over per-user sums S and counts K, next to the naive event-level
+    SE that silently assumes independent events. design_effect =
+    (se_cluster/se_naive)^2 quantifies how badly the naive CI
+    overstates precision — THE most common A/B analysis bug when
+    heavy users dominate event counts.
+
+    Plan: one user-grain partial agg (exact integer cents and
+    counts) + one event-grain sum-of-squares agg, then 2-row closed
+    algebra — identical expression trees both engines. Python
+    recompute in tests pins both SEs and the design effect."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+        < "8", "A").otherwise("B")
+    peru = (ev.groupBy("user_id", variant.alias("variant"))
+            .agg(F.count(F.lit(1)).alias("k"),
+                 (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  / 100.0).alias("s")))
+    ev2 = (ev.groupBy(variant.alias("variant"))
+           .agg(F.sum(F.col("value") * F.col("value")).alias("sv2")))
+    cell = (peru.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("nu"), F.sum("k").alias("ne"),
+                 F.sum("s").alias("ss"),
+                 F.sum(F.col("s") * F.col("s")).alias("ss2"),
+                 F.sum(F.col("k") * 1.0 * F.col("k")).alias("kk2"),
+                 F.sum(F.col("s") * F.col("k")).alias("ssk")))
+    j = cell.join(F.broadcast(ev2), "variant")
+    r = F.col("ss") / F.col("ne")
+    var_s = F.col("ss2") / F.col("nu") \
+        - (F.col("ss") / F.col("nu")) * (F.col("ss") / F.col("nu"))
+    var_k = F.col("kk2") / F.col("nu") \
+        - (F.col("ne") * 1.0 / F.col("nu")) \
+        * (F.col("ne") * 1.0 / F.col("nu"))
+    cov_sk = F.col("ssk") / F.col("nu") \
+        - (F.col("ss") / F.col("nu")) * (F.col("ne") * 1.0 / F.col("nu"))
+    kbar = F.col("ne") * 1.0 / F.col("nu")
+    var_event = F.col("sv2") / F.col("ne") - r * r
+    num = var_s - 2 * r * cov_sk + r * r * var_k
+    return (j.select(
+        "variant",
+        F.col("nu").cast("bigint").alias("n_users"),
+        F.col("ne").cast("bigint").alias("n_events"),
+        F.round(r, 6).alias("mean_per_event"),
+        F.round(F.sqrt(var_event / F.col("ne")), 6).alias("se_naive"),
+        F.round(F.sqrt(num / F.col("nu")) / kbar, 6)
+        .alias("se_clustered"),
+        F.round((num / F.col("nu") / (kbar * kbar))
+                / (var_event / F.col("ne")), 4).alias("design_effect"))
+        .orderBy("variant"))

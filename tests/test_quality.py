@@ -847,3 +847,49 @@ def test_iv_wald_matches_python_and_surfaces_weak_instrument(
     assert 0 <= got.takeup_encouraged <= 1
     assert 0 <= got.takeup_control <= 1
     assert -1 <= got.first_stage <= 1
+
+
+def test_clustered_se_matches_python_delta_method(spark, sf_dir):
+    """Python recompute of both SEs; the clustered SE must exceed
+    the naive event-level SE on within-user-correlated values."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.operators.quality import ab_test_clustered_se
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value").toPandas()
+    per = defaultdict(lambda: [0, 0.0])
+    sv2 = defaultdict(float)
+    for u, v in zip(ev.user_id, ev.value):
+        var = "A" if hashlib.md5(
+            str(u).encode()).hexdigest()[0] < "8" else "B"
+        per[(var, u)][0] += 1
+        per[(var, u)][1] += int(round(v * 100))
+        sv2[var] += v * v
+    got = ab_test_clustered_se(spark, sf_dir).toPandas() \
+        .set_index("variant")
+    for var in ("A", "B"):
+        users = [(k, s / 100.0) for (vv, _), (k, s) in per.items()
+                 if vv == var]
+        nu = len(users)
+        ne = sum(k for k, _ in users)
+        ss = sum(s for _, s in users)
+        r = ss / ne
+        var_s = sum(s * s for _, s in users) / nu - (ss / nu) ** 2
+        var_k = sum(k * k for k, _ in users) / nu - (ne / nu) ** 2
+        cov = sum(s * k for k, s in users) / nu - (ss / nu) * (ne / nu)
+        kbar = ne / nu
+        var_event = sv2[var] / ne - r * r
+        se_n = math.sqrt(var_event / ne)
+        se_c = math.sqrt(
+            (var_s - 2 * r * cov + r * r * var_k) / nu) / kbar
+        g = got.loc[var]
+        assert (int(g.n_users), int(g.n_events)) == (nu, ne)
+        assert abs(g.mean_per_event - round(r, 6)) < 2e-6
+        assert abs(g.se_naive - round(se_n, 6)) < 2e-5
+        assert abs(g.se_clustered - round(se_c, 6)) < 2e-5
+        assert abs(g.design_effect
+                   - round(se_c ** 2 / se_n ** 2, 4)) < 2e-3
+        assert g.design_effect > 0
