@@ -209,6 +209,9 @@ _GRADE_FIRST = (
     # Deng-et-al delta-method cluster-robust SE for the per-event
     # ratio metric randomized by user; design effect vs naive SE.
     "ab_test_clustered_se",
+    # empirical-Bayes Beta-Binomial CTR shrinkage with MoM prior;
+    # volume-bucket calibration table, monotone data weight.
+    "stats_eb_shrinkage",
 )
 
 

@@ -225,6 +225,7 @@ HEADLINE = [
     ("partition_plan", layout.layout_partition_granularity_plan),
     ("trending_topk", relational.streaming_trending_topk_replay),
     ("clustered_se", quality.ab_test_clustered_se),
+    ("eb_shrinkage", quality.stats_eb_shrinkage),
 ]
 
 

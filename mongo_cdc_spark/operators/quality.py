@@ -2931,3 +2931,103 @@ def ab_test_clustered_se(spark: SparkSession,
         F.round((num / F.col("nu") / (kbar * kbar))
                 / (var_event / F.col("ne")), 4).alias("design_effect"))
         .orderBy("variant"))
+
+
+# ------------------------------------- empirical-Bayes shrinkage
+
+EB_BUCKET_W = 10          # user-volume bucket width (events)
+EB_BUCKET_CAP = 5
+
+
+@query("stats_eb_shrinkage", sql=f"""
+    WITH peru AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS k,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END) AS n
+      FROM events GROUP BY 1
+    ), rated AS (
+      SELECT user_id, k, n, k * 1.0 / n AS p
+      FROM peru WHERE n > 0
+    ), mom AS (
+      SELECT COUNT(*) AS nu, AVG(p) AS m1,
+             (SUM(p * p) / COUNT(*) - AVG(p) * AVG(p))
+               * COUNT(*) / (COUNT(*) - 1) AS v
+      FROM rated
+    ), prior AS (
+      SELECT ROUND(m1 * (m1 * (1 - m1) / v - 1), 6) AS alpha,
+             ROUND((1 - m1) * (m1 * (1 - m1) / v - 1), 6) AS beta
+      FROM mom
+    ), bucketed AS (
+      SELECT LEAST(r.n // {EB_BUCKET_W}, {EB_BUCKET_CAP}) AS bucket,
+             r.k, r.n,
+             (r.k + p.alpha) / (r.n + p.alpha + p.beta) AS shrunk,
+             r.n / (r.n + p.alpha + p.beta) AS w,
+             p.alpha, p.beta
+      FROM rated r, prior p
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(n * 1.0), 2) AS avg_n,
+           ROUND(SUM(k) * 1.0 / SUM(n), 6) AS raw_rate,
+           ROUND(AVG(shrunk), 6) AS avg_shrunk_rate,
+           ROUND(AVG(w), 6) AS avg_data_weight,
+           MAX(alpha) AS alpha, MAX(beta) AS beta
+    FROM bucketed GROUP BY 1 ORDER BY 1
+""")
+def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes Beta-Binomial shrinkage of per-user
+    click-through rates (Robbins / the baseball-batting-average
+    classic): method-of-moments prior (alpha, beta) from the
+    population of raw rates, then every user's posterior mean
+    (k + alpha)/(n + alpha + beta) — the smoothing every ranking /
+    spam / CTR system applies so low-volume entities don't dominate
+    with 1/1 = 100% rates. Reported as the volume-bucket calibration
+    table: raw pooled rate vs mean shrunken rate vs the data weight
+    n/(n + alpha + beta) that shows exactly how much the prior
+    pulls at each volume tier.
+
+    Plan: ONE user-grain partial agg (integer k, n); the moment fit
+    is a 1-row frame, the prior broadcasts back (rounded 6 dp so
+    both engines shrink with identical constants), and the bucket
+    rollup is bounded by {EB_BUCKET_CAP + 1} tiers. Python MoM +
+    posterior parity in tests, plus the monotone-weight guarantee
+    (more data -> more weight on the user's own rate)."""
+    ev = load_table(spark, sf_dir, "events")
+    peru = (ev.groupBy("user_id")
+            .agg(F.sum((F.col("event_type") == "click").cast("int"))
+                 .alias("k"),
+                 F.sum(F.col("event_type").isin("click", "view")
+                       .cast("int")).alias("n")))
+    rated = (peru.filter(F.col("n") > 0)
+             .withColumn("p", F.col("k") * 1.0 / F.col("n"))
+             .localCheckpoint(eager=False))
+    mom = rated.agg(
+        F.count(F.lit(1)).alias("nu"), F.avg("p").alias("m1"),
+        ((F.sum(F.col("p") * F.col("p")) / F.count(F.lit(1))
+          - F.avg("p") * F.avg("p"))
+         * F.count(F.lit(1)) / (F.count(F.lit(1)) - 1)).alias("v"))
+    kappa = F.col("m1") * (1 - F.col("m1")) / F.col("v") - 1
+    prior = mom.select(
+        F.round(F.col("m1") * kappa, 6).alias("alpha"),
+        F.round((1 - F.col("m1")) * kappa, 6).alias("beta"))
+    b = (rated.crossJoin(F.broadcast(prior))
+         .withColumn("bucket", F.least(
+             F.expr(f"n DIV {EB_BUCKET_W}"),
+             F.lit(EB_BUCKET_CAP)).cast("int"))
+         .withColumn("shrunk",
+                     (F.col("k") + F.col("alpha"))
+                     / (F.col("n") + F.col("alpha") + F.col("beta")))
+         .withColumn("w", F.col("n")
+                     / (F.col("n") + F.col("alpha") + F.col("beta"))))
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.round(F.avg(F.col("n") * 1.0), 2).alias("avg_n"),
+                 F.round(F.sum("k") * 1.0 / F.sum("n"), 6)
+                 .alias("raw_rate"),
+                 F.round(F.avg("shrunk"), 6).alias("avg_shrunk_rate"),
+                 F.round(F.avg("w"), 6).alias("avg_data_weight"),
+                 F.max("alpha").alias("alpha"),
+                 F.max("beta").alias("beta"))
+            .orderBy("bucket"))

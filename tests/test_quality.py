@@ -893,3 +893,54 @@ def test_clustered_se_matches_python_delta_method(spark, sf_dir):
         assert abs(g.design_effect
                    - round(se_c ** 2 / se_n ** 2, 4)) < 2e-3
         assert g.design_effect > 0
+
+
+def test_eb_shrinkage_matches_python_mom(spark, sf_dir):
+    """Python method-of-moments + posterior recompute; shrunken
+    rates sit between the raw rate and the prior mean, and data
+    weight rises with volume."""
+    from collections import defaultdict
+
+    from mongo_cdc_spark.operators.quality import (
+        EB_BUCKET_CAP, EB_BUCKET_W, stats_eb_shrinkage)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").toPandas()
+    per = defaultdict(lambda: [0, 0])
+    for u, t in zip(ev.user_id, ev.event_type):
+        if t == "click":
+            per[u][0] += 1
+        if t in ("click", "view"):
+            per[u][1] += 1
+    rated = [(k, n, k / n) for k, n in per.values() if n > 0]
+    nu = len(rated)
+    m1 = sum(p for _, _, p in rated) / nu
+    v = (sum(p * p for _, _, p in rated) / nu - m1 * m1) \
+        * nu / (nu - 1)
+    kappa = m1 * (1 - m1) / v - 1
+    alpha = round(m1 * kappa, 6)
+    beta = round((1 - m1) * kappa, 6)
+    buckets = defaultdict(list)
+    for k, n, p in rated:
+        buckets[min(n // EB_BUCKET_W, EB_BUCKET_CAP)].append((k, n))
+    got = stats_eb_shrinkage(spark, sf_dir).toPandas() \
+        .set_index("bucket")
+    prior_mean = alpha / (alpha + beta)
+    for bkt, rows in buckets.items():
+        g = got.loc[bkt]
+        assert int(g.n_users) == len(rows)
+        raw = sum(k for k, _ in rows) / sum(n for _, n in rows)
+        shr = sum((k + alpha) / (n + alpha + beta)
+                  for k, n in rows) / len(rows)
+        w = sum(n / (n + alpha + beta) for _, n in rows) / len(rows)
+        assert abs(g.raw_rate - round(raw, 6)) < 2e-6
+        assert abs(g.avg_shrunk_rate - round(shr, 6)) < 2e-6
+        assert abs(g.avg_data_weight - round(w, 6)) < 2e-6
+        assert (g.alpha, g.beta) == (alpha, beta)
+        # shrunken mean lies between raw bucket mean-of-rates and
+        # the prior mean
+        mraw = sum(k / n for k, n in rows) / len(rows)
+        lo, hi = sorted((mraw, prior_mean))
+        assert lo - 1e-9 <= g.avg_shrunk_rate <= hi + 1e-9
+    # monotone: higher-volume buckets trust their own data more
+    assert got.avg_data_weight.is_monotonic_increasing
