@@ -212,6 +212,9 @@ _GRADE_FIRST = (
     # empirical-Bayes Beta-Binomial CTR shrinkage with MoM prior;
     # volume-bucket calibration table, monotone data weight.
     "stats_eb_shrinkage",
+    # Church-Gale term burstiness: cf/df burst size + VMR dispersion
+    # class at vocabulary grain, exact integer moments.
+    "text_term_burstiness",
 )
 
 

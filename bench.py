@@ -226,6 +226,7 @@ HEADLINE = [
     ("trending_topk", relational.streaming_trending_topk_replay),
     ("clustered_se", quality.ab_test_clustered_se),
     ("eb_shrinkage", quality.stats_eb_shrinkage),
+    ("burstiness", text.text_term_burstiness),
 ]
 
 

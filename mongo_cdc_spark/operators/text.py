@@ -1502,3 +1502,80 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("score").alias("score"))
             .orderBy(F.desc("score"), "phrase")
             .limit(RAKE_TOP))
+
+
+# ---------------------------------------------- term burstiness
+
+BURST_TOP = 20
+BURST_VMR_HI = 2.0
+
+
+@query("text_term_burstiness", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS f
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), nd AS (SELECT COUNT(*) AS d FROM documents),
+    term AS (
+      SELECT tok, SUM(f) AS cf, COUNT(*) AS df,
+             SUM(f * f) AS sf2
+      FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT t.tok, t.cf, t.df,
+             ROUND(t.cf * 1.0 / t.df, 6) AS burst_ewf,
+             ROUND((t.sf2 * 1.0 / nd.d
+                    - (t.cf * 1.0 / nd.d) * (t.cf * 1.0 / nd.d))
+                   / (t.cf * 1.0 / nd.d), 6) AS vmr
+      FROM term t, nd
+    )
+    SELECT tok,
+           CAST(cf AS BIGINT) AS corpus_freq,
+           CAST(df AS BIGINT) AS doc_freq,
+           burst_ewf, vmr,
+           CASE WHEN vmr > {BURST_VMR_HI} THEN 'bursty'
+                ELSE 'uniform' END AS dispersion_class
+    FROM scored
+    ORDER BY corpus_freq DESC, tok LIMIT {BURST_TOP}
+""")
+def text_term_burstiness(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Term burstiness / dispersion profiling (Church-Gale '95):
+    for the top corpus terms, E[tf | tf>0] = cf/df (the burst size
+    once a term shows up) and the variance-to-mean ratio of per-doc
+    counts over ALL documents — Poisson scatter gives VMR ~= 1,
+    content words clump (VMR >> 1), function words spread evenly.
+    This separates topical terms from glue vocabulary without any
+    stopword list — the signal behind keyword weighting, stopword
+    induction and template-spam screens (a term bursting identically
+    across docs flags boilerplate).
+
+    Plan: token explode -> (doc, term) tf counts (map-side combined,
+    the standard postings shuffle) -> vocabulary-grain moment agg
+    (cf, df, sum tf² — exact integers); VMR algebra against the
+    broadcast doc-count row; top-k via TakeOrderedAndProject.
+    Python Counter parity in tests."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(_tokens()).alias("tok"))
+            .filter(F.col("tok") != ""))
+    tf = (toks.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).alias("f")))
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("d"))
+    term = (tf.groupBy("tok")
+            .agg(F.sum("f").alias("cf"), F.count(F.lit(1)).alias("df"),
+                 F.sum(F.col("f") * F.col("f")).alias("sf2")))
+    mean = F.col("cf") * 1.0 / F.col("d")
+    vmr = (F.col("sf2") * 1.0 / F.col("d") - mean * mean) / mean
+    return (term.crossJoin(F.broadcast(nd))
+            .select("tok",
+                    F.col("cf").cast("bigint").alias("corpus_freq"),
+                    F.col("df").cast("bigint").alias("doc_freq"),
+                    F.round(F.col("cf") * 1.0 / F.col("df"), 6)
+                    .alias("burst_ewf"),
+                    F.round(vmr, 6).alias("vmr"))
+            .withColumn("dispersion_class",
+                        F.when(F.col("vmr") > BURST_VMR_HI, "bursty")
+                        .otherwise("uniform"))
+            .orderBy(F.desc("corpus_freq"), "tok")
+            .limit(BURST_TOP))

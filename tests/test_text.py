@@ -267,3 +267,38 @@ def test_rake_keywords_match_python_reference(spark, sf_dir):
     have = [(r.score, r.phrase, int(r.n_occurrences))
             for r in got.itertuples()]
     assert have == want
+
+
+def test_term_burstiness_matches_python_counter(spark, sf_dir):
+    """Counter-based recompute of cf/df/sum(f^2) and both dispersion
+    statistics for the reported top terms."""
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (
+        BURST_TOP, BURST_VMR_HI, text_term_burstiness)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").collect()
+    d = len(docs)
+    cf, df, sf2 = Counter(), Counter(), Counter()
+    for doc in docs:
+        c = Counter(t for t in doc.text.split() if t)
+        for tok, f in c.items():
+            cf[tok] += f
+            df[tok] += 1
+            sf2[tok] += f * f
+    want_order = sorted(cf, key=lambda t: (-cf[t], t))[:BURST_TOP]
+    got = text_term_burstiness(spark, sf_dir).toPandas()
+    assert list(got.tok) == want_order
+    for r in got.itertuples():
+        t = r.tok
+        assert (int(r.corpus_freq), int(r.doc_freq)) == (cf[t], df[t])
+        assert abs(r.burst_ewf - round(cf[t] / df[t], 6)) < 2e-6
+        mean = cf[t] / d
+        vmr = (sf2[t] / d - mean * mean) / mean
+        assert abs(r.vmr - round(vmr, 6)) < 2e-6
+        assert r.dispersion_class == (
+            "bursty" if vmr > BURST_VMR_HI else "uniform")
+        # burst size is at least 1 by construction
+        assert r.burst_ewf >= 1
