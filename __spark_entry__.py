@@ -215,6 +215,9 @@ _GRADE_FIRST = (
     # Church-Gale term burstiness: cf/df burst size + VMR dispersion
     # class at vocabulary grain, exact integer moments.
     "text_term_burstiness",
+    # two-way fixed-effects within estimator on the bounded
+    # (type, day) panel; correctly-degreed SE, within-R2.
+    "stats_twoway_fixed_effects",
 )
 
 

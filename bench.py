@@ -227,6 +227,7 @@ HEADLINE = [
     ("clustered_se", quality.ab_test_clustered_se),
     ("eb_shrinkage", quality.stats_eb_shrinkage),
     ("burstiness", text.text_term_burstiness),
+    ("twfe", timeseries.stats_twoway_fixed_effects),
 ]
 
 

@@ -1605,3 +1605,105 @@ def ts_binseg_changepoints(spark: SparkSession,
                     .alias("gain_sse"),
                     F.col("n").cast("int").alias("n_days"))
             .orderBy("round"))
+
+
+# ----------------------------------- two-way fixed-effects panel
+
+
+@query("stats_twoway_fixed_effects", sql="""
+    WITH panel AS (
+      SELECT event_type AS i, CAST(ts AS DATE) AS t,
+             ROUND(SUM(value), 2) AS y,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), mi AS (
+      SELECT i, AVG(y) AS yi, AVG(x * 1.0) AS xi FROM panel GROUP BY 1
+    ), mt AS (
+      SELECT t, AVG(y) AS yt, AVG(x * 1.0) AS xt FROM panel GROUP BY 1
+    ), mg AS (
+      SELECT AVG(y) AS yg, AVG(x * 1.0) AS xg,
+             COUNT(*) AS n,
+             COUNT(DISTINCT i) AS ni, COUNT(DISTINCT t) AS nt
+      FROM panel
+    ), dm AS (
+      SELECT p.y - mi.yi - mt.yt + mg.yg AS yd,
+             p.x - mi.xi - mt.xt + mg.xg AS xd,
+             mg.n, mg.ni, mg.nt
+      FROM panel p
+      JOIN mi ON mi.i = p.i JOIN mt ON mt.t = p.t, mg
+    ), fit AS (
+      SELECT SUM(xd * yd) / SUM(xd * xd) AS b,
+             SUM(xd * xd) AS sxx, SUM(yd * yd) AS syy,
+             MAX(n) AS n, MAX(ni) AS ni, MAX(nt) AS nt
+      FROM dm
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(ni AS INT) AS n_types,
+           CAST(nt AS INT) AS n_days,
+           ROUND(b, 6) AS slope,
+           ROUND(SQRT((syy - b * b * sxx)
+                      / (n - ni - nt + 1) / sxx), 6) AS se,
+           ROUND(b / SQRT((syy - b * b * sxx)
+                          / (n - ni - nt + 1) / sxx), 4) AS t_stat,
+           ROUND(b * b * sxx / syy, 6) AS r2_within
+    FROM fit
+""")
+def stats_twoway_fixed_effects(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects panel regression (the econometrics
+    workhorse): daily revenue on daily volume per event type with
+    BOTH type and day fixed effects absorbed by the within
+    transformation y - y̅_i - y̅_t + y̅ — the estimator that answers
+    "does more traffic cause more revenue" net of each type's level
+    and each day's shock, with the correctly-degreed SE
+    (df = N - n_i - n_t + 1) and within-R². The quasi-experimental
+    sibling of ab_test_diff_in_diff (TWFE generalizes 2x2 DiD).
+
+    Plan: ONE data-grain partial agg collapses events to the
+    (type, day) panel — bounded by |types| x |days| at ANY corpus
+    size; both fixed-effect mean frames, the demeaning joins and
+    the OLS moments all run on that calendar-bounded frame (panel
+    y pre-rounded to cents so demeaned algebra starts from
+    identical values on both engines). statsmodels-free Python
+    within-estimator parity in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    panel = (ev.groupBy(F.col("event_type").alias("i"),
+                        F.col("ts").cast("date").alias("t"))
+             .agg(F.round(F.sum("value"), 2).alias("y"),
+                  F.count(F.lit(1)).alias("x"))
+             .localCheckpoint(eager=False))
+    mi = panel.groupBy("i").agg(F.avg("y").alias("yi"),
+                                F.avg(F.col("x") * 1.0).alias("xi"))
+    mt = panel.groupBy("t").agg(F.avg("y").alias("yt"),
+                                F.avg(F.col("x") * 1.0).alias("xt"))
+    mg = panel.agg(F.avg("y").alias("yg"),
+                   F.avg(F.col("x") * 1.0).alias("xg"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.countDistinct("i").alias("ni"),
+                   F.countDistinct("t").alias("nt"))
+    dm = (panel.join(F.broadcast(mi), "i")
+          .join(F.broadcast(mt), "t")
+          .crossJoin(F.broadcast(mg))
+          .select((F.col("y") - F.col("yi") - F.col("yt")
+                   + F.col("yg")).alias("yd"),
+                  (F.col("x") - F.col("xi") - F.col("xt")
+                   + F.col("xg")).alias("xd"),
+                  "n", "ni", "nt"))
+    fit = dm.agg((F.sum(F.col("xd") * F.col("yd"))
+                  / F.sum(F.col("xd") * F.col("xd"))).alias("b"),
+                 F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+                 F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+                 F.max("n").alias("n"), F.max("ni").alias("ni"),
+                 F.max("nt").alias("nt"))
+    df_ = F.col("n") - F.col("ni") - F.col("nt") + 1
+    se = F.sqrt((F.col("syy") - F.col("b") * F.col("b") * F.col("sxx"))
+                / df_ / F.col("sxx"))
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.col("ni").cast("int").alias("n_types"),
+        F.col("nt").cast("int").alias("n_days"),
+        F.round("b", 6).alias("slope"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("b") / se, 4).alias("t_stat"),
+        F.round(F.col("b") * F.col("b") * F.col("sxx")
+                / F.col("syy"), 6).alias("r2_within"))

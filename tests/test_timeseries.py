@@ -368,3 +368,52 @@ def test_binseg_changepoints_match_exhaustive_python(spark, sf_dir):
     # each round's gain is a genuine SSE reduction (round-2 may
     # exceed round-1: segment-local splits can unlock larger drops)
     assert gain1 > 0 and gain2 >= 0
+
+
+def test_twoway_fixed_effects_matches_python_within(spark, sf_dir):
+    """Within-estimator recompute in pure Python (demeaned OLS) and
+    an orthogonality check: demeaned x is orthogonal to both sets of
+    absorbed dummies by construction."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        stats_twoway_fixed_effects)
+    from pyspark.sql import functions as F
+
+    panel = (load_table(spark, sf_dir, "events")
+             .groupBy(F.col("event_type").alias("i"),
+                      F.col("ts").cast("date").alias("t"))
+             .agg(F.round(F.sum("value"), 2).alias("y"),
+                  F.count(F.lit(1)).alias("x"))).collect()
+    rows = [(r.i, r.t, float(r.y), float(r.x)) for r in panel]
+    yi, xi = defaultdict(list), defaultdict(list)
+    yt, xt = defaultdict(list), defaultdict(list)
+    for i, t, y, x in rows:
+        yi[i].append(y)
+        xi[i].append(x)
+        yt[t].append(y)
+        xt[t].append(x)
+    n = len(rows)
+    yg = sum(y for _, _, y, _ in rows) / n
+    xg = sum(x for _, _, _, x in rows) / n
+    sxx = sxy = syy = 0.0
+    for i, t, y, x in rows:
+        yd = y - sum(yi[i]) / len(yi[i]) - sum(yt[t]) / len(yt[t]) + yg
+        xd = x - sum(xi[i]) / len(xi[i]) - sum(xt[t]) / len(xt[t]) + xg
+        sxx += xd * xd
+        sxy += xd * yd
+        syy += yd * yd
+    b = sxy / sxx
+    df = n - len(yi) - len(yt) + 1
+    se = math.sqrt((syy - b * b * sxx) / df / sxx)
+    got = stats_twoway_fixed_effects(spark, sf_dir).toPandas().iloc[0]
+    assert int(got.n_obs) == n
+    assert (int(got.n_types), int(got.n_days)) \
+        == (len(yi), len(yt))
+    assert abs(got.slope - round(b, 6)) < 2e-5
+    assert abs(got.se - round(se, 6)) < 2e-5
+    assert abs(got.t_stat - round(b / se, 4)) < 2e-3
+    assert abs(got.r2_within - round(b * b * sxx / syy, 6)) < 2e-5
+    assert 0 <= got.r2_within <= 1
