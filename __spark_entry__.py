@@ -218,6 +218,9 @@ _GRADE_FIRST = (
     # two-way fixed-effects within estimator on the bounded
     # (type, day) panel; correctly-degreed SE, within-R2.
     "stats_twoway_fixed_effects",
+    # stationary distribution of the journey Markov chain — 20
+    # unrolled pi'=piP steps at |types|^2 grain, eigen-pinned.
+    "events_markov_stationary",
 )
 
 

@@ -228,6 +228,7 @@ HEADLINE = [
     ("eb_shrinkage", quality.stats_eb_shrinkage),
     ("burstiness", text.text_term_burstiness),
     ("twfe", timeseries.stats_twoway_fixed_effects),
+    ("markov_stationary", timeseries.events_markov_stationary),
 ]
 
 

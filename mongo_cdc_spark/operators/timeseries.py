@@ -1707,3 +1707,100 @@ def stats_twoway_fixed_effects(spark: SparkSession,
         F.round(F.col("b") / se, 4).alias("t_stat"),
         F.round(F.col("b") * F.col("b") * F.col("sxx")
                 / F.col("syy"), 6).alias("r2_within"))
+
+
+# -------------------------------------- Markov stationary distribution
+
+_STAT_ITERS = 20
+
+
+def _stationary_oracle_sql() -> str:
+    base = """
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), tc AS MATERIALIZED (
+      SELECT prev, event_type AS nxt, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+      SELECT prev, nxt,
+             n * 1.0 / SUM(n) OVER (PARTITION BY prev) AS pr
+      FROM tc
+    ), states AS (SELECT DISTINCT prev AS s FROM tc),
+    pi0 AS (
+      SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS w FROM states
+    )"""
+    prev = "pi0"
+    for it in range(1, _STAT_ITERS + 1):
+        base += f""",
+    pi{it} AS (
+      SELECT p.nxt AS s, SUM(pi.w * p.pr) AS w
+      FROM p JOIN {prev} pi ON pi.s = p.prev GROUP BY 1
+    )"""
+        prev = f"pi{it}"
+    return base + f"""
+    SELECT t.s AS event_type,
+           ROUND(t.w, 6) AS stationary_prob,
+           ROUND(e.emp, 6) AS empirical_share,
+           ROUND(ABS(t.w - e.emp), 6) AS abs_gap
+    FROM {prev} t
+    JOIN (SELECT event_type, COUNT(*) * 1.0
+                 / (SELECT COUNT(*) FROM events) AS emp
+          FROM events GROUP BY 1) e ON e.event_type = t.s
+    ORDER BY t.s"""
+
+
+@query("events_markov_stationary", sql=_stationary_oracle_sql())
+def events_markov_stationary(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey event-type Markov
+    chain: {_STAT_ITERS} unrolled power-iteration steps of pi' = pi P
+    on the row-normalized transition matrix, reported against each
+    type's raw empirical share — where the chain settles vs where the
+    traffic currently is, the gap being the "drift pressure" a
+    product's flows exert on its mix (the long-run companion to
+    events_transition_entropy's predictability number and
+    events_attribution_markov's absorbing analysis).
+
+    Plan: the data-sized stage is ONE lag-window pass (per-user
+    partitioned) + the transition count agg; the chain then lives at
+    |types|^2 grain — every iteration is a bounded join + keyed sum,
+    unrolled so the DuckDB oracle replays the exact same {_STAT_ITERS}
+    steps. Fixed-point convergence (pi P = pi) is pinned in tests via
+    an independent eigen solve."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", "ts", "event_id",
+                    F.lag("event_type").over(w).alias("prev"))
+    tc = (seq.filter(F.col("prev").isNotNull())
+          .groupBy("prev", F.col("event_type").alias("nxt"))
+          .agg(F.count(F.lit(1)).alias("n"))
+          .localCheckpoint(eager=False))
+    wp = Window.partitionBy("prev")
+    p = tc.select("prev", "nxt",
+                  (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("pr")) \
+        .localCheckpoint(eager=False)
+    states = tc.select(F.col("prev").alias("s")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = (states.crossJoin(F.broadcast(n_states))
+          .select("s", (F.lit(1.0) / F.col("k")).alias("w")))
+    for _ in range(_STAT_ITERS):
+        pi = (p.join(pi.withColumnRenamed("s", "prev"), "prev")
+              .groupBy(F.col("nxt").alias("s"))
+              .agg(F.sum(F.col("w") * F.col("pr")).alias("w"))
+              .localCheckpoint(eager=False))
+    tot = ev.agg(F.count(F.lit(1)).alias("nt"))
+    emp = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .crossJoin(F.broadcast(tot))
+           .select("event_type",
+                   (F.col("c") * 1.0 / F.col("nt")).alias("emp")))
+    return (pi.join(emp, pi.s == emp.event_type)
+            .select("event_type",
+                    F.round("w", 6).alias("stationary_prob"),
+                    F.round("emp", 6).alias("empirical_share"),
+                    F.round(F.abs(F.col("w") - F.col("emp")), 6)
+                    .alias("abs_gap"))
+            .orderBy("event_type"))

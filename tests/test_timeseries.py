@@ -417,3 +417,44 @@ def test_twoway_fixed_effects_matches_python_within(spark, sf_dir):
     assert abs(got.t_stat - round(b / se, 4)) < 2e-3
     assert abs(got.r2_within - round(b * b * sxx / syy, 6)) < 2e-5
     assert 0 <= got.r2_within <= 1
+
+
+def test_markov_stationary_is_chain_fixed_point(spark, sf_dir):
+    """Independent eigen solve of pi P = pi (numpy) must match, and
+    both distributions sum to 1."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        events_markov_stationary)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type", "ts", "event_id")
+          .orderBy("user_id", "ts", "event_id").collect())
+    trans = defaultdict(int)
+    prev_by_user = {}
+    for r in ev:
+        if r.user_id in prev_by_user:
+            trans[(prev_by_user[r.user_id], r.event_type)] += 1
+        prev_by_user[r.user_id] = r.event_type
+    states = sorted({a for a, _ in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (a, b), n in trans.items():
+        P[idx[a], idx[b]] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    # principal left eigenvector
+    vals, vecs = np.linalg.eig(P.T)
+    k = int(np.argmin(np.abs(vals - 1)))
+    pi = np.real(vecs[:, k])
+    pi = pi / pi.sum()
+    got = events_markov_stationary(spark, sf_dir).toPandas() \
+        .set_index("event_type")
+    for s in states:
+        assert abs(got.loc[s, "stationary_prob"]
+                   - round(float(pi[idx[s]]), 6)) < 5e-5
+    assert abs(got.stationary_prob.sum() - 1.0) < 1e-4
+    assert abs(got.empirical_share.sum() - 1.0) < 1e-3
+    assert (got.abs_gap >= 0).all()
