@@ -221,6 +221,9 @@ _GRADE_FIRST = (
     # stationary distribution of the journey Markov chain — 20
     # unrolled pi'=piP steps at |types|^2 grain, eigen-pinned.
     "events_markov_stationary",
+    # dup-rate sizing study: row-sample (biased) vs content-bucket
+    # sample (group-coherent) estimates vs the exact corpus rate.
+    "dedup_sample_rate_estimate",
 )
 
 

@@ -229,6 +229,7 @@ HEADLINE = [
     ("burstiness", text.text_term_burstiness),
     ("twfe", timeseries.stats_twoway_fixed_effects),
     ("markov_stationary", timeseries.events_markov_stationary),
+    ("dup_rate_sample", dedup.dedup_sample_rate_estimate),
 ]
 
 

@@ -1129,3 +1129,96 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("a_cnt") * F.col("b_cnt")).cast("bigint")
                     .alias("n_part_pairs"))
             .orderBy("a_name", "b_name"))
+
+
+# -------------------------------------- sampled dup-rate estimate
+
+_SRATE_FRACS = ((1, 1), (4, 4))    # (n_hex_buckets, label) pairs:
+#                                    1/16 and 4/16 sample fractions
+
+
+@query("dedup_sample_rate_estimate", sql="""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), truth AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT h) AS d FROM fp
+    ), samples AS (
+      SELECT 'by_row' AS design, 1 AS n_hex, doc_id, h FROM fp
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '1'
+      UNION ALL
+      SELECT 'by_row', 4, doc_id, h FROM fp
+      WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'
+      UNION ALL
+      SELECT 'by_content', 1, doc_id, h FROM fp
+      WHERE substr(h, 1, 1) < '1'
+      UNION ALL
+      SELECT 'by_content', 4, doc_id, h FROM fp
+      WHERE substr(h, 1, 1) < '4'
+    ), est AS (
+      SELECT design, n_hex, COUNT(*) AS ns, COUNT(DISTINCT h) AS ds
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT e.design,
+           ROUND(e.n_hex / 16.0, 4) AS fraction,
+           CAST(e.ns AS BIGINT) AS n_sampled,
+           CAST(e.ds AS BIGINT) AS n_distinct,
+           ROUND(1.0 - e.ds * 1.0 / e.ns, 6) AS est_dup_rate,
+           ROUND(1.0 - t.d * 1.0 / t.n, 6) AS true_dup_rate,
+           ROUND((1.0 - e.ds * 1.0 / e.ns)
+                 - (1.0 - t.d * 1.0 / t.n), 6) AS bias
+    FROM est e, truth t
+    ORDER BY e.design, e.n_hex
+""")
+def dedup_sample_rate_estimate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Duplicate-rate estimation from a sample — the sizing study a
+    100 TB dedup job runs FIRST — contrasting the two sampling
+    designs: sampling by ROW id splits duplicate groups across the
+    sample boundary and biases the estimate LOW (a pair is only seen
+    if both copies survive the same f-sample: P ~ f per extra copy),
+    while sampling by CONTENT fingerprint bucket keeps every copy of
+    a document together, making the within-sample duplicate-excess
+    rate an unbiased estimate of the corpus rate. Reported at two
+    fractions per design against the exact full-corpus rate with
+    the realized bias — the table that justifies hash-bucket
+    sampling in every dedup-pipeline design doc.
+
+    Plan: one fingerprint projection (md5 per doc, the dedup_exact
+    scan), four hex-prefix sample filters of it, per-sample
+    count/countDistinct aggs — all map-side combined, fingerprint-
+    keyed; exact integers everywhere. Python set parity in tests."""
+    fp = (load_table(spark, sf_dir, "documents")
+          .select("doc_id", F.md5(F.col("text").cast("binary"))
+                  .alias("h"))
+          .localCheckpoint(eager=False))
+    truth = fp.agg(F.count(F.lit(1)).alias("n"),
+                   F.countDistinct("h").alias("d"))
+    rows = []
+    for n_hex, _ in _SRATE_FRACS:
+        cut = format(n_hex, "x")
+        rows.append(fp.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < cut).select(F.lit("by_row").alias("design"),
+                          F.lit(n_hex).alias("n_hex"), "h"))
+        rows.append(fp.filter(F.substring("h", 1, 1) < cut)
+                    .select(F.lit("by_content").alias("design"),
+                            F.lit(n_hex).alias("n_hex"), "h"))
+    samples = rows[0]
+    for r in rows[1:]:
+        samples = samples.unionByName(r)
+    est = (samples.groupBy("design", "n_hex")
+           .agg(F.count(F.lit(1)).alias("ns"),
+                F.countDistinct("h").alias("ds")))
+    return (est.crossJoin(F.broadcast(truth))
+            .select("design",
+                    F.round(F.col("n_hex") / 16.0, 4).alias("fraction"),
+                    F.col("ns").cast("bigint").alias("n_sampled"),
+                    F.col("ds").cast("bigint").alias("n_distinct"),
+                    F.round(1.0 - F.col("ds") * 1.0 / F.col("ns"), 6)
+                    .alias("est_dup_rate"),
+                    F.round(1.0 - F.col("d") * 1.0 / F.col("n"), 6)
+                    .alias("true_dup_rate"),
+                    F.round((1.0 - F.col("ds") * 1.0 / F.col("ns"))
+                            - (1.0 - F.col("d") * 1.0 / F.col("n")), 6)
+                    .alias("bias"))
+            .orderBy("design", "n_hex"))

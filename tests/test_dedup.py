@@ -192,3 +192,44 @@ def test_jaro_winkler_pairs_are_vocab_grain(spark, sf_dir):
     assert len(got) <= n_vocab * (n_vocab - 1) // 2
     assert (got.jw >= 0.8).all() and (got.jw <= 1.0).all()
     assert (got.n_part_pairs >= 1).all()
+
+
+def test_sample_rate_estimate_designs_and_bias(spark, sf_dir):
+    """Python set recompute of all four samples; content-bucket
+    sampling keeps duplicate groups intact (every copy of a sampled
+    fingerprint is in the sample), row sampling need not."""
+    import hashlib
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.dedup import (
+        dedup_sample_rate_estimate)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    fp = [(d.doc_id,
+           hashlib.md5(d.text.encode("utf-8")).hexdigest())
+          for d in docs]
+    true_rate = 1 - len({h for _, h in fp}) / len(fp)
+    got = dedup_sample_rate_estimate(spark, sf_dir).toPandas()
+    for r in got.itertuples():
+        cut = format(int(round(r.fraction * 16)), "x")
+        if r.design == "by_row":
+            samp = [h for i, h in fp if hashlib.md5(
+                str(i).encode()).hexdigest()[0] < cut]
+        else:
+            samp = [h for _, h in fp if h[0] < cut]
+        assert int(r.n_sampled) == len(samp)
+        assert int(r.n_distinct) == len(set(samp))
+        est = 1 - len(set(samp)) / len(samp)
+        assert abs(r.est_dup_rate - round(est, 6)) < 2e-6
+        assert abs(r.true_dup_rate - round(true_rate, 6)) < 2e-6
+        assert abs(r.bias - round(est - true_rate, 6)) < 3e-6
+    # content-coherent sampling never splits a duplicate group:
+    # every copy of each sampled hash is inside the sample
+    all_h = [h for _, h in fp]
+    for cut in ("1", "4"):
+        samp = [h for h in all_h if h[0] < cut]
+        from collections import Counter
+        full_c, samp_c = Counter(all_h), Counter(samp)
+        for h, c in samp_c.items():
+            assert full_c[h] == c
