@@ -224,6 +224,9 @@ _GRADE_FIRST = (
     # dup-rate sizing study: row-sample (biased) vs content-bucket
     # sample (group-coherent) estimates vs the exact corpus rate.
     "dedup_sample_rate_estimate",
+    # candidate-key discovery: exact distinct-vs-rows per column
+    # set, is-key verdicts, null-sentinel semantics.
+    "quality_key_discovery",
 )
 
 

@@ -230,6 +230,7 @@ HEADLINE = [
     ("twfe", timeseries.stats_twoway_fixed_effects),
     ("markov_stationary", timeseries.events_markov_stationary),
     ("dup_rate_sample", dedup.dedup_sample_rate_estimate),
+    ("key_discovery", quality.quality_key_discovery),
 ]
 
 

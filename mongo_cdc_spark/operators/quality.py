@@ -3031,3 +3031,84 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("alpha").alias("alpha"),
                  F.max("beta").alias("beta"))
             .orderBy("bucket"))
+
+
+# -------------------------------------------- candidate-key discovery
+
+_KEY_CANDIDATES = (
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_orderdate",),
+    ("o_custkey", "o_orderdate"),
+    ("o_custkey", "o_orderdate", "o_totalprice"),
+)
+
+
+def _key_oracle_sql() -> str:
+    melts = []
+    for cols in _KEY_CANDIDATES:
+        name = "+".join(cols)
+        expr = " || ':' || ".join(f"COALESCE({c}::VARCHAR, '#null#')"
+                                  for c in cols)
+        melts.append(f"SELECT '{name}' AS candidate, {expr} AS k, "
+                     f"{len(cols)} AS width FROM orders")
+    melt = "\n      UNION ALL ".join(melts)
+    return f"""
+    WITH melt AS (
+      {melt}
+    ), st AS (
+      SELECT candidate, width, COUNT(*) AS n,
+             COUNT(DISTINCT k) AS d
+      FROM melt GROUP BY 1, 2
+    )
+    SELECT candidate,
+           CAST(width AS INT) AS width,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(d AS BIGINT) AS n_distinct,
+           d = n AS is_key,
+           CAST(n - d AS BIGINT) AS n_collisions,
+           ROUND(d * 1.0 / n, 6) AS uniqueness
+    FROM st ORDER BY width, candidate"""
+
+
+@query("quality_key_discovery", sql=_key_oracle_sql())
+def quality_key_discovery(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over the orders table: for each
+    candidate column set, exact distinct-vs-row counts, the is-key
+    verdict, collision count and the uniqueness ratio — the
+    profiling pass (Metanome UCC discovery territory) that finds
+    which columns can serve as merge/dedup/upsert keys before a
+    pipeline hard-codes one. The true PK passes, the plausible
+    business keys (customer+date) genuinely fail on the fixture —
+    exactly the trap this audit exists to catch. Null components
+    coalesce to a sentinel so NULL != NULL collisions are counted
+    the way a join key would behave.
+
+    Plan: one melted column-pruned scan (|candidates| narrow
+    projections), ONE (candidate, key) distinct-count shuffle with
+    map-side collapse; all integers. Pandas parity in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    melts = []
+    for cols in _KEY_CANDIDATES:
+        name = "+".join(cols)
+        key = F.concat_ws(":", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("#null#"))
+            for c in cols])
+        melts.append(o.select(F.lit(name).alias("candidate"),
+                              key.alias("k"),
+                              F.lit(len(cols)).alias("width")))
+    melt = melts[0]
+    for m in melts[1:]:
+        melt = melt.unionByName(m)
+    st = (melt.groupBy("candidate", "width")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.countDistinct("k").alias("d")))
+    return (st.select(
+        "candidate", F.col("width").cast("int").alias("width"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("d").cast("bigint").alias("n_distinct"),
+        (F.col("d") == F.col("n")).alias("is_key"),
+        (F.col("n") - F.col("d")).cast("bigint").alias("n_collisions"),
+        F.round(F.col("d") * 1.0 / F.col("n"), 6).alias("uniqueness"))
+        .orderBy("width", "candidate"))

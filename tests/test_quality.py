@@ -944,3 +944,30 @@ def test_eb_shrinkage_matches_python_mom(spark, sf_dir):
         assert lo - 1e-9 <= g.avg_shrunk_rate <= hi + 1e-9
     # monotone: higher-volume buckets trust their own data more
     assert got.avg_data_weight.is_monotonic_increasing
+
+
+def test_key_discovery_matches_pandas_and_verdicts(spark, sf_dir):
+    """Pandas recompute per candidate; the PK must pass and wider
+    candidates can only be at least as unique as their subsets."""
+    from mongo_cdc_spark.operators.quality import (
+        _KEY_CANDIDATES, quality_key_discovery)
+
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    got = quality_key_discovery(spark, sf_dir).toPandas() \
+        .set_index("candidate")
+    uniq = {}
+    for cols in _KEY_CANDIDATES:
+        name = "+".join(cols)
+        key = o[list(cols)].astype(str).agg(":".join, axis=1)
+        d = key.nunique()
+        g = got.loc[name]
+        assert int(g.n_rows) == len(o)
+        assert int(g.n_distinct) == d
+        assert bool(g.is_key) == (d == len(o))
+        assert int(g.n_collisions) == len(o) - d
+        uniq[cols] = d
+    assert bool(got.loc["o_orderkey", "is_key"])
+    # superset monotonicity: adding a column never lowers distinct
+    assert uniq[("o_custkey", "o_orderdate", "o_totalprice")] \
+        >= uniq[("o_custkey", "o_orderdate")] \
+        >= uniq[("o_custkey",)]
