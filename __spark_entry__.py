@@ -35,62 +35,20 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # Everything not listed follows in module order, so the full registry
 # is intact and every entry keeps its newest green row on record.
 _GRADE_FIRST = (
-    # Round-6 window (VERDICT_r5 task #2: finish the grading drain).
-    # After round 5, 29 registered queries have never had a driver
-    # CORRECTNESS row and 16 changed after their latest green row, so
-    # the whole backlog fits the 50-slot window. Priority rule:
-    # never-graded outranks changed-since-grading outranks stale-green.
-    # Slots 1-29: the never-graded entries, oldest session first.
-    "cdc_resume_gap_audit", "events_decay_engagement_score",
-    "train_interleave_schedule", "graph_degree_assortativity",
-    "text_stopword_profile", "events_wow_growth",
-    "ab_test_cuped", "stats_mutual_information",
-    "ab_test_power_analysis", "events_burstiness_index",
-    "text_heaps_law_fit", "multimodal_phash_near_pairs",
-    "events_littles_law_audit", "ts_snaive_backtest",
-    "events_transition_entropy", "events_session_stats",
-    "train_padding_waste", "embedding_quality_gate",
-    "events_cross_type_lift", "events_weekend_welch_test",
-    "dedup_lsh_scurve_tuning", "orders_aging_buckets",
-    "parts_supplier_hhi", "discount_quantity_elasticity",
-    "events_error_budget", "nation_trade_balance",
-    "text_vocab_coverage_curve", "multimodal_real_decode",
-    "layout_compaction_plan",
-    # Slots 30-45: changed after their latest driver row. 13 are the
-    # round-4 edits (each hash-verified locally at sf0.001+sf0.01 and
-    # pytest-pinned in that session); 5 are the round-6 two-phase
-    # window rewrites of the VERDICT_r5 scale-killer class
-    # (events_revenue_concentration, parts_abc_classification,
-    # train_curriculum_order, train_interleave_schedule [already above
-    # as never-graded], text_heaps_law_fit [already above]) — NOTE the
-    # round-5 manifest comment claimed the train_curriculum_order
-    # ntile fix had already landed; that was FALSE (training.py was
-    # untouched in round 5). The fix actually landed in round 6 via
-    # operators/_twophase.py, verified green at both SFs with zero
-    # single-partition-window warnings before this rotation.
-    "text_quality_scores", "text_langid_confusion",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_span_kgram", "dedup_containment",
-    "train_quality_filter", "train_decontaminate",
-    "multimodal_fake_decode", "sessions_interval_overlap",
-    "knn_ivfpq_search", "text_token_stats",
-    "events_sessionization", "train_curriculum_order",
-    "events_revenue_concentration", "parts_abc_classification",
-    # Slots 46-50: new in round 6, each shipped with oracle + pytest
-    # pins + plan-audit pass (train/val/test hash split with
-    # cross-split exact-dup leakage audit; longest contiguous
-    # contaminated-span detection; label-propagation communities;
-    # file-overlap clustering-depth metric; head-fingerprint
-    # quality-aware dedup keeper selection).
-    "train_split_leakage", "train_contamination_span",
-    "graph_label_propagation", "layout_clustering_depth",
-    "train_dedup_keep_best",
-    # ---- round-6 rotation ends here (50 entries — the window is
-    # full). Below: the round-7 queue head — operators added late in
-    # round 6 after the window filled, each already oracle-green at
-    # sf0.001+sf0.01 and pytest-pinned; they take round-7 slots first
-    # (never-graded outranks everything). Everything after follows in
-    # module order with its latest green row intact.
+    # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
+    # never-graded backlog). Round 6's 50-slot window came back
+    # 50/50 green (CORRECTNESS_r06), so every round-6 slot retires to
+    # its green row and the 58 operators registered after that window
+    # filled take the round-7 slots, oldest session first — the first
+    # 50 below fit the window; the last 8 (marked) spill to round 8.
+    # Priority rule unchanged: never-graded outranks
+    # changed-since-grading outranks stale-green.
+    # Round-7 edits to queue members (all re-verified oracle-green at
+    # sf0.001 AND sf0.01 under the new 8GB-capped harness before this
+    # rotation): graph_kcore_decomposition's oracle peel CTEs are now
+    # AS MATERIALIZED (the VERDICT_r6 #1 memory bomb — same rows,
+    # 0.4 s instead of ~88 GB RSS), and every other generated oracle
+    # is hardened the same way via operators/_oracleutil.py.
     "stats_ks_two_sample", "multimodal_image_patches",
     "train_length_buckets", "ab_test_sequential_sprt",
     "multimodal_video_shots", "cdc_schema_evolution_audit",
@@ -203,6 +161,12 @@ _GRADE_FIRST = (
     # time-partition granularity planner: day/week/month partition
     # size distributions vs the writer row budget.
     "layout_partition_granularity_plan",
+    # ---- round-7 window ends HERE (50 entries). The 8 below are the
+    # never-graded spillover to round 8 (they entered the registry
+    # last); each is oracle-green at sf0.001+sf0.01 locally, and the
+    # round-7 ADVICE fixes to events_markov_stationary and
+    # ab_test_clustered_se land while both still await their first
+    # driver row, so no green row is invalidated.
     # trending top-k per tumbling window — the stateful-counts +
     # sink-rank deployment; stream/batch parity pinned.
     "streaming_trending_topk_replay",

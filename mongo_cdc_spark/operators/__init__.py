@@ -8,6 +8,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ._oracleutil import materialize_multiref_ctes
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -17,6 +19,12 @@ def make_registry():
     A query registered with sql=... gets the full duckdb-oracle
     hash-compare; sql=None marks a genuinely non-SQL-expressible op
     (LSH banding, iterative algorithms) → driver's rows-only check.
+
+    Every registered oracle passes through materialize_multiref_ctes
+    so a multi-referenced CTE chain can never inline exponentially in
+    DuckDB (the round-6 k-core ~88 GB lesson, applied uniformly).
+    Recursive CTEs are left untouched — MATERIALIZED is not valid on
+    a self-referencing CTE and DuckDB already evaluates them once.
     """
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
@@ -25,7 +33,11 @@ def make_registry():
         def deco(fn: QueryFn) -> QueryFn:
             queries[name] = fn
             if sql is not None:
-                oracle[name] = sql
+                if "RECURSIVE" not in sql.upper():
+                    sql_hardened = materialize_multiref_ctes(sql)
+                else:
+                    sql_hardened = sql
+                oracle[name] = sql_hardened
             return fn
         return deco
 

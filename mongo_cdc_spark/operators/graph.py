@@ -599,9 +599,15 @@ KCORE_KS = (2, 3)
 
 def _kcore_oracle_sql() -> str:
     """Unrolled peel rounds per k — the oracle replays the EXACT
-    fixed number of rounds the engine runs."""
+    fixed number of rounds the engine runs.
+
+    Every CTE that a later CTE references more than once is declared
+    AS MATERIALIZED: without it DuckDB inlines each reference, and a
+    chain of peel rounds that each cite the previous round twice
+    expands to 2^rounds copies of the 4-table trade rollup (measured
+    in round 6: ~88 GB RSS / 12-GB-OOM; materialized: <1 s)."""
     base = f"""
-    WITH tr AS (
+    WITH tr AS MATERIALIZED (
       SELECT c.c_nationkey AS a, s.s_nationkey AS b,
              SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
       FROM lineitem l
@@ -610,26 +616,25 @@ def _kcore_oracle_sql() -> str:
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       WHERE c.c_nationkey <> s.s_nationkey
       GROUP BY 1, 2
-    ), topk AS (
+    ), topk AS MATERIALIZED (
       SELECT a, b FROM (
         SELECT a, b, ROW_NUMBER() OVER (
             PARTITION BY a ORDER BY ROUND(val, 2) DESC, b) AS rn
         FROM tr)
       WHERE rn <= {BFS_K_OUT}
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT a, b FROM topk
       UNION SELECT b, a FROM topk
     )"""
     parts = []
     for k in KCORE_KS:
-        prev = "sym"
         alive = f"a_{k}_0"
         base += f""",
-    {alive} AS (SELECT DISTINCT a AS id FROM sym)"""
+    {alive} AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)"""
         for r in range(1, KCORE_ROUNDS + 1):
             nxt = f"a_{k}_{r}"
             base += f""",
-    {nxt} AS (
+    {nxt} AS MATERIALIZED (
       SELECT a AS id FROM sym
       WHERE a IN (SELECT id FROM {alive})
         AND b IN (SELECT id FROM {alive})

@@ -6,23 +6,49 @@ insensitive schema, and an order-insensitive value hash (columns sorted
 by name, rows sorted, values canonicalized). Run before every commit:
 
     python tools/oracle_check.py [sf_dir] [query_name ...]
+
+Two hard gates beyond the value compare:
+
+* DuckDB runs under SET memory_limit='8GB' (DUCKDB_MEMORY_LIMIT env to
+  override) so a pathological oracle — e.g. a multi-referenced CTE
+  chain DuckDB would inline exponentially (the round-6 k-core ~88 GB
+  lesson) — can never pass registration again.
+* Spark's "No Partition Defined for Window" runtime warning is counted
+  per query (stderr is redirected to a file BEFORE the JVM launches, so
+  the JVM inherits the fd; per-query attribution is by file offset).
+  A query that warns without a plan_audit.WINDOW_OK declaration FAILS —
+  this closes the static `gwin` audit's blind spot upstream of lazy
+  localCheckpoints.
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
 import time
 from pathlib import Path
-
-import duckdb
-import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+_WINDOW_WARN = b"No Partition Defined for Window"
+
+# Redirect fd 2 to a scratch file before any JVM exists so the child
+# inherits it; keep a dup of the original stderr for our own messages.
+_ORIG_STDERR_FD = os.dup(2)
+_STDERR_LOG = tempfile.NamedTemporaryFile(
+    prefix="oracle_check_stderr_", suffix=".log", delete=False)
+os.dup2(_STDERR_LOG.fileno(), 2)
+sys.stderr = os.fdopen(_ORIG_STDERR_FD, "w", buffering=1)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
 import __spark_entry__ as entrymod  # noqa: E402
 from mongo_cdc_spark.io import TABLES  # noqa: E402
 from mongo_cdc_spark.session import get_spark  # noqa: E402
+from tools.plan_audit import WINDOW_OK  # noqa: E402
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -48,14 +74,33 @@ def value_hash(df: pd.DataFrame) -> str:
     return str(hash_pandas_object(_canon(df), index=False).sum())
 
 
+class _WarnCounter:
+    """Count window warnings appended to the stderr log since the last
+    call (the JVM writes to the redirected fd 2)."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+        self._pos = 0
+
+    def drain(self) -> int:
+        with open(self._path, "rb") as fh:
+            fh.seek(self._pos)
+            chunk = fh.read()
+            self._pos = fh.tell()
+        return chunk.count(_WINDOW_WARN)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle_check")
     con = duckdb.connect()
+    con.sql(f"SET memory_limit='"
+            f"{os.environ.get('DUCKDB_MEMORY_LIMIT', '8GB')}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
+    warns = _WarnCounter(_STDERR_LOG.name)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -63,6 +108,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        warns.drain()
         try:
             sdf = fn(get_spark("oracle_check"), sf_dir).toPandas()
         except Exception as exc:
@@ -70,8 +116,18 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
             continue
         elapsed = time.time() - t0
+        n_warn = warns.drain()
+        gate = ""
+        if n_warn and name not in WINDOW_OK:
+            failures.append(name)
+            print(f"FAIL {name}: {n_warn} single-partition-window runtime "
+                  "warning(s) without a plan_audit.WINDOW_OK declaration")
+            continue
+        if n_warn:
+            gate = f", {n_warn} declared window warn(s)"
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {elapsed:.1f}s)")
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, "
+                  f"{elapsed:.1f}s{gate})")
             continue
         try:
             odf = con.sql(oracles[name]).df()
@@ -97,7 +153,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            print(f"PASS {name} ({len(sdf)} rows, {elapsed:.1f}s)")
+            print(f"PASS {name} ({len(sdf)} rows, {elapsed:.1f}s{gate})")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -8,10 +8,14 @@ Flags queries whose plan drifts from the declared posture.
 Known blind spot: a lazy `localCheckpoint(eager=False)` replaces its
 subtree with an RDD scan in the printed plan, so features UPSTREAM of a
 checkpoint are invisible here. The single-partition-window class is
-additionally guarded at runtime — tools/oracle_check runs surface
-Spark's "No Partition Defined for Window" warning (zero across the
-suite since the round-6 two-phase rewrites), and
-tests/test_twophase.py pins the rewritten operators.
+additionally guarded at runtime — tools/oracle_check counts Spark's
+"No Partition Defined for Window" warnings per query and fails any
+query that warns without a WINDOW_OK entry. Zero such warnings come
+from DATA-GRAIN frames since the round-6 two-phase rewrites; the
+declared-bounded class (calendar grids, top-k tails, vocabulary
+grain — the WINDOW_OK map below) still warns at runtime by design,
+e.g. ts_motif_discovery's day-index window. tests/test_twophase.py
+pins the rewritten operators.
 
     python tools/plan_audit.py [sf_dir]           # table for all queries
     python tools/plan_audit.py sf_dir q1 q2 ...   # subset
@@ -290,6 +294,11 @@ WINDOW_OK: dict[str, int] = {
     # before their rank windows; the fused-rank window runs over the
     # <=200-row union:
     "search_rrf_fusion": 3,
+    # Hill estimator: the rank window runs over the top-(max(k)+1)
+    # orderBy().limit() frame (201 rows) — TakeOrderedAndProject does
+    # the data-sized reduction; caught by the round-7 runtime warning
+    # gate on its checkpointed bounded frame:
+    "stats_hill_tail_index": 1,
     # calendar-grid frames: one row per day (or trailing-7-day frame
     # over day rows) — bounded by the time span, not the data:
     "events_error_budget": 1,
