@@ -42,6 +42,118 @@ _PID = "__tp_pid"
 _LRANK = "__tp_lrank"
 
 
+def exact_quantiles(df: DataFrame,
+                    value_col: str,
+                    probs: Mapping[str, float],
+                    tiebreak_cols: Sequence[str],
+                    group_cols: Sequence[str] = (),
+                    num_partitions: int | None = None) -> DataFrame:
+    """Exact PERCENTILE_CONT quantiles without a single-task buffer.
+
+    Spark's exact ``percentile`` aggregate merges a per-distinct-value
+    counts map onto ONE task — on a continuous column distinct ≈ rows,
+    so at 100 TB the final merge buffers the whole column (per group).
+    This helper computes the identical linearly-interpolated value via
+    the two-phase exact global rank: range-repartition on
+    (group, value, tiebreak), per-partition row_number, per-(partition,
+    group) counts collapsed to a metadata-grain offsets frame, then ONE
+    broadcast equi-join probes exactly the two bracketing order
+    statistics per (group, prob). Interpolation uses the same 0-based
+    position formula as Spark's Percentile and DuckDB's quantile_cont:
+    pos = (n-1)*p; result = x[floor]+(pos-floor)*(x[ceil]-x[floor]).
+
+    df             input frame.
+    value_col      numeric column (cast to double).
+    probs          {out_col: p} — one output column per entry.
+    tiebreak_cols  columns making (value, *tiebreaks) unique per row
+                   (ranks must be well-defined; ties in value alone are
+                   fine — equal values interpolate to themselves).
+    group_cols     optional grouping: one output row per group (the
+                   group count must be bounded — the offsets and probe
+                   frames are |groups| x partitions / |groups| x probs
+                   and broadcast). Empty → a single global row.
+    Returns        DataFrame[*group_cols, *probs.keys()].
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    gcols = list(group_cols)
+    order = [F.col("__tq_v")] + [F.col(c) for c in tiebreak_cols]
+    vals = df.select(*gcols,
+                     F.col(value_col).cast("double").alias("__tq_v"),
+                     *tiebreak_cols)
+    ranged = (vals.repartitionByRange(
+        num_partitions, *[F.col(c) for c in gcols], *order)
+        .withColumn(_PID, F.spark_partition_id()))
+    local = (ranged.withColumn(
+        _LRANK,
+        F.row_number().over(W.partitionBy(_PID, *gcols).orderBy(*order)))
+        .localCheckpoint(eager=False))
+    per = local.groupBy(_PID, *gcols).agg(
+        F.count(F.lit(1)).alias("__tq_cnt"))
+    # both sides are the metadata-grain per-(partition, group) count
+    # frame (≤ partitions × groups rows) — broadcast the probe side so
+    # the triangular prefix join can never plan as a sort-merge:
+    a, b = per.alias("__tq_a"), F.broadcast(per.alias("__tq_b"))
+    same_group = [F.col(f"__tq_a.{c}").eqNullSafe(F.col(f"__tq_b.{c}"))
+                  for c in gcols]
+    cond = F.col(f"__tq_b.{_PID}") < F.col(f"__tq_a.{_PID}")
+    for eq in same_group:
+        cond = cond & eq
+    offsets = (a.join(b, cond, "left")
+               .groupBy(F.col(f"__tq_a.{_PID}").alias(_PID),
+                        *[F.col(f"__tq_a.{c}").alias(c) for c in gcols])
+               .agg(F.coalesce(F.sum(f"__tq_b.__tq_cnt"), F.lit(0))
+                    .alias("__tq_off")))
+    ranked = (local.join(F.broadcast(offsets), [_PID, *gcols])
+              .withColumn("__tq_rk", F.col("__tq_off") + F.col(_LRANK)))
+    # group sizes from the already-collapsed per-partition counts —
+    # metadata-grain, no second scan of the data.
+    counts = per.groupBy(*gcols).agg(F.sum("__tq_cnt").alias("__tq_n"))
+    entries = F.array(*[
+        F.struct(F.lit(k).alias("__tq_qk"),
+                 F.lit(float(p)).alias("__tq_qp"))
+        for k, p in probs.items()])
+    needed = (counts.select(*gcols, "__tq_n",
+                            F.explode(entries).alias("__tq_e"))
+              .select(*gcols, "__tq_n",
+                      F.col("__tq_e.__tq_qk").alias("__tq_qk"),
+                      F.col("__tq_e.__tq_qp").alias("__tq_qp"))
+              .withColumn("__tq_pos",
+                          (F.col("__tq_n") - 1) * F.col("__tq_qp"))
+              .withColumn("__tq_lo",
+                          F.floor("__tq_pos").cast("bigint"))
+              .withColumn("__tq_frac",
+                          F.col("__tq_pos") - F.col("__tq_lo"))
+              .select(*gcols, "__tq_qk", "__tq_lo", "__tq_frac",
+                      F.explode(F.array_distinct(F.array(
+                          F.col("__tq_lo") + 1,
+                          F.ceil("__tq_pos").cast("bigint") + 1)))
+                      .alias("__tq_rkn")))
+    probe = needed.select(
+        *[F.col(c).alias(f"__tq_g_{c}") for c in gcols],
+        "__tq_qk", "__tq_lo", "__tq_frac", "__tq_rkn")
+    jcond = ranked["__tq_rk"] == probe["__tq_rkn"]
+    for c in gcols:
+        jcond = jcond & ranked[c].eqNullSafe(probe[f"__tq_g_{c}"])
+    hits = ranked.join(F.broadcast(probe), jcond)
+    v_lo = F.max(F.when(F.col("__tq_rk") == F.col("__tq_lo") + 1,
+                        F.col("__tq_v")))
+    v_hi = F.max(F.when(F.col("__tq_rk") == F.col("__tq_lo") + 2,
+                        F.col("__tq_v")))
+    # frac == 0 → the bracket is a single order statistic (x[ceil] row
+    # may not exist when pos is integral at the frame's end) — emit
+    # x[floor] directly instead of interpolating with a NULL v_hi.
+    tall = (hits.groupBy(*gcols, "__tq_qk")
+            .agg(F.when(F.max("__tq_frac") == 0, v_lo)
+                 .otherwise(v_lo + F.max("__tq_frac") * (v_hi - v_lo))
+                 .alias("__tq_qv")))
+    return (tall.groupBy(*gcols)
+            .agg(*[F.max(F.when(F.col("__tq_qk") == k,
+                                F.col("__tq_qv"))).alias(k)
+                   for k in probs]))
+
+
 def with_global_order(df: DataFrame,
                       order_exprs: Sequence[Column],
                       *,

@@ -407,20 +407,25 @@ def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what RangePartitioner does (sample, never the full sort), and the md5
     # selection replays bit-identically in DuckDB. The exact-percentile
     # full-column form was the bench's worst query (8-11 s at sf0.1:
-    # a single task sorting every row); the sampled form cuts the
-    # single-group buffer 10x and is the honest 100 TB design. ONE
-    # percentile aggregate over the percentage array (a single sort
-    # buffer) — separate calls would each buffer the sample again.
+    # a single task sorting every row); the sampled form was the
+    # round-4 fix, and round 7 removed the residual single-task
+    # buffer over the sample itself via the two-phase exact quantile.
     samp = li.where(
         F.conv(F.substring(F.md5(F.concat_ws(
             "-", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 8),
             16, 10).cast("bigint") % 10 == 0)
-    bounds = (samp.agg(
-        F.percentile("l_extendedprice",
-                     [i / _RANGE_PARTS
-                      for i in range(1, _RANGE_PARTS)]).alias("raw"))
-        .select(F.expr("transform(raw, x -> round(x, 4))")
-                .alias("bounds")))
+    # the sample's exact interpolated quantiles via the two-phase
+    # global rank (no single-task percentile buffer even at sample
+    # grain — round 7 retired that class repo-wide):
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+    qs = exact_quantiles(
+        samp.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice",
+        {f"b{i}": i / _RANGE_PARTS for i in range(1, _RANGE_PARTS)},
+        ["l_orderkey", "l_linenumber"])
+    bounds = qs.select(F.array(*[
+        F.round(F.col(f"b{i}"), 4)
+        for i in range(1, _RANGE_PARTS)]).alias("bounds"))
     tot = li.agg(F.count(F.lit(1)).alias("n_total"))
     b = bounds.crossJoin(tot)
     bucketed = (li.crossJoin(F.broadcast(b))

@@ -724,20 +724,27 @@ def feature_winsorized_scale(spark: SparkSession,
     the outlier-resistant alternative to z-score normalization that
     tree-free models and reward-model feature preps standardize on.
 
-    Plan: two passes, both scale-sane — pass 1 is a per-segment exact
-    percentile agg (5 bounded groups; the sketch twin covers
-    high-cardinality keys), whose 5-row threshold frame broadcasts
-    back for pass 2's single partial-aggregatable clip-and-average.
-    Thresholds are rounded to 4 dp on BOTH engines before any
-    comparison, so clip-boundary membership can't flip on a
-    percentile-interpolation ulp."""
+    Plan: two passes, both scale-sane — pass 1 computes the exact
+    per-segment interpolated quantiles via _twophase.exact_quantiles
+    (grouped two-phase global rank: range-repartition on (segment,
+    balance), per-partition ranks, broadcast bracketing-rank probe —
+    NOT Spark's exact `percentile` aggregate, whose merged buffer
+    would land each segment's whole continuous column on one task);
+    the 5-row threshold frame broadcasts back for pass 2's single
+    partial-aggregatable clip-and-average. Thresholds are rounded to
+    4 dp on BOTH engines before any comparison, so clip-boundary
+    membership can't flip on a percentile-interpolation ulp."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     c = load_table(spark, sf_dir, "customer")
-    th = (c.groupBy("c_mktsegment")
-          .agg(F.round(F.percentile("c_acctbal", 0.05), 4).alias("p05"),
-               F.round(F.percentile("c_acctbal", 0.25), 4).alias("p25"),
-               F.round(F.percentile("c_acctbal", 0.50), 4).alias("p50"),
-               F.round(F.percentile("c_acctbal", 0.75), 4).alias("p75"),
-               F.round(F.percentile("c_acctbal", 0.95), 4).alias("p95")))
+    th = exact_quantiles(
+        c, "c_acctbal",
+        {"p05": 0.05, "p25": 0.25, "p50": 0.50,
+         "p75": 0.75, "p95": 0.95},
+        ["c_custkey"], ["c_mktsegment"])
+    th = th.select("c_mktsegment",
+                   *[F.round(F.col(k), 4).alias(k)
+                     for k in ("p05", "p25", "p50", "p75", "p95")])
     wx = F.greatest(F.col("p05"), F.least(F.col("p95"),
                                           F.col("c_acctbal")))
     return (c.join(F.broadcast(th), "c_mktsegment")
@@ -783,14 +790,21 @@ def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-rewrite Expand, dragging every sketch/sort buffer
     # through a k-way PartialMerge (the round-3 151 s pathology; still
     # a measured 2.5 s -> ~1 s here at 5 groups)
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     exact = (ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n_exact_users")))
     sk = (ev.groupBy("event_type")
           .agg(F.approx_count_distinct("user_id", 0.02).alias("n_hll"),
-               F.percentile("value", 0.5).alias("p50_exact"),
                F.percentile_approx("value", 0.5, 10000)
                .alias("p50_approx")))
-    per = exact.join(sk, "event_type")
+    # exact median via the two-phase grouped quantile — the audit's
+    # exact side must not itself be the single-task-buffer pattern it
+    # exists to retire at scale:
+    p50x = exact_quantiles(ev, "value", {"p50_exact": 0.5},
+                           ["event_id"], ["event_type"])
+    per = exact.join(sk, "event_type").join(F.broadcast(p50x),
+                                            "event_type")
     hll_ok = (F.abs(F.col("n_hll") - F.col("n_exact_users"))
               <= 0.05 * F.col("n_exact_users"))
     p50_ok = (F.abs(F.col("p50_approx") - F.col("p50_exact"))
@@ -1587,20 +1601,30 @@ def stats_isotonic_calibration(spark: SparkSession,
     iso_i = max_(j<=i) min_(k>=i) avg(y[j..k]), which is pure
     aggregation algebra once the data collapses to bins.
 
-    Plan: the only data-sized stages are the exact {_ISO_BINS}-ile
-    cut computation and one bucket-assign + count pass (cuts
-    broadcast as 4-dp-rounded literals so bin membership can't flip
-    on an interpolation ulp — the winsorize discipline). Everything
+    Plan: the only data-sized stages are the {_ISO_BINS}-ile cut
+    computation and one bucket-assign + count pass (cuts broadcast
+    as 4-dp-rounded literals so bin membership can't flip on an
+    interpolation ulp — the winsorize discipline). The cuts are the
+    EXACT interpolated quantiles via _twophase.exact_quantiles
+    (range-repartitioned global rank + a broadcast probe of the two
+    bracketing order statistics per cut) — never Spark's exact
+    `percentile` aggregate, whose merged per-distinct-value buffer
+    lands the whole continuous column on one task. Everything
     after runs on the <= {_ISO_BINS}-row bin frame: the interval
     averages, inner mins and outer maxes are bin-grain triple joins
     (~{_ISO_BINS}^3 rows at ANY corpus size). Interval averages are
     single divisions of exact integer sums, so min/max selection is
     bit-identical across engines. PAVA-reference parity + guaranteed
     monotonicity pinned in tests/test_quality.py."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     o = load_table(spark, sf_dir, "orders")
-    cuts = o.agg(*[
-        F.round(F.percentile("o_totalprice", i / _ISO_BINS), 4)
-        .alias(f"c{i}") for i in range(1, _ISO_BINS)])
+    cuts = exact_quantiles(
+        o, "o_totalprice",
+        {f"c{i}": i / _ISO_BINS for i in range(1, _ISO_BINS)},
+        ["o_orderkey"])
+    cuts = cuts.select(*[F.round(F.col(f"c{i}"), 4).alias(f"c{i}")
+                         for i in range(1, _ISO_BINS)])
     cut_arr = F.array(*[F.col(f"c{i}") for i in range(1, _ISO_BINS)])
     binned = (o.crossJoin(F.broadcast(cuts))
               .select(
@@ -2132,10 +2156,12 @@ def stats_brier_decomposition(spark: SparkSession,
     (UNC). The per-bin rel/res terms localize which forecast bucket
     is off; the companion to stats_isotonic_calibration's fix.
 
-    Plan: decile cuts come from ONE exact-percentile agg over the
-    train half, broadcast 4-dp-rounded so bin membership can't flip
-    on interpolation ulps; then ONE bucket-assign + (bin, half)
-    count pass — the only data-grain shuffle. Every forecast,
+    Plan: decile cuts are the exact interpolated quantiles of the
+    train half via _twophase.exact_quantiles (range-repartitioned
+    global rank + broadcast bracketing-rank probe — never the
+    single-task exact `percentile` buffer), broadcast 4-dp-rounded
+    so bin membership can't flip on interpolation ulps; then ONE
+    bucket-assign + (bin, half) count pass at data grain. Every forecast,
     observed rate and decomposition term is a ratio of exact
     INTEGER counts combined in identical expression trees, so both
     engines agree bit-for-bit before rounding; the bin-frame windows
@@ -2145,12 +2171,17 @@ def stats_brier_decomposition(spark: SparkSession,
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey").alias("okey"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
         (F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
          < "8").alias("is_train"))
-    cuts = base.filter("is_train").agg(*[
-        F.round(F.percentile("x", q), 4).alias(f"c{i}")
-        for i, q in enumerate(_BRIER_QS)])
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+    cuts = exact_quantiles(
+        base.filter("is_train"), "x",
+        {f"c{i}": q for i, q in enumerate(_BRIER_QS)},
+        ["okey"])
+    cuts = cuts.select(*[F.round(F.col(f"c{i}"), 4).alias(f"c{i}")
+                         for i in range(len(_BRIER_QS))])
     cut_arr = F.array(*[F.col(f"c{i}") for i in range(len(_BRIER_QS))])
     binned = (base.crossJoin(F.broadcast(cuts))
               .select(F.aggregate(

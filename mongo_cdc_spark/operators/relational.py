@@ -481,15 +481,28 @@ def agg_distinct_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment
 """)
 def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates incl. exact median (percentile)."""
+    """Statistical aggregates incl. exact median.
+
+    The median is the exact interpolated quantile via
+    _twophase.exact_quantiles (grouped two-phase global rank +
+    broadcast bracketing-rank probe) — not Spark's exact `percentile`
+    aggregate, whose merged buffer lands each segment's whole
+    continuous column on one task at scale; the moment aggregates
+    stay one partial-aggregatable pass."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    c = _t(spark, sf_dir, "customer")
+    med = exact_quantiles(c, "c_acctbal", {"med": 0.5},
+                          ["c_custkey"], ["c_mktsegment"])
     return (
-        _t(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
+        c.groupBy("c_mktsegment")
         .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
              F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
              F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-             F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("med_bal"))
+             F.round(F.max("c_acctbal"), 2).alias("max_bal"))
+        .join(F.broadcast(med), "c_mktsegment")
+        .select("c_mktsegment", "avg_bal", "sd_bal", "min_bal",
+                "max_bal", F.round(F.col("med"), 4).alias("med_bal"))
         .orderBy("c_mktsegment")
     )
 
@@ -1538,6 +1551,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartialMerge phase — measured 151 s vs ~3 s at sf0.1 for identical
     results. Two map-side-combined passes over the scan also beat one
     Expand-doubled shuffle at 100 TB."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
     sketches = (
         li.groupBy("l_returnflag")
@@ -1545,16 +1560,22 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("approx_orders"),
              F.percentile_approx("l_extendedprice", 0.5, 10_000)
              .alias("approx_median"),
-             F.percentile("l_extendedprice", 0.45).alias("q45"),
-             F.percentile("l_extendedprice", 0.55).alias("q55"),
              F.count(F.lit(1)).alias("n"))
     )
+    # the exact rank bracket the sketch median must land in — via the
+    # two-phase grouped exact quantile (no single-task percentile
+    # buffer even in the audit path):
+    bracket = exact_quantiles(li, "l_extendedprice",
+                              {"q45": 0.45, "q55": 0.55},
+                              ["l_orderkey", "l_linenumber"],
+                              ["l_returnflag"])
     exact = (
         li.groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
     )
     return (
-        sketches.join(exact, "l_returnflag")
+        sketches.join(F.broadcast(bracket), "l_returnflag")
+        .join(exact, "l_returnflag")
         .select(
             "l_returnflag", "exact_orders", "n",
             (F.abs(F.col("approx_orders") - F.col("exact_orders"))
@@ -1584,7 +1605,11 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. For high-cardinality groups or ad-hoc profiling at 100 TB,
     the mergeable-sketch twin `agg_approx_sketches` (KLL/HLL, fixed
     state) is the intended path; this query is its oracle-checkable
-    exact counterpart."""
+    exact counterpart. This is the DECLARED sole data-grain use of
+    Spark's exact `percentile` aggregate in the repo — it exists to
+    demonstrate the built-in operator itself; every other exact
+    quantile runs through _twophase.exact_quantiles (two-phase global
+    rank, no single-task buffer), the round-7 repo-wide rule."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -2260,23 +2285,25 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     99% confidence, so the 4% bracket holds with wide margin and is a
     stable fact of the fixture the oracle states as a literal; a
     regression pushing the sketch out of bracket hash-mismatches the
-    row. Exact companions and sketches run as separate aggs joined on
+    row. The exact companions run through _twophase.exact_quantiles
+    (two-phase global rank + broadcast bracketing-rank probe — the
+    audit's exact side must not itself be the single-task percentile
+    buffer the sketch exists to retire), joined to the sketches on
     the tiny day key (no shared buffer pathologies)."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     ev = _t(spark, sf_dir, "events").select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        F.col("value").cast("double").alias("value"))
+        F.col("value").cast("double").alias("value"),
+        "event_id")
     daily_sk = ev.groupBy("day").agg(
         F.expr("kll_sketch_agg_double(value)").alias("sk"))
     def _exact(df, extra_key=None):
-        keys = [extra_key] if extra_key else []
-        g = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("one"))
-        return g.agg(
-            F.percentile("value", 0.50).alias("e50"),
-            F.percentile("value", 0.95).alias("e95"),
-            F.percentile("value", 0.46).alias("lo50"),
-            F.percentile("value", 0.54).alias("hi50"),
-            F.percentile("value", 0.91).alias("lo95"),
-            F.percentile("value", 0.99).alias("hi95"))
+        return exact_quantiles(
+            df, "value",
+            {"e50": 0.50, "e95": 0.95, "lo50": 0.46,
+             "hi50": 0.54, "lo95": 0.91, "hi95": 0.99},
+            ["event_id"], [extra_key] if extra_key else [])
     out_cols = [
         "day",
         F.round("e50", 4).alias("exact_p50"),
@@ -2291,7 +2318,7 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.expr("kll_sketch_get_quantile_double(sk, 0.50)").alias("s50"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("s95"))
-        .join(_exact(ev, "day"), "day")
+        .join(F.broadcast(_exact(ev, "day")), "day")
         .select(*out_cols))
     merged = (
         daily_sk.agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
@@ -2299,7 +2326,7 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ALL").alias("day"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.50)").alias("s50"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("s95"))
-        .crossJoin(_exact(ev).drop("one"))
+        .crossJoin(F.broadcast(_exact(ev)))
         .select(*out_cols))
     return daily.unionByName(merged).orderBy("day")
 
@@ -2913,9 +2940,13 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     window collapses candidates per purchase; gaps are exact integer
     microseconds scaled by the same double division on both engines,
     so the percentile inputs are identical and the interpolated
-    p50/p90 round stably. Exact percentiles per 24-key group are audit-grade; the
-    sketch swap (approx_percentile / KLL) drops in for corpus-scale
-    monitoring with the same output contract."""
+    p50/p90 round stably. The exact per-hour quantiles run through
+    _twophase.exact_quantiles (grouped two-phase global rank +
+    broadcast bracketing-rank probe — each hour's gaps never buffer
+    on one task); the sketch swap (approx_percentile / KLL) drops in
+    for corpus-scale monitoring with the same output contract."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     ev = _t(spark, sf_dir, "events")
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("user_id", F.col("ts").alias("click_ts"),
@@ -2929,18 +2960,23 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.desc("click_id"))
     matched = (cand.withColumn("rn", F.row_number().over(w1))
                .filter(F.col("rn") == 1)
-               .select("buy_id", "buy_ts",
+               .select("buy_id",
+                       F.hour("buy_ts").alias("buy_hod"),
                        ((F.unix_micros("buy_ts")
                          - F.unix_micros("click_ts")) / 1000000.0)
-                       .alias("gap_sec")))
+                       .alias("gap_sec"))
+               .localCheckpoint(eager=False))
+    qs = exact_quantiles(matched, "gap_sec",
+                         {"q50": 0.5, "q90": 0.9},
+                         ["buy_id"], ["buy_hod"])
     return (matched
-            .groupBy(F.hour("buy_ts").alias("buy_hod"))
+            .groupBy("buy_hod")
             .agg(F.count(F.lit(1)).alias("n_conversions"),
-                 F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
-                 F.round(F.percentile("gap_sec", F.lit(0.5)), 4)
-                  .alias("p50_gap_sec"),
-                 F.round(F.percentile("gap_sec", F.lit(0.9)), 4)
-                  .alias("p90_gap_sec"))
+                 F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"))
+            .join(F.broadcast(qs), "buy_hod")
+            .select("buy_hod", "n_conversions", "avg_gap_sec",
+                    F.round(F.col("q50"), 4).alias("p50_gap_sec"),
+                    F.round(F.col("q90"), 4).alias("p90_gap_sec"))
             .orderBy("buy_hod"))
 
 
@@ -4555,12 +4591,17 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the one-window 10-minute-gap sessionization (same
     definition as events_peak_concurrency / littles-law, so the three
-    operators describe one consistent session universe); the final
-    aggregate buffers session-grain rows for exact percentiles —
-    session counts are bounded by user activity, and the sketch twin
-    (percentile_approx) is the documented swap at extreme scale.
-    Durations are exact integer microseconds; percentile
-    interpolation runs on identical doubles in both engines."""
+    operators describe one consistent session universe). The exact
+    session-grain percentiles run through _twophase.exact_quantiles
+    (range-repartitioned global rank + broadcast bracketing-rank
+    probe) — never Spark's exact `percentile` aggregate, whose merged
+    buffer would land every distinct session duration on one task;
+    the sketch twin (percentile_approx) remains the documented
+    interactive-profiling swap. Durations are exact integer
+    microseconds; percentile interpolation runs on identical doubles
+    in both engines."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     ev = _t(spark, sf_dir, "events")
     uw = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = (F.unix_micros("ts")
@@ -4574,22 +4615,31 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = (with_sess.groupBy("user_id", "sess_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.unix_micros(F.max("ts"))
-                  - F.unix_micros(F.min("ts"))).alias("dur_us")))
+                  - F.unix_micros(F.min("ts"))).alias("dur_us"))
+            .localCheckpoint(eager=False))
+    qn = exact_quantiles(sess, "n_events", {"median_events": 0.5},
+                         ["user_id", "sess_id"])
+    qd = exact_quantiles(sess, "dur_us", {"d50": 0.5, "d95": 0.95},
+                         ["user_id", "sess_id"])
     bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-    return sess.agg(
+    base = sess.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.avg("n_events"), 6).alias("mean_events"),
-        F.percentile("n_events", 0.5).alias("median_events"),
         F.round(F.avg("dur_us") / F.lit(60e6), 6)
         .alias("mean_duration_min"),
-        F.round(F.percentile("dur_us", 0.5) / F.lit(60e6), 6)
-        .alias("median_duration_min"),
-        F.round(F.percentile("dur_us", 0.95) / F.lit(60e6), 6)
-        .alias("p95_duration_min"),
         bounce.cast("bigint").alias("n_bounces"),
         F.round(bounce / (F.count(F.lit(1)) * F.lit(1.0)), 6)
         .alias("bounce_rate"))
+    return (base.crossJoin(F.broadcast(qn))
+            .crossJoin(F.broadcast(qd))
+            .select("n_sessions", "n_users", "mean_events",
+                    "median_events", "mean_duration_min",
+                    F.round(F.col("d50") / F.lit(60e6), 6)
+                    .alias("median_duration_min"),
+                    F.round(F.col("d95") / F.lit(60e6), 6)
+                    .alias("p95_duration_min"),
+                    "n_bounces", "bounce_rate"))
 
 
 @query("events_cross_type_lift", sql="""

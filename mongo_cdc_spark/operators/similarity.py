@@ -1852,15 +1852,21 @@ def embedding_quality_gate(spark: SparkSession,
     check every vector pipeline runs between embedding export and
     index build — the ANN twin of quality_profile_orders.
 
-    One narrow pass computing per-vector (dim, norm) + a single
-    aggregate with an exact median over scalar norms; norms at 6 dp
-    where per-vector dot products are order-fixed (sequential fold
-    over one array — no cross-engine reassociation)."""
+    One narrow pass computing per-vector (dim, norm); the exact
+    median runs through _twophase.exact_quantiles (two-phase global
+    rank + broadcast bracketing-rank probe — never the single-task
+    exact `percentile` buffer over every distinct norm); norms at
+    6 dp where per-vector dot products are order-fixed (sequential
+    fold over one array — no cross-engine reassociation)."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     e = _emb(spark, sf_dir)
-    v = e.select("vec_id", "label",
-                 F.size("v").alias("dim"),
-                 F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-    return v.agg(
+    v = (e.select("vec_id", "label",
+                  F.size("v").alias("dim"),
+                  F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+         .localCheckpoint(eager=False))
+    med = exact_quantiles(v, "nrm", {"med": 0.5}, ["vec_id"])
+    return (v.agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("dim").cast("int").alias("n_distinct_dims"),
         F.max("dim").cast("int").alias("dim"),
@@ -1869,9 +1875,13 @@ def embedding_quality_gate(spark: SparkSession,
         F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
         .cast("bigint").alias("n_degenerate"),
         F.round(F.min("nrm"), 6).alias("norm_min"),
-        F.round(F.percentile("nrm", 0.5), 6).alias("norm_median"),
         F.round(F.max("nrm"), 6).alias("norm_max"),
         F.countDistinct("label").cast("int").alias("n_labels"))
+        .crossJoin(F.broadcast(med))
+        .select("n_vectors", "n_distinct_dims", "dim",
+                "n_zero_vectors", "n_degenerate", "norm_min",
+                F.round(F.col("med"), 6).alias("norm_median"),
+                "norm_max", "n_labels"))
 
 
 @query("similarity_mips_norm_augment", sql=f"""

@@ -576,16 +576,25 @@ def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the TF-IDF query already pays. Joins are tiny-key
     (|sources| x |langs| rows) and AQE broadcasts them.
     """
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     base = (_docs(spark, sf_dir)
-            .select("source", "lang", F.md5("text").alias("fp"),
+            .select("source", "lang", "doc_id",
+                    F.md5("text").alias("fp"),
                     _tokens().alias("w"))
-            .select("source", "lang", "fp", "w",
+            .select("source", "lang", "doc_id", "fp", "w",
                     F.size("w").alias("n_tok")))
+    # median doc length via the grouped two-phase exact quantile —
+    # never the exact-percentile aggregate whose merged buffer lands
+    # each group's whole length column on one task:
+    med = exact_quantiles(base, "n_tok", {"med": 0.5},
+                          ["doc_id"], ["source", "lang"])
     card = (base.groupBy("source", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tok").cast("bigint").alias("total_tokens"),
-                 F.round(F.percentile("n_tok", F.lit(0.5)), 4)
-                 .alias("med_tokens")))
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"))
+            .join(F.broadcast(med), ["source", "lang"])
+            .withColumn("med_tokens", F.round(F.col("med"), 4))
+            .drop("med"))
     dups = (base.groupBy("source", "lang")
             .agg((F.count(F.lit(1)) - F.count_distinct("fp"))
                  .cast("bigint").alias("n_exact_dup")))
@@ -1590,23 +1599,29 @@ def train_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: boundaries come from a deterministic 10% md5 row-sample
     (layout_range_bounds' RangePartitioner recipe — bounds never need
-    the full sort, and the sample replays bit-identically in DuckDB);
-    assignment probes the broadcast 7-element bound array with a JVM
+    the full sort, and the sample replays bit-identically in DuckDB),
+    whose octiles run through _twophase.exact_quantiles so even the
+    sample never buffers on a single task (same values as the
+    percentile aggregate, two-phase rank underneath); assignment
+    probes the broadcast 7-element bound array with a JVM
     higher-order filter (no join, no shuffle); everything else is two
     partial-aggregatable rollups (bucket grain + one global row). No
-    window anywhere — the only sort is the sample's percentile
-    buffer."""
+    window anywhere."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.size(_tokens()).alias("n_tok"))
     samp = toks.where(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
                                  .cast("binary")), 1, 8), 16, 10)
         .cast("bigint") % 10 == 0)
-    bounds = (samp.agg(F.percentile(
-        "n_tok", [i / _LEN_BUCKETS for i in range(1, _LEN_BUCKETS)])
-        .alias("raw"))
-        .select(F.expr("transform(raw, x -> round(x, 4))")
-                .alias("bounds")))
+    qs = exact_quantiles(
+        samp, "n_tok",
+        {f"b{i}": i / _LEN_BUCKETS for i in range(1, _LEN_BUCKETS)},
+        ["doc_id"])
+    bounds = qs.select(F.array(*[
+        F.round(F.col(f"b{i}"), 4)
+        for i in range(1, _LEN_BUCKETS)]).alias("bounds"))
     g = toks.agg(F.count(F.lit(1)).alias("gn"),
                  F.sum("n_tok").alias("gsum"),
                  F.max("n_tok").alias("gmax"))

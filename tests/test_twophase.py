@@ -149,3 +149,70 @@ def test_strict_cummax_matches_single_partition_window(spark):
     got, ref = got.sort_index(), ref.sort_index()
     assert got.isna().sum() == ref.isna().sum() == 1
     assert (got.dropna() == ref.dropna()).all()
+
+
+# ------------------------- exact_quantiles (round-7 percentile class)
+
+
+def test_exact_quantiles_matches_percentile_aggregate(spark):
+    """Bit-parity with Spark's exact `percentile` (and therefore
+    DuckDB quantile_cont — same 0-based interpolation formula),
+    grouped and ungrouped, across partition counts."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    df = (spark.range(0, 4007)
+          .select(F.col("id"),
+                  (F.col("id") % 3).cast("string").alias("g"),
+                  ((F.col("id") * 104729) % 99991 / 7.0).alias("x")))
+    probs = {"p05": 0.05, "p50": 0.5, "p90": 0.9, "p95": 0.95}
+    import math
+
+    ref = df.agg(*[F.percentile("x", p).alias(k)
+                   for k, p in probs.items()]).collect()[0]
+    for nparts in (1, 4, 32):
+        got = exact_quantiles(df, "x", probs, ["id"],
+                              num_partitions=nparts).collect()[0]
+        for k in probs:
+            # identical bracketing order statistics; the final
+            # interpolation may differ from Spark's by 1 ulp
+            # (a*(1-f)+b*f vs a+f*(b-a)) — relative tolerance.
+            assert math.isclose(ref[k], got[k], rel_tol=1e-13), \
+                (nparts, k)
+    refg = {r["g"]: r for r in df.groupBy("g").agg(
+        *[F.percentile("x", p).alias(k) for k, p in probs.items()])
+        .collect()}
+    gotg = {r["g"]: r for r in exact_quantiles(
+        df, "x", probs, ["id"], ["g"]).collect()}
+    assert set(refg) == set(gotg)
+    for g in refg:
+        for k in probs:
+            assert math.isclose(refg[g][k], gotg[g][k],
+                                rel_tol=1e-13), (g, k)
+
+
+def test_exact_quantiles_edges(spark):
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    one = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    r = exact_quantiles(one, "x", {"p50": 0.5, "p95": 0.95},
+                        ["id"]).collect()[0]
+    assert r["p50"] == 5.0 and r["p95"] == 5.0
+    two = spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                "id long, x double")
+    r = exact_quantiles(two, "x", {"p50": 0.5}, ["id"]).collect()[0]
+    assert abs(r["p50"] - 1.5) < 1e-12
+    # heavy ties: quantiles of a constant column are that constant
+    ties = spark.range(100).select(F.col("id"), F.lit(7.0).alias("x"))
+    r = exact_quantiles(ties, "x", {"p25": 0.25, "p75": 0.75},
+                        ["id"]).collect()[0]
+    assert r["p25"] == 7.0 and r["p75"] == 7.0
+
+
+def test_exact_quantiles_plan_has_no_unpartitioned_window(spark):
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 31 % 101 / 3.0).alias("x"))
+    out = exact_quantiles(df, "x", {"p50": 0.5}, ["id"], ["g"])
+    assert count_global_windows(_plan(out)) == 0

@@ -268,7 +268,26 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # curve windows over |distinct days| rows; every
                # exchange past the scans carries user- or day-grain
                # reduced rows:
-               "events_survival_km": 9}
+               "events_survival_km": 9,
+               # ---- the round-7 exact-quantile class: each
+               # _twophase.exact_quantiles call pays the two-phase
+               # price (range-repartition + pid-window exchange at
+               # data grain, then per-partition-count offsets /
+               # group-count frames at METADATA grain — ≤ partitions ×
+               # groups rows regardless of data size). That is the
+               # documented trade replacing the single-task exact
+               # `percentile` buffer; every extra exchange beyond the
+               # two data-grain ones carries bounded rows:
+               "agg_approx_sketches": 10,
+               "agg_stats_acctbal": 8,
+               "events_kll_quantile_rollup": 13,   # 3 quantile calls
+               "events_session_stats": 9,          # 2 quantile calls
+               "events_time_to_convert": 11,
+               "feature_winsorized_scale": 8,
+               "layout_range_bounds": 6,
+               "sketch_accuracy_eval": 10,
+               "train_dataset_card": 12,
+               "train_length_buckets": 6}
 
 
 # Single-partition (unpartitioned) windows are DECLARED only where the
