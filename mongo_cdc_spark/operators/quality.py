@@ -1370,12 +1370,18 @@ _BOOT_REPS = 64
 
 
 @query("stats_bootstrap_subsample_ci", sql=f"""
-    WITH r AS (
-      SELECT b.b, o.o_totalprice
-      FROM orders o, generate_series(0, {_BOOT_REPS - 1}) b(b)
-      WHERE ('0x' || substr(md5(o.o_orderkey::VARCHAR || '_'
-                                || b.b::VARCHAR), 1, 8))::BIGINT
-            % 2 = 0
+    WITH h AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+               AS hi,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 9, 8))::BIGINT
+               AS lo
+      FROM orders
+    ), r AS (
+      SELECT b.b, h.o_totalprice
+      FROM h, generate_series(0, {_BOOT_REPS - 1}) b(b)
+      WHERE CASE WHEN b.b < 32 THEN (h.hi >> b.b) & 1
+                 ELSE (h.lo >> (b.b - 32)) & 1 END = 1
     ), rm AS (
       SELECT b, ROUND(AVG(o_totalprice), 6) AS m FROM r GROUP BY 1
     ), f AS (
@@ -1396,31 +1402,37 @@ _BOOT_REPS = 64
 def stats_bootstrap_subsample_ci(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """m-out-of-n subsample bootstrap CI for mean order value:
-    {_BOOT_REPS} deterministic half-subsample replicas (row r joins
-    replica b iff the portable md5(key, b) hash is even — seedless,
-    engine-reproducible resampling), each replica's mean collapses
-    map-side, and the half-sample spread rescales by sqrt(m/n) =
-    1/sqrt(2) into the full-sample standard error (Politis/Romano/
-    Wolf subsampling; the distributed stand-in for the classic
-    bootstrap, whose with-replacement resample would need per-row
-    Poisson draws — this variant stays a pure filter).
+    {_BOOT_REPS} deterministic half-subsample replicas — row r joins
+    replica b iff BIT b of the row's single md5 digest is set
+    (seedless, engine-reproducible resampling; one 128-bit hash per
+    row supplies all {_BOOT_REPS} independent membership bits, the
+    round-7 fix for the 64-hashes-per-row hot loop), each replica's
+    mean collapses map-side, and the half-sample spread rescales by
+    sqrt(m/n) = 1/sqrt(2) into the full-sample standard error
+    (Politis/Romano/Wolf subsampling; the distributed stand-in for
+    the classic bootstrap, whose with-replacement resample would
+    need per-row Poisson draws — this variant stays a pure filter).
 
-    Plan: ONE data-grain pass — the replicate explode multiplies
-    compute {_BOOT_REPS}x but partial aggregation collapses every
+    Plan: ONE data-grain pass with ONE md5 per row — the replicate
+    explode multiplies compute {_BOOT_REPS}x but the per-replica
+    test is a two-instruction shift-and-mask on the precomputed
+    32-bit digest halves, and partial aggregation collapses every
     task to {_BOOT_REPS} partial sums before the shuffle, so shuffle
     width is replicas-not-rows at any scale; the replica means (6 dp
     on both engines before the quantile so interpolation sees
     identical inputs) and the 1-row full mean then cross-join at
     metadata grain."""
     o = load_table(spark, sf_dir, "orders")
-    key = F.concat(F.col("o_orderkey").cast("string"), F.lit("_"),
-                   F.col("b").cast("string"))
-    keep = (F.conv(F.substring(F.md5(key.cast("binary")), 1, 8),
-                   16, 10).cast("long") % 2 == 0)
-    rm = (o.select("o_orderkey", "o_totalprice",
-                   F.explode(F.sequence(
-                       F.lit(0), F.lit(_BOOT_REPS - 1))).alias("b"))
-          .where(keep)
+    h = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    base = o.select(
+        "o_totalprice",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"))
+    rm = (base.select("o_totalprice", "hi", "lo",
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(_BOOT_REPS - 1))).alias("b"))
+          .where(F.expr("CASE WHEN b < 32 THEN (hi >> b) & 1 "
+                        "ELSE (lo >> (b - 32)) & 1 END = 1"))
           .groupBy("b")
           .agg(F.round(F.avg("o_totalprice"), 6).alias("m")))
     f = o.agg(F.avg("o_totalprice").alias("fm"))
