@@ -447,14 +447,19 @@ def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("layout_clustering_depth", sql="""
     WITH zm AS (
+      -- lo/hi round to cents HERE so the overlap predicate below
+      -- compares the same 2-dp bounds the Spark side joins on
+      -- (round-7 ADVICE fix; o_totalprice is 2-dp on this fixture,
+      -- so values are unchanged)
       SELECT date_trunc('month', o_orderdate) AS file_month,
              COUNT(*) AS n_rows,
-             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+             ROUND(MIN(o_totalprice), 2) AS lo,
+             ROUND(MAX(o_totalprice), 2) AS hi
       FROM orders GROUP BY 1
     )
     SELECT a.file_month,
            CAST(a.n_rows AS BIGINT) AS n_rows,
-           ROUND(a.lo, 2) AS lo, ROUND(a.hi, 2) AS hi,
+           a.lo AS lo, a.hi AS hi,
            CAST(COUNT(b.file_month) AS INT) AS overlap_depth,
            ROUND((COUNT(b.file_month) + 1) * 1e0
                  / (SELECT COUNT(*) FROM zm), 6) AS read_amplification

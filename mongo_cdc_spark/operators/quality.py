@@ -501,12 +501,20 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
+    ), grid AS (
+      -- full seg x prio grid: structural-zero cells contribute E to
+      -- the true statistic and must not be omitted (round-7 ADVICE
+      -- fix; dense on this fixture, so values are unchanged here)
+      SELECT s.seg, p.prio, COALESCE(o.n, 0) AS n
+      FROM (SELECT DISTINCT seg FROM obs) s
+      CROSS JOIN (SELECT DISTINCT prio FROM obs) p
+      LEFT JOIN obs o ON o.seg = s.seg AND o.prio = p.prio
     ), m AS (
       SELECT seg, prio, n,
              SUM(n) OVER (PARTITION BY seg) AS row_tot,
              SUM(n) OVER (PARTITION BY prio) AS col_tot,
              SUM(n) OVER () AS grand
-      FROM obs
+      FROM grid
     )
     SELECT CAST(MAX(grand) AS BIGINT) AS n,
            CAST((COUNT(DISTINCT seg) - 1)
@@ -532,7 +540,11 @@ def stats_chi_square_independence(spark: SparkSession,
     Plan: one data-sized join (orders ⋈ customer on custkey —
     co-partitioned shuffle join at scale, broadcast at fixture size
     via AQE) feeding one partial-aggregatable count to the r x c
-    contingency grid; everything after (marginals via windows, the
+    contingency grid, which is completed to the FULL cross product of
+    observed segments x priorities with n = 0 (structural-zero cells
+    contribute their expected count E to the true statistic — the
+    round-7 ADVICE fix; this fixture's grid is dense, so the values
+    here are unchanged); everything after (marginals via windows, the
     chi-square sum) runs on <= r*c rows, independent of data volume.
     Expected counts stay exact integer-ratio doubles; 6-dp rounding
     absorbs merge-order ulps."""
@@ -541,9 +553,15 @@ def stats_chi_square_independence(spark: SparkSession,
     obs = (o.join(c, o.o_custkey == c.c_custkey)
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
-           .agg(F.count(F.lit(1)).alias("n")))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=False))
+    grid = (obs.select("seg").distinct()
+            .crossJoin(F.broadcast(obs.select("prio").distinct()))
+            .join(obs, ["seg", "prio"], "left")
+            .select("seg", "prio",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
     from pyspark.sql import Window as W
-    m = (obs
+    m = (grid
          .withColumn("row_tot", F.sum("n").over(W.partitionBy("seg")))
          .withColumn("col_tot", F.sum("n").over(W.partitionBy("prio")))
          .withColumn("grand", F.sum("n").over(
@@ -1045,16 +1063,21 @@ _KS_TERMS = 100
               + 0.11 / SQRT(n1 * n2 * 1e0 / (n1 + n2))) * d AS l
       FROM stat
     )
+    , fin AS (
+      SELECT n1, n2, d, l,
+             ROUND(LEAST(1e0, GREATEST(0e0,
+               2 * (SELECT SUM(CASE WHEN j % 2 = 1 THEN 1 ELSE -1 END
+                               * EXP(-2e0 * j * j * l * l))
+                    FROM generate_series(1, {_KS_TERMS}) AS t(j)))), 6)
+               AS p_value
+      FROM lam
+    )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            ROUND(d, 6) AS ks_stat,
            ROUND(l, 6) AS lambda,
-           ROUND(LEAST(1e0, GREATEST(0e0,
-             2 * (SELECT SUM(CASE WHEN j % 2 = 1 THEN 1 ELSE -1 END
-                             * EXP(-2e0 * j * j * l * l))
-                  FROM generate_series(1, {_KS_TERMS}) AS t(j)))), 6)
-             AS p_value,
-           d > 1.358 * SQRT((n1 + n2) * 1e0 / (n1 * n2)) AS reject_05
-    FROM lam
+           p_value,
+           p_value <= 0.05 AS reject_05
+    FROM fin
 """)
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test: is the purchase-value
@@ -1102,17 +1125,21 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""aggregate(sequence(1, {_KS_TERMS}), 0D,
             (acc, j) -> acc + CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END
                         * EXP(-2.0D * j * j * l * l))""")
+    # reject_05 derives from the REPORTED p-value (small-sample-
+    # corrected lambda), not the separate large-sample critical value
+    # 1.358*sqrt((n1+n2)/(n1*n2)) — near the boundary the two
+    # formulas can disagree, and the report must not contradict
+    # itself (round-7 ADVICE fix).
     return (stat.withColumn("l", lam)
+            .withColumn("p_value",
+                        F.round(F.least(F.lit(1.0), F.greatest(
+                            F.lit(0.0), 2 * series)), 6))
             .select(F.col("n1").cast("bigint").alias("n1"),
                     F.col("n2").cast("bigint").alias("n2"),
                     F.round("d", 6).alias("ks_stat"),
                     F.round("l", 6).alias("lambda"),
-                    F.round(F.least(F.lit(1.0), F.greatest(
-                        F.lit(0.0), 2 * series)), 6).alias("p_value"),
-                    (F.col("d") > 1.358 * F.sqrt(
-                        (F.col("n1") + F.col("n2")) * F.lit(1.0)
-                        / (F.col("n1") * F.col("n2"))))
-                    .alias("reject_05")))
+                    "p_value",
+                    (F.col("p_value") <= 0.05).alias("reject_05")))
 
 
 # --------------------------------------------- sequential A/B (SPRT)
@@ -2887,7 +2914,9 @@ def ab_test_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ev2 AS (
       SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
                   THEN 'A' ELSE 'B' END AS variant,
-             SUM(value * value) AS sv2
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) / 10000.0
+               AS sv2
       FROM events GROUP BY 1
     ), cell AS (
       SELECT variant, COUNT(*) AS nu, SUM(k) AS ne, SUM(s) AS ss,
@@ -2933,18 +2962,22 @@ def ab_test_clustered_se(spark: SparkSession,
 
     Plan: one user-grain partial agg (exact integer cents and
     counts) + one event-grain sum-of-squares agg, then 2-row closed
-    algebra — identical expression trees both engines. Python
+    algebra — identical expression trees both engines. BOTH moments
+    derive from the same integer-cents representation (per-user sums
+    AND the event-level sum of squares), so se_naive is consistent
+    with the cents-rounded ratio mean and var_event cannot go
+    negative for near-constant values (round-7 ADVICE fix). Python
     recompute in tests pins both SEs and the design effect."""
     ev = load_table(spark, sf_dir, "events")
     variant = F.when(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
         < "8", "A").otherwise("B")
+    yc = F.round(F.col("value") * 100).cast("bigint")
     peru = (ev.groupBy("user_id", variant.alias("variant"))
             .agg(F.count(F.lit(1)).alias("k"),
-                 (F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                  / 100.0).alias("s")))
+                 (F.sum(yc) / 100.0).alias("s")))
     ev2 = (ev.groupBy(variant.alias("variant"))
-           .agg(F.sum(F.col("value") * F.col("value")).alias("sv2")))
+           .agg((F.sum(yc * yc) / F.lit(10000.0)).alias("sv2")))
     cell = (peru.groupBy("variant")
             .agg(F.count(F.lit(1)).alias("nu"), F.sum("k").alias("ne"),
                  F.sum("s").alias("ss"),

@@ -1724,11 +1724,21 @@ def _stationary_oracle_sql() -> str:
     ), tc AS MATERIALIZED (
       SELECT prev, event_type AS nxt, COUNT(*) AS n
       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
-    ), p AS MATERIALIZED (
+    ), praw AS MATERIALIZED (
       SELECT prev, nxt,
              n * 1.0 / SUM(n) OVER (PARTITION BY prev) AS pr
       FROM tc
-    ), states AS (SELECT DISTINCT prev AS s FROM tc),
+    ), sinks AS MATERIALIZED (
+      -- types observed only as a transition TARGET have no outgoing
+      -- row; without a self-loop their inflow mass would vanish on
+      -- the next iteration (round-7 ADVICE fix: conserve mass)
+      SELECT DISTINCT nxt FROM tc
+      WHERE nxt NOT IN (SELECT prev FROM tc)
+    ), p AS MATERIALIZED (
+      SELECT prev, nxt, pr FROM praw
+      UNION ALL
+      SELECT nxt AS prev, nxt, 1.0 AS pr FROM sinks
+    ), states AS (SELECT DISTINCT prev AS s FROM p),
     pi0 AS (
       SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS w FROM states
     )"""
@@ -1768,7 +1778,11 @@ def events_markov_stationary(spark: SparkSession,
     partitioned) + the transition count agg; the chain then lives at
     |types|^2 grain — every iteration is a bounded join + keyed sum,
     unrolled so the DuckDB oracle replays the exact same {_STAT_ITERS}
-    steps. Fixed-point convergence (pi P = pi) is pinned in tests via
+    steps. Types observed only as a transition TARGET get a
+    self-loop row (pr = 1) so inflow mass is conserved instead of
+    silently dropping on the next iteration — the state set is
+    prev UNION nxt and stationary_prob sums to 1 (round-7 ADVICE
+    fix). Fixed-point convergence (pi P = pi) is pinned in tests via
     an independent eigen solve."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1779,10 +1793,17 @@ def events_markov_stationary(spark: SparkSession,
           .agg(F.count(F.lit(1)).alias("n"))
           .localCheckpoint(eager=False))
     wp = Window.partitionBy("prev")
-    p = tc.select("prev", "nxt",
-                  (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("pr")) \
-        .localCheckpoint(eager=False)
-    states = tc.select(F.col("prev").alias("s")).distinct()
+    praw = tc.select("prev", "nxt",
+                     (F.col("n") * 1.0 / F.sum("n").over(wp))
+                     .alias("pr"))
+    sinks = (tc.select("nxt").distinct()
+             .join(tc.select(F.col("prev").alias("nxt")).distinct(),
+                   "nxt", "left_anti"))
+    p = (praw.unionByName(
+        sinks.select(F.col("nxt").alias("prev"), "nxt",
+                     F.lit(1.0).alias("pr")))
+        .localCheckpoint(eager=False))
+    states = p.select(F.col("prev").alias("s")).distinct()
     n_states = states.agg(F.count(F.lit(1)).alias("k"))
     pi = (states.crossJoin(F.broadcast(n_states))
           .select("s", (F.lit(1.0) / F.col("k")).alias("w")))

@@ -867,7 +867,9 @@ def test_clustered_se_matches_python_delta_method(spark, sf_dir):
             str(u).encode()).hexdigest()[0] < "8" else "B"
         per[(var, u)][0] += 1
         per[(var, u)][1] += int(round(v * 100))
-        sv2[var] += v * v
+        # same integer-cents representation as the per-user sums —
+        # both moments share one rounding rule (round-7 ADVICE fix)
+        sv2[var] += int(round(v * 100)) ** 2 / 10000.0
     got = ab_test_clustered_se(spark, sf_dir).toPandas() \
         .set_index("variant")
     for var in ("A", "B"):
