@@ -3188,3 +3188,187 @@ def quality_key_discovery(spark: SparkSession,
         (F.col("n") - F.col("d")).cast("bigint").alias("n_collisions"),
         F.round(F.col("d") * 1.0 / F.col("n"), 6).alias("uniqueness"))
         .orderBy("width", "candidate"))
+
+
+# ------------------------------------- referential-integrity audit
+
+@query("quality_fk_orphans", sql="""
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk,
+             (SELECT COUNT(*) FROM lineitem) AS n_child,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders w/o lineitem (childless)',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+    )
+    SELECT fk, CAST(n_child AS BIGINT) AS n_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           n_orphans = 0 AS fk_holds
+    FROM checks ORDER BY fk
+""")
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiler: orphan counts for every foreign
+    key of the star schema (child rows whose parent key is missing)
+    plus the reverse childless-orders check — the first audit any
+    warehouse-ingest pipeline runs after a load, and the verdict
+    quality_fd_discovery's FD mining builds on (an FK is an FD whose
+    right side is another table's key).
+
+    Plan: each check is one LEFT ANTI join on the key — the dimension
+    sides (customer/part/supplier) broadcast; the two
+    lineitem-vs-orders checks are the q7/q8-class inherent big-big
+    joins (key-co-partitioned shuffle anti-joins at 100 TB; declared
+    SMJ) collapsing to a 1-row count before the 5-row union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def _check(name, child, key, parent, pkey, bc):
+        par = parent.select(F.col(pkey).alias(key)).distinct()
+        if bc:
+            par = F.broadcast(par)
+        orphans = child.select(key).join(par, key, "left_anti")
+        return (child.agg(F.count(F.lit(1)).alias("n_rows"))
+                .crossJoin(orphans.agg(F.count(F.lit(1))
+                                       .alias("n_orphans")))
+                .select(F.lit(name).alias("fk"),
+                        F.col("n_rows").cast("bigint").alias("n_rows"),
+                        F.col("n_orphans").cast("bigint")
+                        .alias("n_orphans"),
+                        (F.col("n_orphans") == 0).alias("fk_holds")))
+
+    out = _check("lineitem.l_orderkey -> orders", li, "l_orderkey",
+                 o.select(F.col("o_orderkey").alias("l_orderkey")),
+                 "l_orderkey", False)
+    out = out.unionByName(_check(
+        "orders.o_custkey -> customer", o, "o_custkey",
+        c.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey", True))
+    out = out.unionByName(_check(
+        "lineitem.l_partkey -> part", li, "l_partkey",
+        p.select(F.col("p_partkey").alias("l_partkey")),
+        "l_partkey", True))
+    out = out.unionByName(_check(
+        "lineitem.l_suppkey -> supplier", li, "l_suppkey",
+        s.select(F.col("s_suppkey").alias("l_suppkey")),
+        "l_suppkey", True))
+    out = out.unionByName(_check(
+        "orders w/o lineitem (childless)", o, "o_orderkey",
+        li.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey", False))
+    return out.orderBy("fk")
+
+
+# --------------------------------- Brown-Forsythe variance equality
+
+@query("stats_levene_variance", sql="""
+    WITH med AS (
+      SELECT c_mktsegment AS seg,
+             ROUND(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 4)
+               AS md
+      FROM customer GROUP BY 1
+    ), z AS (
+      SELECT c.c_mktsegment AS seg,
+             ABS(c.c_acctbal - m.md) AS z
+      FROM customer c JOIN med m ON m.seg = c.c_mktsegment
+    ), grp AS (
+      SELECT seg, COUNT(*) AS n, SUM(z) AS sz, SUM(z * z) AS sz2
+      FROM z GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS nn, SUM(sz) AS tz, COUNT(*) AS k FROM grp
+    ), w AS (
+      SELECT t.nn, t.k,
+             (t.nn - t.k) * 1e0 / (t.k - 1)
+             * SUM(g.n * POW(g.sz / g.n - t.tz / t.nn, 2))
+             / SUM(g.sz2 - g.sz * g.sz / g.n) AS stat
+      FROM grp g, tot t GROUP BY t.nn, t.k
+    )
+    SELECT m.seg AS segment,
+           CAST(g.n AS BIGINT) AS n,
+           m.md AS seg_median,
+           ROUND(g.sz / g.n, 6) AS mean_absdev,
+           ROUND(w.stat, 6) AS bf_stat,
+           CAST(w.k - 1 AS INT) AS df1,
+           CAST(w.nn - w.k AS BIGINT) AS df2
+    FROM med m JOIN grp g ON g.seg = m.seg CROSS JOIN w
+    ORDER BY m.seg
+""")
+def stats_levene_variance(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    equality across market segments: W = ((N-k)/(k-1)) * between-group
+    spread of |x - median_j| over its within-group spread — the
+    robust homoscedasticity gate run before any pooled-variance
+    t-test/ANOVA readout (Welch twin: events_weekend_welch_test).
+    Per-segment rows carry the median and mean absolute deviation;
+    the shared W statistic and (df1, df2) ride along.
+
+    Plan: the group medians run through _twophase.exact_quantiles
+    (grouped two-phase global rank — no single-task percentile
+    buffer), broadcast back 4-dp-rounded so |x - median| is identical
+    on both engines; the z-moments are ONE map-side-combined
+    data-grain agg; W is closed-form algebra on the 5-row group
+    frame."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    c = load_table(spark, sf_dir, "customer")
+    med = exact_quantiles(c, "c_acctbal", {"md": 0.5},
+                          ["c_custkey"], ["c_mktsegment"])
+    med = med.select(F.col("c_mktsegment").alias("seg"),
+                     F.round(F.col("md"), 4).alias("md"))
+    z = (c.join(F.broadcast(med), c.c_mktsegment == med.seg)
+         .select("seg", F.abs(F.col("c_acctbal") - F.col("md"))
+                 .alias("z")))
+    grp = (z.groupBy("seg")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("z").alias("sz"),
+                F.sum(F.col("z") * F.col("z")).alias("sz2"))
+           .localCheckpoint(eager=False))
+    tot = grp.agg(F.sum("n").alias("nn"), F.sum("sz").alias("tz"),
+                  F.count(F.lit(1)).alias("k"))
+    w = (grp.crossJoin(F.broadcast(tot))
+         .agg(((F.max("nn") - F.max("k")) * F.lit(1.0)
+               / (F.max("k") - 1)
+               * F.sum(F.col("n") * F.pow(F.col("sz") / F.col("n")
+                                          - F.col("tz") / F.col("nn"),
+                                          2))
+               / F.sum(F.col("sz2") - F.col("sz") * F.col("sz")
+                       / F.col("n"))).alias("stat"),
+              F.max("nn").alias("nn"), F.max("k").alias("k")))
+    return (med.join(F.broadcast(grp), "seg")
+            .crossJoin(F.broadcast(w))
+            .select(F.col("seg").alias("segment"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("md").alias("seg_median"),
+                    F.round(F.col("sz") / F.col("n"), 6)
+                    .alias("mean_absdev"),
+                    F.round("stat", 6).alias("bf_stat"),
+                    (F.col("k") - 1).cast("int").alias("df1"),
+                    (F.col("nn") - F.col("k")).cast("bigint")
+                    .alias("df2"))
+            .orderBy("segment"))

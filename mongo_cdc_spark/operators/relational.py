@@ -5567,3 +5567,258 @@ def streaming_trending_topk_replay(spark: SparkSession,
                     "total_value",
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("window_start", "rank"))
+
+
+# ------------------------------------------- retention cohort matrix
+
+_RETENTION_MAX_OFFSET = 7
+
+
+@query("events_retention_cohorts", sql=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY 1
+    ), act AS (
+      SELECT f.cohort, date_diff('day', f.cohort, u.day) AS offset_d,
+             u.user_id
+      FROM ud u JOIN first f ON f.user_id = u.user_id
+      WHERE date_diff('day', f.cohort, u.day)
+            <= {_RETENTION_MAX_OFFSET}
+    ), ret AS (
+      SELECT cohort, offset_d, COUNT(DISTINCT user_id) AS n_active
+      FROM act GROUP BY 1, 2
+    ), base AS (
+      SELECT cohort, n_active AS n_cohort FROM ret WHERE offset_d = 0
+    )
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(r.offset_d AS INT) AS day_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(b.n_cohort AS BIGINT) AS n_cohort,
+           ROUND(r.n_active * 1e0 / b.n_cohort, 6) AS retention
+    FROM ret r JOIN base b ON b.cohort = r.cohort
+    ORDER BY cohort_day, day_offset
+""")
+def events_retention_cohorts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-activity
+    day, with the share still active on each of the next
+    {_RETENTION_MAX_OFFSET} days — THE product-analytics table behind
+    every "D1/D7 retention" number, and the uplift target most
+    engagement experiments read out on. Day-0 row doubles as cohort
+    size.
+
+    Plan: the data-grain stages are the (user, day) distinct (map-side
+    combined) and the user-grain first-day agg; the cohort join is
+    user-keyed and co-partitioned (hint-free — both sides user-grain,
+    a shuffle join IS the 100 TB plan, AQE broadcasts when measured
+    small). Everything downstream is (cohort x offset) grain —
+    calendar-bounded at any volume."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = (ud.join(first, "user_id")
+           .withColumn("offset_d", F.datediff("day", "cohort"))
+           .where(F.col("offset_d") <= _RETENTION_MAX_OFFSET))
+    ret = (act.groupBy("cohort", "offset_d")
+           .agg(F.countDistinct("user_id").alias("n_active"))
+           .localCheckpoint(eager=False))
+    base = (ret.where(F.col("offset_d") == 0)
+            .select("cohort", F.col("n_active").alias("n_cohort")))
+    return (ret.join(F.broadcast(base), "cohort")
+            .select(F.date_format("cohort", "yyyy-MM-dd")
+                    .alias("cohort_day"),
+                    F.col("offset_d").cast("int").alias("day_offset"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.col("n_cohort").cast("bigint").alias("n_cohort"),
+                    F.round(F.col("n_active") * F.lit(1.0)
+                            / F.col("n_cohort"), 6).alias("retention"))
+            .orderBy("cohort_day", "day_offset"))
+
+
+# --------------------------------------------- RFM segmentation
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+@query("customer_rfm_segments", sql=f"""
+    WITH mx AS (
+      SELECT MAX(o_orderdate) AS dmax FROM orders
+    ), per AS (
+      SELECT o.o_custkey AS cust,
+             date_diff('day', MAX(o.o_orderdate), mx.dmax) AS rec,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+               AS mon
+      FROM orders o, mx GROUP BY 1, mx.dmax
+    ), thr AS (
+      SELECT 'r' AS m, ROUND(unnest(quantile_cont(CAST(rec AS DOUBLE),
+             [{', '.join(str(q) for q in _RFM_QS)}])), 4) AS q FROM per
+      UNION ALL
+      SELECT 'f', ROUND(unnest(quantile_cont(CAST(freq AS DOUBLE),
+             [{', '.join(str(q) for q in _RFM_QS)}])), 4) FROM per
+      UNION ALL
+      SELECT 'm', ROUND(unnest(quantile_cont(CAST(mon AS DOUBLE),
+             [{', '.join(str(q) for q in _RFM_QS)}])), 4) FROM per
+    ), scored AS (
+      SELECT cust, rec, freq, mon,
+             1 + (SELECT COUNT(*) FROM thr
+                  WHERE m = 'r' AND per.rec < thr.q) AS r_score,
+             1 + (SELECT COUNT(*) FROM thr
+                  WHERE m = 'f' AND per.freq > thr.q) AS f_score,
+             1 + (SELECT COUNT(*) FROM thr
+                  WHERE m = 'm' AND per.mon > thr.q) AS m_score
+      FROM per
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(rec * 1.0), 6) AS avg_recency_days,
+           ROUND(AVG(freq * 1.0), 6) AS avg_frequency,
+           ROUND(AVG(mon), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+""")
+def customer_rfm_segments(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (the direct-marketing classic):
+    per-customer Recency (days since last order, against the corpus
+    max date), Frequency (order count) and Monetary (cents-exact
+    lifetime value) each scored 1-5 by their corpus quintiles
+    (5 = best: most recent / most frequent / highest value), reported
+    at (r, f, m)-cell grain with cell sizes and metric means — the
+    segmentation grid behind "champions / at-risk" campaign targeting
+    and the canonical first feature set for churn models.
+
+    Plan: ONE data-grain agg to customer grain; the three quintile
+    frames run through _twophase.exact_quantiles (two-phase global
+    rank — no single-task percentile buffer) and broadcast back as
+    4-dp-rounded literals (the winsorize discipline: bin membership
+    can't flip on an interpolation ulp); scoring is a literal-array
+    probe and the output is <= 125 cells at any volume."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    per = (o.crossJoin(F.broadcast(mx))
+           .groupBy(F.col("o_custkey").alias("cust"))
+           .agg(F.datediff(F.first("dmax"), F.max("o_orderdate"))
+                .alias("rec"),
+                F.count(F.lit(1)).alias("freq"),
+                (F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")) / 100.0).alias("mon"))
+           .localCheckpoint(eager=False))
+    probs = {f"q{i}": q for i, q in enumerate(_RFM_QS)}
+    qr = exact_quantiles(per.select(F.col("rec").cast("double")
+                                    .alias("rec"), "cust"),
+                         "rec", probs, ["cust"])
+    qf = exact_quantiles(per.select(F.col("freq").cast("double")
+                                    .alias("freq"), "cust"),
+                         "freq", probs, ["cust"])
+    qm = exact_quantiles(per, "mon", probs, ["cust"])
+
+    def _arr(qdf):
+        return qdf.select(F.array(*[
+            F.round(F.col(f"q{i}"), 4)
+            for i in range(len(_RFM_QS))]).alias("qs"))
+
+    score_hi = lambda col: 1 + F.size(F.filter(  # noqa: E731
+        "qs", lambda x: F.col(col) > x))
+    scored = (per
+              .crossJoin(F.broadcast(_arr(qr)
+                                     .withColumnRenamed("qs", "qs")))
+              .withColumn("r_score", 1 + F.size(F.filter(
+                  "qs", lambda x: F.col("rec") < x)))
+              .drop("qs")
+              .crossJoin(F.broadcast(
+                  _arr(qf).withColumnRenamed("qs", "qs")))
+              .withColumn("f_score", score_hi("freq"))
+              .drop("qs")
+              .crossJoin(F.broadcast(
+                  _arr(qm).withColumnRenamed("qs", "qs")))
+              .withColumn("m_score", score_hi("mon"))
+              .drop("qs"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.round(F.avg(F.col("rec") * 1.0), 6)
+                 .alias("avg_recency_days"),
+                 F.round(F.avg(F.col("freq") * 1.0), 6)
+                 .alias("avg_frequency"),
+                 F.round(F.avg("mon"), 6).alias("avg_monetary"))
+            .select(F.col("r_score").cast("int").alias("r_score"),
+                    F.col("f_score").cast("int").alias("f_score"),
+                    F.col("m_score").cast("int").alias("m_score"),
+                    "n_customers", "avg_recency_days",
+                    "avg_frequency", "avg_monetary")
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+# ------------------------------------------ shipmode latency profile
+
+@query("orders_ship_latency", sql="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS d,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), th AS (
+      SELECT priority,
+             ROUND(quantile_cont(CAST(d AS DOUBLE), 0.5), 4) AS p50,
+             ROUND(quantile_cont(CAST(d AS DOUBLE), 0.9), 4) AS p90,
+             ROUND(quantile_cont(CAST(d AS DOUBLE), 0.99), 4) AS p99
+      FROM lat GROUP BY 1
+    )
+    SELECT l.priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(l.d * 1.0), 6) AS mean_ship_days,
+           ROUND(SUM(CASE WHEN l.d > 90 THEN 1 ELSE 0 END) * 1e0
+                 / COUNT(*), 6) AS over_90d_frac,
+           MAX(t.p50) AS p50, MAX(t.p90) AS p90, MAX(t.p99) AS p99
+    FROM lat l JOIN th t ON t.priority = l.priority
+    GROUP BY l.priority
+    ORDER BY l.priority
+""")
+def orders_ship_latency(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: days from
+    order date to each line's ship date, with the >90-day tail
+    fraction and exact p50/p90/p99 — the fulfillment-SLA scorecard
+    (does URGENT actually ship faster, and how heavy is the tail?),
+    the latency-distribution upgrade of TPC-H Q4's binary lateness
+    flavor.
+
+    Plan: the lineitem ⋈ orders join is the q7/q8-class inherent
+    big-big join (both sides huge at 100 TB — a key-co-partitioned
+    shuffle join IS the plan; declared SMJ). Moments and the tail
+    fraction are one map-side-combined agg over 5 priorities; the
+    exact tail quantiles run through _twophase.exact_quantiles
+    (grouped two-phase global rank — each priority's latency column
+    never buffers on one task), broadcast back on the 5-row key."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .select(F.col("o_orderpriority").alias("priority"),
+                   F.datediff("l_shipdate", "o_orderdate")
+                   .cast("double").alias("d"),
+                   "l_orderkey", "l_linenumber")
+           .localCheckpoint(eager=False))
+    th = exact_quantiles(lat, "d",
+                         {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+                         ["l_orderkey", "l_linenumber"], ["priority"])
+    th = th.select("priority",
+                   *[F.round(F.col(k), 4).alias(k)
+                     for k in ("p50", "p90", "p99")])
+    return (lat.groupBy("priority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.round(F.avg("d"), 6).alias("mean_ship_days"),
+                 F.round(F.sum(F.when(F.col("d") > 90, 1).otherwise(0))
+                         * F.lit(1.0) / F.count(F.lit(1)), 6)
+                 .alias("over_90d_frac"))
+            .join(F.broadcast(th), "priority")
+            .orderBy("priority"))

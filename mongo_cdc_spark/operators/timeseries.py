@@ -1825,3 +1825,240 @@ def events_markov_stationary(spark: SparkSession,
                     F.round(F.abs(F.col("w") - F.col("emp")), 6)
                     .alias("abs_gap"))
             .orderBy("event_type"))
+
+
+# --------------------------------- simple exponential smoothing (SES)
+
+_SES_ALPHA = 0.3
+
+
+@query("ts_exponential_smoothing", sql=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ), lvl AS (
+      SELECT a.t, a.day, a.y,
+             ROUND(SUM(CASE WHEN s.t = 1
+                            THEN ROUND(POW(1 - {_SES_ALPHA}, a.t - 1), 8)
+                            ELSE ROUND({_SES_ALPHA}
+                                 * POW(1 - {_SES_ALPHA}, a.t - s.t), 8)
+                        END * s.y), 6) AS level
+      FROM idx a JOIN idx s ON s.t <= a.t
+      GROUP BY a.t, a.day, a.y
+    )
+    SELECT strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(c.t AS INT) AS t,
+           ROUND(c.y, 2) AS revenue,
+           c.level,
+           p.level AS forecast,
+           ROUND(ABS(c.y - p.level), 6) AS abs_err
+    FROM lvl c LEFT JOIN lvl p ON p.t = c.t - 1
+    ORDER BY c.t
+""")
+def ts_exponential_smoothing(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (Brown/Holt) of daily purchase
+    revenue with a one-step-ahead backtest: the recursion
+    l_t = a*y_t + (1-a)*l_(t-1), l_1 = y_1 is unrolled into its CLOSED
+    form l_t = (1-a)^(t-1) y_1 + a * sum (1-a)^(t-s) y_s — pure
+    aggregation algebra, no sequential scan — and each day's forecast
+    is the previous day's level, with the absolute error the backtest
+    MAE aggregates over. The level-only EWMA baseline every demand
+    forecast starts from (and the control-chart smoother behind
+    EWMA monitoring).
+
+    Plan: ONE data-grain stage (the per-day cents-exact revenue agg);
+    the unrolled-recursion self-join runs at day grain — O(n_days^2)
+    pairs, calendar-bounded at any data volume (a year is ~365 rows →
+    133k pairs). Decay coefficients round at 8 dp before the weighted
+    sum so both engines sum identical terms; levels round at 6 dp.
+    The day-index window is calendar-bounded (declared WINDOW_OK).
+    Recursion-vs-closed-form identity pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   / 100.0).alias("y")))
+    idx = (daily.withColumn(
+        "t", F.row_number().over(Window.orderBy("day")))
+        .localCheckpoint(eager=False))
+    a_, s_ = idx.alias("a"), idx.alias("s")
+    alpha = _SES_ALPHA
+    coef = F.when(F.col("s.t") == 1,
+                  F.round(F.pow(F.lit(1 - alpha), F.col("a.t") - 1), 8)) \
+        .otherwise(F.round(F.lit(alpha)
+                           * F.pow(F.lit(1 - alpha),
+                                   F.col("a.t") - F.col("s.t")), 8))
+    lvl = (a_.join(F.broadcast(s_), F.col("s.t") <= F.col("a.t"))
+           .groupBy(F.col("a.t").alias("t"), F.col("a.day").alias("day"),
+                    F.col("a.y").alias("y"))
+           .agg(F.round(F.sum(coef * F.col("s.y")), 6).alias("level"))
+           .localCheckpoint(eager=False))
+    prev = lvl.select((F.col("t") + 1).alias("t"),
+                      F.col("level").alias("forecast"))
+    return (lvl.join(F.broadcast(prev), "t", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("t").cast("int").alias("t"),
+                    F.round("y", 2).alias("revenue"),
+                    "level", "forecast",
+                    F.round(F.abs(F.col("y") - F.col("forecast")), 6)
+                    .alias("abs_err"))
+            .orderBy("t"))
+
+
+# ------------------------------- day-of-week seasonal decomposition
+
+@query("ts_dow_seasonality", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             EXTRACT(isodow FROM date_trunc('day', ts)) AS dow,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), idx AS (
+      SELECT day, dow, y, ROW_NUMBER() OVER (ORDER BY day) AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ), tr AS (
+      SELECT a.day, a.dow, a.y,
+             CASE WHEN a.t >= 4 AND a.t <= a.n - 3
+                  THEN ROUND(AVG(s.y), 6) END AS trend
+      FROM idx a JOIN idx s ON s.t BETWEEN a.t - 3 AND a.t + 3
+      GROUP BY a.day, a.dow, a.y, a.t, a.n
+    ), det AS (
+      SELECT dow, y - trend AS d FROM tr WHERE trend IS NOT NULL
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(d), 6) AS seasonal,
+           ROUND(MIN(d), 6) AS min_detrended,
+           ROUND(MAX(d), 6) AS max_detrended
+    FROM det GROUP BY dow ORDER BY dow
+""")
+def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile by classical additive
+    decomposition: daily purchase revenue minus its centered 7-day
+    moving-average trend (full windows only, the textbook rule),
+    averaged per ISO weekday — the seasonal index that says "how much
+    of Monday is just Monday", prerequisite to any deseasonalized
+    anomaly rule or weekday-adjusted target. Companion to
+    ts_snaive_backtest (which exploits this structure) and
+    events_wow_growth (which ignores it).
+
+    Plan: ONE data-grain stage (per-day cents-exact revenue agg);
+    the centered-MA join and the per-dow rollup run at day grain —
+    calendar-bounded at any volume. The day-index window is
+    calendar-bounded (declared WINDOW_OK); trend rounds at 6 dp so
+    the detrended residuals match across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   / 100.0).alias("y"))
+             .withColumn("dow", F.weekday("day") + 1))
+    idx = (daily.withColumn(
+        "t", F.row_number().over(Window.orderBy("day")))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))))
+        .localCheckpoint(eager=False))
+    a_, s_ = idx.alias("a"), idx.alias("s")
+    tr = (a_.join(F.broadcast(s_),
+                  (F.col("s.t") >= F.col("a.t") - 3)
+                  & (F.col("s.t") <= F.col("a.t") + 3))
+          .groupBy(F.col("a.day").alias("day"),
+                   F.col("a.dow").alias("dow"),
+                   F.col("a.y").alias("y"),
+                   F.col("a.t").alias("t"), F.col("a.n").alias("n"))
+          .agg(F.round(F.avg("s.y"), 6).alias("ma"))
+          .select("dow", "y",
+                  F.when((F.col("t") >= 4) & (F.col("t") <= F.col("n") - 3),
+                         F.col("ma")).alias("trend")))
+    det = tr.where(F.col("trend").isNotNull()) \
+        .select("dow", (F.col("y") - F.col("trend")).alias("d"))
+    return (det.groupBy("dow")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                 F.round(F.avg("d"), 6).alias("seasonal"),
+                 F.round(F.min("d"), 6).alias("min_detrended"),
+                 F.round(F.max("d"), 6).alias("max_detrended"))
+            .select(F.col("dow").cast("int").alias("dow"),
+                    "n_days", "seasonal", "min_detrended",
+                    "max_detrended")
+            .orderBy("dow"))
+
+
+# ------------------------------------------ Kendall tau-b (daily)
+
+@query("ts_kendall_tau", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS p,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN (a.p - b.p) * (a.v - b.v) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (a.p - b.p) * (a.v - b.v) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN a.p = b.p AND a.v <> b.v THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.v = b.v AND a.p <> b.p THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.day < b.day
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(SUM(conc) AS BIGINT) AS n_concordant,
+           CAST(SUM(disc) AS BIGINT) AS n_discordant,
+           CAST(SUM(tx) AS BIGINT) AS n_ties_x,
+           CAST(SUM(ty) AS BIGINT) AS n_ties_y,
+           ROUND((SUM(conc) - SUM(disc))
+                 / SQRT((SUM(conc) + SUM(disc) + SUM(tx)) * 1e0
+                        * (SUM(conc) + SUM(disc) + SUM(ty))), 6)
+             AS tau_b
+    FROM pairs
+""")
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily purchase and view
+    counts — the tie-corrected, outlier-immune monotone-association
+    test (Kendall 1938): concordant minus discordant day pairs over
+    the tie-adjusted pair count. The rank-based companion to
+    stats_mutual_information (association without monotonicity) and
+    ts_theilsen_trend (whose estimator is Kendall's dual); preferred
+    over Pearson when heavy days would dominate moments.
+
+    Plan: ONE data-grain stage (the per-day conditional counts,
+    map-side combined); the exact pairwise comparison is a day-grain
+    self-join — O(n_days^2) integer sign tests, calendar-bounded at
+    any data volume. All counts are exact integers, so tau_b is a
+    single deterministic expression on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("p"),
+                  F.sum(F.when(F.col("event_type") == "view", 1)
+                        .otherwise(0)).alias("v"))
+             .localCheckpoint(eager=False))
+    a_, b_ = daily.alias("a"), daily.alias("b")
+    dp = F.col("a.p") - F.col("b.p")
+    dv = F.col("a.v") - F.col("b.v")
+    pairs = (a_.join(F.broadcast(b_), F.col("a.day") < F.col("b.day"))
+             .select((dp * dv > 0).cast("int").alias("conc"),
+                     (dp * dv < 0).cast("int").alias("disc"),
+                     ((dp == 0) & (dv != 0)).cast("int").alias("tx"),
+                     ((dv == 0) & (dp != 0)).cast("int").alias("ty")))
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (pairs.agg(F.sum("conc").alias("c"), F.sum("disc").alias("d"),
+                      F.sum("tx").alias("tx"), F.sum("ty").alias("ty"))
+            .crossJoin(F.broadcast(n))
+            .select(F.col("n_days").cast("bigint").alias("n_days"),
+                    F.col("c").cast("bigint").alias("n_concordant"),
+                    F.col("d").cast("bigint").alias("n_discordant"),
+                    F.col("tx").cast("bigint").alias("n_ties_x"),
+                    F.col("ty").cast("bigint").alias("n_ties_y"),
+                    F.round((F.col("c") - F.col("d"))
+                            / F.sqrt((F.col("c") + F.col("d") + F.col("tx"))
+                                     * F.lit(1.0)
+                                     * (F.col("c") + F.col("d")
+                                        + F.col("ty"))), 6)
+                    .alias("tau_b")))

@@ -973,3 +973,50 @@ def test_key_discovery_matches_pandas_and_verdicts(spark, sf_dir):
     assert uniq[("o_custkey", "o_orderdate", "o_totalprice")] \
         >= uniq[("o_custkey", "o_orderdate")] \
         >= uniq[("o_custkey",)]
+
+
+def test_fk_orphans_fixture_is_consistent(spark, sf_dir):
+    """The generated fixture is referentially intact; the audit must
+    say so (and the childless-orders count matches pandas)."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import quality_fk_orphans
+
+    got = quality_fk_orphans(spark, sf_dir).toPandas().set_index("fk")
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    childless = (~o.o_orderkey.isin(li.l_orderkey)).sum()
+    assert got.loc["orders w/o lineitem (childless)"].n_orphans \
+        == childless
+    fk_rows = got.drop(index="orders w/o lineitem (childless)")
+    assert (fk_rows.n_orphans == 0).all()
+    assert fk_rows.fk_holds.all()
+
+
+def test_levene_matches_python_recompute(spark, sf_dir):
+    """Python Brown-Forsythe recompute on the 4-dp-rounded group
+    medians the operator declares."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_levene_variance
+    import numpy as np
+
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    got = stats_levene_variance(spark, sf_dir).toPandas() \
+        .set_index("segment")
+    groups, zbars = {}, {}
+    for seg, grp in c.groupby("c_mktsegment"):
+        md = round(float(np.quantile(
+            grp.c_acctbal.to_numpy(dtype=float), 0.5,
+            method="linear")), 4)
+        assert abs(got.loc[seg].seg_median - md) < 1e-9
+        z = (grp.c_acctbal - md).abs().to_numpy(dtype=float)
+        groups[seg] = z
+        assert abs(got.loc[seg].mean_absdev - round(z.mean(), 6)) < 1e-6
+    nn = sum(len(z) for z in groups.values())
+    k = len(groups)
+    zbar = sum(z.sum() for z in groups.values()) / nn
+    num = sum(len(z) * (z.mean() - zbar) ** 2 for z in groups.values())
+    den = sum(((z - z.mean()) ** 2).sum() for z in groups.values())
+    w = (nn - k) / (k - 1) * num / den
+    assert abs(got.bf_stat.iloc[0] - round(w, 6)) < 1e-4
+    assert int(got.df1.iloc[0]) == k - 1
+    assert int(got.df2.iloc[0]) == nn - k

@@ -883,3 +883,69 @@ def test_selectivity_estimate_matches_numpy_histogram(spark, sf_dir):
         assert abs(g.q_error - round(qe, 4)) < 1e-2
         # equi-width on a smooth distribution: within 2x
         assert g.q_error < 2.0
+
+
+def test_retention_cohorts_properties_and_recompute(spark, sf_dir):
+    """Day-0 retention is exactly 1, retention never exceeds 1, and a
+    pandas recompute of the cohort matrix matches."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        events_retention_cohorts)
+
+    got = events_retention_cohorts(spark, sf_dir).toPandas()
+    d0 = got[got.day_offset == 0]
+    assert (d0.retention == 1.0).all()
+    assert (d0.n_active == d0.n_cohort).all()
+    assert (got.retention <= 1.0).all()
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ud = (ev.assign(day=ev.ts.dt.floor("D"))[["user_id", "day"]]
+          .drop_duplicates())
+    first = ud.groupby("user_id").day.min().rename("cohort")
+    act = ud.join(first, on="user_id")
+    act["off"] = (act.day - act.cohort).dt.days
+    act = act[act.off <= 7]
+    ref = (act.groupby([act.cohort.dt.strftime("%Y-%m-%d"), "off"])
+           .user_id.nunique())
+    for r in got.itertuples():
+        assert ref[(r.cohort_day, r.day_offset)] == r.n_active
+
+
+def test_rfm_scores_cover_and_sum(spark, sf_dir):
+    """Scores live in 1..5, cell counts sum to the customer-with-
+    orders population, and quintile cells are near-balanced per
+    dimension."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import (
+        customer_rfm_segments)
+
+    got = customer_rfm_segments(spark, sf_dir).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert got[c].between(1, 5).all()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    assert got.n_customers.sum() == o.o_custkey.nunique()
+    # monetary quintiles partition ~evenly (exact quantile cuts)
+    m = got.groupby("m_score").n_customers.sum()
+    assert m.max() <= 1.3 * m.min() + 5
+
+
+def test_ship_latency_quantiles_match_numpy(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import orders_ship_latency
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["d"] = (j.l_shipdate - j.o_orderdate).dt.days
+    got = orders_ship_latency(spark, sf_dir).toPandas() \
+        .set_index("priority")
+    for prio, grp in j.groupby("o_orderpriority"):
+        g = got.loc[prio]
+        assert int(g.n_lines) == len(grp)
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            ref = np.quantile(grp.d.to_numpy(dtype=float), q,
+                              method="linear")
+            assert abs(g[col] - round(ref, 4)) < 1e-9, (prio, col)
+        assert abs(g.over_90d_frac
+                   - round((grp.d > 90).mean(), 6)) < 1e-9

@@ -458,3 +458,83 @@ def test_markov_stationary_is_chain_fixed_point(spark, sf_dir):
     assert abs(got.stationary_prob.sum() - 1.0) < 1e-4
     assert abs(got.empirical_share.sum() - 1.0) < 1e-3
     assert (got.abs_gap >= 0).all()
+
+
+def test_ses_closed_form_equals_recursion(spark, sf_dir):
+    """The unrolled closed form must equal the sequential recursion
+    l_t = a*y_t + (1-a)*l_(t-1) run in plain Python (up to the
+    declared 8-dp coefficient rounding)."""
+    from mongo_cdc_spark.operators.timeseries import (
+        _SES_ALPHA, ts_exponential_smoothing)
+
+    got = ts_exponential_smoothing(spark, sf_dir).toPandas()
+    got = got.sort_values("t").reset_index(drop=True)
+    ys = list(got.revenue)
+    lvl = ys[0]
+    assert abs(got.level[0] - round(ys[0], 6)) < 1e-9
+    for t in range(1, len(ys)):
+        lvl = _SES_ALPHA * ys[t] + (1 - _SES_ALPHA) * lvl
+        assert abs(got.level[t] - lvl) < 1e-4, t
+        assert abs(got.forecast[t] - got.level[t - 1]) < 1e-9
+        assert abs(got.abs_err[t]
+                   - round(abs(ys[t] - got.level[t - 1]), 6)) < 1e-9
+
+
+def test_dow_seasonality_zero_sum_and_recompute(spark, sf_dir):
+    """Python recompute of the centered-MA decomposition; additive
+    seasonal indices over full weeks are near-balanced."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import ts_dow_seasonality
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev = ev[ev.event_type == "purchase"]
+    daily = (ev.assign(day=ev.ts.dt.floor("D"),
+                       cents=(ev.value * 100).round().astype("int64"))
+             .groupby("day").cents.sum() / 100.0).sort_index()
+    y = daily.values
+    n = len(y)
+    rows = {}
+    for t in range(3, n - 3):
+        trend = round(y[t - 3:t + 4].mean(), 6)
+        dow = daily.index[t].weekday() + 1
+        rows.setdefault(dow, []).append(y[t] - trend)
+    got = ts_dow_seasonality(spark, sf_dir).toPandas() \
+        .set_index("dow")
+    for dow, ds in rows.items():
+        assert int(got.loc[dow].n_days) == len(ds)
+        assert abs(got.loc[dow].seasonal
+                   - round(pd.Series(ds).mean(), 6)) < 1e-5
+    # additive indices balance out up to sampling noise
+    w = (got.seasonal * got.n_days).sum() / got.n_days.sum()
+    assert abs(w) < max(1.0, 0.05 * daily.mean())
+
+
+def test_kendall_tau_matches_bruteforce(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import ts_kendall_tau
+    import math
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    d = (ev.assign(day=ev.ts.dt.floor("D"))
+         .groupby("day").event_type
+         .agg(p=lambda s: (s == "purchase").sum(),
+              v=lambda s: (s == "view").sum()))
+    c = dc = tx = ty = 0
+    vals = list(zip(d.p, d.v))
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            s = (vals[i][0] - vals[j][0]) * (vals[i][1] - vals[j][1])
+            if s > 0:
+                c += 1
+            elif s < 0:
+                dc += 1
+            elif vals[i][0] == vals[j][0] and vals[i][1] != vals[j][1]:
+                tx += 1
+            elif vals[i][1] == vals[j][1] and vals[i][0] != vals[j][0]:
+                ty += 1
+    got = ts_kendall_tau(spark, sf_dir).collect()[0]
+    assert (got.n_concordant, got.n_discordant) == (c, dc)
+    assert (got.n_ties_x, got.n_ties_y) == (tx, ty)
+    tau = (c - dc) / math.sqrt((c + dc + tx) * (c + dc + ty))
+    assert abs(got.tau_b - round(tau, 6)) < 1e-9

@@ -287,7 +287,19 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                "layout_range_bounds": 6,
                "sketch_accuracy_eval": 10,
                "train_dataset_card": 12,
-               "train_length_buckets": 6}
+               "train_length_buckets": 6,
+               # RFM: three exact_quantiles calls over the customer-
+               # grain frame (recency/frequency/monetary) — one
+               # data-grain agg + 3x the two-phase price; everything
+               # else is the <=125-cell rollup:
+               "customer_rfm_segments": 14,
+               # ship latency: the declared big-big lineitem ⋈ orders
+               # join + one grouped exact_quantiles pass:
+               "orders_ship_latency": 8,
+               # Brown-Forsythe: one grouped exact_quantiles pass for
+               # the medians + the data-grain z-moment agg; the rest
+               # move 5-row group frames:
+               "stats_levene_variance": 8}
 
 
 # Single-partition (unpartitioned) windows are DECLARED only where the
@@ -324,6 +336,8 @@ WINDOW_OK: dict[str, int] = {
     "ts_bollinger_bands": 1,
     "ab_test_sequential_sprt": 1,  # SPRT walk over the daily grid
     "ts_motif_discovery": 1,       # day-index assignment on day rows
+    "ts_exponential_smoothing": 1,  # day-index on calendar-grain rows
+    "ts_dow_seasonality": 2,       # day-index + day-count, both bounded
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
     "events_funnel_steps": 1,
