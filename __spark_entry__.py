@@ -191,6 +191,22 @@ _GRADE_FIRST = (
     # candidate-key discovery: exact distinct-vs-rows per column
     # set, is-key verdicts, null-sentinel semantics.
     "quality_key_discovery",
+    # ---- round-8 queue notes (for the next rotation): beyond the 8
+    # spillover entries above, the round-8 backlog is (a) the 8
+    # round-7 additions — ts_exponential_smoothing, ts_dow_seasonality,
+    # ts_kendall_tau, events_retention_cohorts, customer_rfm_segments,
+    # orders_ship_latency, quality_fk_orphans, stats_levene_variance —
+    # never graded, each oracle-green at sf0.001+sf0.01 with pytest
+    # references; and (b) the round-7 changed-since-green set: the 11
+    # exact-percentile rewrites with prior driver rows
+    # (agg_stats_acctbal, agg_approx_sketches, sketch_accuracy_eval,
+    # embedding_quality_gate, events_kll_quantile_rollup,
+    # events_time_to_convert, train_dataset_card, layout_range_bounds,
+    # events_session_stats, feature_winsorized_scale,
+    # train_length_buckets*) plus the two ADVICE fixes to green rows
+    # (stats_chi_square_independence, layout_clustering_depth).
+    # (*train_length_buckets is in the round-7 window, so its edit is
+    # graded this round.) All re-verified locally at both SFs.
 )
 
 
