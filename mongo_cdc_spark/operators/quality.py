@@ -557,7 +557,7 @@ def stats_chi_square_independence(spark: SparkSession,
            .localCheckpoint(eager=False))
     grid = (obs.select("seg").distinct()
             .crossJoin(F.broadcast(obs.select("prio").distinct()))
-            .join(obs, ["seg", "prio"], "left")
+            .join(F.broadcast(obs), ["seg", "prio"], "left")
             .select("seg", "prio",
                     F.coalesce(F.col("n"), F.lit(0)).alias("n")))
     from pyspark.sql import Window as W
