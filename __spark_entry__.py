@@ -192,10 +192,11 @@ _GRADE_FIRST = (
     # set, is-key verdicts, null-sentinel semantics.
     "quality_key_discovery",
     # ---- round-8 queue notes (for the next rotation): beyond the 8
-    # spillover entries above, the round-8 backlog is (a) the 8
+    # spillover entries above, the round-8 backlog is (a) the 10
     # round-7 additions — ts_exponential_smoothing, ts_dow_seasonality,
     # ts_kendall_tau, events_retention_cohorts, customer_rfm_segments,
-    # orders_ship_latency, quality_fk_orphans, stats_levene_variance —
+    # orders_ship_latency, quality_fk_orphans, stats_levene_variance,
+    # orders_cohort_ltv, train_cross_source_overlap —
     # never graded, each oracle-green at sf0.001+sf0.01 with pytest
     # references; and (b) the round-7 changed-since-green set: the 11
     # exact-percentile rewrites with prior driver rows
@@ -221,15 +222,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _merge(attr: str) -> dict:
+    """Merge per-module registries, refusing silent shadowing: a name
+    registered twice would overwrite an (often already-graded) query
+    with a different implementation — caught live in round 7 when a
+    new operator accidentally reused events_user_lifecycle."""
+    merged: dict = {}
     for mod in _MODULES:
-        merged.update(mod.QUERIES)
-    return _ordered(merged)
+        for name, val in getattr(mod, attr).items():
+            if name in merged:
+                raise ValueError(
+                    f"duplicate query registration: {name!r} "
+                    f"(second one in {mod.__name__})")
+            merged[name] = val
+    return merged
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _ordered(_merge("QUERIES"))
 
 
 def oracle_sql() -> dict[str, str]:
-    merged: dict[str, str] = {}
-    for mod in _MODULES:
-        merged.update(mod.ORACLE)
-    return _ordered(merged)
+    return _ordered(_merge("ORACLE"))

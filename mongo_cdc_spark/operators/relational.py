@@ -5822,3 +5822,81 @@ def orders_ship_latency(spark: SparkSession,
                  .alias("over_90d_frac"))
             .join(F.broadcast(th), "priority")
             .orderBy("priority"))
+
+
+# --------------------------------------------- cohort LTV curves
+
+@query("orders_cohort_ltv", sql="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             date_trunc('month', o_orderdate) AS m,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ), first AS (
+      SELECT cust, MIN(m) AS cohort FROM per GROUP BY 1
+    ), sz AS (
+      SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY 1
+    ), cell AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, p.m) AS off,
+             COUNT(DISTINCT p.cust) AS n_active,
+             SUM(p.cents) AS cents
+      FROM per p JOIN first f ON f.cust = p.cust
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, off, n_active, cents,
+             SUM(cents) OVER (PARTITION BY cohort ORDER BY off)
+               AS cum_cents
+      FROM cell
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort_month,
+           CAST(c.off AS INT) AS month_offset,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           ROUND(c.cents / 100.0, 2) AS revenue,
+           ROUND(c.cum_cents / 100.0 / s.n_cohort, 6)
+             AS cum_ltv_per_customer
+    FROM cum c JOIN sz s ON s.cohort = c.cohort
+    ORDER BY cohort_month, month_offset
+""")
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by
+    first-order month, with each later month's active count, revenue,
+    and the running LTV per cohort member — the monetary sibling of
+    events_retention_cohorts and the table payback-period /
+    CAC-ceiling decisions read off. Cents-exact sums end to end.
+
+    Plan: the data-grain stages are the (customer, month) cents agg
+    (map-side combined) and the customer-grain first-month agg; the
+    cohort join is customer-keyed and co-partitioned (hint-free —
+    AQE broadcasts when measured small). The cumulative sum runs
+    PARTITIONED by cohort over month offsets — (cohorts x offsets)
+    grain, calendar-bounded at any volume."""
+    o = _t(spark, sf_dir, "orders")
+    per = (o.groupBy(F.col("o_custkey").alias("cust"),
+                     F.date_trunc("month", "o_orderdate").alias("m"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("bigint")).alias("cents")))
+    first = per.groupBy("cust").agg(F.min("m").alias("cohort"))
+    sz = (first.groupBy("cohort")
+          .agg(F.count(F.lit(1)).alias("n_cohort")))
+    cell = (per.join(first, "cust")
+            .groupBy("cohort",
+                     (F.months_between("m", "cohort").cast("int"))
+                     .alias("off"))
+            .agg(F.countDistinct("cust").alias("n_active"),
+                 F.sum("cents").alias("cents")))
+    cum = cell.withColumn(
+        "cum_cents",
+        F.sum("cents").over(W.partitionBy("cohort").orderBy("off")))
+    return (cum.join(F.broadcast(sz), "cohort")
+            .select(F.date_format("cohort", "yyyy-MM")
+                    .alias("cohort_month"),
+                    F.col("off").cast("int").alias("month_offset"),
+                    F.col("n_cohort").cast("bigint").alias("n_cohort"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+                    F.round(F.col("cum_cents") / 100.0
+                            / F.col("n_cohort"), 6)
+                    .alias("cum_ltv_per_customer"))
+            .orderBy("cohort_month", "month_offset"))

@@ -1826,3 +1826,87 @@ def train_epoch_shuffle_audit(spark: SparkSession,
     for more in outs[1:]:
         res = res.unionByName(more)
     return res.orderBy("epoch")
+
+
+# ----------------------------------- cross-source duplicate overlap
+
+@query("train_cross_source_overlap", sql="""
+    WITH toks AS (
+      SELECT source, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
+    ), tot AS (
+      SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(ta.n_sh AS BIGINT) AS n_sh_a,
+           CAST(tb.n_sh AS BIGINT) AS n_sh_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           ROUND(p.n_shared * 1e0
+                 / LEAST(ta.n_sh, tb.n_sh), 6) AS containment
+    FROM pair p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    ORDER BY p.source_a, p.source_b
+""")
+def train_cross_source_overlap(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cross-source lexical-overlap matrix: for every source pair,
+    how many distinct word 3-gram shingles appear in BOTH corpora,
+    with containment = shared / min(|A|, |B|) — the "is subcorpus B
+    substantially a rescrape of A" audit that informs source-level
+    mixture weights before per-document dedup runs (containment near
+    1 means one source's phrase inventory is a subset of the
+    other's); the source-grain companion to dedup_containment's
+    document grain.
+
+    Plan: ONE data-grain stage — tokenize + shingle-hash + distinct
+    to (source, shingle) grain (the dedup module's materialize-
+    token-hashes-first discipline; Spark joins 64-bit xxhash64
+    shingles while the oracle joins the equivalent 3-gram strings —
+    identical SET counts modulo 2^-64 collisions, the
+    dedup_ngram_jaccard convention). The pair join runs on the
+    DEDUPLICATED shingle frame, so per-shingle postings are bounded
+    by |sources| (each shingle contributes at most C(20, 2) pairs)
+    and the output is |sources|^2 grain."""
+    from mongo_cdc_spark.operators.dedup import (
+        _shingles_of_hashes, _token_hashes)
+
+    d = _docs(spark, sf_dir)
+    sh = (d.select("source", _tokens().alias("w"))
+          .filter(F.size("w") >= 3)
+          .select("source", _token_hashes(F.col("w")).alias("th"))
+          .select("source", F.explode(
+              _shingles_of_hashes("th")).alias("g"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+    ta = tot.select(F.col("source").alias("source_a"),
+                    F.col("n_sh").alias("n_sh_a"))
+    tb = tot.select(F.col("source").alias("source_b"),
+                    F.col("n_sh").alias("n_sh_b"))
+    return (pair.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("n_sh_a").cast("bigint").alias("n_sh_a"),
+                    F.col("n_sh_b").cast("bigint").alias("n_sh_b"),
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.round(F.col("n_shared") * F.lit(1.0)
+                            / F.least("n_sh_a", "n_sh_b"), 6)
+                    .alias("containment"))
+            .orderBy("source_a", "source_b"))

@@ -949,3 +949,21 @@ def test_ship_latency_quantiles_match_numpy(spark, sf_dir):
             assert abs(g[col] - round(ref, 4)) < 1e-9, (prio, col)
         assert abs(g.over_90d_frac
                    - round((grp.d > 90).mean(), 6)) < 1e-9
+
+
+def test_cohort_ltv_identities(spark, sf_dir):
+    """Offset-0 actives equal the cohort size, cumulative LTV is
+    non-decreasing per cohort, and total revenue reconciles to the
+    orders table to the cent."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.relational import orders_cohort_ltv
+
+    got = orders_cohort_ltv(spark, sf_dir).toPandas()
+    d0 = got[got.month_offset == 0]
+    assert (d0.n_active == d0.n_cohort).all()
+    for _, grp in got.groupby("cohort_month"):
+        ltv = grp.sort_values("month_offset").cum_ltv_per_customer
+        assert (ltv.diff().dropna() >= -1e-9).all()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    total = (o.o_totalprice * 100).round().astype("int64").sum() / 100.0
+    assert abs(got.revenue.sum() - total) < 0.01

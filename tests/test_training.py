@@ -542,3 +542,35 @@ def test_epoch_shuffle_audit_matches_python(spark, sf_dir):
         assert abs(g.spearman_rho) < 0.25
         assert 0.2 < g.mean_shift_frac < 0.45
         assert g.frac_same_decile < 0.3
+
+
+def test_cross_source_overlap_matches_python_sets(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        train_cross_source_overlap)
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    sets = {}
+    for src, grp in docs.groupby("source"):
+        sh = set()
+        for t in grp.text:
+            w = re.split(r"\s+", t)
+            sh |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        sets[src] = sh
+    got = train_cross_source_overlap(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    seen = set()
+    for r in got.itertuples():
+        inter = len(sets[r.source_a] & sets[r.source_b])
+        assert r.n_shared == inter and inter > 0
+        assert r.n_sh_a == len(sets[r.source_a])
+        assert r.n_sh_b == len(sets[r.source_b])
+        assert abs(r.containment - round(
+            inter / min(r.n_sh_a, r.n_sh_b), 6)) < 1e-9
+        seen.add((r.source_a, r.source_b))
+    # every overlapping pair is reported — none silently dropped
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                assert (a, b) in seen

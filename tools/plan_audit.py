@@ -299,7 +299,13 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # Brown-Forsythe: one grouped exact_quantiles pass for
                # the medians + the data-grain z-moment agg; the rest
                # move 5-row group frames:
-               "stats_levene_variance": 8}
+               "stats_levene_variance": 8,
+               # cohort LTV: (customer, month) cents agg + customer-
+               # grain first-month agg + the co-partitioned cohort
+               # join; every exchange past those carries (cohort x
+               # offset) calendar-grain rows (cum-sum window, sizes
+               # join, final sort):
+               "orders_cohort_ltv": 8}
 
 
 # Single-partition (unpartitioned) windows are DECLARED only where the
