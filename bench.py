@@ -231,6 +231,17 @@ HEADLINE = [
     ("markov_stationary", timeseries.events_markov_stationary),
     ("dup_rate_sample", dedup.dedup_sample_rate_estimate),
     ("key_discovery", quality.quality_key_discovery),
+    # round-7 additions
+    ("retention_cohorts", relational.events_retention_cohorts),
+    ("rfm_segments", relational.customer_rfm_segments),
+    ("ship_latency", relational.orders_ship_latency),
+    ("cohort_ltv", relational.orders_cohort_ltv),
+    ("fk_orphans", quality.quality_fk_orphans),
+    ("levene_bf", quality.stats_levene_variance),
+    ("ses_smoothing", timeseries.ts_exponential_smoothing),
+    ("dow_seasonality", timeseries.ts_dow_seasonality),
+    ("kendall_tau", timeseries.ts_kendall_tau),
+    ("cross_source_overlap", training.train_cross_source_overlap),
 ]
 
 
