@@ -3372,3 +3372,80 @@ def stats_levene_variance(spark: SparkSession,
                     (F.col("nn") - F.col("k")).cast("bigint")
                     .alias("df2"))
             .orderBy("segment"))
+
+
+# --------------------------------------------- McNemar paired test
+
+MCNEMAR_PIVOT = "2024-01-16"
+MCNEMAR_MIN_PURCHASES = 7
+
+
+@query("stats_mcnemar_paired", sql=f"""
+    WITH peru AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN ts < TIMESTAMP
+                       '{MCNEMAR_PIVOT} 00:00:00'
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= {MCNEMAR_MIN_PURCHASES} THEN 1 ELSE 0 END AS pre,
+             CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP
+                       '{MCNEMAR_PIVOT} 00:00:00'
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= {MCNEMAR_MIN_PURCHASES} THEN 1 ELSE 0 END AS post
+      FROM events GROUP BY 1
+    ), cells AS (
+      SELECT SUM(pre * post) AS yy,
+             SUM(pre * (1 - post)) AS yn,
+             SUM((1 - pre) * post) AS ny,
+             SUM((1 - pre) * (1 - post)) AS nn
+      FROM peru
+    )
+    SELECT CAST(yy AS BIGINT) AS n_both,
+           CAST(yn AS BIGINT) AS n_pre_only,
+           CAST(ny AS BIGINT) AS n_post_only,
+           CAST(nn AS BIGINT) AS n_neither,
+           ROUND(POW(yn - ny, 2) * 1e0 / (yn + ny), 6) AS chi2,
+           ROUND(POW(ABS(yn - ny) - 1, 2) * 1e0 / (yn + ny), 6)
+             AS chi2_cc,
+           POW(ABS(yn - ny) - 1, 2) * 1e0 / (yn + ny) > 3.841
+             AS reject_05
+    FROM cells
+""")
+def stats_mcnemar_paired(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: the same users
+    classified as frequent purchasers (>= {MCNEMAR_MIN_PURCHASES}
+    purchases) before vs after the pivot date; only the discordant
+    cells carry information — chi2 = (b-c)^2/(b+c), with the
+    Edwards continuity correction and the df=1 alpha=0.05 decision.
+    THE test for before/after conversion on the same population,
+    where the two-proportion z-test (ab_test_proportions) is wrong
+    because the samples are not independent.
+
+    Plan: ONE user-grain conditional agg (map-side combined) to the
+    paired flags, then a single 2x2 cell reduction — pure exact
+    integers into one closed-form row; the decision derives from the
+    reported corrected statistic so the outputs can't disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    is_pre = F.col("ts") < F.lit(f"{MCNEMAR_PIVOT} 00:00:00") \
+        .cast("timestamp")
+    is_purch = (F.col("event_type") == "purchase").cast("int")
+    peru = (ev.groupBy("user_id")
+            .agg((F.sum(is_purch * is_pre.cast("int"))
+                  >= MCNEMAR_MIN_PURCHASES).cast("int").alias("pre"),
+                 (F.sum(is_purch * (~is_pre).cast("int"))
+                  >= MCNEMAR_MIN_PURCHASES).cast("int").alias("post")))
+    cells = peru.agg(
+        F.sum(F.col("pre") * F.col("post")).alias("yy"),
+        F.sum(F.col("pre") * (1 - F.col("post"))).alias("yn"),
+        F.sum((1 - F.col("pre")) * F.col("post")).alias("ny"),
+        F.sum((1 - F.col("pre")) * (1 - F.col("post"))).alias("nn"))
+    b, c = F.col("yn"), F.col("ny")
+    chi2_cc = F.pow(F.abs(b - c) - 1, 2) * F.lit(1.0) / (b + c)
+    return cells.select(
+        F.col("yy").cast("bigint").alias("n_both"),
+        F.col("yn").cast("bigint").alias("n_pre_only"),
+        F.col("ny").cast("bigint").alias("n_post_only"),
+        F.col("nn").cast("bigint").alias("n_neither"),
+        F.round(F.pow(b - c, 2) * F.lit(1.0) / (b + c), 6).alias("chi2"),
+        F.round(chi2_cc, 6).alias("chi2_cc"),
+        (chi2_cc > 3.841).alias("reject_05"))

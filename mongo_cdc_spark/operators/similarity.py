@@ -2213,3 +2213,80 @@ def similarity_jl_projection_audit(spark: SparkSession,
                                       1.0).otherwise(0.0)), 4)
                  .alias("frac_within_eps"))
             .orderBy("probe_id"))
+
+
+# ------------------------------------- class scatter / Fisher ratio
+
+@query("embedding_class_scatter", sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, label, i, v[i] AS x
+      FROM e, unnest(generate_series(1, len(v))) t(i)
+    ), cent AS (
+      SELECT label, i, ROUND(AVG(x), 6) AS c FROM d GROUP BY 1, 2
+    ), gcent AS (
+      SELECT i, ROUND(AVG(x), 6) AS g FROM d GROUP BY 1
+    ), persq AS (
+      SELECT d.label, d.vec_id, SUM(POW(d.x - c.c, 2)) AS sq
+      FROM d JOIN cent c ON c.label = d.label AND c.i = d.i
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT label, COUNT(*) AS n, AVG(sq) AS within_ms
+      FROM persq GROUP BY 1
+    ), btw AS (
+      SELECT c.label, SUM(POW(c.c - g.g, 2)) AS between_sq
+      FROM cent c JOIN gcent g ON g.i = c.i GROUP BY 1
+    )
+    SELECT CAST(w.label AS INT) AS label,
+           CAST(w.n AS BIGINT) AS n_vectors,
+           ROUND(w.within_ms, 6) AS within_mean_sq,
+           ROUND(b.between_sq, 6) AS between_sq,
+           ROUND(b.between_sq / w.within_ms, 6) AS fisher_ratio
+    FROM win w JOIN btw b ON b.label = w.label
+    ORDER BY label
+""")
+def embedding_class_scatter(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-class scatter decomposition of the embedding space: each
+    label's within-class mean squared distance to its centroid vs the
+    squared distance of that centroid from the global centroid — the
+    Fisher-discriminant diagnostic (between/within ratio) that says
+    whether labels are SEPARABLE in embedding space before anyone
+    trains a probe; low ratios flag collapsed or mislabeled classes.
+    Completes the embedding-quality family next to
+    embedding_quality_gate (norms) and embedding_pca_covariance
+    (global geometry).
+
+    Plan: the data-sized stages are ONE posexplode to (label, dim,
+    value) grain — the same shape the PCA covariance pass uses — and
+    one (label, vec) distance agg against the BROADCAST
+    (|labels| x 64)-row centroid frame; centroids round to 6 dp
+    before any distance so both engines square identical gaps.
+    Everything downstream is label-grain."""
+    e = _emb(spark, sf_dir)
+    d = e.select("label", "vec_id",
+                 F.posexplode("v").alias("i0", "x")) \
+        .select("label", "vec_id", (F.col("i0") + 1).alias("i"), "x") \
+        .localCheckpoint(eager=False)
+    cent = (d.groupBy("label", "i")
+            .agg(F.round(F.avg("x"), 6).alias("c")))
+    gcent = d.groupBy("i").agg(F.round(F.avg("x"), 6).alias("g"))
+    persq = (d.join(F.broadcast(cent), ["label", "i"])
+             .groupBy("label", "vec_id")
+             .agg(F.sum(F.pow(F.col("x") - F.col("c"), 2)).alias("sq")))
+    win = (persq.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg("sq").alias("within_ms")))
+    btw = (cent.join(F.broadcast(gcent), "i")
+           .groupBy("label")
+           .agg(F.sum(F.pow(F.col("c") - F.col("g"), 2))
+                .alias("between_sq")))
+    return (win.join(F.broadcast(btw), "label")
+            .select(F.col("label").cast("int").alias("label"),
+                    F.col("n").cast("bigint").alias("n_vectors"),
+                    F.round("within_ms", 6).alias("within_mean_sq"),
+                    F.round("between_sq", 6).alias("between_sq"),
+                    F.round(F.col("between_sq") / F.col("within_ms"), 6)
+                    .alias("fisher_ratio"))
+            .orderBy("label"))

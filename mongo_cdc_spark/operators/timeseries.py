@@ -2062,3 +2062,65 @@ def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      * (F.col("c") + F.col("d")
                                         + F.col("ty"))), 6)
                     .alias("tau_b")))
+
+
+# --------------------------------------- Spearman rho (daily, exact)
+
+@query("ts_spearman_daily", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS cents,
+             COUNT(DISTINCT user_id) AS users
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT a.day,
+             (SELECT COUNT(*) FROM daily b
+              WHERE (b.cents, b.day) < (a.cents, a.day)) + 1 AS rx,
+             (SELECT COUNT(*) FROM daily b
+              WHERE (b.users, b.day) < (a.users, a.day)) + 1 AS ry
+      FROM daily a
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(1 - 6.0 * SUM(POW(rx - ry, 2))
+                 / (COUNT(*) * (POW(COUNT(*), 2) - 1)), 6)
+             AS spearman_rho
+    FROM ranked
+""")
+def ts_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between daily purchase revenue
+    and daily distinct active users — the monotone-association
+    companion to ts_kendall_tau on the same calendar frame (Spearman
+    weights the rank displacement, Kendall counts inversions); the
+    fast screen for "does engagement move revenue" before any model.
+    Ranks break ties deterministically by day (lexicographic on
+    (value, day) — the same rule on both engines), so rho is the
+    classic 1 - 6*sum(d^2)/(n(n^2-1)) on distinct ranks.
+
+    Plan: ONE data-grain stage (the per-day cents + distinct-user
+    agg); ranks come from a day-grain triangular self-join count —
+    O(n_days^2) integer comparisons, calendar-bounded, NO window
+    anywhere (not even a declared-bounded one)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                               F.round(F.col("value") * 100)
+                               .cast("bigint")).otherwise(0))
+                  .alias("cents"),
+                  F.countDistinct("user_id").alias("users"))
+             .localCheckpoint(eager=False))
+    a_, b_ = daily.alias("a"), daily.alias("b")
+    lt = lambda col: (  # noqa: E731
+        (F.col(f"b.{col}") < F.col(f"a.{col}"))
+        | ((F.col(f"b.{col}") == F.col(f"a.{col}"))
+           & (F.col("b.day") < F.col("a.day")))).cast("int")
+    ranked = (a_.join(F.broadcast(b_), F.lit(True))
+              .groupBy(F.col("a.day").alias("day"))
+              .agg((F.sum(lt("cents")) + 1).alias("rx"),
+                   (F.sum(lt("users")) + 1).alias("ry")))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(1 - 6.0 * F.sum(F.pow(F.col("rx") - F.col("ry"), 2))
+                / (n * (F.pow(n, 2) - 1)), 6).alias("spearman_rho"))

@@ -1020,3 +1020,31 @@ def test_levene_matches_python_recompute(spark, sf_dir):
     assert abs(got.bf_stat.iloc[0] - round(w, 6)) < 1e-4
     assert int(got.df1.iloc[0]) == k - 1
     assert int(got.df2.iloc[0]) == nn - k
+
+
+def test_mcnemar_matches_python_recompute(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        MCNEMAR_MIN_PURCHASES, MCNEMAR_PIVOT, stats_mcnemar_paired)
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    pivot = pd.Timestamp(MCNEMAR_PIVOT)
+    p = ev[ev.event_type == "purchase"]
+    pre = (p[p.ts < pivot].groupby("user_id").size()
+           >= MCNEMAR_MIN_PURCHASES)
+    post = (p[p.ts >= pivot].groupby("user_id").size()
+            >= MCNEMAR_MIN_PURCHASES)
+    users = ev.user_id.unique()
+    b = sum(bool(pre.get(u, False)) and not post.get(u, False)
+            for u in users)
+    c = sum(not pre.get(u, False) and bool(post.get(u, False))
+            for u in users)
+    got = stats_mcnemar_paired(spark, sf_dir).collect()[0]
+    assert (got.n_pre_only, got.n_post_only) == (b, c)
+    assert (got.n_both + got.n_pre_only + got.n_post_only
+            + got.n_neither) == len(users)
+    assert abs(got.chi2 - round((b - c) ** 2 / (b + c), 6)) < 1e-9
+    cc = (abs(b - c) - 1) ** 2 / (b + c)
+    assert abs(got.chi2_cc - round(cc, 6)) < 1e-9
+    assert got.reject_05 == (cc > 3.841)

@@ -492,3 +492,28 @@ def test_jl_projection_audit_matches_numpy(spark, sf_dir):
         assert abs(g.frac_within_eps - round(within, 4)) < 2e-3
         # concentration: the average ratio is near 1, not collapsed
         assert 0.6 < g.mean_distortion < 1.4
+
+
+def test_class_scatter_matches_numpy(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.similarity import (
+        embedding_class_scatter)
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    X = np.stack(emb.embedding.map(np.asarray))
+    labels = emb.label.to_numpy()
+    g = np.round(X.mean(axis=0), 6)
+    got = embedding_class_scatter(spark, sf_dir).toPandas() \
+        .set_index("label")
+    for lab in np.unique(labels):
+        sub = X[labels == lab]
+        c = np.round(sub.mean(axis=0), 6)
+        within = (((sub - c) ** 2).sum(axis=1)).mean()
+        between = ((c - g) ** 2).sum()
+        row = got.loc[lab]
+        assert int(row.n_vectors) == len(sub)
+        assert abs(row.within_mean_sq - round(within, 6)) < 1e-4
+        assert abs(row.between_sq - round(between, 6)) < 1e-6
+        assert abs(row.fisher_ratio - round(between / within, 6)) < 1e-4
+        assert row.fisher_ratio > 0

@@ -538,3 +538,30 @@ def test_kendall_tau_matches_bruteforce(spark, sf_dir):
     assert (got.n_ties_x, got.n_ties_y) == (tx, ty)
     tau = (c - dc) / math.sqrt((c + dc + tx) * (c + dc + ty))
     assert abs(got.tau_b - round(tau, 6)) < 1e-9
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """pandas rank-Pearson recompute with the same deterministic
+    (value, day) tiebreak."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import ts_spearman_daily
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    cents = (ev[ev.event_type == "purchase"]
+             .assign(c=lambda d: (d.value * 100).round().astype("int64"))
+             .groupby("day").c.sum())
+    daily = (ev.groupby("day").user_id.nunique().rename("users")
+             .to_frame().join(cents.rename("cents")).fillna(0)
+             .reset_index().sort_values("day"))
+    rx = daily.sort_values(["cents", "day"]).reset_index().index
+    daily["rx"] = daily.sort_values(["cents", "day"]).assign(
+        r=range(1, len(daily) + 1)).sort_index().r
+    daily["ry"] = daily.sort_values(["users", "day"]).assign(
+        r=range(1, len(daily) + 1)).sort_index().r
+    n = len(daily)
+    rho = 1 - 6 * ((daily.rx - daily.ry) ** 2).sum() / (n * (n * n - 1))
+    got = ts_spearman_daily(spark, sf_dir).collect()[0]
+    assert got.n_days == n
+    assert abs(got.spearman_rho - round(rho, 6)) < 1e-9
+    assert -1 <= got.spearman_rho <= 1

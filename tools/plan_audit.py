@@ -305,7 +305,13 @@ SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
                # join; every exchange past those carries (cohort x
                # offset) calendar-grain rows (cum-sum window, sizes
                # join, final sort):
-               "orders_cohort_ltv": 8}
+               "orders_cohort_ltv": 8,
+               # class scatter: the (label, dim, value) posexplode
+               # feeds the centroid agg, the global-centroid agg and
+               # the (label, vec) distance agg — three passes over
+               # the checkpointed exploded frame, all map-side
+               # combined; the rest move (labels x 64)-grain rows:
+               "embedding_class_scatter": 7}
 
 
 # Single-partition (unpartitioned) windows are DECLARED only where the
