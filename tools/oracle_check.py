@@ -34,13 +34,21 @@ sys.path.insert(0, str(REPO))
 
 _WINDOW_WARN = b"No Partition Defined for Window"
 
-# Redirect fd 2 to a scratch file before any JVM exists so the child
-# inherits it; keep a dup of the original stderr for our own messages.
-_ORIG_STDERR_FD = os.dup(2)
-_STDERR_LOG = tempfile.NamedTemporaryFile(
-    prefix="oracle_check_stderr_", suffix=".log", delete=False)
-os.dup2(_STDERR_LOG.fileno(), 2)
-sys.stderr = os.fdopen(_ORIG_STDERR_FD, "w", buffering=1)
+
+def _redirect_stderr_to_log() -> str:
+    """Redirect fd 2 to a scratch file BEFORE any JVM exists so the
+    child inherits it (a post-launch dup2 can't touch the JVM's
+    already-copied fd); keep a dup of the original stderr for our own
+    messages. Called from main() only — importing this module (e.g.
+    tests/test_oracle_parity.py borrowing _canon/value_hash) must not
+    hijack the caller's stderr."""
+    orig = os.dup(2)
+    log = tempfile.NamedTemporaryFile(
+        prefix="oracle_check_stderr_", suffix=".log", delete=False)
+    os.dup2(log.fileno(), 2)
+    sys.stderr = os.fdopen(orig, "w", buffering=1)
+    return log.name
+
 
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -93,6 +101,7 @@ class _WarnCounter:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    stderr_log = _redirect_stderr_to_log()
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     con.sql(f"SET memory_limit='"
@@ -100,7 +109,7 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
-    warns = _WarnCounter(_STDERR_LOG.name)
+    warns = _WarnCounter(stderr_log)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
