@@ -89,3 +89,33 @@ def test_kcore_oracle_fast_under_memory_cap(probe):
                 f"'/root/testdata/sf0.001/{t}.parquet'")
     rows = con.sql(sql).fetchall()
     assert len(rows) > 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=1, max_value=6),
+           st.integers(min_value=0, max_value=3),
+           st.lists(st.integers(min_value=0, max_value=9),
+                    min_size=1, max_size=6))
+    def test_materialize_preserves_results_property(rounds, extra_refs,
+                                                    seed_vals):
+        """Random unrolled CTE chains (each round referencing the
+        previous one 2+extra times): the rewrite must materialize
+        every multi-referenced CTE and return identical rows."""
+        vals = ", ".join(f"({v})" for v in seed_vals)
+        sql = f"WITH r0 AS (SELECT * FROM (VALUES {vals}) t(x))"
+        for r in range(1, rounds + 1):
+            refs = " AND ".join(
+                f"x IN (SELECT x FROM r{r - 1})"
+                for _ in range(2 + extra_refs))
+            sql += f", r{r} AS (SELECT x + 1 AS x FROM r{r - 1} WHERE {refs})"
+        sql += f" SELECT * FROM r{rounds} ORDER BY x"
+        out = materialize_multiref_ctes(sql)
+        # every chained round except the last is multi-referenced
+        assert out.count("AS MATERIALIZED (") >= rounds
+        assert duckdb.sql(out).fetchall() == duckdb.sql(sql).fetchall()
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass

@@ -216,3 +216,40 @@ def test_exact_quantiles_plan_has_no_unpartitioned_window(spark):
         (F.col("id") * 31 % 101 / 3.0).alias("x"))
     out = exact_quantiles(df, "x", {"p50": 0.5}, ["id"], ["g"])
     assert count_global_windows(_plan(out)) == 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False, allow_infinity=False,
+                              width=32),
+                    min_size=1, max_size=200),
+           st.lists(st.floats(min_value=0.001, max_value=0.999,
+                              allow_nan=False),
+                    min_size=1, max_size=4))
+    def test_exact_quantiles_property_vs_percentile(values, probs):
+        """For ANY value list and probability set, exact_quantiles
+        must match Spark's exact percentile aggregate to relative
+        1e-12 (same bracketing order statistics, interpolation may
+        differ by an ulp)."""
+        import math
+
+        from mongo_cdc_spark.operators._twophase import exact_quantiles
+        from mongo_cdc_spark.session import get_spark
+
+        spark = get_spark("pytest")
+        pm = {f"p{i}": p for i, p in enumerate(probs)}
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id long, x double")
+        ref = df.agg(*[F.percentile("x", p).alias(k)
+                       for k, p in pm.items()]).collect()[0]
+        got = exact_quantiles(df, "x", pm, ["id"],
+                              num_partitions=4).collect()[0]
+        for k in pm:
+            assert math.isclose(ref[k], got[k],
+                                rel_tol=1e-12, abs_tol=1e-9), k
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass
