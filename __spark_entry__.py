@@ -192,12 +192,13 @@ _GRADE_FIRST = (
     # set, is-key verdicts, null-sentinel semantics.
     "quality_key_discovery",
     # ---- round-8 queue notes (for the next rotation): beyond the 8
-    # spillover entries above, the round-8 backlog is (a) the 13
+    # spillover entries above, the round-8 backlog is (a) the 16
     # round-7 additions — ts_exponential_smoothing, ts_dow_seasonality,
     # ts_kendall_tau, events_retention_cohorts, customer_rfm_segments,
     # orders_ship_latency, quality_fk_orphans, stats_levene_variance,
     # orders_cohort_ltv, train_cross_source_overlap,
-    # stats_mcnemar_paired, ts_spearman_daily, embedding_class_scatter —
+    # stats_mcnemar_paired, ts_spearman_daily, embedding_class_scatter,
+    # ts_ljungbox_whiteness, ts_runs_test, text_yule_k —
     # never graded, each oracle-green at sf0.001+sf0.01 with pytest
     # references; and (b) the round-7 changed-since-green set: the 11
     # exact-percentile rewrites with prior driver rows

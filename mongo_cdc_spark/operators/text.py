@@ -1579,3 +1579,65 @@ def text_term_burstiness(spark: SparkSession,
                         .otherwise("uniform"))
             .orderBy(F.desc("corpus_freq"), "tok")
             .limit(BURST_TOP))
+
+
+# ---------------------------------------------- Yule's K diversity
+
+@query("text_yule_k", sql="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT source, w, COUNT(*) AS m FROM toks GROUP BY 1, 2
+    ), vm AS (
+      SELECT source, m, COUNT(*) AS v FROM tf GROUP BY 1, 2
+    ), agg AS (
+      SELECT source,
+             SUM(m * v) AS n_tokens,
+             SUM(v) AS n_types,
+             SUM(m * m * v) AS sum_m2v
+      FROM vm GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(n_types * 1e0 / n_tokens, 6) AS ttr,
+           ROUND(1e4 * (sum_m2v - n_tokens)
+                 / (n_tokens * 1e0 * n_tokens), 6) AS yule_k
+    FROM agg ORDER BY source
+""")
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-diversity characteristic per source:
+    K = 10^4 (sum m^2 V_m - N) / N^2 over the frequency-of-frequency
+    spectrum V_m — the length-robust repetitiousness measure
+    (unlike raw TTR, K barely moves as a corpus grows), the classic
+    authorship/register statistic and a strong template-spam signal
+    for corpus triage. Completes the lexical-statistics family next
+    to text_zipf_fit (rank law) and text_heaps_law_fit (vocabulary
+    growth); raw TTR rides along for contrast.
+
+    Plan: one token explode to the (source, term) hash agg (the
+    TF-IDF shuffle shape), then the frequency-of-frequency rollup at
+    (source, m) grain and a closed-form row per source — vocabulary
+    grain and below after the first pass; everything is exact
+    integers until the final divisions."""
+    d = _docs(spark, sf_dir)
+    tf = (d.select("source", F.explode(_tokens()).alias("w"))
+          .groupBy("source", "w")
+          .agg(F.count(F.lit(1)).alias("m")))
+    vm = (tf.groupBy("source", "m")
+          .agg(F.count(F.lit(1)).alias("v")))
+    agg = (vm.groupBy("source")
+           .agg(F.sum(F.col("m") * F.col("v")).alias("n_tokens"),
+                F.sum("v").alias("n_types"),
+                F.sum(F.col("m") * F.col("m") * F.col("v"))
+                .alias("sum_m2v")))
+    n = F.col("n_tokens")
+    return (agg.select(
+        "source",
+        n.cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(F.col("n_types") * F.lit(1.0) / n, 6).alias("ttr"),
+        F.round(F.lit(1e4) * (F.col("sum_m2v") - n)
+                / (n * F.lit(1.0) * n), 6).alias("yule_k"))
+        .orderBy("source"))

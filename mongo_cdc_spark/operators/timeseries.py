@@ -2124,3 +2124,183 @@ def ts_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_days"),
         F.round(1 - 6.0 * F.sum(F.pow(F.col("rx") - F.col("ry"), 2))
                 / (n * (F.pow(n, 2) - 1)), 6).alias("spearman_rho"))
+
+
+# -------------------------------------------- Ljung-Box portmanteau
+
+_LB_MAX_LAG = 7
+# chi-square 0.05 critical values for df = 1..7
+_LB_CRIT = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067)
+
+
+@query("ts_ljungbox_whiteness", sql=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), mom AS (
+      SELECT AVG(y) AS mu, COUNT(*) AS n,
+             SUM(POW(y - (SELECT AVG(y) FROM daily), 2)) AS s0
+      FROM daily
+    ), rk AS (
+      SELECT g.k,
+             ROUND(SUM((a.y - m.mu) * (b.y - m.mu)) / MAX(m.s0), 6)
+               AS r
+      FROM daily a
+      CROSS JOIN range(1, {_LB_MAX_LAG + 1}) g(k)
+      JOIN daily b ON b.d = a.d + CAST(g.k AS INT)
+      CROSS JOIN mom m
+      GROUP BY g.k
+    ), q AS (
+      SELECT rk.k, rk.r, m.n,
+             SUM(rk.r * rk.r / (m.n - rk.k))
+               OVER (ORDER BY rk.k) * m.n * (m.n + 2) AS qraw
+      FROM rk CROSS JOIN mom m
+    )
+    SELECT CAST(k AS INT) AS lag,
+           r AS acf,
+           ROUND(qraw, 6) AS q_stat,
+           CAST(k AS INT) AS df,
+           ROUND(qraw, 6) > [{', '.join(str(c) for c in _LB_CRIT)}][k]
+             AS reject_white_05
+    FROM q ORDER BY lag
+""")
+def ts_ljungbox_whiteness(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on daily purchase
+    revenue: the textbook ACF r_k = sum (y_t - mu)(y_(t+k) - mu) /
+    sum (y - mu)^2 for lags 1..{_LB_MAX_LAG}, with the cumulative
+    Q(K) = n(n+2) sum r_k^2/(n-k) against the chi-square(K) 0.05
+    critical value per lag — "is there ANY autocorrelation left",
+    the residual-diagnostic gate every fitted forecaster
+    (ts_snaive_backtest, ts_exponential_smoothing) should pass
+    before its intervals are believed. Completes the ACF family:
+    ts_autocorr_daily reads the correlogram, this tests it.
+
+    Plan: ONE data-grain stage (per-day cents agg); the lag products
+    come from the same calendar-join-against-a-lag-grid shape as
+    ts_autocorr_daily — day-grain rows only; r_k rounds at 6 dp
+    before squaring so Q is identical across engines. The cumulative
+    Q window runs over {_LB_MAX_LAG} lag rows (declared bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+             .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   / 100.0).alias("y"))
+             .localCheckpoint(eager=False))
+    mom = daily.agg(F.avg("y").alias("mu"),
+                    F.count(F.lit(1)).alias("n"))
+    s0 = (daily.crossJoin(F.broadcast(mom))
+          .agg(F.sum(F.pow(F.col("y") - F.col("mu"), 2)).alias("s0"),
+               F.max("mu").alias("mu"), F.max("n").alias("n")))
+    ks = spark.range(1, _LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k"))
+    a_, b_ = daily.alias("a"), daily.alias("b")
+    rk = (a_.crossJoin(F.broadcast(ks))
+          .join(b_, F.col("b.d") == F.expr("date_add(a.d, k)"))
+          .crossJoin(F.broadcast(s0))
+          .groupBy("k")
+          .agg(F.round(F.sum((F.col("a.y") - F.col("mu"))
+                             * (F.col("b.y") - F.col("mu")))
+                       / F.max("s0"), 6).alias("r"),
+               F.max("n").alias("n")))
+    qw = (Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    crit = F.array(*[F.lit(c) for c in _LB_CRIT])
+    q = (rk.withColumn(
+        "qraw", F.sum(F.col("r") * F.col("r")
+                      / (F.col("n") - F.col("k"))).over(qw)
+        * F.col("n") * (F.col("n") + 2)))
+    return (q.select(F.col("k").cast("int").alias("lag"),
+                     F.col("r").alias("acf"),
+                     F.round("qraw", 6).alias("q_stat"),
+                     F.col("k").cast("int").alias("df"),
+                     (F.round("qraw", 6)
+                      > F.element_at(crit, F.col("k")))
+                     .alias("reject_white_05"))
+            .orderBy("lag"))
+
+
+# ------------------------------------------ Wald-Wolfowitz runs test
+
+@query("ts_runs_test", sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(CAST(y AS DOUBLE), 0.5) AS m FROM daily
+    ), signed AS (
+      SELECT d, CASE WHEN y > m THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE y <> m
+    ), runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                  OR LAG(s) OVER (ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ), agg AS (
+      SELECT SUM(new_run) AS r,
+             SUM(s) AS n1, SUM(1 - s) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (POW(n1 + n2, 2) * (n1 + n2 - 1))), 6)
+             AS z_stat,
+           ABS((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+               / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                      / (POW(n1 + n2, 2) * (n1 + n2 - 1)))) > 1.959964
+             AS reject_random_05
+    FROM agg
+""")
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily purchase
+    revenue around its median: count maximal runs of above/below-
+    median days (median-equal days excluded, the standard rule) and
+    compare to the exact null mean 2*n1*n2/(n1+n2) + 1 with the
+    normal approximation z — too FEW runs means trending/clustering,
+    too MANY means oscillation; the assumption check behind
+    "iid residuals" claims, complementing ts_ljungbox_whiteness
+    (linear correlation) with a sign-pattern test.
+
+    Plan: ONE data-grain stage (per-day cents agg); the median runs
+    over the calendar-bounded day frame (the declared bounded-grain
+    percentile class — the 64-replica bootstrap precedent), and the
+    run-boundary lag window is over the same bounded day rows
+    (declared WINDOW_OK). Exact integers into one closed-form row;
+    the decision derives from the reported z."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+             .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   / 100.0).alias("y"))
+             .localCheckpoint(eager=False))
+    med = daily.agg(F.percentile("y", 0.5).alias("m"))
+    signed = (daily.crossJoin(F.broadcast(med))
+              .where(F.col("y") != F.col("m"))
+              .select("d", (F.col("y") > F.col("m")).cast("int")
+                      .alias("s")))
+    lag_s = F.lag("s").over(Window.orderBy("d"))
+    runs = signed.select(
+        "s", F.when(lag_s.isNull() | (lag_s != F.col("s")), 1)
+        .otherwise(0).alias("new_run"))
+    agg = runs.agg(F.sum("new_run").alias("r"),
+                   F.sum("s").alias("n1"),
+                   F.sum(1 - F.col("s")).alias("n2"))
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sd = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / (F.pow(n1 + n2, 2) * (n1 + n2 - 1)))
+    z = (r - mu) / sd
+    return agg.select(
+        r.cast("bigint").alias("n_runs"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("reject_random_05"))

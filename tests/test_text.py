@@ -302,3 +302,26 @@ def test_term_burstiness_matches_python_counter(spark, sf_dir):
             "bursty" if vmr > BURST_VMR_HI else "uniform")
         # burst size is at least 1 by construction
         assert r.burst_ewf >= 1
+
+
+def test_yule_k_matches_python_counter(spark, sf_dir):
+    from collections import Counter
+    import re
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import text_yule_k
+
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    got = text_yule_k(spark, sf_dir).toPandas().set_index("source")
+    for src, grp in docs.groupby("source"):
+        tf = Counter()
+        for t in grp.text:
+            tf.update(re.split(r"\s+", t))
+        n = sum(tf.values())
+        vtypes = len(tf)
+        sum_m2v = sum(m * m for m in tf.values())
+        k = 1e4 * (sum_m2v - n) / (n * n)
+        row = got.loc[src]
+        assert (int(row.n_tokens), int(row.n_types)) == (n, vtypes)
+        assert abs(row.ttr - round(vtypes / n, 6)) < 1e-9
+        assert abs(row.yule_k - round(k, 6)) < 1e-6

@@ -565,3 +565,58 @@ def test_spearman_matches_pandas(spark, sf_dir):
     assert got.n_days == n
     assert abs(got.spearman_rho - round(rho, 6)) < 1e-9
     assert -1 <= got.spearman_rho <= 1
+
+
+def test_ljungbox_matches_python_recompute(spark, sf_dir):
+    """Textbook r_k and cumulative Q recomputed in numpy on the same
+    6-dp-rounded ACF values."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        _LB_CRIT, _LB_MAX_LAG, ts_ljungbox_whiteness)
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    p = ev[ev.event_type == "purchase"]
+    daily = (p.assign(day=p.ts.dt.floor("D"),
+                      c=(p.value * 100).round().astype("int64"))
+             .groupby("day").c.sum() / 100.0).sort_index()
+    y = daily.to_numpy(dtype=float)
+    n = len(y)
+    mu = y.mean()
+    s0 = ((y - mu) ** 2).sum()
+    got = ts_ljungbox_whiteness(spark, sf_dir).toPandas() \
+        .set_index("lag")
+    q = 0.0
+    for k in range(1, _LB_MAX_LAG + 1):
+        rk = round(((y[:-k] - mu) * (y[k:] - mu)).sum() / s0, 6)
+        assert abs(got.loc[k].acf - rk) < 1e-9, k
+        q += rk * rk / (n - k)
+        qk = n * (n + 2) * q
+        assert abs(got.loc[k].q_stat - round(qk, 6)) < 1e-4, k
+        assert got.loc[k].reject_white_05 == \
+            (round(qk, 6) > _LB_CRIT[k - 1]), k
+
+
+def test_runs_test_matches_python_recompute(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import ts_runs_test
+    import math
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    p = ev[ev.event_type == "purchase"]
+    daily = (p.assign(day=p.ts.dt.floor("D"),
+                      c=(p.value * 100).round().astype("int64"))
+             .groupby("day").c.sum() / 100.0).sort_index()
+    y = daily.to_numpy(dtype=float)
+    med = float(np.quantile(y, 0.5, method="linear"))
+    s = [1 if v > med else 0 for v in y if v != med]
+    r = 1 + sum(a != b for a, b in zip(s, s[1:]))
+    n1, n2 = sum(s), len(s) - sum(s)
+    got = ts_runs_test(spark, sf_dir).collect()[0]
+    assert (got.n_runs, got.n_above, got.n_below) == (r, n1, n2)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    sd = math.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                   / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+    assert abs(got.z_stat - round((r - mu) / sd, 6)) < 1e-9
+    assert got.reject_random_05 == (abs((r - mu) / sd) > 1.959964)

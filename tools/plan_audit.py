@@ -350,6 +350,8 @@ WINDOW_OK: dict[str, int] = {
     "ts_motif_discovery": 1,       # day-index assignment on day rows
     "ts_exponential_smoothing": 1,  # day-index on calendar-grain rows
     "ts_dow_seasonality": 2,       # day-index + day-count, both bounded
+    "ts_ljungbox_whiteness": 1,    # cumulative Q over the 7-row lag grid
+    "ts_runs_test": 1,             # run-boundary lag over bounded day rows
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
     "events_funnel_steps": 1,
