@@ -35,6 +35,45 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # Everything not listed follows in module order, so the full registry
 # is intact and every entry keeps its newest green row on record.
 _GRADE_FIRST = (
+    # ---------------- ROUND-8 WINDOW (first 50 entries) ----------------
+    # Rotation per VERDICT_r7 task #1: the 24 never-graded entries lead
+    # (8 round-7 spillover + the 16 round-7 additions), then the
+    # changed-since-green set (the round-7 percentile rewrites whose
+    # shared helper _twophase.exact_quantiles gained the ADVICE NULL
+    # filter this round — a no-op on the NULL-free fixtures, but the
+    # code changed so their green rows rotate back in), then the
+    # round-8 additions. Round 7's 50 slots all retired green
+    # (CORRECTNESS_r07: 49 hash + 1 declared rows-only).
+    # -- never-graded: round-7 spillover (8) --
+    "streaming_trending_topk_replay",
+    # ab_test_clustered_se carries this round's ADVICE fix: the
+    # event-grain second moment now accumulates as decimal(38,0)
+    # (sum of squared cents wraps BIGINT past ~1e9 events; DuckDB
+    # promotes SUM(BIGINT) to HUGEINT — engines now agree at scale).
+    "ab_test_clustered_se",
+    "stats_eb_shrinkage", "text_term_burstiness",
+    "stats_twoway_fixed_effects", "events_markov_stationary",
+    "dedup_sample_rate_estimate", "quality_key_discovery",
+    # -- never-graded: round-7 additions (16) --
+    "ts_exponential_smoothing", "ts_dow_seasonality", "ts_kendall_tau",
+    "events_retention_cohorts", "customer_rfm_segments",
+    "orders_ship_latency", "quality_fk_orphans", "stats_levene_variance",
+    "orders_cohort_ltv", "train_cross_source_overlap",
+    "stats_mcnemar_paired", "ts_spearman_daily",
+    "embedding_class_scatter", "ts_ljungbox_whiteness", "ts_runs_test",
+    "text_yule_k",
+    # -- changed-since-green (15): the exact_quantiles callers with
+    # prior driver rows (the helper gained the isNotNull filter) plus
+    # the two round-7 ADVICE-fix greens --
+    "agg_stats_acctbal", "agg_approx_sketches", "sketch_accuracy_eval",
+    "embedding_quality_gate", "events_kll_quantile_rollup",
+    "events_time_to_convert", "train_dataset_card",
+    "layout_range_bounds", "events_session_stats",
+    "feature_winsorized_scale", "train_length_buckets",
+    "stats_isotonic_calibration", "stats_brier_decomposition",
+    "stats_chi_square_independence", "layout_clustering_depth",
+    # -- round-8 additions (11 slots) are appended below as they land --
+    # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back
     # 50/50 green (CORRECTNESS_r06), so every round-6 slot retires to

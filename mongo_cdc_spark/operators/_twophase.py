@@ -73,15 +73,26 @@ def exact_quantiles(df: DataFrame,
                    frames are |groups| x partitions / |groups| x probs
                    and broadcast). Empty → a single global row.
     Returns        DataFrame[*group_cols, *probs.keys()].
+
+    NULL semantics match Spark's ``percentile`` and DuckDB's
+    ``quantile_cont``: NULL values are ignored — they are filtered
+    before the range repartition, so group counts, ranks, and the
+    interpolation positions all derive from the non-NULL rows only.
+    (Ungrouped, an all-NULL frame still yields the single global row
+    with NULL quantiles, exactly like ``df.agg(percentile(...))``; a
+    GROUP whose values are all NULL yields no output row where the
+    aggregates would yield a NULL cell — callers grouping frames that
+    can be entirely NULL must outer-join the group spine back.)
     """
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     gcols = list(group_cols)
     order = [F.col("__tq_v")] + [F.col(c) for c in tiebreak_cols]
-    vals = df.select(*gcols,
-                     F.col(value_col).cast("double").alias("__tq_v"),
-                     *tiebreak_cols)
+    vals = (df.select(*gcols,
+                      F.col(value_col).cast("double").alias("__tq_v"),
+                      *tiebreak_cols)
+            .where(F.col("__tq_v").isNotNull()))
     ranged = (vals.repartitionByRange(
         num_partitions, *[F.col(c) for c in gcols], *order)
         .withColumn(_PID, F.spark_partition_id()))

@@ -2976,8 +2976,13 @@ def ab_test_clustered_se(spark: SparkSession,
     peru = (ev.groupBy("user_id", variant.alias("variant"))
             .agg(F.count(F.lit(1)).alias("k"),
                  (F.sum(yc) / 100.0).alias("s")))
+    # second moment of squared cents: per-row terms are ~1e10, so a
+    # BIGINT sum wraps silently past ~1e9 events while DuckDB promotes
+    # SUM(BIGINT) to HUGEINT — accumulate as decimal(38,0) (Spark's
+    # 128-bit path) so the engines agree at 100 TB (round-7 ADVICE).
     ev2 = (ev.groupBy(variant.alias("variant"))
-           .agg((F.sum(yc * yc) / F.lit(10000.0)).alias("sv2")))
+           .agg((F.sum((yc * yc).cast("decimal(38,0)"))
+                 .cast("double") / F.lit(10000.0)).alias("sv2")))
     cell = (peru.groupBy("variant")
             .agg(F.count(F.lit(1)).alias("nu"), F.sum("k").alias("ne"),
                  F.sum("s").alias("ss"),

@@ -208,6 +208,49 @@ def test_exact_quantiles_edges(spark):
     assert r["p25"] == 7.0 and r["p75"] == 7.0
 
 
+def test_exact_quantiles_ignores_nulls(spark):
+    """NULLs must be ignored (Spark percentile / DuckDB quantile_cont
+    semantics), not ranked first — round-7 ADVICE: a NULL in value_col
+    silently shifted every quantile before the isNotNull filter."""
+    import math
+
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    rows = [(i, (i % 3), None if i % 4 == 0 else float((i * 37) % 101))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g int, x double")
+    probs = {"p10": 0.1, "p50": 0.5, "p90": 0.9}
+    ref = df.agg(*[F.percentile("x", p).alias(k)
+                   for k, p in probs.items()]).collect()[0]
+    got = exact_quantiles(df, "x", probs, ["id"],
+                          num_partitions=8).collect()[0]
+    for k in probs:
+        assert math.isclose(ref[k], got[k], rel_tol=1e-13), k
+    refg = {r["g"]: r for r in df.groupBy("g").agg(
+        *[F.percentile("x", p).alias(k) for k, p in probs.items()])
+        .collect()}
+    gotg = {r["g"]: r for r in exact_quantiles(
+        df, "x", probs, ["id"], ["g"]).collect()}
+    assert set(refg) == set(gotg)
+    for g in refg:
+        for k in probs:
+            assert math.isclose(refg[g][k], gotg[g][k],
+                                rel_tol=1e-13), (g, k)
+    # ungrouped all-NULL frame: one row of NULL quantiles, exactly
+    # like df.agg(percentile(...)) — the global agg has no group keys
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, x double")
+    rows = exact_quantiles(allnull, "x", {"p50": 0.5}, ["id"]).collect()
+    assert len(rows) == 1 and rows[0]["p50"] is None
+    # grouped all-NULL group vanishes (documented caveat)
+    gnull = spark.createDataFrame(
+        [(1, 0, None), (2, 0, None), (3, 1, 4.0)],
+        "id long, g int, x double")
+    grows = {r["g"]: r["p50"] for r in exact_quantiles(
+        gnull, "x", {"p50": 0.5}, ["id"], ["g"]).collect()}
+    assert grows == {1: 4.0}
+
+
 def test_exact_quantiles_plan_has_no_unpartitioned_window(spark):
     from mongo_cdc_spark.operators._twophase import exact_quantiles
 

@@ -188,7 +188,7 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
 # triggers the distinct-rewrite Expand pathology — see
 # agg_approx_sketches); every extra exchange carries only small-key
 # aggregated rows, map-side combined:
-SHUFFLES_OK = {"train_dataset_card": 7, "events_hll_sketch_rollup": 7,
+SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # hashing trick: ONE data-sized explode feeds three
                # independent aggregates (tf; the two distinct+rollup
                # pairs for df and collision load) — each pre-collapses
