@@ -22,11 +22,12 @@ if _REPO not in sys.path:
 
 from mongo_cdc_spark.operators import (  # noqa: E402
     cdc_batch, dedup, graph, layout, multimodal, quality, relational,
-    similarity, skew, text, timeseries, tpch_full, training,
+    similarity, skew, sqlfront, text, timeseries, tpch_full, training,
 )
 
 _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
-            multimodal, training, skew, layout, quality, timeseries, graph)
+            multimodal, training, skew, layout, quality, timeseries,
+            graph, sqlfront)
 
 # The driver grades the first 50 dict entries (in insertion order), so
 # _GRADE_FIRST is the rotation manifest: each round it leads with the
@@ -72,7 +73,16 @@ _GRADE_FIRST = (
     "feature_winsorized_scale", "train_length_buckets",
     "stats_isotonic_calibration", "stats_brier_decomposition",
     "stats_chi_square_independence", "layout_clustering_depth",
-    # -- round-8 additions (11 slots) are appended below as they land --
+    # -- round-8 additions (11 slots) --
+    # Pure-SQL front end (VERDICT_r7 #4): each enters through
+    # spark.sql text shared verbatim with the DuckDB oracle —
+    # TPC-H Q5 as one SQL statement (EUROPE/1995 so it is not a
+    # result-duplicate of the DataFrame twin), GROUPING SETS with
+    # explicit GROUPING() flags, temp-view DDL lifecycle
+    # (view-on-view catalog resolution), and INTERSECT/EXCEPT/UNION
+    # cohort decomposition.
+    "sql_tpch_q5_text", "sql_grouping_sets_revenue",
+    "sql_view_lifecycle_ctas", "sql_set_ops_customer_activity",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back

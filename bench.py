@@ -20,7 +20,7 @@ sys.path.insert(0, str(REPO))
 
 from mongo_cdc_spark.operators import (  # noqa: E402
     cdc_batch, dedup, graph, layout, multimodal, quality, relational,
-    similarity, skew, text, timeseries, tpch_full, training,
+    similarity, skew, sqlfront, text, timeseries, tpch_full, training,
 )
 from mongo_cdc_spark.session import get_spark  # noqa: E402
 
@@ -242,6 +242,11 @@ HEADLINE = [
     ("dow_seasonality", timeseries.ts_dow_seasonality),
     ("kendall_tau", timeseries.ts_kendall_tau),
     ("cross_source_overlap", training.train_cross_source_overlap),
+    # round-8 additions
+    ("sql_q5_text", sqlfront.sql_tpch_q5_text),
+    ("sql_grouping_sets", sqlfront.sql_grouping_sets_revenue),
+    ("sql_ctas_lifecycle", sqlfront.sql_view_lifecycle_ctas),
+    ("sql_set_ops", sqlfront.sql_set_ops_customer_activity),
 ]
 
 

@@ -1,0 +1,267 @@
+"""Pure-SQL front end: queries that enter the engine as SQL TEXT.
+
+Round-7 verdict: only 2 of 326 registered queries exercised the
+parser/catalog half of the engine (`spark.sql` text → logical plan),
+leaving the SQL surface the least-graded path. This module adds
+entry points whose Spark side is ONE SQL statement (plus, for the
+lifecycle query, `CREATE TEMPORARY VIEW` DDL through the same
+parser) — the statement is shared VERBATIM with the DuckDB oracle,
+templated only on table names, so the driver hash-grades Spark's SQL
+parser, analyzer, and catalog resolution against an independent
+engine rather than grading a DataFrame plan we built ourselves.
+
+Reference parity note: the reference relay (main.go) has no SQL
+surface; this is the SURVEY §2.2 "SQL front-end" engine category.
+
+Scale posture: every statement here compiles to the same physical
+plans as its DataFrame twins — Catalyst broadcasts the fixed-size
+dims (region/nation/supplier ride io.BROADCAST_DIMS' statistics),
+pushes the date filters into the parquet scans, and map-side-combines
+the aggregates; the GROUPING SETS query uses ONE data-grain Expand
+(4 grouping sets over a pre-joined frame whose join keys are the
+usual lineitem⋈orders shuffle), and the set-ops query collapses to
+DISTINCT custkey frames (sub-linear) before any INTERSECT/EXCEPT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from . import make_registry
+
+QUERIES, ORACLE, query = make_registry()
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str,
+           suffix: str) -> dict[str, str]:
+    """Register temp views for the given tables; returns the name map
+    used to format the shared SQL template (DuckDB sees the bare
+    table names, Spark sees the session views)."""
+    names: dict[str, str] = {}
+    for t in tables:
+        view = f"{t}_{suffix}_v"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(view)
+        names[t] = view
+    return names
+
+
+# ------------------------------------------------ TPC-H Q5 as SQL text
+
+_Q5_SQL = """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM {customer}
+    JOIN {orders}   ON c_custkey = o_custkey
+    JOIN {lineitem} ON l_orderkey = o_orderkey
+    JOIN {supplier} ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+    JOIN {nation}   ON s_nationkey = n_nationkey
+    JOIN {region}   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@query("sql_tpch_q5_text",
+       sql=_Q5_SQL.format(customer="customer", orders="orders",
+                          lineitem="lineitem", supplier="supplier",
+                          nation="nation", region="region"))
+def sql_tpch_q5_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) stated entirely as SQL text —
+    the 6-table star join enters through spark.sql, not the DataFrame
+    DSL, so the parser, analyzer, star-join reordering, and broadcast
+    selection are what this query grades (EUROPE/1995 parameters so
+    it is not a result-duplicate of the DataFrame-built
+    q5_local_supplier_volume, which uses ASIA/1996).
+
+    Scale: identical physical shape to the DataFrame twin — Catalyst
+    broadcasts region→nation→supplier, pushes the o_orderdate range
+    into the orders scan, and the only data-grain shuffles are
+    lineitem⋈orders and orders⋈customer on their join keys."""
+    names = _views(spark, sf_dir, "customer", "orders", "lineitem",
+                   "supplier", "nation", "region", suffix="q5t")
+    return spark.sql(_Q5_SQL.format(**names))
+
+
+# ------------------------------------- GROUPING SETS stated in SQL
+
+_GSETS_SQL = """
+    WITH base AS (
+      SELECT n_name,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM {lineitem}
+      JOIN {orders}   ON l_orderkey = o_orderkey
+      JOIN {customer} ON o_custkey = c_custkey
+      JOIN {nation}   ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, yr,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(yr) AS INT) AS g_year,
+           ROUND(SUM(rev), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM base
+    GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+    ORDER BY g_nation, g_year,
+             n_name NULLS FIRST, yr NULLS FIRST
+"""
+
+
+@query("sql_grouping_sets_revenue",
+       sql=_GSETS_SQL.format(lineitem="lineitem", orders="orders",
+                             customer="customer", nation="nation"))
+def sql_grouping_sets_revenue(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """GROUPING SETS stated in SQL: customer-nation × order-year
+    revenue with all four rollup combinations and explicit GROUPING()
+    flags (the flags disambiguate a NULL group key from a rolled-up
+    one — the standard cube-report idiom). NULLS FIRST is spelled out
+    because Spark and DuckDB default opposite NULL sort orders.
+
+    Scale: one data-grain join pipeline (nation broadcasts, the
+    lineitem⋈orders shuffle is the cost), then ONE Expand node
+    replicates each row 4× at nation×year grain — the aggregate
+    input after map-side partials is ≤ |nations|·|years|·4 rows."""
+    names = _views(spark, sf_dir, "lineitem", "orders", "customer",
+                   "nation", suffix="gsets")
+    return spark.sql(_GSETS_SQL.format(**names))
+
+
+# ------------------------- temp-view lifecycle (DDL through the parser)
+
+_CTAS_VIEW1 = """
+    CREATE OR REPLACE TEMPORARY VIEW {v1} AS
+    SELECT c_custkey, c_mktsegment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM {orders}
+    JOIN {customer} ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+"""
+
+_CTAS_VIEW2 = """
+    CREATE OR REPLACE TEMPORARY VIEW {v2} AS
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM {v1}
+    GROUP BY c_mktsegment
+"""
+
+_CTAS_QUERY = """
+    SELECT c_mktsegment AS segment,
+           n_customers,
+           n_orders,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS total_price,
+           ROUND(CAST(cents AS DOUBLE) / 100.0 / n_orders, 4)
+             AS avg_order_price
+    FROM {v2}
+    ORDER BY segment
+"""
+
+
+@query("sql_view_lifecycle_ctas", sql="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment,
+             COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    ), v2 AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM v1
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment AS segment,
+           n_customers,
+           n_orders,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS total_price,
+           ROUND(CAST(cents AS DOUBLE) / 100.0 / n_orders, 4)
+             AS avg_order_price
+    FROM v2
+    ORDER BY segment
+""")
+def sql_view_lifecycle_ctas(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Temp-view catalog lifecycle: two CREATE OR REPLACE TEMPORARY
+    VIEW DDL statements (a customer-grain aggregate view, then a
+    segment-grain view defined ON the first — view-on-view catalog
+    resolution), then a final SELECT over the derived view. All three
+    statements go through spark.sql, so this grades the DDL parser,
+    the session catalog's name resolution across the view chain, and
+    lazy view expansion at query time; the DuckDB oracle states the
+    same pipeline as a two-CTE query. Exact-cents totals on both
+    engines (never round-then-sum doubles).
+
+    Scale: the view chain expands into the same logical plan as the
+    CTE form — one customer-grain shuffle partial-agg pipeline
+    collapsing to |segments| rows; views add zero runtime cost."""
+    names = _views(spark, sf_dir, "orders", "customer", suffix="ctas")
+    v1, v2 = "customer_orders_ctas_v1", "segment_stats_ctas_v2"
+    spark.sql(_CTAS_VIEW1.format(v1=v1, **names))
+    spark.sql(_CTAS_VIEW2.format(v1=v1, v2=v2))
+    return spark.sql(_CTAS_QUERY.format(v2=v2))
+
+
+# ---------------------------------------- set operations stated in SQL
+
+_SETOPS_SQL = """
+    WITH y95 AS (
+      SELECT DISTINCT o_custkey FROM {orders}
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+    ), y96 AS (
+      SELECT DISTINCT o_custkey FROM {orders}
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT 'both_years' AS cohort, COUNT(*) AS n_customers
+      FROM (SELECT o_custkey FROM y95
+            INTERSECT
+            SELECT o_custkey FROM y96) AS t_both
+    UNION ALL
+    SELECT 'only_1995' AS cohort, COUNT(*) AS n_customers
+      FROM (SELECT o_custkey FROM y95
+            EXCEPT
+            SELECT o_custkey FROM y96) AS t_only95
+    UNION ALL
+    SELECT 'only_1996' AS cohort, COUNT(*) AS n_customers
+      FROM (SELECT o_custkey FROM y96
+            EXCEPT
+            SELECT o_custkey FROM y95) AS t_only96
+    UNION ALL
+    SELECT 'either_year' AS cohort, COUNT(*) AS n_customers
+      FROM (SELECT o_custkey FROM y95
+            UNION
+            SELECT o_custkey FROM y96) AS t_either
+    ORDER BY cohort
+"""
+
+
+@query("sql_set_ops_customer_activity",
+       sql=_SETOPS_SQL.format(orders="orders"))
+def sql_set_ops_customer_activity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION stated in SQL: the 1995-vs-1996
+    active-customer cohort decomposition (retained / churned / new /
+    either). The identity n(both) + n(only95) + n(only96) =
+    n(either) is pinned in pytest as an internal consistency check
+    independent of either engine.
+
+    Scale: each year CTE collapses to a DISTINCT custkey frame with
+    the date filter pushed to the orders scan (map-side partial
+    distinct), so the set operations run on sub-linear key frames;
+    the four COUNT branches each reduce to one row before the final
+    4-row UNION ALL."""
+    names = _views(spark, sf_dir, "orders", suffix="setops")
+    return spark.sql(_SETOPS_SQL.format(**names))

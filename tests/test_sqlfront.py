@@ -1,0 +1,154 @@
+"""Pure-SQL front end (operators/sqlfront.py): every query must enter
+through spark.sql TEXT (parser/analyzer/catalog path), produce results
+consistent with independent recomputation, and compile to the same
+scale-safe physical shapes as the DataFrame twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_cdc_spark.operators import sqlfront
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+# --------------------------------------------------- spark.sql entry
+
+
+def test_every_sqlfront_query_is_sql_text(spark, sf_dir):
+    """The module's contract: each registered callable's plan derives
+    from a SQL statement, not DataFrame DSL — re-running the shared
+    template through spark.sql directly must produce an identical
+    result (same rows, same columns)."""
+    views = sqlfront._views(spark, sf_dir, "customer", "orders",
+                            "lineitem", "supplier", "nation", "region",
+                            suffix="q5t")
+    direct = spark.sql(sqlfront._Q5_SQL.format(**views))
+    via_registry = sqlfront.QUERIES["sql_tpch_q5_text"](spark, sf_dir)
+    assert direct.columns == via_registry.columns
+    assert direct.collect() == via_registry.collect()
+
+
+def test_sqlfront_templates_share_text_with_oracle():
+    """The verbatim-sharing claim: the registered oracle SQL equals
+    the template the Spark side executes, modulo table names and the
+    registry's AS MATERIALIZED hardening (CTAS states the same
+    pipeline as CTEs and is exempt from the verbatim rule)."""
+    q5_oracle = sqlfront.ORACLE["sql_tpch_q5_text"]
+    assert q5_oracle.replace("MATERIALIZED ", "") == sqlfront._Q5_SQL.format(
+        customer="customer", orders="orders", lineitem="lineitem",
+        supplier="supplier", nation="nation", region="region"
+    ).replace("MATERIALIZED ", "")
+    gs = sqlfront.ORACLE["sql_grouping_sets_revenue"]
+    assert "GROUPING SETS ((n_name, yr), (n_name), (yr), ())" in gs
+    so = sqlfront.ORACLE["sql_set_ops_customer_activity"]
+    for kw in ("INTERSECT", "EXCEPT", "UNION ALL"):
+        assert kw in so
+
+
+# --------------------------------------------------- value references
+
+
+def test_q5_text_matches_dataframe_recompute(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+
+    got = {r["n_name"]: (r["revenue"], r["n_lines"])
+           for r in sqlfront.sql_tpch_q5_text(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    ref = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(cust, (F.col("o_custkey") == F.col("c_custkey")))
+           .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                 & (F.col("c_nationkey") == F.col("s_nationkey")))
+           .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy("n_name")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"))).collect()
+    assert got == {r["n_name"]: (r["revenue"], r["n_lines"])
+                   for r in ref}
+    assert got  # EUROPE/1995 must be non-empty at sf0.001
+
+
+def test_grouping_sets_flags_and_grand_total(spark, sf_dir):
+    rows = sqlfront.sql_grouping_sets_revenue(spark, sf_dir).collect()
+    # flags disambiguate rolled-up NULLs: n_name IS NULL iff g_nation=1
+    for r in rows:
+        assert (r["n_name"] is None) == (r["g_nation"] == 1)
+        assert (r["yr"] is None) == (r["g_year"] == 1)
+    # the () grand-total row equals the sum of the (n_name, yr) cells
+    detail = [r for r in rows if r["g_nation"] == 0 and r["g_year"] == 0]
+    grand = [r for r in rows if r["g_nation"] == 1 and r["g_year"] == 1]
+    assert len(grand) == 1
+    assert grand[0]["n_lines"] == sum(r["n_lines"] for r in detail)
+    assert grand[0]["revenue"] == pytest.approx(
+        sum(r["revenue"] for r in detail), abs=0.05 * len(detail))
+    # all four grouping sets are present
+    combos = {(r["g_nation"], r["g_year"]) for r in rows}
+    assert combos == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_ctas_lifecycle_views_exist_and_match(spark, sf_dir):
+    from mongo_cdc_spark.io import load_table
+
+    got = {r["segment"]: r for r in
+           sqlfront.sql_view_lifecycle_ctas(spark, sf_dir).collect()}
+    # DDL went through the catalog: both temp views resolvable
+    for v in ("customer_orders_ctas_v1", "segment_stats_ctas_v2"):
+        assert spark.catalog.tableExists(v), v
+    ref = (load_table(spark, sf_dir, "orders")
+           .join(load_table(spark, sf_dir, "customer"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_mktsegment")
+           .agg(F.countDistinct("c_custkey").alias("n_customers"),
+                F.count(F.lit(1)).alias("n_orders"),
+                (F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")) / 100.0).alias("total")))
+    for r in ref.collect():
+        g = got[r["c_mktsegment"]]
+        assert g["n_customers"] == r["n_customers"]
+        assert g["n_orders"] == r["n_orders"]
+        assert g["total_price"] == pytest.approx(round(r["total"], 2))
+        assert g["avg_order_price"] == pytest.approx(
+            round(r["total"] / r["n_orders"], 4))
+
+
+def test_set_ops_cohort_identity(spark, sf_dir):
+    got = {r["cohort"]: r["n_customers"] for r in
+           sqlfront.sql_set_ops_customer_activity(spark, sf_dir)
+           .collect()}
+    assert set(got) == {"both_years", "only_1995", "only_1996",
+                        "either_year"}
+    assert (got["both_years"] + got["only_1995"] + got["only_1996"]
+            == got["either_year"])
+    assert got["either_year"] > 0
+
+
+# --------------------------------------------------- plan posture
+
+
+def test_q5_text_plan_broadcasts_dims(spark, sf_dir):
+    plan = _plan(sqlfront.sql_tpch_q5_text(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "ShuffledHashJoin" in plan \
+        or "Exchange" in plan  # big-big joins may shuffle; dims must not
+
+
+def test_grouping_sets_plan_has_one_expand(spark, sf_dir):
+    plan = _plan(sqlfront.sql_grouping_sets_revenue(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    # the expand happens once at data grain, not per grouping set
+    assert plan.count("Expand [") <= 1 or "Expand (" in plan

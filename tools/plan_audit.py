@@ -311,7 +311,15 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # the (label, vec) distance agg — three passes over
                # the checkpointed exploded frame, all map-side
                # combined; the rest move (labels x 64)-grain rows:
-               "embedding_class_scatter": 7}
+               "embedding_class_scatter": 7,
+               # SQL set-ops front end: INTERSECT/EXCEPT/EXCEPT/UNION
+               # each plan a distinct-style exchange pair over the two
+               # year CTEs — but every exchange carries only DISTINCT
+               # custkeys with the date filter pushed to the orders
+               # scan (map-side partial distinct), sub-linear in
+               # lineitem; grading the set-op SQL surface is the
+               # point, so the 4-branch shape is intentional:
+               "sql_set_ops_customer_activity": 8}
 
 
 # Single-partition (unpartitioned) windows are DECLARED only where the
