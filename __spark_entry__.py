@@ -83,6 +83,11 @@ _GRADE_FIRST = (
     # cohort decomposition.
     "sql_tpch_q5_text", "sql_grouping_sets_revenue",
     "sql_view_lifecycle_ctas", "sql_set_ops_customer_activity",
+    # End-to-end corpus release through the §3c engine lifecycle
+    # (VERDICT_r7 #5+#8): dedup keep-best -> quality filter ->
+    # decontaminate -> shard, the first two stages resolved BY NAME
+    # from engine.named_transforms(); per-shard manifest output.
+    "train_corpus_release",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back

@@ -247,6 +247,7 @@ HEADLINE = [
     ("sql_grouping_sets", sqlfront.sql_grouping_sets_revenue),
     ("sql_ctas_lifecycle", sqlfront.sql_view_lifecycle_ctas),
     ("sql_set_ops", sqlfront.sql_set_ops_customer_activity),
+    ("corpus_release", training.train_corpus_release),
 ]
 
 

@@ -54,6 +54,34 @@ Transform = Callable[[DataFrame], DataFrame]
 _BATCH_KINDS = {"table", "parquet"}
 
 
+def named_transforms() -> dict[str, Transform]:
+    """The engine's registry of NAMED DataFrame->DataFrame stages —
+    reusable operator-library logic a Pipeline.transform call can
+    reference by string, so the §3c user API composes the same code
+    the graded queries exercise. Resolved lazily to avoid a circular
+    import (operators/training.py's corpus-release query builds its
+    chain through engine.pipeline)."""
+    from mongo_cdc_spark.operators import training
+    return {
+        # corpus-release stages (operators/training.py)
+        "corpus_dedup_keep_best": training.corpus_dedup_keep_best,
+        "corpus_quality_keep": training.corpus_quality_keep,
+        # the reference's wire format (cdc/transform.py)
+        "serialize": to_kafka_records,
+    }
+
+
+def _resolve(stage: "Transform | str") -> Transform:
+    if callable(stage):
+        return stage
+    reg = named_transforms()
+    if stage not in reg:
+        raise ValueError(
+            f"unknown named transform: {stage!r} "
+            f"(registered: {sorted(reg)})")
+    return reg[stage]
+
+
 def pipeline(source_cfg: Mapping[str, Any],
              spark: SparkSession | None = None) -> "Pipeline":
     """Entry point: build a Pipeline from a declarative source config."""
@@ -77,9 +105,12 @@ class Pipeline:
             raise ValueError(f"unknown source kind: {kind!r}")
 
     # ------------------------------------------------------- builder
-    def transform(self, *fns: Transform) -> "Pipeline":
-        """Append DataFrame→DataFrame stages (applied in order)."""
-        self._transforms.extend(fns)
+    def transform(self, *fns: "Transform | str") -> "Pipeline":
+        """Append DataFrame→DataFrame stages (applied in order).
+        Each stage is a callable OR a string resolved against
+        named_transforms() — the operator-library stages the engine
+        exposes by name."""
+        self._transforms.extend(_resolve(fn) for fn in fns)
         return self
 
     def serialize(self) -> "Pipeline":
@@ -105,6 +136,14 @@ class Pipeline:
         for fn in self._transforms:
             df = fn(df)
         return df
+
+    def explain(self, mode: str = "formatted") -> str:
+        """Plan-audit passthrough: the composed DataFrame's physical
+        plan as a string (same renderer tools/plan_audit.py reads),
+        without executing anything."""
+        df = self.dataframe()
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode)
 
     def _read_source(self) -> DataFrame:
         cfg = self._source_cfg

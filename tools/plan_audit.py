@@ -319,7 +319,14 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # scan (map-side partial distinct), sub-linear in
                # lineitem; grading the set-op SQL surface is the
                # point, so the 4-branch shape is intentional:
-               "sql_set_ops_customer_activity": 8}
+               "sql_set_ops_customer_activity": 8,
+               # corpus release: the four chained stage costs — the
+               # fingerprint-keyed dedup shuffle + rank, the doc-grain
+               # decon overlap agg (only shingles HITTING the broadcast
+               # bench set), the contaminated-id anti-join, and the
+               # 16-row manifest agg pair + sort; quality and shard
+               # stages are scan-level:
+               "train_corpus_release": 6}
 
 
 # Single-partition (unpartitioned) windows are DECLARED only where the
