@@ -88,6 +88,12 @@ _GRADE_FIRST = (
     # decontaminate -> shard, the first two stages resolved BY NAME
     # from engine.named_transforms(); per-shard manifest output.
     "train_corpus_release",
+    # Merge-on-read CDC apply (VERDICT_r7 #8 delete-vector semantics):
+    # O(batch) delta+delete-vector commits resolved by
+    # cdc.apply.resolve_current_state with last/first-writer-wins
+    # conflict policies; batch-graded per-bucket live manifest, the
+    # file lifecycle pinned hermetically in tests/test_cdc_apply.py.
+    "cdc_merge_on_read_state",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back

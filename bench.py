@@ -248,6 +248,7 @@ HEADLINE = [
     ("sql_ctas_lifecycle", sqlfront.sql_view_lifecycle_ctas),
     ("sql_set_ops", sqlfront.sql_set_ops_customer_activity),
     ("corpus_release", training.train_corpus_release),
+    ("mor_state", cdc_batch.cdc_merge_on_read_state),
 ]
 
 

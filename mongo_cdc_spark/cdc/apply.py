@@ -212,3 +212,134 @@ def compact_snapshot(spark: SparkSession, snapshot_path: str) -> dict:
     after = sum(len(v) for v in _listing().values())
     return {"files_before": before, "files_after": after,
             "buckets": buckets, "skipped_buckets": changed}
+
+
+# ================================================ merge-on-read (MoR)
+# The copy-on-write path above (apply_batch_to_snapshot) rewrites every
+# touched bucket per batch — O(bucket size) write amplification even
+# for a single-row update. The merge-on-read surface below is the
+# Delta/Iceberg-style alternative: a batch APPENDS an O(batch)-sized
+# delta-log file plus a delete-vector file that marks superseded base
+# rows dead; the read path reconstructs current state as
+# (base MINUS delete-vector keys) UNION (latest delta winner per key),
+# and a periodic compaction folds everything back into a fresh base.
+# Write cost per batch drops from O(touched buckets × bucket size) to
+# O(batch); reads pay the resolve until the next compaction — the
+# standard MoR trade.
+
+MERGE_POLICIES = ("last_writer_wins", "first_writer_wins")
+
+
+def resolve_current_state(base: DataFrame, delta: DataFrame,
+                          policy: str = "last_writer_wins") -> DataFrame:
+    """Pure-frame MERGE resolution: current snapshot rows from a base
+    frame (doc_key, doc, updated_at, bucket) and a delta log
+    (doc_key, op, doc, updated_at, seq, bucket).
+
+    Conflict policy picks the winning writer among delta rows for the
+    same key: last_writer_wins takes the max (updated_at, seq) event
+    (CDC semantics — seq is the monotone resume-token order, breaking
+    clusterTime ties); first_writer_wins takes the min (the
+    reject-out-of-order MERGE policy: once a key is written, stale
+    writers lose). A key present in the delta ALWAYS masks its base
+    row (that is the delete-vector contract); the winner's op decides
+    whether a replacement row exists (upsert) or not (delete).
+
+    One shuffle on doc_key for the rank window (partitioned, bounded
+    by per-key event counts); the base-side anti-join broadcasts the
+    distinct delta keys (a batch is small next to the table)."""
+    if policy not in MERGE_POLICIES:
+        raise ValueError(f"unknown merge policy: {policy!r} "
+                         f"(one of {MERGE_POLICIES})")
+    order = [F.col("updated_at"), F.col("seq")]
+    if policy == "last_writer_wins":
+        order = [c.desc() for c in order]
+    w = Window.partitionBy("doc_key").orderBy(*order)
+    winners = (delta
+               .withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1)
+               .drop("__rn"))
+    survivors = base.join(
+        F.broadcast(delta.select("doc_key").distinct()),
+        "doc_key", "left_anti")
+    fresh = (winners.filter(F.col("op").isin(*_UPSERT_OPS))
+             .select("doc_key", "doc", "updated_at", "bucket"))
+    return survivors.unionByName(fresh)
+
+
+def merge_on_read_apply(spark: SparkSession, table_path: str,
+                        events: DataFrame, batch_seq: int,
+                        n_buckets: int = 16) -> None:
+    """Append one batch of change events as a MoR delta commit.
+
+    Layout under table_path: base/ (compacted snapshot), delta/
+    (append-only log of resolved per-batch winners), dv/ (append-only
+    delete vector: every key the batch superseded, with the commit
+    seq). Both appends are O(batch); nothing is rewritten. batch_seq
+    must be monotone (foreachBatch's epoch id) — it totals-orders
+    commits so replaying a checkpointed batch appends byte-identical
+    rows that the seq-deduped read path collapses (idempotent)."""
+    latest = latest_change_per_key(events).select(
+        F.col("documentKey._id").alias("doc_key"),
+        F.col("operationType").alias("op"),
+        F.col("fullDocument").alias("doc"),
+        F.col("clusterTime").alias("updated_at"),
+        F.lit(batch_seq).cast("long").alias("seq"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("doc_key"),
+                                  F.lit(n_buckets)).cast("int"))
+    latest.persist()
+    try:
+        (latest.write.mode("append").parquet(f"{table_path}/delta"))
+        (latest.select("doc_key", "seq", "bucket")
+         .write.mode("append").parquet(f"{table_path}/dv"))
+    finally:
+        latest.unpersist()
+
+
+def read_merge_on_read(spark: SparkSession, table_path: str,
+                       policy: str = "last_writer_wins") -> DataFrame:
+    """Current state of a MoR table: base rows not masked by the
+    delete vector, plus the policy-chosen winner per delta key.
+    Checkpoint-replayed duplicate commits collapse because identical
+    (doc_key, updated_at, seq) rows tie and row_number picks one."""
+    base = _read_or_empty(spark, f"{table_path}/base",
+                          "doc_key string, doc string, "
+                          "updated_at timestamp, bucket int")
+    delta = _read_or_empty(spark, f"{table_path}/delta",
+                           "doc_key string, op string, doc string, "
+                           "updated_at timestamp, seq long, bucket int")
+    return resolve_current_state(base, delta.dropDuplicates(
+        ["doc_key", "updated_at", "seq", "op"]), policy)
+
+
+def compact_merge_on_read(spark: SparkSession, table_path: str,
+                          policy: str = "last_writer_wins") -> dict:
+    """Fold delta + dv back into a fresh base (the MoR maintenance
+    job): write the resolved state to base/, drop delta/ and dv/.
+    Returns {'rows': n} for the caller's bookkeeping."""
+    state = read_merge_on_read(spark, table_path, policy)
+    state = state.localCheckpoint(eager=True)  # survives the overwrite
+    n = state.count()
+    (state.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(f"{table_path}/base"))
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for sub in ("delta", "dv"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{sub}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return {"rows": n}
+
+
+def _read_or_empty(spark: SparkSession, path: str,
+                   schema: str) -> DataFrame:
+    """Read a parquet dir or return an empty typed frame if absent
+    (same explicit existence probe as apply_batch_to_snapshot — read
+    errors must raise, only absence means empty)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)

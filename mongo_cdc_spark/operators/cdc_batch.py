@@ -547,3 +547,117 @@ def cdc_schema_evolution_audit(spark: SparkSession,
                     F.count(F.lit(1)).over(w).cast("bigint")
                     .alias("coll_schemas_total"))
             .orderBy("coll", "schema_fields"))
+
+
+# ------------------------------------------- merge-on-read CDC apply
+
+_MOR_BUCKETS = 16
+
+
+def _mor_bucket(key):
+    """Portable md5-prefix bucket (same recipe as the shard oracles:
+    Spark conv(hex) == DuckDB ('0x'||...)::BIGINT, bit-identical)."""
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("long") % _MOR_BUCKETS).cast("int")
+
+
+@query("cdc_merge_on_read_state", sql=f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS doc_key,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate AS updated_at,
+             o_orderkey AS k
+      FROM orders
+    ), delta AS (
+      SELECT doc_key, 'update' AS op, cents + 1000 AS cents,
+             updated_at + INTERVAL 30 DAY AS updated_at, 1 AS seq
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT doc_key, 'update', cents + 2000,
+             updated_at + INTERVAL 45 DAY, 2
+      FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT doc_key, 'delete', NULL,
+             updated_at + INTERVAL 60 DAY, 3
+      FROM base WHERE k % 7 = 0
+    ), winners AS (
+      SELECT * FROM (
+        SELECT d.*, ROW_NUMBER() OVER (PARTITION BY doc_key
+                      ORDER BY updated_at DESC, seq DESC) AS rn
+        FROM delta d) AS r
+      WHERE rn = 1
+    ), merged AS (
+      SELECT doc_key, cents FROM base
+      WHERE doc_key NOT IN (SELECT doc_key FROM delta)
+      UNION ALL
+      SELECT doc_key, cents FROM winners
+      WHERE op IN ('insert', 'update', 'replace')
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           COUNT(*) AS n_live,
+           ROUND(SUM(cents) / 100.0, 2) AS total_price
+    FROM (SELECT *,
+                 ('0x' || substr(md5(doc_key), 1, 8))::BIGINT
+                   % {_MOR_BUCKETS} AS bucket
+          FROM merged) AS m
+    GROUP BY bucket
+    ORDER BY bucket
+""")
+def cdc_merge_on_read_state(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC apply, batch-graded: a deterministic delta
+    log synthesized over the orders base (two overlapping update
+    generations at +30/+45 days on the mod-5/mod-10 keys, then
+    deletes at +60 days on the mod-7 keys) resolved through the REAL
+    cdc.apply.resolve_current_state — delete-vector masking of base
+    rows plus last-writer-wins winner selection on (updated_at, seq).
+    Output: the per-bucket live-row manifest the MoR reader would
+    serve. The file-backed surface (merge_on_read_apply /
+    read_merge_on_read / compact_merge_on_read) runs the same
+    resolver; its append/compact lifecycle is pinned hermetically in
+    tests/test_cdc_apply.py.
+
+    Scale: delete vectors make each commit O(batch) appends instead
+    of O(bucket) rewrites; the resolve is one doc_key-partitioned
+    rank window over the delta plus a broadcast anti-join against
+    the (batch-sized) delta key set — the read path's cost until the
+    next compaction, by design."""
+    from mongo_cdc_spark.cdc.apply import resolve_current_state
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base0 = o.select(
+        F.col("o_orderkey").cast("string").alias("doc_key"),
+        cents.alias("cents"),
+        F.col("o_orderdate").alias("updated_at"),
+        F.col("o_orderkey").alias("k"))
+    base = (base0
+            .select("doc_key", F.col("cents").cast("string").alias("doc"),
+                    "updated_at")
+            .withColumn("bucket", _mor_bucket(F.col("doc_key"))))
+
+    def _ev(cond, op, cents_expr, days, seq):
+        return (base0.where(cond)
+                .select("doc_key",
+                        F.lit(op).alias("op"),
+                        cents_expr.cast("string").alias("doc"),
+                        (F.col("updated_at")
+                         + F.expr(f"INTERVAL {days} DAYS"))
+                        .alias("updated_at"),
+                        F.lit(seq).cast("long").alias("seq"))
+                .withColumn("bucket", _mor_bucket(F.col("doc_key"))))
+
+    delta = (_ev(F.col("k") % 5 == 0, "update", F.col("cents") + 1000,
+                 30, 1)
+             .unionByName(_ev(F.col("k") % 10 == 0, "update",
+                              F.col("cents") + 2000, 45, 2))
+             .unionByName(_ev(F.col("k") % 7 == 0, "delete",
+                              F.lit(None).cast("bigint"), 60, 3)))
+    merged = resolve_current_state(base, delta,
+                                   policy="last_writer_wins")
+    return (merged
+            .groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_live"),
+                 F.round(F.sum(F.col("doc").cast("bigint")) / 100.0, 2)
+                 .alias("total_price"))
+            .orderBy("bucket"))

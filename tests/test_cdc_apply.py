@@ -259,3 +259,112 @@ def test_snapshot_diff_feed_converges_apply_store(spark, tmp_path: Path):
            for r in spark.read.parquet(store).collect()}
     want = {r.k: {"p": r.p, "st": r.st} for r in new.collect()}
     assert got == want
+
+
+# ----------------------------------------------- merge-on-read surface
+
+
+def _mor_state(spark, path, policy="last_writer_wins"):
+    from mongo_cdc_spark.cdc.apply import read_merge_on_read
+    return {r.doc_key: r.doc
+            for r in read_merge_on_read(spark, str(path), policy)
+            .collect()}
+
+
+def test_mor_apply_read_lifecycle(spark, tmp_path: Path):
+    """Appends only, no base rewrite; read resolves base+delta+dv."""
+    from mongo_cdc_spark.cdc.apply import (compact_merge_on_read,
+                                           merge_on_read_apply)
+
+    t = tmp_path / "mor"
+    # batch 0: three inserts
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("a", doc='{"v":1}', rt="r1"),
+        _ev("b", doc='{"v":2}', rt="r2"),
+        _ev("c", doc='{"v":3}', rt="r3"),
+    ]), batch_seq=0)
+    assert _mor_state(spark, t) == {"a": '{"v":1}', "b": '{"v":2}',
+                                    "c": '{"v":3}'}
+    # batch 1: update a, delete b — base/ still absent, only appends
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("a", op="update", doc='{"v":10}',
+            ts="2024-11-08T00:00:09Z", rt="r4"),
+        _ev("b", op="delete", ts="2024-11-08T00:00:09Z", rt="r5"),
+    ]), batch_seq=1)
+    assert not (t / "base").exists()
+    assert _mor_state(spark, t) == {"a": '{"v":10}', "c": '{"v":3}'}
+
+    # compaction folds delta+dv into base and clears them
+    stats = compact_merge_on_read(spark, str(t))
+    assert stats["rows"] == 2
+    assert (t / "base").exists()
+    assert not (t / "delta").exists() and not (t / "dv").exists()
+    assert _mor_state(spark, t) == {"a": '{"v":10}', "c": '{"v":3}'}
+
+    # post-compaction commits keep working against the new base
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("c", op="delete", ts="2024-11-08T00:00:30Z", rt="r6"),
+        _ev("d", doc='{"v":4}', ts="2024-11-08T00:00:30Z", rt="r7"),
+    ]), batch_seq=2)
+    assert _mor_state(spark, t) == {"a": '{"v":10}', "d": '{"v":4}'}
+
+
+def test_mor_conflict_policies(spark, tmp_path: Path):
+    """last_writer_wins vs first_writer_wins over the same log."""
+    from mongo_cdc_spark.cdc.apply import merge_on_read_apply
+
+    t = tmp_path / "mor_pol"
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("k", doc='{"v":"old"}', ts="2024-11-08T00:00:01Z", rt="r1"),
+    ]), batch_seq=0)
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("k", op="update", doc='{"v":"new"}',
+            ts="2024-11-08T00:00:05Z", rt="r2"),
+    ]), batch_seq=1)
+    assert _mor_state(spark, t, "last_writer_wins") == {
+        "k": '{"v":"new"}'}
+    # reject-out-of-order semantics: the FIRST writer holds the key
+    assert _mor_state(spark, t, "first_writer_wins") == {
+        "k": '{"v":"old"}'}
+    import pytest as _pytest
+    from mongo_cdc_spark.cdc.apply import read_merge_on_read
+    with _pytest.raises(ValueError, match="unknown merge policy"):
+        read_merge_on_read(spark, str(t), "coin_flip").collect()
+
+
+def test_mor_replayed_batch_is_idempotent(spark, tmp_path: Path):
+    """A checkpoint-replayed commit appends byte-identical rows; the
+    seq-deduped read path must collapse them to the same state."""
+    from mongo_cdc_spark.cdc.apply import merge_on_read_apply
+
+    t = tmp_path / "mor_replay"
+    batch = [_ev("x", doc='{"v":1}', rt="r1"),
+             _ev("y", doc='{"v":2}', rt="r2")]
+    merge_on_read_apply(spark, str(t), _events_df(spark, batch),
+                        batch_seq=0)
+    before = _mor_state(spark, t)
+    merge_on_read_apply(spark, str(t), _events_df(spark, batch),
+                        batch_seq=0)  # same epoch replayed
+    assert _mor_state(spark, t) == before
+
+
+def test_mor_resolver_matches_cow_apply(spark, tmp_path: Path):
+    """MoR and copy-on-write must converge to the same table state
+    from the same event stream."""
+    from mongo_cdc_spark.cdc.apply import merge_on_read_apply
+
+    batches = [
+        [_ev("a", doc='{"v":1}', rt="r1"),
+         _ev("b", doc='{"v":2}', rt="r2")],
+        [_ev("a", op="update", doc='{"v":3}',
+             ts="2024-11-08T00:00:10Z", rt="r3"),
+         _ev("c", doc='{"v":4}', ts="2024-11-08T00:00:10Z", rt="r4")],
+        [_ev("b", op="delete", ts="2024-11-08T00:00:20Z", rt="r5")],
+    ]
+    cow = tmp_path / "cow"
+    mor = tmp_path / "mor_conv"
+    for i, b in enumerate(batches):
+        apply_batch_to_snapshot(spark, str(cow), _events_df(spark, b))
+        merge_on_read_apply(spark, str(mor), _events_df(spark, b),
+                            batch_seq=i)
+    assert _snapshot(spark, str(cow)) == _mor_state(spark, mor)
