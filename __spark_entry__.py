@@ -94,6 +94,11 @@ _GRADE_FIRST = (
     # conflict policies; batch-graded per-bucket live manifest, the
     # file lifecycle pinned hermetically in tests/test_cdc_apply.py.
     "cdc_merge_on_read_state",
+    # Streaming retention: first-touch state (streaming.
+    # first_touch_cohorts, update-mode MIN-day-per-user) replayed as
+    # the maturity-corrected blended retention curve; drained-stream
+    # parity pinned in tests/test_streaming.py.
+    "streaming_retention_curve_replay",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back

@@ -249,6 +249,7 @@ HEADLINE = [
     ("sql_set_ops", sqlfront.sql_set_ops_customer_activity),
     ("corpus_release", training.train_corpus_release),
     ("mor_state", cdc_batch.cdc_merge_on_read_state),
+    ("retention_curve", relational.streaming_retention_curve_replay),
 ]
 
 

@@ -5900,3 +5900,98 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_cohort"), 6)
                     .alias("cum_ltv_per_customer"))
             .orderBy("cohort_month", "month_offset"))
+
+
+# ----------------------------------- blended retention curve (replay)
+
+
+@query("streaming_retention_curve_replay", sql=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY 1
+    ), maxd AS (
+      SELECT MAX(day) AS maxd FROM ud
+    ), act AS (
+      SELECT date_diff('day', f.cohort, u.day) AS o, u.user_id
+      FROM ud u JOIN first f ON f.user_id = u.user_id
+      WHERE date_diff('day', f.cohort, u.day)
+            <= {_RETENTION_MAX_OFFSET}
+    ), actc AS (
+      SELECT o, COUNT(DISTINCT user_id) AS n_active
+      FROM act GROUP BY 1
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS n_c FROM first GROUP BY 1
+    ), offs AS (
+      SELECT unnest(generate_series(0, {_RETENTION_MAX_OFFSET})) AS o
+    ), elig AS (
+      SELECT offs.o,
+             COUNT(*) AS n_cohorts,
+             SUM(s.n_c) AS n_eligible
+      FROM offs, sizes s, maxd m
+      WHERE date_diff('day', s.cohort, m.maxd) >= offs.o
+      GROUP BY 1
+    )
+    SELECT CAST(e.o AS INT) AS day_offset,
+           CAST(e.n_cohorts AS BIGINT) AS n_cohorts,
+           CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+           CAST(e.n_eligible AS BIGINT) AS n_eligible,
+           ROUND(COALESCE(a.n_active, 0) * 1e0 / e.n_eligible, 6)
+             AS retention
+    FROM elig e LEFT JOIN actc a ON a.o = e.o
+    ORDER BY day_offset
+""")
+def streaming_retention_curve_replay(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Batch replay twin of the streaming retention dashboard: the
+    stateful stage is `streaming.first_touch_cohorts` (update-mode
+    MIN-day-per-user state) plus the (user, day) activity dedup; the
+    sink serves THIS — the maturity-corrected blended retention
+    curve, one row per day offset: of all users whose cohort is old
+    enough to have been observable at offset d (cohort <= max_day - d,
+    the triangle correction every naive blended curve gets wrong),
+    which share were active d days after first touch. Differs from
+    events_retention_cohorts' per-cohort triangle: this is the
+    cross-cohort aggregate the streaming state actually answers.
+    Stream/batch parity pinned in tests/test_streaming.py by draining
+    the real file-source stream.
+
+    Scale: data-grain stages are the (user, day) distinct and the
+    user-grain MIN agg — both map-side combined; activity at offset d
+    implies cohort+d <= max_day, so the active side needs NO maturity
+    filter. Cohort sizes are calendar-grain; the offs x sizes
+    eligibility join is (offsets x days) rows, and the final join is
+    {_RETENTION_MAX_OFFSET + 1} x {_RETENTION_MAX_OFFSET + 1} rows."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    first = (ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+             .localCheckpoint(eager=False))
+    act = (ud.join(first, "user_id")
+           .withColumn("o", F.datediff("day", "cohort"))
+           .where(F.col("o") <= _RETENTION_MAX_OFFSET))
+    actc = act.groupBy("o").agg(
+        F.countDistinct("user_id").alias("n_active"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_c"))
+    maxd = ud.agg(F.max("day").alias("maxd"))
+    offs = spark.range(0, _RETENTION_MAX_OFFSET + 1).select(
+        F.col("id").cast("int").alias("o"))
+    elig = (sizes.crossJoin(F.broadcast(maxd))
+            .join(F.broadcast(offs),
+                  F.datediff("maxd", "cohort") >= F.col("o"))
+            .groupBy("o")
+            .agg(F.count(F.lit(1)).alias("n_cohorts"),
+                 F.sum("n_c").alias("n_eligible")))
+    return (elig.join(F.broadcast(actc), "o", "left")
+            .select(F.col("o").cast("int").alias("day_offset"),
+                    F.col("n_cohorts").cast("bigint").alias("n_cohorts"),
+                    F.coalesce("n_active", F.lit(0)).cast("bigint")
+                    .alias("n_active"),
+                    F.col("n_eligible").cast("bigint")
+                    .alias("n_eligible"),
+                    F.round(F.coalesce("n_active", F.lit(0))
+                            * F.lit(1.0) / F.col("n_eligible"), 6)
+                    .alias("retention"))
+            .orderBy("day_offset"))

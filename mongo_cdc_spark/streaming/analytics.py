@@ -237,3 +237,18 @@ def user_session_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def first_touch_cohorts(events: DataFrame,
+                        watermark: str = "1 day") -> DataFrame:
+    """Streaming first-touch state: MIN(activity day) per user — the
+    stateful stage behind every retention dashboard (user → cohort
+    day). Runs as an update-mode streaming aggregation whose state is
+    one row per user; the retention readout (offset counts / blended
+    curve) is sink-side arithmetic over this state plus the activity
+    dedup, exactly what the batch replay twin
+    `streaming_retention_curve_replay` computes over the same frames.
+    """
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .agg(F.min(F.date_trunc("day", "ts")).alias("cohort")))

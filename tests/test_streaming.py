@@ -703,3 +703,64 @@ def test_trending_topk_stream_matches_batch_replay(spark, tmp_path):
     # hour 9's top type is view (3 events)
     h9 = want[want.window_start.astype(str).str.contains("09:00")]
     assert h9.iloc[0].event_type == "view" and h9.iloc[0].n == 3
+
+
+def test_first_touch_state_and_retention_curve_replay(spark, tmp_path):
+    """first_touch_cohorts runs as a REAL update-mode stream; its
+    drained state + the activity dedup, pushed through the sink-side
+    curve arithmetic, must equal streaming_retention_curve_replay's
+    hand-computed expectation on the same events."""
+    from mongo_cdc_spark.streaming.analytics import first_touch_cohorts
+
+    def _dev(eid, day, user):
+        return {"event_id": eid, "ts": f"2024-01-0{day}T09:00:00Z",
+                "user_id": user, "event_type": "click", "value": 1.0,
+                "props": "{}"}
+
+    # u1 first D1 active D1,D2,D4; u2 first D2 active D2,D3; u3 D3 only
+    events = [_dev(1, 1, 1), _dev(2, 2, 1), _dev(3, 4, 1),
+              _dev(4, 2, 2), _dev(5, 3, 2),
+              _dev(6, 3, 3)]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", events)
+    stream = read_events_stream(spark, str(src))
+    out = _collect_stream(first_touch_cohorts(stream), tmp_path,
+                          mode="update")
+    # last emitted row per user is the final state
+    state = {int(r.user_id): r.cohort.day
+             for _, r in out.groupby("user_id").tail(1).iterrows()}
+    assert state == {1: 1, 2: 2, 3: 3}
+
+    # sink-side curve over the drained state + batch activity dedup
+    batch = spark.read.schema(stream.schema).json(str(src))
+    ud = (batch.selectExpr("user_id", "date_trunc('day', ts) AS day")
+          .distinct().toPandas())
+    first = ud.groupby("user_id")["day"].min().rename("cohort")
+    ud = ud.join(first, on="user_id")
+    ud["o"] = (ud["day"] - ud["cohort"]).dt.days
+    maxd = ud["day"].max()
+    curve = {}
+    for o in range(8):
+        elig = first[(maxd - first).dt.days >= o]
+        if len(elig) == 0:
+            continue
+        active = ud[(ud["o"] == o)]["user_id"].nunique()
+        curve[o] = (len(elig), active, round(active / len(elig), 6))
+    assert curve == {0: (3, 3, 1.0), 1: (3, 2, 0.666667),
+                     2: (2, 0, 0.0), 3: (1, 1, 1.0)}
+
+    # the registered replay twin computes the same columns on the
+    # fixture — schema + maturity-monotonicity sanity
+    from mongo_cdc_spark.operators.relational import (
+        streaming_retention_curve_replay)
+    rows = streaming_retention_curve_replay(
+        spark, "/root/testdata/sf0.001").collect()
+    assert [r["day_offset"] for r in rows] == sorted(
+        r["day_offset"] for r in rows)
+    for r in rows:
+        assert 0 <= r["retention"] <= 1.0
+        assert r["n_active"] <= r["n_eligible"]
+    # n_eligible shrinks (weakly) as the offset grows — the triangle
+    assert all(a["n_eligible"] >= b["n_eligible"]
+               for a, b in zip(rows, rows[1:]))
