@@ -99,6 +99,19 @@ _GRADE_FIRST = (
     # the maturity-corrected blended retention curve; drained-stream
     # parity pinned in tests/test_streaming.py.
     "streaming_retention_curve_replay",
+    # BM25 ranked retrieval (Lucene idf form) over the inverted-index
+    # shape: postings for the query terms only, pre-rounded scores,
+    # TakeOrdered top-k; Python tf/df/avgdl reference in pytest.
+    "search_bm25_topk",
+    # Common-neighbor/Jaccard link prediction on the part
+    # co-occurrence graph — full-adjacency apex wedge enumeration
+    # (orientation would undercount CN; caught by the pytest
+    # reference), pair-keyed aggs, anti-join of existing edges.
+    "graph_link_prediction",
+    # Exact CART decision-stump split search: value-vocabulary-grain
+    # cumulative label counts (AUC-style triangular join), weighted
+    # Gini per threshold, top-5 splits; exhaustive Python reference.
+    "stats_gini_split_search",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back

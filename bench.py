@@ -250,6 +250,9 @@ HEADLINE = [
     ("corpus_release", training.train_corpus_release),
     ("mor_state", cdc_batch.cdc_merge_on_read_state),
     ("retention_curve", relational.streaming_retention_curve_replay),
+    ("bm25_search", text.search_bm25_topk),
+    ("link_prediction", graph.graph_link_prediction),
+    ("gini_split", quality.stats_gini_split_search),
 ]
 
 

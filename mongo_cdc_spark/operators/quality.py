@@ -3454,3 +3454,144 @@ def stats_mcnemar_paired(spark: SparkSession,
         F.round(F.pow(b - c, 2) * F.lit(1.0) / (b + c), 6).alias("chi2"),
         F.round(chi2_cc, 6).alias("chi2_cc"),
         (chi2_cc > 3.841).alias("reject_05"))
+
+
+# ------------------------------------ decision-stump split search
+
+_GINI_TOPK = 5
+
+
+@query("stats_gini_split_search", sql=f"""
+    WITH lab AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS fx,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), voc AS (
+      SELECT fx, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM lab GROUP BY 1
+    ), tot AS (
+      SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM voc
+    ), cum AS (
+      SELECT v.fx,
+             SUM(b.pos) AS pos_l, SUM(b.neg) AS neg_l
+      FROM voc v JOIN voc b ON b.fx <= v.fx
+      GROUP BY v.fx
+    ), scored AS (
+      SELECT c.fx AS threshold,
+             c.pos_l + c.neg_l AS n_left,
+             (t.tp + t.tn) - (c.pos_l + c.neg_l) AS n_right,
+             c.pos_l AS pos_left, t.tp - c.pos_l AS pos_right,
+             ROUND(1 - POW(c.pos_l * 1e0 / (c.pos_l + c.neg_l), 2)
+                     - POW(c.neg_l * 1e0 / (c.pos_l + c.neg_l), 2), 6)
+               AS gini_left,
+             ROUND(1 - POW((t.tp - c.pos_l) * 1e0
+                           / ((t.tp + t.tn) - (c.pos_l + c.neg_l)), 2)
+                     - POW((t.tn - c.neg_l) * 1e0
+                           / ((t.tp + t.tn) - (c.pos_l + c.neg_l)), 2),
+                   6) AS gini_right,
+             ROUND(((c.pos_l + c.neg_l)
+                     * (1 - POW(c.pos_l * 1e0 / (c.pos_l + c.neg_l), 2)
+                          - POW(c.neg_l * 1e0
+                                / (c.pos_l + c.neg_l), 2))
+                    + ((t.tp + t.tn) - (c.pos_l + c.neg_l))
+                     * (1 - POW((t.tp - c.pos_l) * 1e0
+                            / ((t.tp + t.tn) - (c.pos_l + c.neg_l)), 2)
+                          - POW((t.tn - c.neg_l) * 1e0
+                            / ((t.tp + t.tn) - (c.pos_l + c.neg_l)), 2)))
+                   / (t.tp + t.tn), 6) AS gini_weighted,
+             ROUND(1 - POW(t.tp * 1e0 / (t.tp + t.tn), 2)
+                     - POW(t.tn * 1e0 / (t.tp + t.tn), 2), 6)
+               AS gini_parent
+      FROM cum c CROSS JOIN tot t
+      WHERE (c.pos_l + c.neg_l) < (t.tp + t.tn)
+    )
+    SELECT CAST(rnk AS INT) AS rank, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           gini_left, gini_right, gini_weighted, gini_parent,
+           ROUND(gini_parent - gini_weighted, 6) AS gini_gain
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY gini_weighted, threshold) AS rnk
+          FROM scored) AS r
+    WHERE rnk <= {_GINI_TOPK}
+    ORDER BY rank
+""")
+def stats_gini_split_search(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Exact CART decision-stump split search: for every candidate
+    threshold t over the integer-floored event value, the weighted
+    Gini impurity of the (value <= t) / (value > t) split against the
+    is-purchase label, reporting the top-{_GINI_TOPK} splits by
+    impurity with the parent impurity and the Gini gain — the inner
+    loop of every distributed tree learner (and the exact form the
+    histogram-approximate split finders in XGBoost/LightGBM
+    approximate). FLOOR (not ROUND) buckets the thresholds because
+    the engines disagree on half-rounding of exact .5 doubles.
+
+    Plan: one data-grain map-side-combined (floor(value), label)
+    count — the only scan; the threshold vocabulary is bounded by
+    the VALUE RANGE (~500 ints), so the cumulative left-counts are a
+    triangular self-join over that frame (same shape as
+    stats_auc_roc's tied-rank cumulatives), never a data-grain
+    window. All impurities derive from exact integer counts, rounded
+    at 6 dp on both engines; top-k is TakeOrderedAndProject + the
+    declared rank-after-LIMIT window."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.floor("value").cast("bigint").alias("fx"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"))
+    voc = (lab.groupBy("fx")
+           .agg(F.sum("y").alias("pos"),
+                (F.count(F.lit(1)) - F.sum("y")).alias("neg"))
+           .localCheckpoint(eager=False))
+    tot = voc.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    v_, b_ = voc.alias("v"), voc.alias("b")
+    cum = (v_.join(F.broadcast(b_), F.col("b.fx") <= F.col("v.fx"))
+           .groupBy(F.col("v.fx").alias("fx"))
+           .agg(F.sum("b.pos").alias("pos_l"),
+                F.sum("b.neg").alias("neg_l")))
+    c = cum.crossJoin(F.broadcast(tot))
+    n_l = F.col("pos_l") + F.col("neg_l")
+    n = F.col("tp") + F.col("tn")
+    n_r = n - n_l
+    pos_r = F.col("tp") - F.col("pos_l")
+    neg_r = F.col("tn") - F.col("neg_l")
+
+    def _gini(p, q, m):
+        return 1 - F.pow(p * F.lit(1.0) / m, 2) \
+                 - F.pow(q * F.lit(1.0) / m, 2)
+
+    g_l = F.round(_gini(F.col("pos_l"), F.col("neg_l"), n_l), 6)
+    g_r = F.round(_gini(pos_r, neg_r, n_r), 6)
+    g_w = F.round((n_l * _gini(F.col("pos_l"), F.col("neg_l"), n_l)
+                   + n_r * _gini(pos_r, neg_r, n_r)) / n, 6)
+    g_p = F.round(_gini(F.col("tp"), F.col("tn"), n), 6)
+    scored = (c.where(n_l < n)
+              .select(F.col("fx").alias("threshold"),
+                      n_l.alias("n_left"), n_r.alias("n_right"),
+                      F.col("pos_l").alias("pos_left"),
+                      pos_r.alias("pos_right"),
+                      g_l.alias("gini_left"), g_r.alias("gini_right"),
+                      g_w.alias("gini_weighted"),
+                      g_p.alias("gini_parent")))
+    from pyspark.sql import Window as _W
+    top = (scored.orderBy("gini_weighted", "threshold")
+           .limit(_GINI_TOPK))
+    rw = _W.orderBy("gini_weighted", "threshold")
+    return (top.withColumn("rank", F.row_number().over(rw))
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "threshold",
+                    F.col("n_left").cast("bigint").alias("n_left"),
+                    F.col("n_right").cast("bigint").alias("n_right"),
+                    F.col("pos_left").cast("bigint").alias("pos_left"),
+                    F.col("pos_right").cast("bigint")
+                    .alias("pos_right"),
+                    "gini_left", "gini_right", "gini_weighted",
+                    "gini_parent",
+                    F.round(F.col("gini_parent")
+                            - F.col("gini_weighted"), 6)
+                    .alias("gini_gain"))
+            .orderBy("rank"))

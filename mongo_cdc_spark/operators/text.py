@@ -1641,3 +1641,103 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1e4) * (F.col("sum_m2v") - n)
                 / (n * F.lit(1.0) * n), 6).alias("yule_k"))
         .orderBy("source"))
+
+
+# ------------------------------------------------- BM25 ranked search
+
+_BM25_QUERY = ("spark", "hash", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+
+@query("search_bm25_topk", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN ({_BM25_Q_SQL}) GROUP BY 1, 2
+    ), df AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * t.tf * ({_BM25_K1} + 1)
+                 / (t.tf + {_BM25_K1}
+                    * (1 - {_BM25_B}
+                       + {_BM25_B} * l.dlen / s.avgdl))) AS score,
+             COUNT(*) AS n_terms
+      FROM tf t
+      JOIN dl l ON l.doc_id = t.doc_id
+      JOIN df d ON d.w = t.w
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT CAST(rnk AS INT) AS rank, doc_id,
+           ROUND(score, 6) AS score,
+           CAST(n_terms AS INT) AS n_terms_matched
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+          FROM scored) AS r
+    WHERE rnk <= {_BM25_TOPK}
+    ORDER BY rank
+""")
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, the Lucene
+    `(1 + (N - df + 0.5)/(df + 0.5))` idf form) for the fixed query
+    {' '.join(_BM25_QUERY)!r}: per-term tf with k1/b length
+    normalization against the corpus average document length, summed
+    per document, top-{_BM25_TOPK} by 6dp-rounded score with doc_id
+    tie-break (pre-rounded so the cross-engine ordering is exact —
+    same discipline as the Hill-tail log terms).
+
+    Scale: the inverted-index shape — only postings for the query's
+    terms survive the scan filter (predicate on the exploded token,
+    pushable before any shuffle), so the tf frame is
+    |query terms| x df grain, NOT corpus grain; doc lengths are one
+    map-side-combined count; df and the (n_docs, avgdl) scalar are
+    term-grain/1-row broadcasts. The rank window is a top-k over the
+    already-aggregated scored frame — at 100 TB swap it for
+    TakeOrdered via a LIMIT, which Catalyst already plans here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", _tokens().alias("w"))
+            .select("doc_id", F.explode("w").alias("w")))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dlen").alias("avgdl"))
+    tf = (toks.where(F.col("w").isin(*_BM25_QUERY))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    norm = (F.col("tf") * (_BM25_K1 + 1)
+            / (F.col("tf") + _BM25_K1
+               * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))))
+    scored = (tf.join(dl, "doc_id")
+              .join(F.broadcast(df), "w")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(idf * norm).alias("score"),
+                   F.count(F.lit(1)).alias("n_terms")))
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+    # global sort), THEN rank the k surviving rows (declared
+    # rank-after-LIMIT window class, bounded at {_BM25_TOPK} rows)
+    top = (scored
+           .withColumn("score", F.round("score", 6))
+           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(_BM25_TOPK))
+    rw = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top
+            .withColumn("rank", F.row_number().over(rw))
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "doc_id",
+                    "score",
+                    F.col("n_terms").cast("int")
+                    .alias("n_terms_matched"))
+            .orderBy("rank"))

@@ -312,3 +312,48 @@ def test_local_clustering_matches_python_adjacency(spark, sf_dir):
              r.local_cc) for r in got.itertuples()]
     assert have == want[:LCC_TOP]
     assert (got.local_cc <= 1.0).all() and (got.local_cc > 0).all()
+
+
+def test_link_prediction_matches_python_reference(spark, sf_dir):
+    """Pure-Python recompute: adjacency sets of the TRI_SUPPORT
+    co-occurrence graph -> CN/Jaccard over all distance-2 non-edges ->
+    identical top-k table."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.graph import (LP_TOPK, TRI_SUPPORT,
+                                                 graph_link_prediction)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct().collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n = defaultdict(int)
+    for parts in orders.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_n[(u, v)] += 1
+    edges = {p for p, n in pair_n.items() if n >= TRI_SUPPORT}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cand = defaultdict(int)
+    for w, nbrs in adj.items():
+        for u, v in combinations(sorted(nbrs), 2):
+            cand[(u, v)] += 1
+    rows = []
+    for (u, v), common in cand.items():
+        if (u, v) in edges:
+            continue
+        du, dv = len(adj[u]), len(adj[v])
+        rows.append((round(common / (du + dv - common), 6),
+                     common, u, v, du, dv))
+    rows.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    want = [(i + 1, u, v, c, du, dv, j)
+            for i, (j, c, u, v, du, dv) in enumerate(rows[:LP_TOPK])]
+    got = [(r["rank"], r["part_u"], r["part_v"], r["common_neighbors"],
+            r["deg_u"], r["deg_v"], round(r["jaccard"], 6))
+           for r in graph_link_prediction(spark, sf_dir).collect()]
+    assert got == want

@@ -1048,3 +1048,57 @@ def test_mcnemar_matches_python_recompute(spark, sf_dir):
     cc = (abs(b - c) - 1) ** 2 / (b + c)
     assert abs(got.chi2_cc - round(cc, 6)) < 1e-9
     assert got.reject_05 == (cc > 3.841)
+
+
+def test_gini_split_search_matches_python_reference(spark, sf_dir):
+    """Exhaustive pure-Python split search over the same floored
+    feature must reproduce every reported split and impurity."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (_GINI_TOPK,
+                                                   stats_gini_split_search)
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "value", "event_type").collect()
+    counts = defaultdict(lambda: [0, 0])
+    for r in rows:
+        counts[int(math.floor(r["value"]))][
+            0 if r["event_type"] == "purchase" else 1] += 1
+    tp = sum(p for p, _ in counts.values())
+    tn = sum(q for _, q in counts.values())
+    n = tp + tn
+
+    def gini(p, q):
+        m = p + q
+        return 1 - (p / m) ** 2 - (q / m) ** 2
+
+    cand = []
+    pos_l = neg_l = 0
+    for fx in sorted(counts):
+        pos_l += counts[fx][0]
+        neg_l += counts[fx][1]
+        n_l = pos_l + neg_l
+        if n_l == n:
+            continue
+        g_w = round((n_l * gini(pos_l, neg_l)
+                     + (n - n_l) * gini(tp - pos_l, tn - neg_l)) / n, 6)
+        cand.append((g_w, fx, n_l, n - n_l, pos_l, tp - pos_l,
+                     round(gini(pos_l, neg_l), 6),
+                     round(gini(tp - pos_l, tn - neg_l), 6)))
+    cand.sort()
+    g_p = round(gini(tp, tn), 6)
+    want = [(i + 1, fx, nl, nr, pl, pr, gl, gr, gw, g_p,
+             round(g_p - gw, 6))
+            for i, (gw, fx, nl, nr, pl, pr, gl, gr)
+            in enumerate(cand[:_GINI_TOPK])]
+    got = [(r["rank"], r["threshold"], r["n_left"], r["n_right"],
+            r["pos_left"], r["pos_right"], r["gini_left"],
+            r["gini_right"], r["gini_weighted"], r["gini_parent"],
+            r["gini_gain"])
+           for r in stats_gini_split_search(spark, sf_dir).collect()]
+    assert got == want
+    # a split can never beat zero impurity or the parent by chance sign
+    for r in got:
+        assert 0 <= r[8] <= g_p + 1e-9

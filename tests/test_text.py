@@ -325,3 +325,45 @@ def test_yule_k_matches_python_counter(spark, sf_dir):
         assert (int(row.n_tokens), int(row.n_types)) == (n, vtypes)
         assert abs(row.ttr - round(vtypes / n, 6)) < 1e-9
         assert abs(row.yule_k - round(k, 6)) < 1e-6
+
+
+# ----------------------------------------------------------- BM25
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """Independent recompute of the Lucene-form BM25 on the fixture:
+    pure-Python tf/df/avgdl over the same tokenization must reproduce
+    every top-k score and the ranking."""
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (_BM25_B, _BM25_K1,
+                                                _BM25_QUERY, _BM25_TOPK,
+                                                search_bm25_topk)
+
+    docs = {r["doc_id"]: r["text"].split()
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    n_docs = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n_docs
+    df = {t: sum(1 for w in docs.values() if t in w)
+          for t in _BM25_QUERY}
+    scores = {}
+    for did, w in docs.items():
+        s, n_terms = 0.0, 0
+        for t in _BM25_QUERY:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * (_BM25_K1 + 1) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(w) / avgdl))
+        if n_terms:
+            scores[did] = (round(s, 6), n_terms)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    want = [(i + 1, did, s, nt)
+            for i, (did, (s, nt)) in enumerate(want[:_BM25_TOPK])]
+    got = [(r["rank"], r["doc_id"],
+            round(r["score"], 6), r["n_terms_matched"])
+           for r in search_bm25_topk(spark, sf_dir).collect()]
+    assert got == want

@@ -140,6 +140,14 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # exactly the Suri-Vassilvitskii MR formulation); AQE can
           # still broadcast the degree side when measured small:
           "graph_triangle_count": 4,
+          # link prediction shares the co-occurrence graph machinery:
+          # pair-gen (items ⋈ items on the order key), the
+          # full-adjacency apex wedge self-join, the existing-edge
+          # anti-join on the pair key, and the endpoint-degree join —
+          # node/edge/pair-grain frames all scale with the graph, so
+          # shuffle joins ARE the plan (AQE still broadcasts the
+          # degree side when measured small):
+          "graph_link_prediction": 4,
           # recall eval: the probe-cell candidate join meets the
           # corpus-sized assignment frame — big-big on a 100 TB
           # corpus, shuffle join IS the plan (broadcast hint on the
@@ -249,6 +257,18 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # a REQUIRED algorithm stage; every exchange past
                # pair-gen carries node- or edge-grain rows only:
                "graph_triangle_count": 8,
+               # link prediction: pair-gen, degree agg, adjacency
+               # union checkpoint, wedge self-join, CN pair agg,
+               # anti-join, degree joins, top-k sort — each a
+               # required stage; everything past pair-gen carries
+               # node/edge/pair-grain rows only:
+               "graph_link_prediction": 8,
+               # BM25: token explode feeds the doc-length agg and the
+               # term-filtered tf agg separately (the postings frame
+               # must not widen the dl count), then df/stats/scored
+               # aggs + the top-k sort — every exchange past the
+               # explode carries postings- or doc-grain rows:
+               "search_bm25_topk": 6,
                # recall eval runs BOTH retrieval paths plus their
                # comparison in one query by design: centroid build
                # (2), assignment rank window, candidate join +
@@ -341,6 +361,9 @@ WINDOW_OK: dict[str, int] = {
     # itself is TakeOrderedAndProject (per-partition heaps); the
     # window sorts only the k surviving rows:
     "basket_part_pairs": 1,        # limit 20
+    "search_bm25_topk": 1,         # limit _BM25_TOPK (20)
+    "graph_link_prediction": 1,    # limit LP_TOPK (20)
+    "stats_gini_split_search": 1,  # limit _GINI_TOPK (5)
     "basket_rules_lift": 1,        # limit RULE_TOP
     "events_countmin_heavy_hitters": 1,   # limit 10
     "events_path_trigrams": 1,     # limit 15
