@@ -112,6 +112,10 @@ _GRADE_FIRST = (
     # cumulative label counts (AUC-style triangular join), weighted
     # Gini per threshold, top-5 splits; exhaustive Python reference.
     "stats_gini_split_search",
+    # VERSION AS OF reads on the MoR table: state at every commit
+    # seq 0-3 through the same resolver (delete vectors make history
+    # reconstruction free); completes the merge-on-read family.
+    "cdc_mor_time_travel",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back

@@ -253,6 +253,7 @@ HEADLINE = [
     ("bm25_search", text.search_bm25_topk),
     ("link_prediction", graph.graph_link_prediction),
     ("gini_split", quality.stats_gini_split_search),
+    ("mor_time_travel", cdc_batch.cdc_mor_time_travel),
 ]
 
 

@@ -297,17 +297,25 @@ def merge_on_read_apply(spark: SparkSession, table_path: str,
 
 
 def read_merge_on_read(spark: SparkSession, table_path: str,
-                       policy: str = "last_writer_wins") -> DataFrame:
+                       policy: str = "last_writer_wins",
+                       as_of: int | None = None) -> DataFrame:
     """Current state of a MoR table: base rows not masked by the
     delete vector, plus the policy-chosen winner per delta key.
     Checkpoint-replayed duplicate commits collapse because identical
-    (doc_key, updated_at, seq) rows tie and row_number picks one."""
+    (doc_key, updated_at, seq) rows tie and row_number picks one.
+
+    as_of: VERSION AS OF read — reconstruct the state after commit
+    seq `as_of` by filtering the append-only log (delete vectors make
+    every historical snapshot free until the next compaction folds
+    them away)."""
     base = _read_or_empty(spark, f"{table_path}/base",
                           "doc_key string, doc string, "
                           "updated_at timestamp, bucket int")
     delta = _read_or_empty(spark, f"{table_path}/delta",
                            "doc_key string, op string, doc string, "
                            "updated_at timestamp, seq long, bucket int")
+    if as_of is not None:
+        delta = delta.where(F.col("seq") <= as_of)
     return resolve_current_state(base, delta.dropDuplicates(
         ["doc_key", "updated_at", "seq", "op"]), policy)
 

@@ -561,6 +561,43 @@ def _mor_bucket(key):
             .cast("long") % _MOR_BUCKETS).cast("int")
 
 
+def _mor_frames(spark: SparkSession, sf_dir: str):
+    """The deterministic synthetic MoR table shared by the
+    merge-on-read queries: base = orders as string-cents documents;
+    delta = two overlapping update generations (+30d on mod-5 keys,
+    +45d on mod-10) then deletes (+60d on mod-7), commit seqs 1-3."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base0 = o.select(
+        F.col("o_orderkey").cast("string").alias("doc_key"),
+        cents.alias("cents"),
+        F.col("o_orderdate").alias("updated_at"),
+        F.col("o_orderkey").alias("k"))
+    base = (base0
+            .select("doc_key", F.col("cents").cast("string").alias("doc"),
+                    "updated_at")
+            .withColumn("bucket", _mor_bucket(F.col("doc_key"))))
+
+    def _ev(cond, op, cents_expr, days, seq):
+        return (base0.where(cond)
+                .select("doc_key",
+                        F.lit(op).alias("op"),
+                        cents_expr.cast("string").alias("doc"),
+                        (F.col("updated_at")
+                         + F.expr(f"INTERVAL {days} DAYS"))
+                        .alias("updated_at"),
+                        F.lit(seq).cast("long").alias("seq"))
+                .withColumn("bucket", _mor_bucket(F.col("doc_key"))))
+
+    delta = (_ev(F.col("k") % 5 == 0, "update", F.col("cents") + 1000,
+                 30, 1)
+             .unionByName(_ev(F.col("k") % 10 == 0, "update",
+                              F.col("cents") + 2000, 45, 2))
+             .unionByName(_ev(F.col("k") % 7 == 0, "delete",
+                              F.lit(None).cast("bigint"), 60, 3)))
+    return base, delta
+
+
 @query("cdc_merge_on_read_state", sql=f"""
     WITH base AS (
       SELECT CAST(o_orderkey AS VARCHAR) AS doc_key,
@@ -624,35 +661,7 @@ def cdc_merge_on_read_state(spark: SparkSession,
     next compaction, by design."""
     from mongo_cdc_spark.cdc.apply import resolve_current_state
 
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    base0 = o.select(
-        F.col("o_orderkey").cast("string").alias("doc_key"),
-        cents.alias("cents"),
-        F.col("o_orderdate").alias("updated_at"),
-        F.col("o_orderkey").alias("k"))
-    base = (base0
-            .select("doc_key", F.col("cents").cast("string").alias("doc"),
-                    "updated_at")
-            .withColumn("bucket", _mor_bucket(F.col("doc_key"))))
-
-    def _ev(cond, op, cents_expr, days, seq):
-        return (base0.where(cond)
-                .select("doc_key",
-                        F.lit(op).alias("op"),
-                        cents_expr.cast("string").alias("doc"),
-                        (F.col("updated_at")
-                         + F.expr(f"INTERVAL {days} DAYS"))
-                        .alias("updated_at"),
-                        F.lit(seq).cast("long").alias("seq"))
-                .withColumn("bucket", _mor_bucket(F.col("doc_key"))))
-
-    delta = (_ev(F.col("k") % 5 == 0, "update", F.col("cents") + 1000,
-                 30, 1)
-             .unionByName(_ev(F.col("k") % 10 == 0, "update",
-                              F.col("cents") + 2000, 45, 2))
-             .unionByName(_ev(F.col("k") % 7 == 0, "delete",
-                              F.lit(None).cast("bigint"), 60, 3)))
+    base, delta = _mor_frames(spark, sf_dir)
     merged = resolve_current_state(base, delta,
                                    policy="last_writer_wins")
     return (merged
@@ -661,3 +670,88 @@ def cdc_merge_on_read_state(spark: SparkSession,
                  F.round(F.sum(F.col("doc").cast("bigint")) / 100.0, 2)
                  .alias("total_price"))
             .orderBy("bucket"))
+
+
+@query("cdc_mor_time_travel", sql=f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS doc_key,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate AS updated_at,
+             o_orderkey AS k
+      FROM orders
+    ), delta AS (
+      SELECT doc_key, 'update' AS op, cents + 1000 AS cents,
+             updated_at + INTERVAL 30 DAY AS updated_at, 1 AS seq
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT doc_key, 'update', cents + 2000,
+             updated_at + INTERVAL 45 DAY, 2
+      FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT doc_key, 'delete', NULL,
+             updated_at + INTERVAL 60 DAY, 3
+      FROM base WHERE k % 7 = 0
+    ), seqs AS (
+      SELECT unnest(generate_series(0, 3)) AS as_of
+    ), dx AS (
+      SELECT s.as_of, d.*
+      FROM seqs s JOIN delta d ON d.seq <= s.as_of
+    ), winners AS (
+      SELECT * FROM (
+        SELECT dx.*, ROW_NUMBER() OVER (
+                 PARTITION BY as_of, doc_key
+                 ORDER BY updated_at DESC, seq DESC) AS rn
+        FROM dx) AS r
+      WHERE rn = 1
+    ), masked AS (
+      SELECT DISTINCT as_of, doc_key FROM dx
+    ), merged AS (
+      SELECT s.as_of, b.cents
+      FROM base b CROSS JOIN seqs s
+      WHERE NOT EXISTS (SELECT 1 FROM masked m
+                        WHERE m.as_of = s.as_of
+                          AND m.doc_key = b.doc_key)
+      UNION ALL
+      SELECT as_of, cents FROM winners
+      WHERE op IN ('insert', 'update', 'replace')
+    )
+    SELECT CAST(as_of AS INT) AS as_of_seq,
+           COUNT(*) AS n_live,
+           ROUND(SUM(cents) / 100.0, 2) AS total_price
+    FROM merged
+    GROUP BY as_of
+    ORDER BY as_of_seq
+""")
+def cdc_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the merge-on-read table: the table state AS OF
+    each commit seq 0-3 (0 = base only, 1 = first update generation,
+    2 = both, 3 = after the deletes), resolved by the SAME
+    cdc.apply.resolve_current_state used by the MoR reader — the
+    append-only delta log + delete vector make every historical
+    snapshot reconstructible for free by filtering seq <= s, the
+    Iceberg/Delta VERSION AS OF semantics. Output: the live-row count
+    and total over the commit history (n_live dips at seq 3 as the
+    deletes land).
+
+    Scale: the as-of grid multiplies the DELTA (batch-sized) by the
+    number of requested versions, never the base; per version the
+    resolve is the usual key-partitioned rank + broadcast anti-join.
+    A production reader asks for ONE version — this query audits the
+    whole history in a single plan."""
+    from mongo_cdc_spark.cdc.apply import resolve_current_state
+
+    base, delta = _mor_frames(spark, sf_dir)
+    out = []
+    for s in range(4):
+        st = resolve_current_state(
+            base, delta.where(F.col("seq") <= s),
+            policy="last_writer_wins")
+        out.append(st.select(F.lit(s).alias("as_of"),
+                             F.col("doc").cast("bigint").alias("cents")))
+    merged = out[0]
+    for st in out[1:]:
+        merged = merged.unionByName(st)
+    return (merged.groupBy(F.col("as_of").cast("int").alias("as_of_seq"))
+            .agg(F.count(F.lit(1)).alias("n_live"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("total_price"))
+            .orderBy("as_of_seq"))

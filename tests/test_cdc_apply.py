@@ -368,3 +368,34 @@ def test_mor_resolver_matches_cow_apply(spark, tmp_path: Path):
         merge_on_read_apply(spark, str(mor), _events_df(spark, b),
                             batch_seq=i)
     assert _snapshot(spark, str(cow)) == _mor_state(spark, mor)
+
+
+def test_mor_time_travel_as_of(spark, tmp_path: Path):
+    """VERSION AS OF reads reconstruct each commit's state from the
+    append-only log."""
+    from mongo_cdc_spark.cdc.apply import merge_on_read_apply
+
+    t = tmp_path / "mor_tt"
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("a", doc='{"v":1}', rt="r1"),
+        _ev("b", doc='{"v":2}', rt="r2"),
+    ]), batch_seq=0)
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("a", op="update", doc='{"v":9}',
+            ts="2024-11-08T00:00:09Z", rt="r3"),
+    ]), batch_seq=1)
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("b", op="delete", ts="2024-11-08T00:00:20Z", rt="r4"),
+    ]), batch_seq=2)
+
+    def _at(s):
+        from mongo_cdc_spark.cdc.apply import read_merge_on_read
+        return {r.doc_key: r.doc
+                for r in read_merge_on_read(spark, str(t),
+                                            as_of=s).collect()}
+
+    assert _at(0) == {"a": '{"v":1}', "b": '{"v":2}'}
+    assert _at(1) == {"a": '{"v":9}', "b": '{"v":2}'}
+    assert _at(2) == {"a": '{"v":9}'}
+    # as_of at the newest commit equals the plain (latest) read
+    assert _at(2) == _mor_state(spark, t)

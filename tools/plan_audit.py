@@ -269,6 +269,11 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # aggs + the top-k sort — every exchange past the
                # explode carries postings- or doc-grain rows:
                "search_bm25_topk": 6,
+               # MoR time travel audits FOUR versions in one plan —
+               # each as-of resolve is a key-partitioned rank over
+               # the (batch-sized) delta slice + the base anti-join;
+               # a production reader asks for one version (= 2):
+               "cdc_mor_time_travel": 8,
                # recall eval runs BOTH retrieval paths plus their
                # comparison in one query by design: centroid build
                # (2), assignment rank window, candidate join +
