@@ -273,25 +273,13 @@ _GRADE_FIRST = (
     # candidate-key discovery: exact distinct-vs-rows per column
     # set, is-key verdicts, null-sentinel semantics.
     "quality_key_discovery",
-    # ---- round-8 queue notes (for the next rotation): beyond the 8
-    # spillover entries above, the round-8 backlog is (a) the 16
-    # round-7 additions — ts_exponential_smoothing, ts_dow_seasonality,
-    # ts_kendall_tau, events_retention_cohorts, customer_rfm_segments,
-    # orders_ship_latency, quality_fk_orphans, stats_levene_variance,
-    # orders_cohort_ltv, train_cross_source_overlap,
-    # stats_mcnemar_paired, ts_spearman_daily, embedding_class_scatter,
-    # ts_ljungbox_whiteness, ts_runs_test, text_yule_k —
-    # never graded, each oracle-green at sf0.001+sf0.01 with pytest
-    # references; and (b) the round-7 changed-since-green set: the 11
-    # exact-percentile rewrites with prior driver rows
-    # (agg_stats_acctbal, agg_approx_sketches, sketch_accuracy_eval,
-    # embedding_quality_gate, events_kll_quantile_rollup,
-    # events_time_to_convert, train_dataset_card, layout_range_bounds,
-    # events_session_stats, feature_winsorized_scale,
-    # train_length_buckets*) plus the two ADVICE fixes to green rows
-    # (stats_chi_square_independence, layout_clustering_depth).
-    # (*train_length_buckets is in the round-7 window, so its edit is
-    # graded this round.) All re-verified locally at both SFs.
+    # ---- round-9 queue notes (for the next rotation): the round-8
+    # window drains the entire backlog — its 50 slots are exactly the
+    # 24 never-graded + 15 changed-since-green + the 11 round-8
+    # additions, so nothing spills. The round-9 backlog is only
+    # whatever round 9 changes or adds; absent changes, rotate
+    # stale-green rows oldest-first (their last driver rows date to
+    # rounds 1-4).
 )
 
 

@@ -1996,14 +1996,26 @@ def corpus_decontaminate(bench: DataFrame):
     def stage(docs: DataFrame) -> DataFrame:
         from mongo_cdc_spark.operators.dedup import (_shingles_of_hashes,
                                                      _token_hashes)
-        corpus = docs.where(F.col("doc_id") % _BENCH_MOD != 0)
-        sh = (corpus
-              .select("doc_id", _tokens().alias("w"))
-              .filter(F.size("w") >= 3)
-              .select("doc_id", _token_hashes(F.col("w")).alias("th"))
-              .select("doc_id", _shingles_of_hashes("th").alias("sh"))
-              .select("doc_id", F.size("sh").alias("n_sh"),
-                      F.explode("sh").alias("h")))
+        # barrier: the corpus frame feeds BOTH the shingle/overlap
+        # branch and the anti-join's left side — without it the whole
+        # upstream lineage (dedup window + quality gates + tokenize)
+        # re-derives once per consumer (measured 3x at sf0.1,
+        # 9.0 s -> 3.4 s for the full release chain)
+        corpus = (docs.where(F.col("doc_id") % _BENCH_MOD != 0)
+                  .localCheckpoint(eager=False))
+        # second barrier BEFORE the explode: Generate pushdown
+        # re-inlines the whole token-hash/shingle transform per
+        # reference (size + explode = 2x) — the exact train_
+        # decontaminate lesson; measured 7.3 s -> sub-second for this
+        # stage at sf0.1 with the checkpointed shingle frame
+        shf = (corpus
+               .select("doc_id", _tokens().alias("w"))
+               .filter(F.size("w") >= 3)
+               .select("doc_id", _token_hashes(F.col("w")).alias("th"))
+               .select("doc_id", _shingles_of_hashes("th").alias("sh"))
+               .withColumn("n_sh", F.size("sh"))
+               .localCheckpoint(eager=False))
+        sh = shf.select("doc_id", "n_sh", F.explode("sh").alias("h"))
         contaminated = (sh.join(F.broadcast(bench), "h")
                         .groupBy("doc_id", "n_sh")
                         .agg(F.count(F.lit(1)).alias("n_ov"))
