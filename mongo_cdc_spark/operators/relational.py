@@ -5652,7 +5652,8 @@ _RFM_QS = (0.2, 0.4, 0.6, 0.8)
              date_diff('day', MAX(o.o_orderdate), mx.dmax) AS rec,
              COUNT(*) AS freq,
              SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
-               AS mon
+               AS mon,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS mcents
       FROM orders o, mx GROUP BY 1, mx.dmax
     ), thr AS (
       SELECT 'r' AS m, ROUND(unnest(quantile_cont(CAST(rec AS DOUBLE),
@@ -5664,7 +5665,7 @@ _RFM_QS = (0.2, 0.4, 0.6, 0.8)
       SELECT 'm', ROUND(unnest(quantile_cont(CAST(mon AS DOUBLE),
              [{', '.join(str(q) for q in _RFM_QS)}])), 4) FROM per
     ), scored AS (
-      SELECT cust, rec, freq, mon,
+      SELECT cust, rec, freq, mon, mcents,
              1 + (SELECT COUNT(*) FROM thr
                   WHERE m = 'r' AND per.rec < thr.q) AS r_score,
              1 + (SELECT COUNT(*) FROM thr
@@ -5679,7 +5680,7 @@ _RFM_QS = (0.2, 0.4, 0.6, 0.8)
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            ROUND(AVG(rec * 1.0), 6) AS avg_recency_days,
            ROUND(AVG(freq * 1.0), 6) AS avg_frequency,
-           ROUND(AVG(mon), 6) AS avg_monetary
+           ROUND(SUM(mcents) / 100.0 / COUNT(*), 6) AS avg_monetary
     FROM scored GROUP BY 1, 2, 3
     ORDER BY r_score, f_score, m_score
 """)
@@ -5710,7 +5711,9 @@ def customer_rfm_segments(spark: SparkSession,
                 .alias("rec"),
                 F.count(F.lit(1)).alias("freq"),
                 (F.sum(F.round(F.col("o_totalprice") * 100)
-                       .cast("bigint")) / 100.0).alias("mon"))
+                       .cast("bigint")) / 100.0).alias("mon"),
+                F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("bigint")).alias("mcents"))
            .localCheckpoint(eager=False))
     probs = {f"q{i}": q for i, q in enumerate(_RFM_QS)}
     qr = exact_quantiles(per.select(F.col("rec").cast("double")
@@ -5748,7 +5751,12 @@ def customer_rfm_segments(spark: SparkSession,
                  .alias("avg_recency_days"),
                  F.round(F.avg(F.col("freq") * 1.0), 6)
                  .alias("avg_frequency"),
-                 F.round(F.avg("mon"), 6).alias("avg_monetary"))
+                 # exact integer cents through the segment sum: an
+                 # AVG over per-customer doubles is partition-order
+                 # dependent and flipped a 6dp exact-half boundary at
+                 # sf0.01 (flaky hash caught round 8)
+                 F.round(F.sum("mcents") / 100.0 / F.count(F.lit(1)), 6)
+                 .alias("avg_monetary"))
             .select(F.col("r_score").cast("int").alias("r_score"),
                     F.col("f_score").cast("int").alias("f_score"),
                     F.col("m_score").cast("int").alias("m_score"),
