@@ -275,11 +275,13 @@ _GRADE_FIRST = (
     "quality_key_discovery",
     # ---- round-9 queue notes (for the next rotation): the round-8
     # window drains the entire backlog — its 50 slots are exactly the
-    # 24 never-graded + 15 changed-since-green + the 11 round-8
-    # additions, so nothing spills. The round-9 backlog is only
-    # whatever round 9 changes or adds; absent changes, rotate
-    # stale-green rows oldest-first (their last driver rows date to
-    # rounds 1-4).
+    # 24 never-graded + 15 changed-since-green + the first 11 round-8
+    # additions. THREE late-round-8 additions spill to round 9 as its
+    # never-graded backlog (each oracle-green at sf0.001+sf0.01 with
+    # Python reference tests): quality_data_contract_check,
+    # stats_pinball_quantile_eval, graph_adamic_adar_topk. After
+    # those, rotate stale-green rows oldest-first (their last driver
+    # rows date to rounds 1-4).
 )
 
 

@@ -254,6 +254,9 @@ HEADLINE = [
     ("link_prediction", graph.graph_link_prediction),
     ("gini_split", quality.stats_gini_split_search),
     ("mor_time_travel", cdc_batch.cdc_mor_time_travel),
+    ("data_contract", quality.quality_data_contract_check),
+    ("pinball_eval", quality.stats_pinball_quantile_eval),
+    ("adamic_adar", graph.graph_adamic_adar_topk),
 ]
 
 

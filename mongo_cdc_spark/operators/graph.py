@@ -979,3 +979,110 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("deg_v").cast("bigint").alias("deg_v"),
                     "jaccard")
             .orderBy("rank"))
+
+
+# ------------------------------------------------- Adamic-Adar
+
+AA_TOPK = 20
+
+
+@query("graph_adamic_adar_topk", sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= {TRI_SUPPORT}
+    ), deg AS (
+      SELECT id, COUNT(*) AS deg FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY id
+    ), adj AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges
+    ), wedge AS (
+      SELECT a1.src AS w, a1.dst AS u, a2.dst AS v
+      FROM adj a1 JOIN adj a2
+        ON a2.src = a1.src AND a1.dst < a2.dst
+    ), aa AS (
+      SELECT wg.u, wg.v,
+             COUNT(*) AS common,
+             SUM(CAST(ROUND(100000000.0 / ln(d.deg)) AS BIGINT))
+               AS aa_scaled
+      FROM wedge wg JOIN deg d ON d.id = wg.w
+      GROUP BY wg.u, wg.v
+    ), cand AS (
+      SELECT u, v, common,
+             ROUND(aa_scaled / 100000000.0, 6) AS adamic_adar
+      FROM aa
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = aa.u AND e.v = aa.v)
+    )
+    SELECT CAST(rnk AS INT) AS rank,
+           u AS part_u, v AS part_v,
+           CAST(common AS BIGINT) AS common_neighbors,
+           adamic_adar
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY adamic_adar DESC, common DESC, u, v) AS rnk
+          FROM cand) AS r
+    WHERE rnk <= {AA_TOPK}
+    ORDER BY rank
+""")
+def graph_adamic_adar_topk(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: AA(u,v) = sum over common
+    neighbors w of 1/ln(deg(w)) — the frequency-weighted refinement
+    of plain common-neighbor counting (a rare shared neighbor says
+    more than a hub), the strongest classical scorer in
+    Liben-Nowell & Kleinberg's comparison. Same candidate machinery
+    as graph_link_prediction (full-adjacency apex wedges — every
+    wedge apex has degree >= 2, so ln(deg) > 0 always); each apex's
+    1/ln(deg) term is pre-scaled to an integer in 1e-8 units so the
+    per-pair sum is EXACT and partition-order-independent (the
+    round-8 double-sum lesson), with one float division at the end.
+
+    Scale: identical posture to graph_link_prediction — apex
+    self-join bounded by sum(deg^2) (hub-capped in production),
+    pair-keyed aggs, anti-join, TakeOrdered top-k + the declared
+    rank-after-LIMIT window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p")).distinct())
+    a = items.select("o", F.col("p").alias("u"))
+    b = items.select("o", F.col("p").alias("v"))
+    edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
+             .localCheckpoint(eager=False))
+    deg = (edges.select(F.col("u").alias("id"))
+           .unionByName(edges.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    adj = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionByName(edges.select(F.col("v").alias("src"),
+                                     F.col("u").alias("dst")))
+           .localCheckpoint(eager=False))
+    a1 = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    a2 = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    term = F.round(F.lit(1e8) / F.log(F.col("deg"))).cast("bigint")
+    aa = (a1.join(a2, "w")
+          .filter(F.col("u") < F.col("v"))
+          .join(deg.select(F.col("id").alias("w"), "deg"), "w")
+          .groupBy("u", "v")
+          .agg(F.count(F.lit(1)).alias("common"),
+               F.sum(term).alias("aa_scaled")))
+    cand = (aa.join(edges, ["u", "v"], "left_anti")
+            .withColumn("adamic_adar",
+                        F.round(F.col("aa_scaled") / 1e8, 6)))
+    top = (cand.orderBy(F.desc("adamic_adar"), F.desc("common"),
+                        "u", "v")
+           .limit(AA_TOPK))
+    rw = W.orderBy(F.desc("adamic_adar"), F.desc("common"), "u", "v")
+    return (top.withColumn("rank", F.row_number().over(rw))
+            .select(F.col("rank").cast("int").alias("rank"),
+                    F.col("u").alias("part_u"),
+                    F.col("v").alias("part_v"),
+                    F.col("common").cast("bigint")
+                    .alias("common_neighbors"),
+                    "adamic_adar")
+            .orderBy("rank"))

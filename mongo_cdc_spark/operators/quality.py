@@ -3595,3 +3595,219 @@ def stats_gini_split_search(spark: SparkSession,
                             - F.col("gini_weighted"), 6)
                     .alias("gini_gain"))
             .orderBy("rank"))
+
+
+# --------------------------------------------- data-contract check
+
+_CONTRACT_STATUSES = ("O", "F", "P")
+
+
+@query("quality_data_contract_check", sql=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS v_key_null,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_key_dup,
+             SUM(CASE WHEN o_totalprice IS NULL
+                        OR o_totalprice <= 0
+                        OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+               AS v_price_range,
+             SUM(CASE WHEN o_orderstatus NOT IN
+                        ({', '.join(f"'{s}'" for s in _CONTRACT_STATUSES)})
+                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+               AS v_status_domain,
+             SUM(CASE WHEN o_orderdate IS NULL
+                        OR o_orderdate <  TIMESTAMP '1992-01-01'
+                        OR o_orderdate >= TIMESTAMP '1999-01-01'
+                      THEN 1 ELSE 0 END) AS v_date_range,
+             SUM(CASE WHEN o_custkey IS NULL OR o_custkey <= 0
+                      THEN 1 ELSE 0 END) AS v_custkey_positive
+      FROM orders
+    )
+    SELECT rule, n_violations, n_rows,
+           n_violations = 0 AS passes
+    FROM (
+      SELECT 'o_custkey_positive' AS rule,
+             CAST(v_custkey_positive AS BIGINT) AS n_violations,
+             CAST(n_rows AS BIGINT) AS n_rows FROM agg
+      UNION ALL SELECT 'o_orderdate_range',
+             CAST(v_date_range AS BIGINT), CAST(n_rows AS BIGINT)
+             FROM agg
+      UNION ALL SELECT 'o_orderkey_not_null',
+             CAST(v_key_null AS BIGINT), CAST(n_rows AS BIGINT)
+             FROM agg
+      UNION ALL SELECT 'o_orderkey_unique',
+             CAST(v_key_dup AS BIGINT), CAST(n_rows AS BIGINT)
+             FROM agg
+      UNION ALL SELECT 'o_orderstatus_domain',
+             CAST(v_status_domain AS BIGINT), CAST(n_rows AS BIGINT)
+             FROM agg
+      UNION ALL SELECT 'o_totalprice_range',
+             CAST(v_price_range AS BIGINT), CAST(n_rows AS BIGINT)
+             FROM agg
+    ) AS t
+    ORDER BY rule
+""")
+def quality_data_contract_check(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Declarative data-contract verification (the dbt-test /
+    Great-Expectations gate every ingestion pipeline runs before
+    publishing a table): six assertions over orders — key not-null,
+    key uniqueness, price in (0, 1e6], status in the declared domain,
+    date within the schema's epoch, positive FK — each reported as
+    (rule, violation count, row count, pass). The contract a writer
+    checks BEFORE a bad batch lands, and the table a data-SLA
+    dashboard reads.
+
+    Scale: every assertion folds into ONE map-side-combined scan
+    aggregate (conditional sums; uniqueness via COUNT - COUNT
+    DISTINCT, partial-aggregatable); the report unpivot is 6 rows.
+    New rules cost one more conditional sum, not another scan."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .alias("v_key_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("v_key_dup"),
+        F.sum(F.when(F.col("o_totalprice").isNull()
+                     | (F.col("o_totalprice") <= 0)
+                     | (F.col("o_totalprice") > 1000000), 1)
+              .otherwise(0)).alias("v_price_range"),
+        F.sum(F.when(~F.col("o_orderstatus").isin(*_CONTRACT_STATUSES)
+                     | F.col("o_orderstatus").isNull(), 1)
+              .otherwise(0)).alias("v_status_domain"),
+        F.sum(F.when(F.col("o_orderdate").isNull()
+                     | (F.col("o_orderdate")
+                        < F.lit("1992-01-01").cast("timestamp"))
+                     | (F.col("o_orderdate")
+                        >= F.lit("1999-01-01").cast("timestamp")), 1)
+              .otherwise(0)).alias("v_date_range"),
+        F.sum(F.when(F.col("o_custkey").isNull()
+                     | (F.col("o_custkey") <= 0), 1)
+              .otherwise(0)).alias("v_custkey_positive"))
+    rules = F.array(
+        F.struct(F.lit("o_custkey_positive").alias("rule"),
+                 F.col("v_custkey_positive").alias("v")),
+        F.struct(F.lit("o_orderdate_range").alias("rule"),
+                 F.col("v_date_range").alias("v")),
+        F.struct(F.lit("o_orderkey_not_null").alias("rule"),
+                 F.col("v_key_null").alias("v")),
+        F.struct(F.lit("o_orderkey_unique").alias("rule"),
+                 F.col("v_key_dup").alias("v")),
+        F.struct(F.lit("o_orderstatus_domain").alias("rule"),
+                 F.col("v_status_domain").alias("v")),
+        F.struct(F.lit("o_totalprice_range").alias("rule"),
+                 F.col("v_price_range").alias("v")))
+    return (agg.select("n_rows", F.explode(rules).alias("r"))
+            .select(F.col("r.rule").alias("rule"),
+                    F.col("r.v").cast("bigint").alias("n_violations"),
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    (F.col("r.v") == 0).alias("passes"))
+            .orderBy("rule"))
+
+
+# ------------------------------------- pinball (quantile-loss) eval
+
+_PINBALL_DEN = 8  # octile forecasts: q = 1/8 .. 7/8
+
+
+@query("stats_pinball_quantile_eval", sql=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS ys,
+             o_totalprice AS x,
+             substr(md5(o_orderkey::VARCHAR), 1, 1) < '8' AS is_train
+      FROM orders
+    ), thr AS (
+      {' UNION ALL '.join(
+          f"SELECT {i} AS qi, "
+          f"ROUND(quantile_cont(CAST(x AS DOUBLE), "
+          f"{i}.0/{_PINBALL_DEN}), 4) AS f4 "
+          f"FROM base WHERE is_train"
+          for i in range(1, _PINBALL_DEN))}
+    ), scored AS (
+      SELECT t.qi, t.f4,
+             CAST(ROUND(t.f4 * 10000) AS BIGINT) AS fs,
+             b.ys
+      FROM base b CROSS JOIN thr t
+      WHERE NOT b.is_train
+    ), lossed AS (
+      SELECT qi, f4,
+             CASE WHEN ys >= fs THEN qi * (ys - fs)
+                  ELSE (qi - {_PINBALL_DEN}) * (ys - fs) END AS l8,
+             CASE WHEN ys <= fs THEN 1 ELSE 0 END AS cov
+      FROM scored
+    )
+    SELECT CAST(qi AS INT) AS qi,
+           ROUND(qi * 1.0 / {_PINBALL_DEN}, 4) AS q,
+           f4 AS forecast,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(SUM(l8) / ({_PINBALL_DEN} * 10000.0) / COUNT(*), 6)
+             AS mean_pinball,
+           ROUND(SUM(cov) * 1.0 / COUNT(*), 6) AS coverage
+    FROM lossed
+    GROUP BY qi, f4
+    ORDER BY qi
+""")
+def stats_pinball_quantile_eval(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest with the pinball (quantile) loss —
+    THE proper scoring rule for quantile predictions (what M5/GEFCom
+    score and what quantile-regression training minimizes): octile
+    forecasts fit on the md5 train half of order totals, each scored
+    on the held-out half by L_q(y,f) = q(y-f)+ if y>=f else
+    (1-q)(f-y), with empirical coverage (share of test y <= f, which
+    should track q for calibrated forecasts).
+
+    Exactness: forecasts round at 4 dp (the broadcast-cut-literal
+    discipline), then BOTH y and f scale to integer 1e-4 units and
+    the loss accumulates as exact integers with the q = qi/8 grain
+    folded in (loss x 8 is integral) — one float division at the
+    end, so no partition-order-dependent double sum anywhere
+    (the round-8 RFM lesson applied from birth).
+
+    Scale: train octiles via _twophase.exact_quantiles (two-phase
+    global rank, no single-task buffer); the 7-row forecast frame
+    broadcasts onto the test scan (7x narrow integer expansion,
+    map-side combined to 7 output rows)."""
+    from mongo_cdc_spark.operators._twophase import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 10000).cast("bigint")
+        .alias("ys"),
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey").alias("k"),
+        (F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+         < "8").alias("is_train"))
+    probs = {f"p{i}": i / _PINBALL_DEN
+             for i in range(1, _PINBALL_DEN)}
+    qs = exact_quantiles(base.where("is_train"), "x", probs, ["k"])
+    thr = qs.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("qi"),
+                 F.round(F.col(f"p{i}"), 4).alias("f4"))
+        for i in range(1, _PINBALL_DEN)])).alias("t")) \
+        .select("t.qi", "t.f4",
+                F.round(F.col("t.f4") * 10000).cast("bigint")
+                .alias("fs"))
+    test = base.where(~F.col("is_train")).select("ys")
+    d = F.col("ys") - F.col("fs")
+    l8 = F.when(d >= 0, F.col("qi") * d) \
+          .otherwise((F.col("qi") - _PINBALL_DEN) * d)
+    return (test.crossJoin(F.broadcast(thr))
+            .select("qi", "f4", l8.alias("l8"),
+                    F.when(F.col("ys") <= F.col("fs"), 1).otherwise(0)
+                    .alias("cov"))
+            .groupBy("qi", "f4")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.round(F.sum("l8") / (_PINBALL_DEN * 10000.0)
+                         / F.count(F.lit(1)), 6).alias("mean_pinball"),
+                 F.round(F.sum("cov") * F.lit(1.0) / F.count(F.lit(1)),
+                         6).alias("coverage"))
+            .select(F.col("qi").cast("int").alias("qi"),
+                    F.round(F.col("qi") * F.lit(1.0) / _PINBALL_DEN, 4)
+                    .alias("q"),
+                    F.col("f4").alias("forecast"),
+                    F.col("n_test").cast("bigint").alias("n_test"),
+                    "mean_pinball", "coverage")
+            .orderBy("qi"))

@@ -357,3 +357,45 @@ def test_link_prediction_matches_python_reference(spark, sf_dir):
             r["deg_u"], r["deg_v"], round(r["jaccard"], 6))
            for r in graph_link_prediction(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_adamic_adar_matches_python_reference(spark, sf_dir):
+    """Pure-Python AA over the same adjacency must reproduce the
+    integer-scaled scores and ranking."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.graph import (AA_TOPK, TRI_SUPPORT,
+                                                 graph_adamic_adar_topk)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct().collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n = defaultdict(int)
+    for parts in orders.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_n[(u, v)] += 1
+    edges = {p for p, c in pair_n.items() if c >= TRI_SUPPORT}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    acc = defaultdict(lambda: [0, 0])  # (u,v) -> [common, aa_scaled]
+    for w, nbrs in adj.items():
+        t = round(1e8 / math.log(len(nbrs)))
+        for u, v in combinations(sorted(nbrs), 2):
+            acc[(u, v)][0] += 1
+            acc[(u, v)][1] += t
+    rows = [(round(s / 1e8, 6), c, u, v)
+            for (u, v), (c, s) in acc.items() if (u, v) not in edges]
+    rows.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    want = [(i + 1, u, v, c, aa)
+            for i, (aa, c, u, v) in enumerate(rows[:AA_TOPK])]
+    got = [(r["rank"], r["part_u"], r["part_v"], r["common_neighbors"],
+            round(r["adamic_adar"], 6))
+           for r in graph_adamic_adar_topk(spark, sf_dir).collect()]
+    assert got == want

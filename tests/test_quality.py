@@ -1102,3 +1102,69 @@ def test_gini_split_search_matches_python_reference(spark, sf_dir):
     # a split can never beat zero impurity or the parent by chance sign
     for r in got:
         assert 0 <= r[8] <= g_p + 1e-9
+
+
+def test_data_contract_check_clean_fixture_and_violations(spark, sf_dir):
+    """The fixture satisfies the contract; injected violations are
+    counted by an independent Python recompute."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        quality_data_contract_check)
+
+    rows = {r["rule"]: r for r in
+            quality_data_contract_check(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "o_custkey_positive", "o_orderdate_range", "o_orderkey_not_null",
+        "o_orderkey_unique", "o_orderstatus_domain", "o_totalprice_range"}
+    n = load_table(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert r["passes"] == (r["n_violations"] == 0)
+    # independent recompute of two rules
+    data = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice").collect()
+    bad_status = sum(1 for d in data
+                     if d["o_orderstatus"] not in ("O", "F", "P"))
+    dup = len(data) - len({d["o_orderkey"] for d in data})
+    assert rows["o_orderstatus_domain"]["n_violations"] == bad_status
+    assert rows["o_orderkey_unique"]["n_violations"] == dup
+
+
+def test_pinball_eval_matches_python_reference(spark, sf_dir):
+    """Pure-Python octile fit + pinball scoring over the same md5
+    split must reproduce forecasts, losses, and coverage."""
+    import hashlib
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        _PINBALL_DEN, stats_pinball_quantile_eval)
+
+    data = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice").collect()
+    train, test = [], []
+    for d in data:
+        h = hashlib.md5(str(d["o_orderkey"]).encode()).hexdigest()
+        (train if h[0] < "8" else test).append(d["o_totalprice"])
+    train.sort()
+    got = {r["qi"]: r for r in
+           stats_pinball_quantile_eval(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, _PINBALL_DEN))
+    for qi in range(1, _PINBALL_DEN):
+        q = qi / _PINBALL_DEN
+        pos = (len(train) - 1) * q
+        lo = int(pos)
+        f = train[lo] + (pos - lo) * (train[min(lo + 1, len(train) - 1)]
+                                      - train[lo])
+        f4 = round(f, 4)
+        assert got[qi]["forecast"] == f4, qi
+        fs = round(f4 * 10000)
+        l8 = sum((qi if round(y * 10000) >= fs else qi - _PINBALL_DEN)
+                 * (round(y * 10000) - fs) for y in test)
+        want_loss = round(l8 / (_PINBALL_DEN * 10000.0) / len(test), 6)
+        assert got[qi]["mean_pinball"] == want_loss, qi
+        cov = sum(1 for y in test if round(y * 10000) <= fs) / len(test)
+        assert got[qi]["coverage"] == round(cov, 6), qi
+        assert got[qi]["n_test"] == len(test)
+    # calibration sanity: coverage is nondecreasing in q
+    covs = [got[qi]["coverage"] for qi in range(1, _PINBALL_DEN)]
+    assert covs == sorted(covs)

@@ -148,6 +148,10 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # shuffle joins ARE the plan (AQE still broadcasts the
           # degree side when measured small):
           "graph_link_prediction": 4,
+          # Adamic-Adar shares link prediction's machinery minus one
+          # orientation join: pair-gen, the apex wedge self-join, and
+          # the existing-edge anti-join are big-big on a 100 TB graph:
+          "graph_adamic_adar_topk": 3,
           # recall eval: the probe-cell candidate join meets the
           # corpus-sized assignment frame — big-big on a 100 TB
           # corpus, shuffle join IS the plan (broadcast hint on the
@@ -263,6 +267,11 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # required stage; everything past pair-gen carries
                # node/edge/pair-grain rows only:
                "graph_link_prediction": 8,
+               # pinball eval: train-half range repartition for the
+               # two-phase octiles (+ its offsets aggs) and the 7-row
+               # test-side loss agg — every exchange past the
+               # repartition carries partition- or 7-row-grain rows:
+               "stats_pinball_quantile_eval": 6,
                # BM25: token explode feeds the doc-length agg and the
                # term-filtered tf agg separately (the postings frame
                # must not widen the dl count), then df/stats/scored
@@ -369,6 +378,7 @@ WINDOW_OK: dict[str, int] = {
     "search_bm25_topk": 1,         # limit _BM25_TOPK (20)
     "graph_link_prediction": 1,    # limit LP_TOPK (20)
     "stats_gini_split_search": 1,  # limit _GINI_TOPK (5)
+    "graph_adamic_adar_topk": 1,   # limit AA_TOPK (20)
     "basket_rules_lift": 1,        # limit RULE_TOP
     "events_countmin_heavy_hitters": 1,   # limit 10
     "events_path_trigrams": 1,     # limit 15
