@@ -279,9 +279,10 @@ _GRADE_FIRST = (
     # additions. THREE late-round-8 additions spill to round 9 as its
     # never-graded backlog (each oracle-green at sf0.001+sf0.01 with
     # Python reference tests): quality_data_contract_check,
-    # stats_pinball_quantile_eval, graph_adamic_adar_topk. After
-    # those, rotate stale-green rows oldest-first (their last driver
-    # rows date to rounds 1-4).
+    # stats_pinball_quantile_eval, graph_adamic_adar_topk,
+    # stats_g_test_independence, ab_test_uplift_qini. After those,
+    # rotate stale-green rows oldest-first (their last driver rows
+    # date to rounds 1-4).
 )
 
 

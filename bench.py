@@ -257,6 +257,8 @@ HEADLINE = [
     ("data_contract", quality.quality_data_contract_check),
     ("pinball_eval", quality.stats_pinball_quantile_eval),
     ("adamic_adar", graph.graph_adamic_adar_topk),
+    ("g_test", quality.stats_g_test_independence),
+    ("uplift_qini", quality.ab_test_uplift_qini),
 ]
 
 

@@ -3811,3 +3811,216 @@ def stats_pinball_quantile_eval(spark: SparkSession,
                     F.col("n_test").cast("bigint").alias("n_test"),
                     "mean_pinball", "coverage")
             .orderBy("qi"))
+
+
+# ----------------------------------------- G-test (log-likelihood)
+
+
+@query("stats_g_test_independence", sql="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.seg, p.prio, COALESCE(o.n, 0) AS n
+      FROM (SELECT DISTINCT seg FROM obs) s
+      CROSS JOIN (SELECT DISTINCT prio FROM obs) p
+      LEFT JOIN obs o ON o.seg = s.seg AND o.prio = p.prio
+    ), m AS (
+      SELECT seg, prio, n,
+             SUM(n) OVER (PARTITION BY seg) AS row_tot,
+             SUM(n) OVER (PARTITION BY prio) AS col_tot,
+             SUM(n) OVER () AS grand
+      FROM grid
+    )
+    SELECT CAST(MAX(grand) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT seg) - 1)
+                * (COUNT(DISTINCT prio) - 1) AS INT) AS dof,
+           ROUND(2 * SUM(CASE WHEN n > 0 THEN
+                   n * ln(n / (row_tot * col_tot / (grand * 1e0)))
+                 ELSE 0 END), 6) AS g_stat,
+           ROUND(2 * SUM(CASE WHEN n > 0 THEN
+                   n * ln(n / (row_tot * col_tot / (grand * 1e0)))
+                 ELSE 0 END), 6) > 9.488 AS reject_05
+    FROM m
+""")
+def stats_g_test_independence(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio) of independence between customer
+    market segment and order priority — the chi-square's LR twin
+    (G = 2 SUM O ln(O/E)), preferred when expected counts are small
+    or when additivity across partitions of the table matters (G
+    decomposes exactly; Pearson's X^2 does not). Zero-observation
+    cells contribute 0 to G (lim x->0 of x ln x) but still shape the
+    expected counts through the margins; the rounded statistic
+    compares against the df=4 95% critical value 9.488, mirroring
+    stats_chi_square_independence's contingency machinery.
+
+    Scale: one map-side-combined (seg, prio) count — the only
+    data-grain stage; margins and the statistic run on the bounded
+    |segs| x |prios| grid (25 cells here). The grid windows are
+    cell-grain, never data-grain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("prio"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=False))
+    segs = obs.select("seg").distinct()
+    prios = obs.select("prio").distinct()
+    grid = (segs.crossJoin(prios)
+            .join(obs, ["seg", "prio"], "left")
+            .withColumn("n", F.coalesce("n", F.lit(0))))
+    from pyspark.sql import Window as _W
+    m = (grid
+         .withColumn("row_tot", F.sum("n").over(_W.partitionBy("seg")))
+         .withColumn("col_tot", F.sum("n").over(_W.partitionBy("prio")))
+         .withColumn("grand", F.sum("n").over(
+             _W.partitionBy(F.lit(1)))))
+    e = F.col("row_tot") * F.col("col_tot") / (F.col("grand") * 1.0)
+    term = F.when(F.col("n") > 0,
+                  F.col("n") * F.log(F.col("n") / e)).otherwise(0.0)
+    return m.agg(
+        F.max("grand").cast("bigint").alias("n"),
+        ((F.countDistinct("seg") - 1)
+         * (F.countDistinct("prio") - 1)).cast("int").alias("dof"),
+        F.round(2 * F.sum(term), 6).alias("g_stat"),
+        (F.round(2 * F.sum(term), 6) > 9.488).alias("reject_05"))
+
+
+# ------------------------------------------------ Qini uplift curve
+
+_QINI_BUCKETS = 10
+
+
+@query("ab_test_uplift_qini", sql=f"""
+    WITH peru0 AS (
+      SELECT user_id,
+             md5(CAST(user_id AS VARCHAR)) AS h,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) / 100.0 AS spend
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT ROUND(quantile_cont(CAST(spend AS DOUBLE), 0.5), 4) AS m
+      FROM peru0
+    ), peru AS (
+      SELECT user_id, h, score,
+             CASE WHEN spend > med.m THEN 1 ELSE 0 END AS conv
+      FROM peru0, med
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY score DESC, h) AS rk,
+             COUNT(*) OVER () AS n
+      FROM peru
+    ), bucketed AS (
+      SELECT CAST(FLOOR((rk - 1) * {_QINI_BUCKETS}.0 / n) AS BIGINT)
+               + 1 AS decile,
+             CASE WHEN substr(h, 1, 1) < '8' THEN 0 ELSE 1 END AS t,
+             conv
+      FROM ranked
+    ), cells AS (
+      SELECT decile,
+             SUM(t) AS n_t, SUM(1 - t) AS n_c,
+             SUM(t * conv) AS conv_t,
+             SUM((1 - t) * conv) AS conv_c
+      FROM bucketed GROUP BY 1
+    ), cum AS (
+      SELECT decile, n_t, n_c, conv_t, conv_c,
+             SUM(n_t) OVER w AS cnt, SUM(n_c) OVER w AS cnc,
+             SUM(conv_t) OVER w AS cct, SUM(conv_c) OVER w AS ccc
+      FROM cells
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_t AS BIGINT) AS n_treat,
+           CAST(n_c AS BIGINT) AS n_control,
+           CAST(conv_t AS BIGINT) AS conv_treat,
+           CAST(conv_c AS BIGINT) AS conv_control,
+           ROUND(cct - ccc * (cnt * 1e0 / NULLIF(cnc, 0)), 6) + 0.0
+             AS qini,
+           ROUND(cct * 1e0 / NULLIF(cnt, 0)
+                 - ccc * 1e0 / NULLIF(cnc, 0), 6) + 0.0
+             AS uplift_at_depth
+    FROM cum ORDER BY decile
+""")
+def ab_test_uplift_qini(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation (Radcliffe): users ranked by
+    a targeting score (click count, md5 tie-break), split into
+    deciles; at each depth the Qini value cum_conv_T - cum_conv_C *
+    (cum_N_T / cum_N_C) — the incremental conversions attributable to
+    treating the top-k scored users, THE standard offline metric for
+    uplift/targeting models (a random scorer's curve is a straight
+    line to the endpoint; the endpoint is the overall incremental
+    lift). Variant assignment reuses the repo's md5 hash-split
+    convention (first hex < '8' = control).
+
+    Scale: one user-grain partial agg; the global rank runs through
+    _twophase.with_global_order (range repartition + per-partition
+    rank + broadcast offsets — no single-task sort); decile ids are
+    integer arithmetic on (rank, n); everything after is the fixed
+    {_QINI_BUCKETS}-row decile grid (declared bounded window for the
+    cumulative sums). All counts integer; one double ratio per
+    decile row at the end."""
+    from mongo_cdc_spark.operators._twophase import (exact_quantiles,
+                                                      with_global_order)
+
+    ev = load_table(spark, sf_dir, "events")
+    peru0 = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("score"),
+                  (F.sum(F.when(F.col("event_type") == "purchase",
+                                F.round(F.col("value") * 100)
+                                .cast("bigint")).otherwise(0))
+                   / 100.0).alias("spend"))
+             .withColumn("h", F.md5(F.col("user_id").cast("string")))
+             .localCheckpoint(eager=False))
+    med = exact_quantiles(peru0, "spend", {"m": 0.5}, ["user_id"])
+    peru = (peru0.crossJoin(F.broadcast(
+        med.select(F.round("m", 4).alias("m"))))
+        .select("user_id", "h", "score",
+                F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
+                .alias("conv")))
+    ranked = with_global_order(
+        peru, [F.col("score").desc(), F.col("h").asc()], rank_col="rk")
+    n = peru.agg(F.count(F.lit(1)).alias("n"))
+    decile = (F.floor((F.col("rk") - 1) * F.lit(float(_QINI_BUCKETS))
+                      / F.col("n")).cast("bigint") + 1).alias("decile")
+    bucketed = (ranked.crossJoin(F.broadcast(n))
+                .select(decile,
+                        F.when(F.substring("h", 1, 1) < "8", 0)
+                        .otherwise(1).alias("t"),
+                        "conv"))
+    cells = (bucketed.groupBy("decile")
+             .agg(F.sum("t").alias("n_t"),
+                  F.sum(1 - F.col("t")).alias("n_c"),
+                  F.sum(F.col("t") * F.col("conv")).alias("conv_t"),
+                  F.sum((1 - F.col("t")) * F.col("conv"))
+                  .alias("conv_c")))
+    from pyspark.sql import Window as _W
+    w = (_W.orderBy("decile")
+         .rowsBetween(_W.unboundedPreceding, _W.currentRow))
+    cum = (cells
+           .withColumn("cnt", F.sum("n_t").over(w))
+           .withColumn("cnc", F.sum("n_c").over(w))
+           .withColumn("cct", F.sum("conv_t").over(w))
+           .withColumn("ccc", F.sum("conv_c").over(w)))
+    return (cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_t").cast("bigint").alias("n_treat"),
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.col("conv_t").cast("bigint").alias("conv_treat"),
+        F.col("conv_c").cast("bigint").alias("conv_control"),
+        (F.round(F.col("cct") - F.col("ccc")
+                 * F.try_divide(F.col("cnt") * F.lit(1.0),
+                                F.col("cnc")), 6) + 0.0).alias("qini"),
+        (F.round(F.try_divide(F.col("cct") * F.lit(1.0), F.col("cnt"))
+                 - F.try_divide(F.col("ccc") * F.lit(1.0),
+                                F.col("cnc")), 6) + 0.0)
+        .alias("uplift_at_depth"))
+        .orderBy("decile"))

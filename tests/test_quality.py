@@ -1168,3 +1168,87 @@ def test_pinball_eval_matches_python_reference(spark, sf_dir):
     # calibration sanity: coverage is nondecreasing in q
     covs = [got[qi]["coverage"] for qi in range(1, _PINBALL_DEN)]
     assert covs == sorted(covs)
+
+
+def test_g_test_matches_python_reference(spark, sf_dir):
+    """Pure-Python G = 2 sum O ln(O/E) over the same contingency."""
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        stats_g_test_independence)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").collect()
+    c = {r["c_custkey"]: r["c_mktsegment"] for r in
+         load_table(spark, sf_dir, "customer").collect()}
+    obs = Counter((c[r["o_custkey"]], r["o_orderpriority"]) for r in o)
+    segs = {k[0] for k in obs}
+    prios = {k[1] for k in obs}
+    n = sum(obs.values())
+    row = {s: sum(v for k, v in obs.items() if k[0] == s) for s in segs}
+    col = {p: sum(v for k, v in obs.items() if k[1] == p)
+           for p in prios}
+    g = 2 * sum(obs[(s, p)] * math.log(obs[(s, p)]
+                                       / (row[s] * col[p] / n))
+                for s in segs for p in prios if obs.get((s, p), 0) > 0)
+    got = stats_g_test_independence(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["dof"] == (len(segs) - 1) * (len(prios) - 1)
+    assert got["g_stat"] == round(g, 6)
+    assert got["reject_05"] == (round(g, 6) > 9.488)
+
+
+def test_qini_matches_python_reference(spark, sf_dir):
+    """Pure-Python replay of the rank/decile/cumulative pipeline."""
+    import hashlib
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (_QINI_BUCKETS,
+                                                   ab_test_uplift_qini)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value").collect()
+    score = defaultdict(int)
+    cents = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "click":
+            score[r["user_id"]] += 1
+        if r["event_type"] == "purchase":
+            cents[r["user_id"]] += round(r["value"] * 100)
+        score.setdefault(r["user_id"], 0)
+    users = sorted(score)
+    spend = {u: cents.get(u, 0) / 100.0 for u in users}
+    sp = sorted(spend.values())
+    pos = (len(sp) - 1) * 0.5
+    lo = int(pos)
+    m = round(sp[lo] + (pos - lo) * (sp[min(lo + 1, len(sp) - 1)]
+                                     - sp[lo]), 4)
+    rows = sorted(
+        ((score[u], hashlib.md5(str(u).encode()).hexdigest(), u)
+         for u in users), key=lambda t: (-t[0], t[1]))
+    n = len(rows)
+    cum = defaultdict(lambda: [0, 0, 0, 0])  # nt nc ct cc per decile
+    for rk, (s, h, u) in enumerate(rows, 1):
+        d = (rk - 1) * _QINI_BUCKETS // n + 1
+        t = 0 if h[0] < "8" else 1
+        conv = 1 if spend[u] > m else 0
+        cell = cum[d]
+        cell[0] += t
+        cell[1] += 1 - t
+        cell[2] += t * conv
+        cell[3] += (1 - t) * conv
+    got = {r["decile"]: r for r in
+           ab_test_uplift_qini(spark, sf_dir).collect()}
+    cnt = cnc = cct = ccc = 0
+    for d in sorted(cum):
+        nt, nc, ct, cc = cum[d]
+        cnt, cnc, cct, ccc = cnt + nt, cnc + nc, cct + ct, ccc + cc
+        r = got[d]
+        assert (r["n_treat"], r["n_control"], r["conv_treat"],
+                r["conv_control"]) == (nt, nc, ct, cc), d
+        want_q = round(cct - ccc * (cnt / cnc), 6) if cnc else None
+        assert r["qini"] == (want_q + 0.0 if want_q is not None
+                             else None), d

@@ -152,6 +152,11 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # orientation join: pair-gen, the apex wedge self-join, and
           # the existing-edge anti-join are big-big on a 100 TB graph:
           "graph_adamic_adar_topk": 3,
+          # G-test: orders ⋈ customer on custkey — both data-sized at
+          # 100 TB (chi-square's own docstring calls the same join a
+          # co-partitioned shuffle join at scale; AQE broadcasts the
+          # customer side when measured small):
+          "stats_g_test_independence": 1,
           # recall eval: the probe-cell candidate join meets the
           # corpus-sized assignment frame — big-big on a 100 TB
           # corpus, shuffle join IS the plan (broadcast hint on the
@@ -272,6 +277,12 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # test-side loss agg — every exchange past the
                # repartition carries partition- or 7-row-grain rows:
                "stats_pinball_quantile_eval": 6,
+               # Qini: user-grain agg, the two-phase global-rank
+               # range repartition (+ offsets aggs) for the decile
+               # ranking, the median two-phase pass, and the 10-row
+               # decile agg + sort — every exchange past the user agg
+               # carries partition- or decile-grain rows:
+               "ab_test_uplift_qini": 6,
                # BM25: token explode feeds the doc-length agg and the
                # term-filtered tf agg separately (the postings frame
                # must not widen the dl count), then df/stats/scored
@@ -421,6 +432,9 @@ WINDOW_OK: dict[str, int] = {
     # respectively, independent of data volume:
     "events_transition_entropy": 1,
     "stats_chi_square_independence": 1,
+    "stats_g_test_independence": 1,
+    # Qini decile cumulatives: the fixed 10-row decile grid:
+    "ab_test_uplift_qini": 1,
     "train_mixture_weights": 1,
 }
 
