@@ -280,9 +280,12 @@ _GRADE_FIRST = (
     # never-graded backlog (each oracle-green at sf0.001+sf0.01 with
     # Python reference tests): quality_data_contract_check,
     # stats_pinball_quantile_eval, graph_adamic_adar_topk,
-    # stats_g_test_independence, ab_test_uplift_qini. After those,
-    # rotate stale-green rows oldest-first (their last driver rows
-    # date to rounds 1-4).
+    # stats_g_test_independence, ab_test_uplift_qini,
+    # sample_weighted_ares (Efraimidis-Spirakis one-pass weighted
+    # sampling on deterministic md5 uniforms), and
+    # text_textrank_keywords (damped PageRank on the word
+    # co-occurrence graph). After those, rotate stale-green rows
+    # oldest-first (their last driver rows date to rounds 1-4).
 )
 
 

@@ -259,6 +259,8 @@ HEADLINE = [
     ("adamic_adar", graph.graph_adamic_adar_topk),
     ("g_test", quality.stats_g_test_independence),
     ("uplift_qini", quality.ab_test_uplift_qini),
+    ("weighted_ares", training.sample_weighted_ares),
+    ("textrank", text.text_textrank_keywords),
 ]
 
 

@@ -1741,3 +1741,113 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_terms").cast("int")
                     .alias("n_terms_matched"))
             .orderBy("rank"))
+
+
+# ------------------------------------------------ TextRank keywords
+
+_TR_DAMP = 0.85
+_TR_ITERS = 3
+_TR_TOPK = 20
+
+
+def _textrank_oracle_sql() -> str:
+    """Unrolled weighted TextRank as chained CTEs (pagerank's oracle
+    pattern on the word co-occurrence graph)."""
+    steps = []
+    for k in range(1, _TR_ITERS + 1):
+        steps.append(f"""s{k} AS (
+      SELECT e.dst AS word,
+             (1e0 - {_TR_DAMP}) + {_TR_DAMP} * SUM(
+               e.wt * s.score / d.tot) AS score
+      FROM edges e
+      JOIN s{k - 1} s ON s.word = e.src
+      JOIN wdeg d ON d.word = e.src
+      GROUP BY e.dst
+    )""")
+    chain = ", ".join(steps)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), pairs AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks) AS t
+      WHERE w[i] <> w[i + 1]
+    ), edges AS (
+      SELECT src, dst, COUNT(*) AS wt FROM (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+      ) AS u GROUP BY 1, 2
+    ), wdeg AS (
+      SELECT src AS word, SUM(wt) AS tot FROM edges GROUP BY 1
+    ), s0 AS (
+      SELECT word, 1e0 AS score FROM wdeg
+    ), {chain}
+    SELECT CAST(rnk AS INT) AS rank, word,
+           ROUND(score, 6) AS textrank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY ROUND(score, 6) DESC, word) AS rnk
+          FROM s{_TR_ITERS}) AS r
+    WHERE rnk <= {_TR_TOPK}
+    ORDER BY rank
+    """
+
+
+@query("text_textrank_keywords", sql=_textrank_oracle_sql())
+def text_textrank_keywords(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+    PageRank ({_TR_ITERS} unrolled power steps, d = {_TR_DAMP}) on the
+    adjacent-word co-occurrence graph, edge weight = corpus
+    co-occurrence count, scores seeded at 1.0 — the graph-centrality
+    complement to RAKE's stopword-island scoring (a word ranks high
+    when its NEIGHBORS rank high, not merely when it is frequent).
+    Adjacent duplicate tokens are not self-edges.
+
+    Scale: ONE data-grain stage (the adjacent-pair explode, pairs =
+    tokens - 1 per doc, map-side combined into vocabulary^2-bounded
+    edge counts); every power step is then an edge-grain join +
+    word-grain agg on the BOUNDED vocabulary graph — the pagerank
+    superstep dataflow at vocabulary grain. Determinism: per-step
+    inbound sums differ across engines only at ~1e-15 relative; 3
+    steps then 6-dp rounding absorbs it (graph_pagerank_trade's
+    argument), and the final order compares rounded values with a
+    word tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("w"))
+    pairs = (toks.select(F.explode(F.zip_with(
+        F.slice("w", 1, F.size("w") - 1),
+        F.slice("w", 2, F.size("w") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+        .alias("p"))
+        .where(F.col("p.a") != F.col("p.b")))
+    edges = (pairs.select(F.col("p.a").alias("src"),
+                          F.col("p.b").alias("dst"))
+             .unionByName(pairs.select(F.col("p.b").alias("src"),
+                                       F.col("p.a").alias("dst")))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
+             .localCheckpoint(eager=False))
+    wdeg = (edges.groupBy("src").agg(F.sum("wt").alias("tot"))
+            .withColumnRenamed("src", "word"))
+    score = wdeg.select("word", F.lit(1.0).alias("score"))
+    for _ in range(_TR_ITERS):
+        contrib = (edges
+                   .join(score.withColumnRenamed("word", "src"), "src")
+                   .join(wdeg.withColumnRenamed("word", "src")
+                         .withColumnRenamed("tot", "tot"), "src"))
+        score = (contrib
+                 .groupBy(F.col("dst").alias("word"))
+                 .agg((F.lit(1 - _TR_DAMP) + F.lit(_TR_DAMP)
+                       * F.sum(F.col("wt") * F.col("score")
+                               / F.col("tot"))).alias("score"))
+                 .localCheckpoint(eager=False))
+    top = (score.select("word", F.round("score", 6).alias("textrank"))
+           .orderBy(F.desc("textrank"), "word")
+           .limit(_TR_TOPK))
+    rw = W.orderBy(F.desc("textrank"), "word")
+    return (top.withColumn("rank", F.row_number().over(rw))
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "word", "textrank")
+            .orderBy("rank"))

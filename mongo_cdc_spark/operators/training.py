@@ -2130,3 +2130,62 @@ def train_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").cast("bigint").alias("n_tokens"))
             .orderBy("shard"))
+
+
+# -------------------------------- weighted sampling (A-Res, ES 2006)
+
+_ARES_K = 50
+_ARES_DEN = 4503599627370496.0  # 16^13 = 2^52: 13-hex-digit space
+
+
+@query("sample_weighted_ares", sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS w,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                ::BIGINT + 1) / ({_ARES_DEN} + 1) AS u
+      FROM documents WHERE n_chars >= 1
+    ), scored AS (
+      SELECT doc_id, w, ROUND(ln(u) / w, 8) AS lnkey FROM keyed
+    )
+    SELECT CAST(rnk AS INT) AS rank, doc_id,
+           CAST(w AS INT) AS weight, lnkey
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY lnkey DESC, doc_id) AS rnk
+          FROM scored) AS r
+    WHERE rnk <= {_ARES_K}
+    ORDER BY rank
+""")
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sampling without replacement via A-Res
+    (Efraimidis-Spirakis 2006): each item draws key u^(1/w) — here in
+    log form ln(u)/w, largest {_ARES_K} win — which makes a
+    SINGLE-PASS distributed weighted sample exact: inclusion follows
+    the sequential weighted draw, yet the selection is just a top-k.
+    The length-weighted document sample every training-data size
+    study starts from (longer docs = proportionally more tokens =
+    proportionally more likely sampled). u derives from md5(doc_id)'s
+    first 13 hex digits (a 2^52-point grid, +1 so u > 0), so BOTH
+    engines replay the same "randomness" bit-for-bit — the repo's
+    deterministic-replay convention for probabilistic operators.
+
+    Scale: one narrow scan projection (md5 + one ln + one divide per
+    row), then TakeOrderedAndProject top-{_ARES_K} — per-partition
+    heaps, no global sort, no shuffle beyond the k winners; the rank
+    window runs over the k survivors (declared rank-after-LIMIT)."""
+    docs = _docs(spark, sf_dir).where(F.col("n_chars") >= 1)
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 13), 16, 10).cast("long") + 1)
+         / F.lit(_ARES_DEN + 1))
+    scored = docs.select(
+        "doc_id", F.col("n_chars").alias("w"),
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("lnkey"))
+    top = (scored.orderBy(F.desc("lnkey"), F.asc("doc_id"))
+           .limit(_ARES_K))
+    from pyspark.sql import Window as _W
+    rw = _W.orderBy(F.desc("lnkey"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(rw))
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "doc_id",
+                    F.col("w").cast("int").alias("weight"),
+                    "lnkey")
+            .orderBy("rank"))

@@ -367,3 +367,40 @@ def test_bm25_matches_python_reference(spark, sf_dir):
             round(r["score"], 6), r["n_terms_matched"])
            for r in search_bm25_topk(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_textrank_matches_python_reference(spark, sf_dir):
+    """Pure-Python power iteration on the same co-occurrence graph."""
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (_TR_DAMP, _TR_ITERS,
+                                                _TR_TOPK,
+                                                text_textrank_keywords)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").collect()
+    wt = defaultdict(int)
+    for d in docs:
+        w = d["text"].split()
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                wt[(a, b)] += 1
+                wt[(b, a)] += 1
+    tot = defaultdict(int)
+    for (a, _), c in wt.items():
+        tot[a] += c
+    score = {v: 1.0 for v in tot}
+    for _ in range(_TR_ITERS):
+        new = {}
+        for v in tot:
+            s = sum(wt[(u, v)] * score[u] / tot[u]
+                    for u in tot if (u, v) in wt)
+            new[v] = (1 - _TR_DAMP) + _TR_DAMP * s
+        score = new
+    rows = sorted(((round(s, 6), v) for v, s in score.items()),
+                  key=lambda t: (-t[0], t[1]))
+    want = [(i + 1, v, s) for i, (s, v) in enumerate(rows[:_TR_TOPK])]
+    got = [(r["rank"], r["word"], round(r["textrank"], 6))
+           for r in text_textrank_keywords(spark, sf_dir).collect()]
+    assert got == want

@@ -574,3 +574,38 @@ def test_cross_source_overlap_matches_python_sets(spark, sf_dir):
         for b in sets:
             if a < b and sets[a] & sets[b]:
                 assert (a, b) in seen
+
+
+def test_weighted_ares_matches_python_reference(spark, sf_dir):
+    """Pure-Python A-Res replay: same md5-derived uniforms, same
+    ln(u)/w keys, same top-k."""
+    import hashlib
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (_ARES_DEN, _ARES_K,
+                                                    sample_weighted_ares)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars").collect()
+    rows = []
+    for d in docs:
+        if d["n_chars"] < 1:
+            continue
+        h = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / (_ARES_DEN + 1)
+        rows.append((round(math.log(u) / d["n_chars"], 8),
+                     d["doc_id"], d["n_chars"]))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    want = [(i + 1, did, w, k)
+            for i, (k, did, w) in enumerate(rows[:_ARES_K])]
+    got = [(r["rank"], r["doc_id"], r["weight"], round(r["lnkey"], 8))
+           for r in sample_weighted_ares(spark, sf_dir).collect()]
+    assert got == want
+    # sample is distinct and exactly k (corpus is larger than k)
+    assert len({g[1] for g in got}) == _ARES_K
+    # heavier docs should be overrepresented: the sampled mean weight
+    # exceeds the corpus mean (property of w-weighted inclusion)
+    corpus_mean = sum(w for _, _, w in rows) / len(rows)
+    sample_mean = sum(g[2] for g in got) / len(got)
+    assert sample_mean > corpus_mean

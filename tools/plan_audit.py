@@ -390,6 +390,8 @@ WINDOW_OK: dict[str, int] = {
     "graph_link_prediction": 1,    # limit LP_TOPK (20)
     "stats_gini_split_search": 1,  # limit _GINI_TOPK (5)
     "graph_adamic_adar_topk": 1,   # limit AA_TOPK (20)
+    "sample_weighted_ares": 1,     # limit _ARES_K (50)
+    "text_textrank_keywords": 1,   # limit _TR_TOPK (20)
     "basket_rules_lift": 1,        # limit RULE_TOP
     "events_countmin_heavy_hitters": 1,   # limit 10
     "events_path_trigrams": 1,     # limit 15
