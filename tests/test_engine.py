@@ -220,3 +220,30 @@ def test_corpus_release_manifest_consistency(spark, sf_dir):
         training.corpus_quality_keep(
             training.corpus_dedup_keep_best(raw)))
     assert sum(r["n_docs"] for r in rows) == released.count()
+
+
+def test_streaming_serialize_by_name(spark, event_dir, tmp_path):
+    """The named-transform registry works on the streaming path too:
+    .transform('serialize') must equal .serialize()."""
+    import pandas as pd
+
+    out_a, out_b = [], []
+    qa = (engine.pipeline({"kind": "files", "path": event_dir},
+                          spark=spark)
+          .transform("serialize")
+          .sink({"kind": "foreach_batch",
+                 "fn": lambda b, i: out_a.append(b.toPandas())})
+          .start())
+    qa.processAllAvailable()
+    qa.stop()
+    qb = (engine.pipeline({"kind": "files", "path": event_dir},
+                          spark=spark)
+          .serialize()
+          .sink({"kind": "foreach_batch",
+                 "fn": lambda b, i: out_b.append(b.toPandas())})
+          .start())
+    qb.processAllAvailable()
+    qb.stop()
+    a = pd.concat(out_a).sort_values("key").reset_index(drop=True)
+    b = pd.concat(out_b).sort_values("key").reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
