@@ -284,8 +284,12 @@ _GRADE_FIRST = (
     # sample_weighted_ares (Efraimidis-Spirakis one-pass weighted
     # sampling on deterministic md5 uniforms), and
     # text_textrank_keywords (damped PageRank on the word
-    # co-occurrence graph). After those, rotate stale-green rows
-    # oldest-first (their last driver rows date to rounds 1-4).
+    # co-occurrence graph), sql_window_running_share (three window
+    # shapes in one SQL statement), stats_anova_oneway (exact-moment
+    # F-test), and stats_kruskal_wallis (exact midranks through the
+    # two-phase cumulative + tie correction). After those, rotate
+    # stale-green rows oldest-first (their last driver rows date to
+    # rounds 1-4).
 )
 
 

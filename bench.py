@@ -261,6 +261,9 @@ HEADLINE = [
     ("uplift_qini", quality.ab_test_uplift_qini),
     ("weighted_ares", training.sample_weighted_ares),
     ("textrank", text.text_textrank_keywords),
+    ("sql_window_share", sqlfront.sql_window_running_share),
+    ("anova", quality.stats_anova_oneway),
+    ("kruskal_wallis", quality.stats_kruskal_wallis),
 ]
 
 

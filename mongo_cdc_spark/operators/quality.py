@@ -4024,3 +4024,190 @@ def ab_test_uplift_qini(spark: SparkSession,
                                 F.col("cnc")), 6) + 0.0)
         .alias("uplift_at_depth"))
         .orderBy("decile"))
+
+
+# --------------------------------------------- one-way ANOVA F-test
+
+
+@query("stats_anova_oneway", sql="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), grp AS (
+      SELECT seg, COUNT(*) AS n_j,
+             CAST(SUM(yc) AS BIGINT) AS s_j,
+             CAST(SUM(CAST(yc AS HUGEINT) * yc) AS DOUBLE) AS q_j
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS k,
+             SUM(n_j) AS n,
+             SUM(s_j) AS s,
+             SUM(q_j) AS q,
+             SUM(CAST(s_j AS DOUBLE) * s_j / n_j) AS sq_over_n
+      FROM grp
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS INT) AS k,
+           ROUND((sq_over_n - CAST(s AS DOUBLE) * s / n)
+                 / 10000.0 / 1000000.0, 2) AS ss_between_m,
+           ROUND((q - sq_over_n) / 10000.0 / 1000000.0, 2)
+             AS ss_within_m,
+           ROUND(((sq_over_n - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((q - sq_over_n) / (n - k)), 6) AS f_stat,
+           ROUND((sq_over_n - CAST(s AS DOUBLE) * s / n)
+                 / (q - CAST(s AS DOUBLE) * s / n), 6) AS eta_squared
+    FROM tot
+""")
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of order value across customer market
+    segments: between/within sums of squares from EXACT integer-cents
+    moments (S_j, Q_j per group; Q accumulates 128-bit — cents^2
+    wraps BIGINT, the round-8 clustered-SE lesson), F = MSB/MSW and
+    the eta-squared effect size — the continuous-outcome counterpart
+    of the chi-square/G-test categorical screens.
+
+    Scale: one map-side-combined group agg (3 integer moments per
+    segment) collapsing to |segments| rows; the statistic is closed
+    algebra over that bounded frame. The only double summations are
+    over the k=5 group terms (chi-square's accepted class)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    grp = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+           .select(F.col("c_mktsegment").alias("seg"), yc.alias("yc"))
+           .groupBy("seg")
+           .agg(F.count(F.lit(1)).alias("n_j"),
+                F.sum("yc").alias("s_j"),
+                F.sum((F.col("yc") * F.col("yc"))
+                      .cast("decimal(38,0)")).cast("double")
+                .alias("q_j")))
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.sum("q_j").alias("q"),
+        F.sum(F.col("s_j").cast("double") * F.col("s_j")
+              / F.col("n_j")).alias("sq_over_n"))
+    ssb = F.col("sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sq_over_n")
+    sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return tot.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        # SS in millions: the two ~1e15 moments cancel to ~1e11, so
+        # engine-side double-summation-order noise is ~1e2 absolute —
+        # far below 0.01 in units of millions, but ABOVE it in raw
+        # price^2 units (observed flaking both engines at 2dp)
+        F.round(ssb / 10000.0 / 1e6, 2).alias("ss_between_m"),
+        F.round(ssw / 10000.0 / 1e6, 2).alias("ss_within_m"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+                6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"))
+
+
+# --------------------------------------- Kruskal-Wallis rank test
+
+
+@query("stats_kruskal_wallis", sql="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), vc AS (
+      SELECT yc, COUNT(*) AS t FROM base GROUP BY 1
+    ), mid AS (
+      SELECT yc, t,
+             SUM(t) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING)
+               - (t - 1) / 2.0 AS midrank
+      FROM vc
+    ), sc AS (
+      SELECT seg, yc, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ), rj AS (
+      SELECT s.seg, SUM(s.c) AS n_j,
+             SUM(s.c * m.midrank) AS r_j
+      FROM sc s JOIN mid m ON m.yc = s.yc
+      GROUP BY 1
+    ), agg AS (
+      SELECT SUM(n_j) AS n, COUNT(*) AS k,
+             SUM(r_j * r_j / n_j) AS rsq_over_n
+      FROM rj
+    ), ties AS (
+      SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_num FROM vc
+    )
+    SELECT CAST(a.n AS BIGINT) AS n,
+           CAST(a.k AS INT) AS k,
+           ROUND(12.0 / (a.n * (a.n + 1.0)) * a.rsq_over_n
+                 - 3 * (a.n + 1), 6) AS h_raw,
+           ROUND(1 - CAST(t.tie_num AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * a.n * a.n - a.n), 8)
+             AS tie_correction,
+           ROUND((12.0 / (a.n * (a.n + 1.0)) * a.rsq_over_n
+                  - 3 * (a.n + 1))
+                 / (1 - CAST(t.tie_num AS DOUBLE)
+                    / (CAST(a.n AS DOUBLE) * a.n * a.n - a.n)), 6)
+             AS h_stat,
+           ROUND((12.0 / (a.n * (a.n + 1.0)) * a.rsq_over_n
+                  - 3 * (a.n + 1))
+                 / (1 - CAST(t.tie_num AS DOUBLE)
+                    / (CAST(a.n AS DOUBLE) * a.n * a.n - a.n)), 6)
+             > 9.488 AS reject_05
+    FROM agg a CROSS JOIN ties t
+""")
+def stats_kruskal_wallis(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (rank one-way ANOVA) of order value
+    across market segments, with EXACT midranks and the tie
+    correction — the distribution-free companion to
+    stats_anova_oneway (robust to the revenue distribution's heavy
+    tail). Midranks come from the cents-value-grain cumulative count
+    (midrank = inclusive_cum - (t-1)/2), so every rank is a .5-grain
+    double and the per-segment rank sums are EXACT — no
+    partition-order-dependent float summation anywhere; the tie term
+    sums t^3 - t as 128-bit integers.
+
+    Scale: two map-side-combined aggs (value-grain counts; (segment,
+    value) counts); the cumulative count over the value vocabulary
+    runs through _twophase.with_global_order (range repartition +
+    broadcast offsets — no single-task window even when the value
+    domain approaches row count); the rank-sum join is value-keyed.
+    Final algebra is a 1-row frame."""
+    from mongo_cdc_spark.operators._twophase import with_global_order
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select(F.col("c_mktsegment").alias("seg"),
+                    yc.alias("yc"))
+            .localCheckpoint(eager=False))
+    vc = base.groupBy("yc").agg(F.count(F.lit(1)).alias("t"))
+    mid = (with_global_order(vc, [F.col("yc").asc()],
+                             cumsums={"t": "cum"})
+           .withColumn("midrank",
+                       F.col("cum") - (F.col("t") - 1) / 2.0))
+    sc = base.groupBy("seg", "yc").agg(F.count(F.lit(1)).alias("c"))
+    rj = (sc.join(mid.select("yc", "midrank"), "yc")
+          .groupBy("seg")
+          .agg(F.sum("c").alias("n_j"),
+               F.sum(F.col("c") * F.col("midrank")).alias("r_j")))
+    agg = rj.agg(F.sum("n_j").alias("n"),
+                 F.count(F.lit(1)).alias("k"),
+                 F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j"))
+                 .alias("rsq_over_n"))
+    ties = vc.agg(F.sum((F.col("t") * F.col("t") * F.col("t")
+                         - F.col("t")).cast("decimal(38,0)"))
+                  .cast("double").alias("tie_num"))
+    j = agg.crossJoin(F.broadcast(ties))
+    h_raw = (12.0 / (F.col("n") * (F.col("n") + 1.0))
+             * F.col("rsq_over_n") - 3 * (F.col("n") + 1))
+    corr = (1 - F.col("tie_num")
+            / (F.col("n").cast("double") * F.col("n") * F.col("n")
+               - F.col("n")))
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.round(h_raw, 6).alias("h_raw"),
+        F.round(corr, 8).alias("tie_correction"),
+        F.round(h_raw / corr, 6).alias("h_stat"),
+        (F.round(h_raw / corr, 6) > 9.488).alias("reject_05"))

@@ -265,3 +265,50 @@ def sql_set_ops_customer_activity(spark: SparkSession,
     4-row UNION ALL."""
     names = _views(spark, sf_dir, "orders", suffix="setops")
     return spark.sql(_SETOPS_SQL.format(**names))
+
+
+# -------------------------------- window functions stated in SQL
+
+_WINSHARE_SQL = """
+    WITH monthly AS (
+      SELECT c_mktsegment AS segment,
+             date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM {orders}
+      JOIN {customer} ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, date_trunc('month', o_orderdate)
+    )
+    SELECT segment, month,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(cents) OVER (
+               PARTITION BY segment ORDER BY month
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2)
+             AS cum_revenue,
+           ROUND(cents * 1e0 / SUM(cents) OVER (PARTITION BY segment),
+                 6) AS share_of_segment,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY segment ORDER BY cents DESC, month)
+             AS INT) AS month_rank_in_segment
+    FROM monthly
+    ORDER BY segment, month
+"""
+
+
+@query("sql_window_running_share",
+       sql=_WINSHARE_SQL.format(orders="orders", customer="customer"))
+def sql_window_running_share(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Window functions stated in SQL text: per-segment monthly
+    revenue with a running total (ROWS frame), each month's share of
+    its segment's total (unordered partition window), and the
+    month's revenue rank within the segment — three distinct window
+    shapes through the SQL parser in one statement, shared verbatim
+    with the oracle. Exact integer cents through every window sum;
+    division happens once per output cell.
+
+    Scale: one data-grain join+agg to (segment, month) grain; all
+    three windows then run PARTITIONED by segment over
+    calendar-bounded frames — never a global window."""
+    names = _views(spark, sf_dir, "orders", "customer",
+                   suffix="winshare")
+    return spark.sql(_WINSHARE_SQL.format(**names))

@@ -1252,3 +1252,79 @@ def test_qini_matches_python_reference(spark, sf_dir):
         want_q = round(cct - ccc * (cnt / cnc), 6) if cnc else None
         assert r["qini"] == (want_q + 0.0 if want_q is not None
                              else None), d
+
+
+def test_anova_matches_python_reference(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_anova_oneway
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in
+           load_table(spark, sf_dir, "customer").collect()}
+    groups = defaultdict(list)
+    for r in o:
+        groups[seg[r["o_custkey"]]].append(
+            round(r["o_totalprice"] * 100))
+    # exact rational arithmetic: the cents^2 moments exceed 2^53, so
+    # a float reference would itself be the imprecise side
+    from fractions import Fraction as Fr
+
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s = sum(sum(v) for v in groups.values())
+    q = sum(y * y for v in groups.values() for y in v)
+    sq_over_n = sum(Fr(sum(v) ** 2, len(v)) for v in groups.values())
+    ssb = sq_over_n - Fr(s * s, n)
+    ssw = q - sq_over_n
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = stats_anova_oneway(spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["k"] == k
+    # the query rounds (6dp / 2dp); compare within one rounding grain
+    assert math.isclose(got["f_stat"], float(f), abs_tol=1e-6)
+    assert math.isclose(got["eta_squared"],
+                        float(ssb / (q - Fr(s * s, n))), abs_tol=1e-6)
+    assert math.isclose(got["ss_between_m"], float(ssb) / 1e4 / 1e6,
+                        abs_tol=0.01)
+
+
+def test_kruskal_wallis_matches_python_reference(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_kruskal_wallis
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in
+           load_table(spark, sf_dir, "customer").collect()}
+    vals = [(seg[r["o_custkey"]], round(r["o_totalprice"] * 100))
+            for r in o]
+    n = len(vals)
+    tcount = Counter(v for _, v in vals)
+    midrank = {}
+    cum = 0
+    for v in sorted(tcount):
+        t = tcount[v]
+        cum += t
+        midrank[v] = cum - (t - 1) / 2
+    rj = defaultdict(float)
+    nj = defaultdict(int)
+    for g, v in vals:
+        rj[g] += midrank[v]
+        nj[g] += 1
+    h_raw = (12.0 / (n * (n + 1))
+             * sum(r * r / nj[g] for g, r in rj.items())
+             - 3 * (n + 1))
+    corr = 1 - sum(t ** 3 - t for t in tcount.values()) / (n ** 3 - n)
+    got = stats_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert got["n"] == n and got["k"] == len(nj)
+    assert math.isclose(got["h_raw"], h_raw,
+                        rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(got["tie_correction"], corr, rel_tol=1e-8)
+    assert math.isclose(got["h_stat"], h_raw / corr,
+                        rel_tol=1e-6, abs_tol=1e-5)

@@ -154,3 +154,40 @@ def test_grouping_sets_plan_has_one_expand(spark, sf_dir):
     assert plan.count("Expand") >= 1
     # the expand happens once at data grain, not per grouping set
     assert plan.count("Expand [") <= 1 or "Expand (" in plan
+
+
+def test_window_share_matches_dataframe_recompute(spark, sf_dir):
+    from pyspark.sql import Window as W_
+
+    from mongo_cdc_spark.io import load_table
+
+    got = {(r["segment"], str(r["month"])): r for r in
+           sqlfront.sql_window_running_share(spark, sf_dir).collect()}
+    monthly = (load_table(spark, sf_dir, "orders")
+               .join(load_table(spark, sf_dir, "customer"),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .groupBy(F.col("c_mktsegment").alias("segment"),
+                        F.date_trunc("month", "o_orderdate")
+                        .alias("month"))
+               .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("bigint")).alias("cents")))
+    w_run = (W_.partitionBy("segment").orderBy("month")
+             .rowsBetween(W_.unboundedPreceding, W_.currentRow))
+    w_all = W_.partitionBy("segment")
+    ref = (monthly
+           .withColumn("cum", F.sum("cents").over(w_run))
+           .withColumn("tot", F.sum("cents").over(w_all))
+           .collect())
+    assert len(ref) == len(got) > 0
+    for r in ref:
+        g = got[(r["segment"], str(r["month"]))]
+        assert g["revenue"] == round(r["cents"] / 100.0, 2)
+        assert g["cum_revenue"] == round(r["cum"] / 100.0, 2)
+        assert g["share_of_segment"] == round(r["cents"] / r["tot"], 6)
+    # shares sum to ~1 per segment
+    from collections import defaultdict
+    acc = defaultdict(float)
+    for (seg, _), r in got.items():
+        acc[seg] += r["share_of_segment"]
+    for seg, total in acc.items():
+        assert abs(total - 1.0) < 1e-3, seg

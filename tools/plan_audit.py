@@ -157,6 +157,12 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # co-partitioned shuffle join at scale; AQE broadcasts the
           # customer side when measured small):
           "stats_g_test_independence": 1,
+          # Kruskal-Wallis: the midrank join (segment-value counts ⋈
+          # value-grain midranks on the cents value) is big-big when
+          # the value domain approaches row count — a value-keyed
+          # shuffle join IS the scale plan (same class as the G-test
+          # orders ⋈ customer; AQE broadcasts when measured small):
+          "stats_kruskal_wallis": 1,
           # recall eval: the probe-cell candidate join meets the
           # corpus-sized assignment frame — big-big on a 100 TB
           # corpus, shuffle join IS the plan (broadcast hint on the
@@ -283,6 +289,12 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # decile agg + sort — every exchange past the user agg
                # carries partition- or decile-grain rows:
                "ab_test_uplift_qini": 6,
+               # Kruskal-Wallis: the base join, two value-grain
+               # count aggs, the two-phase cumulative's range
+               # repartition + offsets aggs, the midrank join, and
+               # the 5-row rank-sum agg — every exchange past the
+               # base join carries value-grain or segment-grain rows:
+               "stats_kruskal_wallis": 8,
                # BM25: token explode feeds the doc-length agg and the
                # term-filtered tf agg separately (the postings frame
                # must not widen the dl count), then df/stats/scored
