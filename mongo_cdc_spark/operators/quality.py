@@ -3842,7 +3842,7 @@ def stats_pinball_quantile_eval(spark: SparkSession,
                  ELSE 0 END), 6) AS g_stat,
            ROUND(2 * SUM(CASE WHEN n > 0 THEN
                    n * ln(n / (row_tot * col_tot / (grand * 1e0)))
-                 ELSE 0 END), 6) > 9.488 AS reject_05
+                 ELSE 0 END), 6) > 26.296 AS reject_05
     FROM m
 """)
 def stats_g_test_independence(spark: SparkSession,
@@ -3854,8 +3854,13 @@ def stats_g_test_independence(spark: SparkSession,
     decomposes exactly; Pearson's X^2 does not). Zero-observation
     cells contribute 0 to G (lim x->0 of x ln x) but still shape the
     expected counts through the margins; the rounded statistic
-    compares against the df=4 95% critical value 9.488, mirroring
-    stats_chi_square_independence's contingency machinery.
+    compares against the df=16 95% critical value 26.296 — this
+    fixture's contingency is 5 segments x 5 priorities, so dof =
+    (5-1)(5-1) = 16 (the chi-square twin asserts dof == 16), unlike
+    stats_kruskal_wallis whose genuine df=4 uses 9.488. The pytest
+    reference derives the threshold from the computed dof so a
+    fixture-shape change fails loudly instead of silently testing
+    the wrong distribution.
 
     Scale: one map-side-combined (seg, prio) count — the only
     data-grain stage; margins and the statistic run on the bounded
@@ -3887,7 +3892,7 @@ def stats_g_test_independence(spark: SparkSession,
         ((F.countDistinct("seg") - 1)
          * (F.countDistinct("prio") - 1)).cast("int").alias("dof"),
         F.round(2 * F.sum(term), 6).alias("g_stat"),
-        (F.round(2 * F.sum(term), 6) > 9.488).alias("reject_05"))
+        (F.round(2 * F.sum(term), 6) > 26.296).alias("reject_05"))
 
 
 # ------------------------------------------------ Qini uplift curve
@@ -3899,6 +3904,7 @@ _QINI_BUCKETS = 10
     WITH peru0 AS (
       SELECT user_id,
              md5(CAST(user_id AS VARCHAR)) AS h,
+             md5('rk:' || CAST(user_id AS VARCHAR)) AS hr,
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                AS score,
              SUM(CASE WHEN event_type = 'purchase'
@@ -3909,12 +3915,12 @@ _QINI_BUCKETS = 10
       SELECT ROUND(quantile_cont(CAST(spend AS DOUBLE), 0.5), 4) AS m
       FROM peru0
     ), peru AS (
-      SELECT user_id, h, score,
+      SELECT user_id, h, hr, score,
              CASE WHEN spend > med.m THEN 1 ELSE 0 END AS conv
       FROM peru0, med
     ), ranked AS (
       SELECT *,
-             ROW_NUMBER() OVER (ORDER BY score DESC, h) AS rk,
+             ROW_NUMBER() OVER (ORDER BY score DESC, hr) AS rk,
              COUNT(*) OVER () AS n
       FROM peru
     ), bucketed AS (
@@ -3958,7 +3964,13 @@ def ab_test_uplift_qini(spark: SparkSession,
     uplift/targeting models (a random scorer's curve is a straight
     line to the endpoint; the endpoint is the overall incremental
     lift). Variant assignment reuses the repo's md5 hash-split
-    convention (first hex < '8' = control).
+    convention (first hex < '8' = control); the score tie-break uses
+    a SALTED hash md5('rk:' || user_id), deliberately distinct from
+    the assignment hash — tie-breaking on the assignment hash itself
+    would deterministically rank control users ahead of treatment
+    within every tied-score run (click counts tie heavily), skewing
+    decile composition for a metric that assumes ranking is
+    independent of assignment.
 
     Scale: one user-grain partial agg; the global rank runs through
     _twophase.with_global_order (range repartition + per-partition
@@ -3979,15 +3991,18 @@ def ab_test_uplift_qini(spark: SparkSession,
                                 .cast("bigint")).otherwise(0))
                    / 100.0).alias("spend"))
              .withColumn("h", F.md5(F.col("user_id").cast("string")))
+             .withColumn("hr", F.md5(F.concat(
+                 F.lit("rk:"), F.col("user_id").cast("string"))))
              .localCheckpoint(eager=False))
     med = exact_quantiles(peru0, "spend", {"m": 0.5}, ["user_id"])
     peru = (peru0.crossJoin(F.broadcast(
         med.select(F.round("m", 4).alias("m"))))
-        .select("user_id", "h", "score",
+        .select("user_id", "h", "hr", "score",
                 F.when(F.col("spend") > F.col("m"), 1).otherwise(0)
                 .alias("conv")))
     ranked = with_global_order(
-        peru, [F.col("score").desc(), F.col("h").asc()], rank_col="rk")
+        peru, [F.col("score").desc(), F.col("hr").asc()],
+        rank_col="rk")
     n = peru.agg(F.count(F.lit(1)).alias("n"))
     decile = (F.floor((F.col("rk") - 1) * F.lit(float(_QINI_BUCKETS))
                       / F.col("n")).cast("bigint") + 1).alias("decile")

@@ -294,10 +294,12 @@ def test_mor_apply_read_lifecycle(spark, tmp_path: Path):
     assert not (t / "base").exists()
     assert _mor_state(spark, t) == {"a": '{"v":10}', "c": '{"v":3}'}
 
-    # compaction folds delta+dv into base and clears them
+    # compaction folds delta+dv into a fresh VERSIONED base (base-1;
+    # the _SUCCESS marker is the commit point) and clears the logs
     stats = compact_merge_on_read(spark, str(t))
     assert stats["rows"] == 2
-    assert (t / "base").exists()
+    assert stats["base_dir"] == "base-1"
+    assert (t / "base-1" / "_SUCCESS").exists()
     assert not (t / "delta").exists() and not (t / "dv").exists()
     assert _mor_state(spark, t) == {"a": '{"v":10}', "c": '{"v":3}'}
 
@@ -399,3 +401,69 @@ def test_mor_time_travel_as_of(spark, tmp_path: Path):
     assert _at(2) == {"a": '{"v":9}'}
     # as_of at the newest commit equals the plain (latest) read
     assert _at(2) == _mor_state(spark, t)
+
+
+def test_mor_crashed_compaction_dir_is_ignored(spark, tmp_path: Path):
+    """A base-N dir WITHOUT its _SUCCESS marker (compaction crashed
+    mid-write) must be invisible: reads resolve from the previous
+    committed base, and the next compaction claims a fresh version."""
+    from mongo_cdc_spark.cdc.apply import (compact_merge_on_read,
+                                           merge_on_read_apply)
+
+    t = tmp_path / "mor_crash"
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("a", doc='{"v":1}', rt="r1"),
+    ]), batch_seq=0)
+    stats = compact_merge_on_read(spark, str(t))
+    assert stats["base_dir"] == "base-1"
+
+    # simulate a compaction that died mid-write: partial dir, no marker
+    fake = t / "base-2" / "bucket=0"
+    fake.mkdir(parents=True)
+    (fake / "part-00000.parquet").write_bytes(b"torn")
+    assert _mor_state(spark, t) == {"a": '{"v":1}'}  # still base-1
+
+    # the next commit + compaction supersede it with a committed base-3
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("b", doc='{"v":2}', ts="2024-11-08T00:00:09Z", rt="r2"),
+    ]), batch_seq=1)
+    stats = compact_merge_on_read(spark, str(t))
+    # version counter moves past the torn dir's number iff the torn
+    # dir is older; either way the new dir is committed and readable
+    assert (t / stats["base_dir"] / "_SUCCESS").exists()
+    assert _mor_state(spark, t) == {"a": '{"v":1}', "b": '{"v":2}'}
+
+
+def test_mor_torn_commit_heals_on_replay(spark, tmp_path: Path):
+    """dv written, delta not (crash between the two appends): interim
+    reads UNDER-report the touched keys — never duplicate them — and
+    the checkpointed replay of the same batch_seq restores them."""
+    from mongo_cdc_spark.cdc.apply import merge_on_read_apply
+
+    t = tmp_path / "mor_torn"
+    merge_on_read_apply(spark, str(t), _events_df(spark, [
+        _ev("a", doc='{"v":1}', rt="r1"),
+        _ev("b", doc='{"v":2}', rt="r2"),
+    ]), batch_seq=0)
+    from mongo_cdc_spark.cdc.apply import compact_merge_on_read
+    compact_merge_on_read(spark, str(t))
+
+    # torn batch 1: ONLY the dv append lands (update a)
+    ev = _events_df(spark, [_ev("a", op="update", doc='{"v":9}',
+                                ts="2024-11-08T00:00:09Z", rt="r3")])
+    from mongo_cdc_spark.cdc.apply import latest_change_per_key
+    from pyspark.sql import functions as SF
+    torn = latest_change_per_key(ev).select(
+        SF.col("documentKey._id").alias("doc_key"),
+        SF.lit(1).cast("long").alias("seq"),
+        SF.pmod(SF.xxhash64(SF.col("documentKey._id")),
+                SF.lit(16)).cast("int").alias("bucket"))
+    torn.write.mode("append").parquet(str(t / "dv"))
+
+    # interim: 'a' masked pending replay (under-report, no duplicate)
+    state = _mor_state(spark, t)
+    assert state == {"b": '{"v":2}'}
+
+    # replay of the SAME batch completes both appends; dedup collapses
+    merge_on_read_apply(spark, str(t), ev, batch_seq=1)
+    assert _mor_state(spark, t) == {"a": '{"v":9}', "b": '{"v":2}'}

@@ -1195,9 +1195,14 @@ def test_g_test_matches_python_reference(spark, sf_dir):
                 for s in segs for p in prios if obs.get((s, p), 0) > 0)
     got = stats_g_test_independence(spark, sf_dir).collect()[0]
     assert got["n"] == n
-    assert got["dof"] == (len(segs) - 1) * (len(prios) - 1)
+    dof = (len(segs) - 1) * (len(prios) - 1)
+    assert got["dof"] == dof
+    # Threshold must match the ACTUAL dof of the contingency — the
+    # operator hardcodes 26.296 (df=16, the 5x5 fixture); derive it
+    # here so a fixture-shape change fails loudly.
+    crit = {4: 9.488, 16: 26.296}[dof]
     assert got["g_stat"] == round(g, 6)
-    assert got["reject_05"] == (round(g, 6) > 9.488)
+    assert got["reject_05"] == (round(g, 6) > crit)
 
 
 def test_qini_matches_python_reference(spark, sf_dir):
@@ -1226,12 +1231,15 @@ def test_qini_matches_python_reference(spark, sf_dir):
     lo = int(pos)
     m = round(sp[lo] + (pos - lo) * (sp[min(lo + 1, len(sp) - 1)]
                                      - sp[lo]), 4)
+    # Tie-break on the SALTED rank hash (rk:<user>), NOT the
+    # assignment hash — ranking must be independent of treatment.
     rows = sorted(
-        ((score[u], hashlib.md5(str(u).encode()).hexdigest(), u)
-         for u in users), key=lambda t: (-t[0], t[1]))
+        ((score[u], hashlib.md5(str(u).encode()).hexdigest(),
+          hashlib.md5(f"rk:{u}".encode()).hexdigest(), u)
+         for u in users), key=lambda t: (-t[0], t[2]))
     n = len(rows)
     cum = defaultdict(lambda: [0, 0, 0, 0])  # nt nc ct cc per decile
-    for rk, (s, h, u) in enumerate(rows, 1):
+    for rk, (s, h, hr, u) in enumerate(rows, 1):
         d = (rk - 1) * _QINI_BUCKETS // n + 1
         t = 0 if h[0] < "8" else 1
         conv = 1 if spend[u] > m else 0

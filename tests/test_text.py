@@ -341,7 +341,11 @@ def test_bm25_matches_python_reference(spark, sf_dir):
                                                 _BM25_QUERY, _BM25_TOPK,
                                                 search_bm25_topk)
 
-    docs = {r["doc_id"]: r["text"].split()
+    # re.split(r"\s+") WITHOUT filtering matches F.split semantics
+    # (keeps empty edge tokens) — str.split() would silently diverge
+    # on dlen/avgdl if the fixture ever gained edge whitespace.
+    import re
+    docs = {r["doc_id"]: re.split(r"\s+", r["text"])
             for r in load_table(spark, sf_dir, "documents").collect()}
     n_docs = len(docs)
     avgdl = sum(len(w) for w in docs.values()) / n_docs
@@ -380,9 +384,11 @@ def test_textrank_matches_python_reference(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select(
         "text").collect()
+    import re
     wt = defaultdict(int)
     for d in docs:
-        w = d["text"].split()
+        # \s+ split keeping empty edge tokens = F.split semantics.
+        w = re.split(r"\s+", d["text"])
         for a, b in zip(w, w[1:]):
             if a != b:
                 wt[(a, b)] += 1
