@@ -212,21 +212,29 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("quality_reconcile_order_totals", sql="""
     WITH li AS (
         SELECT l_orderkey,
-               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                   AS computed
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+                   AS computed_u
         FROM lineitem GROUP BY l_orderkey
     ), per_order AS (
-        SELECT o.o_orderstatus, o.o_totalprice, li.computed,
-               ABS(o.o_totalprice - li.computed) AS adiff
+        SELECT o.o_orderstatus,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000
+                 AS total_u,
+               li.computed_u,
+               ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000
+                   - li.computed_u) AS adiff_u
         FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           COUNT(CASE WHEN computed IS NULL THEN 1 END) AS n_no_lineitems,
-           COUNT(CASE WHEN adiff <= 0.01 * o_totalprice THEN 1 END)
+           COUNT(CASE WHEN computed_u IS NULL THEN 1 END)
+               AS n_no_lineitems,
+           COUNT(CASE WHEN adiff_u * 100 <= total_u THEN 1 END)
                AS n_within_1pct,
-           ROUND(AVG(adiff), 2) AS avg_abs_diff,
-           ROUND(MAX(adiff), 2) AS max_abs_diff
+           ROUND(CAST(SUM(adiff_u) AS DOUBLE) / 1e6
+                 / COUNT(adiff_u), 2) AS avg_abs_diff,
+           ROUND(CAST(MAX(adiff_u) AS DOUBLE) / 1e6, 2) AS max_abs_diff
     FROM per_order GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)
 def quality_reconcile_order_totals(spark: SparkSession,
@@ -242,28 +250,39 @@ def quality_reconcile_order_totals(spark: SparkSession,
     partial combine collapses each order's lines before the shuffle)
     + ONE key join against the header table — co-partitioned on the
     order key if both sides are bucketed, and the final per-status
-    report is a 3-row aggregate. Sums stay raw doubles until the
-    final ROUND (round-then-sum diverges across engines)."""
+    report is a 3-row aggregate. All money flows as EXACT integer
+    1e-6-dollar units (price cents x 2-dp discount/tax hundredths),
+    so the 1% tolerance is an integer compare and the avg/max
+    differences are exact sums divided once — no double-summation
+    order can move a 2-dp rounding."""
     orders = load_table(spark, sf_dir, "orders")
     li = (load_table(spark, sf_dir, "lineitem")
           .groupBy("l_orderkey")
-          .agg(F.sum(F.col("l_extendedprice")
-                     * (1 - F.col("l_discount"))
-                     * (1 + F.col("l_tax"))).alias("computed")))
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                     .cast("bigint")
+                     * (100 - F.round(F.col("l_discount") * 100)
+                        .cast("bigint"))
+                     * (100 + F.round(F.col("l_tax") * 100)
+                        .cast("bigint"))).alias("computed_u")))
+    total_u = F.round(F.col("o_totalprice") * 100).cast("bigint") \
+        * 10000
     per_order = (orders
                  .join(li, orders.o_orderkey == li.l_orderkey, "left")
-                 .select("o_orderstatus", "o_totalprice", "computed",
-                         F.abs(F.col("o_totalprice") - F.col("computed"))
-                          .alias("adiff")))
+                 .select("o_orderstatus", total_u.alias("total_u"),
+                         "computed_u",
+                         F.abs(total_u - F.col("computed_u"))
+                         .alias("adiff_u")))
     return (per_order.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.count(F.when(F.col("computed").isNull(), 1))
+                 F.count(F.when(F.col("computed_u").isNull(), 1))
                   .alias("n_no_lineitems"),
-                 F.count(F.when(F.col("adiff")
-                                <= 0.01 * F.col("o_totalprice"), 1))
+                 F.count(F.when(F.col("adiff_u") * 100
+                                <= F.col("total_u"), 1))
                   .alias("n_within_1pct"),
-                 F.round(F.avg("adiff"), 2).alias("avg_abs_diff"),
-                 F.round(F.max("adiff"), 2).alias("max_abs_diff"))
+                 F.round(F.sum("adiff_u").cast("double") / 1e6
+                         / F.count("adiff_u"), 2).alias("avg_abs_diff"),
+                 F.round(F.max("adiff_u").cast("double") / 1e6, 2)
+                 .alias("max_abs_diff"))
             .orderBy("o_orderstatus"))
 
 
@@ -364,7 +383,8 @@ DRIFT_SPLIT_DAY = 15  # Jan 1-15 = reference window, Jan 16+ = current
       FROM events
     ), per AS (
       SELECT half, event_type, COUNT(*) AS n,
-             ROUND(AVG(value), 6) AS mean_v
+             ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 / COUNT(*), 6) AS mean_v
       FROM tagged GROUP BY 1, 2
     ), tot AS (
       SELECT half, SUM(n) AS nt FROM per GROUP BY 1
@@ -414,17 +434,21 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.select(
         F.when(is_ref, F.lit("ref")).otherwise(F.lit("cur"))
         .alias("half"), "event_type", "value")
-    ref_v = F.when(F.col("half") == "ref", F.col("value"))
-    cur_v = F.when(F.col("half") == "cur", F.col("value"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ref_c = F.when(F.col("half") == "ref", cents)
+    cur_c = F.when(F.col("half") == "cur", cents)
     # row counts via when(cond, 1) — robust to null values (COUNT(*)
     # semantics per window, matching the oracle's per-window GROUP BY)
     ref_1 = F.when(F.col("half") == "ref", F.lit(1))
     cur_1 = F.when(F.col("half") == "cur", F.lit(1))
+    # exact-cents means: integer sum to the final grain, divide once
     per = (tagged.groupBy("event_type")
            .agg(F.count(ref_1).alias("n_ref"),
                 F.count(cur_1).alias("n_cur"),
-                F.round(F.avg(ref_v), 6).alias("mean_ref"),
-                F.round(F.avg(cur_v), 6).alias("mean_cur")))
+                F.round(F.sum(ref_c).cast("double") / 100.0
+                        / F.count(ref_1), 6).alias("mean_ref"),
+                F.round(F.sum(cur_c).cast("double") / 100.0
+                        / F.count(cur_1), 6).alias("mean_cur")))
     tot = tagged.agg(
         F.count(ref_1).alias("nt_ref"), F.count(cur_1).alias("nt_cur"))
     sr = F.col("n_ref") / F.col("nt_ref")
@@ -726,7 +750,9 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_clip_low,
            CAST(SUM(CASE WHEN c.c_acctbal > t.p95 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clip_high,
-           ROUND(AVG(GREATEST(t.p05, LEAST(t.p95, c.c_acctbal))), 6)
+           ROUND(CAST(SUM(CAST(ROUND(
+                    GREATEST(t.p05, LEAST(t.p95, c.c_acctbal)) * 10000)
+                    AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*), 6)
              AS winsor_mean,
            ROUND(MAX(t.p50), 4) AS median,
            ROUND(MAX(t.p75) - MAX(t.p25), 4) AS iqr
@@ -773,7 +799,12 @@ def feature_winsorized_scale(spark: SparkSession,
                  F.sum(F.when(F.col("c_acctbal") > F.col("p95"), 1)
                        .otherwise(0)).cast("bigint")
                  .alias("n_clip_high"),
-                 F.round(F.avg(wx), 6).alias("winsor_mean"),
+                 # winsorized values live on a 1e-4 grid (2-dp money
+                 # clipped at 4-dp cuts) — sum exact tenth-milli
+                 # units, divide once
+                 F.round(F.sum(F.round(wx * 10000).cast("bigint"))
+                         .cast("double") / 1e4 / F.count(F.lit(1)), 6)
+                 .alias("winsor_mean"),
                  F.round(F.max("p50"), 4).alias("median"),
                  F.round(F.max("p75") - F.max("p25"), 4).alias("iqr"))
             .orderBy("c_mktsegment"))
@@ -1337,23 +1368,33 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("feature_target_encode_loo", sql="""
     WITH seg AS (
       SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
-             o.o_totalprice AS x
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS xc
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ), st AS (
-      SELECT segment, SUM(x) AS s, COUNT(*) AS n
+      SELECT segment, SUM(xc) AS s, COUNT(*) AS n
       FROM seg GROUP BY 1
-    ), enc AS (
-      SELECT seg.segment, seg.priority,
-             (st.s - seg.x) / (st.n - 1) AS loo
-      FROM seg JOIN st ON st.segment = seg.segment
+    ), cell AS (
+      SELECT segment, priority, COUNT(*) AS m,
+             SUM(xc) AS sx,
+             SUM(CAST(xc AS HUGEINT) * xc) AS sx2,
+             MIN(xc) AS mn, MAX(xc) AS mx
+      FROM seg GROUP BY 1, 2
     )
-    SELECT segment, priority,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(loo), 6) AS enc_mean,
-           ROUND(STDDEV_SAMP(loo), 6) AS enc_std,
-           ROUND(MIN(loo), 6) AS enc_min,
-           ROUND(MAX(loo), 6) AS enc_max
-    FROM enc GROUP BY 1, 2 ORDER BY 1, 2
+    SELECT cell.segment, cell.priority,
+           CAST(cell.m AS BIGINT) AS n,
+           ROUND(CAST(cell.m * st.s - cell.sx AS DOUBLE)
+                 / (st.n - 1) / cell.m / 100.0, 6) AS enc_mean,
+           ROUND(SQRT((CAST(cell.sx2 AS DOUBLE)
+                       - CAST(cell.sx AS DOUBLE)
+                         * CAST(cell.sx AS DOUBLE) / cell.m)
+                      / (cell.m - 1))
+                 / (st.n - 1) / 100.0, 6) AS enc_std,
+           ROUND(CAST(st.s - cell.mx AS DOUBLE)
+                 / (st.n - 1) / 100.0, 6) AS enc_min,
+           ROUND(CAST(st.s - cell.mn AS DOUBLE)
+                 / (st.n - 1) / 100.0, 6) AS enc_max
+    FROM cell JOIN st ON st.segment = cell.segment
+    ORDER BY 1, 2
 """)
 def feature_target_encode_loo(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1367,29 +1408,48 @@ def feature_target_encode_loo(spark: SparkSession,
     cell, which is what a feature-store validation job pins.
 
     Plan: the LOO closed form is what makes this scale — no
-    per-row "all other rows" self-join ever materializes. One
-    key-hash shuffle join (orders->customer, both sides data-grain),
-    one segment-grain aggregate whose ~5-row (sum, count) frame
-    broadcasts back, then a row-local subtraction and a final
-    map-side-combinable rollup. Sums stay UNROUNDED until the final
-    6-dp emit on both engines."""
+    per-row "all other rows" self-join ever materializes, and the
+    per-row encodings themselves never do either: every reported
+    moment of loo = (S_seg - x)/(n_seg - 1) is cell-grain algebra on
+    EXACT integer-cents sums (sum loo over a cell = (m*S - sum x),
+    sd(loo) = sd(x)/(n-1), min/max from the cell's max/min cents),
+    divided once at the end — so the 6-dp roundings cannot flip on
+    double summation order. One key-hash shuffle join, one
+    segment-grain and one cell-grain aggregate, bounded frames
+    joined at the end."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
     seg = (o.join(c, o.o_custkey == c.c_custkey)
            .select(F.col("c_mktsegment").alias("segment"),
                    F.col("o_orderpriority").alias("priority"),
-                   F.col("o_totalprice").alias("x")))
-    st = seg.groupBy("segment").agg(F.sum("x").alias("s"),
-                                    F.count(F.lit(1)).alias("n"))
-    enc = (seg.join(F.broadcast(st), "segment")
-           .withColumn("loo", (F.col("s") - F.col("x"))
-                       / (F.col("n") - 1)))
-    return (enc.groupBy("segment", "priority")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                 F.round(F.avg("loo"), 6).alias("enc_mean"),
-                 F.round(F.stddev_samp("loo"), 6).alias("enc_std"),
-                 F.round(F.min("loo"), 6).alias("enc_min"),
-                 F.round(F.max("loo"), 6).alias("enc_max"))
+                   F.round(F.col("o_totalprice") * 100).cast("bigint")
+                   .alias("xc")))
+    st = seg.groupBy("segment").agg(
+        F.sum(F.col("xc").cast(dec)).alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    cell = seg.groupBy("segment", "priority").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("xc").cast(dec)).alias("sx"),
+        F.sum((F.col("xc") * F.col("xc")).cast(dec)).alias("sx2"),
+        F.min("xc").alias("mn"), F.max("xc").alias("mx"))
+    n1 = F.col("n") - 1
+    sx_d = F.col("sx").cast("double")
+    return (cell.join(F.broadcast(st), "segment")
+            .select(
+                "segment", "priority",
+                F.col("m").cast("bigint").alias("n"),
+                F.round((F.col("m").cast(dec) * F.col("s")
+                         - F.col("sx")).cast("double")
+                        / n1 / F.col("m") / 100.0, 6).alias("enc_mean"),
+                F.round(F.sqrt((F.col("sx2").cast("double")
+                                - sx_d * sx_d / F.col("m"))
+                               / (F.col("m") - 1))
+                        / n1 / 100.0, 6).alias("enc_std"),
+                F.round((F.col("s") - F.col("mx")).cast("double")
+                        / n1 / 100.0, 6).alias("enc_min"),
+                F.round((F.col("s") - F.col("mn")).cast("double")
+                        / n1 / 100.0, 6).alias("enc_max"))
             .orderBy("segment", "priority"))
 
 
@@ -1398,33 +1458,47 @@ _BOOT_REPS = 64
 
 @query("stats_bootstrap_subsample_ci", sql=f"""
     WITH h AS (
-      SELECT o_totalprice,
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc,
              ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
                AS hi,
              ('0x' || substr(md5(o_orderkey::VARCHAR), 9, 8))::BIGINT
                AS lo
       FROM orders
     ), r AS (
-      SELECT b.b, h.o_totalprice
+      SELECT b.b, h.xc
       FROM h, generate_series(0, {_BOOT_REPS - 1}) b(b)
       WHERE CASE WHEN b.b < 32 THEN (h.hi >> b.b) & 1
                  ELSE (h.lo >> (b.b - 32)) & 1 END = 1
     ), rm AS (
-      SELECT b, ROUND(AVG(o_totalprice), 6) AS m FROM r GROUP BY 1
+      SELECT b,
+             ROUND(CAST(SUM(xc) AS DOUBLE) / 100.0 / COUNT(*), 6) AS m
+      FROM r GROUP BY 1
     ), f AS (
-      SELECT AVG(o_totalprice) AS fm FROM orders
+      SELECT CAST(SUM(xc) AS DOUBLE) / 100.0 / COUNT(*) AS fm FROM h
+    ), u AS (
+      SELECT m, CAST(ROUND(m * 1e6) AS BIGINT) AS um FROM rm
+    ), sd AS (
+      SELECT COUNT(*) AS nb,
+             CAST(SUM(um) AS DOUBLE) AS su,
+             CAST(SUM(CAST(um AS HUGEINT) * um) AS DOUBLE) AS su2,
+             quantile_cont(m, 0.025) AS q025r,
+             quantile_cont(m, 0.975) AS q975r
+      FROM u
     )
     SELECT CAST({_BOOT_REPS} AS INT) AS n_replicas,
            ROUND(f.fm, 6) AS full_mean,
-           ROUND(AVG(rm.m), 6) AS boot_mean,
-           ROUND(STDDEV_SAMP(rm.m), 6) AS replica_sd,
-           ROUND(quantile_cont(rm.m, 0.025), 6) AS q025,
-           ROUND(quantile_cont(rm.m, 0.975), 6) AS q975,
-           ROUND(f.fm - 1.96 * STDDEV_SAMP(rm.m) / SQRT(2), 6)
-             AS ci_lo,
-           ROUND(f.fm + 1.96 * STDDEV_SAMP(rm.m) / SQRT(2), 6)
-             AS ci_hi
-    FROM rm CROSS JOIN f GROUP BY f.fm
+           ROUND(sd.su / 1e6 / sd.nb, 6) AS boot_mean,
+           ROUND(SQRT((sd.su2 - sd.su * sd.su / sd.nb)
+                      / (sd.nb - 1)) / 1e6, 6) AS replica_sd,
+           ROUND(sd.q025r, 6) AS q025,
+           ROUND(sd.q975r, 6) AS q975,
+           ROUND(f.fm - 1.96 * (SQRT((sd.su2 - sd.su * sd.su / sd.nb)
+                                     / (sd.nb - 1)) / 1e6)
+                        / SQRT(2), 6) AS ci_lo,
+           ROUND(f.fm + 1.96 * (SQRT((sd.su2 - sd.su * sd.su / sd.nb)
+                                     / (sd.nb - 1)) / 1e6)
+                        / SQRT(2), 6) AS ci_hi
+    FROM sd CROSS JOIN f
 """)
 def stats_bootstrap_subsample_ci(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -1451,28 +1525,46 @@ def stats_bootstrap_subsample_ci(spark: SparkSession,
     metadata grain."""
     o = load_table(spark, sf_dir, "orders")
     h = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    dec = "decimal(38,0)"
     base = o.select(
-        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc"),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"))
-    rm = (base.select("o_totalprice", "hi", "lo",
+    # exact-cents replica means: integer sums, divided once, THEN the
+    # shared 6-dp quantization — identical doubles on both engines
+    rm = (base.select("xc", "hi", "lo",
                       F.explode(F.sequence(
                           F.lit(0), F.lit(_BOOT_REPS - 1))).alias("b"))
           .where(F.expr("CASE WHEN b < 32 THEN (hi >> b) & 1 "
                         "ELSE (lo >> (b - 32)) & 1 END = 1"))
           .groupBy("b")
-          .agg(F.round(F.avg("o_totalprice"), 6).alias("m")))
-    f = o.agg(F.avg("o_totalprice").alias("fm"))
-    half = F.stddev_samp("m") / F.sqrt(F.lit(2.0))
+          .agg(F.round(F.sum("xc").cast("double") / 100.0
+                       / F.count(F.lit(1)), 6).alias("m")))
+    f = base.agg((F.sum(F.col("xc").cast(dec)).cast("double") / 100.0
+                  / F.count(F.lit(1))).alias("fm"))
+    # replica spread from exact micro-unit moments of the quantized
+    # means (an order-dependent double stddev could flip the 6-dp
+    # roundings of replica_sd and the CI endpoints)
+    um = F.round(F.col("m") * 1e6).cast("bigint")
+    su = F.sum(um).cast("double")
+    # cast to decimal BEFORE squaring: um ~ 1e11 micro-units, so
+    # um*um (~1e22) wraps BIGINT per row, not just in the sum
+    su2 = F.sum(um.cast(dec) * um).cast("double")
+    nb = F.count(F.lit(1))
+    sd_exact = (F.sqrt((su2 - su * su / nb) / (nb - 1)) / 1e6)
     return (rm.crossJoin(F.broadcast(f))
             .groupBy("fm")
             .agg(F.lit(_BOOT_REPS).cast("int").alias("n_replicas"),
-                 F.round(F.avg("m"), 6).alias("boot_mean"),
-                 F.round(F.stddev_samp("m"), 6).alias("replica_sd"),
+                 F.round(su / 1e6 / nb, 6).alias("boot_mean"),
+                 F.round(sd_exact, 6).alias("replica_sd"),
                  F.round(F.percentile("m", 0.025), 6).alias("q025"),
                  F.round(F.percentile("m", 0.975), 6).alias("q975"),
-                 F.round(F.first("fm") - 1.96 * half, 6).alias("ci_lo"),
-                 F.round(F.first("fm") + 1.96 * half, 6).alias("ci_hi"))
+                 F.round(F.first("fm")
+                         - 1.96 * sd_exact / F.sqrt(F.lit(2.0)), 6)
+                 .alias("ci_lo"),
+                 F.round(F.first("fm")
+                         + 1.96 * sd_exact / F.sqrt(F.lit(2.0)), 6)
+                 .alias("ci_hi"))
             .select("n_replicas", F.round("fm", 6).alias("full_mean"),
                     "boot_mean", "replica_sd", "q025", "q975",
                     "ci_lo", "ci_hi"))
@@ -1483,26 +1575,28 @@ _PERM_REPS = 200
 
 @query("stats_permutation_weekend", sql=f"""
     WITH daily AS (
-      SELECT date_trunc('day', ts) AS day, SUM(value) AS tot,
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS totc,
              CASE WHEN EXTRACT(isodow FROM ts) >= 6
                   THEN 1 ELSE 0 END AS wk
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 3
     ), obs AS (
       SELECT SUM(wk) AS n_w, COUNT(*) AS n_all,
-             ROUND(SUM(CASE WHEN wk = 1 THEN tot END)
-                     * 1e0 / SUM(wk)
-                   - SUM(CASE WHEN wk = 0 THEN tot END)
-                     * 1e0 / (COUNT(*) - SUM(wk)), 6) AS d_obs
+             ROUND(CAST(SUM(CASE WHEN wk = 1 THEN totc END)
+                        AS DOUBLE) / 100.0 / SUM(wk)
+                   - CAST(SUM(CASE WHEN wk = 0 THEN totc END)
+                          AS DOUBLE) / 100.0
+                     / (COUNT(*) - SUM(wk)), 6) AS d_obs
       FROM daily
     ), keyed AS (
-      SELECT b.b, d.day, d.tot,
+      SELECT b.b, d.day, d.totc,
              ('0x' || substr(md5(strftime(d.day, '%Y-%m-%d') || '_'
                                  || b.b::VARCHAR), 1, 12))::BIGINT
                AS hk
       FROM daily d, generate_series(1, {_PERM_REPS}) b(b)
     ), lab AS (
-      SELECT b, tot,
+      SELECT b, totc,
              CASE WHEN ROW_NUMBER() OVER (PARTITION BY b
                                           ORDER BY hk, day)
                        <= (SELECT n_w FROM obs)
@@ -1510,22 +1604,30 @@ _PERM_REPS = 200
       FROM keyed
     ), stat AS (
       SELECT b,
-             ROUND(SUM(CASE WHEN wk = 1 THEN tot END)
-                     * 1e0 / SUM(wk)
-                   - SUM(CASE WHEN wk = 0 THEN tot END)
-                     * 1e0 / (COUNT(*) - SUM(wk)), 6) AS d
+             ROUND(CAST(SUM(CASE WHEN wk = 1 THEN totc END)
+                        AS DOUBLE) / 100.0 / SUM(wk)
+                   - CAST(SUM(CASE WHEN wk = 0 THEN totc END)
+                          AS DOUBLE) / 100.0
+                     / (COUNT(*) - SUM(wk)), 6) AS d
       FROM lab GROUP BY b
+    ), u AS (
+      SELECT d, CAST(ROUND(d * 1e6) AS BIGINT) AS ud FROM stat
     )
     SELECT CAST(o.n_all AS INT) AS n_days,
            CAST(o.n_w AS INT) AS n_weekend,
            CAST({_PERM_REPS} AS INT) AS n_perms,
            o.d_obs AS obs_diff,
-           ROUND(AVG(s.d), 6) AS perm_mean,
-           ROUND(STDDEV_SAMP(s.d), 6) AS perm_sd,
-           ROUND((1 + SUM(CASE WHEN ABS(s.d) >= ABS(o.d_obs)
+           ROUND(CAST(SUM(u.ud) AS DOUBLE) / 1e6 / COUNT(*), 6)
+             AS perm_mean,
+           ROUND(SQRT((CAST(SUM(CAST(u.ud AS HUGEINT) * u.ud)
+                            AS DOUBLE)
+                       - CAST(SUM(u.ud) AS DOUBLE)
+                         * CAST(SUM(u.ud) AS DOUBLE) / COUNT(*))
+                      / (COUNT(*) - 1)) / 1e6, 6) AS perm_sd,
+           ROUND((1 + SUM(CASE WHEN ABS(u.d) >= ABS(o.d_obs)
                                THEN 1 ELSE 0 END))
                  * 1e0 / ({_PERM_REPS} + 1), 6) AS p_value
-    FROM stat s CROSS JOIN obs o
+    FROM u CROSS JOIN obs o
     GROUP BY o.n_all, o.n_w, o.d_obs
 """)
 def stats_permutation_weekend(spark: SparkSession,
@@ -1542,21 +1644,26 @@ def stats_permutation_weekend(spark: SparkSession,
     Plan: the data-sized stage is ONE daily rollup; the permutation
     universe is (days x {_PERM_REPS}) — calendar-bounded, never
     data-bounded — and each replica's rank window partitions BY
-    REPLICA over day rows only. Every compared statistic rounds to
-    6 dp on both engines BEFORE the >= extremity comparison, so a
-    permutation can't flip sides on an ulp. Seedless md5 keys make
-    the 'random' permutations bit-reproducible on both engines."""
+    REPLICA over day rows only. Day totals are EXACT integer cents
+    and every mean is an exact sum divided once, so each replica's d
+    is the identical double on both engines; compared statistics
+    additionally round to 6 dp BEFORE the >= extremity comparison,
+    and the replica ensemble's mean/sd run on exact micro-units of
+    the quantized d's. Seedless md5 keys make the 'random'
+    permutations bit-reproducible on both engines."""
     from pyspark.sql import Window as W
 
     daily = (load_table(spark, sf_dir, "events")
              .where(F.col("event_type") == "purchase")
              .groupBy(F.date_trunc("day", "ts").alias("day"),
                       (F.weekday("ts") >= 5).cast("int").alias("wk"))
-             .agg(F.sum("value").alias("tot"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("totc"))
              .localCheckpoint(eager=False))
-    d_of = (F.sum(F.when(F.col("wk") == 1, F.col("tot"))) * 1.0
-            / F.sum("wk")
-            - F.sum(F.when(F.col("wk") == 0, F.col("tot"))) * 1.0
+    d_of = (F.sum(F.when(F.col("wk") == 1, F.col("totc")))
+            .cast("double") / 100.0 / F.sum("wk")
+            - F.sum(F.when(F.col("wk") == 0, F.col("totc")))
+            .cast("double") / 100.0
             / (F.count(F.lit(1)) - F.sum("wk")))
     obs = daily.agg(F.sum("wk").alias("n_w"),
                     F.count(F.lit(1)).alias("n_all"),
@@ -1566,7 +1673,7 @@ def stats_permutation_weekend(spark: SparkSession,
         F.col("b").cast("string")).cast("binary")), 1, 12),
         16, 10).cast("long")
     keyed = (daily.select(
-        "day", "tot",
+        "day", "totc",
         F.explode(F.sequence(F.lit(1),
                              F.lit(_PERM_REPS))).alias("b"))
         .withColumn("hk", hk)
@@ -1576,10 +1683,17 @@ def stats_permutation_weekend(spark: SparkSession,
                                    .orderBy("hk", "day"))
                <= F.col("n_w")).cast("int"))
     stat = lab.groupBy("b").agg(F.round(d_of, 6).alias("d"))
+    ud = F.round(F.col("d") * 1e6).cast("bigint")
+    sud = F.sum(ud).cast("double")
+    # decimal BEFORE squaring — ud*ud can wrap BIGINT per row
+    sud2 = F.sum(ud.cast("decimal(38,0)") * ud).cast("double")
+    nperm = F.count(F.lit(1))
     return (stat.crossJoin(F.broadcast(obs))
             .groupBy("n_all", "n_w", "d_obs")
-            .agg(F.round(F.avg("d"), 6).alias("perm_mean"),
-                 F.round(F.stddev_samp("d"), 6).alias("perm_sd"),
+            .agg(F.round(sud / 1e6 / nperm, 6).alias("perm_mean"),
+                 F.round(F.sqrt((sud2 - sud * sud / nperm)
+                                / (nperm - 1)) / 1e6, 6)
+                 .alias("perm_sd"),
                  F.round((1 + F.sum(
                      (F.abs(F.col("d")) >= F.abs(F.col("d_obs")))
                      .cast("int"))) * 1.0 / (_PERM_REPS + 1), 6)

@@ -39,41 +39,77 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------- TPC-H-ish
 @query("q1_pricing_summary", sql="""
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d100,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS t100
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 6)                                    AS avg_disc,
-           COUNT(*)                                                     AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2)
+             AS sum_base_price,
+           ROUND(CAST(SUM(cents * (100 - d100)) AS DOUBLE) / 1e4, 2)
+             AS sum_disc_price,
+           ROUND(CAST(SUM(cents * (100 - d100) * (100 + t100))
+                      AS DOUBLE) / 1e6, 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*), 4)
+             AS avg_price,
+           ROUND(CAST(SUM(d100) AS DOUBLE) / 100.0 / COUNT(*), 6)
+             AS avg_disc,
+           COUNT(*) AS count_order
+    FROM l
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan → filter (parquet-pushed) → hash agg.
 
+    Money columns aggregate EXACT INTEGER sub-units to the final
+    grain, divided once (prices in cents, 2-dp discount/tax as
+    integer hundredths; disc_price in 1e-4, charge in 1e-6 units) —
+    an order-dependent double sum feeding a fixed-dp rounding of
+    money can flip a half-edge between runs, and cents are exactly
+    representable so there is no reason to pay that risk. Quantity
+    is integer-valued in the fixture, so its double sum is already
+    exact. The charge accumulator is decimal(38,0): per-row units
+    reach ~2e11, so a BIGINT sum would wrap near 5e7 rows.
+
     Scale: one shuffle on (returnflag, linestatus) — 6 groups, with
     map-side partial aggregation the shuffle carries 6 rows per task
     regardless of input size. Survives 100 TB trivially.
     """
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    d100 = F.round(F.col("l_discount") * 100).cast("bigint")
+    t100 = F.round(F.col("l_tax") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+                cents.alias("cents"), d100.alias("d100"),
+                t100.alias("t100"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("cents").cast(dec)).cast("double")
+                    / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum((F.col("cents") * (100 - F.col("d100")))
+                          .cast(dec)).cast("double") / 1e4, 2)
+            .alias("sum_disc_price"),
+            F.round(F.sum((F.col("cents") * (100 - F.col("d100"))
+                           * (100 + F.col("t100"))).cast(dec))
+                    .cast("double") / 1e6, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(F.col("cents").cast(dec)).cast("double")
+                    / 100.0 / n, 4).alias("avg_price"),
+            F.round(F.sum(F.col("d100").cast(dec)).cast("double")
+                    / 100.0 / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -374,7 +410,8 @@ def join_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("join_range_price_band", sql="""
     SELECT b.band_id, COUNT(*) AS n_parts,
-           ROUND(AVG(p.p_retailprice), 4) AS avg_price
+           ROUND(CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price
     FROM part p
     JOIN (VALUES (0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0),
                  (3, 1500.0, 2000.0)) AS b(band_id, lo, hi)
@@ -400,7 +437,12 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("p_retailprice") < F.col("hi")))
         .groupBy("band_id")
         .agg(F.count(F.lit(1)).alias("n_parts"),
-             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+             # exact-cents mean: sum integer cents to the final grain,
+             # divide once (order-dependent double AVG can flip a
+             # 4-dp half between runs; cents are exact)
+             F.round(F.sum(F.round(F.col("p_retailprice") * 100)
+                           .cast("bigint")).cast("double")
+                     / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"))
         .orderBy("band_id")
     )
 
@@ -470,13 +512,23 @@ def agg_distinct_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("agg_stats_acctbal", sql="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+             c_acctbal
+      FROM customer
+    )
     SELECT c_mktsegment,
-           ROUND(AVG(c_acctbal), 4)         AS avg_bal,
-           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
-           ROUND(MIN(c_acctbal), 2)         AS min_bal,
-           ROUND(MAX(c_acctbal), 2)         AS max_bal,
-           ROUND(MEDIAN(c_acctbal), 4)      AS med_bal
-    FROM customer
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*), 4)
+             AS avg_bal,
+           ROUND(SQRT((CAST(SUM(cents * cents) AS DOUBLE)
+                       - CAST(SUM(cents) AS DOUBLE)
+                         * CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+                      / (COUNT(*) - 1)) / 100.0, 4) AS sd_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(MEDIAN(CAST(c_acctbal AS DOUBLE)), 4) AS med_bal
+    FROM c
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """)
@@ -494,10 +546,21 @@ def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     med = exact_quantiles(c, "c_acctbal", {"med": 0.5},
                           ["c_custkey"], ["c_mktsegment"])
+    # exact integer-cents moments to the final grain, divided once:
+    # the mean and the variance's pre-sqrt value are then exact, so
+    # the 4-dp rounding can't flip on double summation order
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    sc = F.sum(F.col("cents").cast(dec)).cast("double")
+    sc2 = F.sum((F.col("cents") * F.col("cents")).cast(dec)) \
+        .cast("double")
     return (
-        c.groupBy("c_mktsegment")
-        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-             F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        c.select("c_mktsegment", "c_acctbal", cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(sc / 100.0 / n, 4).alias("avg_bal"),
+             F.round(F.sqrt((sc2 - sc * sc / n) / (n - 1)) / 100.0, 4)
+             .alias("sd_bal"),
              F.round(F.min("c_acctbal"), 2).alias("min_bal"),
              F.round(F.max("c_acctbal"), 2).alias("max_bal"))
         .join(F.broadcast(med), "c_mktsegment")
@@ -1738,7 +1801,17 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("events_anomaly_zscore", sql="""
     WITH s AS (
-        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 / COUNT(*) AS mu,
+               SQRT((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                              * CAST(ROUND(value * 100) AS BIGINT))
+                          AS DOUBLE)
+                     - CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                            AS DOUBLE)
+                       * CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                              AS DOUBLE) / COUNT(*))
+                    / (COUNT(*) - 1)) / 100.0 AS sigma
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -1754,12 +1827,23 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the stats side is a 5-row aggregate and broadcasts; the scan
     side is one pass with a scalar filter, so no wide shuffle at all.
-    Both engines round z to 4dp BEFORE thresholding so a last-ulp
-    difference in mu/sigma cannot flip membership at the boundary."""
+    mu and sigma come from EXACT integer-cents moments (sum to the
+    final grain, divide once), so they are identical doubles on both
+    engines regardless of summation order; z is additionally rounded
+    to 4dp BEFORE thresholding so membership can't flip at the
+    boundary."""
     ev = _t(spark, sf_dir, "events")
-    stats = (ev.groupBy("event_type")
-             .agg(F.avg("value").alias("mu"),
-                  F.stddev_samp("value").alias("sigma")))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    sc = F.sum(F.col("cents").cast(dec)).cast("double")
+    sc2 = F.sum((F.col("cents") * F.col("cents")).cast(dec)) \
+        .cast("double")
+    stats = (ev.select("event_type", cents.alias("cents"))
+             .groupBy("event_type")
+             .agg((sc / 100.0 / n).alias("mu"),
+                  (F.sqrt((sc2 - sc * sc / n) / (n - 1)) / 100.0)
+                  .alias("sigma")))
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -4808,7 +4892,9 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                  / 100.0, 2) AS revenue,
-           ROUND(AVG(l_extendedprice), 4) AS avg_line_value
+           ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / COUNT(*), 4)
+             AS avg_line_value
     FROM banded
     GROUP BY disc_pct ORDER BY disc_pct
 """)
@@ -4831,7 +4917,10 @@ def discount_quantity_elasticity(spark: SparkSession,
                  F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
                                .cast("bigint")) / F.lit(100.0), 2)
                  .alias("revenue"),
-                 F.round(F.avg("l_extendedprice"), 4)
+                 # exact-cents mean (divide the exact cent sum once)
+                 F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
+                               .cast("bigint")).cast("double")
+                         / 100.0 / F.count(F.lit(1)), 4)
                  .alias("avg_line_value"))
             .orderBy("disc_pct"))
 

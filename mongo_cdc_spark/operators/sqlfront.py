@@ -312,3 +312,117 @@ def sql_window_running_share(spark: SparkSession,
     names = _views(spark, sf_dir, "orders", "customer",
                    suffix="winshare")
     return spark.sql(_WINSHARE_SQL.format(**names))
+
+
+# --------------------------- subquery forms stated in SQL (round 9)
+
+_NOTEXISTS_SQL = """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_bal
+    FROM {customer} c
+    WHERE NOT EXISTS (SELECT 1 FROM {orders} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY segment
+"""
+
+
+@query("sql_not_exists_no_urgent",
+       sql=_NOTEXISTS_SQL.format(customer="customer", orders="orders"))
+def sql_not_exists_no_urgent(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """NOT EXISTS stated as SQL text (the TPC-H Q21/Q22 subquery
+    shape): customers with NO urgent order — including customers who
+    never ordered at all, the semantics that distinguish NOT EXISTS
+    from a plain inner-join-and-filter. Segment-grain counts plus an
+    exact-cents mean balance.
+
+    The parser path is the point: Spark's analyzer must decorrelate
+    the EXISTS predicate into a LEFT ANTI join (RewritePredicate-
+    Subquery), never a per-customer re-scan of orders —
+    tests/test_sqlfront.py asserts LeftAnti in the physical plan.
+    Scale: one anti join on the customer key (the filtered orders
+    side collapses to distinct urgent custkeys), then a ~5-row
+    aggregate with map-side partials."""
+    names = _views(spark, sf_dir, "customer", "orders",
+                   suffix="nexurg")
+    return spark.sql(_NOTEXISTS_SQL.format(**names))
+
+
+_SCALARSUB_SQL = """
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_small_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                               AS BIGINT)) AS DOUBLE) / 100.0, 2)
+             AS small_qty_revenue
+    FROM {lineitem} l
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 10
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM {lineitem} l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""
+
+
+@query("sql_scalar_subquery_small_qty",
+       sql=_SCALARSUB_SQL.format(lineitem="lineitem", part="part"))
+def sql_scalar_subquery_small_qty(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery stated as SQL text (the TPC-H Q17
+    shape): lineitems of small parts whose quantity falls below half
+    of their part's average quantity. The per-part average is a
+    correlated scalar subquery the analyzer must rewrite into ONE
+    partkey-grain aggregate joined back (RewriteCorrelatedScalar-
+    Subquery) — a naive per-row re-scan of lineitem would be O(N^2);
+    tests/test_sqlfront.py asserts the decorrelated aggregate-join
+    plan. Quantity is integer-valued in the fixture so each part's
+    AVG is an exact integer sum divided once — deterministic on both
+    engines — and revenue is exact cents.
+
+    Scale: one partkey-grain aggregate over lineitem (map-side
+    combined), one shuffle join back on partkey, the p_size filter
+    pushed to the part scan; output is a ≤3-row report."""
+    names = _views(spark, sf_dir, "lineitem", "part",
+                   suffix="sclsub")
+    return spark.sql(_SCALARSUB_SQL.format(**names))
+
+
+_INSEMI_SQL = """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100)
+                               AS BIGINT)) AS DOUBLE) / 100.0, 2)
+             AS total_price
+    FROM {orders} o
+    WHERE o.o_orderkey IN (SELECT l.l_orderkey
+                           FROM {lineitem} l
+                           WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+                             AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("sql_in_semijoin_returned",
+       sql=_INSEMI_SQL.format(orders="orders", lineitem="lineitem"))
+def sql_in_semijoin_returned(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """IN (subquery) stated as SQL text (the TPC-H Q4/Q12 membership
+    shape): orders containing at least one 1998 returned line,
+    counted per priority with exact-cents totals. The IN predicate
+    must become a LEFT SEMI join on the order key (each order counts
+    ONCE however many lines match — the semantics a plain inner join
+    would get wrong); tests/test_sqlfront.py asserts LeftSemi in the
+    physical plan.
+
+    Scale: the lineitem side collapses under the pushed shipdate/
+    returnflag filters before the semi join's orderkey shuffle; the
+    priority rollup is a 5-row map-side-combined aggregate."""
+    names = _views(spark, sf_dir, "orders", "lineitem",
+                   suffix="insemi")
+    return spark.sql(_INSEMI_SQL.format(**names))

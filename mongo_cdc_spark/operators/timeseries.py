@@ -47,7 +47,8 @@ QUERIES, ORACLE, query = make_registry()
     WITH hourly AS (
         SELECT event_type,
                date_trunc('hour', ts) AS h,
-               ROUND(AVG(value), 6) AS v,
+               ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 / COUNT(*), 6) AS v,
                COUNT(*) AS n_obs
         FROM events GROUP BY 1, 2
     ), b AS (
@@ -113,7 +114,11 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"),
                   "value")
         .groupBy("event_type", "h")
-        .agg(F.round(F.avg("value"), 6).alias("v"),
+        # exact-cents hourly mean: integer sum, one division, then
+        # the shared 6-dp quantization (money AVG flake class)
+        .agg(F.round(F.sum(F.round(F.col("value") * 100)
+                           .cast("bigint")).cast("double")
+                     / 100.0 / F.count(F.lit(1)), 6).alias("v"),
              F.count(F.lit(1)).alias("n_obs")))
     spine = (
         hourly.groupBy("event_type")
@@ -238,7 +243,8 @@ ACF_MAX_LAG = 7
 @query("ts_autocorr_daily", sql=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             ROUND(AVG(value), 6) AS v
+             ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 / COUNT(*), 6) AS v
       FROM events GROUP BY 1, 2
     )
     SELECT a.event_type, CAST(g.k AS INT) AS lag_days,
@@ -267,13 +273,17 @@ def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset) means missing days pair up by true distance — lag-k ACF
     over observed days, robust to gaps.
 
-    Determinism: daily means rounded to 6 dp before pairing, corr
-    rounded to 4 dp (the agg_regression_stats precision — corr's
-    partial-merge summation order wiggles at ~1e-15)."""
+    Determinism: daily means are EXACT integer-cents sums divided
+    once, then rounded to 6 dp before pairing (order-dependent double
+    AVG of money can flip the quantization); corr rounded to 4 dp
+    (the agg_regression_stats precision — corr's partial-merge
+    summation order wiggles at ~1e-15)."""
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.groupBy("event_type",
                         F.to_date("ts").alias("d"))
-             .agg(F.round(F.avg("value"), 6).alias("v")))
+             .agg(F.round(F.sum(F.round(F.col("value") * 100)
+                                .cast("bigint")).cast("double")
+                          / 100.0 / F.count(F.lit(1)), 6).alias("v")))
     lags = (spark.range(1, ACF_MAX_LAG + 1)
             .select(F.col("id").cast("int").alias("k")))
     a = daily.select(F.col("event_type"), F.col("d"),
@@ -457,7 +467,8 @@ def ts_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(value), 6) AS low,
            ROUND(arg_max(value, okey), 6) AS close,
            CAST(COUNT(*) AS BIGINT) AS volume,
-           ROUND(AVG(value), 6) AS vwap
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / COUNT(*), 6) AS vwap
     FROM keyed
     GROUP BY event_type, h
     ORDER BY event_type, h
@@ -488,7 +499,10 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.min("value"), 6).alias("low"),
              F.round(F.max_by("value", "okey"), 6).alias("close"),
              F.count(F.lit(1)).alias("volume"),
-             F.round(F.avg("value"), 6).alias("vwap"))
+             # exact-cents mean (money AVG flake class)
+             F.round(F.sum(F.round(F.col("value") * 100)
+                           .cast("bigint")).cast("double")
+                     / 100.0 / F.count(F.lit(1)), 6).alias("vwap"))
         .orderBy("event_type", "h")
         .limit(200)
     )
@@ -505,8 +519,10 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts, event_id)
     )
     SELECT event_type, d,
-           ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twap,
-           ROUND(AVG(value), 6) AS simple_avg,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * dur_us)
+                      AS DOUBLE) / SUM(dur_us) / 100.0, 6) AS twap,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / COUNT(*), 6) AS simple_avg,
            CAST(SUM(dur_us) AS BIGINT) AS covered_us,
            CAST(COUNT(*) AS BIGINT) AS n_intervals
     FROM seq
@@ -539,11 +555,15 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.unix_micros(F.lead("ts").over(w))
                        - F.unix_micros("ts"))
            .where(F.col("dur_us").isNotNull()))
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         seq.groupBy("event_type", "d")
-        .agg(F.round(F.sum(F.col("value") * F.col("dur_us"))
-                     / F.sum("dur_us"), 6).alias("twap"),
-             F.round(F.avg("value"), 6).alias("simple_avg"),
+        # exact cent-microsecond weights: integer sums, divided once
+        # (the double value*dur sum could flip the 6-dp rounding)
+        .agg(F.round(F.sum(cents * F.col("dur_us")).cast("double")
+                     / F.sum("dur_us") / 100.0, 6).alias("twap"),
+             F.round(F.sum(cents).cast("double") / 100.0
+                     / F.count(F.lit(1)), 6).alias("simple_avg"),
              F.sum("dur_us").cast("bigint").alias("covered_us"),
              F.count(F.lit(1)).alias("n_intervals"))
         .orderBy("event_type", "d")
