@@ -191,3 +191,80 @@ def test_window_share_matches_dataframe_recompute(spark, sf_dir):
         acc[seg] += r["share_of_segment"]
     for seg, total in acc.items():
         assert abs(total - 1.0) < 1e-3, seg
+
+
+# --------------------------- subquery decorrelation (round 9)
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    """NOT EXISTS must compile to a LEFT ANTI join, never a
+    per-customer re-scan; result must match the DataFrame anti-join
+    and include never-ordered customers."""
+    df = sqlfront.sql_not_exists_no_urgent(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "InMemoryRelation" not in plan
+
+    from mongo_cdc_spark.io import load_table
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    ref = (cust.join(urgent,
+                     F.col("c_custkey") == F.col("o_custkey"),
+                     "left_anti")
+           .groupBy("c_mktsegment").count().collect())
+    want = {r["c_mktsegment"]: r["count"] for r in ref}
+    got = {r["segment"]: r["n_customers"] for r in df.collect()}
+    assert got == want
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark,
+                                                        sf_dir):
+    """The correlated per-part AVG must rewrite to ONE partkey-grain
+    aggregate joined back (no nested per-row subquery stage left in
+    the executed plan), and match a manual two-pass recompute."""
+    df = sqlfront.sql_scalar_subquery_small_qty(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # decorrelated: a join against an aggregated lineitem subtree;
+    # no remaining correlated-subquery execution node
+    assert "Join" in plan
+    assert "ScalarSubquery" not in plan
+
+    from mongo_cdc_spark.io import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .where(F.col("p_size") <= 10).select("p_partkey"))
+    avg_q = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("aq"))
+    ref = (li.join(p, li.l_partkey == p.p_partkey)
+           .join(avg_q, "l_partkey")
+           .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+           .groupBy("l_returnflag").count().collect())
+    want = {r["l_returnflag"]: r["count"] for r in ref}
+    got = {r["l_returnflag"]: r["n_small_lines"]
+           for r in df.collect()}
+    assert got == want
+
+
+def test_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """IN (subquery) must compile to a LEFT SEMI join: each order
+    counts once however many lines match."""
+    df = sqlfront.sql_in_semijoin_returned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+    from mongo_cdc_spark.io import load_table
+    matched = (load_table(spark, sf_dir, "lineitem")
+               .where((F.col("l_shipdate")
+                       >= F.lit("1998-01-01").cast("timestamp"))
+                      & (F.col("l_returnflag") == "R"))
+               .select("l_orderkey").distinct())
+    ref = (load_table(spark, sf_dir, "orders")
+           .join(matched,
+                 F.col("o_orderkey") == F.col("l_orderkey"),
+                 "left_semi")
+           .groupBy("o_orderpriority").count().collect())
+    want = {r["o_orderpriority"]: r["count"] for r in ref}
+    got = {r["o_orderpriority"]: r["n_orders"] for r in df.collect()}
+    assert got == want

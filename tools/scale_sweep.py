@@ -128,22 +128,53 @@ def main() -> int:
               f"{sf_dir!r} vs {base_dir!r} (need sfX-named dirs) ==")
     elif base_dir:
         sf_ratio = sf_main / sf_base
+
+        def _flagged(k: str) -> bool:
+            big = max(times[k] - FIXED_SEC, 0.0)
+            small = max(base_times[k] - FIXED_SEC, FLOOR)
+            return (big > sf_ratio * SLACK * small
+                    and times[k] > ABS_MIN and k not in SLOPE_OK)
+
         print(f"\n== slope check (SF ratio {sf_ratio:g}, "
               f"slack {SLACK}, fixed {FIXED_SEC}s) ==")
+        candidates = []
         for k in sorted(times):
             if k not in base_times:
                 continue
-            big = max(times[k] - FIXED_SEC, 0.0)
             small = max(base_times[k] - FIXED_SEC, FLOOR)
-            ratio = big / small
+            ratio = max(times[k] - FIXED_SEC, 0.0) / small
             line = (f"{k} base={base_times[k]}s main={times[k]}s "
                     f"ratio={ratio:.1f}x")
-            if (big > sf_ratio * SLACK * small
-                    and times[k] > ABS_MIN and k not in SLOPE_OK):
+            if _flagged(k):
+                candidates.append(k)
+                print(f"SLOPE? {line}", flush=True)
+            else:
+                print(line, flush=True)
+
+        # Adjudicate before flagging: round-8's sole flag was a
+        # sub-second query whose ONE main-SF sample hit an ambient
+        # spike (0.6s base, 5.66s spike -> 34x after fixed-cost
+        # subtraction; an isolated best-of-3 measured it flat). A
+        # genuine quadratic survives re-timing; a spike does not.
+        for k in candidates:
+            fn = entrymod.queries()[k]
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    fn(spark, sf_dir).write.mode("overwrite") \
+                        .format("noop").save()
+                except Exception:  # noqa: BLE001 — main pass recorded it
+                    break
+                times[k] = min(times[k], round(time.time() - t0, 2))
+            small = max(base_times[k] - FIXED_SEC, FLOOR)
+            ratio = max(times[k] - FIXED_SEC, 0.0) / small
+            line = (f"{k} base={base_times[k]}s main={times[k]}s "
+                    f"ratio={ratio:.1f}x (after re-time)")
+            if _flagged(k):
                 slope_flags[k] = line
                 print(f"SLOPE {line}", flush=True)
             else:
-                print(line, flush=True)
+                print(f"cleared {line}", flush=True)
 
     over = {k: v for k, v in times.items() if v > slow}
     print(f"\n== total == {round(sum(times.values()), 1)}s "
