@@ -755,3 +755,86 @@ def cdc_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_live"),
                  F.round(F.sum("cents") / 100.0, 2).alias("total_price"))
             .orderBy("as_of_seq"))
+
+
+@query("cdc_mor_schema_drift", sql="""
+    WITH o AS (SELECT o_orderkey AS k FROM orders)
+    SELECT 0 AS seq,
+           (SELECT COUNT(*) FROM o) AS n_docs,
+           'id,price' AS schema_fields,
+           'id,price' AS added,
+           '' AS removed
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM o WHERE k % 5 = 0),
+           'id,price,status', 'status', ''
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM o WHERE k % 10 = 0),
+           'id,price_cents,status', 'price_cents', 'price'
+    ORDER BY seq
+""")
+def cdc_mor_schema_drift(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Commit-over-commit schema drift on the MoR delta-log history:
+    each merge_on_read_apply commit is an immutable seq-stamped
+    upsert batch, so per-commit document schemas are FREE to audit
+    until compaction folds the log — this operator diffs consecutive
+    commits' key sets and reports what each rollout added and
+    removed (here a deterministic three-generation evolution over
+    orders: base {id, price}, a +status rollout on the mod-5 keys,
+    then a price→price_cents rename on the mod-10 keys). The
+    companion to cdc_schema_evolution_audit: that one inventories
+    fingerprints over a stream; this one attributes drift to the
+    COMMIT that introduced it — what a schema-registry compatibility
+    gate actually alerts on.
+
+    The Spark side derives every key set from the real JSON payloads
+    (to_json → json_object_keys → explode), while the oracle replays
+    the generative rule — so the grade cross-checks the extraction
+    chain, not a reimplementation (the cdc_schema_evolution_audit
+    precedent). Scale: the explode is narrow (|keys| per doc); the
+    only shuffle is the (seq, key) distinct, schema-grain after
+    map-side partial distinct; drift joins run on ≤|seqs|x|keys|
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    gen0 = o.select(
+        F.lit(0).alias("seq"),
+        F.to_json(F.struct(k.alias("id"),
+                           F.col("o_totalprice").alias("price")))
+        .alias("doc"))
+    gen1 = o.where(k % 5 == 0).select(
+        F.lit(1).alias("seq"),
+        F.to_json(F.struct(k.alias("id"),
+                           F.col("o_totalprice").alias("price"),
+                           F.col("o_orderstatus").alias("status")))
+        .alias("doc"))
+    gen2 = o.where(k % 10 == 0).select(
+        F.lit(2).alias("seq"),
+        F.to_json(F.struct(k.alias("id"),
+                           cents.alias("price_cents"),
+                           F.col("o_orderstatus").alias("status")))
+        .alias("doc"))
+    log = gen0.unionByName(gen1).unionByName(gen2)
+    keys = (log.select("seq", F.explode(F.json_object_keys("doc"))
+                       .alias("key"))
+            .distinct()
+            .localCheckpoint(eager=False))
+    per = log.groupBy("seq").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = F.concat_ws(",", F.sort_array(F.collect_set("key")))
+    schema = keys.groupBy("seq").agg(joined.alias("schema_fields"))
+    prev = keys.select((F.col("seq") + 1).alias("seq"), "key")
+    added = (keys.join(prev, ["seq", "key"], "left_anti")
+             .groupBy("seq").agg(joined.alias("added")))
+    removed = (prev.join(keys, ["seq", "key"], "left_anti")
+               .groupBy("seq").agg(joined.alias("removed")))
+    return (per.join(schema, "seq", "left")
+            .join(added, "seq", "left")
+            .join(removed, "seq", "left")
+            .select(F.col("seq").cast("int").alias("seq"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.coalesce("schema_fields", F.lit(""))
+                    .alias("schema_fields"),
+                    F.coalesce("added", F.lit("")).alias("added"),
+                    F.coalesce("removed", F.lit("")).alias("removed"))
+            .orderBy("seq"))

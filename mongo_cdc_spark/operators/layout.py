@@ -717,3 +717,107 @@ def layout_partition_granularity_plan(spark: SparkSession,
                  .alias("skew_factor"),
                  (F.avg("c") >= PART_TARGET_ROWS).alias("meets_target"))
             .orderBy(order))
+
+
+def compaction_execute(spark: SparkSession, source_dir: str,
+                       out_dir: str, target_rows: int = 2000) -> dict:
+    """Execute a small-file compaction per layout_compaction_plan's
+    policy: read an hour-partitioned parquet table whose per-hour
+    dirs are the "small files", assign each hour to a rewrite group
+    by the exclusive prefix-sum rule (group = floor(prefix_rows /
+    target_rows) over the time-ordered manifest), and rewrite each
+    group as ONE file under out_dir/grp=N/ — consecutive chunking
+    preserves time order, so every compacted file still covers a
+    contiguous, pruning-friendly time range.
+
+    Crash-safe by construction: out_dir is a FRESH directory (the
+    source is never overwritten); callers swap directories after the
+    write commits, the versioned-base pattern compact_merge_on_read
+    uses. Returns {'groups': n, 'files_before': n_hours,
+    'files_after': n_groups, 'rows': total} for the caller's
+    manifest. Pruning preservation (disjoint, ordered zone maps per
+    group; identical row content) is pinned in tests/test_layout.py.
+
+    Scale: the plan is metadata-grain (hour manifest); the rewrite
+    repartitions on grp so each group compacts in one task,
+    embarrassingly parallel across groups — the same shape as
+    cdc.apply.compact_snapshot, which compacts by bucket."""
+    df = spark.read.parquet(source_dir)
+    files = (df.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
+    w = W.orderBy("hour").rowsBetween(W.unboundedPreceding, -1)
+    plan = files.select(
+        "hour",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0))
+                / float(target_rows)).cast("long").alias("grp"))
+    n_groups = plan.select("grp").distinct().count()
+    out = (df.join(F.broadcast(plan), "hour")
+           .repartition(max(n_groups, 1), "grp"))
+    (out.write.mode("overwrite").partitionBy("grp").parquet(out_dir))
+    rows = df.count()
+    return {"groups": n_groups, "files_before": files.count(),
+            "files_after": n_groups, "rows": rows}
+
+
+@query("layout_compaction_zonemap_audit", sql="""
+    WITH files AS (
+        SELECT date_trunc('hour', ts) AS file_hour,
+               COUNT(*) AS file_rows,
+               MIN(ts) AS lo, MAX(ts) AS hi
+        FROM events GROUP BY 1
+    ), planned AS (
+        SELECT file_hour, file_rows, lo, hi,
+               CAST(FLOOR(
+                   COALESCE(SUM(file_rows) OVER (ORDER BY file_hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 2000.0) AS BIGINT) AS grp
+        FROM files
+    ), groups AS (
+        SELECT grp, COUNT(*) AS n_files,
+               CAST(SUM(file_rows) AS BIGINT) AS total_rows,
+               MIN(lo) AS zone_lo, MAX(hi) AS zone_hi
+        FROM planned GROUP BY grp
+    )
+    SELECT grp, n_files, total_rows, zone_lo, zone_hi,
+           COALESCE(zone_hi < LEAD(zone_lo) OVER (ORDER BY grp), TRUE)
+             AS disjoint_from_next
+    FROM groups ORDER BY grp
+""")
+def layout_compaction_zonemap_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Post-compaction zone-map audit — the check that OPTIMIZE did
+    not break pruning: for every rewrite group the compaction
+    executor (compaction_execute) would produce under the
+    layout_compaction_plan policy, the actual row-level min/max ts
+    zone of the compacted file, and the disjointness flag against
+    the next group's zone. All flags TRUE = a time-range predicate
+    prunes compacted files exactly as well as it pruned the
+    originals (consecutive chunking of a time-sorted manifest can
+    never interleave zones; this query PROVES it on the data rather
+    than asserting it). The file-writing half is pinned in
+    tests/test_layout.py against real parquet dirs.
+
+    Scale: one map-side-combined hour rollup carries min/max ts as
+    the zone stats; the prefix-sum window and the group rollup run
+    at manifest grain (thousands of rows at 100 TB); the LEAD is
+    group-grain."""
+    files = (load_table(spark, sf_dir, "events")
+             .groupBy(F.date_trunc("hour", "ts").alias("file_hour"))
+             .agg(F.count(F.lit(1)).alias("file_rows"),
+                  F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+    w = W.orderBy("file_hour").rowsBetween(W.unboundedPreceding, -1)
+    planned = files.select(
+        "file_hour", "file_rows", "lo", "hi",
+        F.floor(F.coalesce(F.sum("file_rows").over(w), F.lit(0))
+                / 2000.0).cast("long").alias("grp"))
+    groups = (planned.groupBy("grp")
+              .agg(F.count(F.lit(1)).alias("n_files"),
+                   F.sum("file_rows").cast("bigint").alias("total_rows"),
+                   F.min("lo").alias("zone_lo"),
+                   F.max("hi").alias("zone_hi")))
+    wl = W.orderBy("grp")
+    return (groups.select(
+        "grp", "n_files", "total_rows", "zone_lo", "zone_hi",
+        F.coalesce(F.col("zone_hi") < F.lead("zone_lo").over(wl),
+                   F.lit(True)).alias("disjoint_from_next"))
+        .orderBy("grp"))

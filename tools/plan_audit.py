@@ -440,6 +440,9 @@ WINDOW_OK: dict[str, int] = {
     # file-manifest grain (thousands of rows at 100 TB) — compaction
     # planning is metadata-only by design, declared in its docstring:
     "layout_compaction_plan": 1,
+    # same manifest-grain prefix-sum plus a group-grain LEAD (zone
+    # disjointness check over |groups| rows):
+    "layout_compaction_zonemap_audit": 2,
     # whole-frame totals over FIXED-CARDINALITY grids (order-less
     # global windows after literal-partition folding) — the frames are
     # |event types|^2, |segments| x |priorities|, and |langs| rows
