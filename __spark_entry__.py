@@ -36,7 +36,61 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # Everything not listed follows in module order, so the full registry
 # is intact and every entry keeps its newest green row on record.
 _GRADE_FIRST = (
-    # ---------------- ROUND-8 WINDOW (first 50 entries) ----------------
+    # ---------------- ROUND-9 WINDOW (first 50 entries) ----------------
+    # Rotation per VERDICT_r8 task #1: the 10-entry never-graded
+    # backlog leads (3 final-commit + 7 late-r8 additions; all 10
+    # judge-verified green at sf0.01 during round-8 judging, and the
+    # two that carried round-8 ADVICE defects — the G-test df=16
+    # critical value and the Qini salted tie-break — were fixed THIS
+    # round while still awaiting their first driver row, so no green
+    # row is invalidated). Then the changed-since-green set: the
+    # PCA explained-variance rewrite (now hash-gradable via exact
+    # trace/Frobenius companions — VERDICT_r8 task #2), the two MoR
+    # queries whose cdc/apply.py resolver gained dv-mask + versioned
+    # compaction (ADVICE fixes), and the 15 money-rounding rewrites
+    # (VERDICT_r8 task #5: exact integer sub-units summed to the
+    # final grain, divided once). Then the round-9 additions, then
+    # the oldest stale greens (r1 vintage, last graded 8 rounds ago).
+    # Round 8's 50 slots all retired green (CORRECTNESS_r08: 50/50).
+    # -- never-graded backlog (10) --
+    "quality_data_contract_check", "stats_pinball_quantile_eval",
+    "graph_adamic_adar_topk", "stats_g_test_independence",
+    "ab_test_uplift_qini", "sample_weighted_ares",
+    "text_textrank_keywords", "sql_window_running_share",
+    "stats_anova_oneway", "stats_kruskal_wallis",
+    # -- changed-since-green (18) --
+    "embedding_pca_explained_variance",
+    "cdc_merge_on_read_state", "cdc_mor_time_travel",
+    "q1_pricing_summary", "join_range_price_band",
+    "agg_stats_acctbal", "events_anomaly_zscore",
+    "discount_quantity_elasticity", "quality_reconcile_order_totals",
+    "quality_schema_drift", "feature_winsorized_scale",
+    "feature_target_encode_loo", "stats_bootstrap_subsample_ci",
+    "stats_permutation_weekend", "ts_gapfill_interpolate",
+    "ts_autocorr_daily", "ts_ohlc_bars", "ts_time_weighted_avg",
+    # -- round-9 additions (5): SQL-text subquery forms (NOT EXISTS
+    # anti-join, correlated scalar subquery, IN semi-join — each
+    # decorrelation plan-asserted in tests/test_sqlfront.py), the
+    # MoR commit-over-commit schema-drift audit, and the compaction
+    # executor's zone-map pruning proof --
+    "sql_not_exists_no_urgent", "sql_scalar_subquery_small_qty",
+    "sql_in_semijoin_returned", "cdc_mor_schema_drift",
+    "layout_compaction_zonemap_audit",
+    # -- oldest stale greens (17 of the 20 r1-vintage rows; the
+    # remaining 3 — window_range_frame_spend,
+    # window_running_customer_spend, window_topk_orders_per_segment —
+    # spill to round 10's rotation) --
+    "agg_collect_nations_per_region", "agg_distinct_per_flag",
+    "filter_nullsafe_priority_pairs", "hof_order_quantities",
+    "join_anti_customers_no_orders", "join_outer_nation_coverage",
+    "map_priority_profile", "q10_returned_items",
+    "q5_local_supplier_volume", "sample_deterministic_orders",
+    "scalar_date_order_seasonality", "scalar_math_discount_model",
+    "scalar_string_part_facets", "setop_except_nations",
+    "setop_intersect_nations", "setop_union_nations_with_presence",
+    "window_ntile_customer_value",
+    # ---------------- end ROUND-9 WINDOW ----------------
+    # ---------------- ROUND-8 WINDOW (historical) ----------------
     # Rotation per VERDICT_r7 task #1: the 24 never-graded entries lead
     # (8 round-7 spillover + the 16 round-7 additions), then the
     # changed-since-green set (the round-7 percentile rewrites whose

@@ -264,6 +264,12 @@ HEADLINE = [
     ("sql_window_share", sqlfront.sql_window_running_share),
     ("anova", quality.stats_anova_oneway),
     ("kruskal_wallis", quality.stats_kruskal_wallis),
+    # round-9 additions
+    ("sql_not_exists", sqlfront.sql_not_exists_no_urgent),
+    ("sql_scalar_subquery", sqlfront.sql_scalar_subquery_small_qty),
+    ("sql_in_semijoin", sqlfront.sql_in_semijoin_returned),
+    ("mor_schema_drift", cdc_batch.cdc_mor_schema_drift),
+    ("compaction_zonemap", layout.layout_compaction_zonemap_audit),
 ]
 
 
