@@ -39,15 +39,14 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
             f"oracle={b.loc[i].to_dict()}")
 
 
-# The rows-only (no-oracle) class was eliminated in round 2; any entry
-# here must be genuinely non-SQL-expressible AND carry a hash-graded
-# twin covering its distributed stage plus a pytest numeric pin.
-ROWS_ONLY_DECLARED = {
-    # driver-side eigendecomposition has no SQL form; its d^2
-    # covariance INPUT is the hash-graded embedding_pca_covariance
-    # twin, and eigenvalues are numpy-pinned in test_similarity.py:
-    "embedding_pca_explained_variance",
-}
+# The rows-only (no-oracle) class was eliminated in round 2 and its
+# last member retired in round 9 (embedding_pca_explained_variance
+# now grades through exact trace/Frobenius spectrum companions; the
+# eigenvalues stay numpy-pinned in test_similarity.py). Any future
+# entry here must be genuinely non-SQL-expressible AND carry a
+# hash-graded twin covering its distributed stage plus a pytest
+# numeric pin.
+ROWS_ONLY_DECLARED: set[str] = set()
 
 
 def test_no_rows_only_queries():
