@@ -4340,3 +4340,132 @@ def stats_kruskal_wallis(spark: SparkSession,
         F.round(corr, 8).alias("tie_correction"),
         F.round(h_raw / corr, 6).alias("h_stat"),
         (F.round(h_raw / corr, 6) > 9.488).alias("reject_05"))
+
+
+# --------------------------- streaming uplift monitor (replay twin)
+
+
+@query("streaming_uplift_monitor_replay", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 0 ELSE 1 END AS t,
+             COUNT(*) AS n_ev,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_pur,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS cents
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.day, v.t,
+             COALESCE(dl.n_ev, 0) AS n_ev,
+             COALESCE(dl.n_pur, 0) AS n_pur,
+             COALESCE(dl.cents, 0) AS cents
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (VALUES (0), (1)) v(t)
+      LEFT JOIN daily dl ON dl.day = d.day AND dl.t = v.t
+    ), cum AS (
+      SELECT day, t,
+             SUM(n_ev) OVER w AS ce,
+             SUM(n_pur) OVER w AS cp,
+             SUM(cents) OVER w AS cc
+      FROM grid
+      WINDOW w AS (PARTITION BY t ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ), wide AS (
+      SELECT day,
+             MAX(CASE WHEN t = 1 THEN ce END) AS ce_t,
+             MAX(CASE WHEN t = 0 THEN ce END) AS ce_c,
+             MAX(CASE WHEN t = 1 THEN cp END) AS cp_t,
+             MAX(CASE WHEN t = 0 THEN cp END) AS cp_c,
+             MAX(CASE WHEN t = 1 THEN cc END) AS cc_t,
+             MAX(CASE WHEN t = 0 THEN cc END) AS cc_c
+      FROM cum GROUP BY day
+    )
+    SELECT day,
+           CAST(ce_t AS BIGINT) AS events_treat,
+           CAST(ce_c AS BIGINT) AS events_control,
+           CAST(cp_t AS BIGINT) AS purchases_treat,
+           CAST(cp_c AS BIGINT) AS purchases_control,
+           ROUND(CAST(cp_t AS DOUBLE) / ce_t
+                 - CAST(cp_c AS DOUBLE) / ce_c, 6)
+             AS cum_conv_uplift,
+           ROUND(CAST(cc_t AS DOUBLE) / 100.0 / ce_t
+                 - CAST(cc_c AS DOUBLE) / 100.0 / ce_c, 6)
+             AS cum_spend_uplift
+    FROM wide ORDER BY day
+""")
+def streaming_uplift_monitor_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Batch replay twin of the live experiment monitor: the SAME
+    per-(tumbling day window, variant) counts
+    streaming.variant_window_counts maintains as update-mode state,
+    accumulated into the running treat-vs-control uplift curve a
+    dashboard serves — cumulative conversions-per-event and
+    spend-per-event deltas as of each closed day. THE readout an
+    experimenter watches while an A/B test accumulates (and the
+    time-axis companion to ab_test_uplift_qini's score-axis decile
+    curve). Stream/batch frame parity is pinned in
+    tests/test_streaming.py by draining the real file-source stream.
+
+    Determinism: spend in exact integer cents, counts integer, each
+    ratio divided once from cumulative integers; variant assignment
+    is the repo's md5 hash-split. Scale: ONE map-side-combined
+    (day, variant) shuffle is the only data-grain stage; the dense
+    day x {0,1} grid, the 2-partition cumulative windows, and the
+    pivot run at calendar grain."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+        < "8", 0).otherwise(1)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
+                        variant.alias("t"))
+             .agg(F.count(F.lit(1)).alias("n_ev"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("n_pur"),
+                  F.sum(F.when(F.col("event_type") == "purchase",
+                               F.round(F.col("value") * 100)
+                               .cast("bigint")).otherwise(0))
+                  .alias("cents"))
+             .localCheckpoint(eager=True))
+    days = daily.select("day").distinct()
+    variants = spark.range(2).select(F.col("id").cast("int").alias("t"))
+    grid = (days.crossJoin(F.broadcast(variants))
+            .join(daily, ["day", "t"], "left")
+            .select("day", "t",
+                    F.coalesce("n_ev", F.lit(0)).alias("n_ev"),
+                    F.coalesce("n_pur", F.lit(0)).alias("n_pur"),
+                    F.coalesce("cents", F.lit(0)).alias("cents")))
+    from pyspark.sql import Window as _W
+    w = (_W.partitionBy("t").orderBy("day")
+         .rowsBetween(_W.unboundedPreceding, _W.currentRow))
+    cum = (grid.withColumn("ce", F.sum("n_ev").over(w))
+           .withColumn("cp", F.sum("n_pur").over(w))
+           .withColumn("cc", F.sum("cents").over(w)))
+    wide = (cum.groupBy("day")
+            .agg(F.max(F.when(F.col("t") == 1, F.col("ce")))
+                 .alias("ce_t"),
+                 F.max(F.when(F.col("t") == 0, F.col("ce")))
+                 .alias("ce_c"),
+                 F.max(F.when(F.col("t") == 1, F.col("cp")))
+                 .alias("cp_t"),
+                 F.max(F.when(F.col("t") == 0, F.col("cp")))
+                 .alias("cp_c"),
+                 F.max(F.when(F.col("t") == 1, F.col("cc")))
+                 .alias("cc_t"),
+                 F.max(F.when(F.col("t") == 0, F.col("cc")))
+                 .alias("cc_c")))
+    return (wide.select(
+        "day",
+        F.col("ce_t").cast("bigint").alias("events_treat"),
+        F.col("ce_c").cast("bigint").alias("events_control"),
+        F.col("cp_t").cast("bigint").alias("purchases_treat"),
+        F.col("cp_c").cast("bigint").alias("purchases_control"),
+        F.round(F.col("cp_t").cast("double") / F.col("ce_t")
+                - F.col("cp_c").cast("double") / F.col("ce_c"), 6)
+        .alias("cum_conv_uplift"),
+        F.round(F.col("cc_t").cast("double") / 100.0 / F.col("ce_t")
+                - F.col("cc_c").cast("double") / 100.0 / F.col("ce_c"),
+                6).alias("cum_spend_uplift"))
+        .orderBy("day"))

@@ -252,3 +252,32 @@ def first_touch_cohorts(events: DataFrame,
     return (events.withWatermark("ts", watermark)
             .groupBy("user_id")
             .agg(F.min(F.date_trunc("day", "ts")).alias("cohort")))
+
+
+def variant_window_counts(events: DataFrame,
+                          size: str = "1 day",
+                          watermark: str = "1 day") -> DataFrame:
+    """Streaming experiment-monitor state: per (tumbling event-time
+    window, variant) event/purchase/spend-cents counts, variant
+    assigned by the repo's md5 hash-split convention (first hex < '8'
+    = control). This is the stateful stage of a live uplift
+    dashboard — state is one row per (window, variant), bounded by
+    the experiment's runtime; the cumulative readout (running
+    treat-vs-control uplift as the experiment accumulates) is
+    sink-side arithmetic over the closed windows, exactly what the
+    batch replay twin `streaming_uplift_monitor_replay` computes
+    over the same frames. Spend accumulates EXACT integer cents so
+    the sink's divisions are deterministic."""
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+        < "8", 0).otherwise(1)
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", size).alias("w"),
+                     variant.alias("t"))
+            .agg(F.count(F.lit(1)).alias("n_ev"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("n_pur"),
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.round(F.col("value") * 100)
+                              .cast("bigint")).otherwise(0))
+                 .alias("cents")))
