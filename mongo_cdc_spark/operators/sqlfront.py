@@ -426,3 +426,66 @@ def sql_in_semijoin_returned(spark: SparkSession,
     names = _views(spark, sf_dir, "orders", "lineitem",
                    suffix="insemi")
     return spark.sql(_INSEMI_SQL.format(**names))
+
+
+# ------------------------------------ PIVOT stated in SQL (round 9)
+
+_PIVOT_SQL = """
+    SELECT priority,
+           COALESCE(o_n, 0) AS n_open,
+           COALESCE(f_n, 0) AS n_filled,
+           COALESCE(p_n, 0) AS n_pending,
+           ROUND(COALESCE(CAST(o_cents AS DOUBLE), 0.0) / 100.0, 2)
+             AS total_open,
+           ROUND(COALESCE(CAST(f_cents AS DOUBLE), 0.0) / 100.0, 2)
+             AS total_filled,
+           ROUND(COALESCE(CAST(p_cents AS DOUBLE), 0.0) / 100.0, 2)
+             AS total_pending
+    FROM (SELECT o_orderpriority AS priority, o_orderstatus,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM {orders})
+    PIVOT (COUNT(*) AS n, SUM(cents) AS cents
+           FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+    ORDER BY priority
+"""
+
+
+@query("sql_pivot_text", sql="""
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pending,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100.0, 2) AS total_open,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100.0, 2)
+             AS total_filled,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100.0, 2)
+             AS total_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+""")
+def sql_pivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT stated as SQL text: order counts and exact-cents totals
+    per priority, statuses O/F/P pivoted to columns through Spark's
+    PIVOT clause (multi-aggregate form — COUNT and SUM in one pivot,
+    aliased value list). The DataFrame twin pivot_status_by_priority
+    covers groupBy().pivot(); THIS entry grades the parser/analyzer
+    path, which expands the clause into the same Expand+aggregate
+    plan. The oracle states the equivalent CASE aggregation (DuckDB's
+    PIVOT syntax differs; the CASE form is the portable semantics of
+    the clause). NULL pivot cells (a priority with no orders in a
+    status) are COALESCEd to 0 on both engines.
+
+    Scale: one map-side-combined shuffle on the 5-value priority key;
+    the pivot adds columns, not rows."""
+    names = _views(spark, sf_dir, "orders", suffix="pivtxt")
+    return spark.sql(_PIVOT_SQL.format(**names))

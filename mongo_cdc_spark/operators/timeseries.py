@@ -2324,3 +2324,115 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("expected_runs"),
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.959964).alias("reject_random_05"))
+
+
+@query("ts_mann_kendall_trend", sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.xc > a.xc THEN 1
+                           WHEN b.xc < a.xc THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+      GROUP BY 1
+    ), n AS (
+      SELECT event_type, COUNT(*) AS nd FROM daily GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (SELECT event_type, xc, COUNT(*) AS t
+            FROM daily GROUP BY 1, 2) g
+      WHERE t > 1
+      GROUP BY 1
+    ), v AS (
+      SELECT n.event_type, n.nd, s.s_stat,
+             (CAST(n.nd AS DOUBLE) * (n.nd - 1) * (2 * n.nd + 5)
+              - COALESCE(t.tie_term, 0)) / 18.0 AS var_s
+      FROM n JOIN s ON s.event_type = n.event_type
+      LEFT JOIN ties t ON t.event_type = n.event_type
+    )
+    SELECT event_type,
+           CAST(nd AS INT) AS n_days,
+           s_stat,
+           ROUND(var_s, 4) AS var_s,
+           ROUND(CASE WHEN s_stat > 0
+                        THEN (s_stat - 1) / SQRT(var_s)
+                      WHEN s_stat < 0
+                        THEN (s_stat + 1) / SQRT(var_s)
+                      ELSE 0.0 END, 6) AS z,
+           ABS(ROUND(CASE WHEN s_stat > 0
+                            THEN (s_stat - 1) / SQRT(var_s)
+                          WHEN s_stat < 0
+                            THEN (s_stat + 1) / SQRT(var_s)
+                          ELSE 0.0 END, 6)) > 1.959964
+             AS reject_05
+    FROM v ORDER BY event_type
+""")
+def ts_mann_kendall_trend(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over daily
+    revenue — the nonparametric workhorse for "is this metric
+    drifting?" (hydrology/monitoring standard; no linearity or
+    normality assumed, robust to outliers): S = sum of
+    sign(x_j - x_i) over all ordered day pairs, variance with the
+    standard tie correction sum t(t-1)(2t+5), and the
+    continuity-corrected z against the two-sided 95% critical value
+    1.959964. Complements ts_theil_sen-style slope fits (direction +
+    significance, not magnitude) and the CUSUM/binseg changepoint
+    family (global trend, not level shifts).
+
+    Determinism: day totals are EXACT integer cents so every
+    sign() is exact (a double tie would be fp-fragile — ties are
+    common in low-volume types); S and the tie term are exact
+    integers; z is one deterministic expression of them. Scale: ONE
+    data-grain map-side-combined (type, day) rollup; the pairwise
+    self-join is day-grain (|days|^2 per type, calendar-bounded —
+    365 days = 66k pairs, metadata next to any corpus), the same
+    bounded-frame class as ts_binseg/ts_motif."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("xc"))
+             .localCheckpoint(eager=True))
+    b = daily.select(F.col("event_type").alias("bt"),
+                     F.col("d").alias("bd"), F.col("xc").alias("bx"))
+    s = (daily.join(b, (F.col("bt") == F.col("event_type"))
+                    & (F.col("bd") > F.col("d")))
+         .groupBy("event_type")
+         .agg(F.sum(F.when(F.col("bx") > F.col("xc"), 1)
+                    .when(F.col("bx") < F.col("xc"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_stat")))
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    ties = (daily.groupBy("event_type", "xc")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .where(F.col("t") > 1)
+            .groupBy("event_type")
+            .agg(F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1)
+                      * (2 * F.col("t") + 5)), F.lit(0))
+                .cast("bigint").alias("tie_term")))
+    v = (n.join(s, "event_type")
+         .join(ties, "event_type", "left")
+         .select("event_type", "nd", "s_stat",
+                 ((F.col("nd").cast("double") * (F.col("nd") - 1)
+                   * (2 * F.col("nd") + 5)
+                   - F.coalesce(F.col("tie_term"), F.lit(0))) / 18.0)
+                 .alias("var_s")))
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+         .otherwise(0.0))
+    return (v.select("event_type",
+                     F.col("nd").cast("int").alias("n_days"),
+                     "s_stat",
+                     F.round("var_s", 4).alias("var_s"),
+                     F.round(z, 6).alias("z"),
+                     (F.abs(F.round(z, 6)) > 1.959964)
+                     .alias("reject_05"))
+            .orderBy("event_type"))

@@ -268,3 +268,29 @@ def test_in_subquery_decorrelates_to_semi_join(spark, sf_dir):
     want = {r["o_orderpriority"]: r["count"] for r in ref}
     got = {r["o_orderpriority"]: r["n_orders"] for r in df.collect()}
     assert got == want
+
+
+def test_sql_pivot_matches_dataframe_pivot(spark, sf_dir):
+    """The SQL-text PIVOT must agree with groupBy().pivot() on counts
+    and exact-cents totals, including zero cells."""
+    from mongo_cdc_spark.io import load_table
+
+    got = {r["priority"]: r for r in
+           sqlfront.sql_pivot_text(spark, sf_dir).collect()}
+    ref = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("bigint")).alias("cents"))
+           .collect())
+    assert len(ref) == len(got) > 0
+    for r in ref:
+        g = got[r["o_orderpriority"]]
+        for st, ncol, tcol in (("O", "n_open", "total_open"),
+                               ("F", "n_filled", "total_filled"),
+                               ("P", "n_pending", "total_pending")):
+            n = r[f"{st}_n"] or 0
+            cents = r[f"{st}_cents"] or 0
+            assert g[ncol] == n, (r["o_orderpriority"], st)
+            assert g[tcol] == round(cents / 100.0, 2)

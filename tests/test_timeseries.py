@@ -620,3 +620,41 @@ def test_runs_test_matches_python_recompute(spark, sf_dir):
                    / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
     assert abs(got.z_stat - round((r - mu) / sd, 6)) < 1e-9
     assert got.reject_random_05 == (abs((r - mu) / sd) > 1.959964)
+
+
+def test_mann_kendall_matches_python_reference(spark, sf_dir):
+    """Exhaustive pure-Python S / tie-corrected variance / z replay
+    over the same integer-cents daily series."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        ts_mann_kendall_trend)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r["event_type"]][r["ts"].date()] += round(
+            r["value"] * 100)
+    got = {r["event_type"]: r for r in
+           ts_mann_kendall_trend(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        days = sorted(series)
+        xs = [series[d] for d in days]
+        n = len(xs)
+        s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(n) for j in range(i + 1, n))
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(xs).values() if t > 1)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = ((s - 1) / math.sqrt(var) if s > 0
+             else (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["s_stat"] == s
+        assert abs(r["var_s"] - round(var, 4)) < 1e-9
+        assert abs(r["z"] - round(z, 6)) < 1e-9
+        assert r["reject_05"] == (abs(round(z, 6)) > 1.959964)
