@@ -270,6 +270,10 @@ HEADLINE = [
     ("sql_in_semijoin", sqlfront.sql_in_semijoin_returned),
     ("mor_schema_drift", cdc_batch.cdc_mor_schema_drift),
     ("compaction_zonemap", layout.layout_compaction_zonemap_audit),
+    ("uplift_monitor", quality.streaming_uplift_monitor_replay),
+    ("sql_pivot", sqlfront.sql_pivot_text),
+    ("mann_kendall", timeseries.ts_mann_kendall_trend),
+    ("dsir_importance", training.train_dsir_importance),
 ]
 
 

@@ -2189,3 +2189,126 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w").cast("int").alias("weight"),
                     "lnkey")
             .orderBy("rank"))
+
+
+_DSIR_BUCKETS = 64
+_DSIR_TOPK = 20
+
+
+@query("train_dsir_importance", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+    ), pdb AS (
+      SELECT doc_id, lang, b, COUNT(*) AS c
+      FROM toks GROUP BY 1, 2, 3
+    ), tgt AS (
+      SELECT b,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+             SUM(c) AS cs
+      FROM pdb GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS DOUBLE) AS t,
+             CAST(SUM(cs) AS DOUBLE) AS s
+      FROM tgt
+    ), li AS (
+      SELECT g.b,
+             CAST(ROUND((LN((CAST(COALESCE(tg.ct, 0) AS DOUBLE) + 1.0)
+                            / (tot.t + {_DSIR_BUCKETS}))
+                         - LN((CAST(COALESCE(tg.cs, 0) AS DOUBLE)
+                               + 1.0)
+                              / (tot.s + {_DSIR_BUCKETS}))) * 1e6)
+                  AS BIGINT) AS li
+      FROM generate_series(0, {_DSIR_BUCKETS - 1}) g(b)
+      LEFT JOIN tgt tg ON tg.b = g.b
+      CROSS JOIN tot
+    ), scored AS (
+      SELECT p.doc_id, MIN(p.lang) AS lang,
+             CAST(SUM(p.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(p.c * li.li) AS BIGINT) AS score_micro
+      FROM pdb p JOIN li ON li.b = p.b
+      GROUP BY p.doc_id
+    )
+    SELECT s.doc_id, s.lang, d.source, s.n_tokens, s.score_micro,
+           ROUND(CAST(s.score_micro AS DOUBLE) / 1e6, 6) AS score_nats
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.score_micro DESC, s.doc_id
+    LIMIT {_DSIR_TOPK}
+""")
+def train_dsir_importance(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring for training-data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): estimate target ('en' documents — the
+    quality-domain proxy) and source (full pool) unigram
+    distributions over {_DSIR_BUCKETS} hashed feature buckets with
+    Laplace smoothing, then score every document by its hashed-ngram
+    log importance ratio sum_b c_b(x) * [ln p_tgt(b) - ln p_src(b)]
+    — the weight DSIR resamples by to shift a raw crawl toward a
+    target domain. Emits the top-{_DSIR_TOPK} documents with exact
+    micro-nat scores (the selection head; resampling = the
+    sample_weighted_ares machinery applied to these weights).
+
+    Determinism: bucket log-ratios are computed once on the bounded
+    {_DSIR_BUCKETS}-row grid from EXACT integer counts and quantized
+    to micro-nat BIGINTs, so every per-doc score is an exact integer
+    dot product — no double summation order anywhere; md5-derived
+    buckets hash identically on both engines.
+
+    Scale: ONE data-grain shuffle — the (doc, bucket) count (tokens
+    explode narrowly first, the classic shingle shape). Target/source
+    bucket totals fold FROM that frame (bucket-grain, map-side
+    combined); the {_DSIR_BUCKETS}-row ratio table broadcasts back;
+    scoring is a broadcast join + per-doc sum; TakeOrdered serves the
+    head. The checkpoint is EAGER — the frame feeds three consumers
+    whose broadcasts race a lazy materialization (round-9 deadlock
+    rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_DSIR_BUCKETS))
+    pdb = (docs
+           .select("doc_id", "lang",
+                   F.explode(F.split("text", r"\s+")).alias("tok"))
+           .select("doc_id", "lang", b.alias("b"))
+           .groupBy("doc_id", "lang", "b")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    tgt = (pdb.groupBy("b")
+           .agg(F.sum(F.when(F.col("lang") == "en", F.col("c"))
+                      .otherwise(0)).alias("ct"),
+                F.sum("c").alias("cs")))
+    tot = tgt.agg(F.sum("ct").cast("double").alias("t"),
+                  F.sum("cs").cast("double").alias("s"))
+    spine = spark.range(_DSIR_BUCKETS).select(
+        F.col("id").cast("bigint").alias("b"))
+    li = (spine.join(tgt, "b", "left")
+          .crossJoin(F.broadcast(tot))
+          .select("b", F.round(
+              (F.log((F.coalesce(F.col("ct"), F.lit(0))
+                      .cast("double") + 1.0)
+                     / (F.col("t") + _DSIR_BUCKETS))
+               - F.log((F.coalesce(F.col("cs"), F.lit(0))
+                        .cast("double") + 1.0)
+                       / (F.col("s") + _DSIR_BUCKETS))) * 1e6)
+              .cast("bigint").alias("li")))
+    scored = (pdb.join(F.broadcast(li), "b")
+              .groupBy("doc_id")
+              .agg(F.min("lang").alias("lang"),
+                   F.sum("c").cast("bigint").alias("n_tokens"),
+                   F.sum(F.col("c") * F.col("li")).cast("bigint")
+                   .alias("score_micro")))
+    top = (scored
+           .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+           .limit(_DSIR_TOPK))
+    return (docs.select("doc_id", "source")
+            .join(F.broadcast(top), "doc_id")
+            .select("doc_id", "lang", "source", "n_tokens",
+                    "score_micro",
+                    F.round(F.col("score_micro").cast("double") / 1e6,
+                            6).alias("score_nats"))
+            .orderBy(F.desc("score_micro"), F.asc("doc_id")))

@@ -609,3 +609,60 @@ def test_weighted_ares_matches_python_reference(spark, sf_dir):
     corpus_mean = sum(w for _, _, w in rows) / len(rows)
     sample_mean = sum(g[2] for g in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_dsir_importance_matches_python_reference(spark, sf_dir):
+    """Pure-Python DSIR replay: md5 bucket hashing, Laplace-smoothed
+    target/source distributions, exact micro-nat dot products, and
+    the same top-k by (score, doc_id)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (_DSIR_BUCKETS,
+                                                    _DSIR_TOPK,
+                                                    train_dsir_importance)
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source").collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                   16) % _DSIR_BUCKETS
+
+    per_doc: dict = {}
+    ct: Counter = Counter()
+    cs: Counter = Counter()
+    meta = {}
+    for r in rows:
+        # \s+ split keeping empty edge tokens = F.split semantics
+        toks = re.split(r"\s+", r["text"])
+        cb = Counter(bucket(t) for t in toks)
+        per_doc[r["doc_id"]] = cb
+        meta[r["doc_id"]] = (r["lang"], r["source"])
+        cs.update(cb)
+        if r["lang"] == "en":
+            ct.update(cb)
+    t_tot, s_tot = sum(ct.values()), sum(cs.values())
+    li = {b: round((math.log((ct.get(b, 0) + 1.0)
+                             / (t_tot + _DSIR_BUCKETS))
+                    - math.log((cs.get(b, 0) + 1.0)
+                               / (s_tot + _DSIR_BUCKETS))) * 1e6)
+          for b in range(_DSIR_BUCKETS)}
+    scores = {d: sum(c * li[b] for b, c in cb.items())
+              for d, cb in per_doc.items()}
+    want = sorted(scores, key=lambda d: (-scores[d], d))[:_DSIR_TOPK]
+
+    got = train_dsir_importance(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert r["score_micro"] == scores[r["doc_id"]]
+        assert r["n_tokens"] == sum(per_doc[r["doc_id"]].values())
+        assert (r["lang"], r["source"]) == meta[r["doc_id"]]
+        assert r["score_nats"] == round(r["score_micro"] / 1e6, 6)
+    # 'en' documents should dominate the selection head — the whole
+    # point of the importance weight
+    en = sum(1 for r in got if r["lang"] == "en")
+    assert en >= _DSIR_TOPK // 2
