@@ -90,7 +90,7 @@ _GRADE_FIRST = (
     "setop_intersect_nations", "setop_union_nations_with_presence",
     "window_ntile_customer_value",
     # ---------------- end ROUND-9 WINDOW ----------------
-    # ---- round-10 queue notes: FOUR late-round-9 additions queue as
+    # ---- round-10 queue notes: the late-round-9 additions queue as
     # round 10's never-graded backlog (each oracle-green at
     # sf0.001+sf0.01 with a Python/DataFrame reference test before
     # registration): streaming_uplift_monitor_replay (cumulative
@@ -98,11 +98,18 @@ _GRADE_FIRST = (
     # sql_pivot_text (multi-aggregate PIVOT clause through the
     # parser), ts_mann_kendall_trend (exact-integer S + tie-corrected
     # variance), train_dsir_importance (hashed-ngram importance
-    # weights, exact micro-nat scores). After those, rotate the 3
-    # spilled r1 rows (window_range_frame_spend,
-    # window_running_customer_spend, window_topk_orders_per_segment)
-    # then the 38 r2-vintage stale greens — 45 of 50 slots, leaving
-    # headroom for round-10 additions.
+    # weights, exact micro-nat scores), stats_cohens_d_effect
+    # (exact-moment pooled-SD d + Hedges g), stats_theils_u
+    # (entropy-based asymmetric association), and
+    # stats_wilcoxon_signed_rank (paired midrank test through the
+    # two-phase global-order plan), ts_brown_double_smoothing
+    # (cascaded closed-form double smoothing with trend backtest),
+    # and ts_page_hinkley_drift (running-mean PH monitor, exact
+    # sequential prefix algebra) — plus any later entries noted
+    # below. After those, rotate the 3 spilled r1 rows
+    # (window_range_frame_spend, window_running_customer_spend,
+    # window_topk_orders_per_segment) then the r2-vintage stale
+    # greens to fill the 50-slot window.
     # ---------------- ROUND-8 WINDOW (historical) ----------------
     # Rotation per VERDICT_r7 task #1: the 24 never-graded entries lead
     # (8 round-7 spillover + the 16 round-7 additions), then the

@@ -274,6 +274,11 @@ HEADLINE = [
     ("sql_pivot", sqlfront.sql_pivot_text),
     ("mann_kendall", timeseries.ts_mann_kendall_trend),
     ("dsir_importance", training.train_dsir_importance),
+    ("cohens_d", quality.stats_cohens_d_effect),
+    ("theils_u", quality.stats_theils_u),
+    ("wilcoxon", quality.stats_wilcoxon_signed_rank),
+    ("brown_des", timeseries.ts_brown_double_smoothing),
+    ("page_hinkley", timeseries.ts_page_hinkley_drift),
 ]
 
 

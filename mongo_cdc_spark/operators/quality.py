@@ -4469,3 +4469,335 @@ def streaming_uplift_monitor_replay(spark: SparkSession,
                 - F.col("cc_c").cast("double") / 100.0 / F.col("ce_c"),
                 6).alias("cum_spend_uplift"))
         .orderBy("day"))
+
+
+# ------------------------------------------ standardized effect size
+
+
+@query("stats_cohens_d_effect", sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CASE WHEN EXTRACT(isodow FROM ts) >= 6
+                  THEN 1 ELSE 0 END AS is_weekend,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2, 3
+    ), g AS (
+      SELECT event_type, is_weekend,
+             COUNT(*) AS n,
+             SUM(vc) AS s1,
+             SUM(CAST(vc AS HUGEINT) * vc) AS s2
+      FROM daily GROUP BY 1, 2
+    ), wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN is_weekend = 0 THEN n END) AS n_wd,
+             MAX(CASE WHEN is_weekend = 0 THEN s1 END) AS s1_wd,
+             MAX(CASE WHEN is_weekend = 0 THEN CAST(s2 AS DOUBLE) END)
+               AS s2_wd,
+             MAX(CASE WHEN is_weekend = 1 THEN n END) AS n_we,
+             MAX(CASE WHEN is_weekend = 1 THEN s1 END) AS s1_we,
+             MAX(CASE WHEN is_weekend = 1 THEN CAST(s2 AS DOUBLE) END)
+               AS s2_we
+      FROM g GROUP BY event_type
+    ), eff AS (
+      SELECT event_type, n_wd, n_we,
+             s1_we / (n_we * 1e0) - s1_wd / (n_wd * 1e0) AS md,
+             SQRT(((s2_wd - s1_wd / (n_wd * 1e0) * s1_wd)
+                   + (s2_we - s1_we / (n_we * 1e0) * s1_we))
+                  / (n_wd + n_we - 2.0)) AS sp,
+             1.0 - 3.0 / (4.0 * (n_wd + n_we) - 9.0) AS j
+      FROM wide
+    )
+    SELECT event_type,
+           CAST(n_wd AS INT) AS n_weekday,
+           CAST(n_we AS INT) AS n_weekend,
+           ROUND(md / 100.0, 6) AS mean_diff,
+           ROUND(sp / 100.0, 6) AS pooled_sd,
+           ROUND(md / sp, 6) AS cohens_d,
+           ROUND(md / sp * j, 6) AS hedges_g,
+           CASE WHEN ABS(ROUND(md / sp * j, 6)) < 0.2 THEN 'negligible'
+                WHEN ABS(ROUND(md / sp * j, 6)) < 0.5 THEN 'small'
+                WHEN ABS(ROUND(md / sp * j, 6)) < 0.8 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM eff ORDER BY event_type
+""")
+def stats_cohens_d_effect(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect size of the weekend
+    shift in daily value totals per event type — the companion number
+    every A/B and seasonality readout should carry next to its
+    p-value (a significant Welch t with a negligible d is noise a
+    dashboard should not page on). Pooled-SD d with the small-sample
+    Hedges J = 1 - 3/(4n - 9) correction, plus the conventional
+    negligible/small/medium/large magnitude bucket.
+
+    Determinism: day totals are EXACT integer cents; group moments
+    are exact integer sums (the second moment accumulates as
+    decimal(38,0) — squared cents wrap BIGINT past ~1e9-cent days;
+    DuckDB promotes SUM(BIGINT) to HUGEINT, the clustered-SE
+    precedent) so mean diff and pooled SD are identical closed forms
+    of exact integers on both engines; d is scale-free (cents cancel)
+    and rounds at 6 dp. The magnitude bucket compares the ROUNDED g
+    so the label can never straddle an ulp. Scale: ONE data-grain
+    map-side-combined (type, day) rollup; everything after runs on
+    2 rows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("d"),
+                        (F.weekday("ts") >= 5).cast("int")
+                        .alias("is_weekend"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("vc")))
+    g = (daily.groupBy("event_type", "is_weekend")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("vc").alias("s1"),
+              F.sum(F.col("vc").cast("decimal(38,0)") * F.col("vc"))
+              .cast("double").alias("s2")))
+    pick = lambda w, c: F.max(  # noqa: E731
+        F.when(F.col("is_weekend") == w, F.col(c)))
+    wide = (g.groupBy("event_type")
+            .agg(pick(0, "n").alias("n_wd"), pick(0, "s1").alias("s1_wd"),
+                 pick(0, "s2").alias("s2_wd"),
+                 pick(1, "n").alias("n_we"), pick(1, "s1").alias("s1_we"),
+                 pick(1, "s2").alias("s2_we")))
+    md = (F.col("s1_we") / (F.col("n_we") * F.lit(1.0))
+          - F.col("s1_wd") / (F.col("n_wd") * F.lit(1.0)))
+    sp = F.sqrt(((F.col("s2_wd")
+                  - F.col("s1_wd") / (F.col("n_wd") * F.lit(1.0))
+                  * F.col("s1_wd"))
+                 + (F.col("s2_we")
+                    - F.col("s1_we") / (F.col("n_we") * F.lit(1.0))
+                    * F.col("s1_we")))
+                / (F.col("n_wd") + F.col("n_we") - F.lit(2.0)))
+    j = (F.lit(1.0) - F.lit(3.0)
+         / (F.lit(4.0) * (F.col("n_wd") + F.col("n_we")) - F.lit(9.0)))
+    g_r = F.round(md / sp * j, 6)
+    mag = (F.when(F.abs(g_r) < 0.2, "negligible")
+           .when(F.abs(g_r) < 0.5, "small")
+           .when(F.abs(g_r) < 0.8, "medium")
+           .otherwise("large"))
+    return (wide.select(
+        "event_type",
+        F.col("n_wd").cast("int").alias("n_weekday"),
+        F.col("n_we").cast("int").alias("n_weekend"),
+        F.round(md / 100.0, 6).alias("mean_diff"),
+        F.round(sp / 100.0, 6).alias("pooled_sd"),
+        F.round(md / sp, 6).alias("cohens_d"),
+        g_r.alias("hedges_g"),
+        mag.alias("magnitude"))
+        .orderBy("event_type"))
+
+
+# --------------------------------- Theil's uncertainty coefficient
+
+
+@query("stats_theils_u", sql="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n) AS grand FROM obs
+    ), hj AS (
+      SELECT -SUM((n / (grand * 1e0)) * LN(n / (grand * 1e0)))
+               AS h_joint
+      FROM obs CROSS JOIN tot WHERE n > 0
+    ), hs AS (
+      SELECT -SUM((rn / (grand * 1e0)) * LN(rn / (grand * 1e0)))
+               AS h_seg
+      FROM (SELECT seg, SUM(n) AS rn FROM obs GROUP BY 1) r
+      CROSS JOIN tot
+    ), hp AS (
+      SELECT -SUM((cn / (grand * 1e0)) * LN(cn / (grand * 1e0)))
+               AS h_prio
+      FROM (SELECT prio, SUM(n) AS cn FROM obs GROUP BY 1) col
+      CROSS JOIN tot
+    )
+    SELECT CAST(t.grand AS BIGINT) AS n,
+           ROUND(hp.h_prio, 6) AS h_prio,
+           ROUND(hs.h_seg, 6) AS h_seg,
+           ROUND(hj.h_joint, 6) AS h_joint,
+           ROUND((hp.h_prio + hs.h_seg - hj.h_joint)
+                 / hp.h_prio, 6) AS u_prio_given_seg,
+           ROUND((hp.h_prio + hs.h_seg - hj.h_joint)
+                 / hs.h_seg, 6) AS u_seg_given_prio,
+           ROUND(2.0 * (hp.h_prio + hs.h_seg - hj.h_joint)
+                 / (hp.h_prio + hs.h_seg), 6) AS u_symmetric
+    FROM tot t CROSS JOIN hj CROSS JOIN hs CROSS JOIN hp
+""")
+def stats_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U between customer market
+    segment and order priority — the ASYMMETRIC, entropy-based
+    association measure ("how much does knowing the segment reduce
+    uncertainty about the priority", and vice versa), the standard
+    complement to the symmetric Cramer's V already reported by
+    stats_chi_square_independence: U detects one-directional
+    predictive value V blurs together, and is the categorical-
+    feature-selection scorer in profiling suites. U(y|x) =
+    (H(y) + H(x) - H(x,y)) / H(y) via the mutual-information
+    identity, plus the symmetric variant 2*I/(H(x)+H(y)).
+
+    Determinism: every entropy is a sum of (count/n)*ln(count/n)
+    terms over EXACT integer counts (zero cells contribute nothing —
+    0*ln 0 = 0 — so only observed cells enter, unlike the chi-square
+    grid where structural zeros carry expected mass); the cell grain
+    is |segs| x |prios| <= 25 rows, so engine summation-order ulps
+    die in the 6-dp rounding. Scale: ONE data-sized join + count
+    rollup (orders |><| customer, co-partitioned at scale, AQE
+    broadcast at fixture size); all entropy algebra is cell-grain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("prio"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=False))
+    tot = obs.agg(F.sum("n").alias("grand"))
+    ent = lambda cnt: -F.sum(  # noqa: E731
+        (F.col(cnt) / (F.col("grand") * F.lit(1.0)))
+        * F.log(F.col(cnt) / (F.col("grand") * F.lit(1.0))))
+    hj = (obs.where(F.col("n") > 0).crossJoin(F.broadcast(tot))
+          .agg(ent("n").alias("h_joint")))
+    hs = (obs.groupBy("seg").agg(F.sum("n").alias("rn"))
+          .crossJoin(F.broadcast(tot)).agg(ent("rn").alias("h_seg")))
+    hp = (obs.groupBy("prio").agg(F.sum("n").alias("cn"))
+          .crossJoin(F.broadcast(tot)).agg(ent("cn").alias("h_prio")))
+    mi = F.col("h_prio") + F.col("h_seg") - F.col("h_joint")
+    return (tot.crossJoin(F.broadcast(hj))
+            .crossJoin(F.broadcast(hs))
+            .crossJoin(F.broadcast(hp))
+            .select(F.col("grand").cast("bigint").alias("n"),
+                    F.round("h_prio", 6).alias("h_prio"),
+                    F.round("h_seg", 6).alias("h_seg"),
+                    F.round("h_joint", 6).alias("h_joint"),
+                    F.round(mi / F.col("h_prio"), 6)
+                    .alias("u_prio_given_seg"),
+                    F.round(mi / F.col("h_seg"), 6)
+                    .alias("u_seg_given_prio"),
+                    F.round(2.0 * mi
+                            / (F.col("h_prio") + F.col("h_seg")), 6)
+                    .alias("u_symmetric")))
+
+
+# ------------------------------------- Wilcoxon signed-rank (paired)
+
+
+@query("stats_wilcoxon_signed_rank", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS pc,
+             SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS cc
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), diffs AS (
+      SELECT d, pc - cc AS df, ABS(pc - cc) AS ad
+      FROM daily WHERE pc - cc <> 0
+    ), vc AS (
+      SELECT ad, COUNT(*) AS t FROM diffs GROUP BY 1
+    ), mid AS (
+      SELECT ad, t,
+             SUM(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+               - (t - 1) / 2.0 AS midrank
+      FROM vc
+    ), w AS (
+      SELECT SUM(CASE WHEN x.df > 0 THEN m.midrank ELSE 0 END)
+               AS w_plus,
+             COUNT(*) AS n_eff
+      FROM diffs x JOIN mid m ON m.ad = x.ad
+    ), ties AS (
+      SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+               AS tie_num
+      FROM vc WHERE t > 1
+    ), nz AS (
+      SELECT COUNT(*) AS n_days FROM daily
+    )
+    SELECT CAST(nz.n_days AS BIGINT) AS n_pairs,
+           CAST(nz.n_days - w.n_eff AS BIGINT) AS n_zero_dropped,
+           ROUND(w.w_plus, 1) AS w_plus,
+           ROUND(w.n_eff * (w.n_eff + 1) / 4.0, 1) AS mu_w,
+           ROUND(w.n_eff * (w.n_eff + 1.0) * (2 * w.n_eff + 1) / 24.0
+                 - CAST(t.tie_num AS DOUBLE) / 48.0, 4) AS var_w,
+           ROUND((w.w_plus - w.n_eff * (w.n_eff + 1) / 4.0)
+                 / SQRT(w.n_eff * (w.n_eff + 1.0)
+                        * (2 * w.n_eff + 1) / 24.0
+                        - CAST(t.tie_num AS DOUBLE) / 48.0), 6) AS z,
+           ABS(ROUND((w.w_plus - w.n_eff * (w.n_eff + 1) / 4.0)
+                 / SQRT(w.n_eff * (w.n_eff + 1.0)
+                        * (2 * w.n_eff + 1) / 24.0
+                        - CAST(t.tie_num AS DOUBLE) / 48.0), 6))
+             > 1.959964 AS reject_05
+    FROM w CROSS JOIN ties t CROSS JOIN nz
+""")
+def stats_wilcoxon_signed_rank(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily totals — does
+    purchase revenue systematically exceed click value on the same
+    day? The nonparametric paired-location test (no normality of the
+    differences assumed) that completes the repo's rank-test family:
+    Kruskal-Wallis is k independent groups, the KS test is two
+    unpaired samples, this is the matched-pairs case every
+    before/after analysis needs. Zero differences drop (standard
+    Wilcoxon practice), |diff| ranks are exact midranks with the tie
+    correction sum t(t-1)(t+1)/48 in the normal-approximation
+    variance, and z tests W+ against its null mean n(n+1)/4 at the
+    two-sided 95% level.
+
+    Determinism: day totals and their differences are EXACT integer
+    cents, so the zero-drop and every sign are exact; midranks come
+    from the |diff|-vocabulary cumulative count (.5-grain doubles,
+    exactly representable), making W+ an exact sum; the tie term
+    accumulates in 128-bit integers. Scale: ONE data-grain map-side-
+    combined (day) rollup; the rank machinery runs at |distinct
+    diffs| <= |days| grain (calendar-bounded) through
+    _twophase.with_global_order (range repartition + broadcast
+    offsets — no single-task window), the Kruskal-Wallis plan."""
+    from mongo_cdc_spark.operators._twophase import with_global_order
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (ev.where(F.col("event_type").isin("purchase", "click"))
+             .groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                               cents).otherwise(0)).alias("pc"),
+                  F.sum(F.when(F.col("event_type") == "click",
+                               cents).otherwise(0)).alias("cc"))
+             .localCheckpoint(eager=False))
+    diffs = (daily.select("d", (F.col("pc") - F.col("cc")).alias("df"),
+                          F.abs(F.col("pc") - F.col("cc")).alias("ad"))
+             .where(F.col("df") != 0)
+             .localCheckpoint(eager=False))
+    vc = diffs.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
+    mid = (with_global_order(vc, [F.col("ad").asc()],
+                             cumsums={"t": "cum"})
+           .withColumn("midrank",
+                       F.col("cum") - (F.col("t") - 1) / 2.0))
+    w = (diffs.join(mid.select("ad", "midrank"), "ad")
+         .agg(F.sum(F.when(F.col("df") > 0, F.col("midrank"))
+                    .otherwise(0.0)).alias("w_plus"),
+              F.count(F.lit(1)).alias("n_eff")))
+    ties = (vc.where(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum((F.col("t") * F.col("t") * F.col("t")
+                       - F.col("t")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"))
+                .cast("double").alias("tie_num")))
+    nz = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    j = w.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nz))
+    mu = F.col("n_eff") * (F.col("n_eff") + 1) / 4.0
+    var = (F.col("n_eff") * (F.col("n_eff") + 1.0)
+           * (2 * F.col("n_eff") + 1) / 24.0
+           - F.col("tie_num") / 48.0)
+    z = F.round((F.col("w_plus") - mu) / F.sqrt(var), 6)
+    return j.select(
+        F.col("n_days").cast("bigint").alias("n_pairs"),
+        (F.col("n_days") - F.col("n_eff")).cast("bigint")
+        .alias("n_zero_dropped"),
+        F.round("w_plus", 1).alias("w_plus"),
+        F.round(mu, 1).alias("mu_w"),
+        F.round(var, 4).alias("var_w"),
+        z.alias("z"),
+        (F.abs(z) > 1.959964).alias("reject_05"))

@@ -2436,3 +2436,242 @@ def ts_mann_kendall_trend(spark: SparkSession,
                      (F.abs(F.round(z, 6)) > 1.959964)
                      .alias("reject_05"))
             .orderBy("event_type"))
+
+
+# ------------------------- Brown's double (linear) smoothing backtest
+
+_DES_ALPHA = 0.3
+
+
+@query("ts_brown_double_smoothing", sql=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ), l1 AS (
+      SELECT a.t, a.day, a.y,
+             ROUND(SUM(CASE WHEN s.t = 1
+                            THEN ROUND(POW(1 - {_DES_ALPHA}, a.t - 1), 8)
+                            ELSE ROUND({_DES_ALPHA}
+                                 * POW(1 - {_DES_ALPHA}, a.t - s.t), 8)
+                        END * s.y), 6) AS lvl1
+      FROM idx a JOIN idx s ON s.t <= a.t
+      GROUP BY a.t, a.day, a.y
+    ), l2 AS (
+      SELECT a.t, a.day, a.y, a.lvl1,
+             ROUND(SUM(CASE WHEN s.t = 1
+                            THEN ROUND(POW(1 - {_DES_ALPHA}, a.t - 1), 8)
+                            ELSE ROUND({_DES_ALPHA}
+                                 * POW(1 - {_DES_ALPHA}, a.t - s.t), 8)
+                        END * s.lvl1), 6) AS lvl2
+      FROM l1 a JOIN l1 s ON s.t <= a.t
+      GROUP BY a.t, a.day, a.y, a.lvl1
+    ), ab AS (
+      SELECT t, day, y, lvl1, lvl2,
+             ROUND(2 * lvl1 - lvl2, 6) AS a_t,
+             ROUND({_DES_ALPHA} / (1 - {_DES_ALPHA})
+                   * (lvl1 - lvl2), 6) AS b_t
+      FROM l2
+    )
+    SELECT strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(c.t AS INT) AS t,
+           ROUND(c.y, 2) AS revenue,
+           c.lvl1, c.lvl2, c.a_t, c.b_t,
+           ROUND(p.a_t + p.b_t, 6) AS forecast,
+           ROUND(ABS(c.y - ROUND(p.a_t + p.b_t, 6)), 6) AS abs_err
+    FROM ab c LEFT JOIN ab p ON p.t = c.t - 1
+    ORDER BY c.t
+""")
+def ts_brown_double_smoothing(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Brown's double (linear) exponential smoothing of daily purchase
+    revenue with a one-step-ahead backtest — the trend-aware upgrade
+    of ts_exponential_smoothing: a second SES pass over the first
+    pass's levels yields the local level a_t = 2*l1 - l2 and trend
+    b_t = a/(1-a) * (l1 - l2), and tomorrow's forecast a_t + b_t
+    tracks a drifting series SES permanently lags. Same recursion-to-
+    closed-form trick applied twice: each smoothing is the unrolled
+    weighted sum over the (rounded) inputs, so there is no sequential
+    scan anywhere.
+
+    Determinism: decay coefficients round at 8 dp and each
+    smoothing's levels round at 6 dp BEFORE feeding the next stage,
+    so both engines sum identical terms at every stage (the
+    ts_exponential_smoothing contract, cascaded). Scale: ONE
+    data-grain stage (the cents-exact daily rollup); both unrolled
+    self-joins run at day grain — O(n_days^2) calendar-bounded pairs
+    (a year = 133k), metadata next to any corpus. The day-index
+    window is calendar-bounded (declared WINDOW_OK, same as SES);
+    recursion-vs-closed-form identity pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   / 100.0).alias("y")))
+    idx = (daily.withColumn(
+        "t", F.row_number().over(Window.orderBy("day")))
+        .localCheckpoint(eager=True))
+    alpha = _DES_ALPHA
+
+    def smooth(frame: DataFrame, src: str, out: str) -> DataFrame:
+        a_, s_ = frame.alias("a"), frame.alias("s")
+        coef = (F.when(F.col("s.t") == 1,
+                       F.round(F.pow(F.lit(1 - alpha),
+                                     F.col("a.t") - 1), 8))
+                .otherwise(F.round(
+                    F.lit(alpha) * F.pow(F.lit(1 - alpha),
+                                         F.col("a.t") - F.col("s.t")),
+                    8)))
+        keep = [F.col(f"a.{c}").alias(c) for c in frame.columns]
+        return (a_.join(F.broadcast(s_), F.col("s.t") <= F.col("a.t"))
+                .groupBy(*keep)
+                .agg(F.round(F.sum(coef * F.col(f"s.{src}")), 6)
+                     .alias(out)))
+
+    # two cascaded smoothings; checkpoint between them so the second
+    # pass consumes the ROUNDED first-pass levels once, not a
+    # recomputed lineage (one broadcast consumer -> lazy is safe, but
+    # l1 feeds both sides of the second self-join -> eager per the
+    # round-9 broadcast-race rule).
+    l1 = smooth(idx, "y", "lvl1").localCheckpoint(eager=True)
+    l2 = smooth(l1, "lvl1", "lvl2")
+    ab = (l2.withColumn("a_t", F.round(2 * F.col("lvl1")
+                                       - F.col("lvl2"), 6))
+          .withColumn("b_t", F.round(F.lit(alpha / (1 - alpha))
+                                     * (F.col("lvl1") - F.col("lvl2")),
+                                     6))
+          .localCheckpoint(eager=True))
+    prev = ab.select((F.col("t") + 1).alias("t"),
+                     F.round(F.col("a_t") + F.col("b_t"), 6)
+                     .alias("forecast"))
+    return (ab.join(F.broadcast(prev), "t", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("t").cast("int").alias("t"),
+                    F.round("y", 2).alias("revenue"),
+                    "lvl1", "lvl2", "a_t", "b_t", "forecast",
+                    F.round(F.abs(F.col("y") - F.col("forecast")), 6)
+                    .alias("abs_err"))
+            .orderBy("t"))
+
+
+# ----------------------------------- Page-Hinkley mean-drift monitor
+
+
+@query("ts_page_hinkley_drift", sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS xc
+      FROM events GROUP BY 1, 2
+    ), sig AS (
+      SELECT event_type,
+             COUNT(*) AS nd,
+             SQRT((SUM(CAST(xc AS HUGEINT) * xc)
+                   - SUM(xc) / (COUNT(*) * 1e0) * SUM(xc))
+                  / (COUNT(*) * 1e0)) AS sigma
+      FROM daily GROUP BY 1
+    ), seq AS (
+      SELECT event_type, d, xc,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d) AS t,
+             SUM(xc) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily
+    ), term AS (
+      SELECT event_type, d, t,
+             xc - cum / (t * 1e0) AS dev
+      FROM seq
+    ), m AS (
+      SELECT event_type, d, t,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS m_t
+      FROM term
+    ), ph AS (
+      SELECT event_type, d, t, m_t,
+             m_t - MIN(m_t) OVER (PARTITION BY event_type ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS ph_up,
+             MAX(m_t) OVER (PARTITION BY event_type ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) - m_t AS ph_dn
+      FROM m
+    ), flagged AS (
+      SELECT p.event_type, p.d, p.t,
+             p.ph_up / s.sigma AS up_n, p.ph_dn / s.sigma AS dn_n,
+             s.nd, s.sigma
+      FROM ph p JOIN sig s ON s.event_type = p.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(nd) AS INT) AS n_days,
+           ROUND(MAX(sigma) / 100.0, 4) AS sigma_daily,
+           ROUND(MAX(up_n), 6) AS ph_up_max,
+           ROUND(MAX(dn_n), 6) AS ph_down_max,
+           MAX(up_n) > 3.0 OR MAX(dn_n) > 3.0 AS drift_alarm,
+           MIN(CASE WHEN up_n > 3.0 OR dn_n > 3.0
+                    THEN strftime(d, '%Y-%m-%d') END) AS first_alarm_day
+    FROM flagged GROUP BY event_type ORDER BY event_type
+""")
+def ts_page_hinkley_drift(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift monitor on daily value totals per event
+    type — the classic sequential change detector (the streaming
+    cousin of CUSUM that ML-monitoring stacks run on model inputs and
+    conversion rates): m_t = sum of deviations from the RUNNING mean,
+    and an alarm when m_t leaves its historical min (upward drift) or
+    max (downward drift) by more than lambda = 3 standard deviations
+    of the daily series. Reports both one-sided maxima normalized by
+    sigma, the alarm flag, and the first alarm day — complements
+    ts_cusum_changepoint (fixed reference mean) by tracking the
+    running mean, which is what you deploy when the baseline itself
+    is unknown upfront.
+
+    Determinism: day totals are EXACT integer cents; the running-mean
+    prefix sums are exact integers, so each deviation is an identical
+    double on both engines; the m_t prefix sum and its running
+    min/max accumulate over the SAME day order on both engines
+    (sequential IEEE sums agree bit-for-bit), and outputs round at
+    6 dp. Sigma is population SD from exact integer moments (second
+    moment in 128-bit). Scale: ONE data-grain map-side-combined
+    (type, day) rollup; every window is PARTITIONED by event_type
+    over day-grain rows — calendar-bounded frames, no global window,
+    no data-sized state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("xc"))
+             .localCheckpoint(eager=True))
+    sig = (daily.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("nd"),
+                F.sqrt((F.sum(F.col("xc").cast("decimal(38,0)")
+                              * F.col("xc")).cast("double")
+                        - F.sum("xc") / (F.count(F.lit(1)) * F.lit(1.0))
+                        * F.sum("xc"))
+                       / (F.count(F.lit(1)) * F.lit(1.0)))
+                .alias("sigma")))
+    w = Window.partitionBy("event_type").orderBy("d")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = (Window.partitionBy("event_type").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seq = (daily.withColumn("t", F.row_number().over(w))
+           .withColumn("cum", F.sum("xc").over(wr)))
+    term = seq.withColumn(
+        "dev", F.col("xc") - F.col("cum") / (F.col("t") * F.lit(1.0)))
+    m = term.withColumn("m_t", F.sum("dev").over(wt))
+    ph = (m.withColumn("ph_up", F.col("m_t") - F.min("m_t").over(wt))
+          .withColumn("ph_dn", F.max("m_t").over(wt) - F.col("m_t")))
+    flagged = (ph.join(sig, "event_type")
+               .select("event_type", "d", "nd", "sigma",
+                       (F.col("ph_up") / F.col("sigma")).alias("up_n"),
+                       (F.col("ph_dn") / F.col("sigma")).alias("dn_n")))
+    alarm = (F.col("up_n") > 3.0) | (F.col("dn_n") > 3.0)
+    return (flagged.groupBy("event_type")
+            .agg(F.max("nd").cast("int").alias("n_days"),
+                 F.round(F.max("sigma") / 100.0, 4).alias("sigma_daily"),
+                 F.round(F.max("up_n"), 6).alias("ph_up_max"),
+                 F.round(F.max("dn_n"), 6).alias("ph_down_max"),
+                 ((F.max("up_n") > 3.0) | (F.max("dn_n") > 3.0))
+                 .alias("drift_alarm"),
+                 F.min(F.when(alarm, F.date_format("d", "yyyy-MM-dd")))
+                 .alias("first_alarm_day"))
+            .orderBy("event_type"))

@@ -1336,3 +1336,119 @@ def test_kruskal_wallis_matches_python_reference(spark, sf_dir):
     assert math.isclose(got["tie_correction"], corr, rel_tol=1e-8)
     assert math.isclose(got["h_stat"], h_raw / corr,
                         rel_tol=1e-6, abs_tol=1e-5)
+
+
+def test_cohens_d_matches_python_reference(spark, sf_dir):
+    """Exact-moment pooled-SD d and Hedges g from raw daily cents."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_cohens_d_effect
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        wk = 1 if r["ts"].weekday() >= 5 else 0
+        daily[(r["event_type"], r["ts"].date(), wk)] += round(
+            r["value"] * 100)
+    groups = defaultdict(list)
+    for (et, _, wk), vc in daily.items():
+        groups[(et, wk)].append(vc)
+    got = {r["event_type"]: r
+           for r in stats_cohens_d_effect(spark, sf_dir).collect()}
+    for et in {k[0] for k in groups}:
+        wd, we = groups[(et, 0)], groups[(et, 1)]
+        n1, n2 = len(wd), len(we)
+        m1, m2 = sum(wd) / n1, sum(we) / n2
+        ss = (sum(v * v for v in wd) - n1 * m1 * m1
+              + sum(v * v for v in we) - n2 * m2 * m2)
+        sp = math.sqrt(ss / (n1 + n2 - 2))
+        d = (m2 - m1) / sp
+        jc = 1 - 3 / (4 * (n1 + n2) - 9)
+        r = got[et]
+        assert r["n_weekday"] == n1 and r["n_weekend"] == n2
+        assert math.isclose(r["mean_diff"], (m2 - m1) / 100, abs_tol=1e-4)
+        assert math.isclose(r["cohens_d"], d, abs_tol=1e-5)
+        assert math.isclose(r["hedges_g"], d * jc, abs_tol=1e-5)
+        lab = ("negligible" if abs(round(d * jc, 6)) < 0.2 else
+               "small" if abs(round(d * jc, 6)) < 0.5 else
+               "medium" if abs(round(d * jc, 6)) < 0.8 else "large")
+        assert r["magnitude"] == lab
+
+
+def test_theils_u_matches_python_reference(spark, sf_dir):
+    """Entropies and U from the exact contingency counts."""
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_theils_u
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").collect()
+    seg = {r["c_custkey"]: r["c_mktsegment"] for r in
+           load_table(spark, sf_dir, "customer").collect()}
+    obs = Counter((seg[r["o_custkey"]], r["o_orderpriority"]) for r in o)
+    n = sum(obs.values())
+
+    def ent(counts):
+        return -sum((c / n) * math.log(c / n) for c in counts if c > 0)
+
+    hj = ent(obs.values())
+    hs = ent(Counter(k[0] for k in obs.elements()).values())
+    hp = ent(Counter(k[1] for k in obs.elements()).values())
+    mi = hp + hs - hj
+    got = stats_theils_u(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["h_joint"], hj, abs_tol=1e-5)
+    assert math.isclose(got["u_prio_given_seg"], mi / hp, abs_tol=1e-5)
+    assert math.isclose(got["u_seg_given_prio"], mi / hs, abs_tol=1e-5)
+    assert math.isclose(got["u_symmetric"], 2 * mi / (hp + hs),
+                        abs_tol=1e-5)
+    # U is a [0,1] measure; MI is symmetric and nonnegative.
+    assert 0.0 <= got["u_prio_given_seg"] <= 1.0
+    assert 0.0 <= got["u_symmetric"] <= 1.0
+
+
+def test_wilcoxon_matches_python_reference(spark, sf_dir):
+    """Midranks, W+, tie-corrected variance from exact daily cents."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        stats_wilcoxon_signed_rank)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value").collect()
+    pc, cc = defaultdict(int), defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            pc[r["ts"].date()] += round(r["value"] * 100)
+        elif r["event_type"] == "click":
+            cc[r["ts"].date()] += round(r["value"] * 100)
+    days = set(pc) | set(cc)
+    diffs = [pc[d] - cc[d] for d in days]
+    nz = [d for d in diffs if d != 0]
+    vc = Counter(abs(d) for d in nz)
+    midrank, cum = {}, 0
+    for ad in sorted(vc):
+        t = vc[ad]
+        cum += t
+        midrank[ad] = cum - (t - 1) / 2.0
+    w_plus = sum(midrank[d] for d in nz if d > 0)
+    n = len(nz)
+    mu = n * (n + 1) / 4.0
+    tie = sum(t ** 3 - t for t in vc.values() if t > 1)
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+    z = (w_plus - mu) / math.sqrt(var)
+    got = stats_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert got["n_pairs"] == len(days)
+    assert got["n_zero_dropped"] == len(days) - n
+    assert got["w_plus"] == round(w_plus, 1)
+    assert got["mu_w"] == round(mu, 1)
+    assert math.isclose(got["var_w"], var, rel_tol=1e-9)
+    assert math.isclose(got["z"], z, abs_tol=1e-5)
+    assert got["reject_05"] == (abs(round(z, 6)) > 1.959964)

@@ -658,3 +658,79 @@ def test_mann_kendall_matches_python_reference(spark, sf_dir):
         assert abs(r["var_s"] - round(var, 4)) < 1e-9
         assert abs(r["z"] - round(z, 6)) < 1e-9
         assert r["reject_05"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_brown_double_smoothing_equals_recursion(spark, sf_dir):
+    """Both closed-form passes must equal the sequential recursions
+    l1_t = a*y_t + (1-a)*l1_(t-1) and l2_t = a*l1_t + (1-a)*l2_(t-1)
+    (up to the declared 8-dp coefficient rounding), and the forecast
+    must be the prior day's a_t + b_t."""
+    from mongo_cdc_spark.operators.timeseries import (
+        _DES_ALPHA, ts_brown_double_smoothing)
+
+    got = ts_brown_double_smoothing(spark, sf_dir).toPandas()
+    got = got.sort_values("t").reset_index(drop=True)
+    ys = list(got.revenue)
+    a = _DES_ALPHA
+    l1, l2 = ys[0], ys[0]
+    assert abs(got.lvl1[0] - round(ys[0], 6)) < 1e-9
+    assert abs(got.lvl2[0] - round(ys[0], 6)) < 1e-4
+    for t in range(1, len(ys)):
+        l1 = a * ys[t] + (1 - a) * l1
+        # the second pass consumes the ROUNDED first-pass levels
+        l2 = a * got.lvl1[t] + (1 - a) * l2
+        assert abs(got.lvl1[t] - l1) < 1e-4, t
+        assert abs(got.lvl2[t] - l2) < 1e-4, t
+        at = round(2 * got.lvl1[t] - got.lvl2[t], 6)
+        bt = round(a / (1 - a) * (got.lvl1[t] - got.lvl2[t]), 6)
+        assert abs(got.a_t[t] - at) < 1e-9
+        assert abs(got.b_t[t] - bt) < 1e-9
+        f = round(got.a_t[t - 1] + got.b_t[t - 1], 6)
+        assert abs(got.forecast[t] - f) < 1e-9
+        assert abs(got.abs_err[t] - round(abs(ys[t] - f), 6)) < 1e-9
+
+
+def test_page_hinkley_matches_python_reference(spark, sf_dir):
+    """Sequential PH recursion over exact daily cents per type."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        ts_page_hinkley_drift)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += round(
+            r["value"] * 100)
+    series = defaultdict(list)
+    for (et, d) in sorted(daily):
+        series[et].append((d, daily[(et, d)]))
+    got = {r["event_type"]: r
+           for r in ts_page_hinkley_drift(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        xs = [x for _, x in pts]
+        n = len(xs)
+        mean = sum(xs) / n
+        sigma = math.sqrt(sum(x * x for x in xs) / n - mean * mean)
+        cum = m = 0
+        mn = mx = 0.0
+        up_max = dn_max = 0.0
+        first = None
+        for i, (d, x) in enumerate(pts, start=1):
+            cum += x
+            m += x - cum / i
+            mn, mx = min(mn, m), max(mx, m)
+            up, dn = (m - mn) / sigma, (mx - m) / sigma
+            up_max, dn_max = max(up_max, up), max(dn_max, dn)
+            if first is None and (up > 3.0 or dn > 3.0):
+                first = d.strftime("%Y-%m-%d")
+        r = got[et]
+        assert r["n_days"] == n
+        assert math.isclose(r["sigma_daily"], sigma / 100, abs_tol=1e-3)
+        assert math.isclose(r["ph_up_max"], up_max, abs_tol=1e-5)
+        assert math.isclose(r["ph_down_max"], dn_max, abs_tol=1e-5)
+        assert r["drift_alarm"] == (up_max > 3.0 or dn_max > 3.0)
+        assert r["first_alarm_day"] == first

@@ -427,6 +427,7 @@ WINDOW_OK: dict[str, int] = {
     "ab_test_sequential_sprt": 1,  # SPRT walk over the daily grid
     "ts_motif_discovery": 1,       # day-index assignment on day rows
     "ts_exponential_smoothing": 1,  # day-index on calendar-grain rows
+    "ts_brown_double_smoothing": 1,  # day-index on calendar-grain rows
     "ts_dow_seasonality": 2,       # day-index + day-count, both bounded
     "ts_ljungbox_whiteness": 1,    # cumulative Q over the 7-row lag grid
     "ts_runs_test": 1,             # run-boundary lag over bounded day rows
