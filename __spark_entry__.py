@@ -104,9 +104,11 @@ _GRADE_FIRST = (
     # stats_wilcoxon_signed_rank (paired midrank test through the
     # two-phase global-order plan), ts_brown_double_smoothing
     # (cascaded closed-form double smoothing with trend backtest),
-    # and ts_page_hinkley_drift (running-mean PH monitor, exact
-    # sequential prefix algebra) — plus any later entries noted
-    # below. After those, rotate the 3 spilled r1 rows
+    # ts_page_hinkley_drift (running-mean PH monitor, exact
+    # sequential prefix algebra), graph_hits_scores (3-superstep
+    # hubs/authorities with deferred L1 normalization), and
+    # sql_unpivot_text (data-grain UNPIVOT clause shared verbatim
+    # with the oracle) — plus any later entries noted below. After those, rotate the 3 spilled r1 rows
     # (window_range_frame_spend, window_running_customer_spend,
     # window_topk_orders_per_segment) then the r2-vintage stale
     # greens to fill the 50-slot window.

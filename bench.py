@@ -279,6 +279,8 @@ HEADLINE = [
     ("wilcoxon", quality.stats_wilcoxon_signed_rank),
     ("brown_des", timeseries.ts_brown_double_smoothing),
     ("page_hinkley", timeseries.ts_page_hinkley_drift),
+    ("hits", graph.graph_hits_scores),
+    ("sql_unpivot", sqlfront.sql_unpivot_text),
 ]
 
 

@@ -1086,3 +1086,123 @@ def graph_adamic_adar_topk(spark: SparkSession,
                     .alias("common_neighbors"),
                     "adamic_adar")
             .orderBy("rank"))
+
+
+# ------------------------------------------------ HITS (hubs/authorities)
+
+HITS_ITERS = 3
+HITS_TOP = 20
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled 3-step HITS, L1-normalized ONCE at the end (the
+    updates are linear, so per-step normalization only rescales —
+    deferring it is mathematically identical and halves the CTEs)."""
+    steps = []
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(f"""a{k} AS (
+      SELECT e.s, SUM(h.h) AS a
+      FROM edges e JOIN h{k - 1} h ON h.c = e.c
+      GROUP BY e.s
+    ), h{k} AS (
+      SELECT e.c, SUM(a.a) AS h
+      FROM edges e JOIN a{k} a ON a.s = e.s
+      GROUP BY e.c
+    )""")
+    chain = ", ".join(steps)
+    k = HITS_ITERS
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), h0 AS (
+      SELECT DISTINCT c, 1e0 AS h FROM edges
+    ), {chain},
+    ranked AS (
+      SELECT 'S' AS node_type, s AS node_id,
+             ROUND(a / (SELECT SUM(a) FROM a{k}), 6) AS score
+      FROM a{k}
+      UNION ALL
+      SELECT 'C', c,
+             ROUND(h / (SELECT SUM(h) FROM h{k}), 6)
+      FROM h{k}
+    ), topk AS (
+      SELECT node_type, node_id, score,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY node_type
+                 ORDER BY score DESC, node_id) AS INT) AS rank
+      FROM ranked
+    )
+    SELECT node_type, node_id, score, rank
+    FROM topk WHERE rank <= {HITS_TOP}
+    ORDER BY node_type, rank
+    """
+
+
+@query("graph_hits_scores", sql=_hits_oracle_sql())
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) on the DIRECTED
+    customer->supplier purchase graph: customers are hubs (good
+    buyers point at good sellers), suppliers are authorities, and the
+    mutual-reinforcement recursion a = E'h, h = Ea runs
+    {HITS_ITERS} power-iteration supersteps — the directed complement
+    to graph_pagerank_trade's symmetric random walk (PageRank scores
+    flow-through importance; HITS separates the pointing role from
+    the pointed-at role, the distinction crawl frontier scoring and
+    marketplace seller-ranking actually need). Because every update
+    is linear, L1 normalization happens ONCE at the end instead of
+    per half-step — identical final scores, half the supersteps'
+    materializations (and no overflow risk at 3 iterations: unnormed
+    magnitudes grow as avg-degree^2 per round, ~1e12 over 3 rounds at
+    this shape, comfortably inside double range; deeper runs would
+    re-enable per-step scaling). Top-{HITS_TOP} per role by rounded
+    score with a total tie-break.
+
+    Scale posture: identical to PageRank — per half-step ONE
+    edge-join-scores shuffle partial-aggregated on the destination
+    key, rank state O(nodes), lineage truncated per superstep via
+    LAZY localCheckpoint (each intermediate has exactly one
+    downstream consumer; only the two FINAL frames are eager because
+    both feed a broadcast norm-aggregate plus the output select —
+    the round-9 broadcast-race rule). The L1 norms are broadcast
+    1-row aggregates. Determinism: node-grain double sums differ at
+    ~1e-15 relative between engines; the 6-dp rounding absorbs it and
+    ranks tie-break on (node_type, node_id). Top-k is orderBy+limit
+    per role (TakeOrderedAndProject, no global sort); the final rank
+    window runs over <= 2*{HITS_TOP} rows (declared WINDOW_OK)."""
+    from pyspark.storagelevel import StorageLevel
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    h = edges.select("c").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for i in range(HITS_ITERS):
+        last = i == HITS_ITERS - 1
+        a = (edges.join(h, "c")
+             .groupBy("s").agg(F.sum("h").alias("a"))
+             .localCheckpoint(eager=last))
+        h = (edges.join(a, "s")
+             .groupBy("c").agg(F.sum("a").alias("h"))
+             .localCheckpoint(eager=last))
+    a_tot = a.agg(F.sum("a").alias("t"))
+    h_tot = h.agg(F.sum("h").alias("t"))
+    top_a = (a.crossJoin(F.broadcast(a_tot))
+             .select(F.lit("S").alias("node_type"),
+                     F.col("s").alias("node_id"),
+                     F.round(F.col("a") / F.col("t"), 6).alias("score"))
+             .orderBy(F.desc("score"), "node_id").limit(HITS_TOP))
+    top_h = (h.crossJoin(F.broadcast(h_tot))
+             .select(F.lit("C").alias("node_type"),
+                     F.col("c").alias("node_id"),
+                     F.round(F.col("h") / F.col("t"), 6).alias("score"))
+             .orderBy(F.desc("score"), "node_id").limit(HITS_TOP))
+    w = W.partitionBy("node_type").orderBy(F.desc("score"), "node_id")
+    return (top_a.unionByName(top_h)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= HITS_TOP)
+            .orderBy("node_type", "rank"))

@@ -489,3 +489,49 @@ def sql_pivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pivot adds columns, not rows."""
     names = _views(spark, sf_dir, "orders", suffix="pivtxt")
     return spark.sql(_PIVOT_SQL.format(**names))
+
+
+# --------------------------------------------- UNPIVOT as SQL text
+
+_UNPIVOT_SQL = """
+    WITH charges AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross,
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS discount_amt,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax
+                        * 100) AS BIGINT) AS tax_amt
+      FROM {lineitem}
+    )
+    SELECT l_returnflag, component,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS avg_amount
+    FROM charges
+    UNPIVOT (cents FOR component IN (gross, discount_amt, tax_amt))
+    GROUP BY l_returnflag, component
+    ORDER BY l_returnflag, component
+"""
+
+
+@query("sql_unpivot_text",
+       sql=_UNPIVOT_SQL.format(lineitem="lineitem"))
+def sql_unpivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT stated as SQL text and shared VERBATIM with the oracle
+    (DuckDB accepts the same `UNPIVOT (val FOR name IN (...))` clause)
+    — the wide→long inverse of sql_pivot_text through the
+    parser/analyzer path. Unlike the DataFrame twin
+    unpivot_lineitem_metrics (which melts a pre-aggregated 3-row
+    frame), THIS statement unpivots at DATA GRAIN — each lineitem row
+    fans out to 3 charge-component rows inside the scan stage — and
+    aggregates after, grading the Expand-then-partial-agg plan shape
+    a real metrics melt produces at scale.
+
+    Scale: the unpivot Expand is a narrow per-row generate (x3 rows,
+    no exchange); the only shuffle is the map-side-combined
+    (flag, component) aggregation — 15 groups. Charge components are
+    EXACT integer cents (each rounds per row before any sum), so
+    totals and means are exact-integer ratios on both engines."""
+    names = _views(spark, sf_dir, "lineitem", suffix="unpivtxt")
+    return spark.sql(_UNPIVOT_SQL.format(**names))

@@ -399,3 +399,44 @@ def test_adamic_adar_matches_python_reference(spark, sf_dir):
             round(r["adamic_adar"], 6))
            for r in graph_adamic_adar_topk(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_hits_matches_python_reference(spark, sf_dir):
+    """Pure-Python 3-step HITS with end-normalization on the same
+    directed customer->supplier edge set."""
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.graph import (HITS_ITERS, HITS_TOP,
+                                                 graph_hits_scores)
+
+    o = {r["o_orderkey"]: r["o_custkey"] for r in
+         load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey").collect()
+    edges = {(o[r["l_orderkey"]], r["l_suppkey"]) for r in li}
+    h = {c: 1.0 for c, _ in edges}
+    a = {}
+    for _ in range(HITS_ITERS):
+        a = defaultdict(float)
+        for c, s in edges:
+            a[s] += h[c]
+        h = defaultdict(float)
+        for c, s in edges:
+            h[c] += a[s]
+    at, ht = sum(a.values()), sum(h.values())
+    exp_a = sorted(((round(v / at, 6), k) for k, v in a.items()),
+                   key=lambda x: (-x[0], x[1]))[:HITS_TOP]
+    exp_h = sorted(((round(v / ht, 6), k) for k, v in h.items()),
+                   key=lambda x: (-x[0], x[1]))[:HITS_TOP]
+    got = graph_hits_scores(spark, sf_dir).collect()
+    got_a = [(r["score"], r["node_id"]) for r in got
+             if r["node_type"] == "S"]
+    got_h = [(r["score"], r["node_id"]) for r in got
+             if r["node_type"] == "C"]
+    assert got_a == exp_a
+    assert got_h == exp_h
+    # ranks are 1..k within each role
+    for role in ("S", "C"):
+        ranks = [r["rank"] for r in got if r["node_type"] == role]
+        assert ranks == list(range(1, len(ranks) + 1))

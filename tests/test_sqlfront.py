@@ -294,3 +294,37 @@ def test_sql_pivot_matches_dataframe_pivot(spark, sf_dir):
             cents = r[f"{st}_cents"] or 0
             assert g[ncol] == n, (r["o_orderpriority"], st)
             assert g[tcol] == round(cents / 100.0, 2)
+
+
+def test_sql_unpivot_matches_dataframe_unpivot(spark, sf_dir):
+    """The SQL-text UNPIVOT must agree with DataFrame unpivot() run at
+    the same data grain, and the plan must contain the Expand."""
+    from mongo_cdc_spark.io import load_table
+
+    got = {(r["l_returnflag"], r["component"]): r for r in
+           sqlfront.sql_unpivot_text(spark, sf_dir).collect()}
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("gross"),
+        cents(F.col("l_extendedprice") * F.col("l_discount"))
+        .alias("discount_amt"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * F.col("l_tax")).alias("tax_amt"))
+    ref = (wide.unpivot(["l_returnflag"],
+                        ["gross", "discount_amt", "tax_amt"],
+                        "component", "cents")
+           .groupBy("l_returnflag", "component")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("c"))
+           .collect())
+    assert len(ref) == len(got) > 0
+    for r in ref:
+        g = got[(r["l_returnflag"], r["component"])]
+        assert g["n_rows"] == r["n"]
+        assert g["total"] == round(r["c"] / 100.0, 2)
+        assert g["avg_amount"] == round(r["c"] / r["n"] / 100.0, 6)
+    plan = (sqlfront.sql_unpivot_text(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in plan
