@@ -108,7 +108,11 @@ _GRADE_FIRST = (
     # sequential prefix algebra), graph_hits_scores (3-superstep
     # hubs/authorities with deferred L1 normalization), and
     # sql_unpivot_text (data-grain UNPIVOT clause shared verbatim
-    # with the oracle) — plus any later entries noted below. After those, rotate the 3 spilled r1 rows
+    # with the oracle), quality_column_entropy_profile (exact-count
+    # Shannon entropy / concentration screen per column), and
+    # streaming_session_window_replay (native session_window helper
+    # rolled up to a duration histogram; drained-stream parity
+    # pinned) — plus any later entries noted below. After those, rotate the 3 spilled r1 rows
     # (window_range_frame_spend, window_running_customer_spend,
     # window_topk_orders_per_segment) then the r2-vintage stale
     # greens to fill the 50-slot window.

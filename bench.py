@@ -281,6 +281,8 @@ HEADLINE = [
     ("page_hinkley", timeseries.ts_page_hinkley_drift),
     ("hits", graph.graph_hits_scores),
     ("sql_unpivot", sqlfront.sql_unpivot_text),
+    ("col_entropy", quality.quality_column_entropy_profile),
+    ("session_replay", timeseries.streaming_session_window_replay),
 ]
 
 

@@ -4801,3 +4801,101 @@ def stats_wilcoxon_signed_rank(spark: SparkSession,
         F.round(var, 4).alias("var_w"),
         z.alias("z"),
         (F.abs(z) > 1.959964).alias("reject_05"))
+
+
+# --------------------------------------- per-column entropy profile
+
+
+@query("quality_column_entropy_profile", sql="""
+    WITH melted AS (
+      SELECT col, val FROM (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_cents',
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE)
+                                   AS VARCHAR)
+        FROM orders)
+    ), vc AS (
+      SELECT col, val, COUNT(*) AS c FROM melted GROUP BY 1, 2
+    ), prof AS (
+      SELECT col,
+             SUM(c) AS n,
+             COUNT(*) AS n_distinct,
+             MAX(c) AS top_c,
+             SUM(c * LN(c)) AS clnc
+      FROM vc GROUP BY col
+    )
+    SELECT col,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(n_distinct / (n * 1e0), 6) AS distinct_ratio,
+           ROUND(top_c / (n * 1e0), 6) AS top_value_share,
+           ROUND(LN(n * 1e0) - clnc / n, 6) AS entropy_nats,
+           ROUND(CASE WHEN n_distinct = 1 THEN 0.0
+                      ELSE (LN(n * 1e0) - clnc / n)
+                           / LN(n_distinct * 1e0) END, 6)
+             AS normalized_entropy
+    FROM prof ORDER BY col
+""")
+def quality_column_entropy_profile(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Shannon-entropy column profile of the orders table: per column,
+    the exact value entropy H = ln(n) - sum(c*ln c)/n, the
+    max-normalized entropy H/ln(k), distinct ratio and top-value
+    share — the information-content screen that catches
+    near-constant columns (normalized entropy ~ 0: dead feature,
+    suspicious default) and key-like columns (distinct ratio ~ 1)
+    BEFORE they reach feature selection or layout decisions;
+    complements quality_profile_orders (which reports ranges/nulls,
+    not concentration) and feeds the same decisions as
+    layout_zonemap/clustering metrics. Values canonicalize through
+    EXACT representations (cents for money, ISO date strings) so both
+    engines bucket identically — never a raw double's string form.
+
+    Scale: one k x N melt (narrow Expand, no shuffle) into ONE
+    map-side-combined (col, value) count — the quality_profile
+    cardinality plan; the entropy identity sum(c ln c) aggregates the
+    value-grain counts a second time on the k-row col key. Exact
+    integer counts feed every term; rounding at 6 dp absorbs
+    summation-order ulps in sum(c*ln c)."""
+    o = load_table(spark, sf_dir, "orders")
+    melted = o.select(F.expr("""
+        stack(5,
+          'o_orderstatus', o_orderstatus,
+          'o_orderpriority', o_orderpriority,
+          'o_custkey', CAST(o_custkey AS STRING),
+          'o_totalprice_cents',
+            CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING),
+          'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING)
+        ) AS (col, val)"""))
+    vc = (melted.groupBy("col", "val")
+          .agg(F.count(F.lit(1)).alias("c")))
+    prof = (vc.groupBy("col")
+            .agg(F.sum("c").alias("n"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("top_c"),
+                 F.sum(F.col("c") * F.log("c")).alias("clnc")))
+    h = F.log(F.col("n") * F.lit(1.0)) - F.col("clnc") / F.col("n")
+    return (prof.select(
+        "col",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.col("n_distinct") / (F.col("n") * F.lit(1.0)), 6)
+        .alias("distinct_ratio"),
+        F.round(F.col("top_c") / (F.col("n") * F.lit(1.0)), 6)
+        .alias("top_value_share"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.when(F.col("n_distinct") == 1, F.lit(0.0))
+                .otherwise(h / F.log(F.col("n_distinct")
+                                     * F.lit(1.0))), 6)
+        .alias("normalized_entropy"))
+        .orderBy("col"))

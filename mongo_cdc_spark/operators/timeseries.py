@@ -2675,3 +2675,85 @@ def ts_page_hinkley_drift(spark: SparkSession,
                  F.min(F.when(alarm, F.date_format("d", "yyyy-MM-dd")))
                  .alias("first_alarm_day"))
             .orderBy("event_type"))
+
+
+# --------------------------- session-window replay twin (streaming)
+
+
+@query("streaming_session_window_replay", sql="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, us, vc,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us >= 600000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), sess AS (
+      SELECT user_id, sid,
+             COUNT(*) AS n_events,
+             SUM(vc) AS cents,
+             MIN(us) AS first_us,
+             MAX(us) AS last_us
+      FROM marked GROUP BY 1, 2
+    ), bucketed AS (
+      SELECT CAST(FLOOR((last_us + 600000000 - first_us) / 60000000.0)
+                  AS INT) AS duration_minutes,
+             n_events, cents
+      FROM sess
+    )
+    SELECT duration_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total_value
+    FROM bucketed GROUP BY duration_minutes
+    ORDER BY duration_minutes
+""")
+def streaming_session_window_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Batch replay twin of `streaming.session_window_stats`: the SAME
+    F.session_window(gap=10 min) per-user aggregation run over the
+    bounded events table, rolled up to a session-duration-minute
+    histogram (sessions, events, peak session size, exact-cents
+    value per bucket) — giving the native session-window streaming
+    operator an oracle-graded correctness row. The oracle replays
+    Spark's merge semantics as SQL island detection: a new session
+    starts when the event-time gap is >= the 10-minute gap at FULL
+    MICROSECOND precision (session_window's window_end = last event
+    + gap, merge iff next start < previous end), and duration is
+    (last - first + gap). Stream/batch parity for the helper itself
+    is additionally pinned in tests/test_streaming.py by draining
+    the streaming version over a file source.
+
+    Scale posture: one shuffle on user_id into Spark's session-merge
+    aggregation (streaming state O(open sessions)); the histogram is
+    a second map-side-combined agg on the bounded duration key.
+    Event values ride as exact integer cents (integer-valued doubles
+    through the helper's sum — exact), so bucket totals hash
+    identically."""
+    from mongo_cdc_spark.streaming.analytics import session_window_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    evc = ev.withColumn(
+        "value", F.round(F.col("value") * 100).cast("bigint")
+        .cast("double"))
+    sess = session_window_stats(evc, gap="10 minutes")
+    dur = F.floor(
+        (F.unix_micros("session_end") - F.unix_micros("session_start"))
+        / F.lit(60000000.0)).cast("int")
+    return (sess.select(dur.alias("duration_minutes"),
+                        "n_events", "session_value")
+            .groupBy("duration_minutes")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("total_events"),
+                 F.max("n_events").alias("max_events"),
+                 F.round(F.sum("session_value") / 100.0, 2)
+                 .alias("total_value"))
+            .orderBy("duration_minutes"))

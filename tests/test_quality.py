@@ -1452,3 +1452,40 @@ def test_wilcoxon_matches_python_reference(spark, sf_dir):
     assert math.isclose(got["var_w"], var, rel_tol=1e-9)
     assert math.isclose(got["z"], z, abs_tol=1e-5)
     assert got["reject_05"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_column_entropy_profile_matches_python(spark, sf_dir):
+    """Exact-count entropy identity per column, recomputed in Python
+    over the same canonicalized values."""
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        quality_column_entropy_profile)
+
+    rows = load_table(spark, sf_dir, "orders").collect()
+    cols = {
+        "o_orderstatus": lambda r: r["o_orderstatus"],
+        "o_orderpriority": lambda r: r["o_orderpriority"],
+        "o_custkey": lambda r: str(r["o_custkey"]),
+        "o_totalprice_cents":
+            lambda r: str(round(r["o_totalprice"] * 100)),
+        "o_orderdate": lambda r: str(r["o_orderdate"]),
+    }
+    got = {r["col"]: r for r in
+           quality_column_entropy_profile(spark, sf_dir).collect()}
+    assert set(got) == set(cols)
+    for col, fn in cols.items():
+        c = Counter(fn(r) for r in rows)
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        g = got[col]
+        assert g["n"] == n
+        assert g["n_distinct"] == len(c)
+        assert math.isclose(g["top_value_share"],
+                            max(c.values()) / n, abs_tol=1e-5)
+        assert math.isclose(g["entropy_nats"], h, abs_tol=1e-5)
+        norm = 0.0 if len(c) == 1 else h / math.log(len(c))
+        assert math.isclose(g["normalized_entropy"], norm, abs_tol=1e-5)
+        assert 0.0 <= g["normalized_entropy"] <= 1.0 + 1e-9

