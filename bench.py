@@ -283,6 +283,12 @@ HEADLINE = [
     ("sql_unpivot", sqlfront.sql_unpivot_text),
     ("col_entropy", quality.quality_column_entropy_profile),
     ("session_replay", timeseries.streaming_session_window_replay),
+    ("friedman", quality.stats_friedman_test),
+    ("cochran_q", quality.stats_cochran_q),
+    ("bartlett", quality.stats_bartlett_variance),
+    ("dkw_band", quality.stats_dkw_ecdf_band),
+    ("sql_gball", sqlfront.sql_group_by_all_text),
+    ("sql_values_dim", sqlfront.sql_values_inline_dim),
 ]
 
 

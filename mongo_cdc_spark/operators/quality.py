@@ -4899,3 +4899,334 @@ def quality_column_entropy_profile(spark: SparkSession,
                                      * F.lit(1.0))), 6)
         .alias("normalized_entropy"))
         .orderBy("col"))
+
+
+# ------------------------- rank / incidence tests over blocked data
+
+
+@query("stats_friedman_test", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.day, t.event_type, COALESCE(dl.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      LEFT JOIN daily dl
+        ON dl.day = d.day AND dl.event_type = t.event_type
+    ), ranked AS (
+      SELECT day, event_type, cnt,
+             RANK() OVER (PARTITION BY day ORDER BY cnt)
+               + (COUNT(*) OVER (PARTITION BY day, cnt) - 1) / 2.0
+               AS midrank
+      FROM grid
+    ), rj AS (
+      SELECT event_type, SUM(midrank) AS r_j,
+             SUM(midrank * midrank) AS a_j,
+             COUNT(*) AS n
+      FROM ranked GROUP BY 1
+    ), consts AS (
+      SELECT COUNT(*) AS k, MAX(n) AS n, SUM(a_j) AS a FROM rj
+    ), agg AS (
+      SELECT c.k, c.n, c.a,
+             SUM(POW(r.r_j - c.n * (c.k + 1) / 2.0, 2)) AS d2
+      FROM rj r CROSS JOIN consts c
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS INT) AS n_blocks,
+           CAST(k AS INT) AS k,
+           ROUND((k - 1) * d2
+                 / (a - n * k * (k + 1) * (k + 1) / 4.0), 6)
+             AS chi2_f,
+           ROUND((n - 1) * ((k - 1) * d2
+                            / (a - n * k * (k + 1) * (k + 1) / 4.0))
+                 / (n * (k - 1)
+                    - (k - 1) * d2
+                    / (a - n * k * (k + 1) * (k + 1) / 4.0)), 6)
+             AS iman_davenport_f,
+           ROUND((k - 1) * d2
+                 / (a - n * k * (k + 1) * (k + 1) / 4.0), 6)
+             > 9.488 AS reject_05
+    FROM agg
+""")
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of whether the five event types keep the
+    same daily-volume ordering across 30 day-blocks — the repeated-
+    measures companion to stats_kruskal_wallis (KW compares
+    independent groups; Friedman ranks WITHIN each day, removing the
+    day's overall level before comparing treatments). Uses Conover's
+    sum-of-squared-ranks form chi2 = (k-1) * sum_j (R_j - n(k+1)/2)^2
+    / (A - n k (k+1)^2 / 4) which absorbs ties through the midranks
+    themselves (A = sum of squared midranks), plus the Iman-Davenport
+    F transform that sharpens the chi-square approximation. df = k-1
+    = 4, 95% critical value 9.488.
+
+    Determinism: midranks inside a 5-row day block are rank +
+    (t-1)/2 — quarter-grain exact doubles; every downstream sum is a
+    sum of <=150 such values, far inside exact double range. Scale:
+    ONE data-grain map-side-combined (day, type) count; the grid
+    completion (structural zeros rank lowest and must be present),
+    per-day windows and final algebra run on |days| x |types| rows,
+    independent of data volume."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
+                        "event_type")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .localCheckpoint(eager=False))
+    grid = (daily.select("day").distinct()
+            .crossJoin(F.broadcast(
+                daily.select("event_type").distinct()))
+            .join(F.broadcast(daily), ["day", "event_type"], "left")
+            .select("day", "event_type",
+                    F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    ranked = grid.withColumn(
+        "midrank",
+        F.rank().over(W.partitionBy("day").orderBy("cnt"))
+        + (F.count(F.lit(1)).over(W.partitionBy("day", "cnt")) - 1)
+        / 2.0)
+    rj = (ranked.groupBy("event_type")
+          .agg(F.sum("midrank").alias("r_j"),
+               F.sum(F.col("midrank") * F.col("midrank")).alias("a_j"),
+               F.count(F.lit(1)).alias("n")))
+    agg = rj.agg(F.count(F.lit(1)).alias("k"),
+                 F.max("n").alias("n"),
+                 F.sum("a_j").alias("a"),
+                 F.sum("r_j").alias("rsum"),
+                 F.sum(F.col("r_j") * F.col("r_j")).alias("rsq"))
+    # sum (R_j - n(k+1)/2)^2 = sum R_j^2 - 2*mu*sum R_j + k*mu^2
+    mu = F.col("n") * (F.col("k") + 1) / 2.0
+    d2 = (F.col("rsq") - 2.0 * mu * F.col("rsum")
+          + F.col("k") * mu * mu)
+    denom = (F.col("a") - F.col("n") * F.col("k")
+             * (F.col("k") + 1) * (F.col("k") + 1) / 4.0)
+    chi2 = (F.col("k") - 1) * d2 / denom
+    return agg.select(
+        F.col("n").cast("int").alias("n_blocks"),
+        F.col("k").cast("int").alias("k"),
+        F.round(chi2, 6).alias("chi2_f"),
+        F.round((F.col("n") - 1) * chi2
+                / (F.col("n") * (F.col("k") - 1) - chi2), 6)
+        .alias("iman_davenport_f"),
+        (F.round(chi2, 6) > 9.488).alias("reject_05"))
+
+
+@query("stats_cochran_q", sql="""
+    WITH pres AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+             event_type
+      FROM events
+    ), rows_ AS (
+      SELECT user_id, day, COUNT(*) AS r_i FROM pres GROUP BY 1, 2
+    ), cols AS (
+      SELECT event_type, COUNT(*) AS c_j FROM pres GROUP BY 1
+    ), ragg AS (
+      SELECT COUNT(*) AS n_blocks, SUM(r_i) AS t,
+             SUM(r_i * r_i) AS rsq
+      FROM rows_
+    ), cagg AS (
+      SELECT COUNT(*) AS k, SUM(c_j * c_j) AS csq FROM cols
+    )
+    SELECT CAST(r.n_blocks AS BIGINT) AS n_blocks,
+           CAST(c.k AS INT) AS k,
+           CAST(r.t AS BIGINT) AS total_marks,
+           ROUND((c.k - 1) * (c.k * c.csq - r.t * r.t * 1e0)
+                 / (c.k * r.t - r.rsq), 6) AS q_stat,
+           CAST(c.k - 1 AS INT) AS dof,
+           ROUND((c.k - 1) * (c.k * c.csq - r.t * r.t * 1e0)
+                 / (c.k * r.t - r.rsq), 6) > 9.488 AS reject_05
+    FROM ragg r CROSS JOIN cagg c
+""")
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test of whether the five event types have equal
+    daily incidence rates across (user, day) blocks — the k-treatment
+    generalization of McNemar (stats_mcnemar_paired) for matched
+    binary outcomes: x_ij = 1 iff user i emitted >=1 event of type j
+    on that day. Q = (k-1) * (k * sum C_j^2 - T^2) / (k*T - sum
+    R_i^2), an identity that keeps EVERY term an exact integer until
+    the single final division (C_j = column totals, R_i = row totals,
+    T = total marks). All-zero blocks are provably invariant (they
+    add 0 to every term), so restricting blocks to observed
+    (user, day) pairs loses nothing. df = k-1 = 4, critical 9.488.
+
+    Scale: one data-grain DISTINCT to presence cells (map-side
+    combined — each task collapses its duplicate (user, day, type)
+    triples before the shuffle), then two tiny grouped counts; the
+    final Q is 1-row algebra on exact BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    pres = (ev.select("user_id",
+                      F.date_trunc("day", "ts").alias("day"),
+                      "event_type")
+            .distinct()
+            .localCheckpoint(eager=False))
+    rows_ = (pres.groupBy("user_id", "day")
+             .agg(F.count(F.lit(1)).alias("r_i")))
+    cols = (pres.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("c_j")))
+    ragg = rows_.agg(F.count(F.lit(1)).alias("n_blocks"),
+                     F.sum("r_i").alias("t"),
+                     F.sum(F.col("r_i") * F.col("r_i")).alias("rsq"))
+    cagg = cols.agg(F.count(F.lit(1)).alias("k"),
+                    F.sum(F.col("c_j") * F.col("c_j")).alias("csq"))
+    j = ragg.crossJoin(F.broadcast(cagg))
+    q = ((F.col("k") - 1)
+         * (F.col("k") * F.col("csq")
+            - F.col("t") * F.col("t") * F.lit(1.0))
+         / (F.col("k") * F.col("t") - F.col("rsq")))
+    return j.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("int").alias("k"),
+        F.col("t").cast("bigint").alias("total_marks"),
+        F.round(q, 6).alias("q_stat"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+        (F.round(q, 6) > 9.488).alias("reject_05"))
+
+
+@query("stats_bartlett_variance", sql="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT seg, COUNT(*) AS n_i, SUM(yc) AS s1,
+             SUM(CAST(yc AS HUGEINT) * yc) AS s2
+      FROM base GROUP BY 1
+    ), v AS (
+      SELECT seg, n_i,
+             (CAST(s2 AS DOUBLE) - s1 / (n_i * 1e0) * s1)
+               / (n_i - 1.0) AS s2_i
+      FROM g
+    ), agg AS (
+      SELECT SUM(n_i) AS n, COUNT(*) AS k,
+             SUM((n_i - 1) * s2_i) AS ss,
+             SUM((n_i - 1) * LN(s2_i)) AS sln,
+             SUM(1.0 / (n_i - 1)) AS sinv
+      FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS INT) AS k,
+           ROUND(ss / (n - k) / 10000.0, 4) AS pooled_var_dollars,
+           ROUND(((n - k) * LN(ss / (n - k)) - sln)
+                 / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))),
+                 6) AS chi2,
+           ROUND(((n - k) * LN(ss / (n - k)) - sln)
+                 / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))),
+                 6) > 9.488 AS reject_05
+    FROM agg
+""")
+def stats_bartlett_variance(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Bartlett's test of equal order-value variance across market
+    segments — the classical (normal-theory) counterpart to
+    stats_levene_variance: chi2 = [(N-k) ln Sp^2 - sum (n_i-1) ln
+    S_i^2] / C with the Bartlett correction C = 1 + (sum 1/(n_i-1) -
+    1/(N-k)) / (3(k-1)). Pipelines run BOTH: Levene is robust,
+    Bartlett is more powerful when tails are near-normal — disagree-
+    ment between them is itself a tail-weight diagnostic. df = k-1 =
+    4, 95% critical value 9.488. The statistic is unit-invariant
+    (sum (n_i-1) = N-k makes the ln-unit terms cancel), so the lns
+    run on cents^2 while the reported pooled variance rescales to
+    dollars^2.
+
+    Determinism: group moments are exact integers (second moment
+    accumulates as decimal(38,0) — squared cents x 15k rows passes
+    BIGINT range; DuckDB's SUM(BIGINT) promotes to HUGEINT), so each
+    S_i^2 is the same exact-input closed form on both engines; the
+    ln/divide tail is identical IEEE algebra on <= k rows. Scale: ONE
+    data-grain map-side-combined (segment) rollup after the
+    co-partitioned orders x customer join; everything after is k-row
+    algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .select(F.col("c_mktsegment").alias("seg"),
+                    yc.alias("yc")))
+    g = (base.groupBy("seg")
+         .agg(F.count(F.lit(1)).alias("n_i"),
+              F.sum("yc").alias("s1"),
+              F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc"))
+              .cast("double").alias("s2")))
+    v = g.select(
+        "seg", "n_i",
+        ((F.col("s2") - F.col("s1") / (F.col("n_i") * F.lit(1.0))
+          * F.col("s1")) / (F.col("n_i") - 1.0)).alias("s2_i"))
+    agg = v.agg(F.sum("n_i").alias("n"),
+                F.count(F.lit(1)).alias("k"),
+                F.sum((F.col("n_i") - 1) * F.col("s2_i")).alias("ss"),
+                F.sum((F.col("n_i") - 1) * F.log(F.col("s2_i")))
+                .alias("sln"),
+                F.sum(F.lit(1.0) / (F.col("n_i") - 1)).alias("sinv"))
+    chi2 = (((F.col("n") - F.col("k"))
+             * F.log(F.col("ss") / (F.col("n") - F.col("k")))
+             - F.col("sln"))
+            / (1 + (F.col("sinv")
+                    - F.lit(1.0) / (F.col("n") - F.col("k")))
+               / (3.0 * (F.col("k") - 1))))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.round(F.col("ss") / (F.col("n") - F.col("k")) / 10000.0, 4)
+        .alias("pooled_var_dollars"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > 9.488).alias("reject_05"))
+
+
+@query("stats_dkw_ecdf_band", sql="""
+    WITH cuts(cut_price) AS (
+      VALUES (50000), (100000), (150000), (200000), (250000),
+             (300000), (350000), (400000), (450000)
+    ), tot AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT c.cut_price,
+           CAST(t.n AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o.o_totalprice <= c.cut_price
+                          THEN 1 ELSE 0 END) / (t.n * 1e0), 6)
+             AS ecdf,
+           ROUND(GREATEST(
+             SUM(CASE WHEN o.o_totalprice <= c.cut_price
+                      THEN 1 ELSE 0 END) / (t.n * 1e0)
+             - SQRT(LN(40.0) / (2.0 * t.n)), 0.0), 6) AS band_lo,
+           ROUND(LEAST(
+             SUM(CASE WHEN o.o_totalprice <= c.cut_price
+                      THEN 1 ELSE 0 END) / (t.n * 1e0)
+             + SQRT(LN(40.0) / (2.0 * t.n)), 1.0), 6) AS band_hi
+    FROM orders o CROSS JOIN cuts c CROSS JOIN tot t
+    GROUP BY c.cut_price, t.n
+    ORDER BY 1
+""")
+def stats_dkw_ecdf_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of order total price at nine fixed price cuts
+    with the Dvoretzky-Kiefer-Wolfowitz 95% simultaneous confidence
+    band: eps = sqrt(ln(2/alpha) / 2n) with alpha = 0.05 (ln 40).
+    The DKW band is the distribution-free guarantee a data-quality
+    monitor wants when it pins "the share of orders under $X" across
+    releases — unlike pointwise binomial CIs it holds for ALL cuts
+    jointly, so a drift alarm on any cut is an honest alarm.
+
+    Determinism: each ECDF value is an exact integer count over n;
+    eps is one shared closed form of n. Scale: ONE single-pass
+    map-side-combined aggregate computes all nine conditional counts
+    (no 9x row multiplication — the oracle's cross-join form is the
+    readable spec, the engine's conditional-sum form is the scan
+    plan); the band algebra runs on 9 rows via stack()."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = [50000, 100000, 150000, 200000, 250000,
+            300000, 350000, 400000, 450000]
+    aggs = [F.sum((F.col("o_totalprice") <= c).cast("bigint"))
+            .alias(f"c{i}") for i, c in enumerate(cuts)]
+    one = o.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stack_args = ", ".join(f"{c}, c{i}" for i, c in enumerate(cuts))
+    long = one.selectExpr(
+        f"stack({len(cuts)}, {stack_args}) AS (cut_price, cnt)", "n")
+    ecdf = F.col("cnt") / (F.col("n") * F.lit(1.0))
+    eps = F.sqrt(F.log(F.lit(40.0)) / (2.0 * F.col("n")))
+    return (long.select(
+        F.col("cut_price").cast("int").alias("cut_price"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(ecdf, 6).alias("ecdf"),
+        F.round(F.greatest(ecdf - eps, F.lit(0.0)), 6)
+        .alias("band_lo"),
+        F.round(F.least(ecdf + eps, F.lit(1.0)), 6).alias("band_hi"))
+        .orderBy("cut_price"))

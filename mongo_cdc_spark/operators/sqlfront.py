@@ -535,3 +535,78 @@ def sql_unpivot_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals and means are exact-integer ratios on both engines."""
     names = _views(spark, sf_dir, "lineitem", suffix="unpivtxt")
     return spark.sql(_UNPIVOT_SQL.format(**names))
+
+
+# ------------------- modern grouping sugar + inline literal tables
+
+_GROUPBYALL_SQL = """
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS revenue
+    FROM {orders}
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY ALL
+    ORDER BY yr, status, priority
+"""
+
+
+@query("sql_group_by_all_text",
+       sql=_GROUPBYALL_SQL.format(orders="orders"))
+def sql_group_by_all_text(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """GROUP BY ALL stated as SQL text: the analyzer must infer the
+    grouping keys from the select list's non-aggregate items —
+    including the COMPUTED EXTRACT(year ...) expression, the case
+    that separates real GROUP BY ALL support from sugar over bare
+    columns. Both engines (Spark >= 3.4, DuckDB) accept the statement
+    verbatim, so the driver hash-grades two independent
+    implementations of the same inference rule. Money sums ride the
+    exact-cents discipline (sum BIGINT cents, divide once).
+
+    Scale: compiles to the identical physical plan as an explicit
+    GROUP BY — one map-side-combined hash aggregate over the
+    date-pruned orders scan (the two date predicates push down to
+    the parquet reader); grouping-key inference is analysis-time
+    only."""
+    names = _views(spark, sf_dir, "orders", suffix="gball")
+    return spark.sql(_GROUPBYALL_SQL.format(**names))
+
+
+_VALUESDIM_SQL = """
+    SELECT COALESCE(t.tier, 'standard') AS tier,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS revenue
+    FROM {orders} o
+    LEFT JOIN (VALUES ('1-URGENT', 'expedite'),
+                      ('2-HIGH',   'expedite'),
+                      ('3-MEDIUM', 'queue')) AS t(prio, tier)
+      ON o.o_orderpriority = t.prio
+    GROUP BY COALESCE(t.tier, 'standard')
+    ORDER BY tier
+"""
+
+
+@query("sql_values_inline_dim",
+       sql=_VALUESDIM_SQL.format(orders="orders"))
+def sql_values_inline_dim(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """An inline VALUES derived table stated as SQL text: the
+    priority -> routing-tier mapping lives IN the statement (the
+    ad-hoc lookup-table idiom analysts reach for before a dim table
+    exists), LEFT-joined so unmapped priorities fall through to a
+    COALESCE default — exercising the parser's VALUES-with-column-
+    aliases grammar, derived-table aliasing, and null-producing
+    outer-join semantics in one shot, verbatim on both engines.
+
+    Scale: the VALUES relation is a 3-row LocalRelation — Catalyst
+    broadcasts it, so the join adds zero shuffles to the single
+    map-side-combined aggregate over the orders scan (the pytest
+    plan test pins the BroadcastHashJoin + LocalTableScan shape)."""
+    names = _views(spark, sf_dir, "orders", suffix="valdim")
+    return spark.sql(_VALUESDIM_SQL.format(**names))

@@ -1489,3 +1489,136 @@ def test_column_entropy_profile_matches_python(spark, sf_dir):
         norm = 0.0 if len(c) == 1 else h / math.log(len(c))
         assert math.isclose(g["normalized_entropy"], norm, abs_tol=1e-5)
         assert 0.0 <= g["normalized_entropy"] <= 1.0 + 1e-9
+
+
+def test_friedman_matches_python_reference(spark, sf_dir):
+    """Conover sum-of-squared-ranks Friedman chi2 from raw events."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_friedman_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts").collect()
+    cnt = defaultdict(int)
+    for r in ev:
+        cnt[(r["ts"].date(), r["event_type"])] += 1
+    days = sorted({d for d, _ in cnt})
+    types = sorted({t for _, t in cnt})
+    n, k = len(days), len(types)
+    r_j = defaultdict(float)
+    a = 0.0
+    for d in days:
+        vals = [cnt.get((d, t), 0) for t in types]
+        for t, v in zip(types, vals):
+            less = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            mid = less + (eq + 1) / 2
+            r_j[t] += mid
+            a += mid * mid
+    mu = n * (k + 1) / 2
+    d2 = sum((r - mu) ** 2 for r in r_j.values())
+    chi2 = (k - 1) * d2 / (a - n * k * (k + 1) ** 2 / 4)
+    f_id = (n - 1) * chi2 / (n * (k - 1) - chi2)
+    row = stats_friedman_test(spark, sf_dir).collect()[0]
+    assert row["n_blocks"] == n and row["k"] == k
+    assert math.isclose(row["chi2_f"], chi2, abs_tol=1e-5)
+    assert math.isclose(row["iman_davenport_f"], f_id, abs_tol=1e-5)
+    assert row["reject_05"] == (round(chi2, 6) > 9.488)
+
+
+def test_cochran_q_matches_python_reference(spark, sf_dir):
+    """Exact-integer Q over (user, day) incidence blocks."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_cochran_q
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type").collect()
+    pres = {(r["user_id"], r["ts"].date(), r["event_type"])
+            for r in ev}
+    rows = defaultdict(int)
+    cols = defaultdict(int)
+    for u, d, t in pres:
+        rows[(u, d)] += 1
+        cols[t] += 1
+    k = len(cols)
+    tt = sum(rows.values())
+    csq = sum(c * c for c in cols.values())
+    rsq = sum(r * r for r in rows.values())
+    q = (k - 1) * (k * csq - tt * tt) / (k * tt - rsq)
+    row = stats_cochran_q(spark, sf_dir).collect()[0]
+    assert row["n_blocks"] == len(rows)
+    assert row["k"] == k and row["total_marks"] == tt
+    assert math.isclose(row["q_stat"], q, abs_tol=1e-6)
+    assert row["dof"] == k - 1
+    assert row["reject_05"] == (round(q, 6) > 9.488)
+
+
+def test_bartlett_matches_python_reference(spark, sf_dir):
+    """Bartlett chi2 with correction factor from exact cent moments."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        stats_bartlett_variance)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment").collect()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in c}
+    groups = defaultdict(list)
+    for r in o:
+        groups[seg_of[r["o_custkey"]]].append(
+            round(r["o_totalprice"] * 100))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ss = 0.0
+    sln = 0.0
+    sinv = 0.0
+    for vals in groups.values():
+        ni = len(vals)
+        m = sum(vals) / ni
+        s2 = (sum(v * v for v in vals) - ni * m * m) / (ni - 1)
+        ss += (ni - 1) * s2
+        sln += (ni - 1) * math.log(s2)
+        sinv += 1 / (ni - 1)
+    sp2 = ss / (n - k)
+    corr = 1 + (sinv - 1 / (n - k)) / (3 * (k - 1))
+    chi2 = ((n - k) * math.log(sp2) - sln) / corr
+    row = stats_bartlett_variance(spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["k"] == k
+    assert math.isclose(row["pooled_var_dollars"], sp2 / 1e4,
+                        rel_tol=1e-9)
+    assert math.isclose(row["chi2"], chi2, abs_tol=1e-4)
+    assert row["reject_05"] == (round(chi2, 6) > 9.488)
+
+
+def test_dkw_band_matches_python_reference(spark, sf_dir):
+    """DKW simultaneous band around exact ECDF counts."""
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_dkw_ecdf_band
+
+    prices = [r["o_totalprice"] for r in load_table(
+        spark, sf_dir, "orders").select("o_totalprice").collect()]
+    n = len(prices)
+    eps = math.sqrt(math.log(40.0) / (2 * n))
+    got = {r["cut_price"]: r
+           for r in stats_dkw_ecdf_band(spark, sf_dir).collect()}
+    assert len(got) == 9
+    for cut in range(50000, 450001, 50000):
+        f = sum(1 for p in prices if p <= cut) / n
+        r = got[cut]
+        assert r["n"] == n
+        assert math.isclose(r["ecdf"], f, abs_tol=1e-6)
+        assert math.isclose(r["band_lo"], max(f - eps, 0.0),
+                            abs_tol=1e-6)
+        assert math.isclose(r["band_hi"], min(f + eps, 1.0),
+                            abs_tol=1e-6)

@@ -328,3 +328,44 @@ def test_sql_unpivot_matches_dataframe_unpivot(spark, sf_dir):
     plan = (sqlfront.sql_unpivot_text(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Expand" in plan
+
+
+def test_group_by_all_matches_explicit_group_by(spark, sf_dir):
+    """GROUP BY ALL must infer (yr, status, priority) — identical
+    result to the explicit GROUP BY statement."""
+    df = sqlfront.sql_group_by_all_text(spark, sf_dir)
+    views = sqlfront._views(spark, sf_dir, "orders", suffix="gballt")
+    explicit = spark.sql(sqlfront._GROUPBYALL_SQL.replace(
+        "GROUP BY ALL",
+        "GROUP BY EXTRACT(year FROM o_orderdate), o_orderstatus,"
+        " o_orderpriority").format(**views))
+    assert df.columns == explicit.columns
+    assert df.collect() == explicit.collect()
+
+
+def test_values_inline_dim_broadcasts_local_relation(spark, sf_dir):
+    """The 3-row VALUES relation must plan as a broadcast local table
+    — no shuffle join against the literal dim — and unmapped
+    priorities must land in the COALESCE default bucket."""
+    df = sqlfront.sql_values_inline_dim(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+    from collections import defaultdict
+    from mongo_cdc_spark.io import load_table
+    tiers = {"1-URGENT": "expedite", "2-HIGH": "expedite",
+             "3-MEDIUM": "queue"}
+    agg = defaultdict(lambda: [0, set(), 0])
+    for r in load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_custkey", "o_totalprice").collect():
+        t = tiers.get(r["o_orderpriority"], "standard")
+        agg[t][0] += 1
+        agg[t][1].add(r["o_custkey"])
+        agg[t][2] += round(r["o_totalprice"] * 100)
+    got = {r["tier"]: r for r in df.collect()}
+    assert set(got) == set(agg)
+    for t, (n, custs, cents) in agg.items():
+        assert got[t]["n_orders"] == n
+        assert got[t]["n_customers"] == len(custs)
+        assert abs(got[t]["revenue"] - round(cents / 100, 2)) < 1e-6
