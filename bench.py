@@ -289,6 +289,9 @@ HEADLINE = [
     ("dkw_band", quality.stats_dkw_ecdf_band),
     ("sql_gball", sqlfront.sql_group_by_all_text),
     ("sql_values_dim", sqlfront.sql_values_inline_dim),
+    ("llr_collocations", text.text_llr_collocations),
+    ("durbin_watson", timeseries.ts_durbin_watson),
+    ("variance_ratio", timeseries.ts_variance_ratio),
 ]
 
 

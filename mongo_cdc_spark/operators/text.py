@@ -1851,3 +1851,119 @@ def text_textrank_keywords(spark: SparkSession,
             .select(F.col("rank").cast("int").alias("rank"),
                     "word", "textrank")
             .orderBy("rank"))
+
+
+# ------------------------------------- Dunning log-likelihood ratio
+
+LLR_MIN_COUNT = 5   # min bigram support before scoring
+LLR_TOP = 20
+
+
+@query("text_llr_collocations", sql=f"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(text, '\\s+') AS w FROM documents
+    ), big AS (
+      SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS c
+      FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
+            FROM toks WHERE len(w) >= 2)
+      GROUP BY 1, 2
+    ), firsts AS (
+      SELECT w1, SUM(c) AS r1 FROM big GROUP BY 1
+    ), seconds AS (
+      SELECT w2, SUM(c) AS c1 FROM big GROUP BY 1
+    ), tot AS (SELECT SUM(c) AS n FROM big),
+    cells AS (
+      SELECT b.w1, b.w2, b.c,
+             b.c AS k11, f.r1 - b.c AS k12, s.c1 - b.c AS k21,
+             t.n - f.r1 - s.c1 + b.c AS k22,
+             f.r1 AS r1, t.n - f.r1 AS r2,
+             s.c1 AS c1, t.n - s.c1 AS c2, t.n AS n
+      FROM big b
+      JOIN firsts f ON f.w1 = b.w1
+      JOIN seconds s ON s.w2 = b.w2
+      CROSS JOIN tot t
+      WHERE b.c >= {LLR_MIN_COUNT}
+    ), scored AS (
+      SELECT w1, w2, c AS n_pair,
+             ROUND(2 * (
+               (CASE WHEN k11 > 0 THEN k11 * LN(k11 * 1e0) ELSE 0 END)
+             + (CASE WHEN k12 > 0 THEN k12 * LN(k12 * 1e0) ELSE 0 END)
+             + (CASE WHEN k21 > 0 THEN k21 * LN(k21 * 1e0) ELSE 0 END)
+             + (CASE WHEN k22 > 0 THEN k22 * LN(k22 * 1e0) ELSE 0 END)
+             - r1 * LN(r1 * 1e0) - r2 * LN(r2 * 1e0)
+             - c1 * LN(c1 * 1e0) - c2 * LN(c2 * 1e0)
+             + n * LN(n * 1e0)), 4) AS llr
+      FROM cells
+    )
+    SELECT * FROM (
+      SELECT w1, w2, n_pair, llr,
+             CAST(ROW_NUMBER() OVER (ORDER BY llr DESC, w1, w2)
+               AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {LLR_TOP} ORDER BY rank
+""")
+def text_llr_collocations(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations: the top-20 adjacent
+    bigrams by the G^2 statistic of the 2x2 (first-token = w1) x
+    (second-token = w2) contingency over all bigram slots — the
+    collocation test of record for SPARSE counts (Dunning 1993),
+    where text_pmi_bigrams' PMI over-rewards rare pairs. Scored in
+    the entropy form G^2 = 2(sum k ln k - sum row ln row - sum col
+    ln col + N ln N) with 0 ln 0 = 0, which keeps every input an
+    exact integer and the whole statistic one closed form of them.
+    Marginals come from the UNPRUNED bigram table (position-aware:
+    row = bigrams starting with w1, column = bigrams ending with w2 —
+    not unigram counts, which double-count edge slots); the
+    min-support floor prunes candidates only AFTER marginals exist.
+
+    Scale: one narrow bigram generate from once-materialized token
+    arrays (the HOF-CSE discipline), THREE map-side-combined hash
+    aggs sharing the bigram frame (pairs, first-marginals,
+    second-marginals), token-keyed marginal joins (AQE broadcasts
+    when a vocabulary side is small), and the 1-row total broadcast;
+    top-k is orderBy+limit. 6->4 dp rounding: G^2 sums ~8 n ln n
+    terms, so 4 dp absorbs the wider ulp while staying far from any
+    ranking tie."""
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", _tokens().alias("w")))
+    big = (toks.filter(F.size("w") >= 2)
+           .select(F.explode(F.expr(
+               "transform(slice(w, 1, size(w) - 1), "
+               "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+           )).alias("bg"))
+           .select("bg.*")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=False))
+    firsts = big.groupBy("w1").agg(F.sum("c").alias("r1"))
+    seconds = big.groupBy("w2").agg(F.sum("c").alias("c1"))
+    tot = big.agg(F.sum("c").alias("n"))
+
+    def xlx(col):
+        return F.when(col > 0, col * F.log(col * F.lit(1.0))) \
+                .otherwise(F.lit(0.0))
+
+    cells = (big.filter(F.col("c") >= LLR_MIN_COUNT)
+             .join(firsts, "w1").join(seconds, "w2")
+             .crossJoin(F.broadcast(tot))
+             .withColumn("k11", F.col("c"))
+             .withColumn("k12", F.col("r1") - F.col("c"))
+             .withColumn("k21", F.col("c1") - F.col("c"))
+             .withColumn("k22", F.col("n") - F.col("r1")
+                         - F.col("c1") + F.col("c"))
+             .withColumn("r2", F.col("n") - F.col("r1"))
+             .withColumn("c2", F.col("n") - F.col("c1")))
+    llr = F.round(2 * (
+        xlx(F.col("k11")) + xlx(F.col("k12"))
+        + xlx(F.col("k21")) + xlx(F.col("k22"))
+        - F.col("r1") * F.log(F.col("r1") * F.lit(1.0))
+        - F.col("r2") * F.log(F.col("r2") * F.lit(1.0))
+        - F.col("c1") * F.log(F.col("c1") * F.lit(1.0))
+        - F.col("c2") * F.log(F.col("c2") * F.lit(1.0))
+        + F.col("n") * F.log(F.col("n") * F.lit(1.0))), 4)
+    scored = cells.select("w1", "w2", F.col("c").alias("n_pair"),
+                          llr.alias("llr"))
+    top = scored.orderBy(F.desc("llr"), "w1", "w2").limit(LLR_TOP)
+    w = W.orderBy(F.desc("llr"), "w1", "w2")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))

@@ -2757,3 +2757,192 @@ def streaming_session_window_replay(spark: SparkSession,
                  F.round(F.sum("session_value") / 100.0, 2)
                  .alias("total_value"))
             .orderBy("duration_minutes"))
+
+
+# ---------------------- regression-residual autocorrelation (DW)
+
+
+@query("ts_durbin_watson", sql="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS yc
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, yc,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS st2,
+             SUM(yc) AS sy, SUM(t * yc) AS sty
+      FROM idx
+    ), fit AS (
+      SELECT i.day, i.t, i.yc, s.n,
+             (s.n * s.sty - s.st * s.sy)
+               / ((s.n * s.st2 - s.st * s.st) * 1e0) AS b,
+             (s.sy - (s.n * s.sty - s.st * s.sy)
+                     / ((s.n * s.st2 - s.st * s.st) * 1e0) * s.st)
+               / (s.n * 1e0) AS a
+      FROM idx i CROSS JOIN s
+    ), res AS (
+      SELECT t, n, b, yc - a - b * t AS e,
+             LAG(yc - a - b * t) OVER (ORDER BY t) AS e_prev
+      FROM fit
+    )
+    SELECT CAST(MAX(n) AS INT) AS n_days,
+           ROUND(MAX(b) / 100.0, 6) AS slope_dollars_per_day,
+           ROUND(SUM(CASE WHEN e_prev IS NULL THEN 0
+                          ELSE (e - e_prev) * (e - e_prev) END)
+                 / SUM(e * e), 6) AS dw_stat,
+           ROUND(SUM(CASE WHEN e_prev IS NULL THEN 0
+                          ELSE (e - e_prev) * (e - e_prev) END)
+                 / SUM(e * e), 6) < 1.352 AS positive_autocorr,
+           ROUND(SUM(CASE WHEN e_prev IS NULL THEN 0
+                          ELSE (e - e_prev) * (e - e_prev) END)
+                 / SUM(e * e), 6) > 2.648 AS negative_autocorr
+    FROM res
+""")
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test for first-order autocorrelation in the
+    residuals of the daily-revenue-on-time OLS trend — the regression
+    diagnostic that tells a forecasting pipeline whether its
+    trend-only model leaves serial structure on the table (DW ~ 2 =
+    white residuals; the ts_ljungbox_whiteness companion tests the
+    raw series, DW tests the DE-TRENDED one). Decision bounds are the
+    exact n=30, k=1, alpha=.05 Durbin-Watson tables: dL = 1.352
+    (below = positive autocorrelation) and 4 - dL = 2.648 (above =
+    negative) — the 30-day fixture span is SF-independent, so the
+    constants hold at every scale factor.
+
+    Determinism: daily totals are exact integer cents; the OLS slope
+    is a ratio of exact BIGINT cross-moments (single division), so
+    residuals are identical IEEE doubles on both engines; DW rounds
+    at 6 dp and the verdicts compare the ROUNDED value. Scale: ONE
+    data-grain map-side-combined day rollup; the index/lag windows
+    and regression algebra run on the 30-row calendar frame
+    (declared calendar-grain global windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("yc"))
+             .localCheckpoint(eager=False))
+    idx = daily.withColumn(
+        "t", F.row_number().over(Window.orderBy("day")))
+    s = idx.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("t").alias("st"),
+                F.sum(F.col("t") * F.col("t")).alias("st2"),
+                F.sum("yc").alias("sy"),
+                F.sum(F.col("t") * F.col("yc")).alias("sty"))
+    fit = idx.crossJoin(F.broadcast(s))
+    b = ((F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+         / ((F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+            * F.lit(1.0)))
+    a = (F.col("sy") - b * F.col("st")) / (F.col("n") * F.lit(1.0))
+    res = fit.select(
+        "t", "n", b.alias("b"),
+        (F.col("yc") - a - b * F.col("t")).alias("e"))
+    res = res.withColumn(
+        "e_prev", F.lag("e").over(Window.orderBy("t")))
+    dw = (F.sum(F.when(F.col("e_prev").isNull(), F.lit(0.0))
+                .otherwise(F.pow(F.col("e") - F.col("e_prev"), 2)))
+          / F.sum(F.col("e") * F.col("e")))
+    return res.agg(
+        F.max("n").cast("int").alias("n_days"),
+        F.round(F.max("b") / 100.0, 6).alias("slope_dollars_per_day"),
+        F.round(dw, 6).alias("dw_stat"),
+        (F.round(dw, 6) < 1.352).alias("positive_autocorr"),
+        (F.round(dw, 6) > 2.648).alias("negative_autocorr"))
+
+
+# ----------------------- Lo-MacKinlay variance-ratio random walk
+
+VR_Q = 5   # the aggregation horizon (trading week)
+
+
+@query("ts_variance_ratio", sql=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS yc
+      FROM events GROUP BY 1
+    ), x AS (
+      SELECT day, LN(yc * 1e0) AS x,
+             LAG(LN(yc * 1e0), 1) OVER (ORDER BY day) AS x1,
+             LAG(LN(yc * 1e0), {VR_Q}) OVER (ORDER BY day) AS xq
+      FROM daily
+    ), consts AS (
+      SELECT COUNT(*) - 1 AS t,
+             (MAX_BY(x, day) - MIN_BY(x, day))
+               / ((COUNT(*) - 1) * 1e0) AS mu
+      FROM x
+    ), v AS (
+      SELECT c.t, c.mu,
+             SUM(CASE WHEN x.x1 IS NULL THEN 0
+                      ELSE POW(x.x - x.x1 - c.mu, 2) END)
+               / (c.t * 1e0) AS var1,
+             SUM(CASE WHEN x.xq IS NULL THEN 0
+                      ELSE POW(x.x - x.xq - {VR_Q} * c.mu, 2) END)
+               / ({VR_Q} * (c.t - {VR_Q} + 1) * 1e0) AS varq
+      FROM x CROSS JOIN consts c
+      GROUP BY c.t, c.mu
+    )
+    SELECT CAST(t + 1 AS INT) AS n_days,
+           CAST({VR_Q} AS INT) AS q,
+           ROUND(varq / var1, 6) AS vr,
+           ROUND((varq / var1 - 1)
+                 / SQRT(2.0 * (2 * {VR_Q} - 1) * ({VR_Q} - 1)
+                        / (3.0 * {VR_Q} * t)), 6) AS z_stat,
+           ABS(ROUND((varq / var1 - 1)
+                 / SQRT(2.0 * (2 * {VR_Q} - 1) * ({VR_Q} - 1)
+                        / (3.0 * {VR_Q} * t)), 6)) > 1.96 AS reject_05
+    FROM v
+""")
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test of the random-walk hypothesis
+    on daily log revenue: VR(q) compares the variance of q-day
+    log-changes to q times the 1-day variance — VR ~ 1 under a random
+    walk, < 1 under mean reversion, > 1 under momentum/trending. The
+    overlapping-difference estimator (all T-q+1 q-day spans) with the
+    drift mu = (x_T - x_1)/T, plus the homoskedastic asymptotic
+    z = (VR-1) / sqrt(2(2q-1)(q-1) / 3qT). q = 5, the trading-week
+    horizon, on the SF-independent 30-day fixture span.
+
+    Determinism: daily totals are exact integer cents; x = ln(cents)
+    and every downstream term is the same IEEE closed form of those
+    exact integers on both engines; VR and z round at 6 dp and the
+    verdict compares the ROUNDED z. Scale: ONE data-grain day rollup;
+    the two lag windows and the variance algebra run on the 30-row
+    calendar frame (declared calendar-grain global windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("yc"))
+             .localCheckpoint(eager=False))
+    wd = Window.orderBy("day")
+    x = daily.select(
+        "day", F.log(F.col("yc") * F.lit(1.0)).alias("x"))
+    x = (x.withColumn("x1", F.lag("x", 1).over(wd))
+         .withColumn("xq", F.lag("x", VR_Q).over(wd)))
+    consts = x.agg(
+        (F.count(F.lit(1)) - 1).alias("t"),
+        ((F.max_by("x", "day") - F.min_by("x", "day"))
+         / ((F.count(F.lit(1)) - 1) * F.lit(1.0))).alias("mu"))
+    v = (x.crossJoin(F.broadcast(consts))
+         .groupBy("t", "mu")
+         .agg((F.sum(F.when(F.col("x1").isNull(), F.lit(0.0))
+                     .otherwise(F.pow(F.col("x") - F.col("x1")
+                                      - F.col("mu"), 2)))
+               / (F.col("t") * F.lit(1.0))).alias("var1"),
+              (F.sum(F.when(F.col("xq").isNull(), F.lit(0.0))
+                     .otherwise(F.pow(F.col("x") - F.col("xq")
+                                      - VR_Q * F.col("mu"), 2)))
+               / (VR_Q * (F.col("t") - VR_Q + 1) * F.lit(1.0)))
+              .alias("varq")))
+    vr = F.col("varq") / F.col("var1")
+    se = F.sqrt(2.0 * (2 * VR_Q - 1) * (VR_Q - 1)
+                / (3.0 * VR_Q * F.col("t")))
+    z = F.round((vr - 1) / se, 6)
+    return v.select(
+        (F.col("t") + 1).cast("int").alias("n_days"),
+        F.lit(VR_Q).cast("int").alias("q"),
+        F.round(vr, 6).alias("vr"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("reject_05"))

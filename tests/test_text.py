@@ -410,3 +410,54 @@ def test_textrank_matches_python_reference(spark, sf_dir):
     got = [(r["rank"], r["word"], round(r["textrank"], 6))
            for r in text_textrank_keywords(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_llr_collocations_matches_python_reference(spark, sf_dir):
+    """Entropy-form Dunning G^2 with position-aware marginals."""
+    import math
+    import re
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.text import (
+        LLR_MIN_COUNT, LLR_TOP, text_llr_collocations)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").collect()
+    big = Counter()
+    for r in docs:
+        # re.split(r"\s+") without filtering matches F.split semantics
+        w = re.split(r"\s+", r["text"])
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] += 1
+    firsts = Counter()
+    seconds = Counter()
+    for (a, b), c in big.items():
+        firsts[a] += c
+        seconds[b] += c
+    n = sum(big.values())
+
+    def xlx(v):
+        return v * math.log(v) if v > 0 else 0.0
+
+    scored = []
+    for (a, b), c in big.items():
+        if c < LLR_MIN_COUNT:
+            continue
+        r1, c1 = firsts[a], seconds[b]
+        g2 = 2 * (xlx(c) + xlx(r1 - c) + xlx(c1 - c)
+                  + xlx(n - r1 - c1 + c)
+                  - xlx(r1) - xlx(n - r1) - xlx(c1) - xlx(n - c1)
+                  + xlx(n))
+        scored.append((round(g2, 4), a, b, c))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:LLR_TOP]
+
+    got = text_llr_collocations(spark, sf_dir).collect()
+    assert len(got) == LLR_TOP
+    for i, r in enumerate(got):
+        g2, a, b, c = want[i]
+        assert r["rank"] == i + 1
+        assert (r["w1"], r["w2"]) == (a, b)
+        assert r["n_pair"] == c
+        assert math.isclose(r["llr"], g2, abs_tol=2e-4)

@@ -734,3 +734,68 @@ def test_page_hinkley_matches_python_reference(spark, sf_dir):
         assert math.isclose(r["ph_down_max"], dn_max, abs_tol=1e-5)
         assert r["drift_alarm"] == (up_max > 3.0 or dn_max > 3.0)
         assert r["first_alarm_day"] == first
+
+
+def test_durbin_watson_matches_python_reference(spark, sf_dir):
+    """OLS residual DW from exact daily cents."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import ts_durbin_watson
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["ts"].date()] += round(r["value"] * 100)
+    ys = [daily[d] for d in sorted(daily)]
+    n = len(ys)
+    ts_ = list(range(1, n + 1))
+    st, st2 = sum(ts_), sum(t * t for t in ts_)
+    sy = sum(ys)
+    sty = sum(t * y for t, y in zip(ts_, ys))
+    b = (n * sty - st * sy) / (n * st2 - st * st)
+    a = (sy - b * st) / n
+    e = [y - a - b * t for t, y in zip(ts_, ys)]
+    dw = (sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+          / sum(v * v for v in e))
+    row = ts_durbin_watson(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert math.isclose(row["slope_dollars_per_day"], b / 100,
+                        abs_tol=1e-5)
+    assert math.isclose(row["dw_stat"], dw, abs_tol=1e-5)
+    assert row["positive_autocorr"] == (round(dw, 6) < 1.352)
+    assert row["negative_autocorr"] == (round(dw, 6) > 2.648)
+
+
+def test_variance_ratio_matches_python_reference(spark, sf_dir):
+    """Lo-MacKinlay VR(5) with overlapping q-differences."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        VR_Q, ts_variance_ratio)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["ts"].date()] += round(r["value"] * 100)
+    xs = [math.log(daily[d]) for d in sorted(daily)]
+    n = len(xs)
+    t = n - 1
+    q = VR_Q
+    mu = (xs[-1] - xs[0]) / t
+    var1 = sum((xs[i] - xs[i - 1] - mu) ** 2
+               for i in range(1, n)) / t
+    varq = sum((xs[i] - xs[i - q] - q * mu) ** 2
+               for i in range(q, n)) / (q * (t - q + 1))
+    vr = varq / var1
+    z = (vr - 1) / math.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * t))
+    row = ts_variance_ratio(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n and row["q"] == q
+    assert math.isclose(row["vr"], vr, abs_tol=1e-5)
+    assert math.isclose(row["z_stat"], z, abs_tol=1e-5)
+    assert row["reject_05"] == (abs(round(z, 6)) > 1.96)

@@ -410,6 +410,7 @@ WINDOW_OK: dict[str, int] = {
     "graph_pagerank_trade": 1,     # limit PR_TOP
     "text_bm25_topk": 1,           # limit 20
     "text_pmi_bigrams": 1,         # limit PMI_TOP
+    "text_llr_collocations": 1,    # limit LLR_TOP (20)
     "text_zipf_fit": 1,            # limit ZIPF_MIN_RANK_N (20)
     # both ranker lists truncate to top-100 via TakeOrderedAndProject
     # before their rank windows; the fused-rank window runs over the
@@ -431,6 +432,8 @@ WINDOW_OK: dict[str, int] = {
     "ts_dow_seasonality": 2,       # day-index + day-count, both bounded
     "ts_ljungbox_whiteness": 1,    # cumulative Q over the 7-row lag grid
     "ts_runs_test": 1,             # run-boundary lag over bounded day rows
+    "ts_durbin_watson": 2,         # day-index + residual lag, 30-day grid
+    "ts_variance_ratio": 1,        # two lags share ONE day-ordered sort
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
     "events_funnel_steps": 1,
