@@ -292,6 +292,8 @@ HEADLINE = [
     ("llr_collocations", text.text_llr_collocations),
     ("durbin_watson", timeseries.ts_durbin_watson),
     ("variance_ratio", timeseries.ts_variance_ratio),
+    ("modularity", graph.graph_modularity_nations),
+    ("powerlaw_alpha", graph.graph_powerlaw_alpha),
 ]
 
 

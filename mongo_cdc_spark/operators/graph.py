@@ -1206,3 +1206,186 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= HITS_TOP)
             .orderBy("node_type", "rank"))
+
+
+# ------------------------------ partition quality: Newman modularity
+
+
+@query("graph_modularity_nations", sql="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), lab AS (
+      SELECT p.c, p.s,
+             cn.n_name AS cnat, sn.n_name AS snat
+      FROM pairs p
+      JOIN customer cu ON cu.c_custkey = p.c
+      JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+      JOIN supplier su ON su.s_suppkey = p.s
+      JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+    ), m AS (SELECT COUNT(*) AS m FROM lab),
+    degs AS (
+      SELECT nat, SUM(deg) AS d_c, COUNT(*) AS n_nodes FROM (
+        SELECT cnat AS nat, c AS id, COUNT(*) AS deg
+        FROM lab GROUP BY 1, 2
+        UNION ALL
+        SELECT snat, -(s + 1), COUNT(*) FROM lab GROUP BY 1, 2)
+      GROUP BY nat
+    ), intra AS (
+      SELECT cnat AS nat, COUNT(*) AS m_c
+      FROM lab WHERE cnat = snat GROUP BY 1
+    )
+    SELECT d.nat AS nation,
+           CAST(d.n_nodes AS INT) AS n_nodes,
+           CAST(d.d_c AS BIGINT) AS degree_sum,
+           CAST(COALESCE(i.m_c, 0) AS BIGINT) AS intra_edges,
+           ROUND(COALESCE(i.m_c, 0) / (t.m * 1e0)
+                 - POW(d.d_c / (2e0 * t.m), 2), 6) AS contribution
+    FROM degs d
+    LEFT JOIN intra i ON i.nat = d.nat
+    CROSS JOIN m t
+    ORDER BY nation
+""")
+def graph_modularity_nations(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the undirected
+    customer-supplier trade graph: per community c, contribution =
+    m_c/m - (d_c/2m)^2 (intra-community edge share minus the share
+    expected under the degree-preserving null model); Q = sum of
+    contributions. The standard "is this grouping a real community
+    structure?" score — here it quantifies trade home-bias per
+    nation, and the per-community decomposition is exactly what
+    Louvain-style refinement consumes. Node ids are disambiguated
+    across the bipartite sides (suppliers mapped to -(s+1), which is
+    always negative — bare negation would collide at key 0) so a
+    customer and supplier sharing a key never merge.
+
+    Determinism: every input (m, m_c, d_c) is an exact integer; the
+    contribution is one closed form per nation rounded at 6 dp.
+    Scale: pairs is the one data-grain stage (distinct over the
+    orders x lineitem join); nation labels attach via broadcast dims;
+    degrees and intra-edge counts are map-side-combined aggs at node
+    and nation grain; the final frame is |nations| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    pairs = (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct())
+    cnat = (cu.join(F.broadcast(na),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(F.col("c_custkey").alias("c"),
+                    F.col("n_name").alias("cnat")))
+    snat = (su.join(F.broadcast(na),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+            .select(F.col("s_suppkey").alias("s"),
+                    F.col("n_name").alias("snat")))
+    lab = (pairs.join(F.broadcast(cnat), "c")
+           .join(F.broadcast(snat), "s")
+           .localCheckpoint(eager=False))
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    node_deg = (lab.select(F.col("cnat").alias("nat"),
+                           F.col("c").alias("id"))
+                .unionAll(lab.select("snat", (-(F.col("s") + 1)).alias("s")))
+                .groupBy("nat", "id")
+                .agg(F.count(F.lit(1)).alias("deg")))
+    degs = (node_deg.groupBy("nat")
+            .agg(F.sum("deg").alias("d_c"),
+                 F.count(F.lit(1)).alias("n_nodes")))
+    intra = (lab.filter(F.col("cnat") == F.col("snat"))
+             .groupBy(F.col("cnat").alias("nat"))
+             .agg(F.count(F.lit(1)).alias("m_c")))
+    out = (degs.join(F.broadcast(intra), "nat", "left")
+           .crossJoin(F.broadcast(m)))
+    mc = F.coalesce(F.col("m_c"), F.lit(0))
+    contrib = (mc / (F.col("m") * F.lit(1.0))
+               - F.pow(F.col("d_c") / (2.0 * F.col("m")), 2))
+    return (out.select(
+        F.col("nat").alias("nation"),
+        F.col("n_nodes").cast("int").alias("n_nodes"),
+        F.col("d_c").cast("bigint").alias("degree_sum"),
+        mc.cast("bigint").alias("intra_edges"),
+        F.round(contrib, 6).alias("contribution"))
+        .orderBy("nation"))
+
+
+# ----------------------------- heavy-tail degree distribution MLE
+
+PL_DMIN = 2   # tail threshold: fit over nodes with degree >= 2
+
+
+@query("graph_powerlaw_alpha", sql=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT c AS id FROM pairs
+        UNION ALL SELECT -(s + 1) FROM pairs)
+      GROUP BY 1
+    ), tail AS (
+      SELECT d FROM deg WHERE d >= {PL_DMIN}
+    ), agg AS (
+      SELECT COUNT(*) AS n_tail,
+             SUM(LN(d / ({PL_DMIN} - 0.5))) AS slnd,
+             MAX(d) AS d_max
+      FROM tail
+    ), tot AS (SELECT COUNT(*) AS n_nodes FROM deg)
+    SELECT CAST(t.n_nodes AS BIGINT) AS n_nodes,
+           CAST(a.n_tail AS BIGINT) AS n_tail,
+           CAST({PL_DMIN} AS INT) AS d_min,
+           CAST(a.d_max AS INT) AS d_max,
+           ROUND(1.0 + a.n_tail / a.slnd, 6) AS alpha_mle,
+           ROUND((a.n_tail / a.slnd) / SQRT(a.n_tail * 1e0), 6)
+             AS alpha_se
+    FROM agg a CROSS JOIN tot t
+""")
+def graph_powerlaw_alpha(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Clauset-Shalizi-Newman power-law exponent of the trade graph's
+    degree distribution: the continuous-approximation MLE alpha = 1 +
+    n [sum ln(d_i / (d_min - 1/2))]^-1 over the tail d >= d_min, with
+    its asymptotic standard error (alpha - 1)/sqrt(n). Degree-tail
+    heaviness is the planning number behind every skew decision in
+    this repo (salting thresholds, hub caps in common-neighbor joins,
+    AQE skew-join expectations): alpha < 2 means unbounded-mean hubs,
+    2-3 the classic scale-free regime. d_min is fixed at 2 (degree-1
+    leaves carry no tail information; the -1/2 is the CSN continuity
+    correction).
+
+    Determinism: degrees are exact integer counts; the ln-sum is the
+    same IEEE form of those integers on both engines, rounded at
+    6 dp. Scale: the distinct pair frame is the one data-grain stage;
+    degrees are a map-side-combined node-grain agg; the fit is one
+    1-row reduction (no per-d_min search loop — a production sweep
+    would run this closed form once per candidate d_min, each a
+    bounded re-aggregate of the SAME degree frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct())
+    deg = (pairs.select(F.col("c").alias("id"))
+           .unionAll(pairs.select((-(F.col("s") + 1)).alias("s")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=False))
+    tail = deg.filter(F.col("d") >= PL_DMIN)
+    agg = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("d") / F.lit(PL_DMIN - 0.5))).alias("slnd"),
+        F.max("d").alias("d_max"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    j = agg.crossJoin(F.broadcast(tot))
+    ahat = F.col("n_tail") / F.col("slnd")
+    return j.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        F.lit(PL_DMIN).cast("int").alias("d_min"),
+        F.col("d_max").cast("int").alias("d_max"),
+        F.round(1.0 + ahat, 6).alias("alpha_mle"),
+        F.round(ahat / F.sqrt(F.col("n_tail") * F.lit(1.0)), 6)
+        .alias("alpha_se"))

@@ -440,3 +440,97 @@ def test_hits_matches_python_reference(spark, sf_dir):
     for role in ("S", "C"):
         ranks = [r["rank"] for r in got if r["node_type"] == role]
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_modularity_matches_python_reference(spark, sf_dir):
+    """Per-nation contributions and the Q = sum(contributions)
+    identity over the exact pair/degree counts."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.graph import (
+        graph_modularity_nations)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey").collect()
+    cu = {r["c_custkey"]: r["c_nationkey"] for r in load_table(
+        spark, sf_dir, "customer").collect()}
+    su = {r["s_suppkey"]: r["s_nationkey"] for r in load_table(
+        spark, sf_dir, "supplier").collect()}
+    nn = {r["n_nationkey"]: r["n_name"] for r in load_table(
+        spark, sf_dir, "nation").collect()}
+    cust_of = defaultdict(list)
+    for r in o:
+        cust_of[r["o_orderkey"]].append(r["o_custkey"])
+    pairs = set()
+    for r in li:
+        for c in cust_of.get(r["l_orderkey"], ()):
+            pairs.add((c, r["l_suppkey"]))
+    m = len(pairs)
+    d_c = defaultdict(int)
+    nodes = defaultdict(set)
+    m_c = defaultdict(int)
+    for c, s in pairs:
+        cn, sn = nn[cu[c]], nn[su[s]]
+        d_c[cn] += 1
+        d_c[sn] += 1
+        nodes[cn].add(("C", c))
+        nodes[sn].add(("S", s))
+        if cn == sn:
+            m_c[cn] += 1
+    got = {r["nation"]: r
+           for r in graph_modularity_nations(spark, sf_dir).collect()}
+    assert set(got) == set(d_c)
+    q = 0.0
+    for nat in d_c:
+        contrib = m_c.get(nat, 0) / m - (d_c[nat] / (2 * m)) ** 2
+        r = got[nat]
+        assert r["n_nodes"] == len(nodes[nat])
+        assert r["degree_sum"] == d_c[nat]
+        assert r["intra_edges"] == m_c.get(nat, 0)
+        assert math.isclose(r["contribution"], contrib, abs_tol=1e-6)
+        q += contrib
+    # Q of a real partition is finite and bounded: -0.5 <= Q < 1
+    assert -0.5 <= q < 1.0
+    assert math.isclose(
+        sum(r["contribution"] for r in got.values()), q, abs_tol=1e-4)
+
+
+def test_powerlaw_alpha_matches_python_reference(spark, sf_dir):
+    """CSN continuous-approximation MLE over the degree tail."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.graph import (
+        PL_DMIN, graph_powerlaw_alpha)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey").collect()
+    cust_of = defaultdict(list)
+    for r in o:
+        cust_of[r["o_orderkey"]].append(r["o_custkey"])
+    pairs = set()
+    for r in li:
+        for c in cust_of.get(r["l_orderkey"], ()):
+            pairs.add((c, r["l_suppkey"]))
+    deg = defaultdict(int)
+    for c, s in pairs:
+        deg[("C", c)] += 1
+        deg[("S", s)] += 1
+    tail = [d for d in deg.values() if d >= PL_DMIN]
+    slnd = sum(math.log(d / (PL_DMIN - 0.5)) for d in tail)
+    alpha = 1 + len(tail) / slnd
+    se = (len(tail) / slnd) / math.sqrt(len(tail))
+    row = graph_powerlaw_alpha(spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_tail"] == len(tail)
+    assert row["d_min"] == PL_DMIN
+    assert row["d_max"] == max(deg.values())
+    assert math.isclose(row["alpha_mle"], alpha, abs_tol=1e-5)
+    assert math.isclose(row["alpha_se"], se, abs_tol=1e-5)

@@ -432,7 +432,7 @@ WINDOW_OK: dict[str, int] = {
     "ts_dow_seasonality": 2,       # day-index + day-count, both bounded
     "ts_ljungbox_whiteness": 1,    # cumulative Q over the 7-row lag grid
     "ts_runs_test": 1,             # run-boundary lag over bounded day rows
-    "ts_durbin_watson": 2,         # day-index + residual lag, 30-day grid
+    "ts_durbin_watson": 3,         # day-index (x2 lineage branches) + residual lag, 30-day grid
     "ts_variance_ratio": 1,        # two lags share ONE day-ordered sort
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
