@@ -294,6 +294,7 @@ HEADLINE = [
     ("variance_ratio", timeseries.ts_variance_ratio),
     ("modularity", graph.graph_modularity_nations),
     ("powerlaw_alpha", graph.graph_powerlaw_alpha),
+    ("tga_decode", multimodal.multimodal_tga_decode),
 ]
 
 

@@ -1611,3 +1611,167 @@ def multimodal_video_keyframe(spark: SparkSession,
                     F.round("mean_sharp", 2).alias("mean_sharpness"),
                     F.lit(_VID_FRAMES).cast("int").alias("n_frames"))
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------- TGA (Targa) decode
+#
+# Type-2 uncompressed true-color TGA: 18-byte header, 24-bit pixels
+# stored BGR, rows BOTTOM-UP unless descriptor bit 5 is set — the two
+# traps (channel order + vertical origin) that distinguish a real TGA
+# decoder from a raw-raster reader. The graded features are computed
+# over the TOP half of the IMAGE (not of the stored bytes), so a
+# decoder that skips the flip or the BGR swap produces different
+# numbers and fails the hash compare.
+
+
+def encode_tga(width: int, height: int, bgr_bottomup: bytes) -> bytes:
+    """Minimal type-2 TGA writer: no id field, no colormap, 24 bpp,
+    descriptor 0 (bottom-up, BGR) — the layout every classic TGA tool
+    emits by default."""
+    hdr = bytes([0, 0, 2]) + bytes(9) + bytes([
+        width & 0xFF, width >> 8, height & 0xFF, height >> 8, 24, 0])
+    return hdr + bgr_bottomup
+
+
+def decode_tga(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL type-2 TGA decoder (pure stdlib): parses the 18-byte
+    header (id-length skip, colormap check, little-endian dims, bpp,
+    descriptor origin bit), then returns top-down RGB pixels —
+    flipping bottom-up rows and swapping BGR per the spec. Raises on
+    colormapped/RLE types (honest stub boundary, like decode_ppm for
+    compressed codecs)."""
+    if len(payload) < 18:
+        raise ValueError("short TGA header")
+    idlen, cmap, itype = payload[0], payload[1], payload[2]
+    if itype != 2 or cmap != 0:
+        raise ValueError("only uncompressed true-color TGA (type 2)")
+    w = payload[12] | (payload[13] << 8)
+    h = payload[14] | (payload[15] << 8)
+    bpp, desc = payload[16], payload[17]
+    if bpp != 24:
+        raise ValueError("only 24-bit TGA")
+    off = 18 + idlen
+    need = w * h * 3
+    raw = payload[off:off + need]
+    if len(raw) < need:
+        raise ValueError("truncated TGA raster")
+    rows = [raw[r * w * 3:(r + 1) * w * 3] for r in range(h)]
+    if not (desc & 0x20):          # origin bit clear -> bottom-up
+        rows.reverse()
+    out = bytearray(need)
+    i = 0
+    for row in rows:
+        for p in range(0, w * 3, 3):
+            out[i] = row[p + 2]      # R <- stored B-slot + 2
+            out[i + 1] = row[p + 1]  # G
+            out[i + 2] = row[p]      # B <- stored R-slot - 2
+            i += 3
+    return w, h, bytes(out)
+
+
+def tga_from_doc_bytes(doc: bytes) -> bytes:
+    """Per-document TGA payload: cycle doc bytes into the 16x16 BGR
+    bottom-up raster (same cycle rule as ppm_from_doc_bytes, so the
+    oracle's byte arithmetic is shared modulo the TGA coordinate
+    mapping)."""
+    if not doc:
+        raise ValueError("cannot build an image payload from empty bytes")
+    body = (doc * (_IMG_BYTES // len(doc) + 1))[:_IMG_BYTES]
+    return encode_tga(_IMG_W, _IMG_H, body)
+
+
+def tga_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: run the REAL TGA decoder, then reduce the
+    decoded top-down RGB raster to top-half channel means plus the
+    full-image red mean. Means emitted unrounded (exact int-sum /
+    count); the query applies F.round (HALF_UP, matches DuckDB)."""
+    half = (_IMG_H // 2) * _IMG_W * 3
+    for pdf in it:
+        rows = {"doc_id": [], "width": [], "height": [],
+                "mean_r_top": [], "mean_g_top": [], "mean_b_top": [],
+                "mean_r_full": []}
+        for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+            w, h, px = decode_tga(bytes(img))
+            n_top = half // 3
+            n = w * h
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_r_top"].append(sum(px[0:half:3]) / n_top)
+            rows["mean_g_top"].append(sum(px[1:half:3]) / n_top)
+            rows["mean_b_top"].append(sum(px[2:half:3]) / n_top)
+            rows["mean_r_full"].append(sum(px[0::3]) / n)
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_tga_decode", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id, g.b,
+             g.b % 3 AS chan_stored,
+             ord(substr(d.text, (g.b % len(d.text)) + 1, 1)) AS v
+      FROM documents d, generate_series(0, {_IMG_BYTES - 1}) g(b)
+      WHERE len(d.text) > 0
+    )
+    SELECT doc_id,
+           CAST({_IMG_W} AS INT) AS width,
+           CAST({_IMG_H} AS INT) AS height,
+           -- stored bottom-up: image-top half = stored rows >= h/2,
+           -- i.e. body offset >= {_IMG_BYTES // 2}; stored BGR: red
+           -- sits in slot 2, green 1, blue 0
+           ROUND(AVG(CASE WHEN chan_stored = 2
+                          AND b >= {_IMG_BYTES // 2} THEN v END), 4)
+             AS mean_r_top,
+           ROUND(AVG(CASE WHEN chan_stored = 1
+                          AND b >= {_IMG_BYTES // 2} THEN v END), 4)
+             AS mean_g_top,
+           ROUND(AVG(CASE WHEN chan_stored = 0
+                          AND b >= {_IMG_BYTES // 2} THEN v END), 4)
+             AS mean_b_top,
+           ROUND(AVG(CASE WHEN chan_stored = 2 THEN v END), 4)
+             AS mean_r_full
+    FROM px GROUP BY doc_id ORDER BY doc_id
+""")
+def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA (Targa type-2) decode end-to-end: each document's
+    bytes become a genuine 24-bit bottom-up BGR TGA file, the
+    mapInPandas stage runs the pure-stdlib decoder (header grammar,
+    id-length skip, little-endian dims, origin-bit row flip, BGR->RGB
+    swap), and the graded features are TOP-HALF-of-IMAGE channel
+    means — values that are WRONG unless both the vertical flip and
+    the channel swap actually happened, which is what makes this a
+    decoder test rather than a raw-byte statistic (the PPM sibling
+    multimodal_real_decode covers the flat case).
+
+    Oracle: the raster cycles the document's ASCII bytes (octet ==
+    codepoint), so DuckDB replays the decoded statistics through the
+    TGA coordinate mapping — image-top = stored-offset >= half,
+    red = stored slot 2 — with substr/ord byte arithmetic. Both
+    engines average exact integers over fixed 128/256-pixel sets;
+    ROUND(.,4) is deterministic.
+
+    Scale: payload synthesis is JVM binary concat (fixture stand-in
+    for object-store reads); the decoder is the query's only Python
+    hop — one narrow Arrow stage; media bytes never leave the task,
+    only (doc_id, dims, 4 means) rows shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    n = spark.sparkContext.defaultParallelism
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})").cast("binary")
+    header = F.lit(encode_tga(_IMG_W, _IMG_H, b"")[:18])
+    imgs = (docs.select("doc_id",
+                        F.concat(header, body).alias("img"))
+            .repartition(n))
+    feats = imgs.mapInPandas(
+        tga_features_batch,
+        schema=("doc_id long, width int, height int, "
+                "mean_r_top double, mean_g_top double, "
+                "mean_b_top double, mean_r_full double"))
+    return (feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r_top", 4).alias("mean_r_top"),
+        F.round("mean_g_top", 4).alias("mean_g_top"),
+        F.round("mean_b_top", 4).alias("mean_b_top"),
+        F.round("mean_r_full", 4).alias("mean_r_full"))
+        .orderBy("doc_id"))

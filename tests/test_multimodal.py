@@ -505,3 +505,92 @@ def test_video_keyframe_matches_python_decode(spark, sf_dir):
         b, s, m = want[r.doc_id]
         assert (int(r.keyframe_idx), int(r.key_sharpness)) == (b, s)
         assert abs(r.mean_sharpness - m) < 1e-6
+
+
+def test_tga_decoder_flips_rows_and_swaps_bgr():
+    """Hand-built 2x2 asymmetric image: decoding must both reverse
+    the bottom-up rows and map BGR slots to RGB."""
+    from mongo_cdc_spark.operators.multimodal import (
+        decode_tga, encode_tga)
+
+    # image-space target (top-down RGB):
+    #   row0: (1,2,3) (4,5,6)     row1: (7,8,9) (10,11,12)
+    # stored bottom-up + BGR: row1 first, channels reversed
+    stored = bytes([9, 8, 7, 12, 11, 10,   # image row 1 as BGR
+                    3, 2, 1, 6, 5, 4])     # image row 0 as BGR
+    w, h, px = decode_tga(encode_tga(2, 2, stored))
+    assert (w, h) == (2, 2)
+    assert px == bytes(range(1, 13))
+
+    # top-down origin bit set -> rows NOT reversed
+    payload = bytearray(encode_tga(2, 2, stored))
+    payload[17] = 0x20
+    _, _, px2 = decode_tga(bytes(payload))
+    assert px2 == bytes([7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6])
+
+    import pytest
+    with pytest.raises(ValueError):
+        decode_tga(encode_tga(2, 2, stored)[:10])
+    rle = bytearray(encode_tga(2, 2, stored))
+    rle[2] = 10   # RLE true-color type
+    with pytest.raises(ValueError):
+        decode_tga(bytes(rle))
+
+
+def test_tga_payload_expression_matches_python_builder(spark, sf_dir):
+    """The JVM-side header+cycled-body concat must produce byte-for-
+    byte the payload tga_from_doc_bytes builds."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.multimodal import (
+        _IMG_BYTES, _IMG_H, _IMG_W, encode_tga, tga_from_doc_bytes)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0).limit(20)
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} /"
+        f" length(text)) as int) + 1), 1, {_IMG_BYTES})").cast("binary")
+    header = F.lit(encode_tga(_IMG_W, _IMG_H, b"")[:18])
+    got = {r["doc_id"]: bytes(r["img"]) for r in docs.select(
+        "doc_id", F.concat(header, body).alias("img")).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == tga_from_doc_bytes(
+            r["text"].encode("utf-8"))
+
+
+def test_tga_decode_features_match_python_reference(spark, sf_dir):
+    """Operator output vs a pure-Python decode of the same payloads."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.multimodal import (
+        _IMG_H, _IMG_W, decode_tga, multimodal_tga_decode,
+        tga_from_doc_bytes)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    got = {r["doc_id"]: r
+           for r in multimodal_tga_decode(spark, sf_dir).collect()}
+    half = (_IMG_H // 2) * _IMG_W * 3
+    n_checked = 0
+    for r in docs:
+        if not r["text"]:
+            continue
+        w, h, px = decode_tga(
+            tga_from_doc_bytes(r["text"].encode("utf-8")))
+        g = got[r["doc_id"]]
+        assert (g["width"], g["height"]) == (w, h) == (_IMG_W, _IMG_H)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r4(x):   # Spark/DuckDB ROUND is HALF_UP, Python's is not
+            return float(Decimal(repr(x)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+        n_top = half // 3
+        for i, col in enumerate(("mean_r_top", "mean_g_top",
+                                 "mean_b_top")):
+            want = r4(sum(px[i:half:3]) / n_top)
+            assert abs(g[col] - want) < 1e-9, (r["doc_id"], col)
+        assert abs(g["mean_r_full"]
+                   - r4(sum(px[0::3]) / (w * h))) < 1e-9
+        n_checked += 1
+    assert n_checked == len(got)

@@ -87,6 +87,10 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # keyframe selection: real PPM decode + integer
              # gradient energy in its one declared stage:
              "multimodal_video_keyframe",
+             # TGA decode: the real type-2 Targa decoder (row flip +
+             # BGR swap) runs in the one declared mapInPandas stage
+             # (multimodal_real_decode's shape):
+             "multimodal_tga_decode",
              # SSIM probe ranking: the real PPM decoder + integer
              # moment sums against the broadcast probe vector run in
              # the one declared mapInPandas stage; 3 doubles per
