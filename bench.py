@@ -295,6 +295,7 @@ HEADLINE = [
     ("modularity", graph.graph_modularity_nations),
     ("powerlaw_alpha", graph.graph_powerlaw_alpha),
     ("tga_decode", multimodal.multimodal_tga_decode),
+    ("sort_advisor", layout.layout_sort_order_advisor),
 ]
 
 

@@ -821,3 +821,119 @@ def layout_compaction_zonemap_audit(spark: SparkSession,
         F.coalesce(F.col("zone_hi") < F.lead("zone_lo").over(wl),
                    F.lit(True)).alias("disjoint_from_next"))
         .orderBy("grp"))
+
+
+# ------------------------------------------- sort-order advisor
+
+ADV_BLOCKS = 16   # simulated row-group count per layout
+
+
+@query("layout_sort_order_advisor", sql=f"""
+    WITH base AS (
+      SELECT DATE_DIFF('day', TIMESTAMP '1995-01-01', l_shipdate)
+               AS v1,
+             l_orderkey AS v2, l_partkey AS v3,
+             CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-04-01'
+                  THEN 1 ELSE 0 END AS m
+      FROM lineitem
+    ), stats AS (
+      SELECT MIN(v1) AS n1, MAX(v1) AS x1,
+             MIN(v2) AS n2, MAX(v2) AS x2,
+             MIN(v3) AS n3, MAX(v3) AS x3
+      FROM base
+    ), pairs AS (
+      SELECT 'l_shipdate' AS sort_key,
+             ((v1 - n1) * {ADV_BLOCKS}) // (x1 - n1 + 1) AS blk, m
+      FROM base CROSS JOIN stats
+      UNION ALL
+      SELECT 'l_orderkey',
+             ((v2 - n2) * {ADV_BLOCKS}) // (x2 - n2 + 1), m
+      FROM base CROSS JOIN stats
+      UNION ALL
+      SELECT 'l_partkey',
+             ((v3 - n3) * {ADV_BLOCKS}) // (x3 - n3 + 1), m
+      FROM base CROSS JOIN stats
+    ), blocks AS (
+      SELECT sort_key, blk, COUNT(*) AS n, SUM(m) AS mm
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT sort_key,
+           CAST(COUNT(*) AS INT) AS populated_blocks,
+           CAST(SUM(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS INT)
+             AS qualifying_blocks,
+           ROUND(1.0 - SUM(CASE WHEN mm > 0 THEN 1 ELSE 0 END)
+                 / {ADV_BLOCKS}.0, 6) AS skip_fraction,
+           ROUND(SUM(CASE WHEN mm > 0 THEN n ELSE 0 END)
+                 / (SUM(n) * 1e0), 6) AS scan_fraction,
+           ROUND(SUM(mm) / (SUM(n) * 1e0), 6) AS selectivity
+    FROM blocks GROUP BY 1 ORDER BY 1
+""")
+def layout_sort_order_advisor(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Sort-order advisor: for each candidate sort key, simulate the
+    zone maps a 16-row-group range layout on that key would produce
+    (equal-WIDTH blocks over the key's exact [min, max] — what a
+    uniform range-partitioned write gives) and measure how many
+    blocks a representative workload predicate (Q1-1997 shipdate
+    quarter) would actually have to scan. Sorting by the predicate
+    column itself gives near-perfect skipping; an uncorrelated key
+    (l_partkey) gives none; a time-correlated surrogate (l_orderkey)
+    lands in between — the measured skip/scan fractions are exactly
+    the numbers a table-layout decision (Z-order vs single-key sort
+    vs leave-as-is) should be made on, turning the zone-map machinery
+    (layout_zonemap_skipping) from a report into an advisor.
+
+    Determinism: block ids are EXACT integer arithmetic
+    ((v - min) * B) div (max - min + 1) — no double division anywhere
+    near a block boundary; counts are exact; the three fractions
+    round at 6 dp. Scale: ONE data-grain pass computes all three
+    candidate block ids against the broadcast 1-row min/max frame;
+    the explode to (candidate, block) pairs is a narrow 3x generate
+    feeding ONE map-side-combined (candidate, block) agg — block
+    grain (48 cells) thereafter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = ADV_BLOCKS
+    base = li.select(
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
+        .cast("bigint").alias("v1"),
+        F.col("l_orderkey").alias("v2"),
+        F.col("l_partkey").alias("v3"),
+        ((F.col("l_shipdate") >= "1997-01-01")
+         & (F.col("l_shipdate") < "1997-04-01"))
+        .cast("int").alias("m"))
+    stats = base.agg(
+        F.min("v1").alias("n1"), F.max("v1").alias("x1"),
+        F.min("v2").alias("n2"), F.max("v2").alias("x2"),
+        F.min("v3").alias("n3"), F.max("v3").alias("x3"))
+    j = base.crossJoin(F.broadcast(stats))
+
+    def blk(v, lo, hi):
+        return F.expr(f"(({v} - {lo}) * {b}) div ({hi} - {lo} + 1)")
+
+    pairs = j.select(
+        F.explode(F.array(
+            F.struct(F.lit("l_shipdate").alias("sort_key"),
+                     blk("v1", "n1", "x1").alias("blk")),
+            F.struct(F.lit("l_orderkey").alias("sort_key"),
+                     blk("v2", "n2", "x2").alias("blk")),
+            F.struct(F.lit("l_partkey").alias("sort_key"),
+                     blk("v3", "n3", "x3").alias("blk"))))
+        .alias("p"), "m").select("p.*", "m")
+    blocks = (pairs.groupBy("sort_key", "blk")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("m").alias("mm")))
+    qual = (F.col("mm") > 0).cast("int")
+    return (blocks.groupBy("sort_key")
+            .agg(F.count(F.lit(1)).cast("int")
+                 .alias("populated_blocks"),
+                 F.sum(qual).cast("int").alias("qualifying_blocks"),
+                 F.round(1.0 - F.sum(qual) / float(b), 6)
+                 .alias("skip_fraction"),
+                 F.round(F.sum(F.when(F.col("mm") > 0, F.col("n"))
+                               .otherwise(F.lit(0)))
+                         / (F.sum("n") * F.lit(1.0)), 6)
+                 .alias("scan_fraction"),
+                 F.round(F.sum("mm") / (F.sum("n") * F.lit(1.0)), 6)
+                 .alias("selectivity"))
+            .orderBy("sort_key"))

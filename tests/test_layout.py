@@ -222,3 +222,53 @@ def test_compaction_execute_preserves_rows_and_pruning(spark, sf_dir,
     # each group dir holds exactly ONE data file
     for g in (tmp_path / "compacted").glob("grp=*"):
         assert len(list(g.glob("*.parquet"))) == 1, g
+
+
+def test_sort_order_advisor_matches_python_reference(spark, sf_dir):
+    """Exact equal-width block simulation per candidate key."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.layout import (
+        ADV_BLOCKS, layout_sort_order_advisor)
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_partkey").collect()
+    epoch = datetime(1995, 1, 1)
+    lo_p = datetime(1997, 1, 1)
+    hi_p = datetime(1997, 4, 1)
+    vals = {"l_shipdate": [], "l_orderkey": [], "l_partkey": []}
+    ms = []
+    for r in rows:
+        vals["l_shipdate"].append((r["l_shipdate"] - epoch).days)
+        vals["l_orderkey"].append(r["l_orderkey"])
+        vals["l_partkey"].append(r["l_partkey"])
+        ms.append(1 if lo_p <= r["l_shipdate"] < hi_p else 0)
+    got = {r["sort_key"]: r for r in
+           layout_sort_order_advisor(spark, sf_dir).collect()}
+    assert set(got) == set(vals)
+    for key, vs in vals.items():
+        lo, hi = min(vs), max(vs)
+        blocks = defaultdict(lambda: [0, 0])
+        for v, m in zip(vs, ms):
+            blk = ((v - lo) * ADV_BLOCKS) // (hi - lo + 1)
+            blocks[blk][0] += 1
+            blocks[blk][1] += m
+        qual = sum(1 for n, mm in blocks.values() if mm > 0)
+        scanned = sum(n for n, mm in blocks.values() if mm > 0)
+        total = sum(n for n, _ in blocks.values())
+        g = got[key]
+        assert g["populated_blocks"] == len(blocks)
+        assert g["qualifying_blocks"] == qual
+        assert math.isclose(g["skip_fraction"],
+                            1 - qual / ADV_BLOCKS, abs_tol=1e-6)
+        assert math.isclose(g["scan_fraction"], scanned / total,
+                            abs_tol=1e-6)
+        assert math.isclose(g["selectivity"], sum(ms) / total,
+                            abs_tol=1e-6)
+    # the advisor's point: sorting by the predicate column must skip
+    # strictly more than an uncorrelated key
+    assert (got["l_shipdate"]["skip_fraction"]
+            > got["l_partkey"]["skip_fraction"])
