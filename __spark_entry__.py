@@ -76,19 +76,25 @@ _GRADE_FIRST = (
     "sql_not_exists_no_urgent", "sql_scalar_subquery_small_qty",
     "sql_in_semijoin_returned", "cdc_mor_schema_drift",
     "layout_compaction_zonemap_audit",
-    # -- oldest stale greens (17 of the 20 r1-vintage rows; the
-    # remaining 3 — window_range_frame_spend,
-    # window_running_customer_spend, window_topk_orders_per_segment —
-    # spill to round 10's rotation) --
-    "agg_collect_nations_per_region", "agg_distinct_per_flag",
-    "filter_nullsafe_priority_pairs", "hof_order_quantities",
-    "join_anti_customers_no_orders", "join_outer_nation_coverage",
-    "map_priority_profile", "q10_returned_items",
-    "q5_local_supplier_volume", "sample_deterministic_orders",
-    "scalar_date_order_seasonality", "scalar_math_discount_model",
-    "scalar_string_part_facets", "setop_except_nations",
-    "setop_intersect_nations", "setop_union_nations_with_presence",
-    "window_ntile_customer_value",
+    # -- never-graded late-round-9 additions (17). These displaced the
+    # 17 r1-vintage stale-green refreshes originally slotted here:
+    # never-graded rows outrank stale-green refreshes (a stale green
+    # is still a green row on record; a never-graded query has none),
+    # and 13 more operators landed after the first rotation. All 17
+    # are oracle-green at sf0.001+sf0.01 with reference tests. The
+    # stale-green refresh (r1 vintage: agg_collect_nations_per_region,
+    # setops, scalars, window_ntile..., q5/q10, etc.) moves to round
+    # 10's rotation together with this session's 9 remaining
+    # never-graded additions. --
+    "streaming_uplift_monitor_replay", "sql_pivot_text",
+    "ts_mann_kendall_trend", "train_dsir_importance",
+    "stats_cohens_d_effect", "stats_theils_u",
+    "stats_wilcoxon_signed_rank", "ts_brown_double_smoothing",
+    "ts_page_hinkley_drift", "graph_hits_scores",
+    "sql_unpivot_text", "quality_column_entropy_profile",
+    "streaming_session_window_replay",
+    "sql_group_by_all_text", "sql_values_inline_dim",
+    "stats_friedman_test", "multimodal_tga_decode",
     # ---------------- end ROUND-9 WINDOW ----------------
     # ---- round-10 queue notes: the late-round-9 additions queue as
     # round 10's never-graded backlog (each oracle-green at
