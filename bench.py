@@ -296,6 +296,8 @@ HEADLINE = [
     ("powerlaw_alpha", graph.graph_powerlaw_alpha),
     ("tga_decode", multimodal.multimodal_tga_decode),
     ("sort_advisor", layout.layout_sort_order_advisor),
+    ("capture_recapture", quality.stats_capture_recapture),
+    ("kanonymity", quality.quality_kanonymity_audit),
 ]
 
 

@@ -5230,3 +5230,143 @@ def stats_dkw_ecdf_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band_lo"),
         F.round(F.least(ecdf + eps, F.lit(1.0)), 6).alias("band_hi"))
         .orderBy("cut_price"))
+
+
+@query("stats_capture_recapture", sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS c,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS p
+      FROM events GROUP BY 1
+    ), agg AS (
+      SELECT SUM(c) AS n1, SUM(p) AS n2,
+             SUM(c * p) AS m, COUNT(*) AS observed
+      FROM per_user
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_capture1,
+           CAST(n2 AS BIGINT) AS n_capture2,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(observed AS BIGINT) AS n_observed,
+           ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2)
+             AS chapman_estimate,
+           ROUND(SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m)
+                      * (n2 - m * 1.0)
+                      / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 4)
+             AS chapman_se,
+           ROUND(observed / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0)
+                             - 1.0), 6) AS observed_coverage
+    FROM agg
+""")
+def stats_capture_recapture(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the true user population
+    from two independent 'capture occasions' (users seen clicking vs
+    users seen purchasing): N-hat = (n1+1)(n2+1)/(m+1) - 1 with its
+    standard error — the mark-recapture method data teams reuse to
+    size what a pipeline DOESN'T see (undetected duplicates after a
+    dedup pass, uncrawled hosts, untagged PII) from the overlap of
+    two independent detectors. The fixture makes it self-checking:
+    every user emits SOME event, so n_observed is the ground truth
+    the estimate should cover — observed_coverage near 1 validates
+    the two-occasion independence assumption, and a big deviation is
+    itself the finding (correlated captures).
+
+    Determinism: n1, n2, m, observed are exact integers from one
+    user-grain rollup; the estimator is a single closed form, rounded
+    once. Scale: ONE map-side-combined groupBy(user) computing both
+    capture flags in the same pass (never two scans), then a 1-row
+    reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max((F.col("event_type") == "click")
+                           .cast("int")).alias("c"),
+                     F.max((F.col("event_type") == "purchase")
+                           .cast("int")).alias("p")))
+    agg = per_user.agg(
+        F.sum("c").alias("n1"), F.sum("p").alias("n2"),
+        F.sum(F.col("c") * F.col("p")).alias("m"),
+        F.count(F.lit(1)).alias("observed"))
+    nhat = ((F.col("n1") + 1.0) * (F.col("n2") + 1.0)
+            / (F.col("m") + 1.0) - 1.0)
+    se = F.sqrt((F.col("n1") + 1.0) * (F.col("n2") + 1.0)
+                * (F.col("n1") - F.col("m"))
+                * (F.col("n2") - F.col("m") * F.lit(1.0))
+                / ((F.col("m") + 1.0) * (F.col("m") + 1.0)
+                   * (F.col("m") + 2.0)))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_capture1"),
+        F.col("n2").cast("bigint").alias("n_capture2"),
+        F.col("m").cast("bigint").alias("n_both"),
+        F.col("observed").cast("bigint").alias("n_observed"),
+        F.round(nhat, 2).alias("chapman_estimate"),
+        F.round(se, 4).alias("chapman_se"),
+        F.round(F.col("observed") / nhat, 6).alias("observed_coverage"))
+
+
+@query("quality_kanonymity_audit", sql="""
+    WITH qi AS (
+      SELECT c.c_mktsegment AS seg, n.n_name AS nat,
+             CASE WHEN c.c_acctbal < 0 THEN 'debt'
+                  WHEN c.c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS bal_band,
+             COUNT(*) AS class_size
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(class_size) AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS INT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS singleton_classes,
+           ROUND(SUM(CASE WHEN class_size < 5 THEN class_size
+                          ELSE 0 END) / (SUM(class_size) * 1e0), 6)
+             AS risk_share_k5,
+           ROUND(SUM(CAST(class_size AS HUGEINT) * class_size)
+                 / (SUM(class_size) * 1e0), 4)
+             AS expected_class_size
+    FROM qi
+""")
+def quality_kanonymity_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (segment, nation, balance-band)
+    quasi-identifier over customers — the privacy gate a
+    training-data release runs BEFORE train_regex_redact's
+    content-level pass: k = the smallest equivalence class (any
+    record in a class of 1 is re-identifiable from the QI alone),
+    the share of records in classes below k=5 (the conventional
+    release threshold), and the size-biased expected class size
+    (sum s^2 / n — the class size a RANDOM RECORD sits in, the
+    attacker-centric average).
+
+    Determinism: all counts exact; the squared-size sum accumulates
+    at 128-bit (classes can be data-sized). Scale: ONE map-side-
+    combined groupBy over the QI columns after the broadcast nation
+    join; everything after is class-grain (bounded by the QI
+    domain)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    band = (F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+    qi = (c.join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+          .groupBy(F.col("c_mktsegment").alias("seg"),
+                   F.col("n_name").alias("nat"),
+                   band.alias("bal_band"))
+          .agg(F.count(F.lit(1)).alias("class_size")))
+    return qi.agg(
+        F.sum("class_size").cast("bigint").alias("n_records"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("int").alias("k_anonymity"),
+        F.sum((F.col("class_size") == 1).cast("int")).cast("bigint")
+        .alias("singleton_classes"),
+        F.round(F.sum(F.when(F.col("class_size") < 5,
+                             F.col("class_size")).otherwise(F.lit(0)))
+                / (F.sum("class_size") * F.lit(1.0)), 6)
+        .alias("risk_share_k5"),
+        F.round(F.sum(F.col("class_size").cast("decimal(38,0)")
+                      * F.col("class_size")).cast("double")
+                / (F.sum("class_size") * F.lit(1.0)), 4)
+        .alias("expected_class_size"))

@@ -1622,3 +1622,71 @@ def test_dkw_band_matches_python_reference(spark, sf_dir):
                             abs_tol=1e-6)
         assert math.isclose(r["band_hi"], min(f + eps, 1.0),
                             abs_tol=1e-6)
+
+
+def test_capture_recapture_matches_python_reference(spark, sf_dir):
+    """Chapman estimator from exact capture flags."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        stats_capture_recapture)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    flags = defaultdict(lambda: [0, 0])
+    users = set()
+    for r in ev:
+        users.add(r["user_id"])
+        if r["event_type"] == "click":
+            flags[r["user_id"]][0] = 1
+        elif r["event_type"] == "purchase":
+            flags[r["user_id"]][1] = 1
+    n1 = sum(c for c, _ in flags.values())
+    n2 = sum(p for _, p in flags.values())
+    m = sum(c * p for c, p in flags.values())
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    se = math.sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                   / ((m + 1) ** 2 * (m + 2)))
+    row = stats_capture_recapture(spark, sf_dir).collect()[0]
+    assert row["n_capture1"] == n1 and row["n_capture2"] == n2
+    assert row["n_both"] == m
+    assert row["n_observed"] == len(users)
+    assert math.isclose(row["chapman_estimate"], nhat, abs_tol=5e-3)
+    assert math.isclose(row["chapman_se"], se, abs_tol=5e-5)
+    assert math.isclose(row["observed_coverage"], len(users) / nhat,
+                        abs_tol=1e-5)
+
+
+def test_kanonymity_matches_python_reference(spark, sf_dir):
+    """Equivalence-class sizes over the exact QI grouping."""
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        quality_kanonymity_audit)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal").collect()
+    nat = {r["n_nationkey"]: r["n_name"] for r in load_table(
+        spark, sf_dir, "nation").collect()}
+    classes = Counter()
+    for r in cust:
+        band = ("debt" if r["c_acctbal"] < 0
+                else "mid" if r["c_acctbal"] < 5000 else "high")
+        classes[(r["c_mktsegment"], nat[r["c_nationkey"]], band)] += 1
+    n = sum(classes.values())
+    row = quality_kanonymity_audit(spark, sf_dir).collect()[0]
+    assert row["n_records"] == n
+    assert row["n_classes"] == len(classes)
+    assert row["k_anonymity"] == min(classes.values())
+    assert row["singleton_classes"] == sum(
+        1 for s in classes.values() if s == 1)
+    assert math.isclose(
+        row["risk_share_k5"],
+        sum(s for s in classes.values() if s < 5) / n, abs_tol=1e-6)
+    assert math.isclose(
+        row["expected_class_size"],
+        sum(s * s for s in classes.values()) / n, abs_tol=5e-5)
