@@ -298,6 +298,7 @@ HEADLINE = [
     ("sort_advisor", layout.layout_sort_order_advisor),
     ("capture_recapture", quality.stats_capture_recapture),
     ("kanonymity", quality.quality_kanonymity_audit),
+    ("ca_trend", quality.stats_cochran_armitage_trend),
 ]
 
 

@@ -1690,3 +1690,35 @@ def test_kanonymity_matches_python_reference(spark, sf_dir):
     assert math.isclose(
         row["expected_class_size"],
         sum(s * s for s in classes.values()) / n, abs_tol=5e-5)
+
+
+def test_cochran_armitage_matches_python_reference(spark, sf_dir):
+    """Exact-integer trend moments over priority-scored return flags."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        stats_cochran_armitage_trend)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag").collect()
+    o = {r["o_orderkey"]: int(r["o_orderpriority"][0])
+         for r in load_table(spark, sf_dir, "orders").collect()}
+    g = defaultdict(lambda: [0, 0])
+    for r in li:
+        s = o[r["l_orderkey"]]
+        g[s][0] += 1
+        g[s][1] += 1 if r["l_returnflag"] == "R" else 0
+    n = sum(v[0] for v in g.values())
+    rr = sum(v[1] for v in g.values())
+    t = sum(s * v[1] for s, v in g.items())
+    sn = sum(s * v[0] for s, v in g.items())
+    s2n = sum(s * s * v[0] for s, v in g.items())
+    p = rr / n
+    z = (t - p * sn) / math.sqrt(p * (1 - p) * (s2n - sn * (sn / n)))
+    row = stats_cochran_armitage_trend(spark, sf_dir).collect()[0]
+    assert row["n_lines"] == n and row["n_returned"] == rr
+    assert row["k_levels"] == len(g)
+    assert math.isclose(row["z_trend"], z, abs_tol=1e-5)
+    assert row["reject_05"] == (abs(round(z, 6)) > 1.96)
