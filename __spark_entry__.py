@@ -96,32 +96,36 @@ _GRADE_FIRST = (
     "sql_group_by_all_text", "sql_values_inline_dim",
     "stats_friedman_test", "multimodal_tga_decode",
     # ---------------- end ROUND-9 WINDOW ----------------
-    # ---- round-10 queue notes: the late-round-9 additions queue as
-    # round 10's never-graded backlog (each oracle-green at
-    # sf0.001+sf0.01 with a Python/DataFrame reference test before
-    # registration): streaming_uplift_monitor_replay (cumulative
-    # treat-vs-control uplift curve; drained stream parity pinned),
-    # sql_pivot_text (multi-aggregate PIVOT clause through the
-    # parser), ts_mann_kendall_trend (exact-integer S + tie-corrected
-    # variance), train_dsir_importance (hashed-ngram importance
-    # weights, exact micro-nat scores), stats_cohens_d_effect
-    # (exact-moment pooled-SD d + Hedges g), stats_theils_u
-    # (entropy-based asymmetric association), and
-    # stats_wilcoxon_signed_rank (paired midrank test through the
-    # two-phase global-order plan), ts_brown_double_smoothing
-    # (cascaded closed-form double smoothing with trend backtest),
-    # ts_page_hinkley_drift (running-mean PH monitor, exact
-    # sequential prefix algebra), graph_hits_scores (3-superstep
-    # hubs/authorities with deferred L1 normalization), and
-    # sql_unpivot_text (data-grain UNPIVOT clause shared verbatim
-    # with the oracle), quality_column_entropy_profile (exact-count
-    # Shannon entropy / concentration screen per column), and
-    # streaming_session_window_replay (native session_window helper
-    # rolled up to a duration histogram; drained-stream parity
-    # pinned) — plus any later entries noted below. After those, rotate the 3 spilled r1 rows
-    # (window_range_frame_spend, window_running_customer_spend,
-    # window_topk_orders_per_segment) then the r2-vintage stale
-    # greens to fill the 50-slot window.
+    # ---- round-10 queue notes: after the final-session re-rotation
+    # (the 13 mid-round additions + 4 final-session additions took
+    # the window's last 17 slots), round 10's never-graded backlog is
+    # the 12 final-session spillovers — each oracle-green at
+    # sf0.001+sf0.01 with a Python reference test before
+    # registration: text_llr_collocations (Dunning G^2 entropy form),
+    # layout_sort_order_advisor (zone-map skip fractions per
+    # candidate sort key), stats_cochran_q (exact-integer incidence
+    # blocks), stats_bartlett_variance (corrected equal-variance
+    # chi-square), stats_dkw_ecdf_band (simultaneous ECDF band),
+    # ts_durbin_watson (trend-residual autocorrelation),
+    # ts_variance_ratio (Lo-MacKinlay VR(5)),
+    # graph_modularity_nations (per-community Newman contributions),
+    # graph_powerlaw_alpha (CSN degree-tail MLE),
+    # stats_capture_recapture (Chapman estimator + coverage
+    # self-check), quality_kanonymity_audit (QI equivalence-class
+    # privacy gate), stats_cochran_armitage_trend (ordinal trend in
+    # proportions). After those, rotate the 20 r1-vintage stale
+    # greens displaced this round (agg_collect_nations_per_region,
+    # agg_distinct_per_flag, filter_nullsafe_priority_pairs,
+    # hof_order_quantities, join_anti_customers_no_orders,
+    # join_outer_nation_coverage, map_priority_profile,
+    # q10_returned_items, q5_local_supplier_volume,
+    # sample_deterministic_orders, scalar_date_order_seasonality,
+    # scalar_math_discount_model, scalar_string_part_facets,
+    # setop_except_nations, setop_intersect_nations,
+    # setop_union_nations_with_presence, window_ntile_customer_value,
+    # window_range_frame_spend, window_running_customer_spend,
+    # window_topk_orders_per_segment), then r2-vintage stale greens
+    # to fill the 50-slot window.
     # ---------------- ROUND-8 WINDOW (historical) ----------------
     # Rotation per VERDICT_r7 task #1: the 24 never-graded entries lead
     # (8 round-7 spillover + the 16 round-7 additions), then the

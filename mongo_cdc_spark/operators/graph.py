@@ -1283,9 +1283,12 @@ def graph_modularity_nations(spark: SparkSession,
                     F.col("s_nationkey") == F.col("n_nationkey"))
             .select(F.col("s_suppkey").alias("s"),
                     F.col("n_name").alias("snat")))
+    # EAGER: the lab checkpoint feeds TWO broadcast consumers (the
+    # 1-row m total and the intra frame) — the documented
+    # lazy-checkpoint broadcast-thread deadlock class (SURVEY §7).
     lab = (pairs.join(F.broadcast(cnat), "c")
            .join(F.broadcast(snat), "s")
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     m = lab.agg(F.count(F.lit(1)).alias("m"))
     node_deg = (lab.select(F.col("cnat").alias("nat"),
                            F.col("c").alias("id"))

@@ -4972,10 +4972,13 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
+    # EAGER: this checkpoint feeds TWO broadcast consumers (the
+    # type-distinct frame and the grid's left side) — the documented
+    # lazy-checkpoint broadcast-thread deadlock class (SURVEY §7).
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
                         "event_type")
              .agg(F.count(F.lit(1)).alias("cnt"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     grid = (daily.select("day").distinct()
             .crossJoin(F.broadcast(
                 daily.select("event_type").distinct()))
