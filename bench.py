@@ -299,6 +299,9 @@ HEADLINE = [
     ("capture_recapture", quality.stats_capture_recapture),
     ("kanonymity", quality.quality_kanonymity_audit),
     ("ca_trend", quality.stats_cochran_armitage_trend),
+    ("audio_zcr", multimodal.multimodal_audio_zcr),
+    ("odds_ratio", quality.stats_odds_ratio_risk),
+    ("crosscorr", timeseries.ts_crosscorr_leadlag),
 ]
 
 

@@ -1775,3 +1775,133 @@ def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b_top", 4).alias("mean_b_top"),
         F.round("mean_r_full", 4).alias("mean_r_full"))
         .orderBy("doc_id"))
+
+
+# ------------------------------------------ zero-crossing analysis
+
+_ZCR_FRAME = 64          # samples per analysis frame (4 frames/clip)
+_ZCR_HIGH = 32           # frame is "noisy" above this crossing count
+
+
+def zcr_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL WAV decode, then zero-crossing
+    statistics — the classic voiced/unvoiced (tone vs noise)
+    discriminator that complements the VAD's energy gate: crossings
+    are sign flips between CONSECUTIVE samples, counted exactly."""
+    import struct
+
+    for pdf in it:
+        rows = {"doc_id": [], "n_crossings": [], "neg_samples": [],
+                "high_zcr_frames": []}
+        for doc_id, clip in zip(pdf["doc_id"], pdf["clip"]):
+            ch, width, rate, frames = decode_wav(bytes(clip))
+            assert ch == 1 and width == 2
+            n = len(frames) // 2
+            s = struct.unpack(f"<{n}h", frames)
+            rows["doc_id"].append(doc_id)
+            rows["n_crossings"].append(sum(
+                (s[i] < 0) != (s[i + 1] < 0) for i in range(n - 1)))
+            rows["neg_samples"].append(sum(1 for v in s if v < 0))
+            rows["high_zcr_frames"].append(sum(
+                1 for f in range(n // _ZCR_FRAME)
+                if sum((s[j] < 0) != (s[j + 1] < 0)
+                       for j in range(f * _ZCR_FRAME,
+                                      (f + 1) * _ZCR_FRAME - 1))
+                > _ZCR_HIGH))
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_audio_zcr", sql=f"""
+    WITH s AS (
+      SELECT d.doc_id, g.j,
+             ord(substr(d.text, ((2 * g.j) % len(d.text)) + 1, 1))
+             + 256 * ord(substr(d.text,
+                                ((2 * g.j + 1) % len(d.text)) + 1, 1))
+               AS raw
+      FROM documents d, generate_series(0, {_AUD_SAMPLES - 1}) g(j)
+      WHERE len(d.text) > 0
+    ), v AS (
+      SELECT doc_id, j,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+               AS s16
+      FROM s
+    ), x AS (
+      SELECT doc_id, j, s16,
+             LEAD(s16) OVER (PARTITION BY doc_id ORDER BY j)
+               AS s_next
+      FROM v
+    ), cr AS (
+      SELECT doc_id, j, s16,
+             CASE WHEN s_next IS NOT NULL
+                   AND (s16 < 0) != (s_next < 0) THEN 1 ELSE 0 END
+               AS c,
+             j // {_ZCR_FRAME} AS frame,
+             CASE WHEN j % {_ZCR_FRAME} < {_ZCR_FRAME - 1}
+                  THEN 1 ELSE 0 END AS in_frame
+      FROM x
+    ), fr AS (
+      SELECT doc_id, frame, SUM(c * in_frame) AS fc
+      FROM cr GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, SUM(c) AS n_crossings,
+             SUM(CASE WHEN s16 < 0 THEN 1 ELSE 0 END) AS neg_samples
+      FROM cr GROUP BY 1
+    ), hi AS (
+      SELECT doc_id,
+             SUM(CASE WHEN fc > {_ZCR_HIGH} THEN 1 ELSE 0 END) AS hf
+      FROM fr GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(p.n_crossings AS INT) AS n_crossings,
+           ROUND(p.n_crossings / ({_AUD_SAMPLES - 1} * 1e0), 6)
+             AS zcr_rate,
+           ROUND(p.neg_samples / ({_AUD_SAMPLES} * 1e0), 6)
+             AS neg_fraction,
+           CAST(h.hf AS INT) AS high_zcr_frames
+    FROM per_doc p JOIN hi h ON h.doc_id = p.doc_id
+    ORDER BY p.doc_id
+""")
+def multimodal_audio_zcr(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Zero-crossing-rate profile per audio clip through the REAL WAV
+    decode path: exact consecutive-sample sign-flip counts, the
+    negative-sample fraction, and the count of 64-sample frames whose
+    crossing count exceeds the noisiness threshold — the classic
+    voiced/unvoiced discriminator that pairs with
+    multimodal_audio_vad's ENERGY gate (speech pipelines AND the two:
+    high energy + low ZCR = voiced, high energy + high ZCR =
+    fricative/noise).
+
+    Oracle: DuckDB replays the little-endian int16 reconstruction
+    with byte arithmetic and the sign-flip logic with a per-doc LEAD
+    window — every statistic an exact integer until the two fixed
+    denominators. Scale: one Arrow mapInPandas stage (media bytes
+    stay in the task); the oracle's window is per-doc-partitioned —
+    bounded frames, no global sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    n = spark.sparkContext.defaultParallelism
+    nb = _AUD_SAMPLES * 2
+    # JVM-side container synthesis (audio_real_decode's pattern): the
+    # 44-byte RIFF header is a constant from the real stdlib encoder,
+    # the PCM body is cycled ASCII bytes — no per-row Python UDF.
+    header = encode_wav(_AUD_RATE, b"\x00" * nb)[:44]
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({nb} / length(text))"
+        f" as int) + 1), 1, {nb})").cast("binary")
+    clips = (docs.select(
+        "doc_id", F.concat(F.lit(header), body).alias("clip"))
+        .repartition(n))
+    feats = clips.mapInPandas(
+        zcr_batch,
+        schema=("doc_id long, n_crossings int, neg_samples int, "
+                "high_zcr_frames int"))
+    return (feats.select(
+        "doc_id",
+        F.col("n_crossings").cast("int").alias("n_crossings"),
+        F.round(F.col("n_crossings") / F.lit(float(_AUD_SAMPLES - 1)),
+                6).alias("zcr_rate"),
+        F.round(F.col("neg_samples") / F.lit(float(_AUD_SAMPLES)), 6)
+        .alias("neg_fraction"),
+        F.col("high_zcr_frames").cast("int").alias("high_zcr_frames"))
+        .orderBy("doc_id"))

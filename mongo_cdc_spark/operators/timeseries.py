@@ -2946,3 +2946,81 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vr, 6).alias("vr"),
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("reject_05"))
+
+
+# ---------------------- cross-correlation lead-lag discovery
+
+CCF_MAX_LAG = 3   # days each side
+
+
+@query("ts_crosscorr_leadlag", sql=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT g.l AS lag, d1.x, d2.y
+      FROM generate_series({-CCF_MAX_LAG}, {CCF_MAX_LAG}) g(l)
+      JOIN daily d1 ON TRUE
+      JOIN daily d2 ON d2.day = d1.day + CAST(g.l AS INTEGER)
+    ), m AS (
+      SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM lagged GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag_days,
+           CAST(n AS INT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sx2 - sx * sx * 1e0)
+                        * (n * sy2 - sy * sy)), 6) AS ccf
+    FROM m ORDER BY lag_days
+""")
+def ts_crosscorr_leadlag(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily click volume and
+    daily purchase volume at lags -3..+3 days — the lead-lag
+    discovery step before any 'clicks predict purchases k days out'
+    claim (ts_autocorr_daily is the AUTO-correlation twin; this is
+    the pairwise version marketing-mix and demand models start
+    from). Positive lag correlates today's clicks with purchases
+    LAG days LATER over the overlapping day span.
+
+    Determinism: daily counts are exact integers; each lag's Pearson
+    r is one closed form of six exact integer moments, rounded at
+    6 dp. Scale: ONE data-grain day rollup computes both series in
+    the same pass; the 7-lag expansion and the day-keyed self-join
+    run on the 30-row calendar frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum((F.col("event_type") == "click")
+                        .cast("int")).alias("x"),
+                  F.sum((F.col("event_type") == "purchase")
+                        .cast("int")).alias("y"))
+             .localCheckpoint(eager=True))
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1) \
+        .select(F.col("id").cast("int").alias("lag"))
+    d1 = daily.crossJoin(F.broadcast(lags)) \
+        .select("lag", "x", F.date_add("day", F.col("lag"))
+                .alias("tday"))
+    d2 = daily.select(F.col("day").alias("tday"),
+                      F.col("y").alias("y2"))
+    lagged = d1.join(d2, "tday")
+    m = (lagged.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y2").alias("sy"),
+              F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sx2"),
+              F.sum(F.col("y2") * F.col("y2")).alias("sy2")))
+    r = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.sqrt((F.col("n") * F.col("sx2")
+                   - F.col("sx") * F.col("sx") * F.lit(1.0))
+                  * (F.col("n") * F.col("sy2")
+                     - F.col("sy") * F.col("sy"))))
+    return (m.select(
+        F.col("lag").cast("int").alias("lag_days"),
+        F.col("n").cast("int").alias("n_days"),
+        F.round(r, 6).alias("ccf"))
+        .orderBy("lag_days"))

@@ -594,3 +594,42 @@ def test_tga_decode_features_match_python_reference(spark, sf_dir):
                    - r4(sum(px[0::3]) / (w * h))) < 1e-9
         n_checked += 1
     assert n_checked == len(got)
+
+
+def test_audio_zcr_matches_python_reference(spark, sf_dir):
+    """Exact sign-flip counts through the real WAV round-trip."""
+    import struct
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.multimodal import (
+        _AUD_RATE, _AUD_SAMPLES, _ZCR_FRAME, _ZCR_HIGH, decode_wav,
+        encode_wav, multimodal_audio_zcr)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    got = {r["doc_id"]: r
+           for r in multimodal_audio_zcr(spark, sf_dir).collect()}
+    nb = _AUD_SAMPLES * 2
+    checked = 0
+    for r in docs:
+        if not r["text"]:
+            continue
+        doc = r["text"].encode("utf-8")
+        pcm = (doc * (nb // len(doc) + 1))[:nb]
+        _, _, _, frames = decode_wav(encode_wav(_AUD_RATE, pcm))
+        s = struct.unpack(f"<{_AUD_SAMPLES}h", frames)
+        cr = sum((s[i] < 0) != (s[i + 1] < 0)
+                 for i in range(_AUD_SAMPLES - 1))
+        neg = sum(1 for v in s if v < 0)
+        hf = sum(1 for f in range(_AUD_SAMPLES // _ZCR_FRAME)
+                 if sum((s[j] < 0) != (s[j + 1] < 0)
+                        for j in range(f * _ZCR_FRAME,
+                                       (f + 1) * _ZCR_FRAME - 1))
+                 > _ZCR_HIGH)
+        g = got[r["doc_id"]]
+        assert g["n_crossings"] == cr
+        assert abs(g["zcr_rate"] - cr / (_AUD_SAMPLES - 1)) < 1e-6
+        assert abs(g["neg_fraction"] - neg / _AUD_SAMPLES) < 1e-6
+        assert g["high_zcr_frames"] == hf
+        checked += 1
+    assert checked == len(got)

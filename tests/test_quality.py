@@ -1722,3 +1722,46 @@ def test_cochran_armitage_matches_python_reference(spark, sf_dir):
     assert row["k_levels"] == len(g)
     assert math.isclose(row["z_trend"], z, abs_tol=1e-5)
     assert row["reject_05"] == (abs(round(z, 6)) > 1.96)
+
+
+def test_odds_ratio_risk_matches_python_reference(spark, sf_dir):
+    """2x2 cells and both log-scale CIs from exact block flags."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_odds_ratio_risk
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type").collect()
+    blocks = defaultdict(lambda: [0, 0])
+    for r in ev:
+        k = (r["user_id"], r["ts"].date())
+        blocks[k][0] = 1 if r["ts"].weekday() >= 5 else 0
+        if r["event_type"] == "purchase":
+            blocks[k][1] = 1
+    a = sum(1 for e, o in blocks.values() if e and o)
+    b = sum(1 for e, o in blocks.values() if e and not o)
+    c = sum(1 for e, o in blocks.values() if not e and o)
+    d = sum(1 for e, o in blocks.values() if not e and not o)
+    orat = a * d / (b * c)
+    se_or = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    rr = (a / (a + b)) / (c / (c + d))
+    se_rr = math.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    row = stats_odds_ratio_risk(spark, sf_dir).collect()[0]
+    assert (row["n_exp_pos"], row["n_exp_neg"],
+            row["n_unexp_pos"], row["n_unexp_neg"]) == (a, b, c, d)
+    assert math.isclose(row["odds_ratio"], orat, abs_tol=1e-5)
+    assert math.isclose(row["or_ci_lo"],
+                        math.exp(math.log(orat) - 1.96 * se_or),
+                        abs_tol=1e-5)
+    assert math.isclose(row["or_ci_hi"],
+                        math.exp(math.log(orat) + 1.96 * se_or),
+                        abs_tol=1e-5)
+    assert math.isclose(row["relative_risk"], rr, abs_tol=1e-5)
+    assert math.isclose(row["rr_ci_lo"],
+                        math.exp(math.log(rr) - 1.96 * se_rr),
+                        abs_tol=1e-5)
+    assert math.isclose(row["rr_ci_hi"],
+                        math.exp(math.log(rr) + 1.96 * se_rr),
+                        abs_tol=1e-5)

@@ -799,3 +799,41 @@ def test_variance_ratio_matches_python_reference(spark, sf_dir):
     assert math.isclose(row["vr"], vr, abs_tol=1e-5)
     assert math.isclose(row["z_stat"], z, abs_tol=1e-5)
     assert row["reject_05"] == (abs(round(z, 6)) > 1.96)
+
+
+def test_crosscorr_leadlag_matches_python_reference(spark, sf_dir):
+    """Per-lag Pearson r from exact daily count moments."""
+    import math
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        CCF_MAX_LAG, ts_crosscorr_leadlag)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type").collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r["event_type"] == "click":
+            daily[r["ts"].date()][0] += 1
+        elif r["event_type"] == "purchase":
+            daily[r["ts"].date()][1] += 1
+    got = {r["lag_days"]: r
+           for r in ts_crosscorr_leadlag(spark, sf_dir).collect()}
+    assert set(got) == set(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    for lag in got:
+        pairs = [(x, daily[d + timedelta(days=lag)][1])
+                 for d, (x, _) in daily.items()
+                 if d + timedelta(days=lag) in daily]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sx2 = sum(x * x for x, _ in pairs)
+        sy2 = sum(y * y for _, y in pairs)
+        r_ = ((n * sxy - sx * sy)
+              / math.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
+        g = got[lag]
+        assert g["n_days"] == n
+        assert math.isclose(g["ccf"], r_, abs_tol=1e-5), lag

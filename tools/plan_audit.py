@@ -87,6 +87,10 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # keyframe selection: real PPM decode + integer
              # gradient energy in its one declared stage:
              "multimodal_video_keyframe",
+             # ZCR profile: the real WAV decoder + exact sign-flip
+             # counts run in the one declared mapInPandas stage
+             # (multimodal_audio_decode's shape):
+             "multimodal_audio_zcr",
              # TGA decode: the real type-2 Targa decoder (row flip +
              # BGR swap) runs in the one declared mapInPandas stage
              # (multimodal_real_decode's shape):
