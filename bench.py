@@ -302,6 +302,7 @@ HEADLINE = [
     ("audio_zcr", multimodal.multimodal_audio_zcr),
     ("odds_ratio", quality.stats_odds_ratio_risk),
     ("crosscorr", timeseries.ts_crosscorr_leadlag),
+    ("pair_histogram", similarity.similarity_pair_distance_histogram),
 ]
 
 

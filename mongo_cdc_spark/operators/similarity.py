@@ -2376,3 +2376,90 @@ def embedding_class_scatter(spark: SparkSession,
                     F.round(F.col("between_sq") / F.col("within_ms"), 6)
                     .alias("fisher_ratio"))
             .orderBy("label"))
+
+
+# ---------------------- pair-distance distribution (tau selection)
+
+HIST_BUCKETS = 8     # id-bucket pair sampling: ~1/8 of all pairs
+HIST_BINS = 20       # cosine bins over [-1, 1], width 0.1
+
+
+@query("similarity_pair_distance_histogram", sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             vec_id % {HIST_BUCKETS} AS bkt
+      FROM embeddings
+    ), pairs AS (
+      SELECT CAST(ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) * 1e6)
+               AS BIGINT) AS cos_m
+      FROM e a JOIN e b
+        ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ), binned AS (
+      SELECT LEAST((cos_m + 1000000) // 100000,
+                   {HIST_BINS - 1}) AS bin,
+             COUNT(*) AS n
+      FROM pairs GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM binned)
+    SELECT CAST(b.bin AS INT) AS bin,
+           ROUND(-1.0 + b.bin * 0.1, 1) AS cos_lo,
+           CAST(b.n AS BIGINT) AS n_pairs,
+           ROUND(b.n / (t.t * 1e0), 6) AS share,
+           ROUND(SUM(b.n) OVER (ORDER BY b.bin
+                                ROWS UNBOUNDED PRECEDING)
+                 / (t.t * 1e0), 6) AS cum_share
+    FROM binned b CROSS JOIN tot t
+    ORDER BY bin
+""")
+def similarity_pair_distance_histogram(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Cosine-similarity distribution over a DETERMINISTIC sample of
+    embedding pairs — the profiling step that justifies every
+    near-dup threshold: before running similarity_threshold_pairs at
+    tau = 0.3, look at where the pair mass actually sits (the valley
+    between the background-similarity mode and the near-dup tail IS
+    the right tau). Pairs are sampled by id-bucket congruence
+    (vec_id % 8 equality, id1 < id2) — a seedless, engine-
+    reproducible ~1/8 pair sample whose membership both engines
+    compute identically; within-sample the histogram is EXACT.
+
+    Determinism: the cosine is the shared left-fold dot (bitwise
+    equal on both engines), scaled to exact integer micro-units
+    BEFORE binning so a bin boundary can never flip on a binary-0.1
+    artifact; bin ids are pure integer division. Scale: the
+    within-bucket pair join is big-big by contract (the declared
+    SMJ) — the bucket count is the quadratic-budget knob (raise
+    HIST_BUCKETS so n^2/buckets stays fixed as n grows; the
+    histogram only needs a fixed sample SIZE, not a fixed sample
+    fraction); everything after is 20-bin grain."""
+    e = (_emb(spark, sf_dir)
+         .withColumn("bkt", F.col("vec_id") % HIST_BUCKETS))
+    a = e.select(F.col("vec_id").alias("id1"),
+                 F.col("v").alias("v1"),
+                 F.col("norm").alias("n1"), "bkt")
+    b = e.select(F.col("vec_id").alias("id2"),
+                 F.col("v").alias("v2"),
+                 F.col("norm").alias("n2"), "bkt")
+    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    pairs = (a.join(b, "bkt")
+             .filter(F.col("id1") < F.col("id2"))
+             .select(F.round(cos * 1e6).cast("bigint")
+                     .alias("cos_m")))
+    binned = (pairs.select(
+        F.least(F.expr("(cos_m + 1000000) div 100000"),
+                F.lit(HIST_BINS - 1)).alias("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    tot = binned.agg(F.sum("n").alias("t"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    return (binned.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("bin").cast("int").alias("bin"),
+                F.round(-1.0 + F.col("bin") * 0.1, 1).alias("cos_lo"),
+                F.col("n").cast("bigint").alias("n_pairs"),
+                F.round(F.col("n") / (F.col("t") * F.lit(1.0)), 6)
+                .alias("share"),
+                F.round(F.sum("n").over(w)
+                        / (F.col("t") * F.lit(1.0)), 6)
+                .alias("cum_share"))
+            .orderBy("bin"))

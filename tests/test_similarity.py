@@ -540,3 +540,48 @@ def test_class_scatter_matches_numpy(spark, sf_dir):
         assert abs(row.between_sq - round(between, 6)) < 1e-6
         assert abs(row.fisher_ratio - round(between / within, 6)) < 1e-4
         assert row.fisher_ratio > 0
+
+
+def test_pair_histogram_matches_python_reference(spark, sf_dir):
+    """Exact within-bucket pair histogram with integer-micro binning."""
+    import math
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.similarity import (
+        HIST_BINS, HIST_BUCKETS, similarity_pair_distance_histogram)
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in rows}
+    norms = {k: math.sqrt(sum(x * x for x in v))
+             for k, v in vecs.items()}
+    bins = Counter()
+    ids = sorted(vecs)
+    for i, id1 in enumerate(ids):
+        for id2 in ids[i + 1:]:
+            if id1 % HIST_BUCKETS != id2 % HIST_BUCKETS:
+                continue
+            dot = 0.0
+            v1, v2 = vecs[id1], vecs[id2]
+            for x, y in zip(v1, v2):
+                dot += x * y
+            cos_m = round(dot / (norms[id1] * norms[id2]) * 1e6)
+            bins[min((cos_m + 1_000_000) // 100_000,
+                     HIST_BINS - 1)] += 1
+    t = sum(bins.values())
+    got = {r["bin"]: r for r in
+           similarity_pair_distance_histogram(spark, sf_dir).collect()}
+    assert set(got) == set(bins)
+    cum = 0
+    for bin_ in sorted(bins):
+        cum += bins[bin_]
+        g = got[bin_]
+        assert g["n_pairs"] == bins[bin_]
+        assert math.isclose(g["cos_lo"], -1.0 + bin_ * 0.1,
+                            abs_tol=1e-9)
+        assert math.isclose(g["share"], bins[bin_] / t, abs_tol=1e-6)
+        assert math.isclose(g["cum_share"], cum / t, abs_tol=1e-6)
+    assert math.isclose(max(r["cum_share"] for r in got.values()),
+                        1.0, abs_tol=1e-6)

@@ -117,6 +117,11 @@ SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
           # cell-keyed shuffle join IS the 100 TB plan, and the pair
           # leg carries no hint so AQE may still broadcast when small:
           "dedup_semantic_semdedup": 1,
+          # pair-distance histogram: the within-id-bucket pair join is
+          # big-big by the sampling contract (corpus x corpus keyed on
+          # id congruence; the bucket count is the quadratic-budget
+          # knob) — a bucket-keyed shuffle join IS the scale plan:
+          "similarity_pair_distance_histogram": 1,
           # snapshot diff: full-outer join of two snapshots of the SAME
           # table — both sides are the full table by definition, and
           # full-outer cannot broadcast anyway; with bucketed snapshot
@@ -465,6 +470,8 @@ WINDOW_OK: dict[str, int] = {
     # Qini decile cumulatives: the fixed 10-row decile grid:
     "ab_test_uplift_qini": 1,
     "train_mixture_weights": 1,
+    # 20-bin cumulative share over the fixed cosine histogram grid:
+    "similarity_pair_distance_histogram": 1,
 }
 
 
