@@ -303,6 +303,7 @@ HEADLINE = [
     ("odds_ratio", quality.stats_odds_ratio_risk),
     ("crosscorr", timeseries.ts_crosscorr_leadlag),
     ("pair_histogram", similarity.similarity_pair_distance_histogram),
+    ("sql_range_win", sqlfront.sql_range_interval_window),
 ]
 
 

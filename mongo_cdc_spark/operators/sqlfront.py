@@ -610,3 +610,48 @@ def sql_values_inline_dim(spark: SparkSession,
     plan test pins the BroadcastHashJoin + LocalTableScan shape)."""
     names = _views(spark, sf_dir, "orders", suffix="valdim")
     return spark.sql(_VALUESDIM_SQL.format(**names))
+
+
+_RANGEWIN_SQL = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM {events}
+      GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(SUM(n_events) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS trailing7_events,
+           ROUND(CAST(SUM(cents) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+               AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+             AS trailing7_value
+    FROM daily
+    ORDER BY event_type, day
+"""
+
+
+@query("sql_range_interval_window",
+       sql=_RANGEWIN_SQL.format(events="events"))
+def sql_range_interval_window(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """A CALENDAR-range window frame stated as SQL text: trailing
+    7-day event count and value per type via RANGE BETWEEN INTERVAL
+    6 DAY PRECEDING — the frame kind that differs semantically from
+    ROWS whenever days are missing (a RANGE frame looks back by TIME,
+    so a gap shrinks the window; a ROWS 6 PRECEDING frame would
+    silently reach further back). Both engines parse the statement
+    verbatim, so the driver hash-grades two independent
+    interval-frame implementations against each other. Exact integer
+    cents through the window sum; one division per output row.
+
+    Scale: one data-grain map-side-combined (type, day) rollup; both
+    interval windows share ONE partitioned sort over calendar-grain
+    rows — never a global window."""
+    names = _views(spark, sf_dir, "events", suffix="rangewin")
+    return spark.sql(_RANGEWIN_SQL.format(**names))

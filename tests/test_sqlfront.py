@@ -369,3 +369,31 @@ def test_values_inline_dim_broadcasts_local_relation(spark, sf_dir):
         assert got[t]["n_orders"] == n
         assert got[t]["n_customers"] == len(custs)
         assert abs(got[t]["revenue"] - round(cents / 100, 2)) < 1e-6
+
+
+def test_range_interval_frame_shrinks_on_gaps(spark, sf_dir):
+    """RANGE INTERVAL semantics: the trailing-7-day totals must match
+    a calendar-window recompute (not a 7-ROW recompute)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from mongo_cdc_spark.io import load_table
+
+    df = sqlfront.sql_range_interval_window(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value").collect()
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        k = (r["event_type"], r["ts"].date())
+        daily[k][0] += 1
+        daily[k][1] += round(r["value"] * 100)
+    for r in df.collect():
+        et, d = r["event_type"], r["day"].date()
+        n7 = sum(daily[(et, d - timedelta(days=o))][0]
+                 for o in range(7) if (et, d - timedelta(days=o))
+                 in daily)
+        c7 = sum(daily[(et, d - timedelta(days=o))][1]
+                 for o in range(7) if (et, d - timedelta(days=o))
+                 in daily)
+        assert r["trailing7_events"] == n7, (et, d)
+        assert abs(r["trailing7_value"] - round(c7 / 100, 2)) < 1e-9
