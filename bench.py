@@ -304,6 +304,7 @@ HEADLINE = [
     ("crosscorr", timeseries.ts_crosscorr_leadlag),
     ("pair_histogram", similarity.similarity_pair_distance_histogram),
     ("sql_range_win", sqlfront.sql_range_interval_window),
+    ("bloom_decon", training.train_decontaminate_bloom),
 ]
 
 

@@ -2312,3 +2312,189 @@ def train_dsir_importance(spark: SparkSession,
                     F.round(F.col("score_micro").cast("double") / 1e6,
                             6).alias("score_nats"))
             .orderBy(F.desc("score_micro"), F.asc("doc_id")))
+
+
+# -------------------- Bloom-prefilter decontamination (FPR audit)
+
+_BLOOM_M = 4096   # filter bits
+_BLOOM_K = 3      # hashes per shingle
+
+
+@query("train_decontaminate_bloom", sql=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+      FROM (SELECT *, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks)
+      GROUP BY doc_id
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS h FROM sh
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ), ks AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS k),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(h || ':' || CAST(k AS VARCHAR)),
+                             1, 15))::BIGINT % {_BLOOM_M} AS pos
+      FROM bench CROSS JOIN ks
+    ), corpus AS (
+      SELECT doc_id, unnest(s) AS h
+      FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    ), probe AS (
+      SELECT c.doc_id, c.h,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+               AS hits
+      FROM corpus c CROSS JOIN ks
+      LEFT JOIN bits b
+        ON b.pos = ('0x' || substr(md5(c.h || ':'
+                                       || CAST(ks.k AS VARCHAR)),
+                                   1, 15))::BIGINT % {_BLOOM_M}
+      GROUP BY c.doc_id, c.h
+    ), truth AS (
+      SELECT c.doc_id, c.h,
+             MAX(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+               AS is_real
+      FROM corpus c LEFT JOIN bench b ON b.h = c.h
+      GROUP BY c.doc_id, c.h
+    ), j AS (
+      SELECT p.doc_id,
+             CASE WHEN p.hits = {_BLOOM_K} THEN 1 ELSE 0 END
+               AS flagged,
+             t.is_real
+      FROM probe p JOIN truth t
+        ON t.doc_id = p.doc_id AND t.h = p.h
+    ), doc AS (
+      SELECT doc_id, MAX(flagged) AS doc_flagged,
+             MAX(is_real) AS doc_real
+      FROM j GROUP BY 1
+    ), shingle_stats AS (
+      SELECT SUM(CASE WHEN is_real = 0 THEN flagged ELSE 0 END)
+               AS fp_shingles,
+             SUM(CASE WHEN is_real = 0 THEN 1 ELSE 0 END)
+               AS clean_shingles
+      FROM j
+    ), nb AS (SELECT COUNT(*) AS n_bench FROM bench),
+    nbits AS (SELECT COUNT(*) AS n_bits FROM bits)
+    SELECT CAST(nb.n_bench AS BIGINT) AS n_bench_shingles,
+           CAST(nbits.n_bits AS BIGINT) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_docs,
+           CAST(SUM(d.doc_flagged) AS BIGINT) AS flagged_docs,
+           CAST(SUM(d.doc_real) AS BIGINT) AS true_overlap_docs,
+           CAST(SUM(CASE WHEN d.doc_flagged = 1 AND d.doc_real = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positive_docs,
+           ROUND(s.fp_shingles / (s.clean_shingles * 1e0), 6)
+             AS shingle_fpr_measured,
+           ROUND(POW(nbits.n_bits / ({_BLOOM_M} * 1e0),
+                     {_BLOOM_K}), 6) AS shingle_fpr_bits
+    FROM doc d CROSS JOIN shingle_stats s
+    CROSS JOIN nb CROSS JOIN nbits
+    GROUP BY nb.n_bench, nbits.n_bits, s.fp_shingles,
+             s.clean_shingles
+""")
+def train_decontaminate_bloom(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination with its false-positive rate
+    MEASURED against the exact answer: the benchmark shingle set
+    compresses to a {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom filter
+    (the structure a 100 TB decontamination pass ships to every
+    executor instead of the full eval-shingle set), corpus shingles
+    probe it, and the same query computes the exact-join truth so
+    the report carries flagged vs truly-contaminated docs, the
+    measured clean-shingle FPR, and the bits-occupancy prediction
+    (set_bits/M)^K it should match. This is the audit that tells a
+    pipeline whether its Bloom budget (bits per eval shingle) is
+    spent right BEFORE trusting the prefilter at scale — the exact
+    twin (train_decontaminate) stays the semantic baseline.
+
+    Determinism: bit positions come from the engine-portable 60-bit
+    md5 prefix (the Count-Min/SimHash convention), so DuckDB replays
+    the ENTIRE filter bit-for-bit; every reported number is an exact
+    integer ratio. Scale: the filter is <= {_BLOOM_M} distinct
+    positions — broadcast; corpus shingles expand x{_BLOOM_K} in one
+    narrow generate, probe via broadcast join, and collapse
+    map-side; the truth join broadcasts the (tiny by construction)
+    bench shingle union exactly as the exact twin does. Shingles
+    are raw 3-gram strings (not dedup.shingle_sets' cached int64
+    form): the filter hashes the shingle TEXT."""
+    # RAW STRING shingles (not dedup.shingle_sets' int64-hash form):
+    # the Bloom positions are md5 digests of the shingle TEXT, which
+    # both engines must compute from identical bytes — the form a
+    # cross-system Bloom exchange would standardize on.
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", _tokens().alias("w"))
+            .filter(F.size("w") >= 3))
+    sh = toks.select(
+        "doc_id",
+        F.expr("array_distinct(transform(slice(w, 1, size(w) - 2), "
+               "(x, i) -> concat(x, ' ', element_at(w, i + 2), "
+               "' ', element_at(w, i + 3))))").alias("sh"))
+    ks = spark.range(_BLOOM_K).select(
+        F.col("id").cast("int").alias("k"))
+
+    def pos(h_col, k_col):
+        hx = F.md5(F.concat_ws(":", h_col, k_col).cast("binary"))
+        return (F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+                % _BLOOM_M)
+
+    bench = (sh.where(F.col("doc_id") % _BENCH_MOD == 0)
+             .select(F.explode("sh").alias("h")).distinct()
+             .localCheckpoint(eager=True))
+    bits = (bench.crossJoin(F.broadcast(ks))
+            .select(pos(F.col("h"), F.col("k")).alias("pos"))
+            .distinct())
+    corpus = (sh.where(F.col("doc_id") % _BENCH_MOD != 0)
+              .select("doc_id", F.explode("sh").alias("h"))
+              .localCheckpoint(eager=True))
+    # ONE pass over the expanded corpus shingles computes BOTH the
+    # Bloom probe (hits over the k positions) and the exact truth
+    # (bench membership rides along every expanded row) — fusing the
+    # probe/truth legs halves the data-grain shuffles vs two passes
+    # plus a (doc, shingle)-keyed join.
+    j = (corpus.crossJoin(F.broadcast(ks))
+         .withColumn("pos", pos(F.col("h"), F.col("k")))
+         .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+               "pos", "left")
+         .join(F.broadcast(bench.withColumn("real", F.lit(1))),
+               "h", "left")
+         .groupBy("doc_id", "h")
+         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+              .alias("hits"),
+              F.max(F.coalesce(F.col("real"), F.lit(0)))
+              .alias("is_real"))
+         .select("doc_id",
+                 (F.col("hits") == _BLOOM_K).cast("int")
+                 .alias("flagged"),
+                 "is_real"))
+    doc = (j.groupBy("doc_id")
+           .agg(F.max("flagged").alias("doc_flagged"),
+                F.max("is_real").alias("doc_real")))
+    sstats = j.agg(
+        F.sum(F.when(F.col("is_real") == 0, F.col("flagged"))
+              .otherwise(F.lit(0))).alias("fp_shingles"),
+        F.sum((F.col("is_real") == 0).cast("int"))
+        .alias("clean_shingles"))
+    nb = bench.agg(F.count(F.lit(1)).alias("n_bench"))
+    nbits = bits.agg(F.count(F.lit(1)).alias("n_bits"))
+    out = (doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs"),
+        F.sum("doc_flagged").cast("bigint").alias("flagged_docs"),
+        F.sum("doc_real").cast("bigint").alias("true_overlap_docs"),
+        F.sum(F.when((F.col("doc_flagged") == 1)
+                     & (F.col("doc_real") == 0), 1).otherwise(0))
+        .cast("bigint").alias("false_positive_docs"))
+        .crossJoin(F.broadcast(sstats))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nbits)))
+    return out.select(
+        F.col("n_bench").cast("bigint").alias("n_bench_shingles"),
+        F.col("n_bits").cast("bigint").alias("n_bits_set"),
+        "n_corpus_docs", "flagged_docs", "true_overlap_docs",
+        "false_positive_docs",
+        F.round(F.col("fp_shingles")
+                / (F.col("clean_shingles") * F.lit(1.0)), 6)
+        .alias("shingle_fpr_measured"),
+        F.round(F.pow(F.col("n_bits") / (F.lit(_BLOOM_M) * F.lit(1.0)),
+                      _BLOOM_K), 6).alias("shingle_fpr_bits"))

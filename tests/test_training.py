@@ -666,3 +666,68 @@ def test_dsir_importance_matches_python_reference(spark, sf_dir):
     # point of the importance weight
     en = sum(1 for r in got if r["lang"] == "en")
     assert en >= _DSIR_TOPK // 2
+
+
+def test_bloom_decontaminate_matches_python_reference(spark, sf_dir):
+    """Bit-for-bit Bloom replay + exact truth from raw shingles."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.training import (
+        _BENCH_MOD, _BLOOM_K, _BLOOM_M, train_decontaminate_bloom)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    sh = {}
+    for r in docs:
+        w = re.split(r"\s+", r["text"])
+        if len(w) < 3:
+            continue
+        sh[r["doc_id"]] = {" ".join(w[i:i + 3])
+                           for i in range(len(w) - 2)}
+
+    def pos(h, k):
+        d = hashlib.md5(f"{h}:{k}".encode()).hexdigest()
+        return int(d[:15], 16) % _BLOOM_M
+
+    bench = set()
+    for d, ss in sh.items():
+        if d % _BENCH_MOD == 0:
+            bench |= ss
+    bits = {pos(h, k) for h in bench for k in range(_BLOOM_K)}
+    flagged_docs = real_docs = fp_docs = n_docs = 0
+    fp_sh = clean_sh = 0
+    for d, ss in sh.items():
+        if d % _BENCH_MOD == 0:
+            continue
+        n_docs += 1
+        flag = real = False
+        for h in ss:
+            hit = all(pos(h, k) in bits for k in range(_BLOOM_K))
+            if h in bench:
+                real = True
+            else:
+                clean_sh += 1
+                if hit:
+                    fp_sh += 1
+            flag = flag or hit
+        flagged_docs += flag
+        real_docs += real
+        fp_docs += flag and not real
+    row = train_decontaminate_bloom(spark, sf_dir).collect()[0]
+    assert row["n_bench_shingles"] == len(bench)
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_corpus_docs"] == n_docs
+    assert row["flagged_docs"] == flagged_docs
+    assert row["true_overlap_docs"] == real_docs
+    assert row["false_positive_docs"] == fp_docs
+    assert math.isclose(row["shingle_fpr_measured"],
+                        fp_sh / clean_sh, abs_tol=1e-6)
+    assert math.isclose(row["shingle_fpr_bits"],
+                        (len(bits) / _BLOOM_M) ** _BLOOM_K,
+                        abs_tol=1e-6)
+    # the audit's invariant: a Bloom filter never false-negatives
+    assert row["flagged_docs"] >= row["true_overlap_docs"]

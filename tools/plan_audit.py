@@ -237,6 +237,13 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # map-side); the rest move the 1-2-row coefficient /
                # quantile frames and the final 2-row sort:
                "stats_conformal_interval": 6,
+               # bloom decontamination audit: TWO data-grain stages
+               # (the bench shingle-union distinct; the fused
+               # probe+truth (doc, shingle) rollup — both map-side
+               # combined); the remaining exchanges move the <=4096-row
+               # bit set, three 1-row total frames, and the final
+               # 1-row reduction:
+               "train_decontaminate_bloom": 6,
                # epoch shuffle audit: THREE independent exact global
                # ranks (one per epoch), each paying the two-phase
                # range-repartition + pid-window + offset exchanges —
