@@ -305,6 +305,8 @@ HEADLINE = [
     ("pair_histogram", similarity.similarity_pair_distance_histogram),
     ("sql_range_win", sqlfront.sql_range_interval_window),
     ("bloom_decon", training.train_decontaminate_bloom),
+    ("image_otsu", multimodal.multimodal_image_otsu),
+    ("sql_named_win", sqlfront.sql_named_window_text),
 ]
 
 

@@ -1905,3 +1905,127 @@ def multimodal_audio_zcr(spark: SparkSession,
         .alias("neg_fraction"),
         F.col("high_zcr_frames").cast("int").alias("high_zcr_frames"))
         .orderBy("doc_id"))
+
+
+# ------------------------------------------------ Otsu thresholding
+
+
+def gray_hist_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL PPM decode, then the integer gray
+    histogram per image — gray = (r + g + b) // 3, the exact integer
+    luma every downstream threshold search replays. Emits narrow
+    (doc_id, gray, n) rows; pixels never leave the task."""
+    from collections import Counter
+
+    for pdf in it:
+        rows = {"doc_id": [], "gray": [], "n": []}
+        for doc_id, img in zip(pdf["doc_id"], pdf["img"]):
+            w, h, px = decode_ppm(bytes(img))
+            hist = Counter((px[3 * p] + px[3 * p + 1] + px[3 * p + 2])
+                           // 3 for p in range(w * h))
+            for g, n in sorted(hist.items()):
+                rows["doc_id"].append(doc_id)
+                rows["gray"].append(g)
+                rows["n"].append(n)
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_image_otsu", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             (ord(substr(d.text, ((3 * g.p) % len(d.text)) + 1, 1))
+              + ord(substr(d.text, ((3 * g.p + 1) % len(d.text)) + 1,
+                           1))
+              + ord(substr(d.text, ((3 * g.p + 2) % len(d.text)) + 1,
+                           1))) // 3 AS gray
+      FROM documents d,
+           generate_series(0, {_IMG_W * _IMG_H - 1}) g(p)
+      WHERE len(d.text) > 0
+    ), hist AS (
+      SELECT doc_id, gray, COUNT(*) AS n FROM px GROUP BY 1, 2
+    ), cum AS (
+      SELECT doc_id, gray, n,
+             SUM(n) OVER w AS cn,
+             SUM(n * gray) OVER w AS cs,
+             SUM(n) OVER (PARTITION BY doc_id) AS nt,
+             SUM(n * gray) OVER (PARTITION BY doc_id) AS st
+      FROM hist
+      WINDOW w AS (PARTITION BY doc_id ORDER BY gray
+                   ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+      SELECT doc_id, gray, cn, nt,
+             CASE WHEN cn = nt THEN 0.0
+                  ELSE POW(cs * nt - cn * st * 1e0, 2)
+                       / (cn * (nt - cn) * 1e0) END AS bvar
+      FROM cum
+    ), best AS (
+      SELECT doc_id, gray, cn, nt, bvar,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY bvar DESC, gray) AS rk
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(gray AS INT) AS otsu_threshold,
+           ROUND((nt - cn) / (nt * 1e0), 6) AS foreground_frac,
+           ROUND(bvar / (nt * nt * 1e0), 4) AS between_var
+    FROM best WHERE rk = 1 ORDER BY doc_id
+""")
+def multimodal_image_otsu(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Otsu's automatic binarization threshold per image through the
+    REAL PPM decode path: the gray level t maximizing the
+    between-class variance w0*w1*(mu0-mu1)^2 — the classic
+    parameter-free foreground/background split every document-image
+    and OCR preprocessing pipeline runs first. Computed in the
+    numerically exact form POW(cs*N - cn*S, 2) / (cn*(N-cn)):
+    cumulative pixel counts and gray sums are exact integers, so the
+    score is one closed form per candidate and the argmax
+    (lowest-gray tie-break) is deterministic; candidates are the
+    OBSERVED gray levels, which provably carry the global optimum
+    (the score is constant between observed levels).
+
+    Scale: the decoder emits a narrow (doc, gray, n) histogram from
+    its one Arrow stage (<=256 rows per image, pixels never leave the
+    task); the cumulative/argmax windows are per-doc-partitioned
+    bounded frames. Oracle: DuckDB rebuilds the identical integer
+    luma from cycled ASCII bytes and replays the whole search."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    n = spark.sparkContext.defaultParallelism
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})")
+    payload = F.concat(
+        F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n"), body).cast("binary")
+    imgs = (docs.select("doc_id", payload.alias("img"))
+            .repartition(n))
+    hist = imgs.mapInPandas(
+        gray_hist_batch, schema="doc_id long, gray int, n long")
+    wcum = (W.partitionBy("doc_id").orderBy("gray")
+            .rowsBetween(W.unboundedPreceding, 0))
+    wall = W.partitionBy("doc_id")
+    cum = (hist
+           .withColumn("cn", F.sum("n").over(wcum))
+           .withColumn("cs", F.sum(F.col("n") * F.col("gray"))
+                       .over(wcum))
+           .withColumn("nt", F.sum("n").over(wall))
+           .withColumn("st", F.sum(F.col("n") * F.col("gray"))
+                       .over(wall)))
+    bvar = F.when(F.col("cn") == F.col("nt"), F.lit(0.0)).otherwise(
+        F.pow(F.col("cs") * F.col("nt")
+              - F.col("cn") * F.col("st") * F.lit(1.0), 2)
+        / (F.col("cn") * (F.col("nt") - F.col("cn")) * F.lit(1.0)))
+    scored = cum.withColumn("bvar", bvar)
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("bvar"), "gray"))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select(
+                "doc_id",
+                F.col("gray").cast("int").alias("otsu_threshold"),
+                F.round((F.col("nt") - F.col("cn"))
+                        / (F.col("nt") * F.lit(1.0)), 6)
+                .alias("foreground_frac"),
+                F.round(F.col("bvar")
+                        / (F.col("nt") * F.col("nt") * F.lit(1.0)),
+                        4).alias("between_var"))
+            .orderBy("doc_id"))

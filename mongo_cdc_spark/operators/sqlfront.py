@@ -655,3 +655,43 @@ def sql_range_interval_window(spark: SparkSession,
     rows — never a global window."""
     names = _views(spark, sf_dir, "events", suffix="rangewin")
     return spark.sql(_RANGEWIN_SQL.format(**names))
+
+
+_NAMEDWIN_SQL = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events
+      FROM {events}
+      GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(SUM(n_events) OVER cum AS BIGINT) AS cum_events,
+           CAST(MAX(n_events) OVER cum AS BIGINT) AS peak_so_far,
+           CAST(RANK() OVER ld AS INT) AS loudest_day_rank
+    FROM daily
+    WINDOW cum AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING),
+           ld AS (PARTITION BY event_type
+                  ORDER BY n_events DESC, day)
+    ORDER BY event_type, day
+"""
+
+
+@query("sql_named_window_text",
+       sql=_NAMEDWIN_SQL.format(events="events"))
+def sql_named_window_text(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The named-WINDOW clause stated as SQL text: two window specs
+    declared once in a WINDOW clause and referenced by NAME from the
+    select list (`cum` reused by two aggregates, `ld` by the rank) —
+    the grammar feature that keeps multi-window statements readable
+    and lets the analyzer prove frame sharing. Both engines parse the
+    statement verbatim, so the driver hash-grades two independent
+    implementations of named-window resolution.
+
+    Scale: one data-grain map-side-combined (type, day) rollup; both
+    named windows are event-type-PARTITIONED over calendar-grain rows
+    and the two `cum` aggregates share ONE sort."""
+    names = _views(spark, sf_dir, "events", suffix="namedwin")
+    return spark.sql(_NAMEDWIN_SQL.format(**names))

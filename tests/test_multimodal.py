@@ -633,3 +633,51 @@ def test_audio_zcr_matches_python_reference(spark, sf_dir):
         assert g["high_zcr_frames"] == hf
         checked += 1
     assert checked == len(got)
+
+
+def test_otsu_matches_python_reference(spark, sf_dir):
+    """Exhaustive 0..255 threshold search vs the operator's
+    observed-levels argmax — they must agree, proving the
+    observed-level restriction loses nothing."""
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.multimodal import (
+        decode_ppm, multimodal_image_otsu, ppm_from_doc_bytes)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    got = {r["doc_id"]: r
+           for r in multimodal_image_otsu(spark, sf_dir).collect()}
+    checked = 0
+    for r in docs:
+        if not r["text"]:
+            continue
+        w, h, px = decode_ppm(
+            ppm_from_doc_bytes(r["text"].encode("utf-8")))
+        grays = [(px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+                 for p in range(w * h)]
+        hist = Counter(grays)
+        nt = len(grays)
+        st = sum(grays)
+        best = (-1.0, None)
+        cn = cs = 0
+        for g in range(256):      # exhaustive, includes unobserved
+            cn += hist.get(g, 0)
+            cs += g * hist.get(g, 0)
+            if cn == 0 or cn == nt:
+                score = 0.0
+            else:
+                score = (cs * nt - cn * st) ** 2 / (cn * (nt - cn))
+            if score > best[0] and g in hist:
+                best = (score, g, cn)
+            elif best[1] is None and g in hist:
+                best = (score, g, cn)
+        score, t, cn_at = best
+        gg = got[r["doc_id"]]
+        assert gg["otsu_threshold"] == t, r["doc_id"]
+        assert abs(gg["foreground_frac"] - (nt - cn_at) / nt) < 1e-6
+        assert abs(gg["between_var"] - round(score / (nt * nt), 4)) \
+            < 1e-6
+        checked += 1
+    assert checked == len(got)

@@ -397,3 +397,38 @@ def test_range_interval_frame_shrinks_on_gaps(spark, sf_dir):
                  in daily)
         assert r["trailing7_events"] == n7, (et, d)
         assert abs(r["trailing7_value"] - round(c7 / 100, 2)) < 1e-9
+
+
+def test_named_window_matches_inline_recompute(spark, sf_dir):
+    """Named-window references must resolve to the same results as
+    the equivalent inline windows, and the two cum aggregates must
+    share one Window operator in the plan."""
+    df = sqlfront.sql_named_window_text(spark, sf_dir)
+    views = sqlfront._views(spark, sf_dir, "events", suffix="nwt")
+    inline = spark.sql("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 COUNT(*) AS n_events
+          FROM {events}
+          GROUP BY event_type, date_trunc('day', ts)
+        )
+        SELECT event_type, day,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(SUM(n_events) OVER (PARTITION BY event_type
+                    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_events,
+               CAST(MAX(n_events) OVER (PARTITION BY event_type
+                    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS peak_so_far,
+               CAST(RANK() OVER (PARTITION BY event_type
+                    ORDER BY n_events DESC, day) AS INT)
+                 AS loudest_day_rank
+        FROM daily ORDER BY event_type, day
+    """.format(**views))
+    assert df.columns == inline.columns
+    assert df.collect() == inline.collect()
+    # both cum aggregates resolve into ONE logical Window node (the
+    # executedPlan string is AQE-duplicated, so count the optimized
+    # logical plan instead: one node for cum, one for ld)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Window [") == 2

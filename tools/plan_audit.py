@@ -91,6 +91,10 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # counts run in the one declared mapInPandas stage
              # (multimodal_audio_decode's shape):
              "multimodal_audio_zcr",
+             # Otsu threshold: the real PPM decoder + integer gray
+             # histogram run in the one declared mapInPandas stage;
+             # the threshold search is JVM-side per-doc windows:
+             "multimodal_image_otsu",
              # TGA decode: the real type-2 Targa decoder (row flip +
              # BGR swap) runs in the one declared mapInPandas stage
              # (multimodal_real_decode's shape):
