@@ -307,6 +307,8 @@ HEADLINE = [
     ("bloom_decon", training.train_decontaminate_bloom),
     ("image_otsu", multimodal.multimodal_image_otsu),
     ("sql_named_win", sqlfront.sql_named_window_text),
+    ("cohens_kappa", quality.stats_cohens_kappa),
+    ("cluster_agree", similarity.kmeans_cluster_agreement),
 ]
 
 

@@ -5534,3 +5534,73 @@ def stats_odds_ratio_risk(spark: SparkSession,
         F.round(rr, 6).alias("relative_risk"),
         F.round(F.exp(F.log(rr) - 1.96 * se_rr), 6).alias("rr_ci_lo"),
         F.round(F.exp(F.log(rr) + 1.96 * se_rr), 6).alias("rr_ci_hi"))
+
+
+@query("stats_cohens_kappa", sql="""
+    WITH flags AS (
+      SELECT CASE WHEN len(text) >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 55
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), cells AS (
+      SELECT COUNT(*) AS n,
+             SUM(a * b) AS n11,
+             SUM(a * (1 - b)) AS n10,
+             SUM((1 - a) * b) AS n01,
+             SUM((1 - a) * (1 - b)) AS n00
+      FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS both_keep,
+           CAST(n10 AS BIGINT) AS only_len,
+           CAST(n01 AS BIGINT) AS only_words,
+           CAST(n00 AS BIGINT) AS both_drop,
+           ROUND((n11 + n00) / (n * 1e0), 6) AS observed_agreement,
+           ROUND(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00)) / (n * n * 1e0), 6)
+             AS chance_agreement,
+           ROUND(((n11 + n00) / (n * 1e0)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) / (n * n * 1e0))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00))
+                    / (n * n * 1e0)), 6) AS cohens_kappa
+    FROM cells
+""")
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two cheap keep/drop document filters
+    (char-length >= 300 vs word-count >= 55) — the inter-rater
+    agreement statistic that answers the training-data question 'are
+    my two quality heuristics actually measuring the same thing, or
+    do they agree only because most docs are easy?': raw agreement
+    is inflated by marginal prevalence; kappa = (po - pe)/(1 - pe)
+    corrects for it. All four cells are exact integers from ONE scan
+    pass; the statistic is a single closed form.
+
+    Scale: one map-side-combined aggregate over the documents scan;
+    1-row algebra after."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.length("text") >= 300).cast("int")
+    b = (F.size(F.split(F.col("text"), r"\s+")) >= 55).cast("int")
+    flags = docs.select(a.alias("a"), b.alias("b"))
+    cells = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"))
+    n = F.col("n") * F.lit(1.0)
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = ((F.col("n11") + F.col("n10"))
+          * (F.col("n11") + F.col("n01"))
+          + (F.col("n01") + F.col("n00"))
+          * (F.col("n10") + F.col("n00"))) / (n * n)
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n11").cast("bigint").alias("both_keep"),
+        F.col("n10").cast("bigint").alias("only_len"),
+        F.col("n01").cast("bigint").alias("only_words"),
+        F.col("n00").cast("bigint").alias("both_drop"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"))

@@ -2463,3 +2463,156 @@ def similarity_pair_distance_histogram(spark: SparkSession,
                         / (F.col("t") * F.lit(1.0)), 6)
                 .alias("cum_share"))
             .orderBy("bin"))
+
+
+# ------------------- external clustering validation (purity/NMI/ARI)
+
+
+@query("kmeans_cluster_agreement", sql="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), comp AS (
+      SELECT label, g.i AS i, AVG(v[g.i]) AS c
+      FROM e, generate_series(1, 64) g(i)
+      GROUP BY label, g.i
+    ), cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS cv
+      FROM comp GROUP BY label
+    ), assigned AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(e.v, cent.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cent.cv, cent.cv))), 6)
+               AS cos_sim,
+             cent.c_label
+      FROM e CROSS JOIN cent
+    ), best AS (
+      SELECT vec_id, label, c_label
+      FROM (SELECT vec_id, label, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, c_label)
+                     AS rn
+            FROM assigned)
+      WHERE rn = 1
+    ), cont AS (
+      SELECT c_label AS c, label AS l, COUNT(*) AS n
+      FROM best GROUP BY 1, 2
+    ), a_ AS (SELECT c, SUM(n) AS a FROM cont GROUP BY 1),
+    b_ AS (SELECT l, SUM(n) AS b FROM cont GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt FROM cont),
+    mi AS (
+      SELECT SUM((cont.n / (t.nt * 1e0))
+                 * LN(cont.n * t.nt * 1e0 / (a_.a * b_.b))) AS mi
+      FROM cont JOIN a_ USING (c) JOIN b_ USING (l) CROSS JOIN tot t
+    ), ent AS (
+      SELECT (SELECT -SUM((a / (t.nt * 1e0)) * LN(a / (t.nt * 1e0)))
+              FROM a_) AS hc,
+             (SELECT -SUM((b / (t.nt * 1e0)) * LN(b / (t.nt * 1e0)))
+              FROM b_) AS hl
+      FROM tot t
+    ), pur AS (
+      SELECT SUM(mx) AS pure FROM (
+        SELECT c, MAX(n) AS mx FROM cont GROUP BY 1)
+    ), pairs AS (
+      SELECT (SELECT SUM(n * (n - 1) / 2) FROM cont) AS sij,
+             (SELECT SUM(a * (a - 1) / 2) FROM a_) AS sa,
+             (SELECT SUM(b * (b - 1) / 2) FROM b_) AS sb,
+             t.nt * (t.nt - 1) / 2 AS snn
+      FROM tot t
+    )
+    SELECT CAST(t.nt AS BIGINT) AS n_vecs,
+           CAST((SELECT COUNT(*) FROM a_) AS INT) AS k_clusters,
+           CAST((SELECT COUNT(*) FROM b_) AS INT) AS k_labels,
+           ROUND(p.pure / (t.nt * 1e0), 6) AS purity,
+           ROUND(m.mi / SQRT(e2.hc * e2.hl), 6) AS nmi,
+           ROUND((pr.sij - pr.sa * pr.sb / (pr.snn * 1e0))
+                 / ((pr.sa + pr.sb) / 2.0
+                    - pr.sa * pr.sb / (pr.snn * 1e0)), 6) AS ari
+    FROM tot t CROSS JOIN pur p CROSS JOIN mi m
+    CROSS JOIN ent e2 CROSS JOIN pairs pr
+""")
+def kmeans_cluster_agreement(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """External clustering validation of the label-seeded IVF
+    assignment against the true labels: purity (fraction captured by
+    each cluster's majority label), normalized mutual information
+    (sqrt normalization), and the Adjusted Rand Index from EXACT
+    pair-count combinatorics — the three standard answers to 'is
+    this clustering real?', each correcting a different inflation
+    (purity ignores splitting, NMI corrects by entropy, ARI corrects
+    by chance pairing). Reuses knn_ivf_centroid's deterministic
+    assignment (rounded cosine, lowest-centroid tie-break), so the
+    two queries grade the same partition from two angles.
+
+    Determinism: the contingency table, marginals, and every pair
+    count are exact integers; MI/entropy/ARI are closed forms of
+    them. Scale: centroid build is one (label, dim)-grain shuffle;
+    assignment broadcasts K centroids and streams the corpus once;
+    everything after the (cluster, label) contingency rollup is
+    K x L grain."""
+    e = _emb(spark, sf_dir)
+    comp = (e.select("label", F.posexplode("v").alias("i", "x"))
+            .groupBy("label", "i").agg(F.avg("x").alias("c")))
+    cent = (comp.groupBy(F.col("label").alias("c_label"))
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c")))
+                 .alias("pairs"))
+            .select("c_label",
+                    F.transform("pairs", lambda p: p.getField("c"))
+                    .alias("cv"))
+            .withColumn("cnorm", F.sqrt(_dot(F.col("cv"),
+                                             F.col("cv")))))
+    assigned = (e.crossJoin(F.broadcast(cent))
+                .select("vec_id", "label", "c_label",
+                        F.round(_dot(F.col("v"), F.col("cv"))
+                                / (F.col("norm") * F.col("cnorm")), 6)
+                        .alias("cos_sim")))
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "c_label"))
+    best = (assigned.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("vec_id", "label", "c_label"))
+    cont = (best.groupBy(F.col("c_label").alias("c"),
+                         F.col("label").alias("l"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True))
+    a_ = cont.groupBy("c").agg(F.sum("n").alias("a"))
+    b_ = cont.groupBy("l").agg(F.sum("n").alias("b"))
+    tot = cont.agg(F.sum("n").alias("nt"))
+    mi = (cont.join(F.broadcast(a_), "c").join(F.broadcast(b_), "l")
+          .crossJoin(F.broadcast(tot))
+          .agg(F.sum((F.col("n") / (F.col("nt") * F.lit(1.0)))
+                     * F.log(F.col("n") * F.col("nt") * F.lit(1.0)
+                             / (F.col("a") * F.col("b"))))
+               .alias("mi")))
+    hc = (a_.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("a") / (F.col("nt") * F.lit(1.0)))
+                       * F.log(F.col("a")
+                               / (F.col("nt") * F.lit(1.0)))))
+               .alias("hc"), F.count(F.lit(1)).alias("kc")))
+    hl = (b_.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("b") / (F.col("nt") * F.lit(1.0)))
+                       * F.log(F.col("b")
+                               / (F.col("nt") * F.lit(1.0)))))
+               .alias("hl"), F.count(F.lit(1)).alias("kl")))
+    pure = (cont.groupBy("c").agg(F.max("n").alias("mx"))
+            .agg(F.sum("mx").alias("pure")))
+    sij = cont.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)
+                   .alias("sij"))
+    sa = a_.agg(F.sum(F.col("a") * (F.col("a") - 1) / 2).alias("sa"))
+    sb = b_.agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("sb"))
+    j = (tot.crossJoin(F.broadcast(pure)).crossJoin(F.broadcast(mi))
+         .crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hl))
+         .crossJoin(F.broadcast(sij)).crossJoin(F.broadcast(sa))
+         .crossJoin(F.broadcast(sb)))
+    snn = F.col("nt") * (F.col("nt") - 1) / 2
+    exp_ = F.col("sa") * F.col("sb") / (snn * F.lit(1.0))
+    return j.select(
+        F.col("nt").cast("bigint").alias("n_vecs"),
+        F.col("kc").cast("int").alias("k_clusters"),
+        F.col("kl").cast("int").alias("k_labels"),
+        F.round(F.col("pure") / (F.col("nt") * F.lit(1.0)), 6)
+        .alias("purity"),
+        F.round(F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6)
+        .alias("nmi"),
+        F.round((F.col("sij") - exp_)
+                / ((F.col("sa") + F.col("sb")) / 2.0 - exp_), 6)
+        .alias("ari"))

@@ -1765,3 +1765,38 @@ def test_odds_ratio_risk_matches_python_reference(spark, sf_dir):
     assert math.isclose(row["rr_ci_hi"],
                         math.exp(math.log(rr) + 1.96 * se_rr),
                         abs_tol=1e-5)
+
+
+def test_cohens_kappa_matches_python_reference(spark, sf_dir):
+    """Exact 2x2 agreement cells and the kappa closed form."""
+    import math
+    import re
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").collect()
+    n11 = n10 = n01 = n00 = 0
+    for r in docs:
+        a = len(r["text"]) >= 300
+        b = len(re.split(r"\s+", r["text"])) >= 55
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01)
+          + (n01 + n00) * (n10 + n00)) / (n * n)
+    row = stats_cohens_kappa(spark, sf_dir).collect()[0]
+    assert (row["both_keep"], row["only_len"], row["only_words"],
+            row["both_drop"]) == (n11, n10, n01, n00)
+    assert math.isclose(row["observed_agreement"], po, abs_tol=1e-6)
+    assert math.isclose(row["chance_agreement"], pe, abs_tol=1e-6)
+    assert math.isclose(row["cohens_kappa"], (po - pe) / (1 - pe),
+                        abs_tol=1e-6)

@@ -585,3 +585,64 @@ def test_pair_histogram_matches_python_reference(spark, sf_dir):
         assert math.isclose(g["cum_share"], cum / t, abs_tol=1e-6)
     assert math.isclose(max(r["cum_share"] for r in got.values()),
                         1.0, abs_tol=1e-6)
+
+
+def test_cluster_agreement_matches_sklearn_style_reference(spark,
+                                                           sf_dir):
+    """Purity, sqrt-NMI, and ARI from an independent contingency
+    recompute over the same deterministic assignment."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.similarity import (
+        kmeans_cluster_agreement)
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]],
+                          r["label"]) for r in rows}
+    by_label = defaultdict(list)
+    for v, lab in vecs.values():
+        by_label[lab].append(v)
+    cents = {lab: [sum(col) / len(vs) for col in zip(*vs)]
+             for lab, vs in by_label.items()}
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / math.sqrt(na * nb)
+
+    cont = Counter()
+    for vid in sorted(vecs):
+        v, lab = vecs[vid]
+        best = max(sorted(cents), key=lambda c: (round(cos(v, cents[c]), 6), -c))
+        cont[(best, lab)] += 1
+    nt = sum(cont.values())
+    a_ = Counter()
+    b_ = Counter()
+    for (c, l), cnt in cont.items():
+        a_[c] += cnt
+        b_[l] += cnt
+    purity = sum(max(cnt for (c2, _), cnt in cont.items()
+                     if c2 == c) for c in a_) / nt
+    mi = sum((cnt / nt) * math.log(cnt * nt / (a_[c] * b_[l]))
+             for (c, l), cnt in cont.items())
+    hc = -sum((v / nt) * math.log(v / nt) for v in a_.values())
+    hl = -sum((v / nt) * math.log(v / nt) for v in b_.values())
+    sij = sum(v * (v - 1) // 2 for v in cont.values())
+    sa = sum(v * (v - 1) // 2 for v in a_.values())
+    sb = sum(v * (v - 1) // 2 for v in b_.values())
+    snn = nt * (nt - 1) // 2
+    exp = sa * sb / snn
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    row = kmeans_cluster_agreement(spark, sf_dir).collect()[0]
+    assert row["n_vecs"] == nt
+    assert row["k_clusters"] == len(a_)
+    assert row["k_labels"] == len(b_)
+    assert math.isclose(row["purity"], purity, abs_tol=1e-6)
+    assert math.isclose(row["nmi"], mi / math.sqrt(hc * hl),
+                        abs_tol=1e-5)
+    assert math.isclose(row["ari"], ari, abs_tol=1e-5)

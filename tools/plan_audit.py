@@ -241,6 +241,12 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # map-side); the rest move the 1-2-row coefficient /
                # quantile frames and the final 2-row sort:
                "stats_conformal_interval": 6,
+               # clustering agreement: THREE data-sized stages (the
+               # (label, dim) centroid component agg, the per-vector
+               # best-centroid window, the contingency rollup); every
+               # other exchange moves the checkpointed <= K x L
+               # contingency frame or a 1-row total:
+               "kmeans_cluster_agreement": 7,
                # bloom decontamination audit: TWO data-grain stages
                # (the bench shingle-union distinct; the fused
                # probe+truth (doc, shingle) rollup — both map-side
