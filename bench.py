@@ -309,6 +309,7 @@ HEADLINE = [
     ("sql_named_win", sqlfront.sql_named_window_text),
     ("cohens_kappa", quality.stats_cohens_kappa),
     ("cluster_agree", similarity.kmeans_cluster_agreement),
+    ("decompose", timeseries.ts_classical_decompose),
 ]
 
 

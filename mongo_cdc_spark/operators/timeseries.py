@@ -3024,3 +3024,91 @@ def ts_crosscorr_leadlag(spark: SparkSession,
         F.col("n").cast("int").alias("n_days"),
         F.round(r, 6).alias("ccf"))
         .orderBy("lag_days"))
+
+
+# -------------------- classical additive seasonal decomposition
+
+
+@query("ts_classical_decompose", sql="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS yc
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, yc,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(yc) OVER (ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS w7
+      FROM daily
+    ), core AS (
+      -- first 3 FULL weeks of trend-defined days: each ISO dow
+      -- appears exactly 3 times, keeping every mean a fixed-
+      -- denominator exact rational
+      SELECT day, yc, s7,
+             EXTRACT(isodow FROM day) - 1 AS dow,
+             7 * yc - s7 AS d
+      FROM idx WHERE w7 = 7 AND t BETWEEN 4 AND 24
+    ), a_ AS (
+      SELECT dow, SUM(d) AS a, COUNT(*) AS n_obs
+      FROM core GROUP BY 1
+    ), tot AS (SELECT SUM(d) AS tt FROM core)
+    SELECT c.day,
+           CAST(c.dow AS INT) AS dow,
+           ROUND(c.yc / 100.0, 2) AS revenue,
+           ROUND(c.s7 / 700.0, 4) AS trend,
+           ROUND((7 * a_.a - t.tt) / 14700.0, 4) AS seasonal,
+           ROUND((147 * c.yc - 21 * c.s7 - (7 * a_.a - t.tt))
+                 / 14700.0, 4) AS remainder
+    FROM core c JOIN a_ USING (dow) CROSS JOIN tot t
+    ORDER BY c.day
+""")
+def ts_classical_decompose(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (the statsmodels seasonal_decompose / pre-STL standard): trend =
+    centered 7-day moving average, weekly seasonal = per-ISO-dow mean
+    of the detrended series re-centered to sum to zero, remainder =
+    what neither explains. Restricted to the first THREE FULL WEEKS
+    of trend-defined days so every day-of-week appears exactly 3
+    times — that fixed design is what makes the whole decomposition
+    EXACT integer arithmetic: detrended values scale to 7*cents
+    (d = 7y - S7), dow means to 21ths (C = 7*A_dow - T), and the
+    remainder to the common 147*cents grain, each divided ONCE at
+    output. y = trend + seasonal + remainder holds exactly by
+    construction (pinned in pytest).
+
+    Scale: ONE data-grain day rollup; the index/MA windows and the
+    7-row dow algebra run on the 30-day calendar frame (declared
+    calendar-grain global windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("yc"))
+             .localCheckpoint(eager=False))
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    idx = (daily
+           .withColumn("t", F.row_number().over(Window.orderBy("day")))
+           .withColumn("s7", F.sum("yc").over(wma))
+           .withColumn("w7", F.count(F.lit(1)).over(wma)))
+    core = (idx.filter((F.col("w7") == 7) & F.col("t").between(4, 24))
+            .withColumn("dow", F.weekday("day"))
+            .withColumn("d", 7 * F.col("yc") - F.col("s7"))
+            .localCheckpoint(eager=True))
+    a_ = core.groupBy("dow").agg(F.sum("d").alias("a"))
+    tot = core.agg(F.sum("d").alias("tt"))
+    j = (core.join(F.broadcast(a_), "dow")
+         .crossJoin(F.broadcast(tot)))
+    c_scaled = 7 * F.col("a") - F.col("tt")
+    return (j.select(
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.round(F.col("yc") / 100.0, 2).alias("revenue"),
+        F.round(F.col("s7") / 700.0, 4).alias("trend"),
+        F.round(c_scaled / 14700.0, 4).alias("seasonal"),
+        F.round((147 * F.col("yc") - 21 * F.col("s7") - c_scaled)
+                / 14700.0, 4).alias("remainder"))
+        .orderBy("day"))

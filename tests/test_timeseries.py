@@ -837,3 +837,56 @@ def test_crosscorr_leadlag_matches_python_reference(spark, sf_dir):
         g = got[lag]
         assert g["n_days"] == n
         assert math.isclose(g["ccf"], r_, abs_tol=1e-5), lag
+
+
+def test_classical_decompose_matches_python_reference(spark, sf_dir):
+    """Exact-scaled trend/seasonal/remainder plus the additive
+    identity y = trend + seasonal + remainder."""
+    import math
+    from collections import defaultdict
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        ts_classical_decompose)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["ts"].date()] += round(r["value"] * 100)
+    days = sorted(daily)
+    yc = [daily[d] for d in days]
+    n = len(yc)
+    rows = []
+    for i in range(3, n - 3):
+        t = i + 1
+        if not (4 <= t <= 24):
+            continue
+        s7 = sum(yc[i - 3:i + 4])
+        rows.append((days[i], days[i].weekday(), yc[i], s7,
+                     7 * yc[i] - s7))
+    assert len(rows) == 21
+    a_dow = defaultdict(int)
+    n_dow = defaultdict(int)
+    tt = 0
+    for _, dow, _, _, d in rows:
+        a_dow[dow] += d
+        n_dow[dow] += 1
+        tt += d
+    assert all(v == 3 for v in n_dow.values())   # 3 full weeks
+    got = {r["day"]: r for r in
+           ts_classical_decompose(spark, sf_dir).collect()}
+    assert len(got) == 21
+    for day, dow, y, s7, d in rows:
+        g = got[day]
+        assert g["dow"] == dow
+        c = 7 * a_dow[dow] - tt
+        assert math.isclose(g["revenue"], y / 100, abs_tol=5e-3)
+        assert math.isclose(g["trend"], s7 / 700, abs_tol=5e-5)
+        assert math.isclose(g["seasonal"], c / 14700, abs_tol=5e-5)
+        rem = (147 * y - 21 * s7 - c) / 14700
+        assert math.isclose(g["remainder"], rem, abs_tol=5e-5)
+        # the additive identity, exact at the common scaled grain
+        assert 147 * y == 21 * s7 + c + (147 * y - 21 * s7 - c)
+        assert abs((g["trend"] + g["seasonal"] + g["remainder"])
+                   - y / 100) < 2e-4
