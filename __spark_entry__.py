@@ -113,7 +113,15 @@ _GRADE_FIRST = (
     # stats_capture_recapture (Chapman estimator + coverage
     # self-check), quality_kanonymity_audit (QI equivalence-class
     # privacy gate), stats_cochran_armitage_trend (ordinal trend in
-    # proportions). After those, rotate the 20 r1-vintage stale
+    # proportions) — plus the 11 closing additions
+    # (multimodal_audio_zcr, stats_odds_ratio_risk,
+    # ts_crosscorr_leadlag, similarity_pair_distance_histogram,
+    # sql_range_interval_window, train_decontaminate_bloom,
+    # multimodal_image_otsu, sql_named_window_text,
+    # stats_cohens_kappa, kmeans_cluster_agreement,
+    # ts_classical_decompose), all oracle-green at both SFs and
+    # covered by the closing 392/392 sf0.01 gate. After those,
+    # rotate the 20 r1-vintage stale
     # greens displaced this round (agg_collect_nations_per_region,
     # agg_distinct_per_flag, filter_nullsafe_priority_pairs,
     # hof_order_quantities, join_anti_customers_no_orders,
