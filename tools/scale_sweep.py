@@ -156,6 +156,16 @@ def main() -> int:
         # spike (0.6s base, 5.66s spike -> 34x after fixed-cost
         # subtraction; an isolated best-of-3 measured it flat). A
         # genuine quadratic survives re-timing; a spike does not.
+        # Re-time in a CLEAN-CACHE state: by the end of a 392-query
+        # sweep the session carries hundreds of persisted frames and
+        # tens of thousands of stages, and the round-9 close showed
+        # the LAST queries in sweep order reading 10-40x their
+        # fresh-session times purely from that pressure — a re-time
+        # inside the same polluted session can never clear such a
+        # flag. Clearing the cache (persists re-materialize on
+        # demand) restores the measurement the gate is meant to take.
+        if candidates:
+            spark.catalog.clearCache()
         for k in candidates:
             fn = entrymod.queries()[k]
             for _ in range(2):
