@@ -310,6 +310,7 @@ HEADLINE = [
     ("cohens_kappa", quality.stats_cohens_kappa),
     ("cluster_agree", similarity.kmeans_cluster_agreement),
     ("decompose", timeseries.ts_classical_decompose),
+    ("jarque_bera", quality.stats_jarque_bera),
 ]
 
 

@@ -5604,3 +5604,90 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("chance_agreement"),
         F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"))
+
+
+@query("stats_jarque_bera", sql="""
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS s1,
+             SUM(CAST(x AS HUGEINT) * x) AS s2,
+             SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+             SUM(CAST(x * x AS HUGEINT) * (x * x)) AS s4
+      FROM base
+    ), c AS (
+      SELECT n,
+             s1 / (n * 1e0) AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m
+    ), k AS (
+      SELECT n, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+             r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                - 3 * mu * mu * mu * mu AS m4
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(m3 / POW(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+           ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+                            + POW(m4 / (m2 * m2) - 3, 2) / 4.0), 4)
+             AS jb_stat,
+           ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+                            + POW(m4 / (m2 * m2) - 3, 2) / 4.0), 4)
+             > 5.991 AS reject_05
+    FROM k
+""")
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order totals: JB = n/6 (S^2 +
+    K^2/4) from the sample skewness and excess kurtosis — the
+    moment-based screen that tells a pipeline whether normal-theory
+    machinery (Bartlett, the z/t family, 3-sigma alerting) is even
+    admissible on this column, and the natural companion to
+    quality_benford_digits' digit-law screen. df = 2, 95% critical
+    value 5.991 compared on the ROUNDED statistic.
+
+    Determinism: all four raw moments accumulate EXACTLY in 128-bit
+    integers (the 4th power of max cents ~6e30 per row, ~1e36
+    summed — inside decimal(38,0)/HUGEINT range through sf 1; the
+    4th power is built as (x*x) HUGEINT * (x*x) so no intermediate
+    overflows BIGINT), and the central-moment expansion is one
+    shared IEEE closed form of those exact integers; cents cancel
+    in both S and K, so the statistic is scale-free. Scale: ONE
+    map-side-combined aggregate over the orders scan; 1-row algebra
+    after."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(x.alias("x"))
+    x2 = (F.col("x") * F.col("x"))
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double").alias("s2d"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")
+              * F.col("x")).cast("double").alias("s3d"),
+        F.sum(x2.cast("decimal(38,0)") * x2).cast("double")
+        .alias("s4d"))
+    mu = F.col("s1") / (F.col("n") * F.lit(1.0))
+    r2 = F.col("s2d") / F.col("n")
+    r3 = F.col("s3d") / F.col("n")
+    r4 = F.col("s4d") / F.col("n")
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    s_ = m3 / F.pow(m2, 1.5)
+    k_ = m4 / (m2 * m2) - 3
+    jb = F.round(F.col("n") / 6.0
+                 * (F.pow(s_, 2) + F.pow(k_, 2) / 4.0), 4)
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(s_, 6).alias("skewness"),
+        F.round(k_, 6).alias("excess_kurtosis"),
+        jb.alias("jb_stat"),
+        (jb > 5.991).alias("reject_05"))

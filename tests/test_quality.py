@@ -1800,3 +1800,33 @@ def test_cohens_kappa_matches_python_reference(spark, sf_dir):
     assert math.isclose(row["chance_agreement"], pe, abs_tol=1e-6)
     assert math.isclose(row["cohens_kappa"], (po - pe) / (1 - pe),
                         abs_tol=1e-6)
+
+
+def test_jarque_bera_matches_python_reference(spark, sf_dir):
+    """Exact 128-bit raw moments -> central-moment expansion -> JB."""
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import stats_jarque_bera
+
+    xs = [round(r["o_totalprice"] * 100) for r in load_table(
+        spark, sf_dir, "orders").select("o_totalprice").collect()]
+    n = len(xs)
+    s1 = sum(xs)
+    s2 = sum(x * x for x in xs)
+    s3 = sum(x ** 3 for x in xs)
+    s4 = sum(x ** 4 for x in xs)
+    mu = s1 / n
+    r2, r3, r4 = float(s2) / n, float(s3) / n, float(s4) / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu ** 3
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu ** 4
+    s_ = m3 / m2 ** 1.5
+    k_ = m4 / (m2 * m2) - 3
+    jb = n / 6 * (s_ ** 2 + k_ ** 2 / 4)
+    row = stats_jarque_bera(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert math.isclose(row["skewness"], s_, abs_tol=1e-5)
+    assert math.isclose(row["excess_kurtosis"], k_, abs_tol=1e-5)
+    assert math.isclose(row["jb_stat"], jb, rel_tol=1e-6, abs_tol=1e-3)
+    assert row["reject_05"] == (round(jb, 4) > 5.991)
