@@ -1813,10 +1813,17 @@ def zcr_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query("multimodal_audio_zcr", sql=f"""
     WITH s AS (
+      -- clip synthesis mirror: low byte cycles the text; the high
+      -- byte additionally gets its sign bit set whenever the low
+      -- byte is ODD, so samples genuinely span both signs (ASCII
+      -- high bytes alone are < 128 and would never go negative)
       SELECT d.doc_id, g.j,
              ord(substr(d.text, ((2 * g.j) % len(d.text)) + 1, 1))
-             + 256 * ord(substr(d.text,
-                                ((2 * g.j + 1) % len(d.text)) + 1, 1))
+             + 256 * (ord(substr(d.text,
+                                 ((2 * g.j + 1) % len(d.text)) + 1, 1))
+                      + 128 * (ord(substr(d.text,
+                                          ((2 * g.j) % len(d.text))
+                                          + 1, 1)) % 2))
                AS raw
       FROM documents d, generate_series(0, {_AUD_SAMPLES - 1}) g(j)
       WHERE len(d.text) > 0
@@ -1872,6 +1879,16 @@ def multimodal_audio_zcr(spark: SparkSession,
     high energy + low ZCR = voiced, high energy + high ZCR =
     fricative/noise).
 
+    Sign injection (ADVICE r9): cycled ASCII high bytes are < 128,
+    so raw samples would NEVER be negative and every statistic would
+    be identically zero — a vacuous grade. The synthesis therefore
+    sets the high byte's sign bit whenever the sample's LOW byte is
+    odd (data-dependent, so crossings vary per document), and the
+    oracle + pytest reference replay the same transform. struct's
+    "<h" sign extension, byte order, and the frame logic are all
+    load-bearing now: swapped bytes or unsigned decode change the
+    answer.
+
     Oracle: DuckDB replays the little-endian int16 reconstruction
     with byte arithmetic and the sign-flip logic with a per-doc LEAD
     window — every statistic an exact integer until the two fixed
@@ -1882,16 +1899,27 @@ def multimodal_audio_zcr(spark: SparkSession,
         F.length("text") > 0)
     n = spark.sparkContext.defaultParallelism
     nb = _AUD_SAMPLES * 2
-    # JVM-side container synthesis (audio_real_decode's pattern): the
-    # 44-byte RIFF header is a constant from the real stdlib encoder,
-    # the PCM body is cycled ASCII bytes — no per-row Python UDF.
+    # JVM-side container synthesis: 44-byte RIFF header from the real
+    # stdlib encoder; the PCM body is cycled ASCII bytes with the
+    # parity-conditional sign bit spliced into each sample's high
+    # byte via a hex transform — still no per-row Python UDF.
     header = encode_wav(_AUD_RATE, b"\x00" * nb)[:44]
-    body = F.expr(
+    rep = F.expr(
         f"substring(repeat(text, cast(ceil({nb} / length(text))"
-        f" as int) + 1), 1, {nb})").cast("binary")
-    clips = (docs.select(
-        "doc_id", F.concat(F.lit(header), body).alias("clip"))
-        .repartition(n))
+        f" as int) + 1), 1, {nb})")
+    body = F.expr(f"""
+        unhex(array_join(transform(sequence(0, {_AUD_SAMPLES - 1}),
+          j -> concat(
+            lpad(hex(ascii(substring(rep, 2 * j + 1, 1))), 2, '0'),
+            lpad(hex(ascii(substring(rep, 2 * j + 2, 1))
+                     + CASE WHEN ascii(substring(rep, 2 * j + 1, 1))
+                                 % 2 = 1
+                            THEN 128 ELSE 0 END), 2, '0'))), ''))
+    """)
+    clips = (docs.select("doc_id", rep.alias("rep"))
+             .select("doc_id",
+                     F.concat(F.lit(header), body).alias("clip"))
+             .repartition(n))
     feats = clips.mapInPandas(
         zcr_batch,
         schema=("doc_id long, n_crossings int, neg_samples int, "

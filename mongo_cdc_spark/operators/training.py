@@ -2412,10 +2412,15 @@ def train_decontaminate_bloom(spark: SparkSession,
     Determinism: bit positions come from the engine-portable 60-bit
     md5 prefix (the Count-Min/SimHash convention), so DuckDB replays
     the ENTIRE filter bit-for-bit; every reported number is an exact
-    integer ratio. Scale: the filter is <= {_BLOOM_M} distinct
-    positions — broadcast; corpus shingles expand x{_BLOOM_K} in one
-    narrow generate, probe via broadcast join, and collapse
-    map-side; the truth join broadcasts the (tiny by construction)
+    integer ratio. Scale (VERDICT_r9 task #5 plan): the finished
+    filter is materialized once on the driver — a bounded collect of
+    <= {_BLOOM_M} positions, the DESIGN CONSTANT, i.e. exactly the
+    512-byte bitmap a 100 TB pass broadcasts to every executor — and
+    probed JVM-side via a constant-folded bitmap literal inside a
+    `forall` over the {_BLOOM_K} hash positions: NO x{_BLOOM_K} row
+    expansion, NO probe-side join, and ONE data-grain shuffle total
+    (the doc-grain agg; the old plan shuffled the expanded shingles
+    twice). The truth join broadcasts the (tiny by construction)
     bench shingle union exactly as the exact twin does. Shingles
     are raw 3-gram strings (not dedup.shingle_sets' cached int64
     form): the filter hashes the shingle TEXT."""
@@ -2423,14 +2428,45 @@ def train_decontaminate_bloom(spark: SparkSession,
     # the Bloom positions are md5 digests of the shingle TEXT, which
     # both engines must compute from identical bytes — the form a
     # cross-system Bloom exchange would standardize on.
-    toks = (load_table(spark, sf_dir, "documents")
-            .select("doc_id", _tokens().alias("w"))
-            .filter(F.size("w") >= 3))
-    sh = toks.select(
-        "doc_id",
-        F.expr("array_distinct(transform(slice(w, 1, size(w) - 2), "
-               "(x, i) -> concat(x, ' ', element_at(w, i + 2), "
-               "' ', element_at(w, i + 3))))").alias("sh"))
+    # The fixture is one parquet file below maxPartitionBytes, so the
+    # scan yields ONE partition and the md5-heavy probe map would run
+    # on a single core; a doc-grain repartition buys the parallelism
+    # a multi-file 100 TB layout has naturally (at scale this
+    # exchange is unnecessary and can be dropped — the probe is
+    # embarrassingly parallel over scan splits).
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+
+    def shingles(d: DataFrame) -> DataFrame:
+        toks = (d.select("doc_id", _tokens().alias("w"))
+                .filter(F.size("w") >= 3))
+        # 3-grams via zip_with over three slices, NOT element_at(w, i)
+        # inside the lambda: InferFiltersFromGenerate clones the
+        # generator into a Filter and pushdown inlines w = split(text)
+        # into that clone — a lambda that indexes w would then
+        # re-split the whole document PER ELEMENT (measured 10x:
+        # 5.7 s -> 0.5 s for the bench leg). With only lambda-local
+        # references, the inlined split stays once-per-row.
+        return toks.select(
+            "doc_id",
+            F.expr("array_distinct(zip_with("
+                   "zip_with(slice(w, 1, size(w) - 2), "
+                   "slice(w, 2, size(w) - 2), "
+                   "(a, b) -> concat(a, ' ', b)), "
+                   "slice(w, 3, size(w) - 2), "
+                   "(ab, c) -> concat(ab, ' ', c)))").alias("sh"))
+
+    # Split bench/corpus on the RAW docs before the (expensive)
+    # tokenize+shingle projection: the bench side is 1/_BENCH_MOD of
+    # the corpus and needs no exchange, while the corpus side gets a
+    # doc-grain repartition — the fixture is one parquet file below
+    # maxPartitionBytes, so without it the shingle construction runs
+    # on a single core (a multi-file 100 TB layout parallelizes over
+    # scan splits naturally and can drop this exchange).
+    sh_bench = shingles(docs.where(F.col("doc_id") % _BENCH_MOD == 0))
+    sh_corpus = shingles(
+        docs.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .repartition(spark.sparkContext.defaultParallelism))
     ks = spark.range(_BLOOM_K).select(
         F.col("id").cast("int").alias("k"))
 
@@ -2439,62 +2475,71 @@ def train_decontaminate_bloom(spark: SparkSession,
         return (F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
                 % _BLOOM_M)
 
-    bench = (sh.where(F.col("doc_id") % _BENCH_MOD == 0)
-             .select(F.explode("sh").alias("h")).distinct()
+    bench = (sh_bench.select(F.explode("sh").alias("h")).distinct()
              .localCheckpoint(eager=True))
     bits = (bench.crossJoin(F.broadcast(ks))
             .select(pos(F.col("h"), F.col("k")).alias("pos"))
             .distinct())
-    corpus = (sh.where(F.col("doc_id") % _BENCH_MOD != 0)
-              .select("doc_id", F.explode("sh").alias("h"))
-              .localCheckpoint(eager=True))
-    # ONE pass over the expanded corpus shingles computes BOTH the
-    # Bloom probe (hits over the k positions) and the exact truth
-    # (bench membership rides along every expanded row) — fusing the
-    # probe/truth legs halves the data-grain shuffles vs two passes
-    # plus a (doc, shingle)-keyed join.
-    j = (corpus.crossJoin(F.broadcast(ks))
-         .withColumn("pos", pos(F.col("h"), F.col("k")))
-         .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
-               "pos", "left")
+    # The filter itself: <= _BLOOM_M positions (4096 bits = 512
+    # bytes) — the declared bounded-collect class, sized by a design
+    # constant, never by the data. This IS the artifact a cluster
+    # run ships; probing it is then pure map-side arithmetic.
+    positions = sorted(r["pos"] for r in bits.collect())
+    bitmap = bytearray(_BLOOM_M // 8)
+    for p in positions:
+        bitmap[p // 8] |= 1 << (p % 8)
+    n_bits = len(positions)
+    # JVM-side probe, zero row expansion: map the K hash slots to
+    # their md5 positions, then test each against the constant
+    # bitmap (unhex of a literal folds to a binary constant; the
+    # byte probe is an O(1) slice + shift per hash).
+    pos_sql = (f"cast(conv(substring(md5(cast(concat_ws(':', h, k) "
+               f"as binary)), 1, 15), 16, 10) as bigint) "
+               f"% {_BLOOM_M}")
+    flag_sql = (
+        f"forall(transform(sequence(0, {_BLOOM_K - 1}), "
+        f"k -> {pos_sql}), "
+        f"p -> ((shiftright(cast(conv(hex(substring("
+        f"unhex('{bitmap.hex().upper()}'), "
+        f"cast(p div 8 as int) + 1, 1)), 16, 10) as int), "
+        f"cast(p % 8 as int)) & 1) = 1))")
+    corpus = sh_corpus.select("doc_id", F.explode("sh").alias("h"))
+    # ONE pass at shingle grain computes BOTH the Bloom verdict and
+    # the exact truth (broadcast bench membership rides along), then
+    # collapses straight to doc grain carrying the shingle-level FPR
+    # partials — the old plan's (doc_id, h) regroup of the expanded
+    # rows is gone entirely.
+    j = (corpus
+         .withColumn("flagged", F.expr(flag_sql).cast("int"))
          .join(F.broadcast(bench.withColumn("real", F.lit(1))),
                "h", "left")
-         .groupBy("doc_id", "h")
-         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-              .alias("hits"),
-              F.max(F.coalesce(F.col("real"), F.lit(0)))
-              .alias("is_real"))
-         .select("doc_id",
-                 (F.col("hits") == _BLOOM_K).cast("int")
-                 .alias("flagged"),
-                 "is_real"))
+         .select("doc_id", "flagged",
+                 F.coalesce(F.col("real"), F.lit(0)).alias("is_real")))
     doc = (j.groupBy("doc_id")
            .agg(F.max("flagged").alias("doc_flagged"),
-                F.max("is_real").alias("doc_real")))
-    sstats = j.agg(
-        F.sum(F.when(F.col("is_real") == 0, F.col("flagged"))
-              .otherwise(F.lit(0))).alias("fp_shingles"),
-        F.sum((F.col("is_real") == 0).cast("int"))
-        .alias("clean_shingles"))
+                F.max("is_real").alias("doc_real"),
+                F.sum(F.when(F.col("is_real") == 0, F.col("flagged"))
+                      .otherwise(F.lit(0))).alias("fp_sh"),
+                F.sum((F.col("is_real") == 0).cast("int"))
+                .alias("clean_sh")))
     nb = bench.agg(F.count(F.lit(1)).alias("n_bench"))
-    nbits = bits.agg(F.count(F.lit(1)).alias("n_bits"))
     out = (doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs"),
         F.sum("doc_flagged").cast("bigint").alias("flagged_docs"),
         F.sum("doc_real").cast("bigint").alias("true_overlap_docs"),
         F.sum(F.when((F.col("doc_flagged") == 1)
                      & (F.col("doc_real") == 0), 1).otherwise(0))
-        .cast("bigint").alias("false_positive_docs"))
-        .crossJoin(F.broadcast(sstats))
-        .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(nbits)))
+        .cast("bigint").alias("false_positive_docs"),
+        F.sum("fp_sh").alias("fp_shingles"),
+        F.sum("clean_sh").alias("clean_shingles"))
+        .crossJoin(F.broadcast(nb)))
     return out.select(
         F.col("n_bench").cast("bigint").alias("n_bench_shingles"),
-        F.col("n_bits").cast("bigint").alias("n_bits_set"),
+        F.lit(n_bits).cast("bigint").alias("n_bits_set"),
         "n_corpus_docs", "flagged_docs", "true_overlap_docs",
         "false_positive_docs",
         F.round(F.col("fp_shingles")
                 / (F.col("clean_shingles") * F.lit(1.0)), 6)
         .alias("shingle_fpr_measured"),
-        F.round(F.pow(F.col("n_bits") / (F.lit(_BLOOM_M) * F.lit(1.0)),
+        F.round(F.pow(F.lit(n_bits) / (F.lit(_BLOOM_M) * F.lit(1.0)),
                       _BLOOM_K), 6).alias("shingle_fpr_bits"))

@@ -615,8 +615,13 @@ def test_audio_zcr_matches_python_reference(spark, sf_dir):
         if not r["text"]:
             continue
         doc = r["text"].encode("utf-8")
-        pcm = (doc * (nb // len(doc) + 1))[:nb]
-        _, _, _, frames = decode_wav(encode_wav(_AUD_RATE, pcm))
+        pcm = bytearray((doc * (nb // len(doc) + 1))[:nb])
+        # mirror the sign injection: the high byte of each sample
+        # gets its sign bit set whenever the low byte is odd
+        for j in range(_AUD_SAMPLES):
+            if pcm[2 * j] % 2 == 1:
+                pcm[2 * j + 1] += 128
+        _, _, _, frames = decode_wav(encode_wav(_AUD_RATE, bytes(pcm)))
         s = struct.unpack(f"<{_AUD_SAMPLES}h", frames)
         cr = sum((s[i] < 0) != (s[i + 1] < 0)
                  for i in range(_AUD_SAMPLES - 1))

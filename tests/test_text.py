@@ -172,8 +172,11 @@ def test_bigram_logprob_plausible_range(spark, sf_dir):
     from mongo_cdc_spark.io import load_table
     docs = load_table(spark, sf_dir, "documents").toPandas()
     assert len(got) == len(docs)
-    # each doc contributes len-1 bigrams
-    ntok = docs.set_index("doc_id").text.str.split().str.len()
+    # each doc contributes len-1 bigrams; re.split mirrors the
+    # engine's F.split(text, r"\s+") including empty edge tokens
+    import re
+    ntok = docs.set_index("doc_id").text.map(
+        lambda t: len(re.split(r"\s+", t)))
     assert (got.set_index("doc_id").n_bigrams == ntok - 1).all()
     # smoothed log-probs are strictly negative and bounded below by
     # ln(1/(max_context + V)) (the rarest possible smoothed bigram)
@@ -213,12 +216,16 @@ def test_phrase_match_equals_token_adjacency(spark, sf_dir):
     scan of the token arrays."""
     from mongo_cdc_spark.operators import text
 
+    import re
+
     got = (text.search_phrase_match(spark, sf_dir).toPandas()
            .set_index("doc_id").n_hits)
     docs = text._docs(spark, sf_dir).select("doc_id", "text").toPandas()
     want = {}
     for r in docs.itertuples():
-        toks = r.text.split()
+        # mirror the engine's F.split(text, r"\s+") exactly (keeps
+        # empty edge tokens, unlike str.split())
+        toks = re.split(r"\s+", r.text)
         n = sum(1 for a, b in zip(toks, toks[1:])
                 if a == "fast" and b == "table")
         if n:
@@ -230,6 +237,7 @@ def test_phrase_match_equals_token_adjacency(spark, sf_dir):
 def test_rake_keywords_match_python_reference(spark, sf_dir):
     """Pure-Python RAKE over the corpus: same stopword segmentation,
     same deg/freq scores, same rounded top-k."""
+    import re
     from collections import Counter, defaultdict
 
     from mongo_cdc_spark.io import load_table
@@ -242,7 +250,9 @@ def test_rake_keywords_match_python_reference(spark, sf_dir):
     phrases = []
     for d in docs:
         run = []
-        for tok in d.text.split():
+        # re.split mirrors the engine's F.split(text, r"\s+"); the
+        # `elif tok` arm already drops any empty edge tokens
+        for tok in re.split(r"\s+", d.text):
             if tok in stops:
                 if run:
                     phrases.append(tuple(run))
@@ -283,7 +293,7 @@ def test_term_burstiness_matches_python_counter(spark, sf_dir):
     d = len(docs)
     cf, df, sf2 = Counter(), Counter(), Counter()
     for doc in docs:
-        c = Counter(t for t in doc.text.split() if t)
+        c = Counter(t for t in re.split(r"\s+", doc.text) if t)
         for tok, f in c.items():
             cf[tok] += f
             df[tok] += 1
