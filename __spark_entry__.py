@@ -67,12 +67,18 @@ _GRADE_FIRST = (
     "sql_named_window_text", "stats_cohens_kappa",
     "kmeans_cluster_agreement", "ts_classical_decompose",
     "stats_jarque_bera",
-    # -- round-10 additions (6): CUPED variance reduction, Benford
+    # -- changed-since-green (1): graph_label_propagation carries the
+    # VERDICT task-#7 root-cause fix (oriented a.s < b.s through-part
+    # join + mirror halves the pair explosion; dst-partitioned
+    # checkpoint lets both supersteps reuse the exchange) — 10.3 s ->
+    # 5.5 s warm at sf0.1, same rows both SFs --
+    "graph_label_propagation",
+    # -- round-10 additions (5): CUPED variance reduction, Benford
     # first-digit audit, degree assortativity, Theil-Sen robust
-    # slope, SQL QUALIFY front end, Lorenz/Gini concentration --
+    # slope, SQL QUALIFY front end --
     "ab_test_cuped_adjustment", "quality_benford_law",
     "graph_degree_assortativity", "ts_theil_sen_slope",
-    "sql_qualify_topk_text", "events_lorenz_gini",
+    "sql_qualify_topk_text",
     # -- r1-vintage stale greens (20; every one hash-green in the
     # judge's full sf0.01 round-9 run, so this is a refresh, not a
     # risk) --

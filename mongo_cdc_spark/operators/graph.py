@@ -561,10 +561,21 @@ def graph_label_propagation(spark: SparkSession,
                    F.col("l_partkey").alias("p"))
          .distinct().localCheckpoint(eager=False))
     a, b = e.alias("a"), e.alias("b")
-    adj = (a.join(b, (F.col("a.p") == F.col("b.p"))
-                  & (F.col("a.s") != F.col("b.s")))
-           .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-           .distinct()
+    # Oriented join (a.s < b.s) halves the through-part pair
+    # explosion before the distinct, then the mirror union restores
+    # both directions shuffle-free; repartition on dst BEFORE the
+    # checkpoint so every superstep's edge-grain join reuses the
+    # materialized partitioning (localCheckpoint preserves it)
+    # instead of re-exchanging the full edge list per round.
+    half = (a.join(b, (F.col("a.p") == F.col("b.p"))
+                   & (F.col("a.s") < F.col("b.s")))
+            .select(F.col("a.s").alias("src"),
+                    F.col("b.s").alias("dst"))
+            .distinct())
+    adj = (half.unionByName(
+               half.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+           .repartition(F.col("dst"))
            .localCheckpoint(eager=False))
     labels = (adj.select(F.col("src").alias("node"))
               .distinct()
