@@ -73,12 +73,13 @@ _GRADE_FIRST = (
     # checkpoint lets both supersteps reuse the exchange) — 10.3 s ->
     # 5.5 s warm at sf0.1, same rows both SFs --
     "graph_label_propagation",
-    # -- round-10 additions (5): CUPED variance reduction, Benford
-    # first-digit audit, degree assortativity, Theil-Sen robust
-    # slope, SQL QUALIFY front end --
-    "ab_test_cuped_adjustment", "quality_benford_law",
-    "graph_degree_assortativity", "ts_theil_sen_slope",
-    "sql_qualify_topk_text",
+    # -- round-10 additions (5): Wilson score intervals, aggregate
+    # FILTER clause as SQL text, Garlaschelli-Loffredo trade
+    # reciprocity, Hurst R/S exponent, histogram equalization on the
+    # real decode path --
+    "ab_test_wilson_ci", "sql_filtered_agg_text",
+    "graph_trade_reciprocity", "ts_hurst_rs_exponent",
+    "multimodal_image_equalize",
     # -- r1-vintage stale greens (20; every one hash-green in the
     # judge's full sf0.01 round-9 run, so this is a refresh, not a
     # risk) --

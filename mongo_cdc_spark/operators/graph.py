@@ -1403,3 +1403,107 @@ def graph_powerlaw_alpha(spark: SparkSession,
         F.round(1.0 + ahat, 6).alias("alpha_mle"),
         F.round(ahat / F.sqrt(F.col("n_tail") * F.lit(1.0)), 6)
         .alias("alpha_se"))
+
+
+# ------------------------------------------------ edge reciprocity
+
+
+@query("graph_trade_reciprocity", sql="""
+    WITH tr AS (
+      SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                            * 100) AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT COUNT(*) AS ne, SUM(cents) AS tot FROM tr
+    ), e AS (
+      SELECT a, b FROM tr, m WHERE cents * m.ne > m.tot
+    ), nn AS (
+      SELECT COUNT(*) AS n_nodes
+      FROM (SELECT a AS x FROM e UNION SELECT b FROM e)
+    ), st AS (
+      SELECT COUNT(*) AS n_edges,
+             (SELECT COUNT(*) FROM e t JOIN e r
+              ON r.a = t.b AND r.b = t.a) AS n_reciprocal
+      FROM e
+    )
+    SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           CAST(st.n_edges AS BIGINT) AS n_edges,
+           CAST(st.n_reciprocal AS BIGINT) AS n_reciprocal,
+           ROUND(st.n_reciprocal / (st.n_edges * 1e0), 6)
+             AS reciprocity,
+           ROUND(st.n_edges
+                 / (nn.n_nodes * (nn.n_nodes - 1) * 1e0), 6)
+             AS density,
+           ROUND((st.n_reciprocal / (st.n_edges * 1e0)
+                  - st.n_edges
+                    / (nn.n_nodes * (nn.n_nodes - 1) * 1e0))
+                 / (1 - st.n_edges
+                        / (nn.n_nodes * (nn.n_nodes - 1) * 1e0)), 6)
+             AS rho_gl
+    FROM st, nn
+""")
+def graph_trade_reciprocity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the STRONG international trade
+    graph (nation a buys from nation b above the mean edge value),
+    with the Garlaschelli-Loffredo rho (PRL 2004): raw reciprocity
+    r = |E cap E^T|/|E| is meaningless without the density baseline
+    (a near-complete digraph is reciprocal by accident), so rho
+    normalizes r against the density d — rho>0 means trade
+    relationships are MUTUAL beyond chance, the lens used on the
+    world-trade-web in the original paper. The above-mean gate uses
+    the exact integer cross-multiplication cents*|E| > total_cents
+    (no float threshold), and the raw graph is intentionally NOT
+    used: the fixture trades every nation pair, so r(raw)=1 — the
+    thresholded graph is where the statistic has information.
+
+    Scale: one data-grain stage (the 4-table rollup to nation-pair
+    grain, lineitem joins orders on the usual key shuffle with the
+    dim joins broadcast); everything after runs on the <= |nations|^2
+    edge frame — the bounded-grain class; the reverse-edge join keys
+    on the swapped pair, partition-local at that size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("bigint")
+    tr = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+          .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+          .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+          .where(F.col("c_nationkey") != F.col("s_nationkey"))
+          .groupBy(F.col("c_nationkey").alias("a"),
+                   F.col("s_nationkey").alias("b"))
+          .agg(F.sum(cents).alias("cents")))
+    m = tr.agg(F.count(F.lit(1)).alias("ne"), F.sum("cents").alias("tot"))
+    e = (tr.crossJoin(F.broadcast(m))
+         .where(F.col("cents") * F.col("ne") > F.col("tot"))
+         .select("a", "b")
+         .localCheckpoint(eager=False))
+    nn = (e.select(F.col("a").alias("x"))
+          .union(e.select(F.col("b").alias("x"))).distinct()
+          .agg(F.count(F.lit(1)).alias("n_nodes")))
+    r = e.alias("r")
+    recip = (e.alias("t")
+             .join(r, (F.col("r.a") == F.col("t.b"))
+                   & (F.col("r.b") == F.col("t.a")))
+             .agg(F.count(F.lit(1)).alias("n_reciprocal")))
+    st = (e.agg(F.count(F.lit(1)).alias("n_edges"))
+          .crossJoin(F.broadcast(recip))
+          .crossJoin(F.broadcast(nn)))
+    rr = F.col("n_reciprocal") / (F.col("n_edges") * F.lit(1.0))
+    dd = (F.col("n_edges")
+          / (F.col("n_nodes") * (F.col("n_nodes") - 1) * F.lit(1.0)))
+    return st.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_reciprocal").cast("bigint").alias("n_reciprocal"),
+        F.round(rr, 6).alias("reciprocity"),
+        F.round(dd, 6).alias("density"),
+        F.round((rr - dd) / (1 - dd), 6).alias("rho_gl"))

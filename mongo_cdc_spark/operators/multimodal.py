@@ -2057,3 +2057,100 @@ def multimodal_image_otsu(spark: SparkSession,
                         / (F.col("nt") * F.col("nt") * F.lit(1.0)),
                         4).alias("between_var"))
             .orderBy("doc_id"))
+
+
+@query("multimodal_image_equalize", sql=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             (ord(substr(d.text, ((3 * g.p) % len(d.text)) + 1, 1))
+              + ord(substr(d.text, ((3 * g.p + 1) % len(d.text)) + 1,
+                           1))
+              + ord(substr(d.text, ((3 * g.p + 2) % len(d.text)) + 1,
+                           1))) // 3 AS gray
+      FROM documents d,
+           generate_series(0, {_IMG_W * _IMG_H - 1}) g(p)
+      WHERE len(d.text) > 0
+    ), hist AS (
+      SELECT doc_id, gray, COUNT(*) AS n FROM px GROUP BY 1, 2
+    ), cum AS (
+      SELECT doc_id, gray, n,
+             SUM(n) OVER (PARTITION BY doc_id ORDER BY gray
+                          ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(n) OVER (PARTITION BY doc_id) AS nt,
+             SUM(n * gray) OVER (PARTITION BY doc_id) AS st
+      FROM hist
+    ), cm AS (
+      SELECT *, MIN(cn) OVER (PARTITION BY doc_id) AS cmin
+      FROM cum
+    ), remapped AS (
+      SELECT doc_id, gray, n, nt, st,
+             CASE WHEN nt = cmin THEN 0
+                  ELSE FLOOR((cn - cmin) * 255 / (nt - cmin)) END
+               AS eq
+      FROM cm
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_levels,
+           ROUND(MAX(st) / (MAX(nt) * 1e0), 4) AS mean_gray,
+           ROUND(SUM(n * eq) / (MAX(nt) * 1e0), 4) AS mean_eq,
+           CAST(MIN(eq) AS INT) AS min_eq,
+           CAST(MAX(eq) AS INT) AS max_eq
+    FROM remapped GROUP BY doc_id ORDER BY doc_id
+""")
+def multimodal_image_equalize(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Histogram equalization audit per image through the REAL PPM
+    decode path: the classic contrast-normalization remap
+    eq(g) = floor((cdf(g) - cdf_min) * 255 / (npix - cdf_min)) —
+    what every vision-preprocessing pipeline applies before feature
+    extraction on low-contrast scans — reported as the before/after
+    mean gray, the distinct-level count, and the post-remap extrema
+    (0 and 255 whenever the image has >1 level: the full-range
+    stretch property, a built-in self-check). Shares
+    gray_hist_batch's one Arrow stage with the Otsu query: the
+    decoder emits the narrow (doc, gray, n) histogram and the remap
+    is pure integer window algebra on it — the equalized image never
+    materializes anywhere, which is exactly how a 100 TB
+    contrast-audit pass should run.
+
+    Determinism: cdf values are exact integers; the remap quotient
+    has denominator <= 256, so double division + FLOOR is exact on
+    both engines (a non-integer quotient sits >= 1/256 from any
+    integer — no rounding hazard); means divide exact integer sums
+    once and round at 4 dp. Scale: per-doc-partitioned bounded
+    (<=256-row) windows; one data-grain stage (the Arrow decode)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    n = spark.sparkContext.defaultParallelism
+    body = F.expr(
+        f"substring(repeat(text, cast(ceil({_IMG_BYTES} / length(text))"
+        f" as int) + 1), 1, {_IMG_BYTES})")
+    payload = F.concat(
+        F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n"), body).cast("binary")
+    imgs = (docs.select("doc_id", payload.alias("img"))
+            .repartition(n))
+    hist = imgs.mapInPandas(
+        gray_hist_batch, schema="doc_id long, gray int, n long")
+    wcum = (W.partitionBy("doc_id").orderBy("gray")
+            .rowsBetween(W.unboundedPreceding, 0))
+    wall = W.partitionBy("doc_id")
+    cum = (hist
+           .withColumn("cn", F.sum("n").over(wcum))
+           .withColumn("nt", F.sum("n").over(wall))
+           .withColumn("st", F.sum(F.col("n") * F.col("gray"))
+                       .over(wall))
+           .withColumn("cmin", F.min("cn").over(wall)))
+    eq = F.when(F.col("nt") == F.col("cmin"), F.lit(0)).otherwise(
+        F.floor((F.col("cn") - F.col("cmin")) * 255
+                / (F.col("nt") - F.col("cmin"))))
+    return (cum.withColumn("eq", eq)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_levels"),
+                 F.round(F.max("st") / (F.max("nt") * F.lit(1.0)), 4)
+                 .alias("mean_gray"),
+                 F.round(F.sum(F.col("n") * F.col("eq"))
+                         / (F.max("nt") * F.lit(1.0)), 4)
+                 .alias("mean_eq"),
+                 F.min("eq").cast("int").alias("min_eq"),
+                 F.max("eq").cast("int").alias("max_eq"))
+            .orderBy("doc_id"))

@@ -5691,3 +5691,94 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(k_, 6).alias("excess_kurtosis"),
         jb.alias("jb_stat"),
         (jb > 5.991).alias("reject_05"))
+
+
+# ------------------------------------------------ Wilson score CI
+
+_WILSON_Z = 1.96   # 95% two-sided normal quantile
+
+
+@query("ab_test_wilson_ci", sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS conversions
+      FROM u GROUP BY 1
+    ), w AS (
+      SELECT variant, n_users, conversions,
+             conversions / (n_users * 1e0) AS p,
+             {_WILSON_Z} * {_WILSON_Z} / n_users AS z2n
+      FROM v
+    ), ci AS (
+      SELECT variant, n_users, conversions,
+             ROUND(p, 6) AS cvr,
+             ROUND((p + z2n / 2
+                    - {_WILSON_Z} * sqrt(p * (1 - p) / n_users
+                                         + z2n / (4 * n_users)))
+                   / (1 + z2n), 6) AS wilson_lo,
+             ROUND((p + z2n / 2
+                    + {_WILSON_Z} * sqrt(p * (1 - p) / n_users
+                                         + z2n / (4 * n_users)))
+                   / (1 + z2n), 6) AS wilson_hi
+      FROM w
+    )
+    SELECT variant, n_users, conversions, cvr, wilson_lo, wilson_hi,
+           MAX(wilson_lo) OVER () > MIN(wilson_hi) OVER ()
+             AS intervals_disjoint
+    FROM ci ORDER BY variant
+""")
+def ab_test_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence intervals for per-variant
+    conversion rate (Wilson 1927; Agresti-Coull's recommended
+    small-n/extreme-p interval — the industry default over the Wald
+    interval, whose coverage collapses near 0/1), plus the
+    quick-read overlap flag: disjoint intervals are the
+    back-of-envelope significance screen experiment dashboards show
+    before any formal test. Completes the ab_test_* family's
+    interval-estimate leg (SRM, power, SPRT, diff-in-diff, CUPED,
+    clustered SE are point/test legs). Users hash to variants by the
+    family's shared md5 first-hex-char rule.
+
+    Determinism: conversions/n are exact integers; the interval is
+    one closed-form expression per variant evaluated in IEEE double
+    (sqrt is correctly rounded, so both engines see identical
+    doubles), rounded at 6 dp. Plan: ONE data-grain stage (the
+    user-grain converted flag agg); everything after runs on the
+    2-row variant frame — the bounded-frame class; the overlap flag
+    broadcasts a 1-row extrema agg back over the variant frame (the
+    srm_check shape), so no global window anywhere."""
+    z = _WILSON_Z
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("converted")))
+    v = (u.groupBy(
+            F.when(F.substring(F.md5(F.col("user_id").cast("string")),
+                               1, 1) < "8", "A").otherwise("B")
+            .alias("variant"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+              F.sum("converted").cast("bigint").alias("conversions")))
+    p = F.col("conversions") / (F.col("n_users") * F.lit(1.0))
+    z2n = F.lit(z) * F.lit(z) / F.col("n_users")
+    hw = F.lit(z) * F.sqrt(p * (1 - p) / F.col("n_users")
+                           + z2n / (4 * F.col("n_users")))
+    ci = (v.select(
+        "variant", "n_users", "conversions",
+        F.round(p, 6).alias("cvr"),
+        F.round((p + z2n / 2 - hw) / (1 + z2n), 6).alias("wilson_lo"),
+        F.round((p + z2n / 2 + hw) / (1 + z2n), 6).alias("wilson_hi"))
+        .localCheckpoint(eager=False))
+    ext = ci.agg(F.max("wilson_lo").alias("max_lo"),
+                 F.min("wilson_hi").alias("min_hi"))
+    return (ci.crossJoin(F.broadcast(ext))
+            .select("variant", "n_users", "conversions", "cvr",
+                    "wilson_lo", "wilson_hi",
+                    (F.col("max_lo") > F.col("min_hi"))
+                    .alias("intervals_disjoint"))
+            .orderBy("variant"))

@@ -695,3 +695,51 @@ def sql_named_window_text(spark: SparkSession,
     and the two `cum` aggregates share ONE sort."""
     names = _views(spark, sf_dir, "events", suffix="namedwin")
     return spark.sql(_NAMEDWIN_SQL.format(**names))
+
+
+_FILTERAGG_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                AS BIGINT) AS n_finished,
+           CAST(COUNT(DISTINCT o_custkey)
+                  FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS n_open_customers,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE o_orderstatus = 'F')
+                 / 100e0, 2) AS finished_revenue,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE o_orderdate >= DATE '1995-01-01')
+                 / (100e0 * COUNT(*)
+                      FILTER (WHERE o_orderdate >= DATE '1995-01-01')),
+                 6) AS avg_price_since_95
+    FROM {orders}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sql_filtered_agg_text",
+       sql=_FILTERAGG_SQL.format(orders="orders"))
+def sql_filtered_agg_text(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The SQL:2003 aggregate FILTER clause stated as SQL text: five
+    aggregates over ONE scan, each with its own per-aggregate
+    predicate — plain COUNT, filtered COUNT, filtered
+    COUNT(DISTINCT), a filtered exact-cents SUM (the r9 money
+    convention: integer sub-units summed, divided once), and a
+    filtered exact mean built as filtered-SUM over filtered-COUNT.
+    FILTER is the standard way to fold k conditional rollups into
+    one pass without CASE-wrapping every argument (and unlike CASE,
+    composes with DISTINCT); both engines parse the statement
+    verbatim, so the driver hash-grades two independent FILTER
+    implementations — including the distinct-rewrite interaction,
+    where Spark's Expand must route each filter to its own
+    aggregate group. QUALIFY was considered for this slot and
+    rejected: open-source Spark 4.1 does not parse it.
+
+    Scale: one parquet scan, one map-side-combined groupBy on the
+    5-value priority key; the single COUNT(DISTINCT) triggers one
+    Expand over the filtered rows only. No joins, no windows."""
+    names = _views(spark, sf_dir, "orders", suffix="filteragg")
+    return spark.sql(_FILTERAGG_SQL.format(**names))

@@ -3112,3 +3112,138 @@ def ts_classical_decompose(spark: SparkSession,
         F.round((147 * F.col("yc") - 21 * F.col("s7") - c_scaled)
                 / 14700.0, 4).alias("remainder"))
         .orderBy("day"))
+
+
+# ------------------------------------------------ Hurst exponent (R/S)
+
+HURST_NS = (8, 16, 32, 64)   # block sizes over the ~720-hour grid
+
+
+@query("ts_hurst_rs_exponent", sql=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY h) AS t,
+             COUNT(*) OVER () AS nt
+      FROM hourly
+    ), ns AS (
+      SELECT UNNEST(ARRAY[{', '.join(str(n) for n in HURST_NS)}]) AS n
+    ), g AS (
+      SELECT ns.n, i.x, i.t,
+             (i.t - 1) // ns.n AS blk,
+             (i.t - 1) % ns.n + 1 AS j
+      FROM idx i CROSS JOIN ns
+      WHERE i.t <= ns.n * (i.nt // ns.n)
+    ), wd AS (
+      SELECT n, blk, j, x,
+             SUM(x) OVER (PARTITION BY n, blk ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS prefix,
+             SUM(x) OVER (PARTITION BY n, blk) AS s1
+      FROM g
+    ), per_block AS (
+      SELECT n, blk,
+             MAX(n * prefix - j * s1) - MIN(n * prefix - j * s1)
+               AS rn,
+             CAST(n AS HUGEINT)
+               * SUM(CAST(x AS HUGEINT) * x)
+               - CAST(MAX(s1) AS HUGEINT) * MAX(s1) AS varn
+      FROM wd GROUP BY n, blk
+    ), per_n AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             ROUND(AVG(ROUND(rn / sqrt(CAST(varn AS DOUBLE)), 6)), 4)
+               AS rs_mean
+      FROM per_block WHERE varn > 0 GROUP BY n
+    ), pts AS (
+      SELECT n, n_blocks, rs_mean,
+             log10(CAST(n AS DOUBLE)) AS lx, log10(rs_mean) AS ly
+      FROM per_n
+    ), ols AS (
+      SELECT ROUND((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+                   / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)),
+                   4) AS hurst
+      FROM pts
+    )
+    SELECT CAST(p.n AS INT) AS block_n, p.n_blocks, p.rs_mean,
+           o.hurst AS hurst_exponent
+    FROM pts p CROSS JOIN ols o
+    ORDER BY p.n
+""")
+def ts_hurst_rs_exponent(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Hurst exponent of hourly purchase revenue via classical
+    rescaled-range analysis (Hurst 1951; Mandelbrot-Wallis 1969):
+    for each block size n the series splits into complete blocks,
+    each block reports R/S = (range of cumulative deviations from
+    the block mean) / (population sd), and the Hurst exponent is the
+    OLS slope of log10(mean R/S) on log10(n) — H≈0.5 for a random
+    walk, >0.5 persistent (trends compound), <0.5 anti-persistent
+    (mean-reverting). The long-memory diagnostic that says whether
+    naive sqrt(T) confidence scaling on aggregated metrics is even
+    valid.
+
+    Exactness: hourly revenue is integer cents; within a block the
+    scaled deviation n*prefix_j - j*S1 and the scaled variance
+    n*S2 - S1^2 are EXACT integers (128-bit on both engines — Spark
+    decimal(38,0), DuckDB HUGEINT), so R/S = Rn/sqrt(n*S2 - S1^2)
+    feeds sqrt identical integers; per-block ratios round at 6 dp
+    before the per-n mean (4 dp), and the 4-point OLS runs on
+    pre-rounded doubles. Zero-variance blocks are excluded
+    identically (varn > 0).
+
+    Scale: one data-grain stage (the hour rollup); the hour-grid
+    index is a calendar-bounded window (~720 rows, declared
+    WINDOW_OK), block prefixes are PARTITIONED windows at (n, block)
+    grain, and everything downstream is <= |grid| x |HURST_NS| rows
+    — the bounded-frame class."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.where(F.col("event_type") == "purchase")
+              .groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .alias("x")))
+    idx = (hourly.withColumn(
+        "t", F.row_number().over(Window.orderBy("h")))
+        .localCheckpoint(eager=False))
+    nt = idx.agg(F.count(F.lit(1)).alias("nt"))
+    ns = spark.createDataFrame([(n,) for n in HURST_NS], "n int")
+    g = (idx.crossJoin(F.broadcast(ns))
+         .crossJoin(F.broadcast(nt))
+         .where(F.col("t") <= F.col("n")
+                * F.floor(F.col("nt") / F.col("n")))
+         .select("n", "x", "t",
+                 ((F.col("t") - 1) / F.col("n")).cast("long")
+                 .alias("blk"),
+                 ((F.col("t") - 1) % F.col("n") + 1).alias("j")))
+    wb = Window.partitionBy("n", "blk")
+    wp = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wd = (g.withColumn("prefix", F.sum("x").over(wp))
+          .withColumn("s1", F.sum("x").over(wb)))
+    d = F.col("n") * F.col("prefix") - F.col("j") * F.col("s1")
+    per_block = (wd.groupBy("n", "blk")
+                 .agg((F.max(d) - F.min(d)).alias("rn"),
+                      (F.first("n").cast("decimal(38,0)")
+                       * F.sum(F.col("x").cast("decimal(38,0)")
+                               * F.col("x"))
+                       - F.max("s1").cast("decimal(38,0)")
+                       * F.max("s1")).alias("varn")))
+    per_n = (per_block.where(F.col("varn") > 0)
+             .groupBy("n")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                  F.round(F.avg(F.round(
+                      F.col("rn")
+                      / F.sqrt(F.col("varn").cast("double")), 6)), 4)
+                  .alias("rs_mean")))
+    pts = (per_n.withColumn("lx", F.log10(F.col("n").cast("double")))
+           .withColumn("ly", F.log10("rs_mean"))
+           .localCheckpoint(eager=False))
+    ols = pts.agg(F.round(
+        (F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
+         - F.sum("lx") * F.sum("ly"))
+        / (F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
+           - F.sum("lx") * F.sum("lx")), 4).alias("hurst"))
+    return (pts.crossJoin(F.broadcast(ols))
+            .select(F.col("n").cast("int").alias("block_n"),
+                    "n_blocks", "rs_mean",
+                    F.col("hurst").alias("hurst_exponent"))
+            .orderBy("block_n"))

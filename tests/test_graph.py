@@ -534,3 +534,43 @@ def test_powerlaw_alpha_matches_python_reference(spark, sf_dir):
     assert row["d_max"] == max(deg.values())
     assert math.isclose(row["alpha_mle"], alpha, abs_tol=1e-5)
     assert math.isclose(row["alpha_se"], se, abs_tol=1e-5)
+
+
+def test_trade_reciprocity_matches_python_reference(spark, sf_dir):
+    """Edge set, reciprocal count, and the Garlaschelli-Loffredo rho
+    recomputed in pure Python from the exact-cents trade rollup."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.graph import graph_trade_reciprocity
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    rows = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .where(F.col("c_nationkey") != F.col("s_nationkey"))
+            .select(F.col("c_nationkey").alias("a"),
+                    F.col("s_nationkey").alias("b"),
+                    F.round(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")) * 100)
+                    .cast("bigint").alias("cents"))
+            .collect())
+    tr: dict[tuple[int, int], int] = {}
+    for r in rows:
+        tr[(r.a, r.b)] = tr.get((r.a, r.b), 0) + r.cents
+    ne, tot = len(tr), sum(tr.values())
+    e = {k for k, v in tr.items() if v * ne > tot}
+    nodes = {x for ab in e for x in ab}
+    recip = sum(1 for (a, b) in e if (b, a) in e)
+    n, m = len(nodes), len(e)
+    r_ = recip / m
+    d_ = m / (n * (n - 1))
+    got = graph_trade_reciprocity(spark, sf_dir).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.n_nodes, g.n_edges, g.n_reciprocal) == (n, m, recip)
+    assert abs(g.reciprocity - round(r_, 6)) < 1e-9
+    assert abs(g.density - round(d_, 6)) < 1e-9
+    assert abs(g.rho_gl - round((r_ - d_) / (1 - d_), 6)) < 1e-9

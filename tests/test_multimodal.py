@@ -686,3 +686,61 @@ def test_otsu_matches_python_reference(spark, sf_dir):
             < 1e-6
         checked += 1
     assert checked == len(got)
+
+
+def test_equalize_matches_pixelwise_python(spark, sf_dir):
+    """Per-pixel histogram equalization through the real encode/decode
+    round-trip must reproduce the operator's histogram-level stats —
+    proving the remap is the true pixel transform, including the
+    full-range-stretch property (min 0 / max 255 for >1 level)."""
+    from collections import Counter
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.multimodal import (
+        _IMG_BYTES, _IMG_H, _IMG_W, decode_ppm,
+        multimodal_image_equalize)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    got = {r.doc_id: r for r in
+           multimodal_image_equalize(spark, sf_dir).collect()}
+    header = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
+    checked = 0
+    for r in docs:
+        if not r.text:
+            continue
+        doc = r.text.encode("utf-8")
+        body = (doc * (_IMG_BYTES // len(doc) + 1))[:_IMG_BYTES]
+        w, h, px = decode_ppm(header + body)
+        grays = [(px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+                 for p in range(w * h)]
+        hist = Counter(grays)
+        npix = len(grays)
+        cdf, acc = {}, 0
+        for g_ in sorted(hist):
+            acc += hist[g_]
+            cdf[g_] = acc
+        cmin = min(cdf.values())
+        def remap(g_):
+            if npix == cmin:
+                return 0
+            return (cdf[g_] - cmin) * 255 // (npix - cmin)
+        eq = [remap(g_) for g_ in grays]
+        g = got[r.doc_id]
+        # Spark/DuckDB ROUND is half-up; Python round() is banker's
+        # (and 34024/256 = 132.90625 really occurs) — quantize the
+        # exact rational with HALF_UP instead
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal("0.0001")
+
+        def r4x(num: int) -> float:
+            return float((Decimal(num) / Decimal(npix))
+                         .quantize(q, rounding=ROUND_HALF_UP))
+        assert g.n_levels == len(hist)
+        assert abs(g.mean_gray - r4x(sum(grays))) < 1e-9
+        assert abs(g.mean_eq - r4x(sum(eq))) < 1e-9
+        assert (g.min_eq, g.max_eq) == (min(eq), max(eq))
+        if len(hist) > 1:
+            assert (g.min_eq, g.max_eq) == (0, 255)
+        checked += 1
+    assert checked == len(got)

@@ -1830,3 +1830,52 @@ def test_jarque_bera_matches_python_reference(spark, sf_dir):
     assert math.isclose(row["excess_kurtosis"], k_, abs_tol=1e-5)
     assert math.isclose(row["jb_stat"], jb, rel_tol=1e-6, abs_tol=1e-3)
     assert row["reject_05"] == (round(jb, 4) > 5.991)
+
+
+def test_wilson_ci_matches_python_reference(spark, sf_dir):
+    """Closed-form Wilson interval recomputed in pure Python from the
+    collected user frame; overlap flag pinned from the two rows."""
+    import hashlib
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.quality import (
+        _WILSON_Z, ab_test_wilson_ci)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    conv: dict[int, int] = {}
+    for r in ev:
+        conv[r.user_id] = max(conv.get(r.user_id, 0),
+                              int(r.event_type == "purchase"))
+    stats: dict[str, list[int]] = {"A": [0, 0], "B": [0, 0]}
+    for uid, c in conv.items():
+        v = ("A" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+             else "B")
+        stats[v][0] += 1
+        stats[v][1] += c
+    z = _WILSON_Z
+    want = {}
+    for v, (n, k) in stats.items():
+        p = k / n
+        z2n = z * z / n
+        hw = z * math.sqrt(p * (1 - p) / n + z2n / (4 * n))
+        want[v] = (n, k, round(p, 6),
+                   round((p + z2n / 2 - hw) / (1 + z2n), 6),
+                   round((p + z2n / 2 + hw) / (1 + z2n), 6))
+    got = {r.variant: r for r in
+           ab_test_wilson_ci(spark, sf_dir).collect()}
+    assert set(got) == {"A", "B"}
+    for v, (n, k, cvr, lo, hi) in want.items():
+        g = got[v]
+        assert (g.n_users, g.conversions) == (n, k)
+        assert abs(g.cvr - cvr) < 1e-9
+        assert abs(g.wilson_lo - lo) < 1e-9
+        assert abs(g.wilson_hi - hi) < 1e-9
+        # at p=1 the Wilson upper bound is exactly 1 (and at p=0 the
+        # lower is exactly 0), so the containment is non-strict
+        assert g.wilson_lo <= g.cvr <= g.wilson_hi
+        assert g.wilson_lo < g.wilson_hi
+    disjoint = (max(w[3] for w in want.values())
+                > min(w[4] for w in want.values()))
+    assert all(r.intervals_disjoint == disjoint for r in got.values())

@@ -432,3 +432,38 @@ def test_named_window_matches_inline_recompute(spark, sf_dir):
     # logical plan instead: one node for cum, one for ld)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("Window [") == 2
+
+
+def test_filtered_agg_matches_case_when_twin(spark, sf_dir):
+    """The FILTER-clause statement must agree with an independently
+    built CASE-WHEN DataFrame plan (the pre-SQL:2003 spelling)."""
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.sqlfront import sql_filtered_agg_text
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    fin = F.col("o_orderstatus") == "F"
+    since = F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    twin = (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(fin.cast("long")).alias("n_finished"),
+                 F.countDistinct(
+                     F.when(F.col("o_orderstatus") == "O",
+                            F.col("o_custkey"))).alias("n_open"),
+                 F.round(F.sum(F.when(fin, cents)) / 100.0, 2)
+                 .alias("finished_revenue"),
+                 F.round(F.sum(F.when(since, cents))
+                         / (100.0 * F.sum(since.cast("long"))), 6)
+                 .alias("avg_since"))
+            .orderBy("o_orderpriority")).collect()
+    got = sql_filtered_agg_text(spark, sf_dir).collect()
+    assert len(got) == len(twin) == 5
+    for g, w in zip(got, twin):
+        assert g.o_orderpriority == w.o_orderpriority
+        assert g.n_orders == w.n_orders
+        assert g.n_finished == w.n_finished
+        assert g.n_open_customers == w.n_open
+        assert float(g.finished_revenue) == float(w.finished_revenue)
+        assert abs(float(g.avg_price_since_95)
+                   - float(w.avg_since)) < 1e-6

@@ -890,3 +890,55 @@ def test_classical_decompose_matches_python_reference(spark, sf_dir):
         assert 147 * y == 21 * s7 + c + (147 * y - 21 * s7 - c)
         assert abs((g["trend"] + g["seasonal"] + g["remainder"])
                    - y / 100) < 2e-4
+
+
+def test_hurst_rs_matches_python_reference(spark, sf_dir):
+    """Pure-Python R/S recompute (exact integer block algebra, same
+    rounding ladder) and the OLS slope identity."""
+    import math
+
+    from mongo_cdc_spark.io import load_table
+    from mongo_cdc_spark.operators.timeseries import (
+        HURST_NS, ts_hurst_rs_exponent)
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.where(F.col("event_type") == "purchase")
+              .groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .alias("x"))
+              .orderBy("h").collect())
+    xs = [r.x for r in hourly]
+    want = {}
+    pts = []
+    for n in HURST_NS:
+        ratios = []
+        for b in range(len(xs) // n):
+            blk = xs[b * n:(b + 1) * n]
+            s1, s2 = sum(blk), sum(v * v for v in blk)
+            varn = n * s2 - s1 * s1
+            if varn <= 0:
+                continue
+            pref, ds = 0, []
+            for j, v in enumerate(blk, start=1):
+                pref += v
+                ds.append(n * pref - j * s1)
+            rn = max(ds) - min(ds)
+            ratios.append(round(rn / math.sqrt(varn), 6))
+        rs = round(sum(ratios) / len(ratios), 4)
+        want[n] = (len(ratios), rs)
+        pts.append((math.log10(n), math.log10(rs)))
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    hurst = round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+    got = ts_hurst_rs_exponent(spark, sf_dir).collect()
+    assert [r.block_n for r in got] == list(HURST_NS)
+    for r in got:
+        nb, rs = want[r.block_n]
+        assert r.n_blocks == nb
+        assert abs(r.rs_mean - rs) < 1e-9
+        assert abs(r.hurst_exponent - hurst) < 1e-9
+        assert 0.0 < r.hurst_exponent < 1.0

@@ -464,6 +464,7 @@ WINDOW_OK: dict[str, int] = {
     "ts_runs_test": 1,             # run-boundary lag over bounded day rows
     "ts_durbin_watson": 3,         # day-index (x2 lineage branches) + residual lag, 30-day grid
     "ts_variance_ratio": 1,        # two lags share ONE day-ordered sort
+    "ts_hurst_rs_exponent": 1,     # hour-grid index (~720 calendar rows)
     "ts_classical_decompose": 2,   # day-index + centered-MA share the 30-day grid
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
