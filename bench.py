@@ -5,6 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced end-to-end with the noop datasource (full
 computation, no driver-side collect cost). Reported seconds are
 wall-clock per query; "value" is the total.
+
+HEADLINE selection rule (round 10): every registry query whose
+best-of-2 time exceeded 1 s at sf0.1 in the most recent full two-SF
+sweep (tools/scale_sweep.py) MUST have a headline entry — the
+cross-round wall-time history is what caught or cleared every
+phantom regression since round 6, and cheap sub-second queries are
+already covered by the sweep's slope gate. New operators enter the
+list in their debut round regardless of cost. Queries may be ADDED
+by later rounds but never silently dropped (dropping one resets its
+history; retire only with a dated note here).
 """
 
 from __future__ import annotations
@@ -311,6 +321,40 @@ HEADLINE = [
     ("cluster_agree", similarity.kmeans_cluster_agreement),
     ("decompose", timeseries.ts_classical_decompose),
     ("jarque_bera", quality.stats_jarque_bera),
+    # round-10 coverage closure (VERDICT_r9 task #4): every registry
+    # query measured >1 s at sf0.1 in the round-10 two-SF sweep now
+    # has a headline entry (so cross-round wall-time history exists
+    # for everything expensive), plus the round-10 additions.
+    ("knn_pq_quantize", similarity.knn_pq_quantize),
+    ("dedup_embedding_cosine", dedup.dedup_embedding_cosine),
+    ("similarity_threshold_pairs", similarity.similarity_threshold_pairs),
+    ("kmeans_lloyd_iterations", similarity.kmeans_lloyd_iterations),
+    ("events_kll_quantile_rollup", relational.events_kll_quantile_rollup),
+    ("dedup_cluster_stats", dedup.dedup_cluster_stats),
+    ("agg_approx_sketches", relational.agg_approx_sketches),
+    ("train_dataset_card", training.train_dataset_card),
+    ("dedup_cluster_assign", dedup.dedup_cluster_assign),
+    ("cdc_key_envelope", cdc_batch.cdc_key_envelope),
+    ("sessions_interval_overlap", relational.sessions_interval_overlap),
+    ("q2_min_cost_supplier", tpch_full.q2_min_cost_supplier),
+    ("multimodal_image_equalize", multimodal.multimodal_image_equalize),
+    ("text_langid_confusion", text.text_langid_confusion),
+    ("ts_hurst_rs_exponent", timeseries.ts_hurst_rs_exponent),
+    ("graph_trade_reciprocity", graph.graph_trade_reciprocity),
+    ("q8_market_share", tpch_full.q8_market_share),
+    ("events_countmin_heavy_hitters",
+     relational.events_countmin_heavy_hitters),
+    ("text_repetition_signals", text.text_repetition_signals),
+    ("multimodal_audio_decode", multimodal.multimodal_audio_decode),
+    ("hof_order_quantities", relational.hof_order_quantities),
+    ("agg_exact_percentiles", relational.agg_exact_percentiles),
+    ("dedup_containment", dedup.dedup_containment),
+    ("agg_stats_acctbal", relational.agg_stats_acctbal),
+    ("udaf_geomean_discount", relational.udaf_geomean_discount),
+    ("agg_distinct_per_flag", relational.agg_distinct_per_flag),
+    ("cdc_incremental_view_replay", cdc_batch.cdc_incremental_view_replay),
+    ("ab_test_wilson_ci", quality.ab_test_wilson_ci),
+    ("sql_filtered_agg_text", sqlfront.sql_filtered_agg_text),
 ]
 
 

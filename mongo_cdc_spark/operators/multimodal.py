@@ -1784,17 +1784,32 @@ _ZCR_HIGH = 32           # frame is "noisy" above this crossing count
 
 
 def zcr_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: REAL WAV decode, then zero-crossing
-    statistics — the classic voiced/unvoiced (tone vs noise)
-    discriminator that complements the VAD's energy gate: crossings
-    are sign flips between CONSECUTIVE samples, counted exactly."""
+    """mapInPandas stage: clip synthesis (cycled document bytes with
+    the parity-conditional sign bit — vectorized numpy; an earlier
+    JVM hex-transform spelling of the same bytes cost ~8 s at sf0.1
+    against ~1 s here, HOF lambdas being interpreted per element),
+    then the REAL WAV encode->decode round trip and the
+    zero-crossing statistics — the classic voiced/unvoiced (tone vs
+    noise) discriminator that complements the VAD's energy gate:
+    crossings are sign flips between CONSECUTIVE samples, counted
+    exactly."""
+    import numpy as np
     import struct
 
+    nb = _AUD_SAMPLES * 2
     for pdf in it:
         rows = {"doc_id": [], "n_crossings": [], "neg_samples": [],
                 "high_zcr_frames": []}
-        for doc_id, clip in zip(pdf["doc_id"], pdf["clip"]):
-            ch, width, rate, frames = decode_wav(bytes(clip))
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc = text.encode("utf-8")
+            pcm = np.frombuffer(
+                (doc * (nb // len(doc) + 1))[:nb],
+                dtype=np.uint8).copy()
+            # sign injection: set the high byte's sign bit whenever
+            # the sample's LOW byte is odd (mirrors the oracle)
+            pcm[1::2] |= (pcm[0::2] & 1) << 7
+            clip = encode_wav(_AUD_RATE, pcm.tobytes())
+            ch, width, rate, frames = decode_wav(clip)
             assert ch == 1 and width == 2
             n = len(frames) // 2
             s = struct.unpack(f"<{n}h", frames)
@@ -1898,29 +1913,11 @@ def multimodal_audio_zcr(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0)
     n = spark.sparkContext.defaultParallelism
-    nb = _AUD_SAMPLES * 2
-    # JVM-side container synthesis: 44-byte RIFF header from the real
-    # stdlib encoder; the PCM body is cycled ASCII bytes with the
-    # parity-conditional sign bit spliced into each sample's high
-    # byte via a hex transform — still no per-row Python UDF.
-    header = encode_wav(_AUD_RATE, b"\x00" * nb)[:44]
-    rep = F.expr(
-        f"substring(repeat(text, cast(ceil({nb} / length(text))"
-        f" as int) + 1), 1, {nb})")
-    body = F.expr(f"""
-        unhex(array_join(transform(sequence(0, {_AUD_SAMPLES - 1}),
-          j -> concat(
-            lpad(hex(ascii(substring(rep, 2 * j + 1, 1))), 2, '0'),
-            lpad(hex(ascii(substring(rep, 2 * j + 2, 1))
-                     + CASE WHEN ascii(substring(rep, 2 * j + 1, 1))
-                                 % 2 = 1
-                            THEN 128 ELSE 0 END), 2, '0'))), ''))
-    """)
-    clips = (docs.select("doc_id", rep.alias("rep"))
-             .select("doc_id",
-                     F.concat(F.lit(header), body).alias("clip"))
-             .repartition(n))
-    feats = clips.mapInPandas(
+    # synthesis + encode->decode round trip + statistics all live in
+    # ONE Arrow stage (zcr_batch); only (doc_id, text) crosses the
+    # boundary and only the 4 statistics come back
+    feats = (docs.select("doc_id", "text")
+             .repartition(n)).mapInPandas(
         zcr_batch,
         schema=("doc_id long, n_crossings int, neg_samples int, "
                 "high_zcr_frames int"))

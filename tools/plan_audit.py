@@ -95,6 +95,9 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # histogram run in the one declared mapInPandas stage;
              # the threshold search is JVM-side per-doc windows:
              "multimodal_image_otsu",
+             # histogram equalization: shares Otsu's gray_hist_batch
+             # stage; the CDF remap is JVM-side per-doc windows:
+             "multimodal_image_equalize",
              # TGA decode: the real type-2 Targa decoder (row flip +
              # BGR swap) runs in the one declared mapInPandas stage
              # (multimodal_real_decode's shape):
@@ -114,6 +117,10 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
 # pairs) is big-big by definition — a cluster-keyed shuffle join IS the
 # 100 TB plan, with the admissible grid bounding what meets what:
 SMJ_OK = {"q7_volume_shipping": 1, "q8_market_share": 1,
+          # trade reciprocity: lineitem ⋈ orders — both sides huge at
+          # 100 TB (q7's class); dims broadcast, everything after the
+          # nation-pair rollup is bounded-grain:
+          "graph_trade_reciprocity": 1,
           "similarity_threshold_pairs": 1, "dedup_embedding_cosine": 1,
           # SemDeDup's within-cell self-join is big-big by the
           # algorithm's contract (corpus ⋈ corpus keyed on the coarse
