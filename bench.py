@@ -236,7 +236,9 @@ HEADLINE = [
     ("trending_topk", relational.streaming_trending_topk_replay),
     ("clustered_se", quality.ab_test_clustered_se),
     ("eb_shrinkage", quality.stats_eb_shrinkage),
-    ("burstiness", text.text_term_burstiness),
+    # was also labeled "burstiness" (round-7 copy/paste) and silently
+    # shadowed the events entry in the timings dict until round 10
+    ("term_burstiness", text.text_term_burstiness),
     ("twfe", timeseries.stats_twoway_fixed_effects),
     ("markov_stationary", timeseries.events_markov_stationary),
     ("dup_rate_sample", dedup.dedup_sample_rate_estimate),
@@ -345,7 +347,9 @@ HEADLINE = [
     ("events_countmin_heavy_hitters",
      relational.events_countmin_heavy_hitters),
     ("text_repetition_signals", text.text_repetition_signals),
-    ("multimodal_audio_decode", multimodal.multimodal_audio_decode),
+    # registered name multimodal_audio_decode; the function is the
+    # shared real-WAV decoder entry point
+    ("multimodal_audio_decode", multimodal.audio_real_decode),
     ("hof_order_quantities", relational.hof_order_quantities),
     ("agg_exact_percentiles", relational.agg_exact_percentiles),
     ("dedup_containment", dedup.dedup_containment),
