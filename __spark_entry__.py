@@ -108,9 +108,16 @@ _GRADE_FIRST = (
     # text_bpe_token_count, text_fingerprint_md5,
     # text_repetition_signals, text_shingle_fingerprint,
     # text_tfidf_top_terms, text_top_tokens, train_sequence_pack,
-    # unpivot_lineitem_metrics) plus the 12 oldest r3-vintage fill
-    # the 50 slots; any round-11 additions must stay within the
-    # slack after those or wait. ----
+    # unpivot_lineitem_metrics) plus — FIRST, per the priority rule
+    # (changed-since-green outranks stale-green) — the 3 queries
+    # whose generators were rewritten to the zip_with form late in
+    # round 10 (text_pmi_bigrams r4-green, text_bigram_logprob
+    # r5-green, text_shingle_novelty r5-green; the quadratic
+    # InferFiltersFromGenerate clone fix — same bytes, oracle-green
+    # at both SFs after the change; text_llr_collocations got the
+    # same rewrite but is already in THIS round's window), then the
+    # 9 oldest r3-vintage fill the 50 slots; any round-11 additions
+    # must stay within the slack after those or wait. ----
     # ---------------- ROUND-9 WINDOW (historical) ----------------
     # Rotation per VERDICT_r8 task #1: the 10-entry never-graded
     # backlog leads (3 final-commit + 7 late-r8 additions; all 10

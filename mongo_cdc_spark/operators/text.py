@@ -736,10 +736,16 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_u = uni.agg(F.sum("c").alias("nu"))
     n_b = toks.agg(F.sum(F.greatest(F.size("w") - 1, F.lit(0)))
                    .alias("nb"))
+    # zip_with over slices, NOT element_at(w, i) in the lambda:
+    # InferFiltersFromGenerate clones this generator into a Filter
+    # and pushdown inlines w = split(text) into the clone — an
+    # indexing lambda then re-splits the document PER ELEMENT,
+    # O(tokens^2) per doc (the round-10 bloom-decon root cause).
     big = (toks.filter(F.size("w") >= 2)
            .select(F.explode(F.expr(
-               "transform(slice(w, 1, size(w) - 1), "
-               "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+               "zip_with(slice(w, 1, size(w) - 1), "
+               "slice(w, 2, size(w) - 1), "
+               "(a, b) -> struct(a AS w1, b AS w2))"
            )).alias("bg"))
            .select("bg.*")
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
@@ -916,12 +922,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the oracle's detection floor), matching the unigram op."""
     arr = _docs(spark, sf_dir).select("doc_id", _tokens().alias("w"))
     # (h1, h2) bigram hash pairs from one pass over the token array
+    # zip_with over slices, NOT element_at(w, i) in the lambda:
+    # InferFiltersFromGenerate clones this generator into a Filter
+    # and pushdown inlines w = split(text) into the clone — an
+    # indexing lambda then re-splits the document PER ELEMENT,
+    # O(tokens^2) per doc (the round-10 bloom-decon root cause).
     big = (arr.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(slice(w, 1, size(w) - 1), "
-            "(x, i) -> struct(xxhash64(x) AS h1, "
-            "xxhash64(element_at(w, i + 2)) AS h2))")).alias("b"))
+            "zip_with(slice(w, 1, size(w) - 1), "
+            "slice(w, 2, size(w) - 1), "
+            "(a, b) -> struct(xxhash64(a) AS h1, "
+            "xxhash64(b) AS h2))")).alias("b"))
         .select("doc_id", "b.h1", "b.h2"))
     uni = arr.select(F.explode("w").alias("tok"))
     vocab = uni.agg(F.countDistinct("tok").alias("v"))
@@ -1045,12 +1057,19 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency agg, one hash-keyed join back, one per-doc rollup —
     every stage partial-aggregatable."""
     arr = _docs(spark, sf_dir).select("doc_id", _tokens().alias("w"))
+    # zip_with over slices, NOT element_at(w, i) in the lambda:
+    # InferFiltersFromGenerate clones this generator into a Filter
+    # and pushdown inlines w = split(text) into the clone — an
+    # indexing lambda then re-splits the document PER ELEMENT,
+    # O(tokens^2) per doc (the round-10 bloom-decon root cause).
     sh = (arr.select(
         "doc_id",
         F.explode(F.expr(
-            "transform(slice(w, 1, size(w) - 2), (x, i) -> "
-            "xxhash64(concat_ws(' ', x, element_at(w, i + 2), "
-            "element_at(w, i + 3))))")).alias("sh"))
+            "zip_with(zip_with(slice(w, 1, size(w) - 2), "
+            "slice(w, 2, size(w) - 2), "
+            "(a, b) -> concat_ws(' ', a, b)), "
+            "slice(w, 3, size(w) - 2), "
+            "(ab, c) -> xxhash64(concat_ws(' ', ab, c)))")).alias("sh"))
         .distinct())
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
@@ -1927,10 +1946,16 @@ def text_llr_collocations(spark: SparkSession,
     ranking tie."""
     toks = (_docs(spark, sf_dir)
             .select("doc_id", _tokens().alias("w")))
+    # zip_with over slices, NOT element_at(w, i) in the lambda:
+    # InferFiltersFromGenerate clones this generator into a Filter
+    # and pushdown inlines w = split(text) into the clone — an
+    # indexing lambda then re-splits the document PER ELEMENT,
+    # O(tokens^2) per doc (the round-10 bloom-decon root cause).
     big = (toks.filter(F.size("w") >= 2)
            .select(F.explode(F.expr(
-               "transform(slice(w, 1, size(w) - 1), "
-               "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+               "zip_with(slice(w, 1, size(w) - 1), "
+               "slice(w, 2, size(w) - 1), "
+               "(a, b) -> struct(a AS w1, b AS w2))"
            )).alias("bg"))
            .select("bg.*")
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
