@@ -471,3 +471,26 @@ def test_llr_collocations_matches_python_reference(spark, sf_dir):
         assert (r["w1"], r["w2"]) == (a, b)
         assert r["n_pair"] == c
         assert math.isclose(r["llr"], g2, abs_tol=2e-4)
+
+
+def test_no_per_element_resplit_in_any_tokenizing_plan(spark, sf_dir):
+    """Regression guard for the quadratic generator-clone class
+    (round-10 root cause): InferFiltersFromGenerate clones a
+    generator into a Filter and pushdown inlines w = split(text)
+    into the clone — if the lambda indexes w via element_at, the
+    document re-splits once PER ELEMENT (O(tokens^2) per doc,
+    invisible on short fixture docs, fatal on real documents). The
+    optimized plan of every text/dedup/training query must therefore
+    contain zero element_at(split(...)) sites; n-gram builders use
+    zip_with over slices or a materialization barrier instead."""
+    from mongo_cdc_spark.operators import dedup, text, training
+
+    offenders = {}
+    for mod in (text, dedup, training):
+        for name, fn in mod.QUERIES.items():
+            plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                    .optimizedPlan().toString())
+            n = plan.count("element_at(split(")
+            if n:
+                offenders[name] = n
+    assert not offenders, offenders
