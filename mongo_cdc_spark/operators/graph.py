@@ -576,7 +576,9 @@ def graph_label_propagation(spark: SparkSession,
                half.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst")))
            .repartition(F.col("dst"))
-           .localCheckpoint(eager=False))
+           # EAGER: the broadcast label frames derive from adj
+           # (the SURVEY lazy-checkpoint deadlock rule)
+           .localCheckpoint(eager=True))
     labels = (adj.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("lab")))
@@ -1485,7 +1487,9 @@ def graph_trade_reciprocity(spark: SparkSession,
     e = (tr.crossJoin(F.broadcast(m))
          .where(F.col("cents") * F.col("ne") > F.col("tot"))
          .select("a", "b")
-         .localCheckpoint(eager=False))
+         # EAGER: nn/recip broadcast frames derive from this one
+         # (the SURVEY lazy-checkpoint deadlock rule)
+         .localCheckpoint(eager=True))
     nn = (e.select(F.col("a").alias("x"))
           .union(e.select(F.col("b").alias("x"))).distinct()
           .agg(F.count(F.lit(1)).alias("n_nodes")))

@@ -5773,7 +5773,9 @@ def ab_test_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("cvr"),
         F.round((p + z2n / 2 - hw) / (1 + z2n), 6).alias("wilson_lo"),
         F.round((p + z2n / 2 + hw) / (1 + z2n), 6).alias("wilson_hi"))
-        .localCheckpoint(eager=False))
+        # EAGER: ext below is a broadcast consumer of this frame
+        # (the SURVEY lazy-checkpoint deadlock rule)
+        .localCheckpoint(eager=True))
     ext = ci.agg(F.max("wilson_lo").alias("max_lo"),
                  F.min("wilson_hi").alias("min_hi"))
     return (ci.crossJoin(F.broadcast(ext))

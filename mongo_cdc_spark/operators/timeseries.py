@@ -3204,7 +3204,7 @@ def ts_hurst_rs_exponent(spark: SparkSession,
                    .alias("x")))
     idx = (hourly.withColumn(
         "t", F.row_number().over(Window.orderBy("h")))
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     nt = idx.agg(F.count(F.lit(1)).alias("nt"))
     ns = spark.createDataFrame([(n,) for n in HURST_NS], "n int")
     g = (idx.crossJoin(F.broadcast(ns))
@@ -3236,7 +3236,7 @@ def ts_hurst_rs_exponent(spark: SparkSession,
                   .alias("rs_mean")))
     pts = (per_n.withColumn("lx", F.log10(F.col("n").cast("double")))
            .withColumn("ly", F.log10("rs_mean"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     ols = pts.agg(F.round(
         (F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
          - F.sum("lx") * F.sum("ly"))
