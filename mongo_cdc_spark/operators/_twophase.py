@@ -99,7 +99,7 @@ def exact_quantiles(df: DataFrame,
     local = (ranged.withColumn(
         _LRANK,
         F.row_number().over(W.partitionBy(_PID, *gcols).orderBy(*order)))
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     per = local.groupBy(_PID, *gcols).agg(
         F.count(F.lit(1)).alias("__tq_cnt"))
     # both sides are the metadata-grain per-(partition, group) count
@@ -217,7 +217,7 @@ def with_global_order(df: DataFrame,
     # Shared by the offsets agg and the final join — checkpoint so the
     # (sampled, pid-stamped) frame is computed once and both branches
     # see identical partition ids.
-    local = local.localCheckpoint(eager=False)
+    local = local.localCheckpoint(eager=True)
 
     aggs = [F.count(F.lit(1)).alias("__tp_cnt")]
     aggs += [F.sum(src).alias(f"__tp_tot_{out}")

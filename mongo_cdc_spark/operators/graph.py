@@ -131,7 +131,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg((F.lit(1 - PR_DAMP) / F.lit(n)
                     + F.lit(PR_DAMP)
                     * F.sum(F.col("pr") / F.col("deg"))).alias("pr"))
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     # top-k WITHOUT a global window: orderBy+limit plans as
     # TakeOrderedAndProject (per-partition heaps, no full sort, no
     # single-partition WindowExec over every node) — the rank window
@@ -223,11 +223,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     e = (edges
          .join(deg.select(F.col("id").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -240,7 +240,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("src"),
                   F.when(u_first, F.col("v")).otherwise(F.col("u"))
                   .alias("dst"))
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     od = o.join(deg.select(F.col("id").alias("dst"),
                            F.col("deg").alias("ddeg")), "dst")
     o1 = od.select("src", F.col("dst").alias("b"),
@@ -343,7 +343,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("a").orderBy(F.desc(F.round("val", 2)), "b")
     topk = (tr.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= BFS_K_OUT).select("a", "b")
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     dist = (n.filter(F.col("n_nationkey") == BFS_SEED)
             .select(F.col("n_nationkey").cast("int").alias("id"),
                     F.lit(0).alias("d")))
@@ -353,7 +353,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("d") + 1).alias("d")))
         dist = (dist.unionByName(step)
                 .groupBy("id").agg(F.min("d").alias("d"))
-                .localCheckpoint(eager=False))
+                .localCheckpoint(eager=True))
     return (dist.join(n, dist.id == n.n_nationkey)
             .select(F.col("id").alias("node_id"),
                     F.col("n_name").alias("nation"),
@@ -559,7 +559,7 @@ def graph_label_propagation(spark: SparkSession,
     li = load_table(spark, sf_dir, "lineitem")
     e = (li.select(F.col("l_suppkey").alias("s"),
                    F.col("l_partkey").alias("p"))
-         .distinct().localCheckpoint(eager=False))
+         .distinct().localCheckpoint(eager=True))
     a, b = e.alias("a"), e.alias("b")
     # Oriented join (a.s < b.s) halves the through-part pair
     # explosion before the distinct, then the mirror union restores
@@ -592,7 +592,7 @@ def graph_label_propagation(spark: SparkSession,
                   .withColumn("rn", F.row_number().over(rank_w))
                   .where(F.col("rn") == 1)
                   .select("node", "lab")
-                  .localCheckpoint(eager=False))
+                  .localCheckpoint(eager=True))
     return (labels.groupBy("lab")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("node").alias("min_member"),
@@ -711,7 +711,7 @@ def graph_kcore_decomposition(spark: SparkSession,
             .filter(F.col("rn") <= BFS_K_OUT).select("a", "b"))
     sym = (topk.unionByName(topk.select(F.col("b").alias("a"),
                                         F.col("a").alias("b")))
-           .distinct().repartition("a").localCheckpoint(eager=False))
+           .distinct().repartition("a").localCheckpoint(eager=True))
 
     def _restrict(alive: DataFrame) -> DataFrame:
         """Edges with BOTH endpoints alive, grouped to src degree —
@@ -732,7 +732,7 @@ def graph_kcore_decomposition(spark: SparkSession,
                      .agg(F.count(F.lit(1)).alias("deg"))
                      .where(F.col("deg") >= k)
                      .select("a")
-                     .localCheckpoint(eager=False))
+                     .localCheckpoint(eager=True))
         core = (_restrict(alive)
                 .agg(F.count(F.lit(1)).alias("core_degree"))
                 .select(F.lit(k).alias("k"),
@@ -825,11 +825,11 @@ def graph_local_clustering(spark: SparkSession,
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     e = (edges
          .join(deg.select(F.col("id").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -842,7 +842,7 @@ def graph_local_clustering(spark: SparkSession,
                   .alias("src"),
                   F.when(u_first, F.col("v")).otherwise(F.col("u"))
                   .alias("dst"))
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     od = o.join(deg.select(F.col("id").alias("dst"),
                            F.col("deg").alias("ddeg")), "dst")
     o1 = od.select("src", F.col("dst").alias("b"),
@@ -857,7 +857,7 @@ def graph_local_clustering(spark: SparkSession,
     # checkpoint the triangle list: the 3-way member union below
     # must read it ONCE, not replay the wedge join per branch
     tri = (wedge.join(closing, ["b", "c"]).select("src", "b", "c")
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     pern = (tri.select(F.col("src").alias("id"))
             .unionByName(tri.select(F.col("b").alias("id")))
             .unionByName(tri.select(F.col("c").alias("id")))
@@ -953,16 +953,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     adj = (edges.select(F.col("u").alias("src"),
                         F.col("v").alias("dst"))
            .unionByName(edges.select(F.col("v").alias("src"),
                                      F.col("u").alias("dst")))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     a1 = adj.select("src", F.col("dst").alias("u"))
     a2 = adj.select("src", F.col("dst").alias("v"))
     cn = (a1.join(a2, "src")
@@ -1067,14 +1067,14 @@ def graph_adamic_adar_topk(spark: SparkSession,
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
     adj = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
            .unionByName(edges.select(F.col("v").alias("src"),
                                      F.col("u").alias("dst")))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     a1 = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     a2 = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     term = F.round(F.lit(1e8) / F.log(F.col("deg"))).cast("bigint")
@@ -1174,10 +1174,12 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: identical to PageRank — per half-step ONE
     edge-join-scores shuffle partial-aggregated on the destination
     key, rank state O(nodes), lineage truncated per superstep via
-    LAZY localCheckpoint (each intermediate has exactly one
-    downstream consumer; only the two FINAL frames are eager because
-    both feed a broadcast norm-aggregate plus the output select —
-    the round-9 broadcast-race rule). The L1 norms are broadcast
+    EAGER localCheckpoint (round-11 repo rule: every localCheckpoint
+    is eager — a lazy checkpoint materialized by a
+    broadcast-exchange thread deadlocks the JVM via the
+    RDD.markCheckpointed / RDDCheckpointData lock inversion, hit
+    live in rounds 9 and 10; eagerness is free because every
+    checkpointed frame here is consumed unconditionally). The L1 norms are broadcast
     1-row aggregates. Determinism: node-grain double sums differ at
     ~1e-15 relative between engines; the 6-dp rounding absorbs it and
     ranks tie-break on (node_type, node_id). Top-k is orderBy+limit
@@ -1388,7 +1390,7 @@ def graph_powerlaw_alpha(spark: SparkSession,
     deg = (pairs.select(F.col("c").alias("id"))
            .unionAll(pairs.select((-(F.col("s") + 1)).alias("s")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     tail = deg.filter(F.col("d") >= PL_DMIN)
     agg = tail.agg(
         F.count(F.lit(1)).alias("n_tail"),

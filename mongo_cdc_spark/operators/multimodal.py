@@ -1490,7 +1490,7 @@ def multimodal_audio_fingerprint(spark: SparkSession,
         .repartition(spark.sparkContext.defaultParallelism))
     fp = (clips.mapInPandas(
         audio_fingerprint_batch, schema="doc_id long, f int, h int")
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     probes = (fp.filter(F.col("doc_id") < _FP_PROBES)
               .select(F.col("doc_id").alias("probe_doc"), "f", "h"))
     score = (fp.join(F.broadcast(probes), ["f", "h"])
@@ -1829,16 +1829,25 @@ def zcr_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query("multimodal_audio_zcr", sql=f"""
     WITH s AS (
       -- clip synthesis mirror: low byte cycles the text; the high
-      -- byte additionally gets its sign bit set whenever the low
-      -- byte is ODD, so samples genuinely span both signs (ASCII
-      -- high bytes alone are < 128 and would never go negative)
+      -- byte additionally gets its sign bit SET (idempotent |128,
+      -- spelled (b % 128) + 128 which equals b | 128 for any byte —
+      -- ADVICE r10: the engine uses |=, so the oracle must not ADD)
+      -- whenever the low byte is ODD, so samples genuinely span both
+      -- signs (ASCII high bytes alone are < 128, never negative).
+      -- Char-indexed substr/ord mirrors the engine's byte walk only
+      -- because the fixture is pure ASCII — asserted in
+      -- tests/test_multimodal.py's ZCR mirror.
       SELECT d.doc_id, g.j,
              ord(substr(d.text, ((2 * g.j) % len(d.text)) + 1, 1))
-             + 256 * (ord(substr(d.text,
-                                 ((2 * g.j + 1) % len(d.text)) + 1, 1))
-                      + 128 * (ord(substr(d.text,
-                                          ((2 * g.j) % len(d.text))
-                                          + 1, 1)) % 2))
+             + 256 * (CASE WHEN ord(substr(d.text,
+                                           ((2 * g.j) % len(d.text))
+                                           + 1, 1)) % 2 = 1
+                      THEN (ord(substr(d.text,
+                                       ((2 * g.j + 1) % len(d.text))
+                                       + 1, 1)) % 128) + 128
+                      ELSE ord(substr(d.text,
+                                      ((2 * g.j + 1) % len(d.text))
+                                      + 1, 1)) END)
                AS raw
       FROM documents d, generate_series(0, {_AUD_SAMPLES - 1}) g(j)
       WHERE len(d.text) > 0
@@ -2110,11 +2119,15 @@ def multimodal_image_equalize(spark: SparkSession,
     materializes anywhere, which is exactly how a 100 TB
     contrast-audit pass should run.
 
-    Determinism: cdf values are exact integers; the remap quotient
-    has denominator <= 256, so double division + FLOOR is exact on
-    both engines (a non-integer quotient sits >= 1/256 from any
-    integer — no rounding hazard); means divide exact integer sums
-    once and round at 4 dp. Scale: per-doc-partitioned bounded
+    Determinism (restated per ADVICE r10 — the denominator is
+    nt - cmin, up to npix - 1, NOT <= 256): the numerator
+    (cn - cmin) * 255 <= 255 * npix is an EXACT integer in double
+    (npix = 16*16 = 256 keeps it far below 2^53), and IEEE-754
+    division of exactly-representable integers is correctly rounded,
+    so both engines compute bit-identical doubles and FLOOR agrees.
+    This argument requires 255 * npix < 2^53 — revisit if image
+    dimensions ever grow past ~5.9 Tpx. Means divide exact integer
+    sums once and round at 4 dp. Scale: per-doc-partitioned bounded
     (<=256-row) windows; one data-grain stage (the Arrow decode)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0)

@@ -578,7 +578,7 @@ def stats_chi_square_independence(spark: SparkSession,
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     grid = (obs.select("seg").distinct()
             .crossJoin(F.broadcast(obs.select("prio").distinct()))
             .join(F.broadcast(obs), ["seg", "prio"], "left")
@@ -1659,7 +1659,7 @@ def stats_permutation_weekend(spark: SparkSession,
                       (F.weekday("ts") >= 5).cast("int").alias("wk"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("totc"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     d_of = (F.sum(F.when(F.col("wk") == 1, F.col("totc")))
             .cast("double") / 100.0 / F.sum("wk")
             - F.sum(F.when(F.col("wk") == 0, F.col("totc")))
@@ -1788,7 +1788,7 @@ def stats_isotonic_calibration(spark: SparkSession,
         .alias("y")))
     bins = (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     j = bins.select(F.col("bin").alias("jb"))
     k = bins.select(F.col("bin").alias("kb"))
     m = bins.select(F.col("bin").alias("mb"), "n", "p")
@@ -2343,7 +2343,7 @@ def stats_brier_decomposition(spark: SparkSession,
                   .alias("bin"), "y", "is_train"))
     halves = (binned.groupBy("bin", "is_train")
               .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("sy"))
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     train = halves.filter("is_train").select(
         "bin", F.col("cnt").alias("m"), F.col("sy").alias("s"))
     test = halves.filter(~F.col("is_train")).select(
@@ -2571,7 +2571,7 @@ def stats_kfold_cv_slope(spark: SparkSession,
                F.sum("yc").alias("sy"),
                F.sum(F.col("x") * F.col("yc")).alias("sxy"),
                F.sum(F.col("x") * F.col("x")).alias("sxx"))
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))
     tot = fs.agg(*[F.sum(c).alias(c)
                    for c in ("n", "sx", "sy", "sxy", "sxx")])
     f = fs.select(*[F.col(c).alias(f"f_{c}")
@@ -2679,7 +2679,7 @@ def quality_fd_discovery(spark: SparkSession,
     joined = (o.join(c, o.o_custkey == c.c_custkey)
               .select("o_custkey", "o_orderpriority",
                       "c_mktsegment", "c_nationkey")
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     melts = [joined.select(
         F.lit(f"{lhs}->{rhs}").alias("fd"),
         F.col(lhs).cast("string").alias("l"),
@@ -2765,7 +2765,7 @@ def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (peru.groupBy("score")
           .agg(F.sum("y").alias("n_pos"),
                (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"))
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))
     b = sc.select(F.col("score").alias("bs"),
                   F.col("n_neg").alias("bn"))
     cum = (sc.join(F.broadcast(b), F.col("bs") < F.col("score"), "left")
@@ -2832,7 +2832,7 @@ def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variant"))
     c = (assigned.groupBy("variant")
          .agg(F.count(F.lit(1)).alias("n"))
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     tot = c.agg(F.sum("n").alias("nt"))
     t = (c.crossJoin(F.broadcast(tot))
          .withColumn("term",
@@ -2903,7 +2903,7 @@ def stats_hill_tail_index(spark: SparkSession,
            .orderBy(F.desc("x"), "o_orderkey").limit(kmax)
            .withColumn("r", F.row_number().over(
                W.orderBy(F.desc("x"), "o_orderkey")))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     ks = spark.createDataFrame([(k,) for k in HILL_KS], "k int")
     thr = (ks.join(F.broadcast(top), top.r == ks.k + 1)
            .select("k", F.col("x").alias("x_thresh")))
@@ -3197,7 +3197,7 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("int")).alias("n")))
     rated = (peru.filter(F.col("n") > 0)
              .withColumn("p", F.col("k") * 1.0 / F.col("n"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     mom = rated.agg(
         F.count(F.lit(1)).alias("nu"), F.avg("p").alias("m1"),
         ((F.sum(F.col("p") * F.col("p")) / F.count(F.lit(1))
@@ -3467,7 +3467,7 @@ def stats_levene_variance(spark: SparkSession,
     grp = (z.groupBy("seg")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("z").alias("sz"),
                 F.sum(F.col("z") * F.col("z")).alias("sz2"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     tot = grp.agg(F.sum("n").alias("nn"), F.sum("sz").alias("tz"),
                   F.count(F.lit(1)).alias("k"))
     w = (grp.crossJoin(F.broadcast(tot))
@@ -3660,7 +3660,7 @@ def stats_gini_split_search(spark: SparkSession,
     voc = (lab.groupBy("fx")
            .agg(F.sum("y").alias("pos"),
                 (F.count(F.lit(1)) - F.sum("y")).alias("neg"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     tot = voc.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
     v_, b_ = voc.alias("v"), voc.alias("b")
     cum = (v_.join(F.broadcast(b_), F.col("b.fx") <= F.col("v.fx"))
@@ -3986,7 +3986,7 @@ def stats_g_test_independence(spark: SparkSession,
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     segs = obs.select("seg").distinct()
     prios = obs.select("prio").distinct()
     grid = (segs.crossJoin(prios)
@@ -4107,7 +4107,7 @@ def ab_test_uplift_qini(spark: SparkSession,
              .withColumn("h", F.md5(F.col("user_id").cast("string")))
              .withColumn("hr", F.md5(F.concat(
                  F.lit("rk:"), F.col("user_id").cast("string"))))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     med = exact_quantiles(peru0, "spend", {"m": 0.5}, ["user_id"])
     peru = (peru0.crossJoin(F.broadcast(
         med.select(F.round("m", 4).alias("m"))))
@@ -4309,7 +4309,7 @@ def stats_kruskal_wallis(spark: SparkSession,
     base = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
             .select(F.col("c_mktsegment").alias("seg"),
                     yc.alias("yc"))
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     vc = base.groupBy("yc").agg(F.count(F.lit(1)).alias("t"))
     mid = (with_global_order(vc, [F.col("yc").asc()],
                              cumsums={"t": "cum"})
@@ -4651,7 +4651,7 @@ def stats_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     tot = obs.agg(F.sum("n").alias("grand"))
     ent = lambda cnt: -F.sum(  # noqa: E731
         (F.col(cnt) / (F.col("grand") * F.lit(1.0)))
@@ -4765,11 +4765,11 @@ def stats_wilcoxon_signed_rank(spark: SparkSession,
                                cents).otherwise(0)).alias("pc"),
                   F.sum(F.when(F.col("event_type") == "click",
                                cents).otherwise(0)).alias("cc"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     diffs = (daily.select("d", (F.col("pc") - F.col("cc")).alias("df"),
                           F.abs(F.col("pc") - F.col("cc")).alias("ad"))
              .where(F.col("df") != 0)
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     vc = diffs.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
     mid = (with_global_order(vc, [F.col("ad").asc()],
                              cumsums={"t": "cum"})
@@ -5063,7 +5063,7 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.date_trunc("day", "ts").alias("day"),
                       "event_type")
             .distinct()
-            .localCheckpoint(eager=False))
+            .localCheckpoint(eager=True))
     rows_ = (pres.groupBy("user_id", "day")
              .agg(F.count(F.lit(1)).alias("r_i")))
     cols = (pres.groupBy("event_type")

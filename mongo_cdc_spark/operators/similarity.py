@@ -1405,7 +1405,7 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            # plan embeds step k-1's THREE times (chosen/anti/union) —
            # exponential subplan fan-out that re-executes the join
            # machinery ~3^k times even with cand/pairs cached
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     for k in range(2, MMR_SEL + 1):
         chosen = sel.select("query_id", F.col("nid").alias("b_id"))
         pen = (pairs.join(chosen, ["query_id", "b_id"])
@@ -1421,7 +1421,7 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("r") == 1)
                 .select("query_id", "nid", "cos_sim", "mmr",
                         F.lit(k).alias("mmr_rank")))
-        sel = sel.unionByName(step).localCheckpoint(eager=False)
+        sel = sel.unionByName(step).localCheckpoint(eager=True)
     return (sel.select("query_id", "mmr_rank",
                        F.col("nid").alias("neighbor_id"),
                        "cos_sim", F.col("mmr").alias("mmr_score"))
@@ -1607,7 +1607,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id", "c_label", "v", "norm",
                       F.row_number().over(wv).alias("rn"))
               .filter(F.col("rn") <= max(1, EVAL_NPROBE))
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     assigned = ranked.filter(F.col("rn") == 1)
     probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
                             & (F.col("rn") <= EVAL_NPROBE))
@@ -1864,7 +1864,7 @@ def embedding_quality_gate(spark: SparkSession,
     v = (e.select("vec_id", "label",
                   F.size("v").alias("dim"),
                   F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     med = exact_quantiles(v, "nrm", {"med": 0.5}, ["vec_id"])
     return (v.agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -2354,7 +2354,7 @@ def embedding_class_scatter(spark: SparkSession,
     d = e.select("label", "vec_id",
                  F.posexplode("v").alias("i0", "x")) \
         .select("label", "vec_id", (F.col("i0") + 1).alias("i"), "x") \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     cent = (d.groupBy("label", "i")
             .agg(F.round(F.avg("x"), 6).alias("c")))
     gcent = d.groupBy("i").agg(F.round(F.avg("x"), 6).alias("g"))

@@ -1501,7 +1501,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                            & (F.col("tok") != ""))
                .withColumn("grp",
                            F.col("pos") - F.row_number().over(wdoc))
-               .localCheckpoint(eager=False))
+               .localCheckpoint(eager=True))
     phrase = (content.groupBy("doc_id", "grp")
               .agg(F.concat_ws(
                   " ", F.transform(
@@ -1847,7 +1847,7 @@ def text_textrank_keywords(spark: SparkSession,
              .unionByName(pairs.select(F.col("p.b").alias("src"),
                                        F.col("p.a").alias("dst")))
              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     wdeg = (edges.groupBy("src").agg(F.sum("wt").alias("tot"))
             .withColumnRenamed("src", "word"))
     score = wdeg.select("word", F.lit(1.0).alias("score"))
@@ -1861,7 +1861,7 @@ def text_textrank_keywords(spark: SparkSession,
                  .agg((F.lit(1 - _TR_DAMP) + F.lit(_TR_DAMP)
                        * F.sum(F.col("wt") * F.col("score")
                                / F.col("tot"))).alias("score"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
     top = (score.select("word", F.round("score", 6).alias("textrank"))
            .orderBy(F.desc("textrank"), "word")
            .limit(_TR_TOPK))
@@ -1959,7 +1959,7 @@ def text_llr_collocations(spark: SparkSession,
            )).alias("bg"))
            .select("bg.*")
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     firsts = big.groupBy("w1").agg(F.sum("c").alias("r1"))
     seconds = big.groupBy("w2").agg(F.sum("c").alias("c1"))
     tot = big.agg(F.sum("c").alias("n"))

@@ -1318,7 +1318,7 @@ def stats_fdr_bh_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (pv.withColumn("rnk", F.row_number().over(rw).cast("int"))
               .withColumn("m", F.count(F.lit(1)).over(
                   Window.partitionBy(F.lit(1))))
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     cutoff = ranked.agg(
         F.coalesce(F.max(F.when(
             F.col("p_value") * F.col("m") <= F.col("rnk") * _BH_Q,
@@ -1397,7 +1397,7 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily rollup instead of re-running the data-grain scan each
     d2 = (daily.withColumn(
         "idx", F.row_number().over(W.orderBy("day")) - 1)
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     # every frame below is calendar-bounded (days / day-windows), so
     # the joins broadcast by construction at ANY data scale — the
     # hints are load-bearing because the checkpoint hides sizes
@@ -1407,7 +1407,7 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("bi") <= F.col("i") + (w - 1)))
            .select("i", (F.col("bi") - F.col("i")).alias("k"),
                    "x", "sday")
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     ws = (win.groupBy("i")
           .agg(F.min("sday").alias("sday"), F.avg("x").alias("mu"),
                F.stddev_pop("x").alias("sd"),
@@ -1542,13 +1542,13 @@ def ts_binseg_changepoints(spark: SparkSession,
              .groupBy(F.col("ts").cast("date").alias("d"))
              .agg(F.round(F.sum("value") * 100).cast("bigint")
                   .alias("vc"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     a = daily.alias("a")
     b = daily.alias("b")
     idx = (a.join(b, F.col("b.d") < F.col("a.d"), "left")
            .groupBy(F.col("a.d").alias("d"), F.col("a.vc").alias("vc"))
            .agg(F.count(F.col("b.d")).alias("i"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     nn = daily.agg(F.count(F.lit(1)).alias("n"))
     tpts = (idx.select(F.col("i").alias("t"))
             .unionByName(nn.select(F.col("n").alias("t"))))
@@ -1562,7 +1562,7 @@ def ts_binseg_changepoints(spark: SparkSession,
                F.coalesce(F.sum(F.when(F.col("mi") < F.col("t"),
                                        F.col("mv") * F.col("mv"))),
                           F.lit(0.0)).alias("p2"))
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))
     tot = (tp.filter(F.col("t") == 0)
            .select(F.col("p").alias("p0"), F.col("p2").alias("p20"))
            .crossJoin(nn.join(tp, tp.t == nn.n)
@@ -1691,7 +1691,7 @@ def stats_twoway_fixed_effects(spark: SparkSession,
                         F.col("ts").cast("date").alias("t"))
              .agg(F.round(F.sum("value"), 2).alias("y"),
                   F.count(F.lit(1)).alias("x"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     mi = panel.groupBy("i").agg(F.avg("y").alias("yi"),
                                 F.avg(F.col("x") * 1.0).alias("xi"))
     mt = panel.groupBy("t").agg(F.avg("y").alias("yt"),
@@ -1811,7 +1811,7 @@ def events_markov_stationary(spark: SparkSession,
     tc = (seq.filter(F.col("prev").isNotNull())
           .groupBy("prev", F.col("event_type").alias("nxt"))
           .agg(F.count(F.lit(1)).alias("n"))
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))
     wp = Window.partitionBy("prev")
     praw = tc.select("prev", "nxt",
                      (F.col("n") * 1.0 / F.sum("n").over(wp))
@@ -1822,7 +1822,7 @@ def events_markov_stationary(spark: SparkSession,
     p = (praw.unionByName(
         sinks.select(F.col("nxt").alias("prev"), "nxt",
                      F.lit(1.0).alias("pr")))
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     states = p.select(F.col("prev").alias("s")).distinct()
     n_states = states.agg(F.count(F.lit(1)).alias("k"))
     pi = (states.crossJoin(F.broadcast(n_states))
@@ -1831,7 +1831,7 @@ def events_markov_stationary(spark: SparkSession,
         pi = (p.join(pi.withColumnRenamed("s", "prev"), "prev")
               .groupBy(F.col("nxt").alias("s"))
               .agg(F.sum(F.col("w") * F.col("pr")).alias("w"))
-              .localCheckpoint(eager=False))
+              .localCheckpoint(eager=True))
     tot = ev.agg(F.count(F.lit(1)).alias("nt"))
     emp = (ev.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("c"))
@@ -1905,7 +1905,7 @@ def ts_exponential_smoothing(spark: SparkSession,
                    / 100.0).alias("y")))
     idx = (daily.withColumn(
         "t", F.row_number().over(Window.orderBy("day")))
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     a_, s_ = idx.alias("a"), idx.alias("s")
     alpha = _SES_ALPHA
     coef = F.when(F.col("s.t") == 1,
@@ -1917,7 +1917,7 @@ def ts_exponential_smoothing(spark: SparkSession,
            .groupBy(F.col("a.t").alias("t"), F.col("a.day").alias("day"),
                     F.col("a.y").alias("y"))
            .agg(F.round(F.sum(coef * F.col("s.y")), 6).alias("level"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     prev = lvl.select((F.col("t") + 1).alias("t"),
                       F.col("level").alias("forecast"))
     return (lvl.join(F.broadcast(prev), "t", "left")
@@ -1983,7 +1983,7 @@ def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.row_number().over(Window.orderBy("day")))
         .withColumn("n", F.count(F.lit(1)).over(
             Window.partitionBy(F.lit(1))))
-        .localCheckpoint(eager=False))
+        .localCheckpoint(eager=True))
     a_, s_ = idx.alias("a"), idx.alias("s")
     tr = (a_.join(F.broadcast(s_),
                   (F.col("s.t") >= F.col("a.t") - 3)
@@ -2058,7 +2058,7 @@ def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).alias("p"),
                   F.sum(F.when(F.col("event_type") == "view", 1)
                         .otherwise(0)).alias("v"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     a_, b_ = daily.alias("a"), daily.alias("b")
     dp = F.col("a.p") - F.col("b.p")
     dv = F.col("a.v") - F.col("b.v")
@@ -2129,7 +2129,7 @@ def ts_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .cast("bigint")).otherwise(0))
                   .alias("cents"),
                   F.countDistinct("user_id").alias("users"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     a_, b_ = daily.alias("a"), daily.alias("b")
     lt = lambda col: (  # noqa: E731
         (F.col(f"b.{col}") < F.col(f"a.{col}"))
@@ -2207,7 +2207,7 @@ def ts_ljungbox_whiteness(spark: SparkSession,
              .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
              .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
                    / 100.0).alias("y"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     mom = daily.agg(F.avg("y").alias("mu"),
                     F.count(F.lit(1)).alias("n"))
     s0 = (daily.crossJoin(F.broadcast(mom))
@@ -2299,7 +2299,7 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
              .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
                    / 100.0).alias("y"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     med = daily.agg(F.percentile("y", 0.5).alias("m"))
     signed = (daily.crossJoin(F.broadcast(med))
               .where(F.col("y") != F.col("m"))
@@ -2824,7 +2824,7 @@ def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("yc"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     idx = daily.withColumn(
         "t", F.row_number().over(Window.orderBy("day")))
     s = idx.agg(F.count(F.lit(1)).alias("n"),
@@ -2915,7 +2915,7 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("yc"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     wd = Window.orderBy("day")
     x = daily.select(
         "day", F.log(F.col("yc") * F.lit(1.0)).alias("x"))
@@ -3088,7 +3088,7 @@ def ts_classical_decompose(spark: SparkSession,
     daily = (ev.groupBy(F.to_date("ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("yc"))
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     wma = Window.orderBy("day").rowsBetween(-3, 3)
     idx = (daily
            .withColumn("t", F.row_number().over(Window.orderBy("day")))

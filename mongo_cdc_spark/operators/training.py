@@ -508,7 +508,7 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.select(
         "doc_id", "k", "n_tok",
         F.round(F.col("n_tok") * F.col("ttr"), 4).alias("difficulty")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     pos = with_global_order(ranked,
                             [F.asc("difficulty"), F.asc("doc_id")],
                             rank_col="g")
@@ -866,7 +866,7 @@ def train_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "' ' || a || '  ' || b || ' ', "
                      "' ' || merged || ' ')), ' +'), ' '), ' ')")
                      .alias("seq"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
@@ -1020,7 +1020,7 @@ def train_bpe_tokenize_apply(spark: SparkSession,
                      "' ' || a || '  ' || b || ' ', "
                      "' ' || merged || ' ')), ' +'), ' '), ' ')")
                      .alias("seq"))
-                 .localCheckpoint(eager=False))
+                 .localCheckpoint(eager=True))
     wordstats = state.select(
         "word", F.size(F.split(F.trim(F.col("seq")), " +")).alias("n_sym"))
     toks = (docs.select("lang", F.explode(_tokens()).alias("word"))
@@ -1360,7 +1360,7 @@ def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens()).alias("n_tok"),
         F.when(b == _SPLIT_TEST, "test")
         .when(b == _SPLIT_VAL, "val")
-        .otherwise("train").alias("split")).localCheckpoint(eager=False)
+        .otherwise("train").alias("split")).localCheckpoint(eager=True)
     leaked = (base.groupBy("fp")
               .agg(F.count_distinct("split").alias("ns"))
               .where(F.col("ns") > 1)
@@ -1888,7 +1888,7 @@ def train_cross_source_overlap(spark: SparkSession,
           .select("source", F.explode(
               _shingles_of_hashes("th")).alias("g"))
           .distinct()
-          .localCheckpoint(eager=False))
+          .localCheckpoint(eager=True))
     tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pair = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -2002,7 +2002,7 @@ def corpus_decontaminate(bench: DataFrame):
         # re-derives once per consumer (measured 3x at sf0.1,
         # 9.0 s -> 3.4 s for the full release chain)
         corpus = (docs.where(F.col("doc_id") % _BENCH_MOD != 0)
-                  .localCheckpoint(eager=False))
+                  .localCheckpoint(eager=True))
         # second barrier BEFORE the explode: Generate pushdown
         # re-inlines the whole token-hash/shingle transform per
         # reference (size + explode = 2x) — the exact train_
@@ -2014,7 +2014,7 @@ def corpus_decontaminate(bench: DataFrame):
                .select("doc_id", _token_hashes(F.col("w")).alias("th"))
                .select("doc_id", _shingles_of_hashes("th").alias("sh"))
                .withColumn("n_sh", F.size("sh"))
-               .localCheckpoint(eager=False))
+               .localCheckpoint(eager=True))
         sh = shf.select("doc_id", "n_sh", F.explode("sh").alias("h"))
         contaminated = (sh.join(F.broadcast(bench), "h")
                         .groupBy("doc_id", "n_sh")

@@ -5,9 +5,12 @@ matter at 100 TB: shuffle exchanges, sort-merge vs broadcast joins,
 Python evaluation nodes (the slow path), and single-partition windows.
 Flags queries whose plan drifts from the declared posture.
 
-Known blind spot: a lazy `localCheckpoint(eager=False)` replaces its
-subtree with an RDD scan in the printed plan, so features UPSTREAM of a
-checkpoint are invisible here. The single-partition-window class is
+Known blind spot: a `localCheckpoint` (always EAGER since the round-11
+sweep — eager=False is banned by tests/test_checkpoint_guard.py)
+replaces its subtree with an RDD scan in the printed plan, so features
+UPSTREAM of a checkpoint are invisible here; building a checkpointed
+query's DataFrame also executes the checkpoint subtree, so this audit
+pays those jobs at construction time. The single-partition-window class is
 additionally guarded at runtime — tools/oracle_check counts Spark's
 "No Partition Defined for Window" warnings per query and fails any
 query that warns without a WINDOW_OK entry. Zero such warnings come
