@@ -159,7 +159,13 @@ HEADLINE = [
     ("cuped", quality.ab_test_cuped),
     ("mutual_info", quality.stats_mutual_information),
     ("power_analysis", quality.ab_test_power_analysis),
-    ("burstiness", timeseries.events_burstiness_index),
+    # renamed from "burstiness" in round 11 (ADVICE r10): through
+    # round 9 that label's recorded history was text_term_burstiness
+    # (a round-7 duplicate label won the timings-dict collision), so
+    # rows under the old name straddle two different queries — this
+    # entry starts a clean series; pre-round-10 "burstiness" history
+    # belongs to text_term_burstiness.
+    ("events_burstiness", timeseries.events_burstiness_index),
     ("heaps_law", text.text_heaps_law_fit),
     ("phash_near_pairs", multimodal.multimodal_phash_near_pairs),
     ("littles_law", relational.events_littles_law_audit),
@@ -364,11 +370,19 @@ HEADLINE = [
 
 def _relay_steady_state(spark, sf_dir: str) -> dict:
     """Run the REAL streaming relay (file source → parse → route →
-    envelope → foreachBatch noop) twice with Trigger.AvailableNow over
+    envelope → foreachBatch noop) with Trigger.AvailableNow over
     fresh checkpoints: run 1 pays the micro-batch machinery's one-time
-    startup, run 2 is the steady-state number a long-running relay
-    amortizes to. Reports events/sec from the warm run so the relay's
-    throughput is visible separately from the fixed startup cost."""
+    startup; runs 2 and 3 are warm steady-state passes. Reports
+    events/sec from the warm runs so the relay's throughput is visible
+    separately from the fixed startup cost.
+
+    The canary is best-of-2 from round 11 (VERDICT r10 task #4): the
+    single warm pass every cross-round adjudication leans on swung
+    2.78x in the round-10 driver window while byte-identical code
+    benched 0.97x builder-local — so the block now carries BOTH the
+    first warm pass (relay_steady_sec, the historical like-for-like
+    series) and the min of the two warm passes (relay_steady_best_sec,
+    the noise-robust figure); events/sec is reported for each."""
     import shutil
     import tempfile
 
@@ -383,7 +397,7 @@ def _relay_steady_state(spark, sf_dir: str) -> dict:
         n_events = src.count()
 
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             ckpt = tempfile.mkdtemp(prefix="bench_cdc_ckpt_")
             try:
                 t0 = time.time()
@@ -400,29 +414,28 @@ def _relay_steady_state(spark, sf_dir: str) -> dict:
                 runs.append(time.time() - t0)
             finally:
                 shutil.rmtree(ckpt, ignore_errors=True)
-        cold, warm = runs
+        cold, warm1, warm2 = runs
+        best = min(warm1, warm2)
         return {
             "relay_events": n_events,
             "relay_cold_sec": round(cold, 3),
-            "relay_steady_sec": round(warm, 3),
-            "relay_startup_sec": round(max(cold - warm, 0.0), 3),
-            "relay_events_per_sec": round(n_events / warm, 1),
+            "relay_steady_sec": round(warm1, 3),
+            "relay_steady_best_sec": round(best, 3),
+            "relay_startup_sec": round(max(cold - warm1, 0.0), 3),
+            "relay_events_per_sec": round(n_events / warm1, 1),
+            "relay_events_per_sec_best": round(n_events / best, 1),
         }
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
-    except ValueError:  # unrecognized dir name must not void the artifact
-        sf = -1.0
-    spark = get_spark("bench")
-    # warm the JVM/session, the Hadoop FS/parquet reader paths, AND the
-    # Python/Arrow worker pool so the first timed query doesn't pay
-    # one-time init costs (daemon fork + Arrow IPC setup was ~5 s
-    # charged entirely to whichever query first used a pandas_udf)
+def _warm_session(spark, sf_dir: str) -> None:
+    """Warm a (possibly fresh) session: the JVM/session, the Hadoop
+    FS/parquet reader paths, AND the Python/Arrow worker pool so the
+    first timed query doesn't pay one-time init costs (daemon fork +
+    Arrow IPC setup was ~5 s charged entirely to whichever query first
+    used a pandas_udf). Runs after every chunked session restart, so
+    per-chunk numbers stay comparable to single-session ones."""
     spark.range(1000).selectExpr("sum(id)").collect()
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -436,7 +449,7 @@ def main() -> None:
     # worker on first use (~4.5 s across 32 workers) — run it once at
     # the smallest fixture so the timed relay number is steady-state.
     # Warm-ups are best-effort: a failure here must not void the
-    # artifact (the timed loop below isolates per-query anyway).
+    # artifact (the timed loop isolates per-query anyway).
     try:
         cdc_batch.cdc_topic_routing(spark, "/root/testdata/sf0.001") \
             .write.mode("overwrite").format("noop").save()
@@ -445,6 +458,16 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# warmup: ERROR {type(exc).__name__}: {exc}"[:300],
               file=sys.stderr)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    except ValueError:  # unrecognized dir name must not void the artifact
+        sf = -1.0
+    spark = get_spark("bench")
+    _warm_session(spark, sf_dir)
 
     # Per-query fault isolation: one broken query must never void the
     # whole artifact (round 2's events bug crashed the process and left
@@ -456,10 +479,26 @@ def main() -> None:
     # rep 2 also amortizes one-time lineage costs (cache fills) that a
     # long-running deployment never re-pays.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # Chunked fresh-session segments (round 11, VERDICT r10 task #5):
+    # even with per-query clearCache, 300+ queries in ONE session
+    # accumulate JVM-side pressure (code-cache/metaspace growth, GC
+    # churn, listener/UI state) that made late-suite numbers swing
+    # 3-6x vs isolated runs (similarity_threshold_pairs: 30.9 s
+    # in-suite vs 6.2 s isolated). Restarting the SparkContext every
+    # CHUNK queries (fresh executors, empty caches, new Arrow worker
+    # pool — then re-warmed) removes the noise source instead of
+    # adjudicating it after the fact.
+    chunk = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "75")))
     timings: dict[str, float] = {}
     first_rep: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in HEADLINE:
+    for qi, (name, fn) in enumerate(HEADLINE):
+        if qi and qi % chunk == 0:
+            print(f"# session restart at query {qi} (chunk={chunk})",
+                  file=sys.stderr)
+            spark.stop()
+            spark = get_spark("bench")
+            _warm_session(spark, sf_dir)
         # Per-query cache isolation: 60 headline queries in one session
         # accumulate persisted frames (_emb, edge lists, shingle
         # indexes...) until executor-memory pressure evicts/GC-churns
@@ -504,6 +543,7 @@ def main() -> None:
     detail = {
         "sf": sf,
         "reps": reps,
+        "session_chunk": chunk,
         "queries": timings,
         "first_rep": first_rep,
         "errors": errors,
@@ -523,6 +563,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
         "reps": reps,
+        "session_chunk": chunk,
         # single-shot (rep-0) total: rounds 1-2 were single-shot, so this
         # is the like-for-like number for cross-round comparisons; the
         # headline "value" is best-of-reps from round 3 on.
