@@ -614,13 +614,21 @@ def test_audio_zcr_matches_python_reference(spark, sf_dir):
     for r in docs:
         if not r["text"]:
             continue
+        # The operator's oracle SQL walks the text CHAR-indexed
+        # (substr/ord) while this mirror walks it BYTE-indexed; the
+        # two (and the +128 vs |128 spellings that preceded ADVICE
+        # r10) coincide only while the fixture is pure ASCII — assert
+        # that invariant so a future non-ASCII fixture fails loudly
+        # here instead of silently diverging in the oracle.
+        assert r["text"].isascii(), (
+            f"doc {r['doc_id']}: ZCR mirrors assume ASCII text")
         doc = r["text"].encode("utf-8")
         pcm = bytearray((doc * (nb // len(doc) + 1))[:nb])
-        # mirror the sign injection: the high byte of each sample
-        # gets its sign bit set whenever the low byte is odd
+        # mirror the sign injection with the operator's exact
+        # idempotent SET-BIT semantics (|=, not +=)
         for j in range(_AUD_SAMPLES):
             if pcm[2 * j] % 2 == 1:
-                pcm[2 * j + 1] += 128
+                pcm[2 * j + 1] |= 128
         _, _, _, frames = decode_wav(encode_wav(_AUD_RATE, bytes(pcm)))
         s = struct.unpack(f"<{_AUD_SAMPLES}h", frames)
         cr = sum((s[i] < 0) != (s[i + 1] < 0)
