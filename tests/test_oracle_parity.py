@@ -24,6 +24,19 @@ def test_every_query_declared_in_entry():
     assert len(QUERIES) >= 40
 
 
+def test_grade_first_manifest_names_all_registered():
+    """_ordered() silently skips any _GRADE_FIRST name that isn't a
+    registered query (`if k in merged`), so a typo or a rename that
+    misses the manifest would silently SHIFT the driver's 50-entry
+    grading window — a pulled-in tail entry would be graded in place
+    of the intended one with no error anywhere. Pin every manifest
+    name to the registry."""
+    missing = [n for n in entrymod._GRADE_FIRST if n not in QUERIES]
+    assert not missing, (
+        f"_GRADE_FIRST names not in the registry (typo/rename?): "
+        f"{missing}")
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, oracle, sf_dir):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
