@@ -353,9 +353,13 @@ HEADLINE = [
     ("events_countmin_heavy_hitters",
      relational.events_countmin_heavy_hitters),
     ("text_repetition_signals", text.text_repetition_signals),
-    # registered name multimodal_audio_decode; the function is the
-    # shared real-WAV decoder entry point
-    ("multimodal_audio_decode", multimodal.audio_real_decode),
+    # RETIRED round 11: ("multimodal_audio_decode",
+    # multimodal.audio_real_decode) duplicated the long-running
+    # "audio_decode" series above (same function, two labels — the
+    # same class as the round-7 "burstiness" collision, caught by
+    # tests/test_bench_manifest.py). The r10/r11 rows recorded under
+    # multimodal_audio_decode describe the identical query as
+    # audio_decode's series; audio_decode keeps the history.
     ("hof_order_quantities", relational.hof_order_quantities),
     ("agg_exact_percentiles", relational.agg_exact_percentiles),
     ("dedup_containment", dedup.dedup_containment),
