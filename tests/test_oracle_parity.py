@@ -37,6 +37,28 @@ def test_grade_first_manifest_names_all_registered():
         f"{missing}")
 
 
+def test_declared_exception_maps_have_no_stale_names():
+    """plan_audit/oracle_check gate runtime warnings and plan features
+    against DECLARED per-query exception maps. A key that no longer
+    names a registered query (after a rename) is a dead declaration —
+    and the renamed query would then flag as undeclared, or worse, a
+    future query reusing the old name would inherit an exception it
+    never earned. Keep the maps exactly on the registry."""
+    import oracle_check
+    import plan_audit
+
+    for owner, mapname in ((plan_audit, "WINDOW_OK"),
+                           (plan_audit, "SMJ_OK"),
+                           (plan_audit, "PYTHON_OK"),
+                           (plan_audit, "SHUFFLES_OK"),
+                           (oracle_check, "WINDOW_OK")):
+        decl = getattr(owner, mapname)
+        stale = [k for k in decl if k not in QUERIES]
+        assert not stale, (
+            f"{owner.__name__}.{mapname} declares unknown queries: "
+            f"{stale}")
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, oracle, sf_dir):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
