@@ -46,12 +46,14 @@ def test_declared_exception_maps_have_no_stale_names():
     never earned. Keep the maps exactly on the registry."""
     import oracle_check
     import plan_audit
+    import scale_sweep
 
     for owner, mapname in ((plan_audit, "WINDOW_OK"),
                            (plan_audit, "SMJ_OK"),
                            (plan_audit, "PYTHON_OK"),
                            (plan_audit, "SHUFFLES_OK"),
-                           (oracle_check, "WINDOW_OK")):
+                           (oracle_check, "WINDOW_OK"),
+                           (scale_sweep, "SLOPE_OK")):
         decl = getattr(owner, mapname)
         stale = [k for k in decl if k not in QUERIES]
         assert not stale, (
