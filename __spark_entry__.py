@@ -36,6 +36,52 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # Everything not listed follows in module order, so the full registry
 # is intact and every entry keeps its newest green row on record.
 _GRADE_FIRST = (
+    # ---------------- ROUND-12 WINDOW (first 50 entries) ----------------
+    # Rotation per VERDICT_r11 tasks #1/#5. This round's substantive
+    # change is the persist sweep (task #1): 106 flat
+    # localCheckpoint(eager=True) sites converted to .persist() —
+    # plus graph_hits_scores' two in-loop eager=last sites (a LATENT
+    # LAZY checkpoint pair the round-11 literal-False AST scan
+    # missed) — leaving exactly 17 load-bearing checkpoint sites
+    # (iterative lineage truncation + CDC read-overwrite isolation),
+    # pinned by tests/test_checkpoint_guard.py's allowlist. The
+    # changed-since-green set is computed TRANSITIVELY this round
+    # (call-graph closure over package helpers — _twophase's two
+    # converted sites propagate to every exact_quantiles /
+    # with_global_order caller): 102 registry queries whose latest
+    # driver row predates the code they now run. Window = the
+    # 12 BENCH_r11 regression casualties first (they changed again
+    # this round and lead the verdict's triage list), then the
+    # transitive changed set oldest driver-row vintage first
+    # (fill of 38: 8 r4, 2 r5, 6 r6, 16 r7, 6 r8 — five of the
+    # casualties carry r6/r7/r9 vintages themselves); the
+    # remaining 59 (27 r8, 17 r9, 15 r10) queue for round 13.
+    # -- BENCH_r11 casualties (12), persist-sweep-fixed --
+    "ts_binseg_changepoints", "layout_hilbert_events",
+    "similarity_jl_projection_audit", "graph_hits_scores",
+    "events_incident_windows", "multimodal_phash_near_pairs",
+    "ab_test_cuped", "text_heaps_law_fit", "layout_bloom_design",
+    "text_textrank_keywords", "multimodal_tga_decode",
+    "dedup_incremental_new_batch",
+    # -- transitive changed-since-green fill (38), oldest vintage
+    # first (vintages from the CORRECTNESS_r01..r11 green rows) --
+    "ann_recall_eval", "basket_part_pairs", "graph_khop_reachability",
+    "graph_pagerank_trade", "graph_triangle_count", "knn_mmr_rerank",
+    "search_rrf_fusion", "train_bpe_merge_learn", "basket_rules_lift",
+    "train_bpe_tokenize_apply", "events_revenue_concentration",
+    "parts_abc_classification", "text_vocab_coverage_curve",
+    "train_curriculum_order", "train_interleave_schedule",
+    "train_split_leakage", "ab_test_srm_check",
+    "graph_kcore_decomposition", "graph_local_clustering",
+    "multimodal_audio_fingerprint", "parts_pareto_skyline",
+    "quality_fd_discovery", "skew_salting_plan", "stats_auc_roc",
+    "stats_conformal_interval", "stats_fdr_bh_weekend",
+    "stats_hill_tail_index", "stats_kfold_cv_slope", "stats_ks_two_sample",
+    "text_rake_keywords", "train_epoch_shuffle_audit",
+    "ts_motif_discovery", "agg_approx_sketches", "customer_rfm_segments",
+    "dedup_sample_rate_estimate", "embedding_class_scatter",
+    "embedding_quality_gate", "events_kll_quantile_rollup",
+    # ---------------- end ROUND-12 WINDOW ----------------
     # ---------------- ROUND-11 WINDOW (first 50 entries) ----------------
     # Rotation per VERDICT_r10 task #2, executed exactly as queued in
     # the round-11 notes below: with the never-graded backlog at ZERO
@@ -81,28 +127,27 @@ _GRADE_FIRST = (
     "q19_disjunctive_predicates", "join_semi_urgent_customers",
     "agg_rollup_order_status", "agg_cube_returnflag",
     # ---------------- end ROUND-11 WINDOW ----------------
-    # ---- round-12 queue notes (priority rule: never-graded >
+    # ---- round-12 queue notes: EXECUTED as the ROUND-12 WINDOW
+    # above, with two deliberate upgrades over the plan written here
+    # last round: (1) the changed-since-green set was recomputed
+    # TRANSITIVELY (call-graph closure — the round-11 list used
+    # enclosing function bodies only, which missed e.g. every
+    # exact_quantiles caller when _twophase changed), and this
+    # round's persist sweep re-touches most of the same functions
+    # anyway; (2) the 12 BENCH_r11 regression casualties lead the
+    # window per VERDICT r11 task #1, since they changed again this
+    # round. Round 11's 50 slots all retired green
+    # (CORRECTNESS_r11: 50/50). ----
+    # ---- round-13 queue notes (priority rule: never-graded >
     # changed-since-green > stale-green, oldest driver row first).
-    # Never-graded: none (backlog is zero and round 11 adds no
-    # registry entries). Changed-since-green: the round-11
-    # eager-checkpoint sweep (VERDICT r10 task #1: all 95
-    # localCheckpoint(eager=False) sites -> eager=True; results are
-    # identical by construction — eagerness only moves when the same
-    # materialization happens — but the code changed, so per task #6
-    # the 70 touched registry queries whose latest driver row
-    # predates round 11 re-enter ahead of the stale-green tail,
-    # oldest vintage first: 7 r4 (ann_recall_eval, basket_part_pairs,
-    # graph_khop_reachability, graph_pagerank_trade,
-    # graph_triangle_count, knn_mmr_rerank, train_bpe_merge_learn),
-    # 2 r5 (basket_rules_lift, train_bpe_tokenize_apply), 4 r6
-    # (events_revenue_concentration, parts_abc_classification,
-    # train_curriculum_order, train_split_leakage), 14 r7, then the
-    # r8/r9/r10-vintage touched set as slots allow (43 more; the
-    # full list is reproducible as: registry queries whose enclosing
-    # function body changed in the round-11 sweep commit, minus this
-    # round's window). Stale-green tail: the 33 remaining r3-vintage
-    # entries, then r4. Round-12 additions stay within whatever
-    # slack remains after the changed-since-green head. ----
+    # Never-graded: none. Changed-since-green: the 59 remaining
+    # persist-sweep-touched entries (reproducible as: transitive
+    # call-graph closure of the round-12 sweep commit's changed
+    # functions over the registry, minus this round's window —
+    # 27 r8, 17 r9, 15 r10 at queue time). Then
+    # the stale-green tail: the 33 remaining r3-vintage entries,
+    # then r4. Round-13 additions stay within whatever slack
+    # remains after the changed-since-green head. ----
     # ---------------- ROUND-10 WINDOW (historical) ----------------
     # Rotation per VERDICT_r9 tasks #1/#2: the 24-entry never-graded
     # backlog leads (the 12 final-session round-9 spillovers + the 11
@@ -163,7 +208,7 @@ _GRADE_FIRST = (
     # ---------------- end ROUND-10 WINDOW ----------------
     # ---- round-11 queue notes (EXECUTED verbatim as the ROUND-11
     # WINDOW above): with the never-graded backlog at
-    # ZERO (this window drains all 24 + grades the 6 additions the
+    # ZERO (this window drains all 24 + grades the 5 additions the
     # same round they landed), the rotation is pure stale-green
     # refresh, oldest driver row first: the 38 r2-vintage entries
     # (dedup_cluster_assign, dedup_embedding_cosine, dedup_exact,
@@ -206,7 +251,7 @@ _GRADE_FIRST = (
     "quality_data_contract_check", "stats_pinball_quantile_eval",
     "graph_adamic_adar_topk", "stats_g_test_independence",
     "ab_test_uplift_qini", "sample_weighted_ares",
-    "text_textrank_keywords", "sql_window_running_share",
+    "sql_window_running_share",
     "stats_anova_oneway", "stats_kruskal_wallis",
     # -- changed-since-green (18) --
     "embedding_pca_explained_variance",
@@ -240,12 +285,10 @@ _GRADE_FIRST = (
     "ts_mann_kendall_trend", "train_dsir_importance",
     "stats_cohens_d_effect", "stats_theils_u",
     "stats_wilcoxon_signed_rank", "ts_brown_double_smoothing",
-    "ts_page_hinkley_drift", "graph_hits_scores",
-    "sql_unpivot_text", "quality_column_entropy_profile",
+    "ts_page_hinkley_drift", "sql_unpivot_text", "quality_column_entropy_profile",
     "streaming_session_window_replay",
     "sql_group_by_all_text", "sql_values_inline_dim",
-    "stats_friedman_test", "multimodal_tga_decode",
-    # ---------------- end ROUND-9 WINDOW ----------------
+    "stats_friedman_test", # ---------------- end ROUND-9 WINDOW ----------------
     # ---- round-10 queue notes: after the final-session re-rotation
     # (the 13 mid-round additions + 4 final-session additions took
     # the window's last 17 slots), round 10's never-graded backlog is
@@ -302,23 +345,21 @@ _GRADE_FIRST = (
     "ab_test_clustered_se",
     "stats_eb_shrinkage", "text_term_burstiness",
     "stats_twoway_fixed_effects", "events_markov_stationary",
-    "dedup_sample_rate_estimate", "quality_key_discovery",
+    "quality_key_discovery",
     # -- never-graded: round-7 additions (16) --
     "ts_exponential_smoothing", "ts_dow_seasonality", "ts_kendall_tau",
-    "events_retention_cohorts", "customer_rfm_segments",
-    "orders_ship_latency", "quality_fk_orphans", "stats_levene_variance",
+    "events_retention_cohorts", "orders_ship_latency", "quality_fk_orphans", "stats_levene_variance",
     "orders_cohort_ltv", "train_cross_source_overlap",
     "stats_mcnemar_paired", "ts_spearman_daily",
-    "embedding_class_scatter", "ts_ljungbox_whiteness", "ts_runs_test",
+    "ts_ljungbox_whiteness", "ts_runs_test",
     "text_yule_k",
     # -- changed-since-green (15): the exact_quantiles callers with
     # prior driver rows (the helper gained the isNotNull filter) plus
     # the two round-7 ADVICE-fix greens --
-    "agg_stats_acctbal", "agg_approx_sketches", "sketch_accuracy_eval",
-    "embedding_quality_gate", "events_kll_quantile_rollup",
+    "sketch_accuracy_eval",
     "events_time_to_convert", "train_dataset_card",
     "layout_range_bounds", "events_session_stats",
-    "feature_winsorized_scale", "train_length_buckets",
+    "train_length_buckets",
     "stats_isotonic_calibration", "stats_brier_decomposition",
     "stats_chi_square_independence", "layout_clustering_depth",
     # -- round-8 additions (11 slots) --
@@ -341,7 +382,6 @@ _GRADE_FIRST = (
     # cdc.apply.resolve_current_state with last/first-writer-wins
     # conflict policies; batch-graded per-bucket live manifest, the
     # file lifecycle pinned hermetically in tests/test_cdc_apply.py.
-    "cdc_merge_on_read_state",
     # Streaming retention: first-touch state (streaming.
     # first_touch_cohorts, update-mode MIN-day-per-user) replayed as
     # the maturity-corrected blended retention curve; drained-stream
@@ -363,7 +403,6 @@ _GRADE_FIRST = (
     # VERSION AS OF reads on the MoR table: state at every commit
     # seq 0-3 through the same resolver (delete vectors make history
     # reconstruction free); completes the merge-on-read family.
-    "cdc_mor_time_travel",
     # ---------------- end ROUND-8 WINDOW ----------------
     # Round-7 window (VERDICT_r6 task #2: drain the 58-entry
     # never-graded backlog). Round 6's 50-slot window came back
@@ -379,17 +418,15 @@ _GRADE_FIRST = (
     # AS MATERIALIZED (the VERDICT_r6 #1 memory bomb — same rows,
     # 0.4 s instead of ~88 GB RSS), and every other generated oracle
     # is hardened the same way via operators/_oracleutil.py.
-    "stats_ks_two_sample", "multimodal_image_patches",
-    "train_length_buckets", "ab_test_sequential_sprt",
+    "multimodal_image_patches",
+    "ab_test_sequential_sprt",
     "multimodal_video_shots", "cdc_schema_evolution_audit",
-    "similarity_mips_norm_augment", "stats_fdr_bh_weekend",
-    # late-round-6 batch 2 (same contract: oracle + pytest pins +
+    "similarity_mips_norm_augment", # late-round-6 batch 2 (same contract: oracle + pytest pins +
     # plan-audit pass before registration): WOE/IV feature scoring,
     # leave-one-out target encoding, two-phase strict-cummax Pareto
     # skyline, hashing-trick featurizer, partial-Gram PCA covariance,
     # vocabulary-grain Jaro-Winkler, positional-index phrase search.
-    "feature_woe_iv", "feature_target_encode_loo",
-    "parts_pareto_skyline", "feature_hashing_trick",
+    "feature_woe_iv", "feature_hashing_trick",
     "embedding_pca_covariance", "dedup_jaro_winkler",
     "search_phrase_match",
     # late-round-6 batch 3: stream-static dim-enrich replay twin,
@@ -397,7 +434,6 @@ _GRADE_FIRST = (
     # path, and the driver-eigen PCA explained-variance report
     # (rows-only; its covariance input is the hash-graded twin).
     "streaming_static_enrich_replay", "multimodal_audio_spectrum",
-    "embedding_pca_explained_variance",
     # Markov-chain attribution with removal effects: distributed
     # journey/edge aggregation + driver fixed-point on the channel-
     # vocabulary matrix, oracle = the same 200 iterations as a
@@ -406,25 +442,20 @@ _GRADE_FIRST = (
     # late-round-6 batch 4: m-out-of-n subsample bootstrap CI
     # (portable hash replicas), matrix-profile motif discovery at
     # day grain, SSIM probe retrieval on the real PPM decode path.
-    "stats_bootstrap_subsample_ci", "ts_motif_discovery",
     "multimodal_ssim_probe_rank",
     # batch 5: Spark 4 WITH RECURSIVE front-end graded verbatim
     # against DuckDB's recursion; assumption-free permutation test on
     # deterministic md5 label permutations.
-    "sql_recursive_reachability", "stats_permutation_weekend",
-    # exact isotonic calibration via PAVA's minimax identity — pure
+    "sql_recursive_reachability", # exact isotonic calibration via PAVA's minimax identity — pure
     # bin-grain aggregation algebra after one bucket-assign pass.
-    "stats_isotonic_calibration",
     # k-core decomposition: fixed-round degree peeling on the
     # sparsified trade graph; oracle unrolls the same rounds, pytest
     # peels to true convergence and checks the round budget covers it.
-    "graph_kcore_decomposition",
     # PSI feature-drift gate: reference-bin population stability
     # index, one data-grain bin-count shuffle, 20-row downstream.
     "feature_psi_drift",
     # split conformal prediction intervals: md5 train/calib/test
     # split, two-phase exact order statistic, broadcast coverage.
-    "stats_conformal_interval",
     # 2x2 diff-in-diff on integer purchase counts — exact-integer
     # moments, one user-grain shuffle, A&S p-value (A/A probe).
     "ab_test_diff_in_diff",
@@ -433,55 +464,41 @@ _GRADE_FIRST = (
     "stats_join_size_estimate",
     # Murphy Brier decomposition: train-half bin forecasts scored on
     # the held-out half; BS = REL - RES + UNC pinned exactly.
-    "stats_brier_decomposition",
     # Shazam-style constellation fingerprint retrieval on the real
     # WAV decode path — hash-keyed landmark join, byte-level replay.
-    "multimodal_audio_fingerprint",
     # Neyman-optimal stratified allocation plan from exact
     # integer-cents moments; Var_neyman <= Var_prop pinned.
     "sample_neyman_allocation",
     # k-fold CV slope via the leave-fold-out sum identity — k models
     # from one moment frame, held-out RMSE per fold.
-    "stats_kfold_cv_slope",
     # Watts-Strogatz local clustering top-k on the oriented-wedge
     # O(m^1.5) pipeline; checkpointed triangle list, 3-row explode.
-    "graph_local_clustering",
     # hot-key salting plan table: fan-out = ceil(n/budget), skew
     # factor before/after — feeds skew.salted_join's n_salts.
-    "skew_salting_plan",
     # XLM-R temperature-scaled mixture: q = p^a / sum p^a sweep over
     # token shares; one lang-grain agg, bounded grid downstream.
     "train_mixture_temperature",
     # bloom-filter design audit: measured FPR on guaranteed
     # non-members vs (1-(1-1/m)^kn)^k per hash count k.
-    "layout_bloom_design",
     # approximate-FD profiling (Kivinen-Mannila g3) over the
     # denormalized join view; exact holds/violations verdicts.
-    "quality_fd_discovery",
     # RAKE keyphrases: stopword-island segmentation, deg/freq word
     # scores, per-doc windows only, TakeOrdered top-k.
-    "text_rake_keywords",
     # two-round binary-segmentation changepoints on day-grain prefix
     # frames; exhaustive O(n^2) Python reference pinned.
-    "ts_binseg_changepoints",
     # JL Rademacher projection distortion audit — narrow per-row
     # 64->16 map, probe x sample pair ratios, md5-parity matrix.
-    "similarity_jl_projection_audit",
     # ROC AUC via Mann-Whitney U with exact tie halves — no scored
     # pairs materialize; score-vocabulary-grain cumulative counts.
-    "stats_auc_roc",
     # epoch-reshuffle decorrelation audit: exact Spearman over
     # two-phase global ranks per md5 epoch order.
-    "train_epoch_shuffle_audit",
     # equi-width histogram selectivity audit — the scan-side CBO
     # statistic, interpolated estimate vs exact count + q-error.
     "stats_selectivity_estimate",
     # sample-ratio-mismatch guardrail: chi-square GOF on the hash
     # split at the df=1 95% critical value.
-    "ab_test_srm_check",
     # Hill Pareto tail index across a k-sweep — TakeOrdered top-k
     # only, bounded-frame algebra, pre-rounded log terms.
-    "stats_hill_tail_index",
     # keyframe selection: integer gradient-energy sharpness argmax
     # per clip on the real PPM decode path; byte-replayed oracle.
     "multimodal_video_keyframe",
@@ -499,28 +516,20 @@ _GRADE_FIRST = (
     # driver row, so no green row is invalidated.
     # trending top-k per tumbling window — the stateful-counts +
     # sink-rank deployment; stream/batch parity pinned.
-    "streaming_trending_topk_replay",
     # Deng-et-al delta-method cluster-robust SE for the per-event
     # ratio metric randomized by user; design effect vs naive SE.
-    "ab_test_clustered_se",
     # empirical-Bayes Beta-Binomial CTR shrinkage with MoM prior;
     # volume-bucket calibration table, monotone data weight.
-    "stats_eb_shrinkage",
     # Church-Gale term burstiness: cf/df burst size + VMR dispersion
     # class at vocabulary grain, exact integer moments.
-    "text_term_burstiness",
     # two-way fixed-effects within estimator on the bounded
     # (type, day) panel; correctly-degreed SE, within-R2.
-    "stats_twoway_fixed_effects",
     # stationary distribution of the journey Markov chain — 20
     # unrolled pi'=piP steps at |types|^2 grain, eigen-pinned.
-    "events_markov_stationary",
     # dup-rate sizing study: row-sample (biased) vs content-bucket
     # sample (group-coherent) estimates vs the exact corpus rate.
-    "dedup_sample_rate_estimate",
     # candidate-key discovery: exact distinct-vs-rows per column
     # set, is-key verdicts, null-sentinel semantics.
-    "quality_key_discovery",
     # ---- round-9 queue notes (for the next rotation): the round-8
     # window drains the entire backlog — its 50 slots are exactly the
     # 24 never-graded + 15 changed-since-green + the first 11 round-8

@@ -464,6 +464,31 @@ def _warm_session(spark, sf_dir: str) -> None:
               file=sys.stderr)
 
 
+
+def _batch_probe(spark, sf_dir: str) -> float:
+    """Fixed small batch probe (TPC-H q1-shape aggregate over
+    lineitem), timed at session start and at every chunk boundary —
+    the batch-path ambient canary (VERDICT r11 task #4). The relay
+    canary is streaming + Python-bound and moved 3.2x in a window
+    where batch queries moved 1.05x the OTHER way, so it does not
+    proxy batch ambient; this probe runs on the same execution path
+    (parquet scan -> hash agg) as the suite. Uncached (clearCache
+    precedes it), single action, ~0.2-0.5 s at sf0.1."""
+    from mongo_cdc_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    (load_table(spark, sf_dir, "lineitem")
+     .filter(F.col("l_shipdate") <= "1998-09-02")
+     .groupBy("l_returnflag", "l_linestatus")
+     .agg(F.sum("l_quantity").alias("sum_qty"),
+          F.avg("l_extendedprice").alias("avg_price"),
+          F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").format("noop").save())
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -472,6 +497,8 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("bench")
     _warm_session(spark, sf_dir)
+    batch_probe: list[float] = [_batch_probe(spark, sf_dir)]
+    print(f"# batch_probe[chunk 0]: {batch_probe[0]}s", file=sys.stderr)
 
     # Per-query fault isolation: one broken query must never void the
     # whole artifact (round 2's events bug crashed the process and left
@@ -503,6 +530,9 @@ def main() -> None:
             spark.stop()
             spark = get_spark("bench")
             _warm_session(spark, sf_dir)
+            batch_probe.append(_batch_probe(spark, sf_dir))
+            print(f"# batch_probe[chunk {qi // chunk}]: "
+                  f"{batch_probe[-1]}s", file=sys.stderr)
         # Per-query cache isolation: 60 headline queries in one session
         # accumulate persisted frames (_emb, edge lists, shingle
         # indexes...) until executor-memory pressure evicts/GC-churns
@@ -552,6 +582,7 @@ def main() -> None:
         "first_rep": first_rep,
         "errors": errors,
         "cdc_relay_stream": relay,
+        "batch_probe_sec": batch_probe,
     }
     detail_path = REPO / "bench_detail.json"
     try:
@@ -578,6 +609,11 @@ def main() -> None:
         "first_rep_n": len(first_rep),
         "n_errors": len(errors),
         "cdc_relay_stream": relay,
+        # per-chunk batch ambient canary (VERDICT r11 task #4): one
+        # q1-shape probe timed after each fresh-session warm-up, so
+        # cross-round normalization has an instrument on the batch
+        # execution path itself (the relay canary is streaming-bound)
+        "batch_probe_sec": batch_probe,
         "detail_file": "bench_detail.json",
     }
     print(json.dumps(out))

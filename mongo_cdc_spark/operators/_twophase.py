@@ -99,7 +99,7 @@ def exact_quantiles(df: DataFrame,
     local = (ranged.withColumn(
         _LRANK,
         F.row_number().over(W.partitionBy(_PID, *gcols).orderBy(*order)))
-        .localCheckpoint(eager=True))
+        .persist())
     per = local.groupBy(_PID, *gcols).agg(
         F.count(F.lit(1)).alias("__tq_cnt"))
     # both sides are the metadata-grain per-(partition, group) count
@@ -214,10 +214,14 @@ def with_global_order(df: DataFrame,
     for src, out in strict_cummaxes.items():
         local = local.withColumn(f"__tp_runm_{out}",
                                  F.max(src).over(strict_w))
-    # Shared by the offsets agg and the final join — checkpoint so the
+    # Shared by the offsets agg and the final join — persist so the
     # (sampled, pid-stamped) frame is computed once and both branches
-    # see identical partition ids.
-    local = local.localCheckpoint(eager=True)
+    # see identical partition ids. A cached frame takes no checkpoint
+    # lock (deadlock-class safe), and an evicted block recomputes
+    # deterministically: spark_partition_id is the plan-fixed
+    # partition index and repartitionByRange's boundary sampling is
+    # seeded per partition, so recomputed rows keep their pids.
+    local = local.persist()
 
     aggs = [F.count(F.lit(1)).alias("__tp_cnt")]
     aggs += [F.sum(src).alias(f"__tp_tot_{out}")

@@ -816,17 +816,18 @@ def cdc_mor_schema_drift(spark: SparkSession,
                            F.col("o_orderstatus").alias("status")))
         .alias("doc"))
     log = gen0.unionByName(gen1).unionByName(gen2)
-    # eager=True is load-bearing: this frame feeds THREE join
-    # branches whose broadcast exchanges materialize in parallel
-    # threads, and a LAZY localCheckpoint materialized concurrently
-    # deadlocks the JVM (RDD.markCheckpointed vs
-    # RDDCheckpointData.checkpointRDD lock inversion — hit live in
-    # round 9's first full-registry run). Eager materializes here,
-    # synchronously, before any consumer exists.
+    # persisted: this frame feeds THREE join branches whose broadcast
+    # exchanges materialize in parallel threads. A LAZY localCheckpoint
+    # materialized concurrently deadlocks the JVM (RDD.markCheckpointed
+    # vs RDDCheckpointData.checkpointRDD lock inversion — hit live in
+    # round 9's first full-registry run); a cached frame takes no
+    # checkpoint lock, so whichever consumer thread computes it first
+    # is safe (round 12 replaced the eager checkpoint, which paid one
+    # blocking job + partition serialization at build time).
     keys = (log.select("seq", F.explode(F.json_object_keys("doc"))
                        .alias("key"))
             .distinct()
-            .localCheckpoint(eager=True))
+            .persist())
     per = log.groupBy("seq").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = F.concat_ws(",", F.sort_array(F.collect_set("key")))
     schema = keys.groupBy("seq").agg(joined.alias("schema_fields"))

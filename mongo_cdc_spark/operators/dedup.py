@@ -1190,7 +1190,7 @@ def dedup_sample_rate_estimate(spark: SparkSession,
     fp = (load_table(spark, sf_dir, "documents")
           .select("doc_id", F.md5(F.col("text").cast("binary"))
                   .alias("h"))
-          .localCheckpoint(eager=True))
+          .persist())
     truth = fp.agg(F.count(F.lit(1)).alias("n"),
                    F.countDistinct("h").alias("d"))
     rows = []

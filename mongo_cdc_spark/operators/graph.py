@@ -212,7 +212,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket_part_pairs), degree agg, two orientation joins keyed on
     node id, the wedge self-join keyed on apex, and the closing-edge
     hash join keyed on (b, c). Edge/degree frames are
-    localCheckpoint'ed once and reused by all downstream joins.
+    persisted once and reused by all downstream joins.
     Output is a single summary row (counts + 3*tri/wedges), so the
     final exchange is a scalar agg."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -223,11 +223,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=True))
+             .persist())
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=True))
+           .persist())
     e = (edges
          .join(deg.select(F.col("id").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -240,7 +240,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("src"),
                   F.when(u_first, F.col("v")).otherwise(F.col("u"))
                   .alias("dst"))
-         .localCheckpoint(eager=True))
+         .persist())
     od = o.join(deg.select(F.col("id").alias("dst"),
                            F.col("deg").alias("ddeg")), "dst")
     o1 = od.select("src", F.col("dst").alias("b"),
@@ -343,7 +343,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("a").orderBy(F.desc(F.round("val", 2)), "b")
     topk = (tr.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= BFS_K_OUT).select("a", "b")
-            .localCheckpoint(eager=True))
+            .persist())
     dist = (n.filter(F.col("n_nationkey") == BFS_SEED)
             .select(F.col("n_nationkey").cast("int").alias("id"),
                     F.lit(0).alias("d")))
@@ -559,13 +559,13 @@ def graph_label_propagation(spark: SparkSession,
     li = load_table(spark, sf_dir, "lineitem")
     e = (li.select(F.col("l_suppkey").alias("s"),
                    F.col("l_partkey").alias("p"))
-         .distinct().localCheckpoint(eager=True))
+         .distinct().persist())
     a, b = e.alias("a"), e.alias("b")
     # Oriented join (a.s < b.s) halves the through-part pair
     # explosion before the distinct, then the mirror union restores
     # both directions shuffle-free; repartition on dst BEFORE the
-    # checkpoint so every superstep's edge-grain join reuses the
-    # materialized partitioning (localCheckpoint preserves it)
+    # persist so every superstep's edge-grain join reuses the
+    # cached partitioning (InMemoryRelation preserves it)
     # instead of re-exchanging the full edge list per round.
     half = (a.join(b, (F.col("a.p") == F.col("b.p"))
                    & (F.col("a.s") < F.col("b.s")))
@@ -576,9 +576,9 @@ def graph_label_propagation(spark: SparkSession,
                half.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst")))
            .repartition(F.col("dst"))
-           # EAGER: the broadcast label frames derive from adj
-           # (the SURVEY lazy-checkpoint deadlock rule)
-           .localCheckpoint(eager=True))
+           # persisted: the broadcast label frames derive from adj
+           # (cache, not checkpoint — no deadlock-class lock)
+           .persist())
     labels = (adj.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("lab")))
@@ -711,7 +711,7 @@ def graph_kcore_decomposition(spark: SparkSession,
             .filter(F.col("rn") <= BFS_K_OUT).select("a", "b"))
     sym = (topk.unionByName(topk.select(F.col("b").alias("a"),
                                         F.col("a").alias("b")))
-           .distinct().repartition("a").localCheckpoint(eager=True))
+           .distinct().repartition("a").persist())
 
     def _restrict(alive: DataFrame) -> DataFrame:
         """Edges with BOTH endpoints alive, grouped to src degree —
@@ -811,7 +811,7 @@ def graph_local_clustering(spark: SparkSession,
     number, reported as the top-{LCC_TOP} most clustered nodes.
 
     Plan: identical O(m^1.5) degree-oriented wedge pipeline as
-    graph_triangle_count (same checkpointed edge/degree frames, same
+    graph_triangle_count (same persisted edge/degree frames, same
     closing-edge hash join); each found triangle then explodes to
     its 3 members — 3 rows per triangle, never per wedge — and the
     per-node counts join degrees for the coefficient. Top-k is
@@ -825,11 +825,11 @@ def graph_local_clustering(spark: SparkSession,
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=True))
+             .persist())
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=True))
+           .persist())
     e = (edges
          .join(deg.select(F.col("id").alias("u"),
                           F.col("deg").alias("du")), "u")
@@ -842,7 +842,7 @@ def graph_local_clustering(spark: SparkSession,
                   .alias("src"),
                   F.when(u_first, F.col("v")).otherwise(F.col("u"))
                   .alias("dst"))
-         .localCheckpoint(eager=True))
+         .persist())
     od = o.join(deg.select(F.col("id").alias("dst"),
                            F.col("deg").alias("ddeg")), "dst")
     o1 = od.select("src", F.col("dst").alias("b"),
@@ -854,10 +854,10 @@ def graph_local_clustering(spark: SparkSession,
                      | ((F.col("db") == F.col("dc"))
                         & (F.col("b") < F.col("c")))))
     closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    # checkpoint the triangle list: the 3-way member union below
+    # persist the triangle list: the 3-way member union below
     # must read it ONCE, not replay the wedge join per branch
     tri = (wedge.join(closing, ["b", "c"]).select("src", "b", "c")
-           .localCheckpoint(eager=True))
+           .persist())
     pern = (tri.select(F.col("src").alias("id"))
             .unionByName(tri.select(F.col("b").alias("id")))
             .unionByName(tri.select(F.col("c").alias("id")))
@@ -953,16 +953,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=True))
+             .persist())
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=True))
+           .persist())
     adj = (edges.select(F.col("u").alias("src"),
                         F.col("v").alias("dst"))
            .unionByName(edges.select(F.col("v").alias("src"),
                                      F.col("u").alias("dst")))
-           .localCheckpoint(eager=True))
+           .persist())
     a1 = adj.select("src", F.col("dst").alias("u"))
     a2 = adj.select("src", F.col("dst").alias("v"))
     cn = (a1.join(a2, "src")
@@ -1067,14 +1067,14 @@ def graph_adamic_adar_topk(spark: SparkSession,
     edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= TRI_SUPPORT).select("u", "v")
-             .localCheckpoint(eager=True))
+             .persist())
     deg = (edges.select(F.col("u").alias("id"))
            .unionByName(edges.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
     adj = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
            .unionByName(edges.select(F.col("v").alias("src"),
                                      F.col("u").alias("dst")))
-           .localCheckpoint(eager=True))
+           .persist())
     a1 = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     a2 = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     term = F.round(F.lit(1e8) / F.log(F.col("deg"))).cast("bigint")
@@ -1173,13 +1173,15 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: identical to PageRank — per half-step ONE
     edge-join-scores shuffle partial-aggregated on the destination
-    key, rank state O(nodes), lineage truncated per superstep via
-    EAGER localCheckpoint (round-11 repo rule: every localCheckpoint
-    is eager — a lazy checkpoint materialized by a
-    broadcast-exchange thread deadlocks the JVM via the
-    RDD.markCheckpointed / RDDCheckpointData lock inversion, hit
-    live in rounds 9 and 10; eagerness is free because every
-    checkpointed frame here is consumed unconditionally). The L1 norms are broadcast
+    key, rank state O(nodes), each half-step persisted (round 12:
+    persist replaced the per-step localCheckpoint — HITS_ITERS is a
+    fixed small constant so lineage stays bounded without truncation,
+    and a cached frame takes no RDDCheckpointData lock, so the
+    round-9/10 broadcast-thread deadlock class cannot fire
+    regardless of which consumer materializes it first; eager
+    checkpointing here cost one blocking job + full partition
+    serialization per half-step, BENCH_r11's 2.4× hits
+    regression). The L1 norms are broadcast
     1-row aggregates. Determinism: node-grain double sums differ at
     ~1e-15 relative between engines; the 6-dp rounding absorbs it and
     ranks tie-break on (node_type, node_id). Top-k is orderBy+limit
@@ -1196,14 +1198,22 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              .persist(StorageLevel.MEMORY_AND_DISK))
     h = edges.select("c").distinct().withColumn("h", F.lit(1.0))
     a = None
+    # persist (NOT localCheckpoint) per half-step: HITS_ITERS is a
+    # fixed small constant, so the lineage stays bounded without
+    # truncation, the cache is shared by the next superstep's join and
+    # the final top-k/normalization branches, and — unlike the lazy
+    # `eager=last` checkpoints this replaced (round 12) — a cached
+    # frame first materialized by a broadcast-exchange thread takes no
+    # RDDCheckpointData lock, so the round-9/10 deadlock class cannot
+    # fire. persist also survives executor loss at scale (recompute
+    # from lineage) where localCheckpoint data is unrecoverable.
     for i in range(HITS_ITERS):
-        last = i == HITS_ITERS - 1
         a = (edges.join(h, "c")
              .groupBy("s").agg(F.sum("h").alias("a"))
-             .localCheckpoint(eager=last))
+             .persist())
         h = (edges.join(a, "s")
              .groupBy("c").agg(F.sum("a").alias("h"))
-             .localCheckpoint(eager=last))
+             .persist())
     a_tot = a.agg(F.sum("a").alias("t"))
     h_tot = h.agg(F.sum("h").alias("t"))
     top_a = (a.crossJoin(F.broadcast(a_tot))
@@ -1298,12 +1308,12 @@ def graph_modularity_nations(spark: SparkSession,
                     F.col("s_nationkey") == F.col("n_nationkey"))
             .select(F.col("s_suppkey").alias("s"),
                     F.col("n_name").alias("snat")))
-    # EAGER: the lab checkpoint feeds TWO broadcast consumers (the
-    # 1-row m total and the intra frame) — the documented
-    # lazy-checkpoint broadcast-thread deadlock class (SURVEY §7).
+    # persisted for its TWO broadcast consumers (the 1-row m total
+    # and the intra frame) — a cached frame takes no checkpoint lock,
+    # so the broadcast-thread deadlock class (SURVEY §7) cannot fire.
     lab = (pairs.join(F.broadcast(cnat), "c")
            .join(F.broadcast(snat), "s")
-           .localCheckpoint(eager=True))
+           .persist())
     m = lab.agg(F.count(F.lit(1)).alias("m"))
     node_deg = (lab.select(F.col("cnat").alias("nat"),
                            F.col("c").alias("id"))
@@ -1390,7 +1400,7 @@ def graph_powerlaw_alpha(spark: SparkSession,
     deg = (pairs.select(F.col("c").alias("id"))
            .unionAll(pairs.select((-(F.col("s") + 1)).alias("s")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
-           .localCheckpoint(eager=True))
+           .persist())
     tail = deg.filter(F.col("d") >= PL_DMIN)
     agg = tail.agg(
         F.count(F.lit(1)).alias("n_tail"),
@@ -1489,9 +1499,9 @@ def graph_trade_reciprocity(spark: SparkSession,
     e = (tr.crossJoin(F.broadcast(m))
          .where(F.col("cents") * F.col("ne") > F.col("tot"))
          .select("a", "b")
-         # EAGER: nn/recip broadcast frames derive from this one
-         # (the SURVEY lazy-checkpoint deadlock rule)
-         .localCheckpoint(eager=True))
+         # persisted: nn/recip broadcast frames derive from this
+         # one (cache, not checkpoint — no deadlock-class lock)
+         .persist())
     nn = (e.select(F.col("a").alias("x"))
           .union(e.select(F.col("b").alias("x"))).distinct()
           .agg(F.count(F.lit(1)).alias("n_nodes")))

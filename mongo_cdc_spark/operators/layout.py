@@ -495,7 +495,7 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).alias("n_rows"),
                F.round(F.min("o_totalprice"), 2).alias("lo"),
                F.round(F.max("o_totalprice"), 2).alias("hi"))
-          .localCheckpoint(eager=True))
+          .persist())
     nf = zm.agg(F.count(F.lit(1)).alias("n_files"))
     a, b = zm.alias("a"), zm.alias("b")
     return (a.join(b, (F.col("b.file_month") != F.col("a.file_month"))
@@ -596,10 +596,10 @@ def layout_bloom_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     members = o.select(F.col("o_custkey").alias("key")).distinct() \
-        .localCheckpoint(eager=True)
+        .persist()
     probes = (c.select((F.col("c_custkey") + 10_000_000).alias("key"))
               .join(members, "key", "left_anti")
-              .localCheckpoint(eager=True))
+              .persist())
     cfg_rows = [(k, i) for k in BLOOM_KS for i in range(k)]
     cfg = spark.createDataFrame(cfg_rows, "k int, i int")
 
@@ -744,7 +744,7 @@ def compaction_execute(spark: SparkSession, source_dir: str,
     cdc.apply.compact_snapshot, which compacts by bucket."""
     df = spark.read.parquet(source_dir)
     files = (df.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
-             .localCheckpoint(eager=True))
+             .persist())
     w = W.orderBy("hour").rowsBetween(W.unboundedPreceding, -1)
     plan = files.select(
         "hour",

@@ -1490,7 +1490,7 @@ def multimodal_audio_fingerprint(spark: SparkSession,
         .repartition(spark.sparkContext.defaultParallelism))
     fp = (clips.mapInPandas(
         audio_fingerprint_batch, schema="doc_id long, f int, h int")
-        .localCheckpoint(eager=True))
+        .persist())
     probes = (fp.filter(F.col("doc_id") < _FP_PROBES)
               .select(F.col("doc_id").alias("probe_doc"), "f", "h"))
     score = (fp.join(F.broadcast(probes), ["f", "h"])

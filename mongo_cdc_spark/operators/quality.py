@@ -578,7 +578,7 @@ def stats_chi_square_independence(spark: SparkSession,
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=True))
+           .persist())
     grid = (obs.select("seg").distinct()
             .crossJoin(F.broadcast(obs.select("prio").distinct()))
             .join(F.broadcast(obs), ["seg", "prio"], "left")
@@ -1659,7 +1659,7 @@ def stats_permutation_weekend(spark: SparkSession,
                       (F.weekday("ts") >= 5).cast("int").alias("wk"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("totc"))
-             .localCheckpoint(eager=True))
+             .persist())
     d_of = (F.sum(F.when(F.col("wk") == 1, F.col("totc")))
             .cast("double") / 100.0 / F.sum("wk")
             - F.sum(F.when(F.col("wk") == 0, F.col("totc")))
@@ -1788,7 +1788,7 @@ def stats_isotonic_calibration(spark: SparkSession,
         .alias("y")))
     bins = (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
-            .localCheckpoint(eager=True))
+            .persist())
     j = bins.select(F.col("bin").alias("jb"))
     k = bins.select(F.col("bin").alias("kb"))
     m = bins.select(F.col("bin").alias("mb"), "n", "p")
@@ -2343,7 +2343,7 @@ def stats_brier_decomposition(spark: SparkSession,
                   .alias("bin"), "y", "is_train"))
     halves = (binned.groupBy("bin", "is_train")
               .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("sy"))
-              .localCheckpoint(eager=True))
+              .persist())
     train = halves.filter("is_train").select(
         "bin", F.col("cnt").alias("m"), F.col("sy").alias("s"))
     test = halves.filter(~F.col("is_train")).select(
@@ -2571,7 +2571,7 @@ def stats_kfold_cv_slope(spark: SparkSession,
                F.sum("yc").alias("sy"),
                F.sum(F.col("x") * F.col("yc")).alias("sxy"),
                F.sum(F.col("x") * F.col("x")).alias("sxx"))
-          .localCheckpoint(eager=True))
+          .persist())
     tot = fs.agg(*[F.sum(c).alias(c)
                    for c in ("n", "sx", "sy", "sxy", "sxx")])
     f = fs.select(*[F.col(c).alias(f"f_{c}")
@@ -2669,7 +2669,7 @@ def quality_fd_discovery(spark: SparkSession,
     violate, so both verdict paths are exercised.
 
     Plan: ONE key-hash join (orders⋈customer, both data-grain at
-    100 TB), checkpointed and melted into (candidate, lhs, rhs)
+    100 TB), persisted and melted into (candidate, lhs, rhs)
     triples — each stage then collapses by counting: pair counts,
     per-lhs totals + max, candidate rollup; every shuffle carries
     only pre-collapsed count rows (map-side combine), every number
@@ -2679,7 +2679,7 @@ def quality_fd_discovery(spark: SparkSession,
     joined = (o.join(c, o.o_custkey == c.c_custkey)
               .select("o_custkey", "o_orderpriority",
                       "c_mktsegment", "c_nationkey")
-              .localCheckpoint(eager=True))
+              .persist())
     melts = [joined.select(
         F.lit(f"{lhs}->{rhs}").alias("fd"),
         F.col(lhs).cast("string").alias("l"),
@@ -2765,7 +2765,7 @@ def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (peru.groupBy("score")
           .agg(F.sum("y").alias("n_pos"),
                (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"))
-          .localCheckpoint(eager=True))
+          .persist())
     b = sc.select(F.col("score").alias("bs"),
                   F.col("n_neg").alias("bn"))
     cum = (sc.join(F.broadcast(b), F.col("bs") < F.col("score"), "left")
@@ -2832,7 +2832,7 @@ def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variant"))
     c = (assigned.groupBy("variant")
          .agg(F.count(F.lit(1)).alias("n"))
-         .localCheckpoint(eager=True))
+         .persist())
     tot = c.agg(F.sum("n").alias("nt"))
     t = (c.crossJoin(F.broadcast(tot))
          .withColumn("term",
@@ -2903,7 +2903,7 @@ def stats_hill_tail_index(spark: SparkSession,
            .orderBy(F.desc("x"), "o_orderkey").limit(kmax)
            .withColumn("r", F.row_number().over(
                W.orderBy(F.desc("x"), "o_orderkey")))
-           .localCheckpoint(eager=True))
+           .persist())
     ks = spark.createDataFrame([(k,) for k in HILL_KS], "k int")
     thr = (ks.join(F.broadcast(top), top.r == ks.k + 1)
            .select("k", F.col("x").alias("x_thresh")))
@@ -3197,7 +3197,7 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("int")).alias("n")))
     rated = (peru.filter(F.col("n") > 0)
              .withColumn("p", F.col("k") * 1.0 / F.col("n"))
-             .localCheckpoint(eager=True))
+             .persist())
     mom = rated.agg(
         F.count(F.lit(1)).alias("nu"), F.avg("p").alias("m1"),
         ((F.sum(F.col("p") * F.col("p")) / F.count(F.lit(1))
@@ -3467,7 +3467,7 @@ def stats_levene_variance(spark: SparkSession,
     grp = (z.groupBy("seg")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("z").alias("sz"),
                 F.sum(F.col("z") * F.col("z")).alias("sz2"))
-           .localCheckpoint(eager=True))
+           .persist())
     tot = grp.agg(F.sum("n").alias("nn"), F.sum("sz").alias("tz"),
                   F.count(F.lit(1)).alias("k"))
     w = (grp.crossJoin(F.broadcast(tot))
@@ -3660,7 +3660,7 @@ def stats_gini_split_search(spark: SparkSession,
     voc = (lab.groupBy("fx")
            .agg(F.sum("y").alias("pos"),
                 (F.count(F.lit(1)) - F.sum("y")).alias("neg"))
-           .localCheckpoint(eager=True))
+           .persist())
     tot = voc.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
     v_, b_ = voc.alias("v"), voc.alias("b")
     cum = (v_.join(F.broadcast(b_), F.col("b.fx") <= F.col("v.fx"))
@@ -3986,7 +3986,7 @@ def stats_g_test_independence(spark: SparkSession,
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=True))
+           .persist())
     segs = obs.select("seg").distinct()
     prios = obs.select("prio").distinct()
     grid = (segs.crossJoin(prios)
@@ -4107,7 +4107,7 @@ def ab_test_uplift_qini(spark: SparkSession,
              .withColumn("h", F.md5(F.col("user_id").cast("string")))
              .withColumn("hr", F.md5(F.concat(
                  F.lit("rk:"), F.col("user_id").cast("string"))))
-             .localCheckpoint(eager=True))
+             .persist())
     med = exact_quantiles(peru0, "spend", {"m": 0.5}, ["user_id"])
     peru = (peru0.crossJoin(F.broadcast(
         med.select(F.round("m", 4).alias("m"))))
@@ -4309,7 +4309,7 @@ def stats_kruskal_wallis(spark: SparkSession,
     base = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
             .select(F.col("c_mktsegment").alias("seg"),
                     yc.alias("yc"))
-            .localCheckpoint(eager=True))
+            .persist())
     vc = base.groupBy("yc").agg(F.count(F.lit(1)).alias("t"))
     mid = (with_global_order(vc, [F.col("yc").asc()],
                              cumsums={"t": "cum"})
@@ -4428,7 +4428,7 @@ def streaming_uplift_monitor_replay(spark: SparkSession,
                                F.round(F.col("value") * 100)
                                .cast("bigint")).otherwise(0))
                   .alias("cents"))
-             .localCheckpoint(eager=True))
+             .persist())
     days = daily.select("day").distinct()
     variants = spark.range(2).select(F.col("id").cast("int").alias("t"))
     grid = (days.crossJoin(F.broadcast(variants))
@@ -4651,7 +4651,7 @@ def stats_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("c_mktsegment").alias("seg"),
                     F.col("o_orderpriority").alias("prio"))
            .agg(F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=True))
+           .persist())
     tot = obs.agg(F.sum("n").alias("grand"))
     ent = lambda cnt: -F.sum(  # noqa: E731
         (F.col(cnt) / (F.col("grand") * F.lit(1.0)))
@@ -4765,11 +4765,11 @@ def stats_wilcoxon_signed_rank(spark: SparkSession,
                                cents).otherwise(0)).alias("pc"),
                   F.sum(F.when(F.col("event_type") == "click",
                                cents).otherwise(0)).alias("cc"))
-             .localCheckpoint(eager=True))
+             .persist())
     diffs = (daily.select("d", (F.col("pc") - F.col("cc")).alias("df"),
                           F.abs(F.col("pc") - F.col("cc")).alias("ad"))
              .where(F.col("df") != 0)
-             .localCheckpoint(eager=True))
+             .persist())
     vc = diffs.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
     mid = (with_global_order(vc, [F.col("ad").asc()],
                              cumsums={"t": "cum"})
@@ -4972,13 +4972,14 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    # EAGER: this checkpoint feeds TWO broadcast consumers (the
-    # type-distinct frame and the grid's left side) — the documented
-    # lazy-checkpoint broadcast-thread deadlock class (SURVEY §7).
+    # persisted for its TWO broadcast consumers (the type-distinct
+    # frame and the grid's left side) — a cached frame takes no
+    # checkpoint lock, so the broadcast-thread deadlock class
+    # (SURVEY §7) cannot fire.
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
                         "event_type")
              .agg(F.count(F.lit(1)).alias("cnt"))
-             .localCheckpoint(eager=True))
+             .persist())
     grid = (daily.select("day").distinct()
             .crossJoin(F.broadcast(
                 daily.select("event_type").distinct()))
@@ -5063,7 +5064,7 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.date_trunc("day", "ts").alias("day"),
                       "event_type")
             .distinct()
-            .localCheckpoint(eager=True))
+            .persist())
     rows_ = (pres.groupBy("user_id", "day")
              .agg(F.count(F.lit(1)).alias("r_i")))
     cols = (pres.groupBy("event_type")
@@ -5773,9 +5774,9 @@ def ab_test_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("cvr"),
         F.round((p + z2n / 2 - hw) / (1 + z2n), 6).alias("wilson_lo"),
         F.round((p + z2n / 2 + hw) / (1 + z2n), 6).alias("wilson_hi"))
-        # EAGER: ext below is a broadcast consumer of this frame
-        # (the SURVEY lazy-checkpoint deadlock rule)
-        .localCheckpoint(eager=True))
+        # persisted: ext below is a broadcast consumer of this
+        # frame (cache, not checkpoint — no deadlock-class lock)
+        .persist())
     ext = ci.agg(F.max("wilson_lo").alias("max_lo"),
                  F.min("wilson_hi").alias("min_hi"))
     return (ci.crossJoin(F.broadcast(ext))

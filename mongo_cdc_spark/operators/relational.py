@@ -2969,9 +2969,9 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= 2).select("p"))
     # both self-join sides read ONE materialization of the pruned
-    # item set (localCheckpoint) instead of re-running distinct+prune
+    # item set (persist) instead of re-running distinct+prune
     pruned = (items.join(freq, "p").select("o", "p")
-              .localCheckpoint(eager=True))
+              .persist())
     a = pruned.select("o", F.col("p").alias("p1"))
     b = pruned.select("o", F.col("p").alias("p2"))
     pairs = (a.join(b, "o")
@@ -3049,7 +3049,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ((F.unix_micros("buy_ts")
                          - F.unix_micros("click_ts")) / 1000000.0)
                        .alias("gap_sec"))
-               .localCheckpoint(eager=True))
+               .persist())
     qs = exact_quantiles(matched, "gap_sec",
                          {"q50": 0.5, "q90": 0.9},
                          ["buy_id"], ["buy_hod"])
@@ -3655,7 +3655,7 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     items = (li.select(F.col("l_orderkey").alias("o"),
                        F.col("l_partkey").alias("p")).distinct()
-             .localCheckpoint(eager=True))
+             .persist())
     supp = items.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
     nb = items.agg(F.countDistinct("o").alias("n"))
     a = items.select("o", F.col("p").alias("p1"))
@@ -3733,7 +3733,7 @@ def events_revenue_concentration(spark: SparkSession,
                                 [F.asc("rev"), F.asc("user_id")],
                                 rank_col="i")
               .select("rev", "i")
-              .localCheckpoint(eager=True))
+              .persist())
     tot = ranked.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("rev").alias("total"))
     return (ranked.crossJoin(F.broadcast(tot))
@@ -4385,13 +4385,13 @@ def parts_abc_classification(spark: SparkSession,
     sampled-boundary approximation needed; the grand total is a
     broadcast scalar, not a whole-frame window."""
     li = _t(spark, sf_dir, "lineitem")
-    # checkpointed: the total agg and the two-phase cumsum both read
-    # the part-grain rollup — without the barrier each re-runs the
-    # lineitem scan+shuffle
+    # persisted: the total agg and the two-phase cumsum both read
+    # the part-grain rollup — without the shared cache each re-runs
+    # the lineitem scan+shuffle
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                       .cast("bigint")).alias("rev_c"))
-           .localCheckpoint(eager=True))
+           .persist())
     total = rev.agg(F.sum("rev_c").alias("total"))
     classed = (with_global_order(rev,
                                  [F.desc("rev_c"), F.asc("l_partkey")],
@@ -4700,7 +4700,7 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.unix_micros(F.max("ts"))
                   - F.unix_micros(F.min("ts"))).alias("dur_us"))
-            .localCheckpoint(eager=True))
+            .persist())
     qn = exact_quantiles(sess, "n_events", {"median_events": 0.5},
                          ["user_id", "sess_id"])
     qd = exact_quantiles(sess, "dur_us", {"d50": 0.5, "d95": 0.95},
@@ -5707,14 +5707,14 @@ def events_retention_cohorts(spark: SparkSession,
     ev = _t(spark, sf_dir, "events")
     ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
           .distinct()
-          .localCheckpoint(eager=True))
+          .persist())
     first = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
     act = (ud.join(first, "user_id")
            .withColumn("offset_d", F.datediff("day", "cohort"))
            .where(F.col("offset_d") <= _RETENTION_MAX_OFFSET))
     ret = (act.groupBy("cohort", "offset_d")
            .agg(F.countDistinct("user_id").alias("n_active"))
-           .localCheckpoint(eager=True))
+           .persist())
     base = (ret.where(F.col("offset_d") == 0)
             .select("cohort", F.col("n_active").alias("n_cohort")))
     return (ret.join(F.broadcast(base), "cohort")
@@ -5803,7 +5803,7 @@ def customer_rfm_segments(spark: SparkSession,
                        .cast("bigint")) / 100.0).alias("mon"),
                 F.sum(F.round(F.col("o_totalprice") * 100)
                       .cast("bigint")).alias("mcents"))
-           .localCheckpoint(eager=True))
+           .persist())
     probs = {f"q{i}": q for i, q in enumerate(_RFM_QS)}
     qr = exact_quantiles(per.select(F.col("rec").cast("double")
                                     .alias("rec"), "cust"),
@@ -5904,7 +5904,7 @@ def orders_ship_latency(spark: SparkSession,
                    F.datediff("l_shipdate", "o_orderdate")
                    .cast("double").alias("d"),
                    "l_orderkey", "l_linenumber")
-           .localCheckpoint(eager=True))
+           .persist())
     th = exact_quantiles(lat, "d",
                          {"p50": 0.5, "p90": 0.9, "p99": 0.99},
                          ["l_orderkey", "l_linenumber"], ["priority"])
@@ -6063,9 +6063,9 @@ def streaming_retention_curve_replay(spark: SparkSession,
     ev = _t(spark, sf_dir, "events")
     ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
           .distinct()
-          .localCheckpoint(eager=True))
+          .persist())
     first = (ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
-             .localCheckpoint(eager=True))
+             .persist())
     act = (ud.join(first, "user_id")
            .withColumn("o", F.datediff("day", "cohort"))
            .where(F.col("o") <= _RETENTION_MAX_OFFSET))

@@ -1598,7 +1598,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("ccos")))
     # ONE ranking window serves both the per-vector assignment (rn=1)
     # and the query probe lists (rn<=nprobe); only the <=nprobe rows
-    # per vector are materialized (localCheckpoint), so the reuse
+    # per vector are materialized (persist), so the reuse
     # costs O(N * nprobe) narrow rows, not a recompute of the N x K
     # scoring. Vectors ride along on the assignment rows, so the
     # candidate rescoring needs NO corpus re-join.
@@ -1607,7 +1607,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id", "c_label", "v", "norm",
                       F.row_number().over(wv).alias("rn"))
               .filter(F.col("rn") <= max(1, EVAL_NPROBE))
-              .localCheckpoint(eager=True))
+              .persist())
     assigned = ranked.filter(F.col("rn") == 1)
     probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
                             & (F.col("rn") <= EVAL_NPROBE))
@@ -1864,7 +1864,7 @@ def embedding_quality_gate(spark: SparkSession,
     v = (e.select("vec_id", "label",
                   F.size("v").alias("dim"),
                   F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-         .localCheckpoint(eager=True))
+         .persist())
     med = exact_quantiles(v, "nrm", {"med": 0.5}, ["vec_id"])
     return (v.agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -2354,7 +2354,7 @@ def embedding_class_scatter(spark: SparkSession,
     d = e.select("label", "vec_id",
                  F.posexplode("v").alias("i0", "x")) \
         .select("label", "vec_id", (F.col("i0") + 1).alias("i"), "x") \
-        .localCheckpoint(eager=True)
+        .persist()
     cent = (d.groupBy("label", "i")
             .agg(F.round(F.avg("x"), 6).alias("c")))
     gcent = d.groupBy("i").agg(F.round(F.avg("x"), 6).alias("g"))
@@ -2573,7 +2573,7 @@ def kmeans_cluster_agreement(spark: SparkSession,
     cont = (best.groupBy(F.col("c_label").alias("c"),
                          F.col("label").alias("l"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True))
+            .persist())
     a_ = cont.groupBy("c").agg(F.sum("n").alias("a"))
     b_ = cont.groupBy("l").agg(F.sum("n").alias("b"))
     tot = cont.agg(F.sum("n").alias("nt"))

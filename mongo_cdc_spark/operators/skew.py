@@ -248,7 +248,7 @@ def skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     kc = (ev.groupBy(F.col("event_type").alias("key"))
           .agg(F.count(F.lit(1)).alias("n_rows"))
-          .localCheckpoint(eager=True))
+          .persist())
     tot = kc.agg(F.sum("n_rows").alias("n_total"),
                  F.count(F.lit(1)).alias("n_keys"),
                  F.max("n_rows").alias("max_before"))

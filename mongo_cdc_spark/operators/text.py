@@ -643,7 +643,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortMergeJoin even on tiny sides); 1/(60+rank) on integer ranks is
     exact double arithmetic, bit-identical across engines (no libm in
     the fusion step)."""
-    scored = _probe_scores(spark, sf_dir).localCheckpoint()
+    scored = _probe_scores(spark, sf_dir).persist()
     # Each list's top-100 is TakeOrderedAndProject (distributed heap
     # selection); the rank windows then run over <=100 rows each.
     a = (scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
@@ -1501,7 +1501,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                            & (F.col("tok") != ""))
                .withColumn("grp",
                            F.col("pos") - F.row_number().over(wdoc))
-               .localCheckpoint(eager=True))
+               .persist())
     phrase = (content.groupBy("doc_id", "grp")
               .agg(F.concat_ws(
                   " ", F.transform(
@@ -1847,7 +1847,7 @@ def text_textrank_keywords(spark: SparkSession,
              .unionByName(pairs.select(F.col("p.b").alias("src"),
                                        F.col("p.a").alias("dst")))
              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
-             .localCheckpoint(eager=True))
+             .persist())
     wdeg = (edges.groupBy("src").agg(F.sum("wt").alias("tot"))
             .withColumnRenamed("src", "word"))
     score = wdeg.select("word", F.lit(1.0).alias("score"))
@@ -1959,7 +1959,7 @@ def text_llr_collocations(spark: SparkSession,
            )).alias("bg"))
            .select("bg.*")
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-           .localCheckpoint(eager=True))
+           .persist())
     firsts = big.groupBy("w1").agg(F.sum("c").alias("r1"))
     seconds = big.groupBy("w2").agg(F.sum("c").alias("c1"))
     tot = big.agg(F.sum("c").alias("n"))

@@ -1318,7 +1318,7 @@ def stats_fdr_bh_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (pv.withColumn("rnk", F.row_number().over(rw).cast("int"))
               .withColumn("m", F.count(F.lit(1)).over(
                   Window.partitionBy(F.lit(1))))
-              .localCheckpoint(eager=True))
+              .persist())
     cutoff = ranked.agg(
         F.coalesce(F.max(F.when(
             F.col("p_value") * F.col("m") <= F.col("rnk") * _BH_Q,
@@ -1392,22 +1392,22 @@ def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.date_trunc("day", "ts").alias("day"))
              .agg(F.sum("value").alias("rev")))
     # the day-grain index window is calendar-bounded (declared in the
-    # plan audit); checkpoint it so the four downstream branches
+    # plan audit); persist it so the four downstream branches
     # (window expansion sides, per-window stats, pair join) share ONE
     # daily rollup instead of re-running the data-grain scan each
     d2 = (daily.withColumn(
         "idx", F.row_number().over(W.orderBy("day")) - 1)
-        .localCheckpoint(eager=True))
+        .persist())
     # every frame below is calendar-bounded (days / day-windows), so
     # the joins broadcast by construction at ANY data scale — the
-    # hints are load-bearing because the checkpoint hides sizes
+    # hints are load-bearing because the cached frame hides sizes
     a = d2.select(F.col("idx").alias("i"), F.col("day").alias("sday"))
     b = d2.select(F.col("idx").alias("bi"), F.col("rev").alias("x"))
     win = (a.join(F.broadcast(b), (F.col("bi") >= F.col("i"))
                   & (F.col("bi") <= F.col("i") + (w - 1)))
            .select("i", (F.col("bi") - F.col("i")).alias("k"),
                    "x", "sday")
-           .localCheckpoint(eager=True))
+           .persist())
     ws = (win.groupBy("i")
           .agg(F.min("sday").alias("sday"), F.avg("x").alias("mu"),
                F.stddev_pop("x").alias("sd"),
@@ -1542,13 +1542,13 @@ def ts_binseg_changepoints(spark: SparkSession,
              .groupBy(F.col("ts").cast("date").alias("d"))
              .agg(F.round(F.sum("value") * 100).cast("bigint")
                   .alias("vc"))
-             .localCheckpoint(eager=True))
+             .persist())
     a = daily.alias("a")
     b = daily.alias("b")
     idx = (a.join(b, F.col("b.d") < F.col("a.d"), "left")
            .groupBy(F.col("a.d").alias("d"), F.col("a.vc").alias("vc"))
            .agg(F.count(F.col("b.d")).alias("i"))
-           .localCheckpoint(eager=True))
+           .persist())
     nn = daily.agg(F.count(F.lit(1)).alias("n"))
     tpts = (idx.select(F.col("i").alias("t"))
             .unionByName(nn.select(F.col("n").alias("t"))))
@@ -1562,7 +1562,7 @@ def ts_binseg_changepoints(spark: SparkSession,
                F.coalesce(F.sum(F.when(F.col("mi") < F.col("t"),
                                        F.col("mv") * F.col("mv"))),
                           F.lit(0.0)).alias("p2"))
-          .localCheckpoint(eager=True))
+          .persist())
     tot = (tp.filter(F.col("t") == 0)
            .select(F.col("p").alias("p0"), F.col("p2").alias("p20"))
            .crossJoin(nn.join(tp, tp.t == nn.n)
@@ -1691,7 +1691,7 @@ def stats_twoway_fixed_effects(spark: SparkSession,
                         F.col("ts").cast("date").alias("t"))
              .agg(F.round(F.sum("value"), 2).alias("y"),
                   F.count(F.lit(1)).alias("x"))
-             .localCheckpoint(eager=True))
+             .persist())
     mi = panel.groupBy("i").agg(F.avg("y").alias("yi"),
                                 F.avg(F.col("x") * 1.0).alias("xi"))
     mt = panel.groupBy("t").agg(F.avg("y").alias("yt"),
@@ -1811,7 +1811,7 @@ def events_markov_stationary(spark: SparkSession,
     tc = (seq.filter(F.col("prev").isNotNull())
           .groupBy("prev", F.col("event_type").alias("nxt"))
           .agg(F.count(F.lit(1)).alias("n"))
-          .localCheckpoint(eager=True))
+          .persist())
     wp = Window.partitionBy("prev")
     praw = tc.select("prev", "nxt",
                      (F.col("n") * 1.0 / F.sum("n").over(wp))
@@ -1822,7 +1822,7 @@ def events_markov_stationary(spark: SparkSession,
     p = (praw.unionByName(
         sinks.select(F.col("nxt").alias("prev"), "nxt",
                      F.lit(1.0).alias("pr")))
-        .localCheckpoint(eager=True))
+        .persist())
     states = p.select(F.col("prev").alias("s")).distinct()
     n_states = states.agg(F.count(F.lit(1)).alias("k"))
     pi = (states.crossJoin(F.broadcast(n_states))
@@ -1905,7 +1905,7 @@ def ts_exponential_smoothing(spark: SparkSession,
                    / 100.0).alias("y")))
     idx = (daily.withColumn(
         "t", F.row_number().over(Window.orderBy("day")))
-        .localCheckpoint(eager=True))
+        .persist())
     a_, s_ = idx.alias("a"), idx.alias("s")
     alpha = _SES_ALPHA
     coef = F.when(F.col("s.t") == 1,
@@ -1917,7 +1917,7 @@ def ts_exponential_smoothing(spark: SparkSession,
            .groupBy(F.col("a.t").alias("t"), F.col("a.day").alias("day"),
                     F.col("a.y").alias("y"))
            .agg(F.round(F.sum(coef * F.col("s.y")), 6).alias("level"))
-           .localCheckpoint(eager=True))
+           .persist())
     prev = lvl.select((F.col("t") + 1).alias("t"),
                       F.col("level").alias("forecast"))
     return (lvl.join(F.broadcast(prev), "t", "left")
@@ -1983,7 +1983,7 @@ def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.row_number().over(Window.orderBy("day")))
         .withColumn("n", F.count(F.lit(1)).over(
             Window.partitionBy(F.lit(1))))
-        .localCheckpoint(eager=True))
+        .persist())
     a_, s_ = idx.alias("a"), idx.alias("s")
     tr = (a_.join(F.broadcast(s_),
                   (F.col("s.t") >= F.col("a.t") - 3)
@@ -2058,7 +2058,7 @@ def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).alias("p"),
                   F.sum(F.when(F.col("event_type") == "view", 1)
                         .otherwise(0)).alias("v"))
-             .localCheckpoint(eager=True))
+             .persist())
     a_, b_ = daily.alias("a"), daily.alias("b")
     dp = F.col("a.p") - F.col("b.p")
     dv = F.col("a.v") - F.col("b.v")
@@ -2129,7 +2129,7 @@ def ts_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .cast("bigint")).otherwise(0))
                   .alias("cents"),
                   F.countDistinct("user_id").alias("users"))
-             .localCheckpoint(eager=True))
+             .persist())
     a_, b_ = daily.alias("a"), daily.alias("b")
     lt = lambda col: (  # noqa: E731
         (F.col(f"b.{col}") < F.col(f"a.{col}"))
@@ -2207,7 +2207,7 @@ def ts_ljungbox_whiteness(spark: SparkSession,
              .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
              .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
                    / 100.0).alias("y"))
-             .localCheckpoint(eager=True))
+             .persist())
     mom = daily.agg(F.avg("y").alias("mu"),
                     F.count(F.lit(1)).alias("n"))
     s0 = (daily.crossJoin(F.broadcast(mom))
@@ -2299,7 +2299,7 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
              .agg((F.sum(F.round(F.col("value") * 100).cast("bigint"))
                    / 100.0).alias("y"))
-             .localCheckpoint(eager=True))
+             .persist())
     med = daily.agg(F.percentile("y", 0.5).alias("m"))
     signed = (daily.crossJoin(F.broadcast(med))
               .where(F.col("y") != F.col("m"))
@@ -2398,7 +2398,7 @@ def ts_mann_kendall_trend(spark: SparkSession,
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("xc"))
-             .localCheckpoint(eager=True))
+             .persist())
     b = daily.select(F.col("event_type").alias("bt"),
                      F.col("d").alias("bd"), F.col("xc").alias("bx"))
     s = (daily.join(b, (F.col("bt") == F.col("event_type"))
@@ -2513,7 +2513,7 @@ def ts_brown_double_smoothing(spark: SparkSession,
                    / 100.0).alias("y")))
     idx = (daily.withColumn(
         "t", F.row_number().over(Window.orderBy("day")))
-        .localCheckpoint(eager=True))
+        .persist())
     alpha = _DES_ALPHA
 
     def smooth(frame: DataFrame, src: str, out: str) -> DataFrame:
@@ -2531,19 +2531,19 @@ def ts_brown_double_smoothing(spark: SparkSession,
                 .agg(F.round(F.sum(coef * F.col(f"s.{src}")), 6)
                      .alias(out)))
 
-    # two cascaded smoothings; checkpoint between them so the second
+    # two cascaded smoothings; persist between them so the second
     # pass consumes the ROUNDED first-pass levels once, not a
-    # recomputed lineage (one broadcast consumer -> lazy is safe, but
-    # l1 feeds both sides of the second self-join -> eager per the
-    # round-9 broadcast-race rule).
-    l1 = smooth(idx, "y", "lvl1").localCheckpoint(eager=True)
+    # recomputed lineage (l1 feeds both sides of the second
+    # self-join; a cached frame takes no checkpoint lock, so the
+    # round-9 broadcast-race class cannot fire).
+    l1 = smooth(idx, "y", "lvl1").persist()
     l2 = smooth(l1, "lvl1", "lvl2")
     ab = (l2.withColumn("a_t", F.round(2 * F.col("lvl1")
                                        - F.col("lvl2"), 6))
           .withColumn("b_t", F.round(F.lit(alpha / (1 - alpha))
                                      * (F.col("lvl1") - F.col("lvl2")),
                                      6))
-          .localCheckpoint(eager=True))
+          .persist())
     prev = ab.select((F.col("t") + 1).alias("t"),
                      F.round(F.col("a_t") + F.col("b_t"), 6)
                      .alias("forecast"))
@@ -2640,7 +2640,7 @@ def ts_page_hinkley_drift(spark: SparkSession,
                         F.date_trunc("day", "ts").alias("d"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("xc"))
-             .localCheckpoint(eager=True))
+             .persist())
     sig = (daily.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("nd"),
                 F.sqrt((F.sum(F.col("xc").cast("decimal(38,0)")
@@ -2824,7 +2824,7 @@ def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("yc"))
-             .localCheckpoint(eager=True))
+             .persist())
     idx = daily.withColumn(
         "t", F.row_number().over(Window.orderBy("day")))
     s = idx.agg(F.count(F.lit(1)).alias("n"),
@@ -2915,7 +2915,7 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("yc"))
-             .localCheckpoint(eager=True))
+             .persist())
     wd = Window.orderBy("day")
     x = daily.select(
         "day", F.log(F.col("yc") * F.lit(1.0)).alias("x"))
@@ -2999,7 +2999,7 @@ def ts_crosscorr_leadlag(spark: SparkSession,
                         .cast("int")).alias("x"),
                   F.sum((F.col("event_type") == "purchase")
                         .cast("int")).alias("y"))
-             .localCheckpoint(eager=True))
+             .persist())
     lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1) \
         .select(F.col("id").cast("int").alias("lag"))
     d1 = daily.crossJoin(F.broadcast(lags)) \
@@ -3088,7 +3088,7 @@ def ts_classical_decompose(spark: SparkSession,
     daily = (ev.groupBy(F.to_date("ts").alias("day"))
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("yc"))
-             .localCheckpoint(eager=True))
+             .persist())
     wma = Window.orderBy("day").rowsBetween(-3, 3)
     idx = (daily
            .withColumn("t", F.row_number().over(Window.orderBy("day")))
@@ -3097,7 +3097,7 @@ def ts_classical_decompose(spark: SparkSession,
     core = (idx.filter((F.col("w7") == 7) & F.col("t").between(4, 24))
             .withColumn("dow", F.weekday("day"))
             .withColumn("d", 7 * F.col("yc") - F.col("s7"))
-            .localCheckpoint(eager=True))
+            .persist())
     a_ = core.groupBy("dow").agg(F.sum("d").alias("a"))
     tot = core.agg(F.sum("d").alias("tt"))
     j = (core.join(F.broadcast(a_), "dow")
@@ -3204,7 +3204,7 @@ def ts_hurst_rs_exponent(spark: SparkSession,
                    .alias("x")))
     idx = (hourly.withColumn(
         "t", F.row_number().over(Window.orderBy("h")))
-        .localCheckpoint(eager=True))
+        .persist())
     nt = idx.agg(F.count(F.lit(1)).alias("nt"))
     ns = spark.createDataFrame([(n,) for n in HURST_NS], "n int")
     g = (idx.crossJoin(F.broadcast(ns))
@@ -3236,7 +3236,7 @@ def ts_hurst_rs_exponent(spark: SparkSession,
                   .alias("rs_mean")))
     pts = (per_n.withColumn("lx", F.log10(F.col("n").cast("double")))
            .withColumn("ly", F.log10("rs_mean"))
-           .localCheckpoint(eager=True))
+           .persist())
     ols = pts.agg(F.round(
         (F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
          - F.sum("lx") * F.sum("ly"))

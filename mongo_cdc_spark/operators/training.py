@@ -503,12 +503,13 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "k", F.size("w").cast("int").alias("n_tok"),
         (F.size(F.array_distinct("w")) * F.lit(1.0) / F.size("w"))
         .alias("ttr"))
-    # checkpointed: the row count and the two-phase rank both read the
-    # difficulty frame — without the barrier each re-runs tokenization
+    # persisted: the row count and the two-phase rank both read the
+    # difficulty frame — without the shared cache each re-runs
+    # tokenization
     ranked = scored.select(
         "doc_id", "k", "n_tok",
         F.round(F.col("n_tok") * F.col("ttr"), 4).alias("difficulty")) \
-        .localCheckpoint(eager=True)
+        .persist()
     pos = with_global_order(ranked,
                             [F.asc("difficulty"), F.asc("doc_id")],
                             rank_col="g")
@@ -1352,15 +1353,15 @@ def train_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is keyed on fingerprints or the 3-value split."""
     k = _perm_key()
     b = _shard_of(k, _SPLIT_BUCKETS)
-    # checkpointed: the leak detection, the total, and the final
+    # persisted: the leak detection, the total, and the final
     # rollup all read this narrow doc-grain frame — without the
-    # barrier each re-runs the scan+tokenization
+    # shared cache each re-runs the scan+tokenization
     base = _docs(spark, sf_dir).select(
         F.md5("text").alias("fp"),
         F.size(_tokens()).alias("n_tok"),
         F.when(b == _SPLIT_TEST, "test")
         .when(b == _SPLIT_VAL, "val")
-        .otherwise("train").alias("split")).localCheckpoint(eager=True)
+        .otherwise("train").alias("split")).persist()
     leaked = (base.groupBy("fp")
               .agg(F.count_distinct("split").alias("ns"))
               .where(F.col("ns") > 1)
@@ -1888,7 +1889,7 @@ def train_cross_source_overlap(spark: SparkSession,
           .select("source", F.explode(
               _shingles_of_hashes("th")).alias("g"))
           .distinct()
-          .localCheckpoint(eager=True))
+          .persist())
     tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pair = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -2002,19 +2003,19 @@ def corpus_decontaminate(bench: DataFrame):
         # re-derives once per consumer (measured 3x at sf0.1,
         # 9.0 s -> 3.4 s for the full release chain)
         corpus = (docs.where(F.col("doc_id") % _BENCH_MOD != 0)
-                  .localCheckpoint(eager=True))
-        # second barrier BEFORE the explode: Generate pushdown
+                  .persist())
+        # second materialization BEFORE the explode: Generate pushdown
         # re-inlines the whole token-hash/shingle transform per
         # reference (size + explode = 2x) — the exact train_
         # decontaminate lesson; measured 7.3 s -> sub-second for this
-        # stage at sf0.1 with the checkpointed shingle frame
+        # stage at sf0.1 with the materialized shingle frame
         shf = (corpus
                .select("doc_id", _tokens().alias("w"))
                .filter(F.size("w") >= 3)
                .select("doc_id", _token_hashes(F.col("w")).alias("th"))
                .select("doc_id", _shingles_of_hashes("th").alias("sh"))
                .withColumn("n_sh", F.size("sh"))
-               .localCheckpoint(eager=True))
+               .persist())
         sh = shf.select("doc_id", "n_sh", F.explode("sh").alias("h"))
         contaminated = (sh.join(F.broadcast(bench), "h")
                         .groupBy("doc_id", "n_sh")
@@ -2264,9 +2265,9 @@ def train_dsir_importance(spark: SparkSession,
     bucket totals fold FROM that frame (bucket-grain, map-side
     combined); the {_DSIR_BUCKETS}-row ratio table broadcasts back;
     scoring is a broadcast join + per-doc sum; TakeOrdered serves the
-    head. The checkpoint is EAGER — the frame feeds three consumers
-    whose broadcasts race a lazy materialization (round-9 deadlock
-    rule)."""
+    head. The frame is persisted for its three consumers — a cached
+    frame takes no checkpoint lock, so concurrent broadcast-thread
+    materialization cannot hit the round-9 deadlock class."""
     docs = load_table(spark, sf_dir, "documents")
     b = F.pmod(
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
@@ -2277,7 +2278,7 @@ def train_dsir_importance(spark: SparkSession,
            .select("doc_id", "lang", b.alias("b"))
            .groupBy("doc_id", "lang", "b")
            .agg(F.count(F.lit(1)).alias("c"))
-           .localCheckpoint(eager=True))
+           .persist())
     tgt = (pdb.groupBy("b")
            .agg(F.sum(F.when(F.col("lang") == "en", F.col("c"))
                       .otherwise(0)).alias("ct"),
@@ -2476,7 +2477,7 @@ def train_decontaminate_bloom(spark: SparkSession,
                 % _BLOOM_M)
 
     bench = (sh_bench.select(F.explode("sh").alias("h")).distinct()
-             .localCheckpoint(eager=True))
+             .persist())
     bits = (bench.crossJoin(F.broadcast(ks))
             .select(pos(F.col("h"), F.col("k")).alias("pos"))
             .distinct())

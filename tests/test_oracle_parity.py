@@ -37,6 +37,26 @@ def test_grade_first_manifest_names_all_registered():
         f"{missing}")
 
 
+def test_grade_first_has_no_duplicates():
+    """ADVICE r11: _ordered()'s dict comprehension silently dedupes,
+    so a name listed in two rotation blocks would make any consumer
+    that slices the RAW tuple (e.g. `_GRADE_FIRST[:50]`) mis-window
+    or double-grade. The round-12 rule: the tuple is globally
+    duplicate-free — when a query re-enters a new window, its entry
+    in the older historical block is removed."""
+    names = list(entrymod._GRADE_FIRST)
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate _GRADE_FIRST entries: {dupes}"
+
+
+def test_grading_window_is_the_manifest_head():
+    """The driver grades the first 50 queries() entries; those must be
+    exactly the first 50 _GRADE_FIRST names, in order — i.e. every
+    consumer (driver included) sees the window the manifest declares,
+    with no silent shift from _ordered()'s merge."""
+    assert list(QUERIES)[:50] == list(entrymod._GRADE_FIRST[:50])
+
+
 def test_declared_exception_maps_have_no_stale_names():
     """plan_audit/oracle_check gate runtime warnings and plan features
     against DECLARED per-query exception maps. A key that no longer

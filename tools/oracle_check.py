@@ -116,6 +116,13 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # per-query cache isolation (round 12): the persist sweep made
+        # .persist() the default materialization barrier, so a full
+        # 398-query session would otherwise accumulate every query's
+        # cached frames (LRU eviction keeps it correct, but the churn
+        # skews timings and memory pressure late in the run — the same
+        # reason bench.py clears between queries).
+        spark.catalog.clearCache()
         t0 = time.time()
         warns.drain()
         try:

@@ -5,12 +5,16 @@ matter at 100 TB: shuffle exchanges, sort-merge vs broadcast joins,
 Python evaluation nodes (the slow path), and single-partition windows.
 Flags queries whose plan drifts from the declared posture.
 
-Known blind spot: a `localCheckpoint` (always EAGER since the round-11
-sweep — eager=False is banned by tests/test_checkpoint_guard.py)
-replaces its subtree with an RDD scan in the printed plan, so features
-UPSTREAM of a checkpoint are invisible here; building a checkpointed
-query's DataFrame also executes the checkpoint subtree, so this audit
-pays those jobs at construction time. The single-partition-window class is
+Known blind spot: a `localCheckpoint` replaces its subtree with an RDD
+scan in the printed plan, so features UPSTREAM of a checkpoint are
+invisible here, and building such a query's DataFrame executes the
+checkpoint jobs at construction time. Since the round-12 persist sweep
+this is confined to the 17 allowlisted load-bearing sites
+(tests/test_checkpoint_guard.py — iterative supersteps + CDC
+read-overwrite); everything else persists, and persisted subtrees
+STAY visible (InMemoryRelation lineage is printed once and deduped by
+_strip_cached below, and construction runs no jobs). The
+single-partition-window class is
 additionally guarded at runtime — tools/oracle_check counts Spark's
 "No Partition Defined for Window" warnings per query and fails any
 query that warns without a WINDOW_OK entry. Zero such warnings come
@@ -466,15 +470,21 @@ WINDOW_OK: dict[str, int] = {
     "events_error_budget": 1,
     "ts_bollinger_bands": 1,
     "ab_test_sequential_sprt": 1,  # SPRT walk over the daily grid
-    "ts_motif_discovery": 1,       # day-index assignment on day rows
-    "ts_exponential_smoothing": 1,  # day-index on calendar-grain rows
-    "ts_brown_double_smoothing": 1,  # day-index on calendar-grain rows
+    # round 12: the persist sweep un-hid windows that sat UPSTREAM
+    # of (now-removed) localCheckpoints — the audit previously could
+    # not see past the RDD scan. Same bounded calendar-grain class;
+    # counts updated to the full now-visible plan:
+    "ts_motif_discovery": 2,       # day-index + window-id assignment on day rows
+    "ts_exponential_smoothing": 2,  # day-index + EWMA recursion, day rows
+    "ts_brown_double_smoothing": 4,  # day-index + two cascaded smoothing
+    # passes + trend join ordering, all on the same day-grain frame
     "ts_dow_seasonality": 2,       # day-index + day-count, both bounded
     "ts_ljungbox_whiteness": 1,    # cumulative Q over the 7-row lag grid
     "ts_runs_test": 1,             # run-boundary lag over bounded day rows
     "ts_durbin_watson": 3,         # day-index (x2 lineage branches) + residual lag, 30-day grid
     "ts_variance_ratio": 1,        # two lags share ONE day-ordered sort
-    "ts_hurst_rs_exponent": 1,     # hour-grid index (~720 calendar rows)
+    "ts_hurst_rs_exponent": 2,     # hour-grid index + per-scale R/S rank
+    # (~720 calendar rows)
     "ts_classical_decompose": 2,   # day-index + centered-MA share the 30-day grid
     "events_survival_km": 2,       # KM curve over |distinct days|
     # 4-row per-step funnel summary union:
