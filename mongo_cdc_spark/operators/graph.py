@@ -24,8 +24,11 @@ Scale posture: per superstep, ONE shuffle — edges join ranks on the
 source key, partial-aggregated on the destination key. Edge and rank
 frames share the node-id key, so with both sides pre-partitioned
 (bucketed edges at rest) the join is co-located; rank state is
-O(nodes); localCheckpoint keeps lineage O(1) across iterations (the
-same discipline as dedup.py's connected-components loop). Skewed
+O(nodes); per-round persist keeps planning bounded across the FIXED
+iteration counts here (InMemoryRelation substitution) while the
+supersteps pipeline into one consuming action — localCheckpoint
+lineage truncation is reserved for data-dependent/unbounded loops
+(dedup.py's converge-until-stable connected components). Skewed
 hub nodes partial-aggregate map-side before the exchange.
 """
 
@@ -131,7 +134,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg((F.lit(1 - PR_DAMP) / F.lit(n)
                     + F.lit(PR_DAMP)
                     * F.sum(F.col("pr") / F.col("deg"))).alias("pr"))
-              .localCheckpoint(eager=True))
+              # persist, not checkpoint: PR_ITERS is a fixed small
+              # constant and each round references the previous frame
+              # once, so the plan stays linear in rounds; the cache
+              # entry bounds physical planning (InMemoryRelation
+              # substitution) while all supersteps pipeline into the
+              # consuming action instead of paying one blocking
+              # serialization job per round (round-12 A/B below)
+              .persist())
     # top-k WITHOUT a global window: orderBy+limit plans as
     # TakeOrderedAndProject (per-partition heaps, no full sort, no
     # single-partition WindowExec over every node) — the rank window
@@ -353,6 +363,13 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("d") + 1).alias("d")))
         dist = (dist.unionByName(step)
                 .groupBy("id").agg(F.min("d").alias("d"))
+                # localCheckpoint, NOT persist: dist is referenced
+                # TWICE per hop (join + union), so 4 hops build a
+                # 2^4-path nested-cache plan — round 12 measured the
+                # persist form at 2.07 s vs 1.87 s checkpointed,
+                # same-instrument A/B (the multi-ref x iteration
+                # blowup; single-ref loops like pagerank DID win from
+                # persist). Truncation is load-bearing here.
                 .localCheckpoint(eager=True))
     return (dist.join(n, dist.id == n.n_nationkey)
             .select(F.col("id").alias("node_id"),
@@ -548,8 +565,8 @@ def graph_label_propagation(spark: SparkSession,
     is the Pregel superstep shape — one edge-grain hash join
     (labels keyed on node co-partition with edges on the join key)
     + a node-grain count agg + a per-node (PARTITIONED) rank window;
-    label state is O(nodes); localCheckpoint truncates lineage per
-    round so {k} rounds cost {k} bounded jobs. Fixed rounds keep the
+    label state is O(nodes); per-round persist bounds the plan so
+    {k} rounds pipeline into one bounded action. Fixed rounds keep the
     DuckDB oracle an exact unrolled-CTE replay. (The TPC-H-ish
     fixture assigns parts to suppliers uniformly, so this graph is
     COMPLETE — every supplier pair shares >=4 parts — and the single
@@ -592,7 +609,10 @@ def graph_label_propagation(spark: SparkSession,
                   .withColumn("rn", F.row_number().over(rank_w))
                   .where(F.col("rn") == 1)
                   .select("node", "lab")
-                  .localCheckpoint(eager=True))
+                  # persist: LPA_ITERS fixed; per-round cache bounds
+                  # the (join + union = 2 refs/round) plan growth and
+                  # the supersteps pipeline into one consuming action
+                  .persist())
     return (labels.groupBy("lab")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("node").alias("min_member"),
@@ -732,6 +752,13 @@ def graph_kcore_decomposition(spark: SparkSession,
                      .agg(F.count(F.lit(1)).alias("deg"))
                      .where(F.col("deg") >= k)
                      .select("a")
+                     # localCheckpoint, NOT persist: alive is probed
+                     # TWICE per peel round (both edge endpoints), so
+                     # 6 rounds x 2 ks accumulate a 2^6-path nested-
+                     # cache plan per k — the round-12 persist attempt
+                     # never finished (>200 s vs 5.89 s checkpointed,
+                     # same-instrument A/B). Truncation is
+                     # load-bearing here.
                      .localCheckpoint(eager=True))
         core = (_restrict(alive)
                 .agg(F.count(F.lit(1)).alias("core_degree"))

@@ -1055,9 +1055,11 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round, assignment broadcasts K centroids and streams the
     corpus (no shuffle); the update is one narrow posexplode partial
-    agg of O(K × 64) sums. Centroids are localCheckpoint'ed per round
-    so the plan does not grow with iterations — the lineage-truncation
-    requirement of EVERY iterative algorithm at 1000 executors."""
+    agg of O(K × 64) sums. Centroids are persisted per round so the
+    plan does not grow with iterations (cache substitution bounds
+    planning the way checkpoint truncation did, without the per-round
+    blocking job) — the fixed-round iterate discipline at 1000
+    executors; truly unbounded loops still checkpoint (dedup CC)."""
     e = _emb(spark, sf_dir)
     cent = (_label_centroids(e)
             .select(F.col("c_label").alias("cl"), "cv"))
@@ -1080,7 +1082,11 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("pairs"))
             .select("cl", F.transform("pairs", lambda p: p.getField("c"))
                     .alias("cv"))
-        ).localCheckpoint(eager=True)
+            # persist: _KMEANS_ITERS fixed, cent referenced once per
+            # round (broadcast) — cache bounds the plan, no blocking
+            # per-round checkpoint job (round-12 A/B in
+            # OPTIMIZATION_r12.md)
+        ).persist()
     return (
         assigned.groupBy(F.col("cl").alias("cluster"))
         .agg(F.count(F.lit(1)).alias("n_vecs"))
@@ -1403,8 +1409,11 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(1).alias("mmr_rank"))
            # O(1) lineage per greedy step: without truncation, step k's
            # plan embeds step k-1's THREE times (chosen/anti/union) —
-           # exponential subplan fan-out that re-executes the join
-           # machinery ~3^k times even with cand/pairs cached
+           # round 12 tried per-step persist here and measured 10.2 s
+           # vs 3.74 s checkpointed, same-instrument A/B (the 3^k
+           # nested-cache fan-out dominates even though each step is
+           # cached; single-ref loops like pagerank DID win from
+           # persist). Truncation is load-bearing here.
            .localCheckpoint(eager=True))
     for k in range(2, MMR_SEL + 1):
         chosen = sel.select("query_id", F.col("nid").alias("b_id"))
@@ -1803,7 +1812,13 @@ def knn_ivf_balance_report(spark: SparkSession,
     cells = (assigned.withColumn("rn", F.row_number().over(w))
              .filter("rn = 1")
              .groupBy(F.col("c_label").alias("cell"))
-             .agg(F.count(F.lit(1)).alias("n_vecs")))
+             .agg(F.count(F.lit(1)).alias("n_vecs"))
+             # persisted: consumed by BOTH the totals agg and the final
+             # report join — without the cache the full assignment
+             # lineage (scan + 3 exchanges + per-vector window) runs
+             # twice (round 12; previously masked in the plan audit by
+             # other queries' session caches)
+             .persist())
     tot = cells.agg(F.sum("n_vecs").alias("n"),
                     F.count(F.lit(1)).alias("k"),
                     F.sum(F.col("n_vecs") * F.col("n_vecs"))

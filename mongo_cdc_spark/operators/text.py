@@ -1861,7 +1861,10 @@ def text_textrank_keywords(spark: SparkSession,
                  .agg((F.lit(1 - _TR_DAMP) + F.lit(_TR_DAMP)
                        * F.sum(F.col("wt") * F.col("score")
                                / F.col("tot"))).alias("score"))
-                 .localCheckpoint(eager=True))
+                 # persist: _TR_ITERS fixed, score referenced once per
+                 # round — linear plan, supersteps pipeline into the
+                 # single consuming action (no per-round blocking job)
+                 .persist())
     top = (score.select("word", F.round("score", 6).alias("textrank"))
            .orderBy(F.desc("textrank"), "word")
            .limit(_TR_TOPK))

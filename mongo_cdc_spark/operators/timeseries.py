@@ -1831,6 +1831,15 @@ def events_markov_stationary(spark: SparkSession,
         pi = (p.join(pi.withColumnRenamed("s", "prev"), "prev")
               .groupBy(F.col("nxt").alias("s"))
               .agg(F.sum(F.col("w") * F.col("pr")).alias("w"))
+              # localCheckpoint, NOT persist: _STAT_ITERS=20 is past
+              # the nested-cache cliff — round-12 measured per-round
+              # persist fine to depth ~6 (HITS) but superlinear past
+              # ~10 accumulated rounds (a 20-round persist chain never
+              # finished; even with a forced materialization every 4
+              # rounds the 3rd materialization cost 10.2 s and the 4th
+              # hung — cache lookup/substitution over the accumulated
+              # nested plans dominates). Truncation is load-bearing at
+              # this depth, exactly the allowlisted class.
               .localCheckpoint(eager=True))
     tot = ev.agg(F.count(F.lit(1)).alias("nt"))
     emp = (ev.groupBy("event_type")

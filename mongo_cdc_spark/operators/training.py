@@ -828,9 +828,9 @@ def train_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is the WORD-frequency table (vocabulary grain —
     orders of magnitude smaller than the corpus; the corpus is
     scanned once to build it), so K merge rounds cost K bounded jobs
-    on vocab-grain rows with localCheckpoint lineage truncation —
-    the same iterate discipline as PageRank/BFS/connected
-    components. A fixed round count keeps the op oracle-expressible;
+    on vocab-grain rows with per-round persist bounding the plan —
+    the same fixed-round iterate discipline as PageRank/BFS. A
+    fixed round count keeps the op oracle-expressible;
     production vocab sizes just raise K."""
     docs = _docs(spark, sf_dir)
     words = (docs.select(F.explode(_tokens()).alias("word"))
@@ -867,7 +867,11 @@ def train_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "' ' || a || '  ' || b || ' ', "
                      "' ' || merged || ' ')), ' +'), ' '), ' ')")
                      .alias("seq"))
-                 .localCheckpoint(eager=True))
+                 # persist: BPE_ROUNDS fixed; state referenced twice
+                 # per round (via top + directly) but each round is
+                 # cached, so planning substitutes InMemoryRelation and
+                 # the rounds pipeline into one consuming action
+                 .persist())
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
@@ -1021,7 +1025,11 @@ def train_bpe_tokenize_apply(spark: SparkSession,
                      "' ' || a || '  ' || b || ' ', "
                      "' ' || merged || ' ')), ' +'), ' '), ' ')")
                      .alias("seq"))
-                 .localCheckpoint(eager=True))
+                 # persist: BPE_ROUNDS fixed; state referenced twice
+                 # per round (via top + directly) but each round is
+                 # cached, so planning substitutes InMemoryRelation and
+                 # the rounds pipeline into one consuming action
+                 .persist())
     wordstats = state.select(
         "word", F.size(F.split(F.trim(F.col("seq")), " +")).alias("n_sym"))
     toks = (docs.select("lang", F.explode(_tokens()).alias("word"))

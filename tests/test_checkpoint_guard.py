@@ -65,17 +65,32 @@ PKG = REPO / "mongo_cdc_spark"
 # anywhere else must be rewritten as .persist() or removed.
 _CHECKPOINT_ALLOWLIST: frozenset[tuple[str, str]] = frozenset({
     # -- lineage truncation in iterative loops --
+    # Round 12 narrowed this class by MEASUREMENT (tools/retime.py
+    # isolated best-of-2 A/B at sf0.1 on both code versions,
+    # OPTIMIZATION_r12.md): loops whose state frame is referenced ONCE
+    # per round and whose round count is small convert to per-round
+    # .persist() and WON — pagerank 3.14->1.30 s, LPA 2.65->0.92,
+    # textrank 2.39->1.12, Lloyd 2.53->1.61, BPE merges 2.70->1.85 /
+    # apply 2.42->1.30 (no blocking serialization job per round; the
+    # rounds pipeline into one action). Checkpoint remains
+    # load-bearing in exactly three measured shapes:
+    #  (1) data-dependent round count (dedup_cluster_assign's
+    #      while-until-converged loop — plan depth unbounded);
+    #  (2) multi-reference state x rounds (khop: dist 2x/hop over 4
+    #      hops, persist 2.07 s vs 1.87 s; kcore: alive 2x/round over
+    #      6 rounds x 2 ks, persist NEVER FINISHED (>200 s) vs 5.89 s;
+    #      MMR: sel 3x/step, persist 10.2 s vs 3.74 s) — the
+    #      nested-cache plan fans out refs^rounds and cache
+    #      lookup/substitution over it dominates;
+    #  (3) deep loops (markov power iteration, _STAT_ITERS=20: a
+    #      20-round persist chain never finished; materializing every
+    #      4th round still blew up by round 12-15 — the measured safe
+    #      nesting zone is <= ~6-8 accumulated rounds).
     ("mongo_cdc_spark/operators/dedup.py", "dedup_cluster_assign"),
-    ("mongo_cdc_spark/operators/graph.py", "graph_pagerank_trade"),
     ("mongo_cdc_spark/operators/graph.py", "graph_khop_reachability"),
-    ("mongo_cdc_spark/operators/graph.py", "graph_label_propagation"),
     ("mongo_cdc_spark/operators/graph.py", "graph_kcore_decomposition"),
-    ("mongo_cdc_spark/operators/similarity.py", "kmeans_lloyd_iterations"),
     ("mongo_cdc_spark/operators/similarity.py", "knn_mmr_rerank"),
-    ("mongo_cdc_spark/operators/text.py", "text_textrank_keywords"),
     ("mongo_cdc_spark/operators/timeseries.py", "events_markov_stationary"),
-    ("mongo_cdc_spark/operators/training.py", "train_bpe_merge_learn"),
-    ("mongo_cdc_spark/operators/training.py", "train_bpe_tokenize_apply"),
     # -- read-overwrite isolation (CDC apply/compact) --
     ("mongo_cdc_spark/cdc/apply.py", "apply_batch_to_snapshot"),
     ("mongo_cdc_spark/cdc/apply.py", "compact_snapshot"),

@@ -619,6 +619,14 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # Per-query cache isolation, same as bench.py and
+            # oracle_check.py: without it, cache entries accumulated by
+            # EARLIER audited queries change how later plans substitute
+            # InMemoryRelations — round 12 saw graph_pagerank_trade
+            # audit at 88 shuffles inside the shared-session sweep but
+            # 0 in a fresh session (the instrument the flag is supposed
+            # to model is the bench, which clears between queries).
+            spark.catalog.clearCache()
             plan = fn(spark, sf_dir)._jdf.queryExecution() \
                 .executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
