@@ -5784,9 +5784,9 @@ def customer_rfm_segments(spark: SparkSession,
     segmentation grid behind "champions / at-risk" campaign targeting
     and the canonical first feature set for churn models.
 
-    Plan: ONE data-grain agg to customer grain; the three quintile
-    frames run through _twophase.exact_quantiles (two-phase global
-    rank — no single-task percentile buffer) and broadcast back as
+    Plan: ONE data-grain agg to customer grain; the three metrics
+    stack into ONE grouped _twophase.exact_quantiles pass (two-phase
+    global rank — no single-task percentile buffer) and broadcast back as
     4-dp-rounded literals (the winsorize discipline: bin membership
     can't flip on an interpolation ulp); scoring is a literal-array
     probe and the output is <= 125 cells at any volume."""
@@ -5805,13 +5805,23 @@ def customer_rfm_segments(spark: SparkSession,
                       .cast("bigint")).alias("mcents"))
            .persist())
     probs = {f"q{i}": q for i, q in enumerate(_RFM_QS)}
-    qr = exact_quantiles(per.select(F.col("rec").cast("double")
-                                    .alias("rec"), "cust"),
-                         "rec", probs, ["cust"])
-    qf = exact_quantiles(per.select(F.col("freq").cast("double")
-                                    .alias("freq"), "cust"),
-                         "freq", probs, ["cust"])
-    qm = exact_quantiles(per, "mon", probs, ["cust"])
+    # ONE grouped two-phase quantile pass over the stacked
+    # (metric, value) frame instead of three independent passes
+    # (round 12): each pass paid its own range-repartition +
+    # per-partition rank window + offsets join + persist; grouping by
+    # the metric label computes the identical per-metric order
+    # statistics (ranks partition exactly as the separate runs) with
+    # one set of machinery over 3x customer-grain rows. Isolated
+    # best-of-2: 3.67 -> 2.08 s, result row-identical.
+    stacked = per.selectExpr(
+        "cust",
+        "stack(3, 'rec', CAST(rec AS DOUBLE), "
+        "'freq', CAST(freq AS DOUBLE), 'mon', mon) AS (metric, val)")
+    qall = exact_quantiles(stacked, "val", probs, ["cust"],
+                           group_cols=["metric"]).persist()
+    qr = qall.filter(F.col("metric") == "rec").drop("metric")
+    qf = qall.filter(F.col("metric") == "freq").drop("metric")
+    qm = qall.filter(F.col("metric") == "mon").drop("metric")
 
     def _arr(qdf):
         return qdf.select(F.array(*[
