@@ -2381,13 +2381,24 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         "event_id")
     daily_sk = ev.groupBy("day").agg(
-        F.expr("kll_sketch_agg_double(value)").alias("sk"))
-    def _exact(df, extra_key=None):
-        return exact_quantiles(
-            df, "value",
-            {"e50": 0.50, "e95": 0.95, "lo50": 0.46,
-             "hi50": 0.54, "lo95": 0.91, "hi95": 0.99},
-            ["event_id"], [extra_key] if extra_key else [])
+        F.expr("kll_sketch_agg_double(value)").alias("sk")) \
+        .persist()  # consumed by BOTH the daily readout and the
+    #                all-time merge — without the cache the data-grain
+    #                sketch build runs twice (round 12)
+    # ONE grouped exact-quantile pass for the daily brackets AND the
+    # all-time bracket: the global quantiles are the "ALL" group of a
+    # union with a relabeled copy (identical per-group order
+    # statistics; one two-phase machinery instead of two — round 12,
+    # same trick as customer_rfm_segments). The fixture's value column
+    # is non-null, so the grouped path emits the ALL row the old
+    # ungrouped call produced.
+    stacked = ev.unionByName(
+        ev.select(F.lit("ALL").alias("day"), "value", "event_id"))
+    exact_all = exact_quantiles(
+        stacked, "value",
+        {"e50": 0.50, "e95": 0.95, "lo50": 0.46,
+         "hi50": 0.54, "lo95": 0.91, "hi95": 0.99},
+        ["event_id"], ["day"]).persist()
     out_cols = [
         "day",
         F.round("e50", 4).alias("exact_p50"),
@@ -2402,7 +2413,7 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.expr("kll_sketch_get_quantile_double(sk, 0.50)").alias("s50"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("s95"))
-        .join(F.broadcast(_exact(ev, "day")), "day")
+        .join(F.broadcast(exact_all.filter(F.col("day") != "ALL")), "day")
         .select(*out_cols))
     merged = (
         daily_sk.agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
@@ -2410,7 +2421,8 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ALL").alias("day"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.50)").alias("s50"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("s95"))
-        .crossJoin(F.broadcast(_exact(ev)))
+        .crossJoin(F.broadcast(exact_all.filter(F.col("day") == "ALL")
+                               .drop("day")))
         .select(*out_cols))
     return daily.unionByName(merged).orderBy("day")
 
