@@ -63,8 +63,21 @@ _GRADE_FIRST = (
     "ab_test_cuped", "text_heaps_law_fit", "layout_bloom_design",
     "text_textrank_keywords", "multimodal_tga_decode",
     "dedup_incremental_new_batch",
-    # -- transitive changed-since-green fill (38), oldest vintage
-    # first (vintages from the CORRECTNESS_r01..r11 green rows) --
+    # -- round-12 OPTIMIZATION-round rewrites (4): queries whose plan
+    # was restructured THIS round beyond the inherited sweep (loop
+    # persist conversion / window-min / grouped quantile stack /
+    # shared-frame persist — OPTIMIZATION_r12.md), each oracle-green
+    # at sf0.001 after the change; they join the 6 rewrites already in
+    # the window (textrank, pagerank, khop, mmr, kcore, bpe x2, rfm,
+    # kll below) so every round-12-rewritten query gets a fresh row --
+    "graph_label_propagation", "kmeans_lloyd_iterations",
+    "q2_min_cost_supplier", "knn_ivf_balance_report",
+    # -- transitive changed-since-green fill (34), oldest vintage
+    # first (vintages from the CORRECTNESS_r01..r11 green rows; the 4
+    # newest-vintage sweep-only entries — ts_motif_discovery,
+    # agg_approx_sketches, dedup_sample_rate_estimate,
+    # embedding_class_scatter — were displaced by the rewrites above
+    # and roll to the round-13 head) --
     "ann_recall_eval", "basket_part_pairs", "graph_khop_reachability",
     "graph_pagerank_trade", "graph_triangle_count", "knn_mmr_rerank",
     "search_rrf_fusion", "train_bpe_merge_learn", "basket_rules_lift",
@@ -78,8 +91,7 @@ _GRADE_FIRST = (
     "stats_conformal_interval", "stats_fdr_bh_weekend",
     "stats_hill_tail_index", "stats_kfold_cv_slope", "stats_ks_two_sample",
     "text_rake_keywords", "train_epoch_shuffle_audit",
-    "ts_motif_discovery", "agg_approx_sketches", "customer_rfm_segments",
-    "dedup_sample_rate_estimate", "embedding_class_scatter",
+    "customer_rfm_segments",
     "embedding_quality_gate", "events_kll_quantile_rollup",
     # ---------------- end ROUND-12 WINDOW ----------------
     # ---------------- ROUND-11 WINDOW (first 50 entries) ----------------
@@ -102,16 +114,19 @@ _GRADE_FIRST = (
     # text, training, relational, multimodal, timeseries), so the
     # refresh doubles as the task-#6 changed-code re-grade for the
     # r2 cohort. --
+    # (kmeans_lloyd_iterations and q2_min_cost_supplier moved to the
+    # round-12 window above — rewritten this round; listed once per
+    # the global-uniqueness guard)
     "dedup_cluster_assign", "dedup_embedding_cosine", "dedup_exact",
     "dedup_fuzzy_levenshtein", "dedup_simhash",
-    "embedding_centroid_per_label", "kmeans_lloyd_iterations",
+    "embedding_centroid_per_label",
     "knn_bruteforce_cosine", "knn_ivf_centroid", "knn_lsh_hyperplane",
     "knn_pq_quantize", "multimodal_frame_sample",
     "multimodal_payload_meta", "q11_important_parts",
     "q12_priority_lines", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
     "q17_small_quantity", "q20_excess_suppliers",
-    "q21_waiting_supplier", "q22_global_sales", "q2_min_cost_supplier",
+    "q21_waiting_supplier", "q22_global_sales",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "sample_stratified_orders",
     "similarity_threshold_pairs", "text_bpe_token_count",
@@ -179,12 +194,11 @@ _GRADE_FIRST = (
     "sql_named_window_text", "stats_cohens_kappa",
     "kmeans_cluster_agreement", "ts_classical_decompose",
     "stats_jarque_bera",
-    # -- changed-since-green (1): graph_label_propagation carries the
-    # VERDICT task-#7 root-cause fix (oriented a.s < b.s through-part
-    # join + mirror halves the pair explosion; dst-partitioned
-    # checkpoint lets both supersteps reuse the exchange) — 10.3 s ->
-    # 5.5 s warm at sf0.1, same rows both SFs --
-    "graph_label_propagation",
+    # -- changed-since-green (1): graph_label_propagation carried the
+    # VERDICT task-#7 root-cause fix here (oriented a.s < b.s
+    # through-part join + mirror); moved to the round-12 window above
+    # (rewritten again this round; listed once per the
+    # global-uniqueness guard) --
     # -- round-10 additions (5): Wilson score intervals, aggregate
     # FILTER clause as SQL text, Garlaschelli-Loffredo trade
     # reciprocity, Hurst R/S exponent, histogram equalization on the
