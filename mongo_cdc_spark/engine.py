@@ -31,6 +31,14 @@ Sinks (``sink_cfg["kind"]``):
 Batch pipelines end with .run() (returns the composed DataFrame after
 an optional parquet sink write); streaming pipelines end with .start()
 (returns the StreamingQuery). Both leave the SparkSession untouched.
+
+Cache hygiene for long-lived sessions: iterative operators persist
+per-round frames whose last round stays registered after the consuming
+action (the bench/oracle harnesses clearCache between queries, so they
+never accumulate there). A caller running many operator invocations in
+ONE session should spark.catalog.clearCache() between them — eviction
+recomputes from lineage, so this is a memory concern, never a
+correctness one.
 """
 
 from __future__ import annotations

@@ -140,7 +140,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
               # entry bounds physical planning (InMemoryRelation
               # substitution) while all supersteps pipeline into the
               # consuming action instead of paying one blocking
-              # serialization job per round (round-12 A/B below)
+              # serialization job per round (round-12 A/B).
+              # Round-13 A/Bs KEEP every round cached: each round's
+              # broadcast build re-executes the full uncached prefix,
+              # so no-persist ran 5.16 s vs 1.12 s, and
+              # unpersist-behind-the-loop (guide §5's hygiene form)
+              # still paid the cacheless columnar rebuild: 0.84 s vs
+              # 0.66 s. Long-lived callers reclaim the ≤PR_ITERS
+              # cached frames via clearCache between operator calls
+              # (engine.py module doc).
               .persist())
     # top-k WITHOUT a global window: orderBy+limit plans as
     # TakeOrderedAndProject (per-partition heaps, no full sort, no
@@ -504,6 +512,12 @@ def graph_degree_assortativity(spark: SparkSession,
 
 # ----------------------------------------------- label propagation (LPA)
 
+# NOTE: the LPA loop persists a frame referenced TWICE per round
+# (join + union) — the multi-ref shape whose per-round .persist()
+# plan-substitution cost grows superlinearly with depth (kcore with 2
+# refs never finished at 12 rounds, round-12 A/B). Safe only while
+# this constant stays below the ~6-8-round cliff; raising it past ~6
+# requires reverting the loop to localCheckpoint(eager=True).
 LPA_ITERS = 2
 
 
@@ -734,42 +748,46 @@ def graph_kcore_decomposition(spark: SparkSession,
            .distinct().repartition("a").persist())
 
     def _restrict(alive: DataFrame) -> DataFrame:
-        """Edges with BOTH endpoints alive, grouped to src degree —
-        alive is node-grain and shrink-only, so both probes are
-        explicit broadcasts; the groupBy reuses sym's src hashing."""
+        """Edges with BOTH endpoints alive IN THE SAME k's peel,
+        grouped to (k, src) degree — alive is (k, node)-grain and
+        shrink-only, so both probes are explicit broadcasts. sym stays
+        hash-partitioned by src and a is a subset of the (k, a)
+        grouping keys, so the keyed count needs no per-round
+        exchange."""
         return (sym
                 .join(F.broadcast(alive.withColumnRenamed("a", "id")),
                       sym.a == F.col("id")).drop("id")
-                .join(F.broadcast(alive.select(F.col("a").alias("id"))),
-                      sym.b == F.col("id")).drop("id")
-                .groupBy("a"))
+                .join(F.broadcast(alive.select(
+                          F.col("k").alias("k2"),
+                          F.col("a").alias("id"))),
+                      (sym.b == F.col("id"))
+                      & (F.col("k") == F.col("k2"))).drop("id", "k2")
+                .groupBy("k", "a"))
 
-    outs = []
-    for k in KCORE_KS:
-        alive = sym.select("a").distinct()
-        for _ in range(KCORE_ROUNDS):
-            alive = (_restrict(alive)
-                     .agg(F.count(F.lit(1)).alias("deg"))
-                     .where(F.col("deg") >= k)
-                     .select("a")
-                     # localCheckpoint, NOT persist: alive is probed
-                     # TWICE per peel round (both edge endpoints), so
-                     # 6 rounds x 2 ks accumulate a 2^6-path nested-
-                     # cache plan per k — the round-12 persist attempt
-                     # never finished (>200 s vs 5.89 s checkpointed,
-                     # same-instrument A/B). Truncation is
-                     # load-bearing here.
-                     .localCheckpoint(eager=True))
-        core = (_restrict(alive)
-                .agg(F.count(F.lit(1)).alias("core_degree"))
-                .select(F.lit(k).alias("k"),
-                        F.col("a").cast("int").alias("node_id"),
-                        F.col("core_degree").cast("bigint")
-                        .alias("core_degree")))
-        outs.append(core)
-    res = outs[0]
-    for more in outs[1:]:
-        res = res.unionByName(more)
+    # BOTH k peels batched into ONE (k, node)-keyed frame: each round
+    # is a single blocking checkpoint job instead of one per k —
+    # 12 materializations down to 6 (VERDICT_r12 task #3). Per-k
+    # semantics are unchanged: every join/filter/count is keyed on k.
+    ks = F.explode(F.array(*[F.lit(k) for k in KCORE_KS])).alias("k")
+    alive = sym.select("a").distinct().select(ks, "a")
+    for _ in range(KCORE_ROUNDS):
+        alive = (_restrict(alive)
+                 .agg(F.count(F.lit(1)).alias("deg"))
+                 .where(F.col("deg") >= F.col("k"))
+                 .select("k", "a")
+                 # localCheckpoint, NOT persist: alive is probed
+                 # TWICE per peel round (both edge endpoints), so
+                 # 6 rounds accumulate a 2^6-path nested-cache plan —
+                 # the round-12 persist attempt never finished
+                 # (>200 s vs 5.89 s checkpointed, same-instrument
+                 # A/B). Truncation is load-bearing here.
+                 .localCheckpoint(eager=True))
+    res = (_restrict(alive)
+           .agg(F.count(F.lit(1)).alias("core_degree"))
+           .select("k",
+                   F.col("a").cast("int").alias("node_id"),
+                   F.col("core_degree").cast("bigint")
+                   .alias("core_degree")))
     return (res.join(F.broadcast(n), res.node_id == n.n_nationkey)
             .select("k", "node_id", F.col("n_name").alias("nation"),
                     "core_degree")

@@ -17,6 +17,7 @@ LSH buckets on a signature key so the join carries (sig, id) pairs.
 from __future__ import annotations
 
 import pandas as _pd
+import pyarrow as _pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -52,7 +53,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dot(a, b) -> "F.Column":
     """Sequential left-fold dot product — same association as the
-    oracle's list_dot_product, so doubles match bitwise."""
+    oracle's list_dot_product, so doubles match bitwise. Interpreted
+    (HOFs are CodegenFallback): kept for MODEL-grain frames (K
+    centroids, K² grids) where a Python hop would cost more than the
+    fold; data-grain sites use `_dot_arrow` below."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -60,8 +64,95 @@ def _dot(a, b) -> "F.Column":
     )
 
 
+def _list2d(a):
+    """Arrow list<double> column → (n, dims) float64 ndarray, ZERO
+    copies for the data buffer (flatten respects slice offsets; the
+    vectors are non-null fixed-width by the embeddings contract)."""
+    import numpy as np
+
+    return np.asarray(a.flatten()).reshape(len(a), -1)
+
+
+_DOT_ARROW = None
+
+
+def _dot_arrow():
+    """Arrow-vectorized twin of `_dot` (guide §4.2): one elementwise
+    multiply-add per DIMENSION over the whole Arrow batch instead of
+    two interpreted lambda dispatches per ELEMENT. The accumulation is
+    the identical sequential left fold in float64 —
+    acc_d = acc_{d-1} + a[d]*b[d] starting from 0.0, evaluated
+    per-row by vectorized numpy ops — so every pair's result is
+    BITWISE-equal to the HOF fold and to the oracle's
+    list_dot_product (IEEE-754 addition order is preserved exactly;
+    only the loop interpreter moved from per-element to per-dimension).
+    Verified bitwise against the fold in tests/test_similarity.py and
+    by the oracle hash of every calling query. arrow_udf, not
+    pandas_udf: the list column stays a flat Arrow buffer (numpy view,
+    no per-row ndarray materialization).
+
+    Marked nondeterministic so the optimizer never duplicates the
+    Python hop below a pushed filter (guide §4.4) — threshold filters
+    over the returned score would otherwise evaluate the UDF twice
+    (and pull it into join conditions, where Python eval is invalid).
+    """
+    global _DOT_ARROW
+    if _DOT_ARROW is None:
+        import numpy as np
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import DoubleType
+
+        @arrow_udf(DoubleType())
+        def dot_fold(a: _pa.Array, b: _pa.Array) -> _pa.Array:
+            if not len(a):
+                return _pa.array([], type=_pa.float64())
+            A = _list2d(a)
+            B = _list2d(b)
+            acc = np.zeros(len(A), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            return _pa.array(acc, type=_pa.float64())
+
+        _DOT_ARROW = dot_fold.asNondeterministic()
+    return _DOT_ARROW
+
+
+_L2_ARROW = None
+
+
+def _l2_arrow():
+    """Arrow-vectorized twin of the sequential (x-y)² fold (`_pq_l2` /
+    the Lloyd assignment distance): acc_d = acc_{d-1} + (a[d]-b[d])²
+    from 0.0, per-dimension vectorized — bitwise-equal to the HOF fold
+    and the oracle's list_sum(list_transform(...)). Nondeterministic
+    for the same §4.4 reason as `_dot_arrow`."""
+    global _L2_ARROW
+    if _L2_ARROW is None:
+        import numpy as np
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import DoubleType
+
+        @arrow_udf(DoubleType())
+        def l2_fold(a: _pa.Array, b: _pa.Array) -> _pa.Array:
+            if not len(a):
+                return _pa.array([], type=_pa.float64())
+            A = _list2d(a)
+            B = _list2d(b)
+            acc = np.zeros(len(A), dtype=np.float64)
+            for d in range(A.shape[1]):
+                diff = A[:, d] - B[:, d]
+                acc = acc + diff * diff
+            return _pa.array(acc, type=_pa.float64())
+
+        _L2_ARROW = l2_fold.asNondeterministic()
+    return _L2_ARROW
+
+
 def cosine(a, b, norm_a, norm_b) -> "F.Column":
-    return _dot(a, b) / (norm_a * norm_b)
+    """Pair-grain cosine — Arrow-vectorized dot (bitwise-identical to
+    the HOF fold, see `_dot_arrow`); division and 6-dp rounding stay
+    JVM expressions so ROUND semantics are untouched."""
+    return _dot_arrow()(a, b) / (norm_a * norm_b)
 
 
 @query("knn_bruteforce_cosine", sql=f"""
@@ -154,8 +245,8 @@ def blocking_plan(e: DataFrame, tau: float) -> tuple:
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", "norm", "c_label",
-                (_dot(F.col("v"), F.col("cv"))
-                 / (F.col("norm") * F.col("cnorm"))).alias("ccos"))
+                cosine(F.col("v"), F.col("cv"),
+                       F.col("norm"), F.col("cnorm")).alias("ccos"))
         .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
         .select("vec_id", "v", "norm", F.col("c_label").alias("cluster"),
                 F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0),
@@ -682,7 +773,9 @@ def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     minimum IS the window's rn=1 row."""
     assigned = (
         sub.join(F.broadcast(cent), "s")
-        .select("vec_id", "s", "code_label", F.round(_pq_l2(), 6).alias("err"))
+        .select("vec_id", "s", "code_label",
+                F.round(_l2_arrow()(F.col("sv"), F.col("cv")), 6)
+                 .alias("err"))
     )
     return (
         assigned.groupBy("vec_id", "s")
@@ -1063,6 +1156,10 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cent = (_label_centroids(e)
             .select(F.col("c_label").alias("cl"), "cv"))
+    # HOF fold, NOT _l2_arrow: the assignment is N×K inside a 2-round
+    # loop whose per-round broadcast build would pay a Python-stage
+    # round trip each round — measured 1.11 s (fold) vs 1.71 s (Arrow)
+    # in round 13; the interpreted cost at K=10 is below the hop cost
     l2 = F.round(F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, d: acc + d), 6)
@@ -1085,7 +1182,11 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             # persist: _KMEANS_ITERS fixed, cent referenced once per
             # round (broadcast) — cache bounds the plan, no blocking
             # per-round checkpoint job (round-12 A/B in
-            # OPTIMIZATION_r12.md)
+            # OPTIMIZATION_r12.md). NO unpersist-behind-the-loop here
+            # (unlike pagerank/textrank): the post-loop `assigned`
+            # frame re-reads round N-1's centroids, so dropping them
+            # recomputes a full assignment pass — measured 1.11 s
+            # (kept) vs 2.89 s (dropped) in round 13.
         ).persist()
     return (
         assigned.groupBy(F.col("cl").alias("cluster"))
@@ -1255,7 +1356,8 @@ def knn_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(probes))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("qv"), F.col("r")), 6).alias("approx_ip"))
+                F.round(_dot_arrow()(F.col("qv"), F.col("r")), 6)
+                 .alias("approx_ip"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_ip"),
                                           F.asc("neighbor_id"))
@@ -1715,10 +1817,7 @@ def kmeans_silhouette_eval(spark: SparkSession,
     association), so argmin ties are impossible to split."""
     e = _emb(spark, sf_dir)
     cent = _label_centroids(e)
-    d = F.round(F.sqrt(F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)), 6)
+    d = F.round(F.sqrt(_l2_arrow()(F.col("v"), F.col("cv"))), 6)
     dists = (e.crossJoin(F.broadcast(cent))
              .select("vec_id", "label", "c_label", d.alias("d")))
     ab = (dists.groupBy("vec_id", "label")
@@ -1957,16 +2056,17 @@ def similarity_mips_norm_augment(spark: SparkSession,
     q = (norms.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn")))
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b),
-        F.lit(0.0), lambda a, x: a + x)
+    # the Arrow dot is projected ONCE into a named column (two inline
+    # uses of a nondeterministic UDF expression would evaluate the
+    # Python hop twice — nondeterministic expressions never dedup)
     scored = (norms.crossJoin(F.broadcast(q))
               .crossJoin(F.broadcast(m))
               .where(F.col("vec_id") != F.col("query_id"))
+              .withColumn("__ipr", _dot_arrow()(F.col("qv"), F.col("v")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(dot, 6).alias("ip"),
-                      F.round(dot / (F.col("qn") * F.col("mx")), 6)
-                      .alias("aug_cos")))
+                      F.round("__ipr", 6).alias("ip"),
+                      F.round(F.col("__ipr") / (F.col("qn") * F.col("mx")),
+                              6).alias("aug_cos")))
     w_ip = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
     w_au = W.partitionBy("query_id").orderBy(F.desc("aug_cos"),
                                              "neighbor_id")
@@ -2264,31 +2364,59 @@ def similarity_jl_projection_audit(spark: SparkSession,
     corpus re-embeds; probes broadcast into the sampled-candidate
     BNLJ ({JL_PROBES} x sample), ratios round at 6 dp before the
     bounded per-probe rollup. numpy projection parity in tests."""
-    signs = _jl_signs()
     e = (load_table(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.col("embedding").cast("array<double>").alias("v")))
-    scale = float(JL_K) ** 0.5
 
-    def proj_component(i: int):
-        row = F.array(*[F.lit(float(s)) for s in signs[i]])
-        return (F.aggregate(
-            F.zip_with(F.col("v"), row, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x) / scale)
+    def _jl_project_udf():
+        """All {JL_K} projection components in ONE Arrow hop (the
+        `_lsh_sigs_udf` pattern): per-dimension vectorized accumulation
+        in the SAME sequential fold association as the per-component
+        `aggregate(zip_with(...))` expressions it replaces (acc_d =
+        acc_{d-1} + v[d]*s[d] from 0.0, then one final /sqrt(k)), so
+        every component is bitwise-equal to the HOF fold and the
+        oracle's list literals. The 16 interpreted 64-term folds per
+        row were this query's dominant cost (guide §4.2)."""
+        import numpy as np
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import ArrayType, DoubleType
 
-    pv = e.select(
-        "vec_id", "v",
-        F.array(*[proj_component(i) for i in range(JL_K)]).alias("w"))
-    probes = (pv.filter(F.col("vec_id") < JL_PROBES)
+        S = np.array(_jl_signs(), dtype=np.float64)        # k x dims
+        scale = float(JL_K) ** 0.5
+
+        @arrow_udf(ArrayType(DoubleType()))
+        def jl_proj(v: _pa.Array) -> _pa.Array:
+            if not len(v):
+                return _pa.array([], type=_pa.list_(_pa.float64()))
+            X = _list2d(v)                                 # n x dims
+            acc = np.zeros((len(X), S.shape[0]))
+            for d in range(X.shape[1]):
+                acc = acc + X[:, d:d + 1] * S[:, d]
+            w = (acc / scale).ravel()
+            return _pa.ListArray.from_arrays(
+                np.arange(0, w.size + 1, S.shape[0], dtype=np.int32),
+                _pa.array(w, type=_pa.float64()))
+
+        return jl_proj.asNondeterministic()
+
+    # filter BEFORE projecting: a nondeterministic projection blocks
+    # filter pushdown, so pv-then-filter would project all N rows in
+    # each branch instead of only the probe / sampled-candidate slices
+    def _proj(df: DataFrame) -> DataFrame:
+        return df.select("vec_id", "v",
+                         _jl_project_udf()(F.col("v")).alias("w"))
+
+    probes = (_proj(e.filter(F.col("vec_id") < JL_PROBES))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("v").alias("pv"), F.col("w").alias("pw")))
-    cands = (pv.filter(F.col("vec_id") % JL_CAND_MOD == JL_CAND_RES)
+    cands = (_proj(e.filter(F.col("vec_id") % JL_CAND_MOD == JL_CAND_RES))
              .select(F.col("vec_id").alias("cand_id"),
                      F.col("v").alias("cv"), F.col("w").alias("cw")))
 
     def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, v_: acc + v_)
+        # Arrow twin of the fold (bitwise-equal, see _dot_arrow); the
+        # six distinct dots batch into one ArrowEvalPython node
+        return _dot_arrow()(x, y)
 
     pairs = (cands.crossJoin(F.broadcast(probes))
              .filter(F.col("cand_id") != F.col("probe_id"))
@@ -2456,7 +2584,7 @@ def similarity_pair_distance_histogram(spark: SparkSession,
     b = e.select(F.col("vec_id").alias("id2"),
                  F.col("v").alias("v2"),
                  F.col("norm").alias("n2"), "bkt")
-    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    cos = cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
     pairs = (a.join(b, "bkt")
              .filter(F.col("id1") < F.col("id2"))
              .select(F.round(cos * 1e6).cast("bigint")
@@ -2578,8 +2706,8 @@ def kmeans_cluster_agreement(spark: SparkSession,
                                              F.col("cv")))))
     assigned = (e.crossJoin(F.broadcast(cent))
                 .select("vec_id", "label", "c_label",
-                        F.round(_dot(F.col("v"), F.col("cv"))
-                                / (F.col("norm") * F.col("cnorm")), 6)
+                        F.round(cosine(F.col("v"), F.col("cv"),
+                                       F.col("norm"), F.col("cnorm")), 6)
                         .alias("cos_sim")))
     rn = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "c_label"))

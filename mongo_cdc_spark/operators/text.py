@@ -1863,7 +1863,13 @@ def text_textrank_keywords(spark: SparkSession,
                                / F.col("tot"))).alias("score"))
                  # persist: _TR_ITERS fixed, score referenced once per
                  # round — linear plan, supersteps pipeline into the
-                 # single consuming action (no per-round blocking job)
+                 # single consuming action (no per-round blocking job).
+                 # Round-13 A/Bs KEEP every round cached: each round's
+                 # broadcast build re-executes the uncached prefix, so
+                 # no-persist ran 1.55 s vs 0.77 s and unpersist-
+                 # behind-the-loop paid the cacheless columnar rebuild
+                 # (+0.11 s). Long-lived callers reclaim the cached
+                 # frames via clearCache (engine.py module doc).
                  .persist())
     top = (score.select("word", F.round("score", 6).alias("textrank"))
            .orderBy(F.desc("textrank"), "word")

@@ -1796,11 +1796,14 @@ def events_markov_stationary(spark: SparkSession,
 
     Plan: the data-sized stage is ONE lag-window pass (per-user
     partitioned) + the transition count agg; the chain then lives at
-    |types|^2 grain — every iteration is a bounded join + keyed sum,
-    unrolled so the DuckDB oracle replays the exact same {_STAT_ITERS}
-    steps. Types observed only as a transition TARGET get a
-    self-loop row (pr = 1) so inflow mass is conserved instead of
-    silently dropping on the next iteration — the state set is
+    |types|^2 grain — a schema-bounded MODEL at any corpus size, so
+    the matrix is collected once and the {_STAT_ITERS} power steps run
+    driver-side in float64 (the PQ-codebook / PCA-eigensolve
+    precedent), replacing 20 per-iteration blocking checkpoint jobs
+    with plain arithmetic; the DuckDB oracle replays the exact same
+    {_STAT_ITERS} steps. Types observed only as a transition TARGET
+    get a self-loop row (pr = 1) so inflow mass is conserved instead
+    of silently dropping on the next iteration — the state set is
     prev UNION nxt and stationary_prob sums to 1 (round-7 ADVICE
     fix). Fixed-point convergence (pi P = pi) is pinned in tests via
     an independent eigen solve."""
@@ -1819,35 +1822,39 @@ def events_markov_stationary(spark: SparkSession,
     sinks = (tc.select("nxt").distinct()
              .join(tc.select(F.col("prev").alias("nxt")).distinct(),
                    "nxt", "left_anti"))
-    p = (praw.unionByName(
+    p = praw.unionByName(
         sinks.select(F.col("nxt").alias("prev"), "nxt",
                      F.lit(1.0).alias("pr")))
-        .persist())
-    states = p.select(F.col("prev").alias("s")).distinct()
-    n_states = states.agg(F.count(F.lit(1)).alias("k"))
-    pi = (states.crossJoin(F.broadcast(n_states))
-          .select("s", (F.lit(1.0) / F.col("k")).alias("w")))
+    # The chain lives at |event-types|² grain — a MODEL, not data: the
+    # type set is schema-bounded at any corpus size (the PQ-codebook /
+    # PCA-eigensolve precedent, VERDICT_r12 task #2). Collect the
+    # bounded matrix once and run the 20 power-iteration steps in
+    # float64 on the driver instead of 20 blocking checkpoint jobs
+    # (the previous form; round-12 measured a 20-round persist chain
+    # hanging, so each round was an eager localCheckpoint — all 20 now
+    # collapse into plain arithmetic). Op order per step is the same
+    # w*pr multiply and per-nxt accumulation the distributed hash agg
+    # ran; accumulation order within a step was never pinned by either
+    # engine (Spark hash-agg partial merge vs DuckDB's scan order) —
+    # the 6-dp rounded readout is what the oracle checks, as before.
+    rows = sorted(p.collect(), key=lambda r: (r["nxt"], r["prev"]))
+    states = sorted({r["prev"] for r in rows})
+    w0 = 1.0 / len(states) if states else 0.0
+    pi_d = {s: w0 for s in states}
     for _ in range(_STAT_ITERS):
-        pi = (p.join(pi.withColumnRenamed("s", "prev"), "prev")
-              .groupBy(F.col("nxt").alias("s"))
-              .agg(F.sum(F.col("w") * F.col("pr")).alias("w"))
-              # localCheckpoint, NOT persist: _STAT_ITERS=20 is past
-              # the nested-cache cliff — round-12 measured per-round
-              # persist fine to depth ~6 (HITS) but superlinear past
-              # ~10 accumulated rounds (a 20-round persist chain never
-              # finished; even with a forced materialization every 4
-              # rounds the 3rd materialization cost 10.2 s and the 4th
-              # hung — cache lookup/substitution over the accumulated
-              # nested plans dominates). Truncation is load-bearing at
-              # this depth, exactly the allowlisted class.
-              .localCheckpoint(eager=True))
+        nxt_w = {s: 0.0 for s in states}
+        for r in rows:
+            nxt_w[r["nxt"]] = nxt_w[r["nxt"]] + pi_d[r["prev"]] * r["pr"]
+        pi_d = nxt_w
+    pi = spark.createDataFrame(
+        [(s, pi_d[s]) for s in states], "s string, w double")
     tot = ev.agg(F.count(F.lit(1)).alias("nt"))
     emp = (ev.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("c"))
            .crossJoin(F.broadcast(tot))
            .select("event_type",
                    (F.col("c") * 1.0 / F.col("nt")).alias("emp")))
-    return (pi.join(emp, pi.s == emp.event_type)
+    return (emp.join(F.broadcast(pi), emp.event_type == pi.s)
             .select("event_type",
                     F.round("w", 6).alias("stationary_prob"),
                     F.round("emp", 6).alias("empirical_share"),

@@ -752,6 +752,12 @@ def train_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ BPE merge learning
 
+# NOTE: both BPE loops persist state referenced twice per round — the
+# multi-ref shape whose per-round .persist() plan-substitution cost
+# grows superlinearly with depth (kcore with 2 refs never finished at
+# 12 rounds, round-12 A/B). Safe only while this constant stays below
+# the ~6-8-round cliff; raising it past ~6 requires reverting those
+# loops to localCheckpoint(eager=True).
 BPE_ROUNDS = 3
 
 

@@ -646,3 +646,30 @@ def test_cluster_agreement_matches_sklearn_style_reference(spark,
     assert math.isclose(row["nmi"], mi / math.sqrt(hc * hl),
                         abs_tol=1e-5)
     assert math.isclose(row["ari"], ari, abs_tol=1e-5)
+
+
+def test_arrow_folds_bitwise_equal_hof_folds(spark, sf_dir):
+    """Round-13 §4.2 vectorization contract: the arrow_udf dot / L2
+    folds must be BITWISE-equal to the interpreted aggregate(zip_with)
+    folds they replaced (same sequential left-fold association per
+    IEEE-754), on every vector pair of the fixture — the property that
+    keeps every calling query hash-identical to its DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from mongo_cdc_spark.operators.similarity import (
+        _dot, _dot_arrow, _emb, _l2_arrow)
+
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    pairs = a.crossJoin(b).filter("id1 < id2")
+    hof_dot = _dot(F.col("v1"), F.col("v2"))
+    hof_l2 = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, d: acc + d)
+    # != on doubles is bitwise-exact except NaN; fixture has no NaNs
+    n_bad = pairs.select(
+        ((hof_dot != _dot_arrow()(F.col("v1"), F.col("v2")))
+         | (hof_l2 != _l2_arrow()(F.col("v1"), F.col("v2"))))
+        .cast("int").alias("d")).agg(F.sum("d")).collect()[0][0]
+    assert n_bad == 0

@@ -296,3 +296,41 @@ try:
                                 rel_tol=1e-12, abs_tol=1e-9), k
 except ImportError:  # pragma: no cover - hypothesis is in this image
     pass
+
+
+def test_eviction_recompute_determinism(spark, monkeypatch):
+    """VERDICT_r12 'what's wrong' #3: an evicted persisted block
+    RECOMPUTES (unlike checkpointed data), and the helpers' internal
+    row_number windows run over a post-shuffle partition — so the
+    recompute path must assign identical ranks. Simulate total
+    eviction (the worst case: EVERY reference recomputes from lineage)
+    by disabling persist entirely, on a ties-heavy frame, and require
+    results identical to the cached run."""
+    import pyspark.sql.dataframe as dfmod
+
+    from mongo_cdc_spark.operators._twophase import (
+        exact_quantiles, with_global_order)
+
+    # ties-heavy: only 7 distinct values over 4k rows, unique key k
+    df = spark.range(1, 4001).select(
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.col("id").alias("k"))
+
+    def run_both(build):
+        cached = build(df).collect()
+        monkeypatch.setattr(dfmod.DataFrame, "persist",
+                            lambda self, *a, **kw: self)
+        try:
+            evicted = build(df).collect()
+        finally:
+            monkeypatch.undo()
+        return cached, evicted
+
+    got_c, got_e = run_both(lambda d: with_global_order(
+        d, [F.asc("v"), F.asc("k")], rank_col="g",
+        cumsums={"v": "cum_v"}, strict_cummaxes={"v": "max_v"}))
+    assert sorted(map(tuple, got_c)) == sorted(map(tuple, got_e))
+
+    got_c, got_e = run_both(lambda d: exact_quantiles(
+        d, "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99}, ["k"]))
+    assert sorted(map(tuple, got_c)) == sorted(map(tuple, got_e))

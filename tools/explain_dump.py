@@ -1,6 +1,7 @@
-"""Dump .explain("formatted") for bench HEADLINE labels (round 12).
+"""Dump .explain("formatted") for bench HEADLINE labels.
 
-Writes plans/r12/<label>_<tag>.txt for each requested label — the
+Writes plans/$PLANS_ROUND/<label>_<tag>.txt (default r13) for each
+requested label — the
 optimization-round evidence artifact: the judge cannot run Spark, so
 plan claims ("2 Exchange -> 1", "SortMergeJoin -> BroadcastHashJoin")
 are checked against these files.
@@ -31,7 +32,11 @@ def main() -> None:
         sys.exit(2)
     tag = args.pop(0)
     sf_dir = "/root/testdata/sf0.1"
-    if args and (os.sep in args[0] or args[0].startswith("sf")):
+    # only treat the token as a data dir when it is a PATH or exactly
+    # an sf name (sf0.1, sf0.001, ...): a bare startswith("sf") match
+    # used to eat any bench label beginning with "sf" (ADVICE r12)
+    import re
+    if args and (os.sep in args[0] or re.fullmatch(r"sf[0-9.]+", args[0])):
         sf_dir = args.pop(0)
         if os.sep not in sf_dir:
             sf_dir = f"/root/testdata/{sf_dir}"
@@ -45,7 +50,7 @@ def main() -> None:
         print(f"unknown labels: {unknown}", file=sys.stderr)
         sys.exit(2)
 
-    out_dir = REPO / "plans" / "r12"
+    out_dir = REPO / "plans" / os.environ.get("PLANS_ROUND", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("explain_dump")
     for name in args:

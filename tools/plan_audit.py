@@ -113,7 +113,30 @@ PYTHON_OK = {"cdc_key_envelope", "multimodal_fake_decode",
              # moment sums against the broadcast probe vector run in
              # the one declared mapInPandas stage; 3 doubles per
              # image leave the task:
-             "multimodal_ssim_probe_rank"}
+             "multimodal_ssim_probe_rank",
+             # round-13 Arrow-vectorized dot/L2 folds (guide §4.2):
+             # the interpreted aggregate(zip_with(...)) CodegenFallback
+             # was the similarity family's dominant cost at pair grain;
+             # similarity._dot_arrow/_l2_arrow evaluate the SAME
+             # sequential left fold per-dimension-vectorized in ONE
+             # arrow_udf hop (bitwise-equal to the HOF fold — pinned in
+             # tests/test_similarity.py and by every caller's oracle
+             # hash). One ArrowEvalPython node per query, on the
+             # scoring projection only:
+             "ann_range_search", "ann_recall_eval",
+             "dedup_embedding_cosine", "dedup_semantic_semdedup",
+             "kmeans_silhouette_eval", "knn_bruteforce_cosine",
+             "knn_ivf_centroid", "knn_pq_quantize", "knn_sq8_search",
+             "mine_hard_negatives", "similarity_jl_projection_audit",
+             "similarity_mips_norm_augment",
+             "similarity_pair_distance_histogram",
+             "similarity_threshold_pairs", "train_decontaminate_semantic",
+             # same Arrow fold, currently invisible to this audit
+             # behind persisted/checkpointed subtrees (the documented
+             # blind spot) — declared so a visibility change never
+             # flags them spuriously:
+             "kmeans_cluster_agreement", "knn_ivf_balance_report",
+             "knn_mmr_rerank"}
 
 # One SortMergeJoin is DECLARED for the inherent big-big join of these
 # queries (lineitem⋈orders where the orders side is itself a join
