@@ -36,6 +36,49 @@ _MODULES = (cdc_batch, relational, tpch_full, dedup, similarity, text,
 # Everything not listed follows in module order, so the full registry
 # is intact and every entry keeps its newest green row on record.
 _GRADE_FIRST = (
+    # ---------------- ROUND-13 WINDOW (first 50 entries) ----------------
+    # Rotation per VERDICT_r12 task #9: the 4 sweep-only entries the
+    # round-12 rewrites displaced lead; then every query whose plan was
+    # restructured THIS round (the arrow_udf fold vectorization across
+    # the similarity/dedup/decon class, the markov driver solve, the
+    # batched kcore peel, the cdc_key_envelope parse barrier, the
+    # conformal count reuse — each oracle-green at sf0.001+sf0.01 after
+    # the change, OPTIMIZATION_r13.md); then the changed-since-green
+    # queue (the r8-vintage head of the 59 remaining sweep-touched
+    # entries, name order within the vintage). Names moved here are
+    # removed from the historical sections below (global-uniqueness
+    # guard). Round 12's 50 slots all retired green (CORRECTNESS_r12:
+    # 50/50).
+    # -- displaced sweep-only entries (4) --
+    "ts_motif_discovery", "agg_approx_sketches",
+    "dedup_sample_rate_estimate", "embedding_class_scatter",
+    # -- round-13 rewrites (23) --
+    "similarity_threshold_pairs", "dedup_embedding_cosine",
+    "dedup_semantic_semdedup", "train_decontaminate_semantic",
+    "events_markov_stationary", "graph_kcore_decomposition",
+    "cdc_key_envelope", "stats_conformal_interval",
+    "similarity_pair_distance_histogram", "similarity_jl_projection_audit",
+    "knn_mmr_rerank", "knn_sq8_search",
+    "ann_range_search", "ann_recall_eval",
+    "knn_bruteforce_cosine", "knn_ivf_centroid",
+    "knn_lsh_hyperplane", "knn_pq_quantize",
+    "mine_hard_negatives", "kmeans_silhouette_eval",
+    "kmeans_cluster_agreement", "knn_ivf_balance_report",
+    "similarity_mips_norm_augment",
+    # -- changed-since-green fill (23, r8 vintage) --
+    "events_retention_cohorts", "events_session_stats",
+    "events_time_to_convert", "graph_link_prediction",
+    "layout_clustering_depth", "layout_range_bounds",
+    "orders_ship_latency", "sketch_accuracy_eval",
+    "stats_brier_decomposition", "stats_chi_square_independence",
+    "stats_eb_shrinkage", "stats_gini_split_search",
+    "stats_isotonic_calibration", "stats_levene_variance",
+    "stats_twoway_fixed_effects", "streaming_retention_curve_replay",
+    "train_corpus_release", "train_cross_source_overlap",
+    "train_dataset_card", "train_length_buckets",
+    "ts_dow_seasonality", "ts_exponential_smoothing",
+    "ts_kendall_tau",
+    # ---------------- end ROUND-13 WINDOW ----------------
     # ---------------- ROUND-12 WINDOW (first 50 entries) ----------------
     # Rotation per VERDICT_r11 tasks #1/#5. This round's substantive
     # change is the persist sweep (task #1): 106 flat
@@ -58,7 +101,7 @@ _GRADE_FIRST = (
     # remaining 59 (27 r8, 17 r9, 15 r10) queue for round 13.
     # -- BENCH_r11 casualties (12), persist-sweep-fixed --
     "ts_binseg_changepoints", "layout_hilbert_events",
-    "similarity_jl_projection_audit", "graph_hits_scores",
+    "graph_hits_scores",
     "events_incident_windows", "multimodal_phash_near_pairs",
     "ab_test_cuped", "text_heaps_law_fit", "layout_bloom_design",
     "text_textrank_keywords", "multimodal_tga_decode",
@@ -71,24 +114,22 @@ _GRADE_FIRST = (
     # the window (textrank, pagerank, khop, mmr, kcore, bpe x2, rfm,
     # kll below) so every round-12-rewritten query gets a fresh row --
     "graph_label_propagation", "kmeans_lloyd_iterations",
-    "q2_min_cost_supplier", "knn_ivf_balance_report",
-    # -- transitive changed-since-green fill (34), oldest vintage
+    "q2_min_cost_supplier", # -- transitive changed-since-green fill (34), oldest vintage
     # first (vintages from the CORRECTNESS_r01..r11 green rows; the 4
     # newest-vintage sweep-only entries — ts_motif_discovery,
     # agg_approx_sketches, dedup_sample_rate_estimate,
     # embedding_class_scatter — were displaced by the rewrites above
     # and roll to the round-13 head) --
-    "ann_recall_eval", "basket_part_pairs", "graph_khop_reachability",
-    "graph_pagerank_trade", "graph_triangle_count", "knn_mmr_rerank",
-    "search_rrf_fusion", "train_bpe_merge_learn", "basket_rules_lift",
+    "basket_part_pairs", "graph_khop_reachability",
+    "graph_pagerank_trade", "graph_triangle_count", "search_rrf_fusion", "train_bpe_merge_learn", "basket_rules_lift",
     "train_bpe_tokenize_apply", "events_revenue_concentration",
     "parts_abc_classification", "text_vocab_coverage_curve",
     "train_curriculum_order", "train_interleave_schedule",
     "train_split_leakage", "ab_test_srm_check",
-    "graph_kcore_decomposition", "graph_local_clustering",
+    "graph_local_clustering",
     "multimodal_audio_fingerprint", "parts_pareto_skyline",
     "quality_fd_discovery", "skew_salting_plan", "stats_auc_roc",
-    "stats_conformal_interval", "stats_fdr_bh_weekend",
+    "stats_fdr_bh_weekend",
     "stats_hill_tail_index", "stats_kfold_cv_slope", "stats_ks_two_sample",
     "text_rake_keywords", "train_epoch_shuffle_audit",
     "customer_rfm_segments",
@@ -117,11 +158,10 @@ _GRADE_FIRST = (
     # (kmeans_lloyd_iterations and q2_min_cost_supplier moved to the
     # round-12 window above — rewritten this round; listed once per
     # the global-uniqueness guard)
-    "dedup_cluster_assign", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_cluster_assign", "dedup_exact",
     "dedup_fuzzy_levenshtein", "dedup_simhash",
     "embedding_centroid_per_label",
-    "knn_bruteforce_cosine", "knn_ivf_centroid", "knn_lsh_hyperplane",
-    "knn_pq_quantize", "multimodal_frame_sample",
+    "multimodal_frame_sample",
     "multimodal_payload_meta", "q11_important_parts",
     "q12_priority_lines", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
@@ -129,7 +169,7 @@ _GRADE_FIRST = (
     "q21_waiting_supplier", "q22_global_sales",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "sample_stratified_orders",
-    "similarity_threshold_pairs", "text_bpe_token_count",
+    "text_bpe_token_count",
     "text_fingerprint_md5", "text_repetition_signals",
     "text_shingle_fingerprint", "text_tfidf_top_terms",
     "text_top_tokens", "train_sequence_pack",
@@ -137,7 +177,7 @@ _GRADE_FIRST = (
     # -- r3-vintage stale greens (9, the oldest by registry order;
     # the remaining 33 r3-vintage roll to round 12 behind the
     # eager-sweep re-grades) --
-    "cdc_topic_routing", "cdc_key_envelope", "q3_shipping_priority",
+    "cdc_topic_routing", "q3_shipping_priority",
     "q6_forecast_revenue", "q18_large_volume_customers",
     "q19_disjunctive_predicates", "join_semi_urgent_customers",
     "agg_rollup_order_status", "agg_cube_returnflag",
@@ -189,10 +229,10 @@ _GRADE_FIRST = (
     "stats_capture_recapture", "quality_kanonymity_audit",
     "stats_cochran_armitage_trend", "multimodal_audio_zcr",
     "stats_odds_ratio_risk", "ts_crosscorr_leadlag",
-    "similarity_pair_distance_histogram", "sql_range_interval_window",
+    "sql_range_interval_window",
     "train_decontaminate_bloom", "multimodal_image_otsu",
     "sql_named_window_text", "stats_cohens_kappa",
-    "kmeans_cluster_agreement", "ts_classical_decompose",
+    "ts_classical_decompose",
     "stats_jarque_bera",
     # -- changed-since-green (1): graph_label_propagation carried the
     # VERDICT task-#7 root-cause fix here (oriented a.s < b.s
@@ -357,25 +397,15 @@ _GRADE_FIRST = (
     # (sum of squared cents wraps BIGINT past ~1e9 events; DuckDB
     # promotes SUM(BIGINT) to HUGEINT — engines now agree at scale).
     "ab_test_clustered_se",
-    "stats_eb_shrinkage", "text_term_burstiness",
-    "stats_twoway_fixed_effects", "events_markov_stationary",
+    "text_term_burstiness",
     "quality_key_discovery",
     # -- never-graded: round-7 additions (16) --
-    "ts_exponential_smoothing", "ts_dow_seasonality", "ts_kendall_tau",
-    "events_retention_cohorts", "orders_ship_latency", "quality_fk_orphans", "stats_levene_variance",
-    "orders_cohort_ltv", "train_cross_source_overlap",
-    "stats_mcnemar_paired", "ts_spearman_daily",
+    "quality_fk_orphans", "orders_cohort_ltv", "stats_mcnemar_paired", "ts_spearman_daily",
     "ts_ljungbox_whiteness", "ts_runs_test",
     "text_yule_k",
     # -- changed-since-green (15): the exact_quantiles callers with
     # prior driver rows (the helper gained the isNotNull filter) plus
     # the two round-7 ADVICE-fix greens --
-    "sketch_accuracy_eval",
-    "events_time_to_convert", "train_dataset_card",
-    "layout_range_bounds", "events_session_stats",
-    "train_length_buckets",
-    "stats_isotonic_calibration", "stats_brier_decomposition",
-    "stats_chi_square_independence", "layout_clustering_depth",
     # -- round-8 additions (11 slots) --
     # Pure-SQL front end (VERDICT_r7 #4): each enters through
     # spark.sql text shared verbatim with the DuckDB oracle —
@@ -390,7 +420,6 @@ _GRADE_FIRST = (
     # (VERDICT_r7 #5+#8): dedup keep-best -> quality filter ->
     # decontaminate -> shard, the first two stages resolved BY NAME
     # from engine.named_transforms(); per-shard manifest output.
-    "train_corpus_release",
     # Merge-on-read CDC apply (VERDICT_r7 #8 delete-vector semantics):
     # O(batch) delta+delete-vector commits resolved by
     # cdc.apply.resolve_current_state with last/first-writer-wins
@@ -400,7 +429,6 @@ _GRADE_FIRST = (
     # first_touch_cohorts, update-mode MIN-day-per-user) replayed as
     # the maturity-corrected blended retention curve; drained-stream
     # parity pinned in tests/test_streaming.py.
-    "streaming_retention_curve_replay",
     # BM25 ranked retrieval (Lucene idf form) over the inverted-index
     # shape: postings for the query terms only, pre-rounded scores,
     # TakeOrdered top-k; Python tf/df/avgdl reference in pytest.
@@ -409,11 +437,9 @@ _GRADE_FIRST = (
     # co-occurrence graph — full-adjacency apex wedge enumeration
     # (orientation would undercount CN; caught by the pytest
     # reference), pair-keyed aggs, anti-join of existing edges.
-    "graph_link_prediction",
     # Exact CART decision-stump split search: value-vocabulary-grain
     # cumulative label counts (AUC-style triangular join), weighted
     # Gini per threshold, top-5 splits; exhaustive Python reference.
-    "stats_gini_split_search",
     # VERSION AS OF reads on the MoR table: state at every commit
     # seq 0-3 through the same resolver (delete vectors make history
     # reconstruction free); completes the merge-on-read family.
@@ -435,7 +461,7 @@ _GRADE_FIRST = (
     "multimodal_image_patches",
     "ab_test_sequential_sprt",
     "multimodal_video_shots", "cdc_schema_evolution_audit",
-    "similarity_mips_norm_augment", # late-round-6 batch 2 (same contract: oracle + pytest pins +
+    # late-round-6 batch 2 (same contract: oracle + pytest pins +
     # plan-audit pass before registration): WOE/IV feature scoring,
     # leave-one-out target encoding, two-phase strict-cummax Pareto
     # skyline, hashing-trick featurizer, partial-Gram PCA covariance,

@@ -90,7 +90,16 @@ def cdc_key_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_change_events(_synthetic_change_events(spark, sf_dir))
     keyed = (parsed
              .withColumn("order_key", F.col("documentKey._id").cast("long"))
-             .filter(F.col("order_key") < 100))
+             .filter(F.col("order_key") < 100)
+             # persist the ~100 surviving rows: without the barrier,
+             # every downstream operator boundary (topic projection,
+             # the Python-UDF input projection, the envelope project)
+             # re-evaluates the full from_json over the corpus — the
+             # parse ran ~3x per action (round-13 A/B: 3.4 s -> 1.4 s
+             # interleaved best; guide §2.4 "don't compute things you
+             # throw away"). O(selected keys) rows cached, data-grain
+             # stays one pass.
+             .persist())
     return (connect_key_envelope(with_topic(keyed))
             .select("order_key", "topic", "key")
             .orderBy("order_key"))

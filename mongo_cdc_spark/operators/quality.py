@@ -2072,7 +2072,11 @@ def stats_conformal_interval(spark: SparkSession,
     ranked = with_global_order(
         calib, [F.col("r"), F.col("okey"), F.col("lnum")],
         rank_col="rk")
-    nc = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    # count the calibration set from the ranked frame: with_global_order
+    # persists its range-partitioned input, so this reads the cache
+    # instead of re-running the full scan + md5 split a second time
+    # (guide §2.4 — same rows by construction, one fewer data pass)
+    nc = ranked.agg(F.count(F.lit(1)).alias("n_calib"))
     ak = (nc.select(
         F.explode(F.array(*[F.lit(a) for a in CONF_ALPHAS]))
         .alias("alpha"), "n_calib")

@@ -2379,7 +2379,12 @@ def events_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         F.col("value").cast("double").alias("value"),
-        "event_id")
+        "event_id").filter(F.col("value").isNotNull())
+    # ^ explicit non-null filter (ADVICE r12): the grouped exact pass
+    # drops NULLs before ranking, so an all-NULL value column would
+    # silently emit no "ALL" row for the crossJoin below — the filter
+    # makes the sketch and exact sides see identically the non-null
+    # rows (a no-op on the fixture, which is non-null by contract)
     daily_sk = ev.groupBy("day").agg(
         F.expr("kll_sketch_agg_double(value)").alias("sk")) \
         .persist()  # consumed by BOTH the daily readout and the

@@ -272,12 +272,16 @@ SHUFFLES_OK = {"events_hll_sketch_rollup": 7,
                # map-side to (bucket, key) pairs, and the sixth
                # exchange is the 64-row final sort:
                "feature_hashing_trick": 6,
-               # split conformal: FOUR data-grain stages (train-moment
+               # split conformal: THREE data-grain stages (train-moment
                # agg, calibration range-repartition for the two-phase
-               # rank, n_calib agg, test coverage agg — all partial
-               # map-side); the rest move the 1-2-row coefficient /
-               # quantile frames and the final 2-row sort:
-               "stats_conformal_interval": 6,
+               # rank, test coverage agg — all partial map-side; the
+               # round-13 n_calib count reads the two-phase pass's
+               # persisted frame instead of re-scanning, which DROPPED
+               # a data pass but ADDS the cached offsets machinery's
+               # metadata-grain exchanges to the printed plan); the
+               # rest move 1-2-row coefficient / quantile frames and
+               # the final 2-row sort:
+               "stats_conformal_interval": 8,
                # clustering agreement: THREE data-sized stages (the
                # (label, dim) centroid component agg, the per-vector
                # best-centroid window, the contingency rollup); every
